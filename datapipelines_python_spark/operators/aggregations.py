@@ -1,0 +1,333 @@
+"""Aggregation operators (SURVEY.md §2B.4).
+
+All are hash aggregates with map-side partial aggregation (Spark plans
+``HashAggregate(partial) -> shuffle -> HashAggregate(final)`` automatically)
+— the shape that scales: the shuffle carries one row per (partition, group),
+not per input row. Double aggregates follow the decimal-sum convention in
+``_helpers`` (order-independent, so results are stable across partition
+counts — on a 1000-executor cluster as on local[32]).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from datapipelines_python_spark.catalog import load_table
+from datapipelines_python_spark.operators._helpers import (
+    davg,
+    dsum,
+    round4,
+    sql_davg,
+    sql_dsum,
+    sql_round4,
+)
+from datapipelines_python_spark.registry import query
+
+
+@query(
+    "agg_global",
+    oracle=f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               {sql_dsum('l_quantity')} AS sum_qty,
+               MIN(l_extendedprice) AS min_price,
+               MAX(l_extendedprice) AS max_price,
+               {sql_davg('l_discount')} AS avg_disc
+        FROM lineitem
+    """,
+    tags=("agg",),
+)
+def agg_global(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        davg(F.col("l_discount")).alias("avg_disc"),
+    )
+
+
+_DISC_PRICE = "l_extendedprice * (1 - l_discount)"
+_CHARGE = "l_extendedprice * (1 - l_discount) * (1 + l_tax)"
+
+
+@query(
+    "agg_groupby",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               {sql_dsum('l_quantity')} AS sum_qty,
+               {sql_dsum('l_extendedprice')} AS sum_base_price,
+               {sql_dsum(_DISC_PRICE)} AS sum_disc_price,
+               {sql_dsum(_CHARGE)} AS sum_charge,
+               {sql_davg('l_quantity')} AS avg_qty,
+               {sql_davg('l_extendedprice')} AS avg_price,
+               {sql_davg('l_discount')} AS avg_disc,
+               CAST(COUNT(*) AS BIGINT) AS count_order
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "flagship"),
+    bench=True,
+)
+def agg_groupby(spark: SparkSession, sf: str) -> DataFrame:
+    """Flagship: TPC-H Q1-shaped pricing summary (hash aggregate)."""
+    li = load_table(spark, sf, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+        dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+        dsum(disc_price).alias("sum_disc_price"),
+        dsum(charge).alias("sum_charge"),
+        davg(F.col("l_quantity")).alias("avg_qty"),
+        davg(F.col("l_extendedprice")).alias("avg_price"),
+        davg(F.col("l_discount")).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "agg_having",
+    oracle=f"""
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               {sql_dsum('o_totalprice')} AS total_spent
+        FROM orders
+        GROUP BY o_custkey
+        HAVING COUNT(*) >= 12
+    """,
+    tags=("agg",),
+)
+def agg_having(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_spent"),
+        )
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+               CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    tags=("agg", "distinct"),
+)
+def agg_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+    )
+
+
+@query("agg_approx_distinct", oracle=None, tags=("agg", "approx"))
+def agg_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """HLL++ distinct count — rows-only check (sketch values are impl-specific).
+
+    At 100 TB this replaces exact COUNT(DISTINCT): no shuffle of the full
+    key set, just mergeable fixed-size sketches.
+    """
+    e = load_table(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+        SELECT n_regionkey, n_name, CAST(COUNT(*) AS BIGINT) AS n
+        FROM nation
+        GROUP BY ROLLUP (n_regionkey, n_name)
+    """,
+    tags=("agg", "rollup"),
+)
+def agg_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    n = load_table(spark, sf, "nation")
+    return n.rollup("n_regionkey", "n_name").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               {sql_dsum('o_totalprice')} AS total
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "cube"),
+)
+def agg_cube(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("o_totalprice")).alias("total"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus, {sql_dsum('l_quantity')} AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+    """,
+    tags=("agg", "groupingsets"),
+)
+def agg_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS sum_qty
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        """
+    )
+
+
+@query(
+    "agg_collect_list",
+    oracle="""
+        SELECT n_regionkey, LIST(n_name ORDER BY n_name) AS nations
+        FROM nation
+        GROUP BY n_regionkey
+    """,
+    tags=("agg", "array"),
+)
+def agg_collect_list(spark: SparkSession, sf: str) -> DataFrame:
+    """Array agg, sorted inside the group for deterministic hashing."""
+    n = load_table(spark, sf, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.sort_array(F.collect_list("n_name")).alias("nations")
+    )
+
+
+@query(
+    "agg_stats",
+    oracle=f"""
+        SELECT l_returnflag,
+               {sql_round4('STDDEV_SAMP(l_quantity)')} AS sd_qty,
+               {sql_round4('VAR_SAMP(l_quantity)')} AS var_qty,
+               {sql_round4('CORR(l_quantity, l_extendedprice)')} AS corr_qty_price,
+               {sql_round4('COVAR_SAMP(l_quantity, l_extendedprice)')} AS covar_qty_price
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def agg_stats(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        round4(F.stddev_samp("l_quantity")).alias("sd_qty"),
+        round4(F.var_samp("l_quantity")).alias("var_qty"),
+        round4(F.corr("l_quantity", "l_extendedprice")).alias("corr_qty_price"),
+        round4(F.covar_samp("l_quantity", "l_extendedprice")).alias("covar_qty_price"),
+    )
+
+
+@query(
+    "agg_percentile",
+    oracle=f"""
+        SELECT l_returnflag,
+               {sql_round4('QUANTILE_CONT(l_quantity, 0.5)')} AS median_qty,
+               {sql_round4('QUANTILE_CONT(l_quantity, 0.9)')} AS p90_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("agg", "percentile"),
+)
+def agg_percentile(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact (interpolating) percentile — matches DuckDB's quantile_cont."""
+    li = load_table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        round4(F.percentile("l_quantity", F.lit(0.5))).alias("median_qty"),
+        round4(F.percentile("l_quantity", F.lit(0.9))).alias("p90_qty"),
+    )
+
+
+@query(
+    "agg_min_max_by",
+    oracle="""
+        SELECT o_orderstatus,
+               ARG_MIN(o_orderkey, o_totalprice) AS cheapest_order,
+               ARG_MAX(o_orderkey, o_totalprice) AS priciest_order
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    tags=("agg", "argminmax"),
+)
+def agg_min_max_by(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+    )
+
+
+@query(
+    "agg_first_last",
+    oracle="""
+        WITH ranked AS (
+            SELECT user_id, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_first,
+                   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_last
+            FROM events
+        )
+        SELECT user_id,
+               MAX(CASE WHEN rn_first = 1 THEN event_type END) AS first_event,
+               MAX(CASE WHEN rn_last = 1 THEN event_type END) AS last_event
+        FROM ranked
+        GROUP BY user_id
+    """,
+    tags=("agg", "firstlast"),
+)
+def agg_first_last(spark: SparkSession, sf: str) -> DataFrame:
+    """First/last event per user, order-stabilized by (ts, event_id)."""
+    e = load_table(spark, sf, "events")
+    asc = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    desc = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    ranked = e.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(asc).alias("rn_first"),
+        F.row_number().over(desc).alias("rn_last"),
+    )
+    return ranked.groupBy("user_id").agg(
+        F.max(F.when(F.col("rn_first") == 1, F.col("event_type"))).alias("first_event"),
+        F.max(F.when(F.col("rn_last") == 1, F.col("event_type"))).alias("last_event"),
+    )
+
+
+@query(
+    "agg_partial_final",
+    oracle=f"""
+        SELECT l_returnflag,
+               {sql_dsum('l_quantity')} / COUNT(l_quantity) AS avg_qty_two_phase,
+               {sql_davg('l_quantity')} AS avg_qty_direct
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("agg", "twophase"),
+)
+def agg_partial_final(spark: SparkSession, sf: str) -> DataFrame:
+    """avg decomposed into mergeable partials (sum, count) — the two-phase
+    shape every distributed agg reduces to; result must equal direct avg."""
+    li = load_table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        (dsum(F.col("l_quantity")) / F.count("l_quantity")).alias("avg_qty_two_phase"),
+        davg(F.col("l_quantity")).alias("avg_qty_direct"),
+    )

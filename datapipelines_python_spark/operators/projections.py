@@ -1,0 +1,171 @@
+"""Projection / filter / predicate operators (SURVEY.md §2B.2).
+
+All predicates are real ``Column`` expressions so Catalyst pushes them into
+the parquet scan (PushedFilters) — never Python-side filtering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datapipelines_python_spark.catalog import load_table
+from datapipelines_python_spark.registry import query
+
+
+@query(
+    "project_compute",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice * (1 - l_discount) AS revenue,
+               l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
+        FROM lineitem
+    """,
+    tags=("projection",),
+    bench=True,
+)
+def project_compute(spark: SparkSession, sf: str) -> DataFrame:
+    # Raw doubles: identical IEEE expression on both engines ⇒ identical bits
+    # (no rounding needed row-wise; see _helpers docstring).
+    li = load_table(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))).alias(
+            "charge"
+        ),
+    )
+
+
+@query(
+    "filter_simple",
+    oracle="SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 30",
+    tags=("filter",),
+)
+def filter_simple(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return li.filter(F.col("l_quantity") > 30).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+@query(
+    "filter_compound",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+        FROM orders
+        WHERE o_orderstatus = 'F'
+          AND (o_totalprice > 100000 OR o_orderpriority = '1-URGENT')
+          AND NOT o_orderpriority = '5-LOW'
+    """,
+    tags=("filter",),
+)
+def filter_compound(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    return o.filter(
+        (F.col("o_orderstatus") == "F")
+        & ((F.col("o_totalprice") > 100000) | (F.col("o_orderpriority") == "1-URGENT"))
+        & ~(F.col("o_orderpriority") == "5-LOW")
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+
+@query(
+    "filter_in_between_like",
+    oracle="""
+        SELECT o_orderkey, o_orderpriority, o_totalprice
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+          AND o_totalprice BETWEEN 50000 AND 200000
+          AND o_orderpriority LIKE '%-%'
+    """,
+    tags=("filter",),
+)
+def filter_in_between_like(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    return o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        & F.col("o_totalprice").between(50000, 200000)
+        & F.col("o_orderpriority").like("%-%")
+    ).select("o_orderkey", "o_orderpriority", "o_totalprice")
+
+
+@query(
+    "filter_null_handling",
+    oracle="""
+        SELECT event_id,
+               NULLIF(event_type, 'click') AS et_nullable,
+               COALESCE(NULLIF(event_type, 'click'), 'CLICKED') AS et_coalesced,
+               (NULLIF(event_type, 'click') IS NULL) AS was_click
+        FROM events
+    """,
+    tags=("filter", "null"),
+)
+def filter_null_handling(spark: SparkSession, sf: str) -> DataFrame:
+    """NULL surface: inject nulls via nullif, recover via coalesce, test IS NULL."""
+    e = load_table(spark, sf, "events")
+    nullable = F.nullif(F.col("event_type"), F.lit("click"))
+    return e.select(
+        "event_id",
+        nullable.alias("et_nullable"),
+        F.coalesce(nullable, F.lit("CLICKED")).alias("et_coalesced"),
+        nullable.isNull().alias("was_click"),
+    )
+
+
+@query(
+    "project_cast",
+    oracle="""
+        SELECT l_orderkey,
+               CAST(l_extendedprice AS DECIMAL(12,2)) AS price_dec,
+               CAST(l_quantity AS BIGINT) AS qty_int,
+               CAST(l_shipdate AS DATE) AS ship_date,
+               CAST(l_linenumber AS VARCHAR) AS line_str
+        FROM lineitem
+    """,
+    tags=("projection", "cast"),
+)
+def project_cast(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("price_dec"),
+        F.col("l_quantity").cast("bigint").alias("qty_int"),
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+        F.col("l_linenumber").cast("string").alias("line_str"),
+    )
+
+
+@query(
+    "distinct_rows",
+    oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    tags=("projection", "distinct"),
+)
+def distinct_rows(spark: SparkSession, sf: str) -> DataFrame:
+    return load_table(spark, sf, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+@query(
+    "case_when",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN l_quantity < 10 THEN 'small'
+                    WHEN l_quantity < 30 THEN 'medium'
+                    ELSE 'large' END AS qty_band,
+               CASE WHEN l_returnflag = 'R' THEN -l_extendedprice
+                    ELSE l_extendedprice END AS signed_price
+        FROM lineitem
+    """,
+    tags=("projection", "conditional"),
+)
+def case_when(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_quantity") < 10, "small")
+        .when(F.col("l_quantity") < 30, "medium")
+        .otherwise("large")
+        .alias("qty_band"),
+        F.when(F.col("l_returnflag") == "R", -F.col("l_extendedprice"))
+        .otherwise(F.col("l_extendedprice"))
+        .alias("signed_price"),
+    )

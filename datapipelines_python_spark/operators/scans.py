@@ -1,0 +1,122 @@
+"""Scans / sources / sinks (SURVEY.md §2B.1).
+
+Connector surface: parquet scan (with pruning), csv/json roundtrips,
+partitioned parquet sink, and a file-streaming source run to batch
+completion. Roundtrip ops write into a scratch dir under the repo
+(``.scratch/``, gitignored) — at scale these would be object-store paths;
+the write/read plan shape is identical.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datapipelines_python_spark.catalog import load_table
+from datapipelines_python_spark.registry import query
+
+_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch")
+
+
+def scratch_dir(name: str) -> str:
+    path = os.path.join(_SCRATCH, name)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    return path
+
+
+@query(
+    "scan_parquet",
+    oracle="SELECT * FROM lineitem",
+    tags=("scan",),
+    bench=True,
+)
+def scan_parquet(spark: SparkSession, sf: str) -> DataFrame:
+    """Full table scan; baseline for the connector surface."""
+    return load_table(spark, sf, "lineitem")
+
+
+@query(
+    "scan_projected",
+    oracle="SELECT l_orderkey, l_quantity FROM lineitem",
+    tags=("scan",),
+)
+def scan_projected(spark: SparkSession, sf: str) -> DataFrame:
+    """Column-pruned scan — ReadSchema in the plan must show only 2 columns."""
+    return load_table(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+
+
+@query("scan_csv_roundtrip", oracle="SELECT * FROM region", tags=("scan", "connector"))
+def scan_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """CSV sink + source with explicit schema (no inference → stable types)."""
+    df = load_table(spark, sf, "region")
+    path = scratch_dir("csv_region")
+    df.write.mode("overwrite").option("header", "true").csv(path)
+    return spark.read.schema(df.schema).option("header", "true").csv(path)
+
+
+@query("scan_json_roundtrip", oracle="SELECT * FROM nation", tags=("scan", "connector"))
+def scan_json_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON-lines sink + source with explicit schema."""
+    df = load_table(spark, sf, "nation")
+    path = scratch_dir("json_nation")
+    df.write.mode("overwrite").json(path)
+    return spark.read.schema(df.schema).json(path)
+
+
+@query(
+    "sink_parquet_partitioned",
+    oracle="SELECT * FROM lineitem",
+    tags=("scan", "connector"),
+)
+def sink_parquet_partitioned(spark: SparkSession, sf: str) -> DataFrame:
+    """Partitioned parquet sink then re-scan.
+
+    ``partitionBy`` on a low-cardinality column is the layout that enables
+    partition pruning at scale; the read-back must equal the source rows.
+    """
+    df = load_table(spark, sf, "lineitem")
+    path = scratch_dir("parquet_lineitem_part")
+    df.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+    back = spark.read.parquet(path)
+    # Partition column round-trips via directory names as string; reorder to
+    # source column order (driver compare sorts by name anyway).
+    return back.select(*df.columns)
+
+
+@query(
+    "scan_stream_files",
+    oracle=(
+        "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props "
+        "FROM events"
+    ),
+    tags=("scan", "streaming"),
+)
+def scan_stream_files(spark: SparkSession, sf: str) -> DataFrame:
+    """File streaming source drained with Trigger.AvailableNow into memory.
+
+    Batch-equivalent check: the stream over the same files must produce the
+    full table. (Unbounded variant differs only in the trigger.)
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf.rstrip('/')}/events.parquet").schema
+    # The file stream source wants a directory; glob-filter the sf dir down
+    # to the events table file.
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf.rstrip("/"))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("scan_stream_files_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("scan_stream_files_sink")
