@@ -1,1 +1,356 @@
-"""Placeholder — operators land in a subsequent milestone."""
+"""Join operators (SURVEY.md §2B.3).
+
+Strategy notes for scale (the plans Catalyst picks at 100 TB):
+
+- Equi joins shuffle both sides on the key unless one side is broadcast;
+  dimension tables (region/nation/customer at TPC-H ratios) are explicitly
+  ``broadcast()``-hinted in the chain join so the fact table never shuffles.
+- The theta/interval joins constrain one side to a small derived set first
+  — an unconstrained BNLJ is O(n·m) and is never the scale path.
+- The as-of join uses the union + running-window trick (sort within user
+  partitions) instead of a range self-join: one shuffle by key, no pair
+  explosion, works at any fan-in. DuckDB's native ASOF JOIN is the oracle.
+- AQE (on by default) re-plans skewed shuffles at runtime; salting hooks
+  are not needed for the fixture keys but the join shapes keep keys narrow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from datapipelines_python_spark.catalog import load_table
+from datapipelines_python_spark.operators._helpers import dsum, sql_dsum
+from datapipelines_python_spark.registry import query
+
+
+@query(
+    "join_inner_equi",
+    oracle="""
+        SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    tags=("join",),
+    bench=True,
+)
+def join_inner_equi(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+        SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+    tags=("join",),
+)
+def join_left_outer(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_right_outer",
+    oracle="""
+        SELECT c.c_custkey, c.c_name, o.o_orderkey
+        FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    tags=("join",),
+)
+def join_right_outer(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "c_custkey", "c_name", "o_orderkey"
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+        SELECT s.s_suppkey, s.s_name, c.c_custkey
+        FROM (SELECT * FROM supplier WHERE s_nationkey < 5) s
+        FULL JOIN (SELECT * FROM customer WHERE c_nationkey >= 20) c
+          ON s.s_nationkey = c.c_nationkey
+    """,
+    tags=("join",),
+)
+def join_full_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """Full outer with disjoint-ish sides so both null wings are exercised."""
+    s = load_table(spark, sf, "supplier").filter(F.col("s_nationkey") < 5)
+    c = load_table(spark, sf, "customer").filter(F.col("c_nationkey") >= 20)
+    return s.join(c, s.s_nationkey == c.c_nationkey, "full").select(
+        "s_suppkey", "s_name", "c_custkey"
+    )
+
+
+@query(
+    "join_left_semi",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+    tags=("join", "semi"),
+)
+def join_left_semi(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "join_left_anti",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("join", "anti"),
+)
+def join_left_anti(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "join_cross",
+    oracle="""
+        SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+    """,
+    tags=("join", "cross"),
+)
+def join_cross(spark: SparkSession, sf: str) -> DataFrame:
+    r = load_table(spark, sf, "region")
+    n = load_table(spark, sf, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@query(
+    "join_theta_range",
+    oracle=f"""
+        SELECT o.o_orderkey,
+               CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_shipped_within_30d,
+               {sql_dsum('l.l_quantity')} AS qty_shipped
+        FROM (SELECT * FROM orders WHERE o_orderkey % 100 = 0) o
+        LEFT JOIN lineitem l
+          ON l.l_shipdate >= o.o_orderdate
+         AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+        GROUP BY o.o_orderkey
+    """,
+    tags=("join", "theta"),
+)
+def join_theta_range(spark: SparkSession, sf: str) -> DataFrame:
+    """Pure inequality (range) join, probe side constrained to a 1% sample.
+
+    At scale this is the pattern for 'activity within a window after X':
+    keep the interval side small/broadcastable, never an unbounded BNLJ.
+    """
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    li = load_table(spark, sf, "lineitem")
+    cond = (li.l_shipdate >= o.o_orderdate) & (
+        li.l_shipdate < F.date_add(o.o_orderdate.cast("date"), 30).cast("timestamp")
+    )
+    return (
+        F.broadcast(o)
+        .join(li, cond, "left")
+        .groupBy("o_orderkey")
+        .agg(
+            F.count("l_orderkey").alias("n_shipped_within_30d"),
+            dsum(F.col("l_quantity")).alias("qty_shipped"),
+        )
+    )
+
+
+@query(
+    "join_multi_key",
+    oracle=f"""
+        SELECT l.l_orderkey, l.l_linenumber, ps.n_lines, ps.total_qty
+        FROM lineitem l
+        JOIN (
+            SELECT l_partkey, l_suppkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   {sql_dsum('l_quantity')} AS total_qty
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        ) ps ON l.l_partkey = ps.l_partkey AND l.l_suppkey = ps.l_suppkey
+    """,
+    tags=("join", "multikey"),
+)
+def join_multi_key(spark: SparkSession, sf: str) -> DataFrame:
+    """Composite-key equi join (fact joined to a 2-key aggregate of itself)."""
+    li = load_table(spark, sf, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        dsum(F.col("l_quantity")).alias("total_qty"),
+    )
+    return li.join(ps, ["l_partkey", "l_suppkey"], "inner").select(
+        "l_orderkey", "l_linenumber", "n_lines", "total_qty"
+    )
+
+
+@query(
+    "join_broadcast",
+    oracle="""
+        SELECT r.r_name, n.n_name,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name
+    """,
+    tags=("join", "broadcast"),
+    bench=True,
+)
+def join_broadcast(spark: SparkSession, sf: str) -> DataFrame:
+    """Star-schema chain with explicit broadcast of every dimension —
+    the fact table streams through three BroadcastHashJoins, zero shuffles
+    until the final aggregate."""
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "join_self",
+    oracle="""
+        SELECT a.n_name AS nation_a, b.n_name AS nation_b, a.n_regionkey
+        FROM nation a JOIN nation b
+          ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+    """,
+    tags=("join", "self"),
+)
+def join_self(spark: SparkSession, sf: str) -> DataFrame:
+    """Self join: unordered pairs of nations sharing a region."""
+    n = load_table(spark, sf, "nation")
+    a = n.alias("a")
+    b = n.alias("b")
+    return a.join(
+        b,
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
+    ).select(
+        F.col("a.n_name").alias("nation_a"),
+        F.col("b.n_name").alias("nation_b"),
+        F.col("a.n_regionkey").alias("n_regionkey"),
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+        WITH views AS (
+            SELECT user_id, ts, ARG_MAX(event_id, event_id) AS view_id
+            FROM events WHERE event_type = 'view'
+            GROUP BY user_id, ts
+        ),
+        purchases AS (
+            SELECT event_id AS purchase_id, user_id, ts
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT p.purchase_id, p.user_id, v.view_id AS last_view_id
+        FROM purchases p
+        ASOF LEFT JOIN views v
+          ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+    tags=("join", "asof"),
+)
+def join_asof(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: for each purchase, the user's latest view at or before it.
+
+    Spark has no native batch as-of; the scalable pattern is union the two
+    event sets, sort within user partitions, and carry the last view id
+    forward with a running window — one shuffle on user_id, no pair
+    explosion (vs the theta-join + row_number approach which is O(views ×
+    purchases) per user). Views are deduped per (user, ts) to make the
+    at-same-instant tiebreak deterministic (matches DuckDB ASOF).
+    """
+    e = load_table(spark, sf, "events")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+        .select("user_id", "ts", "view_id", F.lit(None).cast("long").alias("purchase_id"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(None).cast("long").alias("view_id"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    # At equal ts a view sorts before the purchase (is_view desc) so "<= ts"
+    # includes same-instant views, like DuckDB's ASOF.
+    tagged = views.unionByName(purchases).withColumn(
+        "is_view", F.col("view_id").isNotNull().cast("int")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_view").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = tagged.withColumn("last_view_id", F.last("view_id", ignorenulls=True).over(w))
+    return carried.filter(F.col("purchase_id").isNotNull()).select(
+        "purchase_id", "user_id", "last_view_id"
+    )
+
+
+@query(
+    "join_interval",
+    oracle=f"""
+        WITH bounds AS (
+            SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi FROM events
+        ),
+        days AS (
+            -- DuckDB generate_series over dates yields timestamps; Spark
+            -- sequence yields dates — align on DATE.
+            SELECT CAST(UNNEST(GENERATE_SERIES(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+            FROM bounds
+        )
+        SELECT d.day,
+               CAST(COUNT(e.event_id) AS BIGINT) AS n_events,
+               {sql_dsum('e.value')} AS total_value
+        FROM days d
+        LEFT JOIN events e
+          ON e.ts >= CAST(d.day AS TIMESTAMP)
+         AND e.ts < CAST(d.day AS TIMESTAMP) + INTERVAL 18 HOUR
+        GROUP BY d.day
+    """,
+    tags=("join", "interval"),
+)
+def join_interval(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-interval join against a derived interval table (18h windows,
+    so it is not expressible as a truncation). Interval side is tiny and
+    broadcast; at scale this is the dimension side by construction."""
+    e = load_table(spark, sf, "events")
+    bounds = e.agg(
+        F.min(F.col("ts").cast("date")).alias("lo"), F.max(F.col("ts").cast("date")).alias("hi")
+    )
+    days = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    lo = F.col("day").cast("timestamp")
+    hi = lo + F.expr("INTERVAL 18 HOUR")
+    return (
+        F.broadcast(days)
+        .join(e, (e.ts >= lo) & (e.ts < hi), "left")
+        .groupBy("day")
+        .agg(
+            F.count("event_id").alias("n_events"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+    )

@@ -1,1 +1,367 @@
-"""Placeholder — operators land in a subsequent milestone."""
+"""Scalar function surface (SURVEY.md §2B.7): string / regexp / date /
+timestamp / math / array / higher-order / map / JSON / struct / hash /
+conditional.
+
+All row-wise and JVM-side (whole-stage codegen) — no Python UDFs here.
+Dialect mismatches vs DuckDB are resolved in the oracle SQL (dayofweek
+offset, datediff arg order, floor/ceil return types, 1-based list slicing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datapipelines_python_spark.catalog import load_table
+from datapipelines_python_spark.operators._helpers import round4, sql_round4
+from datapipelines_python_spark.registry import query
+
+
+@query(
+    "fn_string",
+    oracle="""
+        SELECT p_partkey,
+               UPPER(p_name) AS name_upper,
+               LOWER(p_brand) AS brand_lower,
+               TRIM(CONCAT('  ', p_name, '  ')) AS name_trimmed,
+               SUBSTRING(p_type, 1, 6) AS type_prefix,
+               CONCAT(p_brand, ':', p_type) AS brand_type,
+               CAST(LENGTH(p_name) AS INT) AS name_len,
+               LPAD(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+               REPLACE(p_type, ' ', '_') AS type_snake,
+               STRING_SPLIT(p_type, ' ')[1] AS type_first_word,
+               CAST(INSTR(p_name, 'a') AS INT) AS first_a_pos
+        FROM part
+    """,
+    tags=("function", "string"),
+)
+def fn_string(spark: SparkSession, sf: str) -> DataFrame:
+    p = load_table(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("name_trimmed"),
+        F.substring("p_type", 1, 6).alias("type_prefix"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.length("p_name").alias("name_len"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.split(F.col("p_type"), " ").getItem(0).alias("type_first_word"),
+        F.instr(F.col("p_name"), "a").alias("first_a_pos"),
+    )
+
+
+@query(
+    "fn_regexp",
+    oracle="""
+        SELECT doc_id,
+               REGEXP_EXTRACT(text, '([a-z]{5,})', 1) AS first_long_word,
+               REGEXP_REPLACE(text, ' [aeiou][a-z]* ', ' _ ', 'g') AS vowel_masked,
+               REGEXP_MATCHES(text, 'data') AS mentions_data
+        FROM documents
+    """,
+    tags=("function", "regexp"),
+)
+def fn_regexp(spark: SparkSession, sf: str) -> DataFrame:
+    """POSIX-simple patterns only (Java regex vs RE2 agree on these)."""
+    d = load_table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"([a-z]{5,})", 1).alias("first_long_word"),
+        F.regexp_replace("text", r" [aeiou][a-z]* ", " _ ").alias("vowel_masked"),
+        F.col("text").rlike("data").alias("mentions_data"),
+    )
+
+
+@query(
+    "fn_date",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(YEAR(o_orderdate) AS INT) AS order_year,
+               CAST(MONTH(o_orderdate) AS INT) AS order_month,
+               CAST(DAY(o_orderdate) AS INT) AS order_day,
+               CAST(QUARTER(o_orderdate) AS INT) AS order_quarter,
+               CAST(DAYOFWEEK(o_orderdate) + 1 AS INT) AS order_dow,
+               CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS order_month_start,
+               CAST(o_orderdate AS DATE) + 30 AS due_date,
+               CAST(DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT)
+                   AS days_to_2002,
+               LAST_DAY(CAST(o_orderdate AS DATE)) AS month_end
+        FROM orders
+    """,
+    tags=("function", "date"),
+)
+def fn_date(spark: SparkSession, sf: str) -> DataFrame:
+    """Date part/arith functions. Oracle-side fixes: DuckDB dayofweek is
+    0=Sunday (Spark: 1=Sunday), datediff arg order is (unit, start, end)."""
+    o = load_table(spark, sf, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("order_year"),
+        F.month(d).alias("order_month"),
+        F.dayofmonth(d).alias("order_day"),
+        F.quarter(d).alias("order_quarter"),
+        F.dayofweek(d).alias("order_dow"),
+        F.date_trunc("month", d).alias("order_month_start"),
+        F.date_add(d.cast("date"), 30).alias("due_date"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d.cast("date")).alias("days_to_2002"),
+        F.last_day(d.cast("date")).alias("month_end"),
+    )
+
+
+@query(
+    "fn_timestamp",
+    oracle="""
+        SELECT event_id,
+               CAST(EPOCH_US(ts) // 1000000 AS BIGINT) AS unix_sec,
+               STRFTIME(TO_TIMESTAMP(EPOCH_US(ts) // 1000000), '%Y-%m-%d %H:%M:%S')
+                   AS ts_rendered,
+               CAST(ts AS DATE) AS event_date,
+               MAKE_DATE(2024, 1, CAST(DAY(ts) AS INT)) AS month_anchor,
+               DATE_TRUNC('hour', ts) AS event_hour
+        FROM events
+    """,
+    tags=("function", "timestamp"),
+)
+def fn_timestamp(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.unix_timestamp("ts").alias("unix_sec"),
+        F.from_unixtime(F.unix_timestamp("ts")).alias("ts_rendered"),
+        F.to_date("ts").alias("event_date"),
+        F.make_date(F.lit(2024), F.lit(1), F.dayofmonth("ts")).alias("month_anchor"),
+        F.date_trunc("hour", F.col("ts")).alias("event_hour"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle=f"""
+        SELECT l_orderkey, l_linenumber,
+               ROUND(l_discount, 1) AS disc_rounded,
+               CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+               CAST(CEIL(l_quantity) AS BIGINT) AS qty_ceil,
+               ABS(l_quantity - 25) AS qty_dist_25,
+               SQRT(l_extendedprice) AS price_sqrt,
+               {sql_round4('POW(l_quantity, 2)')} AS qty_sq,
+               {sql_round4('EXP(l_discount)')} AS disc_exp,
+               {sql_round4('LN(l_extendedprice)')} AS price_ln,
+               {sql_round4('LOG10(l_extendedprice)')} AS price_log10,
+               CAST(l_linenumber % 3 AS INT) AS line_mod3,
+               CAST(SIGN(l_quantity - 25) AS INT) AS qty_sign,
+               GREATEST(l_quantity, l_discount * 100) AS g,
+               LEAST(l_quantity, l_discount * 100) AS l
+        FROM lineitem
+    """,
+    tags=("function", "math"),
+)
+def fn_math(spark: SparkSession, sf: str) -> DataFrame:
+    """Math surface. Transcendentals (exp/ln/log10/pow) differ by ulps
+    between libm implementations → round4. sqrt/abs are IEEE-exact → raw.
+    ROUND(l_discount,1) is tie-free for 2-decimal data (only k=5/100 ties,
+    and the binary value is never exactly at the tie)."""
+    li = load_table(spark, sf, "lineitem")
+    q = F.col("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_discount"), 1).alias("disc_rounded"),
+        F.floor(q).alias("qty_floor"),
+        F.ceil(q).alias("qty_ceil"),
+        F.abs(q - 25).alias("qty_dist_25"),
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+        round4(F.pow(q, 2)).alias("qty_sq"),
+        round4(F.exp("l_discount")).alias("disc_exp"),
+        round4(F.log("l_extendedprice")).alias("price_ln"),
+        round4(F.log10("l_extendedprice")).alias("price_log10"),
+        (F.col("l_linenumber") % 3).alias("line_mod3"),
+        F.signum(q - 25).cast("int").alias("qty_sign"),
+        F.greatest(q, F.col("l_discount") * 100).alias("g"),
+        F.least(q, F.col("l_discount") * 100).alias("l"),
+    )
+
+
+@query(
+    "fn_array",
+    oracle="""
+        SELECT doc_id,
+               CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS n_tokens,
+               LIST_CONTAINS(STRING_SPLIT(text, ' '), 'data') AS has_data,
+               LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS vocab,
+               STRING_SPLIT(text, ' ')[1:3] AS first3,
+               LIST_SORT(STRING_SPLIT(text, ' '))[1] AS min_token
+        FROM documents
+    """,
+    tags=("function", "array"),
+)
+def fn_array(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.array_contains(toks, "data").alias("has_data"),
+        F.sort_array(F.array_distinct(toks)).alias("vocab"),
+        F.slice(toks, 1, 3).alias("first3"),
+        F.sort_array(toks).getItem(0).alias("min_token"),
+    )
+
+
+@query(
+    "fn_array_hof",
+    oracle="""
+        SELECT vec_id,
+               LIST_REDUCE(CAST(embedding AS DOUBLE[]), (acc, x) -> acc + x) AS vec_sum,
+               LIST_TRANSFORM(embedding, x -> x * 2) AS doubled,
+               CAST(LEN(LIST_FILTER(embedding, x -> x > 0)) AS INT) AS n_positive
+        FROM embeddings
+    """,
+    tags=("function", "hof"),
+)
+def fn_array_hof(spark: SparkSession, sf: str) -> DataFrame:
+    """Higher-order array functions on the 64-dim embedding vectors.
+
+    The reduction is a sequential double left-fold — deterministic for a
+    per-row list fold (same order on both engines, unlike a distributed
+    agg), and float→double widening is exact. Decimal is NOT used here:
+    DuckDB's float→decimal cast scales in float32 and loses bits.
+    """
+    e = load_table(spark, sf, "embeddings")
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x).alias("vec_sum"),
+        F.transform(emb, lambda x: x * F.lit(2).cast("float")).alias("doubled"),
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_positive"),
+    )
+
+
+@query(
+    "fn_map",
+    oracle="""
+        SELECT event_id,
+               MAP_KEYS(MAP(['type', 'bucket'],
+                            [event_type, CAST(CAST(TRUNC(value / 10) AS INT) AS VARCHAR)]))
+                   AS meta_keys,
+               ELEMENT_AT(MAP(['type', 'bucket'],
+                              [event_type, CAST(CAST(TRUNC(value / 10) AS INT) AS VARCHAR)]),
+                          'type')[1] AS meta_type
+        FROM events
+    """,
+    tags=("function", "map"),
+)
+def fn_map(spark: SparkSession, sf: str) -> DataFrame:
+    """Map construction + access. Output is flattened (keys list + one
+    lookup) — raw MAP hashing differs by engine representation.
+    Bucket uses TRUNC semantics on both engines (DuckDB's double→int cast
+    rounds; Spark's truncates)."""
+    e = load_table(spark, sf, "events")
+    bucket = (F.col("value") / 10).cast("int").cast("string")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"), F.lit("bucket"), bucket
+    )
+    return e.select(
+        "event_id",
+        F.map_keys(m).alias("meta_keys"),
+        F.element_at(m, "type").alias("meta_type"),
+    )
+
+
+@query(
+    "fn_json",
+    oracle="""
+        SELECT event_id,
+               JSON_EXTRACT_STRING(props, '$.k') AS k_str,
+               CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT) AS k_int,
+               CAST(JSON_EXTRACT_STRING(props, '$.missing') AS VARCHAR) AS missing_key
+        FROM events
+    """,
+    tags=("function", "json"),
+)
+def fn_json(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+        F.get_json_object("props", "$.missing").alias("missing_key"),
+    )
+
+
+@query(
+    "fn_struct",
+    oracle="""
+        SELECT c_custkey,
+               STRUCT_PACK(name := c_name, seg := c_mktsegment, bal := c_acctbal).name
+                   AS s_name,
+               STRUCT_PACK(name := c_name, seg := c_mktsegment, bal := c_acctbal).bal
+                   AS s_bal
+        FROM customer
+    """,
+    tags=("function", "struct"),
+)
+def fn_struct(spark: SparkSession, sf: str) -> DataFrame:
+    """Struct build + field access (flattened output — Row vs dict hashing
+    differs by engine; the struct op itself is exercised in the plan)."""
+    c = load_table(spark, sf, "customer")
+    s = F.struct(
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    return c.select(
+        "c_custkey",
+        s.getField("name").alias("s_name"),
+        s.getField("bal").alias("s_bal"),
+    )
+
+
+@query(
+    "fn_hash",
+    oracle="""
+        SELECT doc_id,
+               MD5(text) AS text_md5,
+               SHA256(text) AS text_sha256,
+               MD5(CONCAT(lang, ':', source)) AS meta_md5
+        FROM documents
+    """,
+    tags=("function", "hash"),
+)
+def fn_hash(spark: SparkSession, sf: str) -> DataFrame:
+    """Content fingerprints — the primitive under exact dedup."""
+    d = load_table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2(F.col("text"), 256).alias("text_sha256"),
+        F.md5(F.concat(F.col("lang"), F.lit(":"), F.col("source"))).alias("meta_md5"),
+    )
+
+
+@query(
+    "fn_conditional",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               IF(l_quantity > 25, 'high', 'low') AS qty_class,
+               COALESCE(NULLIF(l_returnflag, 'N'), 'NONE') AS flag_or_none,
+               CASE WHEN ISNAN(CAST('nan' AS DOUBLE) * l_quantity)
+                    THEN l_quantity ELSE -1.0 END AS nan_guard
+        FROM lineitem
+    """,
+    tags=("function", "conditional"),
+)
+def fn_conditional(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    nan_expr = F.lit(float("nan")) * F.col("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_quantity") > 25, "high").otherwise("low").alias("qty_class"),
+        F.coalesce(F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("NONE")).alias(
+            "flag_or_none"
+        ),
+        F.nanvl(nan_expr, F.col("l_quantity")).alias("nan_guard"),
+    )

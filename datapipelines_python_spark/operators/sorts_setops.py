@@ -1,1 +1,152 @@
-"""Placeholder — operators land in a subsequent milestone."""
+"""Sort / limit / top-k / set operators (SURVEY.md §2B.6).
+
+The driver's value hash is order-insensitive, so sort operators encode the
+order in a ``row_number`` column computed over the same (made-unique) sort
+key on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from datapipelines_python_spark.catalog import load_table
+from datapipelines_python_spark.registry import query
+
+
+@query(
+    "sort_multi",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY o_orderstatus ASC, o_totalprice DESC, o_orderkey ASC
+               ) AS INT) AS sort_pos
+        FROM orders
+        WHERE o_totalprice > 250000
+    """,
+    tags=("sort",),
+)
+def sort_multi(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-key sort; o_orderkey tiebreak makes the order total, so
+    sort_pos is deterministic on both engines."""
+    o = load_table(spark, sf, "orders").filter(F.col("o_totalprice") > 250000)
+    w = W.orderBy(
+        F.col("o_orderstatus").asc(), F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .withColumn("sort_pos", F.row_number().over(w))
+        .orderBy("sort_pos")
+    )
+
+
+@query(
+    "limit_topk_global",
+    oracle="""
+        SELECT o_orderkey, o_totalprice, o_orderpriority
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 10
+    """,
+    tags=("sort", "topk"),
+)
+def limit_topk_global(spark: SparkSession, sf: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject — per-partition
+    top-k then a k-row merge on the driver, never a full sort. The unique
+    o_orderkey tiebreak makes the k-set deterministic."""
+    o = load_table(spark, sf, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .limit(10)
+    )
+
+
+@query(
+    "setop_union_all",
+    oracle="""
+        SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 2 = 0
+        UNION ALL
+        SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 2 = 1
+        UNION ALL
+        SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_acctbal > 5000
+    """,
+    tags=("setop",),
+)
+def setop_union_all(spark: SparkSession, sf: str) -> DataFrame:
+    """Bag union (keeps duplicates): parity halves + an overlapping slice."""
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_name", "c_acctbal")
+    evens = c.filter(F.col("c_custkey") % 2 == 0)
+    odds = c.filter(F.col("c_custkey") % 2 == 1)
+    rich = c.filter(F.col("c_acctbal") > 5000)
+    return evens.unionByName(odds).unionByName(rich)
+
+
+@query(
+    "setop_union_distinct",
+    oracle="""
+        SELECT n_nationkey, n_regionkey FROM nation WHERE n_regionkey < 3
+        UNION
+        SELECT n_nationkey, n_regionkey FROM nation WHERE n_nationkey >= 10
+    """,
+    tags=("setop",),
+)
+def setop_union_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    n = load_table(spark, sf, "nation").select("n_nationkey", "n_regionkey")
+    a = n.filter(F.col("n_regionkey") < 3)
+    b = n.filter(F.col("n_nationkey") >= 10)
+    return a.union(b).distinct()
+
+
+@query(
+    "setop_intersect",
+    oracle="""
+        SELECT o_custkey AS custkey FROM orders
+        INTERSECT
+        SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+    tags=("setop",),
+)
+def setop_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    """Customers that both placed orders and are in the BUILDING segment."""
+    o = load_table(spark, sf, "orders").select(F.col("o_custkey").alias("custkey"))
+    c = (
+        load_table(spark, sf, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    return o.intersect(c)
+
+
+@query(
+    "setop_except",
+    oracle="""
+        SELECT p_brand FROM part
+        EXCEPT ALL
+        SELECT p_brand FROM part WHERE p_size > 10
+    """,
+    tags=("setop",),
+)
+def setop_except(spark: SparkSession, sf: str) -> DataFrame:
+    """Multiset difference (EXCEPT ALL): per-brand counts shrink by the
+    number of large parts of that brand — duplicates preserved."""
+    p = load_table(spark, sf, "part")
+    all_brands = p.select("p_brand")
+    large_brands = p.filter(F.col("p_size") > 10).select("p_brand")
+    return all_brands.exceptAll(large_brands)
+
+
+@query(
+    "setop_except_distinct",
+    oracle="""
+        SELECT p_brand FROM part
+        EXCEPT
+        SELECT p_brand FROM part WHERE p_size > 10
+    """,
+    tags=("setop",),
+)
+def setop_except_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Set difference: brands where every part is small."""
+    p = load_table(spark, sf, "part")
+    return p.select("p_brand").subtract(p.filter(F.col("p_size") > 10).select("p_brand"))

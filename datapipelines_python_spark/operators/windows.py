@@ -1,1 +1,254 @@
-"""Placeholder — operators land in a subsequent milestone."""
+"""Window-function operators (SURVEY.md §2B.5).
+
+All orderings are made total (unique tiebreak column) so ranking and frame
+results are deterministic on both engines. Double sums over frames use the
+decimal trick from ``_helpers`` (window sums are sequential but engines may
+use pairwise/segment-tree accumulation — decimal is order-independent).
+
+Scale note: every window here partitions by a real key (customer, user,
+returnflag) so work distributes; the two global-ordering ops (sort_multi in
+sorts_setops, limit_topk_global) are the only single-partition windows and
+exist to test that exact surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from datapipelines_python_spark.catalog import load_table
+from datapipelines_python_spark.registry import query
+
+_DEC = "decimal(38,8)"
+
+
+def _sql_wdsum(expr: str, over: str) -> str:
+    """Window decimal-sum rendered back to double (VARCHAR hop, see _helpers)."""
+    return f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(38,8))) OVER {over} AS VARCHAR) AS DOUBLE)"
+
+
+@query(
+    "win_row_number",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC
+               ) AS INT) AS rn
+        FROM orders
+    """,
+    tags=("window",),
+)
+def win_row_number(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+    return o.select("o_custkey", "o_orderkey", F.row_number().over(w).alias("rn"))
+
+
+@query(
+    "win_rank_dense",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               CAST(RANK() OVER w AS INT) AS rnk,
+               CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+               PERCENT_RANK() OVER w AS prnk,
+               CAST(NTILE(4) OVER w AS INT) AS quartile,
+               CUME_DIST() OVER w AS cdist
+        FROM lineitem
+        WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity, l_orderkey, l_linenumber)
+    """,
+    tags=("window", "rank"),
+)
+def win_rank_dense(spark: SparkSession, sf: str) -> DataFrame:
+    """Full ranking family. Ordering includes (l_orderkey, l_linenumber) so
+    NTILE's tie-splitting is deterministic."""
+    li = load_table(spark, sf, "lineitem")
+    w = W.partitionBy("l_returnflag").orderBy("l_quantity", "l_orderkey", "l_linenumber")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+@query(
+    "win_lag_lead",
+    oracle="""
+        SELECT event_id, user_id, value,
+               LAG(value) OVER w AS prev_value,
+               LEAD(value) OVER w AS next_value,
+               LAG(value, 2, -1.0) OVER w AS prev2_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("window", "offset"),
+)
+def win_lag_lead(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.lag("value", 2, -1.0).over(w).alias("prev2_value"),
+    )
+
+
+@query(
+    "win_running_sum",
+    oracle=f"""
+        SELECT o_custkey, o_orderkey,
+               {_sql_wdsum('o_totalprice',
+                           '(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey '
+                           'ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)')} AS running_spend
+        FROM orders
+    """,
+    tags=("window", "frame"),
+)
+def win_running_sum(spark: SparkSession, sf: str) -> DataFrame:
+    """Cumulative sum per customer over order history."""
+    o = load_table(spark, sf, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(_DEC)).over(w).cast("double").alias("running_spend"),
+    )
+
+
+@query(
+    "win_moving_avg",
+    oracle=f"""
+        SELECT event_id, user_id,
+               {_sql_wdsum('value',
+                           '(PARTITION BY user_id ORDER BY ts, event_id '
+                           'ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)')}
+               / COUNT(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg
+        FROM events
+    """,
+    tags=("window", "frame"),
+)
+def win_moving_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """3-row sliding mean of event value per user (decimal-sum / count)."""
+    e = load_table(spark, sf, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, W.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        (F.sum(F.col("value").cast(_DEC)).over(w).cast("double") / F.count("value").over(w)).alias(
+            "moving_avg"
+        ),
+    )
+
+
+@query(
+    "win_range_frame",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               CAST(COUNT(*) OVER (
+                   PARTITION BY o_orderstatus ORDER BY o_totalprice
+                   RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS n_within_10k_below
+        FROM orders
+    """,
+    tags=("window", "range"),
+)
+def win_range_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """RANGE frame on a numeric ordering: peers within a value distance,
+    not a row count — deterministic under ties by definition."""
+    o = load_table(spark, sf, "orders")
+    w = (
+        W.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, W.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.count(F.lit(1)).over(w).alias("n_within_10k_below"),
+    )
+
+
+@query(
+    "win_first_last_value",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               FIRST_VALUE(l_quantity) OVER w AS first_qty,
+               LAST_VALUE(l_quantity) OVER w AS last_qty,
+               LAST_VALUE(l_quantity) OVER (
+                   PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS final_qty
+        FROM lineitem
+        WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "frame"),
+)
+def win_first_last_value(spark: SparkSession, sf: str) -> DataFrame:
+    """first/last_value with explicit frames (the default growing frame vs
+    the whole-partition frame — the classic last_value gotcha).
+
+    (l_orderkey, l_linenumber) is NOT unique in the fixtures; ordering also
+    by l_quantity means remaining ties are between equal values, so the
+    emitted first/last values are deterministic.
+    """
+    li = load_table(spark, sf, "lineitem")
+    growing = (
+        W.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_quantity")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    full = (
+        W.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_quantity")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.first("l_quantity").over(growing).alias("first_qty"),
+        F.last("l_quantity").over(growing).alias("last_qty"),
+        F.last("l_quantity").over(full).alias("final_qty"),
+    )
+
+
+@query(
+    "topk_per_group",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice
+        FROM orders
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+        ) <= 3
+    """,
+    tags=("window", "topk"),
+    bench=True,
+)
+def topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 orders per customer. Spark ≥3.5 pushes the rn<=k filter into
+    the window sort (InferWindowGroupLimit) — per-partition heap, no full
+    materialization of ranked rows."""
+    o = load_table(spark, sf, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
