@@ -1,1 +1,173 @@
-"""Placeholder — operators land in a subsequent milestone."""
+"""UDF / UDAF / UDTF surface (SURVEY.md §2B.8).
+
+The one place Python crosses into the executors. Ordering of preference at
+scale: built-in functions (everything else in this package) > Arrow-batched
+pandas UDFs (these) > row-at-a-time Python UDFs (kept to one op, as the
+surface demands). Bodies are SQL-expressible so the DuckDB oracle can check
+them.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf, udf
+
+from datapipelines_python_spark.catalog import load_table
+from datapipelines_python_spark.operators._helpers import round4, sql_round4
+from datapipelines_python_spark.registry import query
+
+
+@query(
+    "udf_python_scalar",
+    oracle="""
+        SELECT doc_id,
+               CONCAT(UPPER(lang), '/', SUBSTRING(text, 1, 10)) AS doc_tag
+        FROM documents
+    """,
+    tags=("udf",),
+)
+def udf_python_scalar(spark: SparkSession, sf: str) -> DataFrame:
+    """Row-at-a-time Python UDF (the slow path, by design — one per batch
+    of rows crosses the Py4J/worker boundary per row)."""
+
+    @udf(returnType=T.StringType())
+    def doc_tag(lang: str, text: str) -> str:
+        return f"{lang.upper()}/{text[:10]}"
+
+    d = load_table(spark, sf, "documents")
+    return d.select("doc_id", doc_tag("lang", "text").alias("doc_tag"))
+
+
+@query(
+    "udf_pandas_scalar",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge_vec
+        FROM lineitem
+    """,
+    tags=("udf", "pandas"),
+)
+def udf_pandas_scalar(spark: SparkSession, sf: str) -> DataFrame:
+    """Vectorized Arrow UDF: whole columns as pandas Series, NumPy math —
+    identical IEEE ops to the SQL expression, so bits match raw."""
+
+    @pandas_udf("double")
+    def charge(price: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+        return price * (1 - disc) * (1 + tax)
+
+    li = load_table(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        charge("l_extendedprice", "l_discount", "l_tax").alias("charge_vec"),
+    )
+
+
+@query(
+    "udf_grouped_map",
+    oracle=f"""
+        SELECT event_id, user_id,
+               {sql_round4(
+                   '(value - AVG(value) OVER (PARTITION BY user_id)) / '
+                   'STDDEV_SAMP(value) OVER (PARTITION BY user_id)'
+               )} AS zscore
+        FROM events
+    """,
+    tags=("udf", "grouped"),
+)
+def udf_grouped_map(spark: SparkSession, sf: str) -> DataFrame:
+    """applyInPandas: per-group DataFrame → DataFrame (z-score per user).
+
+    At scale each group must fit one executor's memory — the right shape
+    for per-entity normalization (bounded groups), not global transforms.
+    """
+    import math
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mean = pdf["value"].mean()
+        std = pdf["value"].std(ddof=1)  # matches STDDEV_SAMP
+        z = (pdf["value"] - mean) / std
+        # round4 floor-trick, mirrored from _helpers (pandas side)
+        import numpy as np
+
+        z = np.floor(z * 10000.0 + 0.5) / 10000.0
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "zscore": z}
+        )
+
+    e = load_table(spark, sf, "events")
+    return e.groupBy("user_id").applyInPandas(
+        zscore, schema="event_id long, user_id long, zscore double"
+    )
+
+
+@query(
+    "udaf_pandas_agg",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT event_type, value,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id)
+                       AS rn_asc,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id DESC)
+                       AS rn_desc,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM events
+        )
+        SELECT event_type,
+               {sql_round4('AVG(value)')} AS trimmed_mean
+        FROM ranked
+        WHERE rn_asc > CAST(FLOOR(n * 0.1) AS BIGINT)
+          AND rn_desc > CAST(FLOOR(n * 0.1) AS BIGINT)
+        GROUP BY event_type
+    """,
+    tags=("udf", "udaf"),
+)
+def udaf_pandas_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom aggregate via GROUPED_AGG pandas UDF: 10% trimmed mean."""
+
+    @pandas_udf("double")
+    def trimmed_mean(v: pd.Series) -> float:
+        import numpy as np
+
+        s = v.sort_values()
+        k = int(np.floor(len(s) * 0.1))
+        trimmed = s.iloc[k : len(s) - k] if k else s
+        m = trimmed.mean()
+        return float(np.floor(m * 10000.0 + 0.5) / 10000.0)
+
+    e = load_table(spark, sf, "events")
+    return e.groupBy("event_type").agg(trimmed_mean("value").alias("trimmed_mean"))
+
+
+@query(
+    "udtf_surface",
+    oracle="""
+        SELECT d.doc_id, t.i AS word_idx, STRING_SPLIT(d.text, ' ')[t.i] AS word
+        FROM documents d
+        CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, 5)) AS i) t
+        WHERE t.i <= LEN(STRING_SPLIT(d.text, ' '))
+    """,
+    tags=("udf", "udtf"),
+)
+def udtf_surface(spark: SparkSession, sf: str) -> DataFrame:
+    """Python UDTF (Spark 4): one input row → N output rows (leading words
+    with 1-based positions)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, word_idx int, word string")
+    class LeadingWords:
+        def eval(self, doc_id: int, text: str):
+            for i, w in enumerate(text.split(" ")[:5], start=1):
+                yield doc_id, i, w
+
+    d = load_table(spark, sf, "documents")
+    d.createOrReplaceTempView("documents_udtf")
+    spark.udtf.register("leading_words", LeadingWords)
+    return spark.sql(
+        "SELECT t.* FROM documents_udtf d, "
+        "LATERAL leading_words(d.doc_id, d.text) t"
+    )
