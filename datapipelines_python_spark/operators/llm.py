@@ -1,1 +1,475 @@
-"""Placeholder — operators land in a subsequent milestone."""
+"""LLM-data-pipeline operators (SURVEY.md §2B.10): dedup, similarity,
+embeddings, text analysis over the ``documents`` / ``embeddings`` tables.
+
+Design rules for 100 TB (SURVEY.md §4.3):
+
+- **No crossJoin on the big side.** Near-dedup uses an inverted-index
+  self-join on shingles (shuffle on shingle key); similarity search
+  broadcasts the small query set. The O(n²) brute-force shape never
+  touches a full table.
+- **Vector math stays JVM-side** via higher-order functions (``zip_with``
+  + ``aggregate``) — no Python UDFs in any hot path here.
+- **Cross-engine float determinism:** dot products are sequential left
+  folds over doubles (Spark ``aggregate`` ≡ DuckDB ``list_reduce``), so
+  both engines execute the identical IEEE-754 operation sequence;
+  outputs are then ``round4``-ed (see ``_helpers``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datapipelines_python_spark.catalog import load_table
+from datapipelines_python_spark.operators._helpers import (
+    davg,
+    round4,
+    sql_davg,
+    sql_round4,
+)
+from datapipelines_python_spark.registry import query
+
+# --------------------------------------------------------------------------
+# Vector-math helpers: identical fold order on both engines.
+# --------------------------------------------------------------------------
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Sequential left-fold dot product in doubles (JVM-side, codegen)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def sql_dot(a: str, b: str) -> str:
+    """DuckDB twin of :func:`dot` — same element order, same fold, same
+    double promotion, hence bit-identical results."""
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}), "
+        f"s -> CAST(s[1] AS DOUBLE) * s[2])), (acc, x) -> acc + x)"
+    )
+
+
+STOPWORDS = ("the", "a", "an", "of", "and", "to", "in", "is", "for", "on", "with")
+_SQL_STOPWORDS = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+
+
+@query(
+    "llm_dedup_exact",
+    oracle="""
+        SELECT MD5(LOWER(TRIM(text))) AS fp,
+               MIN(doc_id) AS survivor_id,
+               COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY 1
+    """,
+    tags=("llm", "dedup"),
+)
+def llm_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup by normalized content hash; deterministic survivor =
+    lowest doc_id. One shuffle on the 32-byte fingerprint — at 100 TB this
+    is the cheapest possible dedup (map-side partial agg applies)."""
+    d = load_table(spark, sf, "documents")
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    return d.groupBy(fp.alias("fp")).agg(
+        F.min("doc_id").alias("survivor_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+@query(
+    "llm_dedup_near",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   LIST_DISTINCT([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                  FOR i IN RANGE(1, LEN(toks) - 1)]) AS shingles
+            FROM tok
+            WHERE LEN(toks) >= 3
+        ),
+        ex AS (
+            SELECT doc_id, LEN(shingles) AS n_sh, UNNEST(shingles) AS shingle
+            FROM sh
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS inter
+            FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4
+        )
+        SELECT doc_a, doc_b,
+               {sql_round4('inter / (na + nb - inter)')} AS jaccard
+        FROM pairs
+        WHERE inter / (na + nb - inter) >= 0.7
+    """,
+    tags=("llm", "dedup"),
+    bench=True,
+)
+def llm_dedup_near(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup pairs by exact Jaccard over word 3-gram shingles, found via
+    an **inverted-index self-join** (shuffle on shingle, never a crossJoin):
+    only docs sharing ≥1 shingle ever meet, so cost tracks the true overlap
+    structure rather than n². At 100 TB, hot shingles are the skew risk —
+    AQE skew-split handles moderate cases; the MinHash-banded variant
+    (``llm_dedup_minhash_lsh``) is the sub-linear candidate generator when
+    exact intersection counts aren't required."""
+    d = load_table(spark, sf, "documents")
+    tok = d.select("doc_id", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= 3
+    )
+    sh = tok.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(0, size(toks) - 3),"
+                " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+            )
+        ).alias("shingles"),
+    )
+    ex = sh.select(
+        "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle")
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return pairs.filter(jac >= 0.7).select(
+        "doc_a", "doc_b", round4(jac).alias("jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search over embeddings
+# --------------------------------------------------------------------------
+
+
+@query(
+    "llm_similarity_topk",
+    oracle=f"""
+        WITH nv AS (
+            SELECT vec_id, embedding,
+                   SQRT({sql_dot('embedding', 'embedding')}) AS norm
+            FROM embeddings
+        ),
+        q AS (
+            SELECT vec_id AS q_id, embedding AS q_emb, norm AS q_norm
+            FROM nv WHERE vec_id < 5
+        ),
+        pairs AS (
+            SELECT q.q_id, c.vec_id AS neighbor_id,
+                   {sql_dot('q.q_emb', 'c.embedding')} / (q.q_norm * c.norm) AS cos
+            FROM nv c, q
+            WHERE c.vec_id <> q.q_id
+        ),
+        r AS (
+            SELECT q_id, neighbor_id, cos,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY q_id ORDER BY cos DESC, neighbor_id
+                   ) AS INT) AS rank
+            FROM pairs
+        )
+        SELECT q_id, neighbor_id, {sql_round4('cos')} AS cosine, rank
+        FROM r WHERE rank <= 10
+    """,
+    tags=("llm", "similarity"),
+    bench=True,
+)
+def llm_similarity_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact top-10 cosine neighbors for a small query set: broadcast the
+    queries against the corpus (one scan, no shuffle of the big side except
+    the per-query top-k window). This is the oracle-checkable baseline; the
+    bucketed variant (``llm_ann_lsh_bucketed``) is the 100 TB path where
+    broadcasting every query×candidate product is too much compute."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf, "embeddings")
+    nv = emb.withColumn("norm", F.sqrt(dot("embedding", "embedding")))
+    q = nv.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    pairs = nv.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
+        "q_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (dot("q_emb", "embedding") / (F.col("q_norm") * F.col("norm"))).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("q_id", "neighbor_id", round4(F.col("cos")).alias("cosine"), "rank")
+    )
+
+
+@query(
+    "llm_embed_stats",
+    oracle=f"""
+        WITH ex AS (
+            SELECT label,
+                   GENERATE_SUBSCRIPTS(embedding, 1) AS pos,
+                   UNNEST(embedding) AS val
+            FROM embeddings
+        ),
+        ag AS (
+            SELECT label, pos,
+                   {sql_round4(sql_davg('CAST(val AS DOUBLE)'))} AS c,
+                   COUNT(*) AS cnt
+            FROM ex GROUP BY 1, 2
+        )
+        SELECT label, LIST(c ORDER BY pos) AS centroid, MAX(cnt) AS n_vecs
+        FROM ag GROUP BY label
+    """,
+    tags=("llm", "embedding"),
+)
+def llm_embed_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label centroid: posexplode → two-level agg. The shuffle key is
+    (label, pos) — 10 labels × 64 dims = 640 cells regardless of row count,
+    so partial (map-side) aggregation does nearly all the work at scale."""
+    emb = load_table(spark, sf, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+    ag = ex.groupBy("label", "pos").agg(
+        round4(davg(F.col("val").cast("double"))).alias("c"),
+        F.count("*").alias("cnt"),
+    )
+    return ag.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("centroid"),
+        F.max("cnt").alias("n_vecs"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+
+@query(
+    "llm_text_tokenize",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS token
+            FROM documents
+        )
+        SELECT token,
+               COUNT(*) AS n_occurrences,
+               COUNT(DISTINCT doc_id) AS n_docs
+        FROM tok
+        WHERE LENGTH(token) >= 3 AND token NOT IN ({_SQL_STOPWORDS})
+        GROUP BY token
+    """,
+    tags=("llm", "text"),
+)
+def llm_text_tokenize(spark: SparkSession, sf: str) -> DataFrame:
+    """Whitespace tokenization + stopword filter + corpus term counts."""
+    d = load_table(spark, sf, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    ).filter((F.length("token") >= 3) & ~F.col("token").isin(*STOPWORDS))
+    return tok.groupBy("token").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+@query(
+    "llm_text_stats",
+    oracle=f"""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               {sql_round4(sql_davg('CAST(n_chars AS DOUBLE)'))} AS avg_chars,
+               MIN(n_chars) AS min_chars,
+               MAX(n_chars) AS max_chars,
+               SUM(CASE WHEN n_chars = LENGTH(text) THEN 1 ELSE 0 END) AS n_valid
+        FROM documents
+        GROUP BY lang
+    """,
+    tags=("llm", "text"),
+)
+def llm_text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language doc stats, including the n_chars == length(text)
+    integrity check the fixture encodes."""
+    d = load_table(spark, sf, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        round4(davg(F.col("n_chars").cast("double"))).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum(
+            F.when(F.col("n_chars") == F.length("text"), 1).otherwise(0)
+        ).alias("n_valid"),
+    )
+
+
+@query(
+    "llm_tfidf",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS token
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+        ),
+        idf AS (
+            SELECT token, COUNT(*) AS df FROM tf GROUP BY 1
+        ),
+        n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.token,
+                   tf.tf * LN(n.n_docs / idf.df) AS tfidf
+            FROM tf JOIN idf USING (token) CROSS JOIN n
+        ),
+        r AS (
+            SELECT doc_id, token, tfidf,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY doc_id ORDER BY tfidf DESC, token
+                   ) AS INT) AS rank
+            FROM scored
+        )
+        SELECT doc_id, token, {sql_round4('tfidf')} AS tfidf, rank
+        FROM r WHERE rank <= 3
+    """,
+    tags=("llm", "text"),
+    bench=True,
+)
+def llm_tfidf(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — pure relational algebra: term
+    counts, doc-frequency join (broadcast: vocabulary ≪ corpus), log-idf,
+    per-doc top-k window. No MLlib, no UDFs."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    idf = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = d.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(idf), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "token", round4(F.col("tfidf")).alias("tfidf"), "rank")
+    )
+
+
+@query(
+    "llm_ngrams",
+    oracle="""
+        WITH ex AS (
+            SELECT doc_id,
+                   GENERATE_SUBSCRIPTS(STRING_SPLIT(text, ' '), 1) AS pos,
+                   UNNEST(STRING_SPLIT(text, ' ')) AS tok
+            FROM documents
+        ),
+        bg AS (
+            SELECT doc_id,
+                   LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+                       || ' ' || tok AS bigram
+            FROM ex
+        )
+        SELECT bigram, COUNT(*) AS n
+        FROM bg WHERE bigram IS NOT NULL
+        GROUP BY bigram
+    """,
+    tags=("llm", "text"),
+)
+def llm_ngrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus bigram counts. Spark side builds bigrams array-locally
+    (zip_with over offset slices — zero shuffle until the final count),
+    unlike the oracle's window formulation which would sort per doc."""
+    d = load_table(spark, sf, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(toks, 1, size(toks) - 1),"
+                "         slice(toks, 2, size(toks) - 1),"
+                "         (x, y) -> concat(x, ' ', y))"
+            )
+        ).alias("bigram")
+    )
+    return bigrams.groupBy("bigram").agg(F.count("*").alias("n"))
+
+
+@query(
+    "llm_lang_distribution",
+    oracle="""
+        SELECT lang, {cols}
+        FROM documents
+        GROUP BY lang
+    """.format(
+        cols=", ".join(
+            f"COUNT(*) FILTER (WHERE source = 'src{i}') AS src{i}" for i in range(20)
+        )
+    ),
+    tags=("llm", "multimodal"),
+)
+def llm_lang_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """lang × source contingency table via pivot (explicit value list so the
+    output schema is fixed — at scale an un-listed pivot needs an extra
+    distinct-values job first)."""
+    d = load_table(spark, sf, "documents")
+    srcs = [f"src{i}" for i in range(20)]
+    return d.groupBy("lang").pivot("source", srcs).count().na.fill(0, srcs)
+
+
+@query(
+    "llm_multimodal_join",
+    oracle=f"""
+        SELECT d.doc_id, d.lang, d.n_chars, e.label,
+               LEN(e.embedding) AS emb_dim,
+               {sql_round4("SQRT(" + sql_dot('e.embedding', 'e.embedding') + ")")}
+                   AS emb_norm
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+    tags=("llm", "multimodal"),
+)
+def llm_multimodal_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Text + vector columns in one frame: documents ⋈ embeddings with
+    mixed scalar/vector derived columns."""
+    d = load_table(spark, sf, "documents")
+    e = load_table(spark, sf, "embeddings")
+    return d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "label",
+        F.size("embedding").alias("emb_dim"),
+        round4(F.sqrt(dot("embedding", "embedding"))).alias("emb_norm"),
+    )

@@ -1,0 +1,625 @@
+"""Training-data pipeline operators beyond the reference's own surface:
+fingerprinting (rolling hash, SimHash), MinHash-LSH near-dedup, bucketed
+ANN, embedding near-dup, language ID, quality scoring, token counting, and
+multimodal binary-column plumbing.
+
+Cross-engine determinism trick used throughout: every hash is a
+**polynomial rolling hash folded left over characters, mod 1e9+7** —
+pure integer ops that Spark's ``aggregate`` HOF and DuckDB's
+``list_reduce`` evaluate identically, so even the LSH band assignment is
+oracle-checkable (no "approximate ⇒ rows-only" cop-out: the oracle replays
+the same candidate generation).
+
+Scale notes per op are in the docstrings; the common theme is that
+signatures/buckets are computed **array-locally inside one projection**
+(no explode, no shuffle) and only the candidate join shuffles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datapipelines_python_spark.catalog import load_table
+from datapipelines_python_spark.operators._helpers import round4, sql_round4
+from datapipelines_python_spark.operators.llm import dot, sql_dot
+from datapipelines_python_spark.registry import query
+
+MOD = 1_000_000_007
+
+# Spark/DuckDB twins for the char-level rolling hash of a string expression.
+_SPARK_STRHASH = (
+    "aggregate(split({s}, ''), 0L, (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)"
+)
+_SQL_STRHASH = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split({s}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+    "(a, b) -> (a * 31 + b) % 1000000007)"
+)
+
+
+# --------------------------------------------------------------------------
+# Fingerprinting
+# --------------------------------------------------------------------------
+
+
+@query(
+    "llm_fingerprint_rolling",
+    oracle=f"""
+        SELECT doc_id,
+               CAST({_SQL_STRHASH.format(s='text')} AS BIGINT) AS fingerprint
+        FROM documents
+    """,
+    tags=("llm", "fingerprint"),
+)
+def llm_fingerprint_rolling(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document rolling-hash fingerprint: one narrow projection, zero
+    shuffle — the cheapest content identity for incremental dedup at scale
+    (compare against yesterday's fingerprints with a join on the hash)."""
+    d = load_table(spark, sf, "documents")
+    return d.select(
+        "doc_id", F.expr(_SPARK_STRHASH.format(s="text")).alias("fingerprint")
+    )
+
+
+@query(
+    "llm_simhash",
+    oracle=f"""
+        WITH th AS (
+            SELECT doc_id,
+                   [{_SQL_STRHASH.format(s='t')}
+                    FOR t IN STRING_SPLIT(text, ' ')] AS hashes
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(LIST_SUM(
+                   [CASE WHEN LIST_SUM(
+                            [CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END
+                             FOR h IN hashes]) > 0
+                         THEN (CAST(1 AS BIGINT) << j) ELSE 0 END
+                    FOR j IN RANGE(0, 16)]) AS BIGINT) AS simhash
+        FROM th
+    """,
+    tags=("llm", "fingerprint", "dedup"),
+)
+def llm_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """16-bit SimHash over token rolling-hashes, computed entirely inside
+    nested array HOFs — per-row, JVM-side, no explode and no shuffle.
+    Near-dup candidates are then docs whose simhash differs in ≤ K bits
+    (join on bit-masked prefixes); here we emit the signature itself."""
+    d = load_table(spark, sf, "documents")
+    token_hash = _SPARK_STRHASH.format(s="t")
+    return d.select(
+        "doc_id",
+        F.expr(
+            f"""
+            aggregate(
+                transform(sequence(0, 15), j ->
+                    CASE WHEN aggregate(
+                             transform(split(text, ' '), t -> {token_hash}),
+                             0L,
+                             (acc, h) -> acc + CASE WHEN (shiftright(h, j) & 1) = 1
+                                              THEN 1 ELSE -1 END) > 0
+                         THEN shiftleft(CAST(1 AS BIGINT), j)
+                         ELSE CAST(0 AS BIGINT) END),
+                0L, (acc, x) -> acc + x)
+            """
+        ).alias("simhash"),
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH near-dedup (the 100 TB scale path, fully oracle-checked)
+# --------------------------------------------------------------------------
+
+_NUM_PERM = 16  # 4 bands × 4 rows
+_BANDS = 4
+_ROWS = 4
+
+
+@query(
+    "llm_dedup_minhash_lsh",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   LIST_DISTINCT([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                  FOR i IN RANGE(1, LEN(toks) - 1)]) AS shingles
+            FROM tok WHERE LEN(toks) >= 3
+        ),
+        hs AS (
+            SELECT doc_id, shingles,
+                   [{_SQL_STRHASH.format(s='s')} FOR s IN shingles] AS hashes
+            FROM sh
+        ),
+        sig AS (
+            SELECT doc_id, shingles,
+                   [LIST_MIN([(CAST(2*p+1 AS BIGINT) * h + 12345 + p) % {MOD}
+                              FOR h IN hashes])
+                    FOR p IN RANGE(0, {_NUM_PERM})] AS sig
+            FROM hs
+        ),
+        bands AS (
+            SELECT doc_id, bi,
+                   ARRAY_TO_STRING(LIST_SLICE(sig, bi*{_ROWS}+1, bi*{_ROWS}+{_ROWS}), ',')
+                       AS band_key
+            FROM sig, (SELECT UNNEST(RANGE(0, {_BANDS})) AS bi)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.bi = b.bi AND a.band_key = b.band_key
+                        AND a.doc_id < b.doc_id
+        ),
+        ver AS (
+            SELECT c.doc_a, c.doc_b,
+                   LEN(LIST_INTERSECT(x.shingles, y.shingles)) AS inter,
+                   LEN(x.shingles) + LEN(y.shingles)
+                       - LEN(LIST_INTERSECT(x.shingles, y.shingles)) AS uni
+            FROM cand c
+            JOIN sh x ON x.doc_id = c.doc_a
+            JOIN sh y ON y.doc_id = c.doc_b
+        )
+        SELECT doc_a, doc_b, {sql_round4('inter / uni')} AS jaccard
+        FROM ver WHERE inter / uni >= 0.7
+    """,
+    tags=("llm", "dedup"),
+    bench=True,
+)
+def llm_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash + banded LSH near-dedup — the sub-quadratic scale path:
+
+    1. per-doc MinHash signature (16 perms) computed array-locally;
+    2. explode only the 4 band keys (4 rows/doc, not |shingles| rows);
+    3. shuffle on (band, key) to find candidates — docs collide only if a
+       whole band matches, so candidate volume tracks the true dup rate;
+    4. exact-Jaccard verification of candidates (array_intersect on the
+       shingle sets of the pair — a broadcast-sized set per doc).
+
+    All hashes are deterministic polynomial rolling hashes, so the DuckDB
+    oracle replays the identical band assignment: the check is exact even
+    though LSH itself is probabilistic. Compare ``llm_dedup_near`` (exact
+    inverted index): at sf this returns the same planted pairs; at 100 TB
+    this one touches far fewer candidate pairs.
+    """
+    d = load_table(spark, sf, "documents")
+    tok = d.select("doc_id", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= 3
+    )
+    sh = tok.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(0, size(toks) - 3),"
+                " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+            )
+        ).alias("shingles"),
+    )
+    shingle_hash = _SPARK_STRHASH.format(s="s")
+    sig = sh.select(
+        "doc_id",
+        "shingles",
+        F.expr(
+            f"""
+            transform(sequence(0, {_NUM_PERM - 1}), p ->
+                array_min(transform(
+                    transform(shingles, s -> {shingle_hash}),
+                    h -> (CAST(2*p+1 AS BIGINT) * h + 12345 + p) % {MOD})))
+            """
+        ).alias("sig"),
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {_BANDS - 1}), bi -> "
+                f"struct(bi, concat_ws(',', slice(sig, bi*{_ROWS}+1, {_ROWS})) AS band_key))"
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.bi", "band.band_key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    ver = (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+            (
+                F.size("sh_a") + F.size("sh_b")
+                - F.size(F.array_intersect("sh_a", "sh_b"))
+            ).alias("uni"),
+        )
+    )
+    jac = F.col("inter") / F.col("uni")
+    return ver.filter(jac >= 0.7).select(
+        "doc_a", "doc_b", round4(jac).alias("jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# Bucketed ANN + embedding near-dup (sign-LSH over the vector column)
+# --------------------------------------------------------------------------
+
+_SIGN_BITS = 4
+
+_SPARK_BUCKET = (
+    f"aggregate(sequence(0, {_SIGN_BITS - 1}), 0L, (acc, i) -> "
+    "acc + CASE WHEN embedding[i] > 0 THEN shiftleft(CAST(1 AS BIGINT), i) "
+    "ELSE CAST(0 AS BIGINT) END)"
+)
+_SQL_BUCKET = (
+    "CAST(LIST_SUM([CASE WHEN embedding[i] > 0 THEN (CAST(1 AS BIGINT) << (i-1)) "
+    f"ELSE 0 END FOR i IN RANGE(1, {_SIGN_BITS + 1})]) AS BIGINT)"
+)
+
+
+@query(
+    "llm_ann_lsh_bucketed",
+    oracle=f"""
+        WITH nv AS (
+            SELECT vec_id, embedding,
+                   SQRT({sql_dot('embedding', 'embedding')}) AS norm,
+                   {_SQL_BUCKET} AS bucket
+            FROM embeddings
+        ),
+        q AS (
+            SELECT vec_id AS q_id, embedding AS q_emb, norm AS q_norm,
+                   bucket AS q_bucket
+            FROM nv WHERE vec_id < 5
+        ),
+        pairs AS (
+            SELECT q.q_id, c.vec_id AS neighbor_id,
+                   {sql_dot('q.q_emb', 'c.embedding')} / (q.q_norm * c.norm) AS cos
+            FROM nv c JOIN q ON c.bucket = q.q_bucket AND c.vec_id <> q.q_id
+        ),
+        r AS (
+            SELECT q_id, neighbor_id, cos,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY q_id ORDER BY cos DESC, neighbor_id
+                   ) AS INT) AS rank
+            FROM pairs
+        )
+        SELECT q_id, neighbor_id, {sql_round4('cos')} AS cosine, rank
+        FROM r WHERE rank <= 5
+    """,
+    tags=("llm", "similarity"),
+)
+def llm_ann_lsh_bucketed(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate nearest neighbors via random-hyperplane-style sign
+    buckets (here: sign bits of the first dims — deterministic, so the
+    oracle replays it). The equi-join on bucket replaces
+    ``llm_similarity_topk``'s query×corpus product: at 100 TB each query
+    only meets its bucket's candidates (~1/2^bits of the corpus; add
+    multi-probe neighbors of the bucket for recall)."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf, "embeddings")
+    nv = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(dot("embedding", "embedding")).alias("norm"),
+        F.expr(_SPARK_BUCKET).alias("bucket"),
+    )
+    q = nv.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    pairs = nv.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")),
+    ).select(
+        "q_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (dot("q_emb", "embedding") / (F.col("q_norm") * F.col("norm"))).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "neighbor_id", round4(F.col("cos")).alias("cosine"), "rank")
+    )
+
+
+@query(
+    "llm_dedup_embedding",
+    oracle=f"""
+        WITH nv AS (
+            SELECT vec_id, embedding,
+                   SQRT({sql_dot('embedding', 'embedding')}) AS norm,
+                   {_SQL_BUCKET} AS bucket
+            FROM embeddings
+        ),
+        p AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   {sql_dot('a.embedding', 'b.embedding')} / (a.norm * b.norm) AS cos
+            FROM nv a JOIN nv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        )
+        SELECT vec_a, vec_b, {sql_round4('cos')} AS cosine
+        FROM p WHERE cos >= 0.35
+    """,
+    tags=("llm", "dedup", "similarity"),
+)
+def llm_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, bucketed: same sign-bucket
+    self-join → exact cosine on candidates only. The fixture plants no
+    vector dups (max same-bucket cosine ≈ 0.43), so the threshold is set
+    low to exercise the path; for real near-dup sweeps raise it to ~0.95
+    and widen recall with multi-probe buckets."""
+    emb = load_table(spark, sf, "embeddings")
+    nv = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(dot("embedding", "embedding")).alias("norm"),
+        F.expr(_SPARK_BUCKET).alias("bucket"),
+    )
+    a = nv.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+        F.col("bucket").alias("bucket_a"),
+    )
+    b = nv.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    pairs = a.join(
+        b, (F.col("bucket_a") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b"))
+    ).select(
+        "vec_a",
+        "vec_b",
+        (dot("emb_a", "emb_b") / (F.col("norm_a") * F.col("norm_b"))).alias("cos"),
+    )
+    return pairs.filter(F.col("cos") >= 0.35).select(
+        "vec_a", "vec_b", round4(F.col("cos")).alias("cosine")
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis: language ID, quality score, token counting
+# --------------------------------------------------------------------------
+
+_LANG_MARKERS = {
+    "en": ("the", "and", "of", "is"),
+    "es": ("el", "la", "de", "que"),
+    "de": ("der", "die", "und", "ist"),
+    "fr": ("le", "les", "et", "est"),
+}
+
+
+def _marker_count_spark(lang: str) -> str:
+    toks = ", ".join(f"'{t}'" for t in _LANG_MARKERS[lang])
+    return f"size(filter(split(lower(text), ' '), t -> t IN ({toks})))"
+
+
+def _marker_count_sql(lang: str) -> str:
+    toks = ", ".join(f"'{t}'" for t in _LANG_MARKERS[lang])
+    return f"LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), t -> t IN ({toks})))"
+
+
+_PRED_CASE = """
+    CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
+         WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
+         WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+         WHEN s_fr > 0 THEN 'fr'
+         ELSE 'und' END
+"""
+
+
+@query(
+    "llm_lang_id",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   CAST({_marker_count_sql('en')} AS INT) AS s_en,
+                   CAST({_marker_count_sql('es')} AS INT) AS s_es,
+                   CAST({_marker_count_sql('de')} AS INT) AS s_de,
+                   CAST({_marker_count_sql('fr')} AS INT) AS s_fr
+            FROM documents
+        )
+        SELECT doc_id, lang AS actual_lang, {_PRED_CASE} AS predicted_lang,
+               (lang = {_PRED_CASE}) AS is_match
+        FROM scored
+    """,
+    tags=("llm", "text"),
+)
+def llm_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    """Marker-token language-ID heuristic (stopword-lexicon scoring with a
+    deterministic argmax). The fixture's text is English-like analytics
+    vocabulary for every ``lang`` label, so accuracy is what it is — the
+    op demonstrates the scoring/argmax plumbing a real n-gram LID model
+    would slot into (swap the marker lists for per-language n-gram
+    frequency tables joined in)."""
+    d = load_table(spark, sf, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        F.expr(_marker_count_spark("en")).alias("s_en"),
+        F.expr(_marker_count_spark("es")).alias("s_es"),
+        F.expr(_marker_count_spark("de")).alias("s_de"),
+        F.expr(_marker_count_spark("fr")).alias("s_fr"),
+    )
+    pred = F.expr(_PRED_CASE)
+    return scored.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        pred.alias("predicted_lang"),
+        (F.col("lang") == pred).alias("is_match"),
+    )
+
+
+@query(
+    "llm_quality_score",
+    oracle=f"""
+        WITH b AS (
+            SELECT doc_id,
+                   CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS n_tokens,
+                   LENGTH(REPLACE(text, ' ', ''))
+                       / LEN(STRING_SPLIT(text, ' ')) AS avg_tok_len,
+                   CAST(LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                        t -> t IN ('the','a','an','of','and','to','in','is','for','on','with')))
+                        AS BIGINT)
+                       / LEN(STRING_SPLIT(text, ' ')) AS stop_ratio
+            FROM documents
+        )
+        SELECT doc_id, n_tokens,
+               {sql_round4('avg_tok_len')} AS avg_token_len,
+               {sql_round4('stop_ratio')} AS stopword_ratio,
+               {sql_round4(
+                   '0.4 * LEAST(n_tokens / 100.0, 1.0)'
+                   ' + 0.3 * (1.0 - stop_ratio)'
+                   ' + 0.3 * LEAST(avg_tok_len / 8.0, 1.0)'
+               )} AS quality_score
+        FROM b
+    """,
+    tags=("llm", "text"),
+)
+def llm_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Heuristic document quality score (length, average token length,
+    stopword ratio — the classic pre-training corpus filters), one narrow
+    JVM-side projection per doc."""
+    d = load_table(spark, sf, "documents")
+    stop = ", ".join(
+        f"'{w}'"
+        for w in ("the", "a", "an", "of", "and", "to", "in", "is", "for", "on", "with")
+    )
+    b = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        (
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            / F.size(F.split("text", " "))
+        ).alias("avg_tok_len"),
+        (
+            F.expr(f"size(filter(split(lower(text), ' '), t -> t IN ({stop})))").cast(
+                "bigint"
+            )
+            / F.size(F.split("text", " "))
+        ).alias("stop_ratio"),
+    )
+    score = (
+        0.4 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0))
+        + 0.3 * (1.0 - F.col("stop_ratio"))
+        + 0.3 * F.least(F.col("avg_tok_len") / 8.0, F.lit(1.0))
+    )
+    return b.select(
+        "doc_id",
+        "n_tokens",
+        round4(F.col("avg_tok_len")).alias("avg_token_len"),
+        round4(F.col("stop_ratio")).alias("stopword_ratio"),
+        round4(score).alias("quality_score"),
+    )
+
+
+@query(
+    "llm_token_count",
+    oracle="""
+        SELECT doc_id,
+               CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS ws_tokens,
+               CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+|[0-9]+')) AS INT) AS re_tokens,
+               CAST(LENGTH(text) AS INT) AS n_chars
+        FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def llm_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    (alpha runs / digit runs) — the usual budget estimator for training
+    corpora. Both are per-row JVM regex, no Python."""
+    d = load_table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+"), 0)).alias(
+            "re_tokens"
+        ),
+        F.length("text").cast("int").alias("n_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal binary-column plumbing
+# --------------------------------------------------------------------------
+
+
+def decode_image(payload: bytes) -> dict:  # pragma: no cover
+    """Real image decode — requires pillow/opencv, not in this container.
+
+    The Spark-side plumbing (binary column + mapInPandas batch decode) is
+    real and tested via :func:`mm_binary_features`; swap this stub in to
+    decode actual payloads.
+    """
+    raise NotImplementedError("image decode requires pillow; not installed")
+
+
+def decode_audio(payload: bytes) -> dict:  # pragma: no cover
+    """Real audio decode stub (librosa/soundfile not in container)."""
+    raise NotImplementedError("audio decode requires soundfile; not installed")
+
+
+@query(
+    "mm_binary_features",
+    oracle="""
+        SELECT doc_id,
+               CAST(OCTET_LENGTH(ENCODE(text)) AS INT) AS n_bytes,
+               CAST(ASCII(SUBSTRING(text, 1, 1)) AS INT) AS first_byte,
+               CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS INT) AS n_spaces
+        FROM documents
+    """,
+    tags=("llm", "multimodal"),
+)
+def mm_binary_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal column plumbing: opaque ``binary`` payload + typed
+    metadata struct, feature-extracted in Arrow batches via mapInPandas.
+
+    The "decode" here is a deterministic byte-level feature extractor so
+    the oracle can check the full path (schema, batching, binary
+    round-trip); real image/audio decoders plug into the same batch loop
+    (see :func:`decode_image` / :func:`decode_audio` stubs). At scale,
+    batch size is controlled by ``spark.sql.execution.arrow.
+    maxRecordsPerBatch`` and decode parallelism is just partition count —
+    no driver involvement.
+    """
+    import pandas as pd
+
+    d = load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.col("text").cast("binary").alias("payload"),
+        F.struct("lang", "n_chars").alias("meta"),
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(len).astype("int32"),
+                    "first_byte": payloads.map(lambda b: b[0]).astype("int32"),
+                    "n_spaces": payloads.map(lambda b: b.count(b" ")).astype("int32"),
+                }
+            )
+
+    return d.mapInPandas(
+        extract, schema="doc_id long, n_bytes int, first_byte int, n_spaces int"
+    )

@@ -28,6 +28,7 @@ _OPERATOR_MODULES = (
     "datapipelines_python_spark.operators.scalar_functions",
     "datapipelines_python_spark.operators.udfs",
     "datapipelines_python_spark.operators.llm",
+    "datapipelines_python_spark.operators.llm_training",
     "datapipelines_python_spark.streaming.ops",
 )
 
