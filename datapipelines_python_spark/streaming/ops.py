@@ -1,1 +1,317 @@
-"""Placeholder — streaming operators land in M5."""
+"""Structured Streaming operators (SURVEY.md §2B.9) over the ``events``
+table: tumbling / sliding / session windows, watermarked late-data
+handling, stateful dedup, custom state via applyInPandasWithState, and a
+foreachBatch custom sink.
+
+Checking strategy: every op runs the real streaming engine
+(``readStream`` → ``Trigger.AvailableNow`` → sink) and is compared against
+a *batch-equivalent* DuckDB oracle wherever emission is deterministic:
+
+- Window aggregations in complete mode emit the final snapshot — always
+  batch-equivalent.
+- The watermark op runs in append mode; emission across AvailableNow
+  batches is cumulative "windows closed by the final watermark", which is
+  deterministic (final watermark = max event time − delay regardless of
+  how files were split into micro-batches) — so even late-data dropping
+  has a SQL oracle here. Arrival-order-dependent behavior (true late
+  drops) is covered by a hand-built micro-batch unit test in tests/.
+
+At scale: state stores are bounded by watermarks (session/tumbling state
+is evicted once the watermark passes), dedup state must be keyed narrowly,
+and complete mode is for fixture-sized snapshots only — production sinks
+run append/update.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datapipelines_python_spark.operators._helpers import sql_dsum
+from datapipelines_python_spark.operators.scans import scratch_dir
+from datapipelines_python_spark.registry import query
+
+_DEC = "decimal(38,8)"
+
+
+def events_stream(spark: SparkSession, sf: str) -> DataFrame:
+    """File-source stream over the events table (nanos→micros fixed up,
+    same as the batch catalog loader)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf.rstrip('/')}/events.parquet").schema
+    return (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf.rstrip("/"))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    )
+
+
+def drain_to_memory(
+    df: DataFrame, name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Run a streaming plan to completion (AvailableNow) into a memory
+    sink and return the result as a batch DataFrame."""
+    spark = df.sparkSession
+    spark.catalog.dropTempView(name)  # stale table from a prior run, if any
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query(
+    "stream_tumbling_agg",
+    oracle=f"""
+        SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               {sql_dsum('value')} AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    tags=("streaming",),
+)
+def stream_tumbling_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """1-hour tumbling window counts/sums by event type; complete-mode
+    snapshot equals the batch GROUP BY."""
+    s = events_stream(spark, sf)
+    agg = s.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
+    )
+    out = agg.select(
+        F.col("window.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+    return drain_to_memory(out, "stream_tumbling_agg_sink", "complete")
+
+
+@query(
+    "stream_sliding_agg",
+    oracle=f"""
+        WITH shifted AS (
+            SELECT TIME_BUCKET(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+                       - TO_MINUTES(15 * off.o) AS window_start,
+                   event_type, value
+            FROM events,
+                 (SELECT UNNEST(RANGE(0, 4)) AS o) off
+        )
+        SELECT window_start, event_type,
+               COUNT(*) AS n_events,
+               {sql_dsum('value')} AS sum_value
+        FROM shifted
+        GROUP BY 1, 2
+    """,
+    tags=("streaming",),
+)
+def stream_sliding_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """1-hour window sliding every 15 minutes: each event lands in four
+    windows. Oracle reconstructs the assignment by shifting the 15-minute
+    bucket of each event back 0/15/30/45 minutes."""
+    s = events_stream(spark, sf)
+    agg = s.groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
+    )
+    out = agg.select(
+        F.col("window.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+    return drain_to_memory(out, "stream_sliding_agg_sink", "complete")
+
+
+@query(
+    "stream_session_window",
+    oracle=f"""
+        WITH flagged AS (
+            SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+                   CASE WHEN CAST(ts AS TIMESTAMP)
+                            - LAG(CAST(ts AS TIMESTAMP)) OVER w
+                            > INTERVAL '30 minutes'
+                         OR LAG(ts) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sessions AS (
+            SELECT user_id, ts, value,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS session_id
+            FROM flagged
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL '30 minutes' AS session_end,
+               COUNT(*) AS n_events,
+               {sql_dsum('value')} AS sum_value
+        FROM sessions
+        GROUP BY user_id, session_id
+    """,
+    tags=("streaming",),
+)
+def stream_session_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user session windows with a 30-minute gap. Oracle is the
+    classic gaps-and-islands formulation; Spark's session_window end is
+    last-event + gap, mirrored as MAX(ts) + 30min."""
+    s = events_stream(spark, sf)
+    agg = s.groupBy(F.session_window("ts", "30 minutes"), "user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
+    )
+    out = agg.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+        "sum_value",
+    )
+    return drain_to_memory(out, "stream_session_window_sink", "complete")
+
+
+@query(
+    "stream_watermark_late",
+    oracle="""
+        SELECT window_start, n_events FROM (
+            SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+                   COUNT(*) AS n_events
+            FROM events
+            GROUP BY 1
+        )
+        WHERE window_start + INTERVAL '1 hour'
+              <= (SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL '10 minutes'
+                  FROM events)
+    """,
+    tags=("streaming", "watermark"),
+)
+def stream_watermark_late(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermarked tumbling count in **append** mode: only windows whose
+    end precedes the final watermark (max event time − 10 min) are ever
+    emitted — the others die in the state store. Emission is cumulative
+    across micro-batches, so the result is deterministic however
+    AvailableNow splits the input. Arrival-order-dependent late-record
+    *dropping* is unit-tested with hand-built micro-batches in tests/."""
+    s = events_stream(spark, sf)
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("window.start").alias("window_start"), "n_events")
+    )
+    return drain_to_memory(agg, "stream_watermark_late_sink", "append")
+
+
+@query(
+    "stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    tags=("streaming", "dedup"),
+)
+def stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Stateful streaming dedup on (user_id, event_type): first arrival
+    wins, later duplicates are dropped against the state store. Projected
+    to the key so the result is arrival-order independent. At scale the
+    state must be watermark-bounded (``dropDuplicatesWithinWatermark``)
+    or it grows without bound."""
+    s = events_stream(spark, sf)
+    dd = s.select("user_id", "event_type").dropDuplicates(["user_id", "event_type"])
+    return drain_to_memory(dd, "stream_dedup_sink", "append")
+
+
+@query(
+    "stream_stateful_count",
+    oracle="""
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+        FROM events
+        GROUP BY user_id
+    """,
+    tags=("streaming", "stateful"),
+)
+def stream_stateful_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: running
+    per-user event count + integer sum of the JSON ``k`` prop, state
+    carried across micro-batches. Integer state ⇒ no float-order issues;
+    final state equals the batch GROUP BY."""
+    import json
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    s = events_stream(spark, sf).select("user_id", "props")
+
+    def update(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        n, sk = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            sk += int(
+                sum(int(json.loads(p)["k"]) for p in pdf["props"])
+            )
+        state.update((n, sk))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_k": [sk]})
+
+    out = s.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, sum_k long",
+        stateStructType="n long, sk long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    # Update mode re-emits a key on every batch that touches it; the final
+    # state per key is the row with the largest running count.
+    drained = drain_to_memory(out, "stream_stateful_count_sink", "update")
+    return drained.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"), F.max("sum_k").alias("sum_k")
+    )
+
+
+@query(
+    "stream_foreach_sink",
+    oracle="""
+        SELECT event_id, user_id, value
+        FROM events
+        WHERE event_type = 'purchase'
+    """,
+    tags=("streaming", "sink"),
+)
+def stream_foreach_sink(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom sink via foreachBatch: each micro-batch is written as
+    parquet (idempotent by batch id path in production; single dir here),
+    then read back — the re-read must equal the batch filter. This is the
+    escape hatch for sinks Spark has no connector for."""
+    out_dir = scratch_dir("stream_foreach_sink")
+    ckpt = scratch_dir("stream_foreach_sink_ckpt")
+    s = (
+        events_stream(spark, sf)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "value")
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        s.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
