@@ -1,0 +1,50 @@
+"""Registry integrity: the driver contract surface is well-formed."""
+
+from __future__ import annotations
+
+import re
+
+from datapipelines_python_spark import all_oracles, all_queries, get_registry
+
+# ops whose semantics no single SQL statement can express (driver does a
+# rows-only check for these, SURVEY.md §5.2)
+KNOWN_ROWS_ONLY = {"sink_parquet_partitioned", "agg_approx_distinct"}
+
+
+def test_every_query_has_oracle_or_is_known_rows_only():
+    qs, os_ = all_queries(), all_oracles()
+    missing = set(qs) - set(os_) - KNOWN_ROWS_ONLY
+    assert not missing, f"operators without oracle SQL: {missing}"
+
+
+def test_oracles_reference_registered_tables_only():
+    tables = {
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    }
+    for name, sql in all_oracles().items():
+        froms = set(re.findall(r"(?:FROM|JOIN)\s+([a-z_]+)", sql, re.IGNORECASE))
+        unknown = {
+            f for f in froms if f.lower() not in tables
+        } - _cte_names(sql) - {"lateral"}
+        assert not unknown or all(f.lower() in _cte_names(sql) or f in {"t", "d"} for f in unknown), (
+            f"{name}: oracle references unknown relation(s) {unknown}"
+        )
+
+
+def _cte_names(sql: str) -> set[str]:
+    return {m.lower() for m in re.findall(r"(\w+)\s+AS\s*\(", sql, re.IGNORECASE)}
+
+
+def test_registry_covers_survey_categories():
+    names = set(all_queries())
+    for prefix in (
+        "scan_", "filter_", "project_", "join_", "agg_", "win_", "setop_",
+        "fn_", "udf_", "stream_", "llm_",
+    ):
+        assert any(n.startswith(prefix) for n in names), f"no {prefix}* operators"
+    assert len(names) >= 90
+
+
+def test_bench_flagged_subset_exists():
+    assert sum(1 for s in get_registry().values() if s.bench) >= 5
