@@ -129,32 +129,52 @@ def llm_dedup_near(spark: SparkSession, sf: str) -> DataFrame:
     tok = d.select("doc_id", F.split("text", " ").alias("toks")).filter(
         F.size("toks") >= 3
     )
-    sh = tok.select(
-        "doc_id",
-        F.array_distinct(
-            F.expr(
-                "transform(sequence(0, size(toks) - 3),"
-                " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
-            )
-        ).alias("shingles"),
+    # Shingles are hashed to bigints (xxhash64 over the 3 tokens): an 8-byte
+    # join key instead of a ~20-byte string — the shuffle is the dominant
+    # cost at scale. Collisions (~n²/2⁶⁴) are negligible vs the oracle's
+    # string sets. The shingle expression is deliberately INLINED into both
+    # explode() and size() rather than projected into its own column first:
+    # explode over a projected array column makes Catalyst infer a
+    # `size(arr) > 0` filter and push it below the projection with `toks`
+    # substituted in, re-evaluating split(text) per lambda element (~10×
+    # slower end-to-end, measured).
+    shingles = F.array_distinct(
+        F.expr(
+            "transform(sequence(0, size(toks) - 3),"
+            " i -> xxhash64(toks[i], toks[i+1], toks[i+2]))"
+        )
     )
-    ex = sh.select(
-        "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle")
-    )
-    a, b = ex.alias("a"), ex.alias("b")
+    # n_sh lives in its own tiny per-doc frame joined onto the exploded
+    # index (AQE broadcasts it): carrying size(shingles) through the
+    # explode directly would make the post-Generate projection re-evaluate
+    # the whole shingle array per exploded row (explode output can't share
+    # the array with a sibling column).
+    ex = tok.select("doc_id", F.explode(shingles).alias("shingle"))
+    nsh = tok.select("doc_id", F.size(shingles).alias("n_sh"))
+    ex_n = ex.join(nsh, "doc_id")
+    a, b = ex_n.alias("a"), ex_n.alias("b")
     pairs = (
-        a.join(
+        # shuffle-hash, not broadcast: at 100 TB neither side of the
+        # inverted index fits an executor; partitioning by shingle is the
+        # scale-correct plan (AQE still splits skewed shingle keys)
+        a.hint("shuffle_hash")
+        .join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        # 2-key groupBy with max() for the per-doc constants: grouping on
+        # (doc_a, doc_b, na, nb) directly measures ~3× slower — wider keys
+        # slow the hash aggregate over the full candidate-pair set
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n_sh").alias("na"),
-            F.col("b.n_sh").alias("nb"),
         )
-        .agg(F.count("*").alias("inter"))
+        .agg(
+            F.count("*").alias("inter"),
+            F.max(F.col("a.n_sh")).alias("na"),
+            F.max(F.col("b.n_sh")).alias("nb"),
+        )
     )
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     return pairs.filter(jac >= 0.7).select(

