@@ -1,0 +1,100 @@
+"""Physical-plan quality gates (SURVEY.md §4.2, the 100 TB design rules):
+these tests pin the *plan*, not the result — a regression that keeps results
+correct but loses pushdown/broadcast/partial-agg would surface only at
+cluster scale, so the suite fails it here.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from datapipelines_python_spark import get_registry
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return get_registry()
+
+
+def _plan(spark, registry, name: str) -> str:
+    df = registry[name].fn(spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_projection_prunes_scan_columns(spark, registry):
+    plan = _plan(spark, registry, "scan_projected")
+    scan = plan[plan.index("FileScan") :]
+    assert "l_orderkey" in scan and "l_quantity" in scan
+    assert "l_extendedprice" not in scan  # unused column never read
+
+
+def test_filter_reaches_parquet_pushdown(spark, registry):
+    plan = _plan(spark, registry, "filter_simple")
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters:")[1][:200]
+    assert "l_quantity" in pushed
+
+
+def test_broadcast_join_broadcasts_dimension(spark, registry):
+    plan = _plan(spark, registry, "join_broadcast")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_star_join_has_no_cartesian(spark, registry):
+    plan = _plan(spark, registry, "tpch_q5_local_supplier_volume")
+    assert "CartesianProduct" not in plan
+    # the one BroadcastNestedLoopJoin-able edge (s_nationkey = c_nationkey)
+    # must ride the equi-join, not a nested loop over the fact table
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_aggregate_is_two_phase(spark, registry):
+    plan = _plan(spark, registry, "agg_groupby")
+    # map-side partial agg before the shuffle: the shuffle carries one row
+    # per (partition, group), not per input row
+    assert "partial_" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_topk_per_group_uses_window_group_limit(spark, registry):
+    plan = _plan(spark, registry, "topk_per_group")
+    assert "WindowGroupLimit" in plan  # Spark >= 3.5 rank-limit pushdown
+
+
+def test_dedup_self_join_is_shuffle_not_broadcast(spark, registry):
+    plan = _plan(spark, registry, "llm_dedup_near")
+    # at 100 TB neither side of the inverted index is broadcastable; the
+    # hint keeps the partition-by-shingle plan even at fixture scale
+    assert "ShuffledHashJoin" in plan
+
+
+def test_flagship_stays_in_wholestage_codegen(spark, registry):
+    df = registry["agg_groupby"].fn(spark, SF_SMOKE)
+    df.collect()  # finalize THIS frame's adaptive plan (count() plans anew)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "*(" in plan  # whole-stage-codegen stage marker
+
+
+def test_no_operator_collects_to_driver():
+    """Operators must return lazy DataFrames; building one must not run
+    jobs (collect/count in the builder would mean a driver-side loop)."""
+    import inspect
+
+    from datapipelines_python_spark.operators import (
+        aggregations,
+        joins,
+        llm,
+        projections,
+        scans,
+        sorts_setops,
+        windows,
+        workloads,
+    )
+
+    for mod in (scans, projections, joins, aggregations, windows, sorts_setops,
+                llm, workloads):
+        src = inspect.getsource(mod)
+        assert ".collect()" not in src, f"{mod.__name__} materializes on driver"
+        assert ".toPandas()" not in src, f"{mod.__name__} materializes on driver"
