@@ -91,23 +91,32 @@ def llm_simhash(spark: SparkSession, sf: str) -> DataFrame:
     (join on bit-masked prefixes); here we emit the signature itself."""
     d = load_table(spark, sf, "documents")
     token_hash = _SPARK_STRHASH.format(s="t")
-    return d.select(
+    # Each token is hashed exactly ONCE (inline in the explode — any
+    # nested-lambda formulation lets CollapseProject re-inline the token
+    # hashing into the 16-bit loop, recomputing it per bit: 16× the op).
+    # The ±1 fold per bit is equivalently 2·(count of set bits) − n, so
+    # the sign test becomes 16 integer aggregates over the exploded
+    # hashes — a partial-agg shuffle of one row per doc, which is also
+    # the shape that scales (hash-agg, no wide arrays through a shuffle).
+    ex = d.select(
         "doc_id",
-        F.expr(
-            f"""
-            aggregate(
-                transform(sequence(0, 15), j ->
-                    CASE WHEN aggregate(
-                             transform(split(text, ' '), t -> {token_hash}),
-                             0L,
-                             (acc, h) -> acc + CASE WHEN (shiftright(h, j) & 1) = 1
-                                              THEN 1 ELSE -1 END) > 0
-                         THEN shiftleft(CAST(1 AS BIGINT), j)
-                         ELSE CAST(0 AS BIGINT) END),
-                0L, (acc, x) -> acc + x)
-            """
-        ).alias("simhash"),
+        F.explode(F.expr(f"transform(split(text, ' '), t -> {token_hash})")).alias("h"),
     )
+    bits = ex.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.expr(f"shiftright(h, {j}) & 1")).alias(f"b{j}")
+            for j in range(16)
+        ],
+    )
+    simhash = None
+    for j in range(16):
+        term = F.when(
+            2 * F.col(f"b{j}") - F.col("n") > 0,
+            F.lit(1 << j).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+        simhash = term if simhash is None else simhash + term
+    return bits.select("doc_id", simhash.alias("simhash"))
 
 
 # --------------------------------------------------------------------------
