@@ -67,6 +67,16 @@ def scan_json_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     return spark.read.schema(df.schema).json(path)
 
 
+@query("scan_orc_roundtrip", oracle="SELECT * FROM supplier", tags=("scan", "connector"))
+def scan_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """ORC sink + source (second columnar format beside parquet; built into
+    Spark, same pushdown/pruning machinery)."""
+    df = load_table(spark, sf, "supplier")
+    path = scratch_dir("orc_supplier")
+    df.write.mode("overwrite").orc(path)
+    return spark.read.schema(df.schema).orc(path)
+
+
 @query(
     "sink_parquet_partitioned",
     oracle="SELECT * FROM lineitem",

@@ -1,0 +1,97 @@
+"""Property-based differential: randomized filter specs evaluated by the
+engine (Spark, with parquet pushdown) and by DuckDB over the same files
+must agree (SURVEY.md §5.2 item 4).
+
+Predicates are drawn over `orders` columns of every comparison shape the
+pipeline layer emits; agreement is checked on count + an integer checksum
+(sum of o_orderkey), which is order- and float-independent.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from datapipelines_python_spark.catalog import load_table
+from tests.conftest import SF_SMOKE
+
+_STATUSES = ["F", "P", "O"]
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{SF_SMOKE}/orders.parquet'"
+    )
+    return con
+
+
+# one atomic predicate: (spark Column builder, duckdb SQL string)
+def _atoms():
+    return st.one_of(
+        st.sampled_from(_STATUSES).map(
+            lambda v: (F.col("o_orderstatus") == v, f"o_orderstatus = '{v}'")
+        ),
+        st.sampled_from(_PRIORITIES).map(
+            lambda v: (F.col("o_orderpriority") != v, f"o_orderpriority <> '{v}'")
+        ),
+        st.integers(min_value=0, max_value=400_000).map(
+            lambda v: (F.col("o_totalprice") > float(v), f"o_totalprice > {v}")
+        ),
+        st.integers(min_value=0, max_value=1500).map(
+            lambda v: (F.col("o_custkey") <= v, f"o_custkey <= {v}")
+        ),
+        st.tuples(
+            st.integers(min_value=0, max_value=750),
+            st.integers(min_value=0, max_value=750),
+        ).map(
+            lambda lo_hi: (
+                F.col("o_custkey").between(min(lo_hi), min(lo_hi) + max(lo_hi)),
+                f"o_custkey BETWEEN {min(lo_hi)} AND {min(lo_hi) + max(lo_hi)}",
+            )
+        ),
+        st.sampled_from(["1996", "1998", "2000"]).map(
+            lambda y: (
+                F.col("o_orderdate") >= f"{y}-01-01",
+                f"o_orderdate >= TIMESTAMP '{y}-01-01'",
+            )
+        ),
+    )
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    atoms=st.lists(_atoms(), min_size=1, max_size=4),
+    ops=st.lists(st.sampled_from(["AND", "OR"]), min_size=3, max_size=3),
+    negate=st.booleans(),
+)
+def test_random_predicates_match_duckdb(spark, duck, atoms, ops, negate):
+    cond, sql = atoms[0]
+    for (c, s), op in zip(atoms[1:], ops):
+        cond = (cond & c) if op == "AND" else (cond | c)
+        sql = f"({sql}) {op} ({s})"
+    if negate:
+        cond, sql = ~cond, f"NOT ({sql})"
+
+    got = (
+        load_table(spark, SF_SMOKE, "orders")
+        .filter(cond)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("o_orderkey"), F.lit(0)).alias("chk"),
+        )
+        .collect()[0]
+    )
+    want = duck.execute(
+        f"SELECT COUNT(*), COALESCE(SUM(o_orderkey), 0) FROM orders WHERE {sql}"
+    ).fetchone()
+    assert (got["n"], got["chk"]) == want, f"predicate mismatch for: {sql}"
