@@ -60,6 +60,17 @@ class TableSource:
         """
         raise NotImplementedError
 
+    def get_stream(
+        self, table: str, query: Mapping[str, Any], context: PipelineContext
+    ) -> DataFrame:
+        """Return an unbounded (``readStream``) DataFrame for ``table``.
+
+        The reference's ``get_many(..., streaming=True)`` (A2): sources
+        that cannot stream raise UnsupportedError and the pipeline falls
+        through to the next provider.
+        """
+        raise UnsupportedError(f"{type(self).__name__} cannot stream {table!r}")
+
 
 class TableSink:
     """A consumer of named tables. Declares ``accepts``; ``put`` stores."""
@@ -183,3 +194,29 @@ class FixtureSource(TableSource):
             raise UnsupportedError(table)
         spark: SparkSession = context[PipelineContext.Keys.SPARK]
         return load_table(spark, self.sf_dir, table)
+
+    def get_stream(
+        self, table: str, query: Mapping[str, Any], context: PipelineContext
+    ) -> DataFrame:
+        """File-streaming read of the fixture table (same files, unbounded
+        plan): schema pinned from the batch footer, directory scoped to the
+        one table via pathGlobFilter. Downstream transformations and the
+        pipeline's pushed-down query filters compose identically on the
+        streaming frame."""
+        if not self.can_provide(table):
+            raise UnsupportedError(table)
+        spark: SparkSession = context[PipelineContext.Keys.SPARK]
+        from pyspark.sql import functions as F
+
+        sf = self.sf_dir.rstrip("/")
+        if table == "events":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = spark.read.parquet(f"{sf}/{table}.parquet").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", f"{table}.parquet")
+            .parquet(sf)
+        )
+        if table == "events":
+            stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return stream

@@ -157,10 +157,18 @@ class DataPipeline:
     # -- public API (EP1-EP3) -------------------------------------------------
 
     def get_many(
-        self, table: str, query: Mapping[str, Any] | None = None
+        self,
+        table: str,
+        query: Mapping[str, Any] | None = None,
+        streaming: bool = False,
     ) -> DataFrame:
         """Resolve and return the DataFrame for ``table`` with the query's
-        equality predicates applied; write back into earlier sinks."""
+        equality predicates applied; write back into earlier sinks.
+
+        ``streaming=True`` (the reference's A2 flag) asks providers for an
+        unbounded ``readStream`` frame instead; sources that cannot stream
+        are skipped, and sink write-back is skipped by design (the
+        reference defers sink materialization in streaming mode)."""
         query = dict(query or {})
         ctx = self._context()
         last_err: Exception | None = None
@@ -171,15 +179,19 @@ class DataPipeline:
             try:
                 validator = source.validators.get(fetch) if source.validators else None
                 q = validator.validate(query) if validator else query
-                df = source.get_many(fetch, q, ctx)
+                if streaming:
+                    df = source.get_stream(fetch, q, ctx)
+                else:
+                    df = source.get_many(fetch, q, ctx)
                 df = self._apply_chain(df, chain)
             except (UnsupportedError, NotFoundError) as exc:
                 last_err = exc
                 continue
             filtered = self._apply_query(df, q)
-            # write back the UNFILTERED frame: the cache stores the table
-            # itself, not this call's predicate-subset of it
-            self._write_back(table, df, upto=idx, ctx=ctx)
+            if not streaming:
+                # write back the UNFILTERED frame: the cache stores the
+                # table itself, not this call's predicate-subset of it
+                self._write_back(table, df, upto=idx, ctx=ctx)
             return filtered
         raise NotFoundError(table) from last_err
 

@@ -152,3 +152,32 @@ def test_handler_memoization_and_invalidation(spark, scratch):
     assert "region" in pipe._handlers
     pipe.invalidate_handlers()
     assert not pipe._handlers
+
+
+def test_get_many_streaming_returns_live_stream(spark, scratch):
+    """A2 streaming flag: get_many(streaming=True) yields an unbounded
+    frame over the same files; drained with availableNow it equals the
+    batch read, and pipeline query filters compose onto the stream."""
+    import os
+
+    pipe = DataPipeline([FixtureSource(SF_SMOKE)], spark=spark)
+    stream = pipe.get_many("nation", {"n_regionkey": 1}, streaming=True)
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("pipe_stream_sink")
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("pipe_stream_sink").count()
+    want = pipe.get_many("nation", {"n_regionkey": 1}).count()
+    assert got == want > 0
+
+
+def test_streaming_get_skips_write_back(spark, scratch):
+    mem = MemoryCache()
+    pipe = DataPipeline([mem, FixtureSource(SF_SMOKE)], spark=spark)
+    pipe.get_many("nation", streaming=True)
+    assert "nation" not in mem.provides  # streams defer sink materialization
