@@ -172,6 +172,60 @@ def join_theta_range(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "join_range_bucketed",
+    oracle=f"""
+        SELECT o.o_orderkey,
+               CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_shipped_within_30d,
+               {sql_dsum('l.l_quantity')} AS qty_shipped
+        FROM (SELECT * FROM orders WHERE o_orderkey % 100 = 0) o
+        LEFT JOIN lineitem l
+          ON l.l_shipdate >= o.o_orderdate
+         AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+        GROUP BY o.o_orderkey
+    """,
+    tags=("join", "theta", "scale-path"),
+)
+def join_range_bucketed(spark: SparkSession, sf: str) -> DataFrame:
+    """Same result as ``join_theta_range``, computed the way a 100 TB run
+    must: the range join is bucketized into an **equi-join** on a coarse
+    time bucket plus a residual range filter. Each 30-day order window
+    covers at most two 30-day buckets, so the interval side is exploded
+    ≤2× and both sides shuffle-partition on the bucket key — no broadcast
+    requirement, no nested-loop join, and AQE can split hot buckets. Each
+    matching line falls in exactly one bucket (its shipdate's), so no
+    dedup pass is needed."""
+    bucket_days = 30
+    epoch = "1995-01-01"
+
+    def bkt(col: F.Column) -> F.Column:
+        return F.floor(F.datediff(col.cast("date"), F.lit(epoch)) / bucket_days)
+
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    end = F.date_add(F.col("o_orderdate").cast("date"), bucket_days).cast("timestamp")
+    o_b = o.select(
+        "o_orderkey",
+        "o_orderdate",
+        end.alias("o_end"),
+        F.explode(F.sequence(bkt(F.col("o_orderdate")), bkt(end))).alias("bkt"),
+    )
+    li = load_table(spark, sf, "lineitem").withColumn("bkt", bkt(F.col("l_shipdate")))
+    cond = (
+        (o_b.bkt == li.bkt)
+        & (li.l_shipdate >= o_b.o_orderdate)
+        & (li.l_shipdate < o_b.o_end)
+    )
+    return (
+        o_b.hint("shuffle_hash")
+        .join(li, cond, "left")
+        .groupBy("o_orderkey")
+        .agg(
+            F.count("l_orderkey").alias("n_shipped_within_30d"),
+            dsum(F.col("l_quantity")).alias("qty_shipped"),
+        )
+    )
+
+
+@query(
     "join_multi_key",
     oracle=f"""
         SELECT l.l_orderkey, l.l_linenumber, ps.n_lines, ps.total_qty

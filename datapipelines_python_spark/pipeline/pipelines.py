@@ -203,7 +203,9 @@ class DataPipeline:
         return rows[0]
 
     def put(self, table: str, df: DataFrame) -> int:
-        """Offer ``df`` to every accepting sink (directly or via a chain).
+        """Offer ``df`` to every accepting sink — directly, or converted
+        through the min-cost transformer chain into a table the sink does
+        accept (the reference's A3 accepts/transform resolution).
         Returns the number of sinks written."""
         ctx = self._context()
         written = 0
@@ -212,6 +214,19 @@ class DataPipeline:
                 continue
             if el.can_accept(table):
                 el.put(table, df, ctx)
+                written += 1
+                continue
+            # route through the cheapest chain into any accepted table
+            best_to: str | None = None
+            best: list[DataTransformer] | None = None
+            for accepted in el.accepts:
+                c = self.chain(table, accepted)
+                if c is not None and (
+                    best is None or sum(t.cost for t in c) < sum(t.cost for t in best)
+                ):
+                    best_to, best = accepted, c
+            if best_to is not None and best:
+                el.put(best_to, self._apply_chain(df, best), ctx)
                 written += 1
         return written
 

@@ -73,8 +73,22 @@ def get_registry() -> dict[str, QuerySpec]:
     return dict(_REGISTRY)
 
 
+def _tuned(fn: QueryFn) -> QueryFn:
+    """Apply engine session defaults (UTC timezone, AQE) before the plan is
+    built: the driver calls these with ITS OWN SparkSession, whose timezone
+    would otherwise leak into collected timestamp values."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from datapipelines_python_spark.session import tune_session
+
+        tune_session(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def all_queries() -> dict[str, QueryFn]:
-    return {name: spec.fn for name, spec in get_registry().items()}
+    return {name: _tuned(spec.fn) for name, spec in get_registry().items()}
 
 
 def all_oracles() -> dict[str, str]:

@@ -181,3 +181,20 @@ def test_streaming_get_skips_write_back(spark, scratch):
     pipe = DataPipeline([mem, FixtureSource(SF_SMOKE)], spark=spark)
     pipe.get_many("nation", streaming=True)
     assert "nation" not in mem.provides  # streams defer sink materialization
+
+
+def test_put_routes_through_transform_chain(spark, scratch):
+    """A3: a sink that only accepts `nation_named` still receives a put of
+    `nation` when a transformer chain nation->nation_named exists."""
+    narrow = MemoryCache(accepts={"nation_named"})
+    pipe = DataPipeline([narrow, FixtureSource(SF_SMOKE)], spark=spark)
+
+    @pipe.register_transformer("nation", "nation_named", cost=1)
+    def add_name(df):
+        return df.withColumn("pretty", F.concat(F.lit("nation:"), "n_name"))
+
+    n = pipe.put("nation", pipe.get_many("nation"))
+    assert n == 1
+    assert "nation_named" in narrow.provides
+    stored = pipe.get_many("nation_named")
+    assert "pretty" in stored.columns and stored.count() == 25
