@@ -40,6 +40,7 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for name, spec in bench_ops.items():
+        spec.fn(spark, sf_dir).count()  # warm: codegen/JIT for THIS plan
         t0 = time.perf_counter()
         spec.fn(spark, sf_dir).count()
         times[name] = round(time.perf_counter() - t0, 3)
