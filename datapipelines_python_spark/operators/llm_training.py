@@ -280,6 +280,116 @@ def llm_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_CC_ITERS = 6  # fixed on both engines; covers component diameter ≤ 6
+
+
+@query(
+    "llm_dedup_clusters",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   LIST_DISTINCT([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                  FOR i IN RANGE(1, LEN(toks) - 1)]) AS shingles
+            FROM tok WHERE LEN(toks) >= 3
+        ),
+        ex AS MATERIALIZED (
+            SELECT doc_id, LEN(shingles) AS n_sh, UNNEST(shingles) AS shingle
+            FROM sh
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS inter
+            FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4
+        ),
+        dup AS MATERIALIZED (
+            SELECT doc_a, doc_b FROM pairs
+            WHERE inter / (na + nb - inter) >= 0.7
+        ),
+        edges AS MATERIALIZED (
+            SELECT doc_a AS src, doc_b AS dst FROM dup
+            UNION ALL
+            SELECT doc_b, doc_a FROM dup
+        ),
+        l0 AS (SELECT DISTINCT src AS doc_id, src AS lbl FROM edges),
+        {", ".join(
+            f'''l{k} AS MATERIALIZED (
+                SELECT l.doc_id,
+                       LEAST(l.lbl, COALESCE(MIN(r.lbl), l.lbl)) AS lbl
+                FROM l{k - 1} l
+                LEFT JOIN edges e ON e.src = l.doc_id
+                LEFT JOIN l{k - 1} r ON r.doc_id = e.dst
+                GROUP BY l.doc_id, l.lbl
+            )''' for k in range(1, _CC_ITERS + 1)
+        )}
+        SELECT doc_id, lbl AS cluster_id, (doc_id = lbl) AS is_survivor
+        FROM l{_CC_ITERS}
+    """,
+    tags=("llm", "dedup", "iterative"),
+)
+def llm_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup **cluster assignment**: connected components over the
+    ``llm_dedup_near`` pair graph via min-label propagation, canonical
+    survivor = lowest doc_id per component — the step that turns pairwise
+    dedup into "keep one copy per duplicate group".
+
+    Both engines run the SAME fixed iteration count (labels converge once
+    the iteration count reaches the component diameter; fixture clusters
+    are pairs/triples, bound 6 leaves wide margin), so the oracle check is
+    exact. Each iteration is a shuffle join + min-aggregate — the naive
+    O(diameter) loop. At 100 TB the same loop body with the
+    large-star/small-star rewrite converges in O(log n) rounds; components
+    here are tiny cliques, so diameter is effectively constant and the
+    naive loop IS the scale plan.
+    """
+    from datapipelines_python_spark.operators.llm import llm_dedup_near
+
+    dup = llm_dedup_near(spark, sf).select("doc_a", "doc_b")
+    edges = dup.union(
+        dup.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    # iterated twice (sides of every per-iteration join) → persist
+    edges = edges.persist()
+    labels = edges.select(F.col("src").alias("doc_id")).distinct().select(
+        "doc_id", F.col("doc_id").alias("lbl")
+    )
+    for _ in range(_CC_ITERS):
+        nbr = (
+            edges.join(
+                labels.select(F.col("doc_id").alias("dst"), F.col("lbl").alias("r_lbl")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("r_lbl").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.doc_id == nbr.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nbr_min"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+        )
+        # truncate lineage each round: every iteration reads the prior
+        # labels twice, so a lazy loop doubles the plan per round, and
+        # even persist+count leaves nested InMemoryRelation plans whose
+        # analysis cost balloons per iteration (measured 1.4s -> 25s by
+        # round 6). localCheckpoint materializes the round and replaces
+        # the plan with a flat scan — one small job per iteration, as in
+        # any DataFrame fixpoint loop (at cluster scale: checkpoint() to
+        # reliable storage, same mechanics).
+        labels = new_labels.localCheckpoint()
+    return labels.select(
+        "doc_id",
+        F.col("lbl").alias("cluster_id"),
+        (F.col("doc_id") == F.col("lbl")).alias("is_survivor"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Bucketed ANN + embedding near-dup (sign-LSH over the vector column)
 # --------------------------------------------------------------------------

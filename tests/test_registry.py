@@ -23,7 +23,7 @@ def test_oracles_reference_registered_tables_only():
         "orders", "lineitem", "events", "documents", "embeddings",
     }
     for name, sql in all_oracles().items():
-        froms = set(re.findall(r"(?:FROM|JOIN)\s+([a-z_]+)", sql, re.IGNORECASE))
+        froms = set(re.findall(r"(?:FROM|JOIN)\s+([a-z_][a-z_0-9]*)", sql, re.IGNORECASE))
         unknown = {
             f for f in froms if f.lower() not in tables
         } - _cte_names(sql) - {"lateral"}
@@ -33,7 +33,10 @@ def test_oracles_reference_registered_tables_only():
 
 
 def _cte_names(sql: str) -> set[str]:
-    return {m.lower() for m in re.findall(r"(\w+)\s+AS\s*\(", sql, re.IGNORECASE)}
+    return {
+        m.lower()
+        for m in re.findall(r"(\w+)\s+AS\s*(?:MATERIALIZED\s*)?\(", sql, re.IGNORECASE)
+    }
 
 
 def test_registry_covers_survey_categories():
