@@ -533,6 +533,80 @@ def llm_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Embedding preprocessing: normalization, quantization
+# --------------------------------------------------------------------------
+
+
+@query(
+    "llm_embed_normalize",
+    oracle=f"""
+        WITH nv AS (
+            SELECT vec_id, embedding,
+                   SQRT({sql_dot('embedding', 'embedding')}) AS norm
+            FROM embeddings
+        )
+        SELECT vec_id,
+               [CAST(x AS DOUBLE) / norm FOR x IN embedding] AS unit_vec,
+               norm
+        FROM nv
+    """,
+    tags=("llm", "embedding"),
+)
+def llm_embed_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Unit-normalize every embedding (the standard preprocessing before
+    cosine retrieval: dot products become cosines). Row-local HOF math —
+    zero shuffle; identical IEEE division sequence on both engines."""
+    emb = load_table(spark, sf, "embeddings")
+    nv = emb.select(
+        "vec_id", "embedding", F.sqrt(dot("embedding", "embedding")).alias("norm")
+    )
+    return nv.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE) / norm)").alias("unit_vec"),
+        "norm",
+    )
+
+
+@query(
+    "llm_embed_quantize",
+    oracle="""
+        WITH mx AS (
+            SELECT vec_id, embedding,
+                   LIST_MAX([ABS(CAST(x AS DOUBLE)) FOR x IN embedding]) AS max_abs
+            FROM embeddings
+        )
+        SELECT vec_id,
+               [CAST(FLOOR(CAST(x AS DOUBLE) / max_abs * 127.0 + 0.5) AS INT)
+                FOR x IN embedding] AS q8,
+               max_abs AS scale
+        FROM mx
+    """,
+    tags=("llm", "embedding"),
+)
+def llm_embed_quantize(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization (x → round(x/max_abs·127)):
+    4× smaller vectors for ANN candidate generation, with the per-vector
+    scale kept for dequantization. Half-up rounding via the portable
+    floor(x+0.5) so both engines agree bit-for-bit."""
+    emb = load_table(spark, sf, "embeddings")
+    mx = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(
+            "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
+        ).alias("max_abs"),
+    )
+    return mx.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> "
+            "CAST(FLOOR(CAST(x AS DOUBLE) / max_abs * 127.0 + 0.5) AS INT))"
+        ).alias("q8"),
+        F.col("max_abs").alias("scale"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Text analysis: language ID, quality score, token counting
 # --------------------------------------------------------------------------
 
@@ -691,6 +765,45 @@ def llm_token_count(spark: SparkSession, sf: str) -> DataFrame:
             "re_tokens"
         ),
         F.length("text").cast("int").alias("n_chars"),
+    )
+
+
+@query(
+    "llm_text_scrub",
+    oracle="""
+        WITH s AS (
+            SELECT doc_id,
+                   REGEXP_REPLACE(
+                       REGEXP_REPLACE(text, '[0-9]+', '<num>', 'g'),
+                       '[a-z]{13,}', '<long>', 'g') AS scrubbed
+            FROM documents
+        )
+        SELECT doc_id, scrubbed,
+               CAST(LEN(REGEXP_EXTRACT_ALL(scrubbed, '<num>|<long>')) AS INT)
+                   AS n_masked
+        FROM s
+    """,
+    tags=("llm", "text", "scrub"),
+)
+def llm_text_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """Content scrubbing/masking: digit runs → ``<num>``, overlong tokens →
+    ``<long>`` (the shape of PII/noise masking passes in training-data
+    pipelines — swap in email/phone patterns for production). Pure JVM
+    regex projection, zero shuffle; patterns kept POSIX-simple so both
+    regex dialects agree."""
+    d = load_table(spark, sf, "documents")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), "[0-9]+", "<num>"),
+        "[a-z]{13,}",
+        "<long>",
+    )
+    s = d.select("doc_id", scrubbed.alias("scrubbed"))
+    return s.select(
+        "doc_id",
+        "scrubbed",
+        F.size(F.regexp_extract_all("scrubbed", F.lit("<num>|<long>"), 0)).alias(
+            "n_masked"
+        ),
     )
 
 
