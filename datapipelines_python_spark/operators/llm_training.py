@@ -873,3 +873,98 @@ def mm_binary_features(spark: SparkSession, sf: str) -> DataFrame:
     return d.mapInPandas(
         extract, schema="doc_id long, n_bytes int, first_byte int, n_spaces int"
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus assembly: deterministic split, sequence packing
+# --------------------------------------------------------------------------
+
+
+@query(
+    "llm_train_val_split",
+    oracle="""
+        WITH h AS (
+            SELECT doc_id,
+                   CAST(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8))::BIGINT % 100 AS INT) AS bucket
+            FROM documents
+        )
+        SELECT CASE WHEN bucket < 90 THEN 'train'
+                    WHEN bucket < 95 THEN 'val'
+                    ELSE 'test' END AS split,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+               CAST(MAX(doc_id) AS BIGINT) AS max_doc
+        FROM h
+        GROUP BY 1
+    """,
+    tags=("llm", "split"),
+)
+def llm_train_val_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split by content-stable hash of
+    the doc key (+salt): reproducible across runs, clusters, and engines —
+    never ``rand()``, which both resists auditing and reshuffles the split
+    when partitioning changes. One narrow projection + tiny agg."""
+    d = load_table(spark, sf, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    ).cast("int")
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return d.select(split.alias("split"), "doc_id").groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+@query(
+    "llm_sequence_packing",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, n_tokens,
+                   SUM(n_tokens) OVER (ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) AS cum
+            FROM t
+        ),
+        p AS (
+            SELECT doc_id, n_tokens,
+                   CAST(FLOOR((cum - 1) / 512) AS BIGINT) AS pack_id
+            FROM c
+        )
+        SELECT pack_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+               CAST(MIN(doc_id) AS BIGINT) AS first_doc
+        FROM p
+        GROUP BY pack_id
+    """,
+    tags=("llm", "packing"),
+)
+def llm_sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence packing: assign docs (in stable doc_id order) to ~512-token
+    packs by cumulative token count — the contiguous-packing pass that
+    turns a ragged corpus into fixed training sequences. The running sum
+    is a single-partition window here (global order is part of the
+    semantics); at scale the same op runs per shard (partitionBy on a
+    shard key) so each pack stays within one worker's slice."""
+    d = load_table(spark, sf, "documents")
+    t = d.select("doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"))
+    from pyspark.sql.window import Window as W2
+
+    cum = F.sum("n_tokens").over(
+        W2.orderBy("doc_id").rowsBetween(W2.unboundedPreceding, W2.currentRow)
+    )
+    p = t.select(
+        "doc_id", "n_tokens", F.floor((cum - 1) / 512).cast("bigint").alias("pack_id")
+    )
+    return p.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
