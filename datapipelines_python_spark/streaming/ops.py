@@ -315,3 +315,78 @@ def stream_foreach_sink(spark: SparkSession, sf: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(out_dir)
+
+
+@query(
+    "stream_static_join",
+    oracle=f"""
+        SELECT c_mktsegment,
+               COUNT(*) AS n_events,
+               {sql_dsum('value')} AS sum_value
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    tags=("streaming", "join"),
+)
+def stream_static_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream ⋈ static dimension: the unbounded events stream enriched
+    against the batch customer table (re-read per micro-batch, so slowly
+    changing dimensions pick up updates), then aggregated per segment.
+    At scale the static side is broadcast into every micro-batch."""
+    from datapipelines_python_spark.catalog import load_table
+
+    s = events_stream(spark, sf)
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    joined = s.join(c, s.user_id == c.c_custkey)
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
+    )
+    return drain_to_memory(agg, "stream_static_join_sink", output_mode="complete")
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+        SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id
+        FROM events p JOIN events v
+          ON p.event_type = 'purchase' AND v.event_type = 'view'
+         AND p.user_id = v.user_id
+         AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+    """,
+    tags=("streaming", "join"),
+)
+def stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream ⋈ stream with event-time bounds: every (purchase, view)
+    pair for the same user where the view happened within the hour before
+    the purchase. Watermarks + the time-interval join condition let the
+    engine evict unmatched state — unbounded joins without them grow
+    state forever. Inner-join emission is complete under AvailableNow, so
+    the batch self-join oracle is exact."""
+    purchases = (
+        events_stream(spark, sf)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    views = (
+        events_stream(spark, sf)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+    ).select("purchase_id", "view_id", "user_id")
+    return drain_to_memory(joined, "stream_stream_join_sink")
