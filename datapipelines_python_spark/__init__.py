@@ -9,8 +9,9 @@ see SURVEY.md), re-expressed Spark-first:
   caching / fluent query validation — the reference's own API surface
   (SURVEY.md §2A), operating natively on DataFrames.
 - **Analytics operator layer** (``datapipelines_python_spark.operators``,
-  ``.streaming``): the ~75-operator relational + streaming + LLM-pipeline
-  inventory (SURVEY.md §2B), each declared as a DataFrame plan so Catalyst
+  ``.streaming``): the ~120-operator relational + streaming + LLM-pipeline
+  inventory (SURVEY.md §2B, incl. §2B.11 extensions), each declared as a
+  DataFrame plan so Catalyst
   (pushdown, pruning, AQE, whole-stage codegen) optimizes it.
 
 Designed for 100 TB scale: no driver-side collects in any operator, joins
