@@ -413,3 +413,532 @@ def tpch_q22_sales_opportunity(spark: SparkSession, sf: str) -> DataFrame:
             dsum(F.col("c_acctbal")).alias("total_bal"),
         )
     )
+
+
+@query(
+    "tpch_q7_volume_shipping",
+    oracle=f"""
+        SELECT supp_nation, cust_nation, l_year,
+               {sql_dsum('volume')} AS revenue
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(YEAR(l_shipdate) AS INT) AS l_year,
+                   {_DISC_PRICE} AS volume
+            FROM supplier
+            JOIN lineitem ON s_suppkey = l_suppkey
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+              AND l_shipdate BETWEEN TIMESTAMP '1995-01-01'
+                                 AND TIMESTAMP '1996-12-31'
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+    """,
+    tags=("workload", "tpch"),
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): trade volume between two nations by year
+    and direction. Double nation-dim join (supplier side and customer side)
+    with a cross-side pair predicate; both nation dims broadcast, the pair
+    filter runs post-join on two tiny columns."""
+    s = load_table(spark, sf, "supplier")
+    li = load_table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate").between("1995-01-01", "1996-12-31")
+    )
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    pair = ("NATION_1", "NATION_2")
+    n1 = load_table(spark, sf, "nation").filter(F.col("n_name").isin(*pair)).alias("n1")
+    n2 = load_table(spark, sf, "nation").filter(F.col("n_name").isin(*pair)).alias("n2")
+    j = (
+        s.join(li, s.s_suppkey == li.l_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1.n_nationkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2.n_nationkey"))
+        .filter(F.col("n1.n_name") != F.col("n2.n_name"))
+    )
+    return (
+        j.select(
+            F.col("n1.n_name").alias("supp_nation"),
+            F.col("n2.n_name").alias("cust_nation"),
+            F.year("l_shipdate").alias("l_year"),
+            _disc_price().alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum(F.col("volume")).alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q8_national_market_share",
+    oracle=f"""
+        SELECT o_year,
+               {sql_round4(
+                   sql_dsum("CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END")
+                   + " / " + sql_dsum('volume')
+               )} AS mkt_share
+        FROM (
+            SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
+                   {_DISC_PRICE} AS volume,
+                   n2.n_name AS nation
+            FROM part
+            JOIN lineitem ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region ON n1.n_regionkey = r_regionkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate BETWEEN TIMESTAMP '1995-01-01'
+                                  AND TIMESTAMP '1996-12-31'
+              AND p_type LIKE 'ECONOMY%'
+        ) all_nations
+        GROUP BY o_year
+    """,
+    tags=("workload", "tpch"),
+)
+def tpch_q8_national_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 (national market share): NATION_5's share of ECONOMY-part
+    revenue sold into ASIA, by order year. Eight-table join; the share is a
+    conditional-sum / total-sum ratio (both decimal-exact, divided once in
+    double, round4)."""
+    p = load_table(spark, sf, "part").filter(F.col("p_type").like("ECONOMY%"))
+    li = load_table(spark, sf, "lineitem")
+    s = load_table(spark, sf, "supplier")
+    o = load_table(spark, sf, "orders").filter(
+        F.col("o_orderdate").between("1995-01-01", "1996-12-31")
+    )
+    c = load_table(spark, sf, "customer")
+    n1 = load_table(spark, sf, "nation").alias("n1")
+    n2 = load_table(spark, sf, "nation").alias("n2")
+    r = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("n1.n_nationkey"))
+        .join(F.broadcast(r), F.col("n1.n_regionkey") == r.r_regionkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2.n_nationkey"))
+    )
+    vol = j.select(
+        F.year("o_orderdate").alias("o_year"),
+        _disc_price().alias("volume"),
+        F.col("n2.n_name").alias("nation"),
+    )
+    target = F.when(F.col("nation") == "NATION_5", F.col("volume")).otherwise(F.lit(0.0))
+    return vol.groupBy("o_year").agg(
+        round4(dsum(target) / dsum(F.col("volume"))).alias("mkt_share")
+    )
+
+
+@query(
+    "tpch_q9_product_type_profit",
+    oracle=f"""
+        SELECT nation, o_year, {sql_dsum('amount')} AS profit
+        FROM (
+            SELECT n_name AS nation,
+                   CAST(YEAR(o_orderdate) AS INT) AS o_year,
+                   {_DISC_PRICE} AS amount
+            FROM part
+            JOIN lineitem ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%red%'
+        ) profit
+        GROUP BY nation, o_year
+    """,
+    tags=("workload", "tpch"),
+    bench=True,
+)
+def tpch_q9_product_type_profit(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit), adapted: the fixture has no partsupp/
+    ps_supplycost, so profit is discounted revenue only. Substring part-name
+    scan ('%red%' can't push as a range) feeding a 5-table star join,
+    grouped by supplier nation x order year."""
+    p = load_table(spark, sf, "part").filter(F.col("p_name").like("%red%"))
+    li = load_table(spark, sf, "lineitem")
+    s = load_table(spark, sf, "supplier")
+    o = load_table(spark, sf, "orders")
+    n = load_table(spark, sf, "nation")
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+    )
+    return (
+        j.select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            _disc_price().alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(dsum(F.col("amount")).alias("profit"))
+    )
+
+
+@query(
+    "tpch_q11_important_stock",
+    oracle=f"""
+        WITH val AS MATERIALIZED (
+            SELECT l_partkey,
+                   {sql_dsum('l_extendedprice * l_quantity')} AS part_value
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+            GROUP BY l_partkey
+        ),
+        tot AS (
+            SELECT {sql_dsum('l_extendedprice * l_quantity')} AS total_value
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+        )
+        SELECT l_partkey, part_value
+        FROM val CROSS JOIN tot
+        WHERE part_value > total_value * 0.0005
+    """,
+    tags=("workload", "tpch"),
+)
+def tpch_q11_important_stock(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 (important stock), adapted: no partsupp table, so "stock
+    value" is shipped value (extendedprice x quantity) per part from
+    EUROPE-region suppliers; keep parts above 0.05% of the total. Scalar
+    aggregate broadcast against a grouped frame — both sides decimal-exact
+    doubles so the threshold compare is bit-stable cross-engine."""
+    li = load_table(spark, sf, "lineitem")
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    j = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+    )
+    value = F.col("l_extendedprice") * F.col("l_quantity")
+    val = j.groupBy("l_partkey").agg(dsum(value).alias("part_value"))
+    tot = j.agg(dsum(value).alias("total_value"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("part_value") > F.col("total_value") * 0.0005)
+        .select("l_partkey", "part_value")
+    )
+
+
+@query(
+    "tpch_q12_late_lines_priority",
+    oracle="""
+        SELECT l_linestatus,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM orders
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+          AND l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_linestatus
+    """,
+    tags=("workload", "tpch"),
+)
+def tpch_q12_late_lines_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes / order priority), adapted: the fixture has
+    no l_shipmode/l_commitdate/l_receiptdate, so the groups are line status
+    and "late" means shipped >60 days after the order date. Join + interval
+    arithmetic + dual conditional counts."""
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    j = o.join(li, o.o_orderkey == li.l_orderkey).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy("l_linestatus").agg(
+        F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+        WITH rev AS MATERIALIZED (
+            SELECT l_suppkey AS supplier_no,
+                   {sql_dsum(_DISC_PRICE)} AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1997-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier
+        JOIN rev ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+    tags=("workload", "tpch"),
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): supplier(s) with max revenue in a quarter.
+    The view becomes a grouped frame; the scalar MAX broadcasts back against
+    it (the revenue doubles are decimal-exact, so equality is safe)."""
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(_disc_price()).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    s = load_table(spark, sf, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(s, F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "tpch_q16_parts_supplier_relationship",
+    oracle="""
+        SELECT p_brand, p_type, p_size,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_type NOT LIKE 'PROMO%'
+          AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+          AND l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+        GROUP BY p_brand, p_type, p_size
+    """,
+    tags=("workload", "tpch"),
+)
+def tpch_q16_parts_supplier_relationship(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship), adapted: the part-supplier
+    association comes from distinct lineitem pairs (no partsupp), and the
+    excluded-supplier subquery targets negative account balances (no
+    s_comment). Distinct pre-agg -> anti join -> count-distinct rollup."""
+    li = load_table(spark, sf, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    p = load_table(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & ~F.col("p_type").like("PROMO%")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    bad = load_table(spark, sf, "supplier").filter(F.col("s_acctbal") < 0)
+    return (
+        ps.join(bad, ps.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "tpch_q17_small_quantity_revenue",
+    oracle=f"""
+        WITH part_avg AS (
+            SELECT l_partkey AS pk, {sql_davg('l_quantity')} AS avg_qty
+            FROM lineitem
+            GROUP BY l_partkey
+        )
+        SELECT {sql_round4(sql_dsum('l_extendedprice') + ' / 7.0')} AS avg_yearly
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN part_avg ON pk = l_partkey
+        WHERE p_brand = 'Brand#7'
+          AND l_quantity < 0.2 * avg_qty
+    """,
+    tags=("workload", "tpch"),
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): revenue lost if sub-20%-of-
+    average-quantity orders for one brand were dropped (no p_container in
+    the fixture, so brand is the only part filter). The correlated per-part
+    AVG becomes a grouped frame broadcast back onto the fact — one lineitem
+    pass per side, no per-row subquery."""
+    li = load_table(spark, sf, "lineitem")
+    part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        davg(F.col("l_quantity")).alias("avg_qty")
+    )
+    p = load_table(spark, sf, "part").filter(F.col("p_brand") == "Brand#7")
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(part_avg), F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+    )
+    return j.agg(round4(dsum(F.col("l_extendedprice")) / 7.0).alias("avg_yearly"))
+
+
+@query(
+    "tpch_q20_potential_promotion",
+    oracle="""
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE s_suppkey IN (
+            SELECT l_suppkey
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_name LIKE '%blue%'
+              AND l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY l_suppkey
+            HAVING SUM(CAST(l_quantity AS DECIMAL(38,8))) > 300
+        )
+    """,
+    tags=("workload", "tpch"),
+)
+def tpch_q20_potential_promotion(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion), adapted: no partsupp/availqty,
+    so qualifying suppliers are those who shipped >300 units of blue parts
+    in 1997 (nation filter dropped — the fixture supplier table is small).
+    Agg-with-HAVING subquery driving a left-semi join."""
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    p = load_table(spark, sf, "part").filter(F.col("p_name").like("%blue%"))
+    heavy = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(dsum(F.col("l_quantity")).alias("qty"))
+        .filter(F.col("qty") > 300)
+    )
+    s = load_table(spark, sf, "supplier")
+    return s.join(
+        heavy, s.s_suppkey == heavy.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+@query(
+    "tpch_q21_suppliers_kept_waiting",
+    oracle="""
+        SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM supplier
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY s_name
+    """,
+    tags=("workload", "tpch"),
+    bench=True,
+)
+def tpch_q21_suppliers_kept_waiting(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted: "late" is
+    shipped >60 days after the order date (no commit/receipt dates); nation
+    filter dropped. The EXISTS / NOT-EXISTS pair is rewritten set-wise: per
+    (order, supplier) late-flags, then per-order counts — the sole late
+    supplier on a multi-supplier finished order is the one who kept it
+    waiting. Two grouped passes replace the two correlated subqueries, so
+    the fact table shuffles on l_orderkey once per pass instead of probing
+    per row."""
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf, "lineitem")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
+        "is_late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+    )
+    per_supp = j.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("is_late").alias("supp_late")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.col("supp_late").cast("int")).alias("n_late_supp"),
+    )
+    cand = (
+        j.filter(F.col("is_late"))
+        .join(per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)),
+              "l_orderkey")
+    )
+    s = load_table(spark, sf, "supplier")
+    return (
+        cand.join(F.broadcast(s), cand.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@query(
+    "tpch_q2_minimum_cost_supplier",
+    oracle="""
+        WITH ps AS MATERIALIZED (
+            SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        ),
+        euro AS MATERIALIZED (
+            SELECT s_suppkey, s_acctbal, s_name, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+        FROM part
+        JOIN ps ON p_partkey = ps.l_partkey
+        JOIN euro ON ps.l_suppkey = euro.s_suppkey
+        WHERE p_size = 15
+          AND p_type LIKE 'STANDARD%'
+          AND s_acctbal = (
+              SELECT MIN(e2.s_acctbal)
+              FROM ps ps2
+              JOIN euro e2 ON ps2.l_suppkey = e2.s_suppkey
+              WHERE ps2.l_partkey = p_partkey
+          )
+    """,
+    tags=("workload", "tpch"),
+)
+def tpch_q2_minimum_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier), adapted: the part-supplier relation
+    is distinct lineitem pairs and the minimized "cost" is the supplier
+    account balance (no ps_supplycost). The correlated per-part MIN becomes
+    a window MIN over the joined frame — valid because the subquery's
+    correlation key (p_partkey) is the window partition key and the
+    candidate set (European suppliers of that part) is exactly the joined
+    rows."""
+    li = load_table(spark, sf, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    euro = (
+        load_table(spark, sf, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    p = load_table(spark, sf, "part").filter(
+        (F.col("p_size") == 15) & F.col("p_type").like("STANDARD%")
+    )
+    j = (
+        ps.join(F.broadcast(euro), ps.l_suppkey == euro.s_suppkey)
+        .join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+    )
+    w = W.partitionBy("p_partkey")
+    return (
+        j.withColumn("min_bal", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+    )
