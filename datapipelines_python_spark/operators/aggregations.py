@@ -331,3 +331,55 @@ def agg_partial_final(spark: SparkSession, sf: str) -> DataFrame:
         (dsum(F.col("l_quantity")) / F.count("l_quantity")).alias("avg_qty_two_phase"),
         davg(F.col("l_quantity")).alias("avg_qty_direct"),
     )
+
+
+@query(
+    "agg_bool_bitwise",
+    oracle="""
+        SELECT event_type,
+               bool_and(value > 1.0) AS all_above,
+               bool_or(value > 90.0) AS any_high,
+               bit_and(event_id & 1023) AS mask_and,
+               bit_or(event_id & 1023) AS mask_or,
+               bit_xor(event_id) AS mask_xor,
+               CAST(COUNT(*) FILTER (WHERE value > 50.0) AS BIGINT)
+                   AS n_above_half
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("aggregation",),
+)
+def agg_bool_bitwise(spark: SparkSession, sf: str) -> DataFrame:
+    """Boolean and bitwise aggregates (bool_and/bool_or, bit_and/or/xor,
+    count_if). All decompose into partial+final hash aggregation like sum —
+    shuffle carries one mask/flag per group per partition. bit_xor over an
+    id set is an order-independent set fingerprint (used at scale for
+    cheap partition-level data-integrity checks)."""
+    e = load_table(spark, sf, "events")
+    masked = F.col("event_id").bitwiseAND(F.lit(1023))
+    return e.groupBy("event_type").agg(
+        F.bool_and(F.col("value") > 1.0).alias("all_above"),
+        F.bool_or(F.col("value") > 90.0).alias("any_high"),
+        F.bit_and(masked).alias("mask_and"),
+        F.bit_or(masked).alias("mask_or"),
+        F.bit_xor(F.col("event_id")).alias("mask_xor"),
+        F.count_if(F.col("value") > 50.0).alias("n_above_half"),
+    )
+
+
+@query(
+    "agg_approx_percentile",
+    oracle=None,  # sketch-based: t-digest (DuckDB) vs KLL/GK (Spark) differ
+    tags=("aggregation", "approx"),
+)
+def agg_approx_percentile(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate percentiles via quantile sketch — the scale path where
+    exact percentile (full sort per group) is too expensive. Rows-only
+    check by design, like agg_approx_distinct: sketch values are
+    implementation-specific; the exact twin is agg_percentile. accuracy=
+    10000 bounds rank error at 1/10000 with fixed sketch memory per group."""
+    li = load_table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75, 0.95], 10000)
+        .alias("price_quantiles"),
+    )

@@ -493,3 +493,138 @@ def llm_multimodal_join(spark: SparkSession, sf: str) -> DataFrame:
         F.size("embedding").alias("emb_dim"),
         round4(F.sqrt(dot("embedding", "embedding"))).alias("emb_norm"),
     )
+
+
+@query(
+    "llm_ann_ivf",
+    oracle=f"""
+        WITH nv AS MATERIALIZED (
+            SELECT vec_id, embedding,
+                   SQRT({sql_dot('embedding', 'embedding')}) AS norm
+            FROM embeddings
+        ),
+        cent AS MATERIALIZED (
+            SELECT vec_id AS cid, embedding AS c_emb, norm AS c_norm
+            FROM nv WHERE vec_id < 16
+        ),
+        assigned AS MATERIALIZED (
+            SELECT vec_id, cid FROM (
+                SELECT nv.vec_id, cent.cid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY nv.vec_id
+                           ORDER BY {sql_dot('nv.embedding', 'cent.c_emb')}
+                                    / (nv.norm * cent.c_norm) DESC, cent.cid
+                       ) AS rn
+                FROM nv CROSS JOIN cent
+            ) a WHERE rn = 1
+        ),
+        q AS MATERIALIZED (
+            SELECT vec_id AS q_id, embedding AS q_emb, norm AS q_norm
+            FROM nv WHERE vec_id < 5
+        ),
+        probes AS (
+            SELECT q_id, cid FROM (
+                SELECT q.q_id, cent.cid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.q_id
+                           ORDER BY {sql_dot('q.q_emb', 'cent.c_emb')}
+                                    / (q.q_norm * cent.c_norm) DESC, cent.cid
+                       ) AS rn
+                FROM q CROSS JOIN cent
+            ) p WHERE rn <= 2
+        ),
+        cand AS (
+            SELECT probes.q_id, assigned.vec_id AS neighbor_id
+            FROM probes JOIN assigned ON probes.cid = assigned.cid
+            WHERE assigned.vec_id <> probes.q_id
+        ),
+        scored AS (
+            SELECT cand.q_id, cand.neighbor_id,
+                   {sql_dot('q.q_emb', 'nv.embedding')} / (q.q_norm * nv.norm)
+                       AS cos
+            FROM cand
+            JOIN q ON cand.q_id = q.q_id
+            JOIN nv ON cand.neighbor_id = nv.vec_id
+        )
+        SELECT q_id, neighbor_id, {sql_round4('cos')} AS cosine, rank
+        FROM (
+            SELECT q_id, neighbor_id, cos,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY q_id ORDER BY cos DESC, neighbor_id
+                   ) AS INT) AS rank
+            FROM scored
+        ) r WHERE rank <= 5
+    """,
+    tags=("llm", "similarity"),
+)
+def llm_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF (inverted-file) approximate nearest neighbor: partition the
+    corpus into K=16 cells around coarse centroids, then search only the
+    nprobe=2 cells nearest each query. Centroids here are deterministic
+    seed vectors (vec_id < 16) so the oracle can replay the exact cell
+    assignment; in production they come from k-means and the structure is
+    identical. Complements ``llm_ann_lsh_bucketed`` (hash buckets):
+    IVF probes adapt to the query's region, so recall concentrates where
+    the data is.
+
+    Scale shape: assignment is one corpus scan against broadcast centroids
+    (the window is per-vector over K rows, never corpus-wide); the probe
+    join touches ~nprobe/K of the corpus per query — cell-local
+    brute force, cost scales with bucket occupancy, not corpus squared."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf, "embeddings")
+    nv = emb.withColumn("norm", F.sqrt(dot("embedding", "embedding")))
+    cent = nv.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    cos_to_cent = dot("embedding", "c_emb") / (F.col("norm") * F.col("c_norm"))
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_c"), F.asc("cid")
+    )
+    assigned = (
+        nv.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cid", cos_to_cent.alias("cos_c"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    q = nv.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    cos_q_cent = dot("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm"))
+    w_probe = Window.partitionBy("q_id").orderBy(F.desc("cos_c"), F.asc("cid"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select("q_id", "cid", cos_q_cent.alias("cos_c"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= 2)
+        .select("q_id", "cid")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(assigned, "cid")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    scored = (
+        cand.join(F.broadcast(q), "q_id")
+        .join(nv, F.col("neighbor_id") == nv.vec_id)
+        .select(
+            "q_id",
+            "neighbor_id",
+            (dot("q_emb", "embedding") / (F.col("q_norm") * F.col("norm"))).alias(
+                "cos"
+            ),
+        )
+    )
+    w_rank = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "neighbor_id", round4(F.col("cos")).alias("cosine"), "rank")
+    )

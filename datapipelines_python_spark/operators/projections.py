@@ -169,3 +169,68 @@ def case_when(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise(F.col("l_extendedprice"))
         .alias("signed_price"),
     )
+
+
+@query(
+    "reshape_unpivot",
+    oracle="""
+        SELECT p_partkey, metric, value FROM (
+            SELECT p_partkey, 'p_retailprice' AS metric,
+                   p_retailprice AS value
+            FROM part
+            UNION ALL
+            SELECT p_partkey, 'p_size' AS metric,
+                   CAST(p_size AS DOUBLE) AS value
+            FROM part
+        ) u
+    """,
+    tags=("projection", "reshape"),
+)
+def reshape_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Wide-to-long reshape (melt): one row per (id, metric). Spark's
+    ``unpivot`` plans as an Expand node — each input row fans out in the
+    same task, no shuffle, so it scales as a pure map at any width. The
+    twin of the pivot in ``llm_lang_distribution``."""
+    p = load_table(spark, sf, "part").withColumn(
+        "p_size_d", F.col("p_size").cast("double")
+    )
+    return (
+        p.unpivot(
+            "p_partkey",
+            [F.col("p_retailprice"), F.col("p_size_d")],
+            "metric",
+            "value",
+        )
+        .withColumn(
+            "metric",
+            F.when(F.col("metric") == "p_size_d", "p_size").otherwise(
+                F.col("metric")
+            ),
+        )
+        .select("p_partkey", "metric", "value")
+    )
+
+
+@query(
+    "sample_hash_deterministic",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)
+              IN ('0', '1')
+    """,
+    tags=("projection", "sampling"),
+)
+def sample_hash_deterministic(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic ~12.5% Bernoulli sample keyed on a content hash —
+    reproducible across engines, partitionings, and runs, unlike
+    ``df.sample`` (seeded per-partition RNG, stable only for a fixed
+    partitioning). The md5-prefix trick is the cross-engine-portable form;
+    at 100 TB the same predicate drives consistent subsampling of a corpus
+    regardless of cluster shape, and joins of two tables sampled on the
+    same key stay aligned."""
+    o = load_table(spark, sf, "orders")
+    bucket = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+    return o.filter(bucket.isin("0", "1")).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )

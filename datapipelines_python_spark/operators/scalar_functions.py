@@ -365,3 +365,64 @@ def fn_conditional(spark: SparkSession, sf: str) -> DataFrame:
         ),
         F.nanvl(nan_expr, F.col("l_quantity")).alias("nan_guard"),
     )
+
+
+@query(
+    "fn_levenshtein",
+    oracle="""
+        SELECT a.n_name AS name_a, b.n_name AS name_b,
+               CAST(levenshtein(a.n_name, b.n_name) AS INT) AS edit_dist
+        FROM nation a
+        JOIN nation b ON a.n_nationkey < b.n_nationkey
+        WHERE levenshtein(a.n_name, b.n_name) <= 2
+    """,
+    tags=("function", "string"),
+)
+def fn_levenshtein(spark: SparkSession, sf: str) -> DataFrame:
+    """Edit-distance fuzzy matching: all near-identical name pairs. The
+    self-join is broadcast (dims only); at corpus scale the same operator
+    composes with an LSH/blocking prefilter so levenshtein only runs on
+    candidate pairs, never the full cross product."""
+    a = load_table(spark, sf, "nation").alias("a")
+    b = load_table(spark, sf, "nation").alias("b")
+    j = a.join(
+        F.broadcast(b), F.col("a.n_nationkey") < F.col("b.n_nationkey")
+    )
+    dist = F.levenshtein(F.col("a.n_name"), F.col("b.n_name"))
+    return j.filter(dist <= 2).select(
+        F.col("a.n_name").alias("name_a"),
+        F.col("b.n_name").alias("name_b"),
+        dist.alias("edit_dist"),
+    )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+        SELECT event_id,
+               event_id & 255 AS band,
+               event_id | 4096 AS orred,
+               xor(event_id, 1365) AS xored,
+               event_id << 3 AS shl,
+               event_id >> 2 AS shr,
+               CAST(bit_count(event_id) AS INT) AS popcount
+        FROM events
+        WHERE event_id < 1000
+    """,
+    tags=("function", "math"),
+)
+def fn_bitwise(spark: SparkSession, sf: str) -> DataFrame:
+    """Bitwise scalar surface: AND/OR/XOR masks, shifts, popcount — the
+    primitives under hash partitioning, bloom filters, and the SimHash /
+    sign-LSH operators (llm_simhash, llm_dedup_embedding build on these)."""
+    e = load_table(spark, sf, "events").filter(F.col("event_id") < 1000)
+    eid = F.col("event_id")
+    return e.select(
+        "event_id",
+        eid.bitwiseAND(F.lit(255)).alias("band"),
+        eid.bitwiseOR(F.lit(4096)).alias("orred"),
+        eid.bitwiseXOR(F.lit(1365)).alias("xored"),
+        F.shiftleft(eid, 3).alias("shl"),
+        F.shiftright(eid, 2).alias("shr"),
+        F.bit_count(eid).alias("popcount"),
+    )
