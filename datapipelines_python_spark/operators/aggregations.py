@@ -16,6 +16,7 @@ from pyspark.sql.window import Window as W
 
 from datapipelines_python_spark.catalog import load_table
 from datapipelines_python_spark.operators._helpers import (
+    DEC,
     davg,
     dsum,
     round4,
@@ -382,4 +383,42 @@ def agg_approx_percentile(spark: SparkSession, sf: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75, 0.95], 10000)
         .alias("price_quantiles"),
+    )
+
+
+@query(
+    "agg_salted_two_phase",
+    oracle=f"""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               {sql_dsum('value')} AS total_value,
+               {sql_davg('value')} AS avg_value
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("aggregation", "skew"),
+)
+def agg_salted_two_phase(spark: SparkSession, sf: str) -> DataFrame:
+    """Salted two-phase aggregation for skewed group keys (events has ~5
+    event types — exactly the low-cardinality-hot-key shape): phase 1
+    groups by (key, salt) so each hot key's partial states spread across S
+    reducers, phase 2 merges the S partials per key. Every aggregate is
+    decomposed into its reassociable form (count=sum of counts, avg=sum/
+    count of decimal partials) so the result is bit-identical to the
+    direct GROUP BY — which is what the oracle runs. Spark's own partial
+    aggregation does this map-side; the explicit salt handles the case
+    where distinct-per-key state (not shown here) defeats map-side
+    combine."""
+    S = 16
+    e = load_table(spark, sf, "events").withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(S))
+    )
+    partial = e.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.col("value").cast(DEC)).alias("s"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("c").alias("n_events"),
+        F.sum("s").cast("double").alias("total_value"),
+        (F.sum("s").cast("double") / F.sum("c")).alias("avg_value"),
     )

@@ -408,3 +408,52 @@ def join_interval(spark: SparkSession, sf: str) -> DataFrame:
             dsum(F.col("value")).alias("total_value"),
         )
     )
+
+
+@query(
+    "join_skew_salted",
+    oracle=f"""
+        SELECT user_id, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               {sql_dsum('value * w')} AS weighted_value
+        FROM events
+        JOIN (
+            SELECT n_nationkey AS dim_key,
+                   1.0 + n_regionkey * 0.1 AS w
+            FROM nation
+        ) dim ON user_id % 25 = dim_key
+        GROUP BY user_id, event_type
+    """,
+    tags=("join", "skew"),
+)
+def join_skew_salted(spark: SparkSession, sf: str) -> DataFrame:
+    """Salted join for skewed keys: the probe side appends a random-free
+    deterministic salt (row-hash mod S), the build side is exploded S ways,
+    and the join key becomes (key, salt) — one hot key's rows spread over S
+    tasks instead of one straggler. The result is provably identical to the
+    unsalted join (the oracle IS the unsalted join); only the physical
+    distribution changes. At 100 TB this is the manual fallback when AQE's
+    skew-split can't apply (e.g. the skewed side feeds an agg with the same
+    key); S=8 here, sized ~executor-count/hot-key-count in production."""
+    S = 8
+    e = load_table(spark, sf, "events").withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(S))
+    )
+    dim = (
+        load_table(spark, sf, "nation")
+        .select(
+            F.col("n_nationkey").cast("long").alias("dim_key"),
+            (1.0 + F.col("n_regionkey") * 0.1).alias("w"),
+        )
+        .withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(S)])))
+        .withColumn("salt", F.col("salt").cast("long"))
+    )
+    j = e.join(
+        dim,
+        (F.pmod(F.col("user_id"), F.lit(25)) == F.col("dim_key"))
+        & (e.salt == dim.salt),
+    )
+    return j.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value") * F.col("w")).alias("weighted_value"),
+    )
