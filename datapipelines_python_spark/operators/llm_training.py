@@ -968,3 +968,134 @@ def llm_sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("n_tokens").alias("pack_tokens"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+@query(
+    "mm_image_resize",
+    oracle="""
+        WITH dims AS (
+            SELECT doc_id,
+                   CAST(64 + OCTET_LENGTH(ENCODE(text)) % 960 AS INT) AS src_w,
+                   CAST(64 + (ASCII(SUBSTRING(text, 1, 1)) * 7) % 960 AS INT)
+                       AS src_h
+            FROM documents
+        )
+        SELECT doc_id, src_w, src_h,
+               CAST(src_w * 224 // GREATEST(src_w, src_h) AS INT) AS out_w,
+               CAST(src_h * 224 // GREATEST(src_w, src_h) AS INT) AS out_h,
+               CAST((src_w * 224 // GREATEST(src_w, src_h))
+                    * (src_h * 224 // GREATEST(src_w, src_h)) AS BIGINT)
+                   AS out_pixels
+        FROM dims
+    """,
+    tags=("llm", "multimodal"),
+)
+def mm_image_resize(spark: SparkSession, sf: str) -> DataFrame:
+    """Image-resize plumbing: binary payload + (width, height) metadata in,
+    aspect-preserving target geometry (long side → 224) out, computed in
+    Arrow batches via mapInPandas. Source dims are derived deterministically
+    from the payload (no pillow in this container — see
+    :func:`decode_image`); a real decoder replaces ``fake_dims`` only, the
+    batch loop, schema, and integer geometry math are the production path.
+    Resize math is pure integer (scaled-multiply then floor-div) so every
+    engine agrees bit-for-bit — float scale factors would not."""
+    import pandas as pd
+
+    d = load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.col("text").cast("binary").alias("payload"),
+    )
+
+    def resize_geometry(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            src_w = (64 + payloads.map(len) % 960).astype("int32")
+            src_h = (64 + payloads.map(lambda b: b[0] * 7) % 960).astype("int32")
+            long_side = pd.concat([src_w, src_h], axis=1).max(axis=1)
+            out_w = (src_w * 224 // long_side).astype("int32")
+            out_h = (src_h * 224 // long_side).astype("int32")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "src_w": src_w,
+                    "src_h": src_h,
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "out_pixels": (out_w * out_h).astype("int64"),
+                }
+            )
+
+    return d.mapInPandas(
+        resize_geometry,
+        schema="doc_id long, src_w int, src_h int, out_w int, out_h int, "
+        "out_pixels long",
+    )
+
+
+@query(
+    "mm_audio_frame_sample",
+    oracle="""
+        WITH audio AS (
+            SELECT doc_id,
+                   CAST(OCTET_LENGTH(ENCODE(text)) AS INT) AS n_samples
+            FROM documents
+        ),
+        frames AS (
+            -- guard before dividing: DuckDB's // truncates toward zero,
+            -- numpy's floors, and they disagree on negative numerators
+            SELECT doc_id, n_samples,
+                   UNNEST(range(0, CASE WHEN n_samples >= 256
+                                        THEN (n_samples - 256) // 128 + 1
+                                        ELSE 0 END))
+                       AS frame_idx
+            FROM audio
+        )
+        SELECT doc_id,
+               CAST(frame_idx AS INT) AS frame_idx,
+               CAST(frame_idx * 128 AS INT) AS sample_offset,
+               n_samples
+        FROM frames
+        WHERE frame_idx % 4 = 0
+    """,
+    tags=("llm", "multimodal"),
+)
+def mm_audio_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio frame sampling: treat the payload as a PCM sample stream, window
+    it into 256-sample frames with hop 128, keep every 4th frame — the
+    row-fan-out shape (one input row → many frame rows) that a real
+    spectrogram/feature pipeline needs. mapInPandas handles 1→N batch
+    reshaping natively (yielded frames need not align with input rows);
+    the sampled-frame offsets are pure integer arithmetic, so the oracle
+    replays them exactly. A real decoder (see :func:`decode_audio`)
+    replaces the length-as-samples fake only."""
+    import numpy as np
+    import pandas as pd
+
+    d = load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.col("text").cast("binary").alias("payload"),
+    )
+
+    def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_samples = pdf["payload"].map(len).astype("int32")
+            n_frames = np.maximum((n_samples - 256) // 128 + 1, 0)
+            doc_ids = pdf["doc_id"].to_numpy().repeat(n_frames)
+            ns_rep = n_samples.to_numpy().repeat(n_frames)
+            frame_idx = np.concatenate(
+                [np.arange(n, dtype="int32") for n in n_frames]
+            ) if len(n_frames) else np.empty(0, dtype="int32")
+            keep = frame_idx % 4 == 0
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids[keep],
+                    "frame_idx": frame_idx[keep],
+                    "sample_offset": (frame_idx[keep] * 128).astype("int32"),
+                    "n_samples": ns_rep[keep],
+                }
+            )
+
+    return d.mapInPandas(
+        sample_frames,
+        schema="doc_id long, frame_idx int, sample_offset int, n_samples int",
+    )
