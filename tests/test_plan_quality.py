@@ -98,3 +98,46 @@ def test_no_operator_collects_to_driver():
         src = inspect.getsource(mod)
         assert ".collect()" not in src, f"{mod.__name__} materializes on driver"
         assert ".toPandas()" not in src, f"{mod.__name__} materializes on driver"
+
+
+def test_q9_dims_broadcast_fact_not_shuffled_twice(spark, registry):
+    plan = _plan(spark, registry, "tpch_q9_product_type_profit")
+    # part/supplier/nation ride broadcast joins; only the orders join and
+    # the final agg may shuffle the fact
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_salted_join_spreads_without_nested_loop(spark, registry):
+    plan = _plan(spark, registry, "join_skew_salted")
+    # the (key, salt) composite must stay an equi-join: a nested loop would
+    # defeat the whole point of salting
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_salted_agg_is_two_level(spark, registry):
+    plan = _plan(spark, registry, "agg_salted_two_phase")
+    # (key, salt) partial then key final: ≥2 logical groupings, each itself
+    # two-phase -> at least 4 HashAggregate nodes
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_hash_sample_filter_reaches_scan(spark, registry):
+    plan = _plan(spark, registry, "sample_hash_deterministic")
+    # the md5-prefix predicate is not pushable into parquet, but it must
+    # run inside the scan stage (codegen filter), not after an exchange
+    assert "Exchange" not in plan
+
+
+def test_ivf_assignment_joins_are_broadcast(spark, registry):
+    plan = _plan(spark, registry, "llm_ann_ivf")
+    # centroids/queries/probes broadcast; the corpus is never on the build
+    # side of anything and never cartesian-joined
+    assert "CartesianProduct" not in plan
+
+
+def test_unpivot_is_shuffle_free(spark, registry):
+    plan = _plan(spark, registry, "reshape_unpivot")
+    assert "Expand" in plan
+    assert "Exchange" not in plan
