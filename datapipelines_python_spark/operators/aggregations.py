@@ -422,3 +422,31 @@ def agg_salted_two_phase(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("s").cast("double").alias("total_value"),
         (F.sum("s").cast("double") / F.sum("c")).alias("avg_value"),
     )
+
+
+@query(
+    "agg_multi_distinct",
+    oracle=f"""
+        SELECT o_orderstatus,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+               CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_prios,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               {sql_dsum('o_totalprice')} AS total
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    tags=("aggregation",),
+)
+def agg_multi_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Multiple COUNT(DISTINCT ...) over different columns in one
+    aggregate — Spark plans this via Expand (one input row fans out per
+    distinct branch) then two-level aggregation, keeping a single shuffle
+    pass instead of one join per distinct column. The shape to reach for
+    over self-joining per-distinct subqueries at scale."""
+    o = load_table(spark, sf, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.countDistinct("o_orderpriority").alias("n_prios"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("total"),
+    )

@@ -426,3 +426,32 @@ def fn_bitwise(spark: SparkSession, sf: str) -> DataFrame:
         F.shiftright(eid, 2).alias("shr"),
         F.bit_count(eid).alias("popcount"),
     )
+
+
+@query(
+    "fn_trig",
+    oracle=f"""
+        SELECT s_suppkey,
+               {sql_round4('SIN(s_acctbal / 1000.0)')} AS sin_v,
+               {sql_round4('COS(s_acctbal / 1000.0)')} AS cos_v,
+               {sql_round4('ATAN2(s_acctbal, 1000.0)')} AS atan2_v,
+               {sql_round4('DEGREES(s_acctbal / 1000.0)')} AS deg_v,
+               {sql_round4('RADIANS(s_nationkey)')} AS rad_v
+        FROM supplier
+    """,
+    tags=("function", "math"),
+)
+def fn_trig(spark: SparkSession, sf: str) -> DataFrame:
+    """Trigonometric scalar surface. JVM and libm both produce correctly-
+    rounded-to-near-ulp results; round4 absorbs the ≤1-ulp divergence
+    (the one family where raw-double discipline doesn't hold cross-engine)."""
+    s = load_table(spark, sf, "supplier")
+    x = F.col("s_acctbal") / 1000.0
+    return s.select(
+        "s_suppkey",
+        round4(F.sin(x)).alias("sin_v"),
+        round4(F.cos(x)).alias("cos_v"),
+        round4(F.atan2(F.col("s_acctbal"), F.lit(1000.0))).alias("atan2_v"),
+        round4(F.degrees(x)).alias("deg_v"),
+        round4(F.radians(F.col("s_nationkey"))).alias("rad_v"),
+    )

@@ -150,3 +150,29 @@ def setop_except_distinct(spark: SparkSession, sf: str) -> DataFrame:
     """Set difference: brands where every part is small."""
     p = load_table(spark, sf, "part")
     return p.select("p_brand").subtract(p.filter(F.col("p_size") > 10).select("p_brand"))
+
+
+@query(
+    "setop_intersect_all",
+    oracle="""
+        SELECT l_returnflag AS flag, l_linenumber AS ln FROM lineitem
+        INTERSECT ALL
+        SELECT l_linestatus AS flag, l_linenumber AS ln
+        FROM lineitem WHERE l_quantity > 25
+    """,
+    tags=("setop",),
+)
+def setop_intersect_all(spark: SparkSession, sf: str) -> DataFrame:
+    """Bag intersection (INTERSECT ALL): multiplicity = min of the two
+    sides' counts. Spark plans it as a count-compare aggregate on the
+    union, so one shuffle on the row value — same cost class as
+    distinct."""
+    a = load_table(spark, sf, "lineitem").select(
+        F.col("l_returnflag").alias("flag"), F.col("l_linenumber").alias("ln")
+    )
+    b = (
+        load_table(spark, sf, "lineitem")
+        .filter(F.col("l_quantity") > 25)
+        .select(F.col("l_linestatus").alias("flag"), F.col("l_linenumber").alias("ln"))
+    )
+    return a.intersectAll(b)

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from datapipelines_python_spark.catalog import load_table
+from datapipelines_python_spark.operators._helpers import DEC
 from datapipelines_python_spark.registry import query
 
 _DEC = "decimal(38,8)"
@@ -306,4 +307,41 @@ def win_sessionize_batch(spark: SparkSession, sf: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "win_range_interval",
+    oracle="""
+        SELECT event_id, user_id, ts,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(38,8))) OVER w AS VARCHAR)
+                    AS DOUBLE) AS sum_last_hour
+        FROM events
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY ts
+            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+        )
+    """,
+    tags=("window",),
+)
+def win_range_interval(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-interval range frame: per user, rolling one-hour count/sum at
+    every event. Spark's rangeBetween needs a numeric ordering key, so the
+    frame orders by epoch microseconds with a 3.6e9 µs lookback — exactly
+    DuckDB's RANGE BETWEEN INTERVAL 1 HOUR on the raw timestamp (events.ts
+    is µs precision in both engines). One shuffle on user_id; within the
+    partition the running frame is a sliding two-pointer, not O(n²)."""
+    e = load_table(spark, sf, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("sum_last_hour"),
     )
