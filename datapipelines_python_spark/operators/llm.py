@@ -556,6 +556,7 @@ def llm_multimodal_join(spark: SparkSession, sf: str) -> DataFrame:
         ) r WHERE rank <= 5
     """,
     tags=("llm", "similarity"),
+    bench=True,
 )
 def llm_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     """IVF (inverted-file) approximate nearest neighbor: partition the

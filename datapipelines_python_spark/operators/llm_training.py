@@ -21,6 +21,7 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from datapipelines_python_spark.catalog import load_table
 from datapipelines_python_spark.operators._helpers import round4, sql_round4
@@ -1098,4 +1099,89 @@ def mm_audio_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     return d.mapInPandas(
         sample_frames,
         schema="doc_id long, frame_idx int, sample_offset int, n_samples int",
+    )
+
+
+@query(
+    "llm_corpus_pipeline",
+    oracle="""
+        WITH scrubbed AS (
+            SELECT doc_id, lang,
+                   REGEXP_REPLACE(text, '[0-9]+', '<num>', 'g') AS t
+            FROM documents
+        ),
+        quality AS (
+            SELECT doc_id, lang, t FROM scrubbed
+            WHERE LEN(STRING_SPLIT(t, ' ')) >= 20
+        ),
+        dedup AS (
+            SELECT doc_id, lang, t FROM (
+                SELECT doc_id, lang, t,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY MD5(t) ORDER BY doc_id
+                       ) AS rn
+                FROM quality
+            ) d WHERE rn = 1
+        ),
+        assigned AS (
+            SELECT lang, LENGTH(t) AS n_chars,
+                   CASE WHEN bucket < 90 THEN 'train'
+                        WHEN bucket < 95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+                SELECT lang, t,
+                       CAST(('0x' || SUBSTRING(
+                           MD5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8
+                       ))::BIGINT % 100 AS INT) AS bucket
+                FROM dedup
+            ) b
+        )
+        SELECT split, lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM assigned
+        GROUP BY split, lang
+    """,
+    tags=("llm", "pipeline"),
+    bench=True,
+)
+def llm_corpus_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end training-corpus preparation in one declarative plan:
+    scrub (mask digit runs) → quality gate (≥20 tokens) → exact dedup
+    (survivor = min doc_id per content hash) → deterministic 90/5/5 split →
+    per-(split, lang) corpus stats. The point: the whole pipeline is ONE
+    Catalyst plan — scrub/gate fuse into the scan stage, dedup is the only
+    wide operation (one shuffle on the 16-byte hash), split assignment and
+    final rollup ride the same pass. At 100 TB this runs as scan → one
+    shuffle → tiny agg, and each stage swaps for its heavier sibling
+    (near-dedup via llm_dedup_minhash_lsh, model-based quality scores)
+    without changing the frame."""
+    d = load_table(spark, sf, "documents")
+    scrubbed = d.select(
+        "doc_id", "lang",
+        F.regexp_replace(F.col("text"), "[0-9]+", "<num>").alias("t"),
+    )
+    quality = scrubbed.filter(F.size(F.split("t", " ")) >= 20)
+    w = W.partitionBy(F.md5("t")).orderBy("doc_id")
+    dedup = (
+        quality.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint") % 100
+    ).cast("int")
+    split = F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    assigned = dedup.select(
+        split.alias("split"), "lang", F.length("t").alias("n_chars")
+    )
+    return assigned.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
     )

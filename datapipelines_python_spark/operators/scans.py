@@ -130,3 +130,33 @@ def scan_stream_files(spark: SparkSession, sf: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table("scan_stream_files_sink")
+
+
+@query(
+    "scan_partition_pruned",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+               l_returnflag
+        FROM lineitem
+        WHERE l_returnflag = 'R' AND l_quantity > 40
+    """,
+    tags=("scan", "connector"),
+)
+def scan_partition_pruned(spark: SparkSession, sf: str) -> DataFrame:
+    """Partition-pruned read: write date-style partitioned layout
+    (partitionBy on the low-cardinality column), then read back with a
+    filter on the partition column. The filter resolves against directory
+    names — non-matching partitions are never opened (plan shows
+    PartitionFilters, pinned in tests/test_plan_quality.py). This is the
+    100 TB table-layout primitive: a month-partitioned fact table turns
+    date-range queries from full scans into touched-partition scans."""
+    df = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_returnflag",
+    )
+    path = scratch_dir("parquet_lineitem_pruned")
+    df.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+    back = spark.read.parquet(path)
+    return back.filter(
+        (F.col("l_returnflag") == "R") & (F.col("l_quantity") > 40)
+    ).select(*df.columns)

@@ -141,3 +141,13 @@ def test_unpivot_is_shuffle_free(spark, registry):
     plan = _plan(spark, registry, "reshape_unpivot")
     assert "Expand" in plan
     assert "Exchange" not in plan
+
+
+def test_partitioned_read_prunes_partitions(spark, registry):
+    plan = _plan(spark, registry, "scan_partition_pruned")
+    # the partition-column predicate must resolve against directory names
+    # (PartitionFilters), not row-level data filters
+    idx = plan.index("PartitionFilters")
+    assert "l_returnflag" in plan[idx : idx + 120]
+    # and the row-level predicate still pushes into parquet
+    assert "PushedFilters" in plan
