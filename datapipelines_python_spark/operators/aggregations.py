@@ -450,3 +450,40 @@ def agg_multi_distinct(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum(F.col("o_totalprice")).alias("total"),
     )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+        SELECT LEAST(GREATEST(CAST(FLOOR((l_extendedprice - 900.0) / 6500.0)
+                                   AS INT), 0), 15) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,8)))
+                    AS VARCHAR) AS DOUBLE) AS total
+        FROM lineitem
+        GROUP BY 1
+    """,
+    tags=("agg",),
+)
+def agg_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-width 16-bucket histogram of extended price (clamped edges).
+    Bucketing is pure projection (floor arithmetic — identical IEEE ops on
+    both engines), so the whole histogram is one partial-aggregated
+    shuffle of 16 groups: the profile-a-column primitive that runs at any
+    scale. Width/origin are constants; a two-pass variant would derive
+    them from global min/max first."""
+    li = load_table(spark, sf, "lineitem")
+    bucket = F.least(
+        F.greatest(
+            F.floor((F.col("l_extendedprice") - 900.0) / 6500.0).cast("int"),
+            F.lit(0),
+        ),
+        F.lit(15),
+    )
+    return (
+        li.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("l_extendedprice")).alias("total"),
+        )
+    )

@@ -457,3 +457,55 @@ def join_skew_salted(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dsum(F.col("value") * F.col("w")).alias("weighted_value"),
     )
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle="""
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+               l.l_linenumber, l.l_quantity, l.l_extendedprice
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_quantity > 45
+    """,
+    tags=("join", "scale"),
+)
+def join_bucketed_colocated(spark: SparkSession, sf: str) -> DataFrame:
+    """Co-located join via table bucketing: both sides are written with
+    ``bucketBy(8, key).sortBy(key)`` so rows with equal keys land in the
+    same bucket file on both tables. The subsequent sort-merge join reads
+    bucket i against bucket i directly — NO Exchange in the plan (pinned in
+    tests/test_plan_quality.py). This is the 100 TB fact⋈fact primitive:
+    a shuffle of two large tables is the single most expensive operation a
+    cluster does, and bucketing amortizes it ONCE at write time for every
+    future join/agg on that key. One file per bucket (repartition before
+    write) also lets Spark skip the sort. Bucket count 8 here; in
+    production size buckets to ~executor-core count × a small factor."""
+    from datapipelines_python_spark.operators.scans import scratch_dir
+
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    line = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    B = 8
+    for name, df, key in (
+        ("bkt_orders", orders, "o_orderkey"),
+        ("bkt_lineitem", line, "l_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.repartition(B, F.col(key))  # one file per bucket -> sort elided
+            .write.mode("overwrite")
+            .option("path", scratch_dir(name))
+            .bucketBy(B, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    o = spark.table("bkt_orders")
+    l = spark.table("bkt_lineitem").filter(F.col("l_quantity") > 45)
+    j = o.hint("merge").join(l, o.o_orderkey == l.l_orderkey)
+    return j.select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        "l_linenumber", "l_quantity", "l_extendedprice",
+    )

@@ -629,3 +629,175 @@ def llm_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("q_id", "neighbor_id", round4(F.col("cos")).alias("cosine"), "rank")
     )
+
+
+@query(
+    "llm_quality_gopher",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS token
+            FROM documents
+        ),
+        tc AS (
+            SELECT doc_id, token, COUNT(*) AS c
+            FROM tok GROUP BY doc_id, token
+        ),
+        sig AS (
+            SELECT doc_id,
+                   SUM(c) AS n_tokens,
+                   MAX(c) AS top_c,
+                   SUM(c * LENGTH(token)) AS tok_chars,
+                   SUM(CASE WHEN regexp_matches(token, '^[a-z]+$')
+                            THEN c ELSE 0 END) AS alpha_c
+            FROM tc GROUP BY doc_id
+        )
+        SELECT doc_id,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               FLOOR((CAST(tok_chars AS DOUBLE) / n_tokens) * 10000.0 + 0.5)
+                   / 10000.0 AS mean_token_len,
+               FLOOR((CAST(top_c AS DOUBLE) / n_tokens) * 10000.0 + 0.5)
+                   / 10000.0 AS top_token_frac,
+               FLOOR((CAST(alpha_c AS DOUBLE) / n_tokens) * 10000.0 + 0.5)
+                   / 10000.0 AS alpha_frac,
+               (n_tokens >= 20 AND n_tokens <= 100000
+                AND CAST(top_c AS DOUBLE) / n_tokens < 0.20
+                AND CAST(tok_chars AS DOUBLE) / n_tokens BETWEEN 3.0 AND 12.0
+                AND CAST(alpha_c AS DOUBLE) / n_tokens > 0.60) AS keep
+        FROM sig
+    """,
+    tags=("llm", "text", "quality"),
+)
+def llm_quality_gopher(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher/C4-style repetition and composition signals per document:
+    token count, mean token length, most-frequent-token fraction (the
+    repetition signal — boilerplate and spam push it up), alphabetic-token
+    fraction, and the combined keep/drop gate. Two partial-aggregated
+    shuffles — (doc_id, token) then doc_id — both narrow; the gate compares
+    raw double ratios (round4 only on the *reported* columns) so the keep
+    decision is engine-exact. At 100 TB this is the first pass after
+    ingest, and the thresholds are the tunable policy surface."""
+    d = load_table(spark, sf, "documents")
+    tc = (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sig = tc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.max("c").alias("top_c"),
+        F.sum(F.col("c") * F.length("token")).alias("tok_chars"),
+        F.sum(
+            F.when(F.col("token").rlike("^[a-z]+$"), F.col("c")).otherwise(F.lit(0))
+        ).alias("alpha_c"),
+    )
+    mean_len = F.col("tok_chars").cast("double") / F.col("n_tokens")
+    top_frac = F.col("top_c").cast("double") / F.col("n_tokens")
+    alpha_frac = F.col("alpha_c").cast("double") / F.col("n_tokens")
+    return sig.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        round4(mean_len).alias("mean_token_len"),
+        round4(top_frac).alias("top_token_frac"),
+        round4(alpha_frac).alias("alpha_frac"),
+        (
+            (F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 100000)
+            & (top_frac < 0.20)
+            & mean_len.between(3.0, 12.0)
+            & (alpha_frac > 0.60)
+        ).alias("keep"),
+    )
+
+
+@query(
+    "llm_pmi_collocations",
+    oracle="""
+        WITH ex AS (
+            SELECT doc_id,
+                   GENERATE_SUBSCRIPTS(STRING_SPLIT(LOWER(text), ' '), 1) AS pos,
+                   UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok
+            FROM documents
+        ),
+        uni AS (
+            SELECT tok, COUNT(*) AS c FROM ex GROUP BY tok
+        ),
+        n_uni AS (SELECT SUM(c) AS n FROM uni),
+        bg AS (
+            SELECT w1, w2, COUNT(*) AS c_xy FROM (
+                SELECT doc_id,
+                       LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+                       tok AS w2
+                FROM ex
+            ) p WHERE w1 IS NOT NULL
+            GROUP BY w1, w2
+        ),
+        n_bg AS (SELECT SUM(c_xy) AS n FROM bg)
+        SELECT b.w1, b.w2,
+               CAST(b.c_xy AS BIGINT) AS c_xy,
+               FLOOR(LN(
+                   (CAST(b.c_xy AS DOUBLE) / n_bg.n) /
+                   ((CAST(u1.c AS DOUBLE) / n_uni.n) *
+                    (CAST(u2.c AS DOUBLE) / n_uni.n))
+               ) * 10000.0 + 0.5) / 10000.0 AS pmi
+        FROM bg b, n_bg, n_uni
+        JOIN uni u1 ON b.w1 = u1.tok
+        JOIN uni u2 ON b.w2 = u2.tok
+        WHERE b.c_xy >= 5
+    """,
+    tags=("llm", "text"),
+)
+def llm_pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    """Pointwise mutual information over corpus bigrams: PMI =
+    ln(p(xy) / (p(x)p(y))) with bigram and unigram probability tables —
+    the collocation detector ("new york" scores high, "of the" low).
+    Unigram counts broadcast back onto the bigram table (the unigram dim
+    is vocabulary-sized, orders smaller than the corpus); the global
+    totals are scalar subqueries ≙ broadcast literals. Thresholding at
+    c_xy ≥ 5 keeps the tail noise out, standard practice."""
+    d = load_table(spark, sf, "documents")
+    ex = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "tok"),
+    )
+    uni = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n_uni = uni.agg(F.sum("c").alias("n"))
+    toks = d.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("ts")
+    ).filter(F.size("ts") >= 2)
+    bg = (
+        toks.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("ts"), 1, F.size("ts") - 1),
+                    F.slice(F.col("ts"), 2, F.size("ts") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= 5)
+    )
+    n_bg_df = (
+        toks.select((F.size("ts") - 1).alias("k")).agg(F.sum("k").alias("n"))
+    )
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
+    j = (
+        bg.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n_bg_df.select(F.col("n").alias("n_bg"))))
+        .crossJoin(F.broadcast(n_uni.select(F.col("n").alias("n_uni"))))
+    )
+    pmi = F.log(
+        (F.col("c_xy").cast("double") / F.col("n_bg"))
+        / (
+            (F.col("c1").cast("double") / F.col("n_uni"))
+            * (F.col("c2").cast("double") / F.col("n_uni"))
+        )
+    )
+    return j.select(
+        "w1", "w2",
+        F.col("c_xy").cast("bigint").alias("c_xy"),
+        round4(pmi).alias("pmi"),
+    )

@@ -1185,3 +1185,70 @@ def llm_corpus_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@query(
+    "mm_video_frame_sample",
+    oracle="""
+        WITH video AS (
+            SELECT doc_id,
+                   CAST(OCTET_LENGTH(ENCODE(text)) // 64 AS INT) AS n_frames
+            FROM documents
+        ),
+        frames AS (
+            SELECT doc_id, n_frames,
+                   UNNEST(range(0, n_frames)) AS frame_idx
+            FROM video
+        )
+        SELECT doc_id,
+               CAST(frame_idx AS INT) AS frame_idx,
+               CAST(frame_idx * 64 AS INT) AS byte_offset,
+               CAST(frame_idx * 1000 // 30 AS INT) AS ts_ms,
+               n_frames
+        FROM frames
+        WHERE frame_idx % 30 = 0
+    """,
+    tags=("llm", "multimodal"),
+)
+def mm_video_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Video keyframe sampling: treat the payload as a 30 fps stream of
+    fixed 64-byte frames, emit one keyframe per second (every 30th frame)
+    with its byte offset and presentation timestamp. Same 1→N mapInPandas
+    fan-out as the audio twin but with the video-specific index math
+    (frame→pts). A real demuxer/decoder replaces the length-as-frames
+    fake; the Spark-side schema, batching, and fan-out are the production
+    shape."""
+    import numpy as np
+    import pandas as pd
+
+    d = load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.col("text").cast("binary").alias("payload"),
+    )
+
+    def sample_keyframes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_frames = (pdf["payload"].map(len) // 64).astype("int32").to_numpy()
+            doc_ids = pdf["doc_id"].to_numpy().repeat(n_frames)
+            nf_rep = n_frames.repeat(n_frames)
+            frame_idx = (
+                np.concatenate([np.arange(n, dtype="int32") for n in n_frames])
+                if len(n_frames)
+                else np.empty(0, dtype="int32")
+            )
+            keep = frame_idx % 30 == 0
+            fi = frame_idx[keep]
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids[keep],
+                    "frame_idx": fi,
+                    "byte_offset": (fi * 64).astype("int32"),
+                    "ts_ms": (fi.astype("int64") * 1000 // 30).astype("int32"),
+                    "n_frames": nf_rep[keep],
+                }
+            )
+
+    return d.mapInPandas(
+        sample_keyframes,
+        schema="doc_id long, frame_idx int, byte_offset int, ts_ms int, n_frames int",
+    )

@@ -455,3 +455,69 @@ def fn_trig(spark: SparkSession, sf: str) -> DataFrame:
         round4(F.degrees(x)).alias("deg_v"),
         round4(F.radians(F.col("s_nationkey"))).alias("rad_v"),
     )
+
+
+@query(
+    "fn_variant",
+    oracle="""
+        SELECT event_id,
+               CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT) AS k_int,
+               CAST(JSON_EXTRACT_STRING(props, '$.k') AS DOUBLE) / 3.0 AS k_scaled,
+               CASE WHEN JSON_VALID(props) THEN 'OBJECT' ELSE NULL END AS top_type
+        FROM events
+    """,
+    tags=("function", "json", "variant"),
+)
+def fn_variant(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured access via Spark 4 VARIANT: ``parse_json`` parses
+    once into a binary-encoded variant, then ``variant_get`` extracts typed
+    paths without re-parsing — the scale answer to repeated
+    ``get_json_object`` calls, which re-parse the JSON string per call. At
+    100 TB, parse-once-store-variant (or shred to columns) is the difference
+    between one decode pass and one per extracted field."""
+    e = load_table(spark, sf, "events")
+    v = F.parse_json("props")
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k_int"),
+        (F.variant_get(v, "$.k", "double") / 3.0).alias("k_scaled"),
+        F.schema_of_variant(v).substr(F.lit(1), F.lit(6)).alias("top_type"),
+    )
+
+
+@query(
+    "fn_url",
+    oracle="""
+        SELECT doc_id,
+               url,
+               REGEXP_EXTRACT(url, '^[a-z]+://([^/?]+)', 1) AS host,
+               REGEXP_EXTRACT(url, '^[a-z]+://[^/?]+(/[^?]*)', 1) AS path,
+               REGEXP_EXTRACT(url, '\\?(.*)$', 1) AS query,
+               REGEXP_EXTRACT(url, '[?&]lang=([^&]*)', 1) AS lang_param
+        FROM (
+            SELECT doc_id,
+                   'https://' || source || '.example.com/docs/' ||
+                   CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url
+            FROM documents
+        ) u
+    """,
+    tags=("function", "string"),
+)
+def fn_url(spark: SparkSession, sf: str) -> DataFrame:
+    """URL decomposition with ``parse_url`` (host / path / query / single
+    query-param extraction) — the crawl-processing primitive for grouping
+    training documents by site. JVM-side parser, no UDF."""
+    d = load_table(spark, sf, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )

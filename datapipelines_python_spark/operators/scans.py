@@ -160,3 +160,81 @@ def scan_partition_pruned(spark: SparkSession, sf: str) -> DataFrame:
     return back.filter(
         (F.col("l_returnflag") == "R") & (F.col("l_quantity") > 40)
     ).select(*df.columns)
+
+
+@query(
+    "scan_range_source",
+    oracle="""
+        SELECT r.range AS id,
+               r.range * 2 + 1 AS odd,
+               CAST(r.range % 7 AS INT) AS bucket
+        FROM range(0, 50000, 3) r
+    """,
+    tags=("scan", "source"),
+)
+def scan_range_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Generated (table-function) source: ``spark.range`` plans a
+    RangeExec that synthesizes rows on executors with no input IO at all —
+    the generator side of the connector surface, and the idiom for building
+    dimension/calendar/salt tables inline at any scale."""
+    r = spark.range(0, 50000, 3)
+    return r.select(
+        F.col("id"),
+        (F.col("id") * 2 + 1).alias("odd"),
+        (F.col("id") % 7).cast("int").alias("bucket"),
+    )
+
+
+@query(
+    "scan_python_datasource",
+    oracle="""
+        SELECT r.range AS id,
+               CAST(r.range // 1250 AS INT) AS part,
+               CAST(r.range % 97 AS DOUBLE) * 0.5 AS val
+        FROM range(10000) r
+    """,
+    tags=("scan", "source", "connector"),
+)
+def scan_python_datasource(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom source via the Spark 4 Python DataSource API: a
+    ``DataSource``/``DataSourceReader`` pair that declares N input
+    partitions and yields rows per partition on executors (Arrow-batched).
+    This is the extension point for sources Spark has no connector for —
+    an internal service, a proprietary format, a synthetic generator. The
+    partition list drives parallelism exactly like file splits do: 8
+    partitions here scan concurrently, and at 100 TB a reader would split
+    by shard/byte-range the same way."""
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class _SynthReader(DataSourceReader):
+        def __init__(self, options):
+            self.rows = int(options.get("rowsperpartition", 1250))
+            self.nparts = int(options.get("partitions", 8))
+
+        def partitions(self):
+            return [InputPartition(i) for i in range(self.nparts)]
+
+        def read(self, partition):
+            base = partition.value * self.rows
+            for j in range(self.rows):
+                gid = base + j
+                yield (gid, partition.value, float(gid % 97) * 0.5)
+
+    class SyntheticRowsSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "synthetic_rows"
+
+        def schema(self):
+            return "id bigint, part int, val double"
+
+        def reader(self, schema):
+            return _SynthReader(self.options)
+
+    spark.dataSource.register(SyntheticRowsSource)
+    return (
+        spark.read.format("synthetic_rows")
+        .option("rowsPerPartition", 1250)
+        .option("partitions", 8)
+        .load()
+    )

@@ -151,3 +151,10 @@ def test_partitioned_read_prunes_partitions(spark, registry):
     assert "l_returnflag" in plan[idx : idx + 120]
     # and the row-level predicate still pushes into parquet
     assert "PushedFilters" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, registry):
+    plan = _plan(spark, registry, "join_bucketed_colocated")
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan  # co-located buckets join without shuffle
+    assert "Bucketed: true" in plan

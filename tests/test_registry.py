@@ -30,7 +30,7 @@ def test_oracles_reference_registered_tables_only():
         froms = set(re.findall(r"(?:FROM|JOIN)\s+([a-z_][a-z_0-9]*)", sql, re.IGNORECASE))
         unknown = {
             f for f in froms if f.lower() not in tables
-        } - _cte_names(sql) - {"lateral"}
+        } - _cte_names(sql) - {"lateral", "range"}  # range() is a table function
         assert not unknown or all(f.lower() in _cte_names(sql) or f in {"t", "d"} for f in unknown), (
             f"{name}: oracle references unknown relation(s) {unknown}"
         )
