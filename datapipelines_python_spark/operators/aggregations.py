@@ -487,3 +487,45 @@ def agg_histogram(spark: SparkSession, sf: str) -> DataFrame:
             dsum(F.col("l_extendedprice")).alias("total"),
         )
     )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+        SELECT o_orderstatus,
+               o_orderpriority AS mode_priority,
+               CAST(c AS BIGINT) AS n
+        FROM (
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS c,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o_orderstatus
+                       ORDER BY COUNT(*) DESC, o_orderpriority
+                   ) AS rn
+            FROM orders
+            GROUP BY o_orderstatus, o_orderpriority
+        ) m WHERE rn = 1
+    """,
+    tags=("agg",),
+)
+def agg_mode(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic MODE (most frequent value, ties broken by value order).
+    Built-in ``F.mode`` picks an arbitrary winner on ties — useless for a
+    cross-engine check and a reproducibility hazard in production — so the
+    engine form is count-then-argmax: grouped counts (partial-agg shuffle)
+    then a per-group window over the handful of candidate values."""
+    o = load_table(spark, sf, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.col("c").desc(), F.col("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("c").cast("bigint").alias("n"),
+        )
+    )

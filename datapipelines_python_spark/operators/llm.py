@@ -801,3 +801,50 @@ def llm_pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
         F.col("c_xy").cast("bigint").alias("c_xy"),
         round4(pmi).alias("pmi"),
     )
+
+
+from datapipelines_python_spark.registry import _REGISTRY as _REG
+
+
+@query(
+    "llm_ann_recall",
+    oracle=f"""
+        WITH ivf AS ({_REG["llm_ann_ivf"].oracle}),
+        exact AS (
+            SELECT * FROM ({_REG["llm_similarity_topk"].oracle}) e
+            WHERE rank <= 5
+        )
+        SELECT exact.q_id,
+               CAST(COUNT(ivf.neighbor_id) AS BIGINT) AS n_hit,
+               CAST(COUNT(ivf.neighbor_id) AS DOUBLE) / 5.0 AS recall_at_5
+        FROM exact
+        LEFT JOIN ivf ON exact.q_id = ivf.q_id
+                     AND exact.neighbor_id = ivf.neighbor_id
+        GROUP BY exact.q_id
+    """,
+    tags=("llm", "similarity", "eval"),
+)
+def llm_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@5 of the IVF index against the exact brute-force neighbors,
+    per query — the evaluation loop every ANN deployment needs before
+    trusting an index (tune K/nprobe until recall clears the bar, then
+    ship). Composes the two registered operators; the oracle composes
+    their oracle SQL the same way, so the metric itself is engine-checked.
+    At scale: exact ground truth on a sampled query set only — which is
+    precisely this shape."""
+    ivf = _REG["llm_ann_ivf"].fn(spark, sf).select(
+        "q_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    exact = (
+        _REG["llm_similarity_topk"].fn(spark, sf)
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "neighbor_id")
+    )
+    return (
+        exact.join(ivf, ["q_id", "neighbor_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count("hit").cast("bigint").alias("n_hit"),
+            (F.count("hit").cast("double") / 5.0).alias("recall_at_5"),
+        )
+    )

@@ -521,3 +521,45 @@ def fn_url(spark: SparkSession, sf: str) -> DataFrame:
         F.parse_url("url", F.lit("QUERY")).alias("query"),
         F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
     )
+
+
+@query(
+    "fn_array_setops",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   STRING_SPLIT(LOWER(text), ' ')[1:8] AS a,
+                   STRING_SPLIT(LOWER(text), ' ')[5:12] AS b
+            FROM documents
+        )
+        SELECT doc_id,
+               LIST_SORT(LIST_DISTINCT(LIST_CONCAT(a, b))) AS union_sorted,
+               LIST_SORT(LIST_FILTER(LIST_DISTINCT(a),
+                                     x -> LIST_CONTAINS(b, x))) AS intersect_sorted,
+               LIST_SORT(LIST_FILTER(LIST_DISTINCT(a),
+                                     x -> NOT LIST_CONTAINS(b, x))) AS except_sorted,
+               LEN(LIST_DISTINCT(LIST_CONCAT(a, b))) AS n_union
+        FROM t
+    """,
+    tags=("function", "array"),
+)
+def fn_array_setops(spark: SparkSession, sf: str) -> DataFrame:
+    """Array set algebra (union / intersect / except), array-local — zero
+    shuffle, whole-stage codegen. Sorting the outputs pins the one
+    unspecified degree of freedom (element order) to a total order, which
+    is also what makes the results portable across engines. These are the
+    building blocks the shingle/Jaccard dedup ops compose at scale."""
+    d = load_table(spark, sf, "documents")
+    toks = F.split(F.lower("text"), " ")
+    t = d.select(
+        "doc_id",
+        F.slice(toks, 1, 8).alias("a"),
+        F.slice(toks, 5, 8).alias("b"),
+    )
+    return t.select(
+        "doc_id",
+        F.sort_array(F.array_union("a", "b")).alias("union_sorted"),
+        F.sort_array(F.array_intersect("a", "b")).alias("intersect_sorted"),
+        F.sort_array(F.array_except("a", "b")).alias("except_sorted"),
+        F.size(F.array_union("a", "b")).alias("n_union"),
+    )

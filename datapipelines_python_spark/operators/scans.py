@@ -238,3 +238,20 @@ def scan_python_datasource(spark: SparkSession, sf: str) -> DataFrame:
         .option("partitions", 8)
         .load()
     )
+
+
+@query(
+    "scan_text_roundtrip",
+    oracle="SELECT text AS value FROM documents",
+    tags=("scan", "connector"),
+)
+def scan_text_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Line-oriented text sink + source (`.write.text` / `.read.text`) —
+    the rawest connector: one string column, one line per row. The ingest
+    format of most crawl/log corpora before any structure is imposed.
+    Fixture documents are single-line, so the roundtrip is lossless; real
+    multi-line docs would use a length-prefixed or escaped framing on top."""
+    d = load_table(spark, sf, "documents").select(F.col("text").alias("value"))
+    path = scratch_dir("text_documents")
+    d.write.mode("overwrite").text(path)
+    return spark.read.text(path)

@@ -171,3 +171,68 @@ def udtf_surface(spark: SparkSession, sf: str) -> DataFrame:
         "SELECT t.* FROM documents_udtf d, "
         "LATERAL leading_words(d.doc_id, d.text) t"
     )
+
+
+@query(
+    "udf_cogrouped_map",
+    oracle="""
+        WITH e AS (
+            SELECT user_id % 100 AS k,
+                   COUNT(*) AS n_events,
+                   SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS value_cents
+            FROM events GROUP BY 1
+        ),
+        o AS (
+            SELECT o_custkey % 100 AS k,
+                   COUNT(*) AS n_orders,
+                   SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                       AS order_cents
+            FROM orders GROUP BY 1
+        )
+        SELECT COALESCE(e.k, o.k) AS k,
+               COALESCE(e.n_events, 0) AS n_events,
+               COALESCE(o.n_orders, 0) AS n_orders,
+               COALESCE(e.value_cents, 0) AS value_cents,
+               COALESCE(o.order_cents, 0) AS order_cents
+        FROM e FULL JOIN o ON e.k = o.k
+    """,
+    tags=("udf", "pandas"),
+)
+def udf_cogrouped_map(spark: SparkSession, sf: str) -> DataFrame:
+    """Cogrouped-map pandas UDF: ``dfA.groupBy(k).cogroup(dfB.groupBy(k))
+    .applyInPandas(fn)`` hands BOTH groups for a key to one Python function
+    as two pandas frames — the custom-merge escape hatch (as-of matching,
+    per-key reconciliation, trajectory stitching) when a relational join
+    can't express the pairing. Both sides shuffle on the key once, same as
+    a join. Monetary values are pre-quantized to integer cents *before*
+    the UDF so the pandas sums are order-independent (float sums inside a
+    group are not)."""
+    ev = load_table(spark, sf, "events").select(
+        F.pmod(F.col("user_id"), F.lit(100)).alias("k"),
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("cents"),
+    )
+    od = load_table(spark, sf, "orders").select(
+        F.pmod(F.col("o_custkey"), F.lit(100)).alias("k"),
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long").alias("cents"),
+    )
+
+    def merge(key: tuple, epdf: pd.DataFrame, opdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "k": [key[0]],
+                "n_events": [len(epdf)],
+                "n_orders": [len(opdf)],
+                "value_cents": [int(epdf["cents"].sum())],
+                "order_cents": [int(opdf["cents"].sum())],
+            }
+        )
+
+    return (
+        ev.groupBy("k")
+        .cogroup(od.groupBy("k"))
+        .applyInPandas(
+            merge,
+            schema="k long, n_events long, n_orders long, "
+            "value_cents long, order_cents long",
+        )
+    )

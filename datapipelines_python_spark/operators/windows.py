@@ -345,3 +345,53 @@ def win_range_interval(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_last_hour"),
         F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("sum_last_hour"),
     )
+
+
+@query(
+    "win_running_distinct",
+    oracle="""
+        WITH first_day AS (
+            SELECT event_type, user_id,
+                   MIN(CAST(ts AS DATE)) AS d0
+            FROM events GROUP BY event_type, user_id
+        ),
+        per_day AS (
+            SELECT event_type, d0 AS day, COUNT(*) AS new_users
+            FROM first_day GROUP BY event_type, d0
+        )
+        SELECT event_type, day,
+               CAST(new_users AS BIGINT) AS new_users,
+               CAST(SUM(new_users) OVER (
+                   PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_distinct_users
+        FROM per_day
+    """,
+    tags=("window", "scale"),
+)
+def win_running_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Running COUNT(DISTINCT) per key over time — the DAU/cumulative-reach
+    query. Neither engine supports DISTINCT aggregates in a window frame at
+    scale (a naive ``size(collect_set() OVER ...)`` materializes the full
+    set per row — O(users) state PER ROW, dead at 100 TB). The scalable
+    identity: a user is distinct-new only on their FIRST day, so
+    min-per-(type,user) → count new users per day → running SUM. Two
+    partial-agg shuffles plus a window over ~30 rows per type."""
+    e = load_table(spark, sf, "events")
+    first_day = e.groupBy("event_type", "user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("d0")
+    )
+    per_day = first_day.groupBy("event_type", F.col("d0").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return per_day.select(
+        "event_type",
+        "day",
+        F.col("new_users").cast("bigint").alias("new_users"),
+        F.sum("new_users").over(w).cast("bigint").alias("cum_distinct_users"),
+    )
