@@ -848,3 +848,133 @@ def llm_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
             (F.count("hit").cast("double") / 5.0).alias("recall_at_5"),
         )
     )
+
+
+def _sql_d2(a: str, b: str) -> str:
+    """DuckDB twin of the squared-L2 fold used by k-means (same element
+    order, same double promotion → bit-identical)."""
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}), "
+        f"s -> (CAST(s[1] AS DOUBLE) - s[2]) * (CAST(s[1] AS DOUBLE) - s[2]))), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+@query(
+    "ml_kmeans_lloyd",
+    oracle=f"""
+        WITH v AS MATERIALIZED (
+            SELECT vec_id, embedding FROM embeddings
+        ),
+        c0 AS MATERIALIZED (
+            SELECT vec_id AS cid,
+                   LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS c
+            FROM embeddings WHERE vec_id < 8
+        ),
+        p1 AS (
+            SELECT v.vec_id, c0.cid,
+                   {_sql_d2('v.embedding', 'c0.c')} AS d2
+            FROM v CROSS JOIN c0
+        ),
+        a1 AS MATERIALIZED (
+            SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                FROM p1
+            ) r WHERE rn = 1
+        ),
+        e1 AS (
+            SELECT a1.cid,
+                   GENERATE_SUBSCRIPTS(v.embedding, 1) AS pos,
+                   UNNEST(v.embedding) AS val
+            FROM v JOIN a1 USING (vec_id)
+        ),
+        m1 AS (
+            SELECT cid, pos,
+                   {sql_round4(sql_davg('CAST(val AS DOUBLE)'))} AS m
+            FROM e1 GROUP BY 1, 2
+        ),
+        c1 AS MATERIALIZED (
+            SELECT cid, LIST(m ORDER BY pos) AS c FROM m1 GROUP BY cid
+        ),
+        p2 AS (
+            SELECT v.vec_id, c1.cid,
+                   {_sql_d2('v.embedding', 'c1.c')} AS d2
+            FROM v CROSS JOIN c1
+        ),
+        a2 AS (
+            SELECT vec_id, cid, d2 FROM (
+                SELECT vec_id, cid, d2,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                FROM p2
+            ) r WHERE rn = 1
+        )
+        SELECT cid,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               {sql_round4(sql_davg('d2'))} AS mean_d2
+        FROM a2 GROUP BY cid
+    """,
+    tags=("llm", "embedding", "ml"),
+)
+def ml_kmeans_lloyd(spark: SparkSession, sf: str) -> DataFrame:
+    """Lloyd's k-means on the embedding corpus, two iterations unrolled:
+    K=8 deterministic seeds (vec_id < 8) → assign (argmin squared-L2,
+    ties to lowest cid) → centroid update (per-dimension decimal-exact
+    mean, rounded to the portable 1e-4 grid so both engines hold
+    IDENTICAL centroids) → reassign → per-cluster size + mean distortion.
+    The iterative-ML pattern on DataFrames: each iteration is one corpus
+    scan against K broadcast centroids plus one (cid, dim)-keyed partial
+    agg — 8×64 cells regardless of corpus size. More iterations repeat
+    the same two stages (with ``localCheckpoint`` per round to keep plan
+    growth linear); the fixed 2-round unroll is what makes an exact SQL
+    oracle replay possible."""
+    from pyspark.sql.window import Window as W_
+
+    emb = load_table(spark, sf, "embeddings")
+    v = emb.select("vec_id", "embedding")
+
+    def d2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def assign(cent):
+        p = v.crossJoin(F.broadcast(cent)).select(
+            "vec_id", "cid", d2(F.col("embedding"), F.col("c")).alias("d2")
+        )
+        w = W_.partitionBy("vec_id").orderBy("d2", "cid")
+        return (
+            p.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid", "d2")
+        )
+
+    def update(ass):
+        e = v.join(ass, "vec_id").select(
+            "cid", F.posexplode("embedding").alias("pos", "val")
+        )
+        m = e.groupBy("cid", "pos").agg(
+            round4(davg(F.col("val").cast("double"))).alias("m")
+        )
+        return m.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("c")
+        )
+
+    cent0 = v.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("c"),
+    )
+    a1 = assign(cent0)
+    cent1 = update(a1)
+    a2 = assign(cent1)
+    return a2.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        round4(davg(F.col("d2"))).alias("mean_d2"),
+    )

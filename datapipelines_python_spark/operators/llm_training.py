@@ -1252,3 +1252,108 @@ def mm_video_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
         sample_keyframes,
         schema="doc_id long, frame_idx int, byte_offset int, ts_ms int, n_frames int",
     )
+
+
+@query(
+    "llm_chunk_documents",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, STRING_SPLIT(text, ' ') AS toks,
+                   LEN(STRING_SPLIT(text, ' ')) AS n
+            FROM documents
+        ),
+        counted AS (
+            SELECT doc_id, toks, n,
+                   CASE WHEN n <= 64 THEN 1
+                        ELSE (n - 64 + 47) // 48 + 1 END AS n_chunks
+            FROM t
+        ),
+        chunks AS (
+            SELECT doc_id, toks, n, n_chunks,
+                   UNNEST(range(0, n_chunks)) AS chunk_id
+            FROM counted
+        )
+        SELECT doc_id,
+               CAST(chunk_id AS INT) AS chunk_id,
+               CAST(chunk_id * 48 AS INT) AS start_tok,
+               CAST(LEAST(64, n - chunk_id * 48) AS INT) AS chunk_len,
+               ARRAY_TO_STRING(
+                   LIST_SLICE(toks, chunk_id * 48 + 1, chunk_id * 48 + 64),
+                   ' ') AS chunk_text
+        FROM chunks
+    """,
+    tags=("llm", "text", "rag"),
+)
+def llm_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping sliding-window chunking (64-token chunks, 16-token
+    overlap → stride 48) — the retrieval/RAG and long-context prep
+    primitive. Fan-out is computed array-locally: token array → chunk
+    count → ``sequence()`` + ``explode`` → per-chunk ``slice``; zero
+    Python, zero shuffle (row count grows ~n/48× in place). Chunk ids and
+    boundaries are pure integer arithmetic, so text and geometry are both
+    engine-exact."""
+    d = load_table(spark, sf, "documents")
+    toks = F.split("text", " ")
+    t = d.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
+    n_chunks = F.when(F.col("n") <= 64, F.lit(1)).otherwise(
+        F.floor((F.col("n") - 64 + 47) / 48) + 1
+    )
+    c = t.withColumn("n_chunks", n_chunks).select(
+        "doc_id", "toks", "n",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * 48
+    return c.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        start.cast("int").alias("start_tok"),
+        F.least(F.lit(64), F.col("n") - start).cast("int").alias("chunk_len"),
+        F.array_join(F.slice("toks", start + 1, 64), " ").alias("chunk_text"),
+    )
+
+
+@query(
+    "llm_pii_detect",
+    oracle="""
+        WITH enriched AS (
+            SELECT doc_id,
+                   text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+                   '@example.com or 555-' ||
+                   LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+            FROM documents
+        )
+        SELECT doc_id,
+               LEN(regexp_extract_all(t, '[a-z0-9]+@[a-z]+\\.[a-z]+'))
+                   AS n_emails,
+               LEN(regexp_extract_all(t, '555-[0-9]{4}')) AS n_phones,
+               REGEXP_REPLACE(
+                   REGEXP_REPLACE(t, '[a-z0-9]+@[a-z]+\\.[a-z]+', '<email>', 'g'),
+                   '555-[0-9]{4}', '<phone>', 'g') AS masked
+        FROM enriched
+    """,
+    tags=("llm", "text", "quality"),
+)
+def llm_pii_detect(spark: SparkSession, sf: str) -> DataFrame:
+    """PII detection + masking: count and redact email/phone patterns —
+    the scrub pass every training corpus needs before release. Fixture
+    text has no organic PII, so deterministic PII is injected first
+    (same construction in the oracle) and the detector runs over that.
+    Patterns stay POSIX-portable (no \\d, no lookarounds) so Java and RE2
+    dialects agree; all JVM-side regexp, one scan, no shuffle."""
+    d = load_table(spark, sf, "documents")
+    t = F.concat(
+        F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    email = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+    phone = "555-[0-9]{4}"
+    e = d.select("doc_id", t.alias("t"))
+    return e.select(
+        "doc_id",
+        F.regexp_count("t", F.lit(email)).cast("bigint").alias("n_emails"),
+        F.regexp_count("t", F.lit(phone)).cast("bigint").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("t", email, "<email>"), phone, "<phone>"
+        ).alias("masked"),
+    )
