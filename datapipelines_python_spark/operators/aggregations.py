@@ -529,3 +529,28 @@ def agg_mode(spark: SparkSession, sf: str) -> DataFrame:
             F.col("c").cast("bigint").alias("n"),
         )
     )
+
+
+@query(
+    "agg_string_agg",
+    oracle="""
+        SELECT r_name,
+               STRING_AGG(n_name, ',' ORDER BY n_name) AS nations,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    tags=("agg",),
+)
+def agg_string_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/STRING_AGG shape): collect,
+    sort array-locally, join with a delimiter. The explicit sort is what
+    makes the result deterministic — relying on arrival order inside a
+    distributed agg is a latent bug at any scale."""
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    j = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return j.groupBy("r_name").agg(
+        F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )

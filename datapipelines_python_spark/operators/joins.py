@@ -509,3 +509,42 @@ def join_bucketed_colocated(spark: SparkSession, sf: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_totalprice",
         "l_linenumber", "l_quantity", "l_extendedprice",
     )
+
+
+@query(
+    "join_lateral_topk",
+    oracle="""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c, LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+        ) t
+    """,
+    tags=("join", "correlated"),
+)
+def join_lateral_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated LATERAL subquery — per outer row, the top-2 orders by
+    price. Catalyst decorrelates this into a join + per-key window (see
+    ``topk_per_group`` for the explicit form); writing it LATERAL keeps
+    the per-row intent readable while still planning set-wise — it never
+    executes as N point queries, which is the trap a literal
+    interpretation would hit at scale."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    c.createOrReplaceTempView("lat_customer")
+    o.createOrReplaceTempView("lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM lat_customer c, LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM lat_orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+        ) t
+        """
+    )

@@ -563,3 +563,38 @@ def fn_array_setops(spark: SparkSession, sf: str) -> DataFrame:
         F.sort_array(F.array_except("a", "b")).alias("except_sorted"),
         F.size(F.array_union("a", "b")).alias("n_union"),
     )
+
+
+@query(
+    "fn_interval_arith",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(o_orderdate + INTERVAL 3 DAY AS TIMESTAMP) AS plus_3d,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE)
+                   AS plus_2mo,
+               CAST(o_orderdate - INTERVAL 90 MINUTE AS TIMESTAMP)
+                   AS minus_90min,
+               CAST(FLOOR((EPOCH(TIMESTAMP '2024-06-01 00:00:00')
+                           - EPOCH(o_orderdate)) / 3600.0) AS BIGINT)
+                   AS hours_to_ref
+        FROM orders
+    """,
+    tags=("function", "date"),
+)
+def fn_interval_arith(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval arithmetic on timestamps: day/month/minute offsets (month
+    addition end-of-month-clamped identically in both engines) and an
+    hour-difference via epoch subtraction — deliberately NOT
+    ``timestampdiff``, whose whole-units-elapsed semantics differ from
+    DuckDB's boundary-crossing ``date_diff``; epoch math is portable."""
+    o = load_table(spark, sf, "orders")
+    ref = F.to_timestamp(F.lit("2024-06-01 00:00:00"))
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 3 DAYS")).alias("plus_3d"),
+        F.add_months(F.col("o_orderdate").cast("date"), 2).alias("plus_2mo"),
+        (F.col("o_orderdate") - F.expr("INTERVAL 90 MINUTES")).alias("minus_90min"),
+        F.floor(
+            (F.unix_timestamp(ref) - F.unix_timestamp("o_orderdate")) / 3600.0
+        ).cast("bigint").alias("hours_to_ref"),
+    )

@@ -255,3 +255,33 @@ def scan_text_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     path = scratch_dir("text_documents")
     d.write.mode("overwrite").text(path)
     return spark.read.text(path)
+
+
+@query(
+    "scan_csv_permissive",
+    oracle="""
+        SELECT * FROM (VALUES
+            (1, 'alpha', CAST(1.5 AS DOUBLE)),
+            (2, 'beta',  CAST(2.5 AS DOUBLE)),
+            (4, 'delta', CAST(4.5 AS DOUBLE))
+        ) t(id, name, v)
+    """,
+    tags=("scan", "connector", "robustness"),
+)
+def scan_csv_permissive(spark: SparkSession, sf: str) -> DataFrame:
+    """Malformed-record resilience: a CSV with a corrupt line is read in
+    DROPMALFORMED mode — bad rows are discarded, good rows survive with
+    the declared schema. The production posture for 100 TB ingest is the
+    PERMISSIVE twin (quarantine via ``columnNameOfCorruptRecord``, then
+    count/alert); DROPMALFORMED is the checkable deterministic core. The
+    file is written outside Spark on purpose — real corrupt inputs don't
+    come from your own writer."""
+    path = scratch_dir("csv_malformed")
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "part-0.csv"), "w") as f:
+        f.write("1,alpha,1.5\n2,beta,2.5\noops,gamma\n4,delta,4.5\n")
+    return (
+        spark.read.schema("id int, name string, v double")
+        .option("mode", "DROPMALFORMED")
+        .csv(path)
+    )
