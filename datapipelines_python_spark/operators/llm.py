@@ -917,6 +917,7 @@ def _sql_d2(a: str, b: str) -> str:
         FROM a2 GROUP BY cid
     """,
     tags=("llm", "embedding", "ml"),
+    bench=True,
 )
 def ml_kmeans_lloyd(spark: SparkSession, sf: str) -> DataFrame:
     """Lloyd's k-means on the embedding corpus, two iterations unrolled:

@@ -1283,6 +1283,7 @@ def mm_video_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
         FROM chunks
     """,
     tags=("llm", "text", "rag"),
+    bench=True,
 )
 def llm_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Overlapping sliding-window chunking (64-token chunks, 16-token
@@ -1356,4 +1357,112 @@ def llm_pii_detect(spark: SparkSession, sf: str) -> DataFrame:
         F.regexp_replace(
             F.regexp_replace("t", email, "<email>"), phone, "<phone>"
         ).alias("masked"),
+    )
+
+
+@query(
+    "llm_incremental_dedup",
+    oracle="""
+        WITH corpus AS (
+            SELECT doc_id, MD5(LOWER(TRIM(text))) AS fp
+            FROM documents WHERE doc_id % 4 <> 0
+        ),
+        batch AS (
+            SELECT doc_id, lang, MD5(LOWER(TRIM(text))) AS fp
+            FROM documents WHERE doc_id % 4 = 0
+        ),
+        fresh AS (
+            SELECT b.doc_id, b.lang, b.fp FROM batch b
+            WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)
+        ),
+        kept AS (
+            SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+                FROM fresh
+            ) r WHERE rn = 1
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_new_docs,
+               CAST(MIN(doc_id) AS BIGINT) AS min_doc
+        FROM kept GROUP BY lang
+    """,
+    tags=("llm", "dedup", "incremental"),
+)
+def llm_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental dedup — today's batch against the existing corpus: the
+    batch is deduped against the corpus fingerprint table with a LEFT ANTI
+    join (shuffle sized by the batch, corpus side read as a fingerprint
+    projection only), then within itself (window on fp). This is how dedup
+    actually runs in production — the corpus fingerprint table is the
+    persistent artifact, updated by appending each batch's survivors; the
+    full-corpus ops (``llm_dedup_exact``) are the bootstrap. Fixture split
+    is doc_id%4 (batch) vs rest (corpus)."""
+    d = load_table(spark, sf, "documents")
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    corpus_fp = d.filter(F.col("doc_id") % 4 != 0).select(fp.alias("fp"))
+    batch = d.filter(F.col("doc_id") % 4 == 0).select("doc_id", "lang", fp.alias("fp"))
+    fresh = batch.join(corpus_fp, "fp", "left_anti")
+    w = W.partitionBy("fp").orderBy("doc_id")
+    kept = (
+        fresh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new_docs"),
+        F.min("doc_id").cast("bigint").alias("min_doc"),
+    )
+
+
+@query(
+    "sample_stratified",
+    oracle="""
+        WITH h AS (
+            SELECT doc_id, lang,
+                   CAST(('0x' || SUBSTRING(
+                       MD5(CAST(doc_id AS VARCHAR) || ':strat'), 1, 8
+                   ))::BIGINT % 100 AS INT) AS bucket
+            FROM documents
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_sampled,
+               CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+               CAST(MAX(doc_id) AS BIGINT) AS max_doc
+        FROM h
+        WHERE bucket < CASE lang WHEN 'en' THEN 10
+                                 WHEN 'de' THEN 25 ELSE 50 END
+        GROUP BY lang
+    """,
+    tags=("llm", "sampling"),
+)
+def sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    """Stratified sampling with per-stratum rates (downsample the dominant
+    language, keep more of the rare ones — the data-mixing lever for
+    training corpora). Deterministic hash-bucket thresholds, NOT
+    ``sampleBy``: seeded RNG sampling reshuffles membership when the
+    partitioning changes and can't be audited after the fact; a content
+    hash gives the same sample on any cluster, any engine, any day."""
+    d = load_table(spark, sf, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":strat"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint") % 100
+    ).cast("int")
+    rate = (
+        F.when(F.col("lang") == "en", 10)
+        .when(F.col("lang") == "de", 25)
+        .otherwise(50)
+    )
+    return (
+        d.filter(bucket < rate)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+            F.max("doc_id").cast("bigint").alias("max_doc"),
+        )
     )
