@@ -554,3 +554,50 @@ def agg_string_agg(spark: SparkSession, sf: str) -> DataFrame:
         F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
     )
+
+
+@query(
+    "agg_moments",
+    oracle=f"""
+        WITH s AS (
+            SELECT l_returnflag,
+                   COUNT(*) AS n,
+                   {sql_dsum('l_quantity')} AS s1,
+                   {sql_dsum('l_quantity * l_quantity')} AS s2,
+                   {sql_dsum('l_quantity * l_quantity * l_quantity')} AS s3
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag,
+               CAST(n AS BIGINT) AS n,
+               {sql_round4('s1 / n')} AS mean_qty,
+               {sql_round4('(s3/n - 3.0*(s1/n)*(s2/n) + 2.0*(s1/n)*(s1/n)*(s1/n))'
+                           ' / POW(s2/n - (s1/n)*(s1/n), 1.5)')} AS skew_qty
+        FROM s
+    """,
+    tags=("agg", "stats"),
+)
+def agg_moments(spark: SparkSession, sf: str) -> DataFrame:
+    """Skewness from raw power sums (Σx, Σx², Σx³ — decimal-exact, so
+    partition order can't perturb them) finished with one fixed double
+    formula. Built-in ``skewness()`` differs across engines in both
+    accumulation order and population/sample convention; raw moments are
+    the portable, resizing-stable formulation — and at scale they're also
+    one shuffle of 3 numbers per group instead of a second pass."""
+    li = load_table(spark, sf, "lineitem")
+    q = F.col("l_quantity")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(q).alias("s1"),
+        dsum(q * q).alias("s2"),
+        dsum(q * q * q).alias("s3"),
+    )
+    n, s1, s2, s3 = F.col("n"), F.col("s1"), F.col("s2"), F.col("s3")
+    mean = s1 / n
+    m2 = s2 / n - mean * mean
+    m3 = s3 / n - 3.0 * mean * (s2 / n) + 2.0 * mean * mean * mean
+    return s.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n"),
+        round4(mean).alias("mean_qty"),
+        round4(m3 / F.pow(m2, 1.5)).alias("skew_qty"),
+    )

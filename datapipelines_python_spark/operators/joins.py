@@ -548,3 +548,39 @@ def join_lateral_topk(spark: SparkSession, sf: str) -> DataFrame:
         ) t
         """
     )
+
+
+@query(
+    "join_null_safe_eq",
+    oracle="""
+        WITH e AS (
+            SELECT event_id, NULLIF(event_type, 'click') AS et, user_id
+            FROM events
+        ),
+        d AS (
+            SELECT NULLIF(t, 'click') AS et, w FROM (VALUES
+                ('click', 1), ('view', 2), ('purchase', 3)
+            ) v(t, w)
+        )
+        SELECT e.event_id, e.user_id, d.w
+        FROM e JOIN d ON e.et IS NOT DISTINCT FROM d.et
+    """,
+    tags=("join",),
+)
+def join_null_safe_eq(spark: SparkSession, sf: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of silently dropping — the semantics you want
+    when NULL is a real category (unknown segment, unparsed field) rather
+    than absent data. Still a hash equi-join in the plan (NULLs hash to one
+    key — note that makes NULL itself a skew key if it dominates; pre-split
+    or salt it when it does)."""
+    e = load_table(spark, sf, "events").select(
+        "event_id",
+        F.nullif(F.col("event_type"), F.lit("click")).alias("et"),
+        "user_id",
+    )
+    d = spark.createDataFrame(
+        [("click", 1), ("view", 2), ("purchase", 3)], "t string, w int"
+    ).select(F.nullif(F.col("t"), F.lit("click")).alias("et"), "w")
+    j = e.join(F.broadcast(d), e.et.eqNullSafe(d.et))
+    return j.select("event_id", "user_id", "w")

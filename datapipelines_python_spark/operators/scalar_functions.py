@@ -598,3 +598,45 @@ def fn_interval_arith(spark: SparkSession, sf: str) -> DataFrame:
             (F.unix_timestamp(ref) - F.unix_timestamp("o_orderdate")) / 3600.0
         ).cast("bigint").alias("hours_to_ref"),
     )
+
+
+@query(
+    "fn_try_safe",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN (l_linenumber - 3) = 0 THEN NULL
+                    ELSE l_extendedprice / (l_linenumber - 3) END AS safe_div,
+               TRY_CAST(l_comment_num AS INTEGER) AS maybe_int,
+               TRY_CAST('20' || CAST(l_linenumber AS VARCHAR) || '-13-99'
+                        AS DATE) AS bad_date
+        FROM (
+            SELECT l_orderkey, l_linenumber, l_extendedprice,
+                   CASE WHEN l_linenumber % 2 = 0
+                        THEN CAST(l_linenumber AS VARCHAR)
+                        ELSE 'n/a' END AS l_comment_num
+            FROM lineitem
+        ) t
+    """,
+    tags=("function", "robustness"),
+)
+def fn_try_safe(spark: SparkSession, sf: str) -> DataFrame:
+    """Error-safe evaluation: ``try_divide`` (÷0 → NULL), ``try_cast`` on
+    dirty strings and impossible dates — NULL instead of a task-killing
+    exception. The robustness posture for 100 TB ingest: one malformed row
+    in a trillion must never fail a stage; quarantine NULLs downstream
+    instead (count them, alert on rate)."""
+    li = load_table(spark, sf, "lineitem")
+    t = li.select(
+        "l_orderkey", "l_linenumber", "l_extendedprice",
+        F.when(
+            F.col("l_linenumber") % 2 == 0, F.col("l_linenumber").cast("string")
+        ).otherwise(F.lit("n/a")).alias("l_comment_num"),
+    )
+    return t.select(
+        "l_orderkey", "l_linenumber",
+        F.try_divide(F.col("l_extendedprice"), F.col("l_linenumber") - 3)
+            .alias("safe_div"),
+        F.col("l_comment_num").try_cast("int").alias("maybe_int"),
+        F.concat(F.lit("20"), F.col("l_linenumber").cast("string"), F.lit("-13-99"))
+            .try_cast("date").alias("bad_date"),
+    )

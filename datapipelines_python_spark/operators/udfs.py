@@ -236,3 +236,42 @@ def udf_cogrouped_map(spark: SparkSession, sf: str) -> DataFrame:
             "value_cents long, order_cents long",
         )
     )
+
+
+@query(
+    "udf_map_in_arrow",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice * (1.0 - l_discount) AS disc_price
+        FROM lineitem
+    """,
+    tags=("udf", "arrow"),
+)
+def udf_map_in_arrow(spark: SparkSession, sf: str) -> DataFrame:
+    """``mapInArrow``: the lowest-overhead Python escape hatch — the UDF
+    sees raw Arrow RecordBatches (no pandas conversion at all) and runs
+    vectorized ``pyarrow.compute`` kernels. Right layer for
+    columnar-native libs (tokenizers with Arrow bindings, image codecs)
+    where even the pandas round-trip is measurable. Row-wise double
+    arithmetic in one kernel ⇒ bit-identical to the SQL expression."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+
+    def compute(batches):
+        for batch in batches:
+            disc = pc.multiply(
+                batch.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("l_orderkey"), batch.column("l_linenumber"), disc],
+                names=["l_orderkey", "l_linenumber", "disc_price"],
+            )
+
+    return li.mapInArrow(
+        compute, schema="l_orderkey long, l_linenumber int, disc_price double"
+    )

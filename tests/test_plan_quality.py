@@ -158,3 +158,22 @@ def test_bucketed_join_has_no_exchange(spark, registry):
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan  # co-located buckets join without shuffle
     assert "Bucketed: true" in plan
+
+
+def test_lateral_topk_decorrelates_to_window(spark, registry):
+    plan = _plan(spark, registry, "join_lateral_topk")
+    # Catalyst must rewrite the correlated LATERAL into a set-wise plan:
+    # join + per-key window, never a nested-loop over outer rows
+    assert "CartesianProduct" not in plan
+    assert "row_number" in plan or "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_pmi_broadcasts_unigram_tables(spark, registry):
+    plan = _plan(spark, registry, "llm_pmi_collocations")
+    assert plan.count("BroadcastExchange") >= 3  # u1, u2, scalar totals
+
+
+def test_null_safe_join_is_hash_join(spark, registry):
+    plan = _plan(spark, registry, "join_null_safe_eq")
+    assert "BroadcastHashJoin" in plan  # <=> still hashes; no BNLJ fallback
+    assert "BroadcastNestedLoopJoin" not in plan
