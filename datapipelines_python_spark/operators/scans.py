@@ -285,3 +285,34 @@ def scan_csv_permissive(spark: SparkSession, sf: str) -> DataFrame:
         .option("mode", "DROPMALFORMED")
         .csv(path)
     )
+
+
+@query(
+    "sink_sorted_clustered",
+    oracle="""
+        SELECT l_orderkey, l_shipdate, l_quantity, l_extendedprice
+        FROM lineitem
+    """,
+    tags=("scan", "connector", "layout"),
+)
+def sink_sorted_clustered(spark: SparkSession, sf: str) -> DataFrame:
+    """Range-clustered sorted layout: ``repartitionByRange(l_shipdate)``
+    + ``sortWithinPartitions`` before the write gives globally
+    range-clustered files whose parquet row-group min/max stats are tight
+    and non-overlapping on the sort key — date-range scans then skip
+    whole files/row-groups on stats alone, without Hive-style partition
+    directories. The other half of the layout story beside
+    ``scan_partition_pruned`` (directory pruning) and
+    ``join_bucketed_colocated`` (join co-location); RangePartitioning is
+    pinned in the plan tests."""
+    df = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_quantity", "l_extendedprice"
+    )
+    path = scratch_dir("parquet_lineitem_clustered")
+    (
+        df.repartitionByRange(8, F.col("l_shipdate"))
+        .sortWithinPartitions("l_shipdate", "l_orderkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return spark.read.parquet(path).select(*df.columns)

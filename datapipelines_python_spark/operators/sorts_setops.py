@@ -176,3 +176,34 @@ def setop_intersect_all(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("l_linestatus").alias("flag"), F.col("l_linenumber").alias("ln"))
     )
     return a.intersectAll(b)
+
+
+@query(
+    "setop_union_evolved",
+    oracle="""
+        SELECT n_nationkey, n_name, n_regionkey,
+               CAST(NULL AS VARCHAR) AS n_comment_class
+        FROM nation WHERE n_regionkey < 2
+        UNION ALL
+        SELECT n_nationkey, n_name, n_regionkey,
+               CASE WHEN n_nationkey % 2 = 0 THEN 'even' ELSE 'odd' END
+        FROM nation WHERE n_regionkey >= 2
+    """,
+    tags=("setop", "schema-evolution"),
+)
+def setop_union_evolved(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema-evolution union: the old extract lacks a column the new one
+    has; ``unionByName(allowMissingColumns=True)`` aligns by NAME and
+    NULL-fills the gap — the correct behavior when a pipeline's upstream
+    adds fields over time. Positional ``union`` here would silently
+    misalign columns, the classic schema-drift corruption."""
+    n = load_table(spark, sf, "nation")
+    old = n.filter(F.col("n_regionkey") < 2).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    new = n.filter(F.col("n_regionkey") >= 2).select(
+        "n_nationkey", "n_name", "n_regionkey",
+        F.when(F.col("n_nationkey") % 2 == 0, "even").otherwise("odd")
+            .alias("n_comment_class"),
+    )
+    return old.unionByName(new, allowMissingColumns=True)

@@ -942,3 +942,75 @@ def tpch_q2_minimum_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("s_acctbal") == F.col("min_bal"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
     )
+
+
+@query(
+    "merge_upsert_emulated",
+    oracle="""
+        WITH src AS (
+            SELECT o_orderkey AS k, 'U' AS op,
+                   o_totalprice * 1.1 AS new_price
+            FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 100 <> 7
+            UNION ALL
+            SELECT o_orderkey AS k, 'D' AS op, CAST(NULL AS DOUBLE)
+            FROM orders WHERE o_orderkey % 100 = 7
+            UNION ALL
+            SELECT o_orderkey + 100000000 AS k, 'I' AS op,
+                   CAST(100.0 AS DOUBLE)
+            FROM orders WHERE o_orderkey % 1000 = 0
+        ),
+        t AS (
+            SELECT o_orderkey AS k, o_custkey, o_totalprice FROM orders
+        ),
+        j AS (
+            SELECT COALESCE(t.k, src.k) AS o_orderkey,
+                   COALESCE(t.o_custkey, CAST(-1 AS BIGINT)) AS o_custkey,
+                   CASE WHEN src.op IN ('U', 'I') THEN src.new_price
+                        ELSE t.o_totalprice END AS o_totalprice,
+                   src.op AS op
+            FROM t FULL JOIN src ON t.k = src.k
+        )
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               COALESCE(op, 'K') AS op
+        FROM j
+        WHERE op IS NULL OR op <> 'D'
+    """,
+    tags=("workload", "incremental"),
+)
+def merge_upsert_emulated(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGE INTO (upsert + delete) emulated on plain parquet: one FULL
+    OUTER join of target and change-set, then per-row CASE — update rows
+    take the source price, delete rows drop, inserts materialize, untouched
+    rows pass through. This is exactly the join Delta/Iceberg MERGE plans
+    under the hood; without a table format you rewrite the joined result
+    as the new snapshot (partition-overwrite for pruned subsets). The
+    change-set here is derived deterministically from orders (10% updates,
+    1% deletes, 0.1% inserts) so the oracle replays it."""
+    o = load_table(spark, sf, "orders")
+    upd = (
+        o.filter((F.col("o_orderkey") % 10 == 0) & (F.col("o_orderkey") % 100 != 7))
+        .select(
+            F.col("o_orderkey").alias("k"), F.lit("U").alias("op"),
+            (F.col("o_totalprice") * 1.1).alias("new_price"),
+        )
+    )
+    dele = o.filter(F.col("o_orderkey") % 100 == 7).select(
+        F.col("o_orderkey").alias("k"), F.lit("D").alias("op"),
+        F.lit(None).cast("double").alias("new_price"),
+    )
+    ins = o.filter(F.col("o_orderkey") % 1000 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("k"), F.lit("I").alias("op"),
+        F.lit(100.0).alias("new_price"),
+    )
+    src = upd.unionByName(dele).unionByName(ins)
+    t = o.select(
+        F.col("o_orderkey").alias("k"), "o_custkey", "o_totalprice"
+    )
+    j = t.join(src, "k", "full").select(
+        F.col("k").alias("o_orderkey"),
+        F.coalesce(F.col("o_custkey"), F.lit(-1).cast("bigint")).alias("o_custkey"),
+        F.when(F.col("op").isin("U", "I"), F.col("new_price"))
+            .otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        F.coalesce(F.col("op"), F.lit("K")).alias("op"),
+    )
+    return j.filter(F.col("op") != "D")

@@ -177,3 +177,18 @@ def test_null_safe_join_is_hash_join(spark, registry):
     plan = _plan(spark, registry, "join_null_safe_eq")
     assert "BroadcastHashJoin" in plan  # <=> still hashes; no BNLJ fallback
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_clustered_sink_writes_range_partitioned(spark, registry):
+    df = registry["sink_sorted_clustered"].fn(spark, SF_SMOKE)
+    # the write happened inside fn; assert the layout intent on a rebuilt
+    # write-side plan: repartitionByRange plans a range exchange
+    from datapipelines_python_spark.catalog import load_table
+    from pyspark.sql import functions as F
+    src = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_shipdate")
+    plan = (
+        src.repartitionByRange(8, F.col("l_shipdate"))
+        .sortWithinPartitions("l_shipdate")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "rangepartitioning" in plan.lower()
