@@ -1014,3 +1014,167 @@ def merge_upsert_emulated(spark: SparkSession, sf: str) -> DataFrame:
         F.coalesce(F.col("op"), F.lit("K")).alias("op"),
     )
     return j.filter(F.col("op") != "D")
+
+
+@query(
+    "workload_funnel",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, MIN(e.ts) AS t2
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.t1
+            GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, MIN(e.ts) AS t3
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.t2
+            GROUP BY e.user_id
+        )
+        SELECT 1 AS step, 'view' AS stage,
+               CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_users
+        UNION ALL
+        SELECT 2, 'click', CAST((SELECT COUNT(*) FROM c) AS BIGINT)
+        UNION ALL
+        SELECT 3, 'purchase', CAST((SELECT COUNT(*) FROM p) AS BIGINT)
+    """,
+    tags=("workload", "events"),
+)
+def workload_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase, each step strictly after
+    the previous): per-step earliest-qualifying timestamps chain through
+    join + min-agg — each stage is one shuffle keyed on user_id, reusing
+    the previous stage's tiny output as the join probe (AQE broadcasts
+    it). The sequential-pattern query every event pipeline runs; a
+    funnel over N steps is N cheap passes, never a per-user UDF sort."""
+    e = load_table(spark, sf, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.join(v, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.join(c, "user_id")
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    rows = [
+        (1, "view", v), (2, "click", c), (3, "purchase", p),
+    ]
+    out = None
+    for step, stage, df in rows:
+        r = df.agg(F.count(F.lit(1)).cast("bigint").alias("n_users")).select(
+            F.lit(step).alias("step"), F.lit(stage).alias("stage"), "n_users"
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
+@query(
+    "workload_cohort_retention",
+    oracle="""
+        WITH first_day AS (
+            SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+            FROM events GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT e.user_id, f.cohort_day,
+                   DATEDIFF('day', f.cohort_day, CAST(e.ts AS DATE)) AS offset_d
+            FROM events e JOIN first_day f ON e.user_id = f.user_id
+        )
+        SELECT cohort_day, CAST(offset_d AS INT) AS offset_d,
+               CAST(COUNT(*) AS BIGINT) AS n_active
+        FROM activity
+        WHERE offset_d <= 7
+        GROUP BY cohort_day, offset_d
+    """,
+    tags=("workload", "events"),
+)
+def workload_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, activity counted
+    per day-offset (first week). Two user-keyed shuffles (first-day agg,
+    then distinct activity) and a final tiny (cohort, offset) agg — the
+    DAU-retention matrix at any scale; the DISTINCT collapses multiple
+    same-day events before the count, where the volume actually is."""
+    e = load_table(spark, sf, "events")
+    first_day = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_day")
+    )
+    activity = (
+        e.join(first_day, "user_id")
+        .select(
+            "user_id", "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day"))
+                .alias("offset_d"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("offset_d") <= 7)
+        .groupBy("cohort_day", F.col("offset_d").cast("int").alias("offset_d"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+    )
+
+
+@query(
+    "workload_scd2",
+    oracle="""
+        WITH base AS (
+            SELECT c_custkey, c_mktsegment AS segment,
+                   TIMESTAMP '2024-01-01 00:00:00' AS valid_from
+            FROM customer
+        ),
+        changes AS (
+            SELECT c_custkey, 'MACHINERY-NEW' AS segment,
+                   TIMESTAMP '2024-06-01 00:00:00' AS valid_from
+            FROM customer WHERE c_custkey % 5 = 0
+        ),
+        versions AS (
+            SELECT * FROM base UNION ALL SELECT * FROM changes
+        )
+        SELECT c_custkey, segment, valid_from,
+               LEAD(valid_from) OVER (
+                   PARTITION BY c_custkey ORDER BY valid_from
+               ) AS valid_to,
+               (LEAD(valid_from) OVER (
+                   PARTITION BY c_custkey ORDER BY valid_from
+               ) IS NULL) AS is_current
+        FROM versions
+    """,
+    tags=("workload", "scd"),
+)
+def workload_scd2(spark: SparkSession, sf: str) -> DataFrame:
+    """Slowly-changing-dimension type 2: version rows carry
+    [valid_from, valid_to) ranges; ``lead()`` over each key's version
+    history closes the intervals and flags the current row. One window
+    shuffle keyed on the dimension key. The change feed here is derived
+    (20% of customers re-segmented mid-year) so the oracle replays it;
+    in production the feed arrives incrementally and this op runs on
+    (current ∪ new-changes) per batch — same plan, bounded input."""
+    c = load_table(spark, sf, "customer")
+    base = c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("valid_from"),
+    )
+    changes = c.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey",
+        F.lit("MACHINERY-NEW").alias("segment"),
+        F.to_timestamp(F.lit("2024-06-01 00:00:00")).alias("valid_from"),
+    )
+    versions = base.unionByName(changes)
+    w = W.partitionBy("c_custkey").orderBy("valid_from")
+    lead = F.lead("valid_from").over(w)
+    return versions.select(
+        "c_custkey", "segment", "valid_from",
+        lead.alias("valid_to"),
+        lead.isNull().alias("is_current"),
+    )

@@ -27,7 +27,7 @@ def test_oracles_reference_registered_tables_only():
         "orders", "lineitem", "events", "documents", "embeddings",
     }
     for name, sql in all_oracles().items():
-        froms = set(re.findall(r"(?:FROM|JOIN)\s+([a-z_][a-z_0-9]*)", sql, re.IGNORECASE))
+        froms = set(re.findall(r"\b(?:FROM|JOIN)\s+([a-z_][a-z_0-9]*)", sql, re.IGNORECASE))
         unknown = {
             f for f in froms if f.lower() not in tables
         } - _cte_names(sql) - {"lateral", "range"}  # range() is a table function
