@@ -601,3 +601,33 @@ def agg_moments(spark: SparkSession, sf: str) -> DataFrame:
         round4(mean).alias("mean_qty"),
         round4(m3 / F.pow(m2, 1.5)).alias("skew_qty"),
     )
+
+
+@query(
+    "agg_weighted_avg",
+    oracle=f"""
+        SELECT l_returnflag,
+               {sql_dsum('l_extendedprice * l_quantity')} AS weighted_sum,
+               {sql_dsum('l_quantity')} AS weight_sum,
+               {sql_round4(f"{sql_dsum('l_extendedprice * l_quantity')}"
+                           f" / {sql_dsum('l_quantity')}")} AS weighted_avg_price
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def agg_weighted_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantity-weighted mean price: two decimal-exact sums and one final
+    double division — the portable (and resize-stable) formulation of
+    every weighted metric; a built-in weighted_avg doesn't exist in either
+    engine, and a naive avg(price*qty)/avg(qty) is simply wrong."""
+    li = load_table(spark, sf, "lineitem")
+    ws = dsum(F.col("l_extendedprice") * F.col("l_quantity"))
+    qs = dsum(F.col("l_quantity"))
+    return li.groupBy("l_returnflag").agg(
+        ws.alias("weighted_sum"),
+        qs.alias("weight_sum"),
+        round4(
+            F.col("weighted_sum") / F.col("weight_sum")
+        ).alias("weighted_avg_price"),
+    )

@@ -1466,3 +1466,147 @@ def sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
             F.max("doc_id").cast("bigint").alias("max_doc"),
         )
     )
+
+
+@query(
+    "llm_contamination_check",
+    oracle="""
+        WITH split AS (
+            SELECT doc_id, text,
+                   CAST(('0x' || SUBSTRING(
+                       MD5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8
+                   ))::BIGINT % 100 AS INT) AS bucket
+            FROM documents
+        ),
+        train_grams AS (
+            SELECT DISTINCT UNNEST([toks[i] || ' ' || toks[i+1] || ' ' ||
+                                    toks[i+2] || ' ' || toks[i+3]
+                                    FOR i IN RANGE(1, LEN(toks) - 2)]) AS g
+            FROM (SELECT STRING_SPLIT(text, ' ') AS toks
+                  FROM split WHERE bucket < 95) t
+            WHERE LEN(toks) >= 4
+        ),
+        test_grams AS (
+            SELECT doc_id, UNNEST(LIST_DISTINCT(
+                       [toks[i] || ' ' || toks[i+1] || ' ' ||
+                        toks[i+2] || ' ' || toks[i+3]
+                        FOR i IN RANGE(1, LEN(toks) - 2)])) AS g,
+                   LEN(LIST_DISTINCT(
+                       [toks[i] || ' ' || toks[i+1] || ' ' ||
+                        toks[i+2] || ' ' || toks[i+3]
+                        FOR i IN RANGE(1, LEN(toks) - 2)])) AS n_grams
+            FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks
+                  FROM split WHERE bucket >= 95) t
+            WHERE LEN(toks) >= 4
+        )
+        SELECT tg.doc_id,
+               CAST(MAX(tg.n_grams) AS BIGINT) AS n_grams,
+               CAST(COUNT(trn.g) AS BIGINT) AS n_contaminated,
+               (COUNT(trn.g) * 1.0) / MAX(tg.n_grams) >= 0.5 AS flagged
+        FROM test_grams tg
+        LEFT JOIN train_grams trn ON tg.g = trn.g
+        GROUP BY tg.doc_id
+    """,
+    tags=("llm", "dedup", "eval"),
+)
+def llm_contamination_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark-contamination detector: fraction of each held-out (test)
+    document's distinct word 4-grams that also occur anywhere in the train
+    split — flag ≥50% overlap. Same inverted-index shape as near-dedup
+    (shuffle on the gram key, never a cross join); the train side collapses
+    to DISTINCT grams first, so the join is benchmark-sized × vocabulary,
+    not corpus². The hash split reuses the engine's deterministic
+    train/test bucketing, so oracle and engine agree on membership. The
+    canonical pre-release eval-hygiene pass for any training corpus."""
+    d = load_table(spark, sf, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint") % 100
+    ).cast("int")
+    split = d.select("doc_id", "text", bucket.alias("bucket"))
+    toks = F.split("text", " ")
+
+    def grams(df):
+        t = df.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 4)
+        g = F.array_distinct(
+            F.expr(
+                "transform(sequence(0, size(toks) - 4), i -> "
+                "concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3]))"
+            )
+        )
+        return t, g
+
+    train_t, train_g = grams(split.filter(F.col("bucket") < 95))
+    train_grams = train_t.select(F.explode(train_g).alias("g")).distinct()
+    test_t, test_g = grams(split.filter(F.col("bucket") >= 95))
+    test_grams = test_t.select("doc_id", F.explode(test_g).alias("g"))
+    n_grams = test_t.select("doc_id", F.size(test_g).alias("n_grams"))
+    hits = test_grams.join(
+        train_grams.withColumn("hit", F.lit(1)), "g", "left"
+    )
+    agg = hits.groupBy("doc_id").agg(F.count("hit").alias("n_contaminated"))
+    j = n_grams.join(agg, "doc_id")
+    frac = F.col("n_contaminated") * 1.0 / F.col("n_grams")
+    return j.select(
+        "doc_id",
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.col("n_contaminated").cast("bigint").alias("n_contaminated"),
+        (frac >= 0.5).alias("flagged"),
+    )
+
+
+@query(
+    "llm_dataset_mixture",
+    oracle="""
+        WITH per_source AS (
+            SELECT source,
+                   CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT)
+                       AS source_tokens
+            FROM documents GROUP BY source
+        ),
+        total AS (SELECT SUM(source_tokens) AS all_tokens FROM per_source),
+        target AS (
+            SELECT source, source_tokens,
+                   CASE source WHEN 'wiki' THEN 0.4
+                               WHEN 'web' THEN 0.4 ELSE 0.2 END AS target_frac
+            FROM per_source
+        )
+        SELECT t.source, t.source_tokens,
+               FLOOR((t.target_frac * total.all_tokens / t.source_tokens)
+                     * 10000.0 + 0.5) / 10000.0 AS epochs,
+               FLOOR(LEAST(1.0, t.target_frac * total.all_tokens
+                                / t.source_tokens)
+                     * 10000.0 + 0.5) / 10000.0 AS sample_rate
+        FROM target t, total
+    """,
+    tags=("llm", "sampling"),
+)
+def llm_dataset_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Dataset-mixture solver: given target corpus proportions by source
+    (the data-mixing recipe: 40% wiki / 40% web / 20% rest), compute per
+    source the epoch multiplier (>1 ⇒ upsample/repeat) and the capped
+    sampling rate (<1 ⇒ downsample) that hit the target token budget.
+    One token-count aggregation feeds a scalar broadcast — the output is
+    the config for `sample_stratified`-style execution."""
+    d = load_table(spark, sf, "documents")
+    per_source = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("source_tokens")
+    )
+    total = per_source.agg(F.sum("source_tokens").alias("all_tokens"))
+    target_frac = (
+        F.when(F.col("source") == "wiki", 0.4)
+        .when(F.col("source") == "web", 0.4)
+        .otherwise(0.2)
+    )
+    j = per_source.crossJoin(F.broadcast(total))
+    epochs = target_frac * F.col("all_tokens") / F.col("source_tokens")
+    return j.select(
+        "source", "source_tokens",
+        round4(epochs).alias("epochs"),
+        round4(F.least(F.lit(1.0), epochs)).alias("sample_rate"),
+    )

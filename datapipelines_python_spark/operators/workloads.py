@@ -1178,3 +1178,39 @@ def workload_scd2(spark: SparkSession, sf: str) -> DataFrame:
         lead.alias("valid_to"),
         lead.isNull().alias("is_current"),
     )
+
+
+@query(
+    "workload_event_transitions",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   LAG(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type
+            FROM events
+        )
+        SELECT prev_type, event_type AS next_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type
+    """,
+    tags=("workload", "events"),
+)
+def workload_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """Event-transition (Markov) matrix: per-user time-ordered ``lag``
+    pairs consecutive events, then a tiny (from, to) count. Ordering ties
+    are broken by event_id — an unordered tie inside ``lag`` is a
+    nondeterminism bug that only shows up when partitioning changes. One
+    user-keyed window shuffle, then a ~types² agg."""
+    e = load_table(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
