@@ -4,9 +4,11 @@ Prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each bench-flagged operator from the registry is executed to completion
-(count-sink — forces the full plan, no driver materialization of rows) after
-one warm-up of the flagship to amortize JVM/session startup. Per-query times
-are wall-clock seconds for the *second* (warm) run; `value` is their sum.
+through a hash-sink (sum of xxhash64 over every output column — forces the
+full plan INCLUDING projection-only columns, which a bare count() would
+prune away; no driver materialization of rows) after one warm-up of the
+flagship to amortize JVM/session startup. Per-query times are wall-clock
+seconds for the *second* (warm) run; `value` is their sum.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32).
@@ -35,14 +37,23 @@ def main() -> None:
     if not bench_ops:  # safety net: never emit an empty bench
         bench_ops = {"agg_groupby": registry["agg_groupby"]}
 
+    from pyspark.sql import functions as F
+
+    def consume(df) -> None:
+        # hash every output column: nothing is prunable, rows never reach
+        # the driver, agg cost is trivial vs the plan being measured
+        df.select(
+            F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns]))
+        ).collect()
+
     # Warm-up: JVM JIT, parquet footer cache, Python worker pool.
-    next(iter(bench_ops.values())).fn(spark, sf_dir).count()
+    consume(next(iter(bench_ops.values())).fn(spark, sf_dir))
 
     times: dict[str, float] = {}
     for name, spec in bench_ops.items():
-        spec.fn(spark, sf_dir).count()  # warm: codegen/JIT for THIS plan
+        consume(spec.fn(spark, sf_dir))  # warm: codegen/JIT for THIS plan
         t0 = time.perf_counter()
-        spec.fn(spark, sf_dir).count()
+        consume(spec.fn(spark, sf_dir))
         times[name] = round(time.perf_counter() - t0, 3)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
