@@ -28,6 +28,9 @@ def duck():
     con.execute(
         f"CREATE VIEW orders AS SELECT * FROM '{SF_SMOKE}/orders.parquet'"
     )
+    con.execute(
+        f"CREATE VIEW customer AS SELECT * FROM '{SF_SMOKE}/customer.parquet'"
+    )
     return con
 
 
@@ -95,3 +98,57 @@ def test_random_predicates_match_duckdb(spark, duck, atoms, ops, negate):
         f"SELECT COUNT(*), COALESCE(SUM(o_orderkey), 0) FROM orders WHERE {sql}"
     ).fetchone()
     assert (got["n"], got["chk"]) == want, f"predicate mismatch for: {sql}"
+
+
+_GROUP_KEYS = ["c_mktsegment", "o_orderstatus", "c_nationkey"]
+_JOIN_TYPES = [("inner", "JOIN"), ("left_semi", "SEMI JOIN")]
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    atom=_atoms(),
+    key=st.sampled_from(_GROUP_KEYS),
+    how=st.sampled_from(_JOIN_TYPES),
+)
+def test_random_join_agg_match_duckdb(spark, duck, atom, key, how):
+    """Randomized join+groupBy differential: a filtered orders side joined
+    to customer, grouped on a random key from either side, must produce
+    identical per-group counts and integer checksums in both engines —
+    exercises join planning (broadcast vs shuffle picked freely by AQE)
+    under predicates the oracle harness never enumerates."""
+    cond, sql = atom
+    spark_how, sql_join = how
+    o = load_table(spark, SF_SMOKE, "orders").filter(cond)
+    c = load_table(spark, SF_SMOKE, "customer")
+    if spark_how == "left_semi":
+        j = c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        chk_col, chk_sql = "c_custkey", "c_custkey"
+        if key.startswith("o_"):
+            return  # semi join keeps only customer columns
+        got_df = j.groupBy(key).agg(
+            F.count(F.lit(1)).alias("n"), F.sum(chk_col).alias("chk")
+        )
+        want = duck.execute(
+            f"SELECT {key}, COUNT(*), SUM({chk_sql}) FROM customer "
+            f"WHERE EXISTS (SELECT 1 FROM orders WHERE ({sql}) "
+            f"AND o_custkey = c_custkey) GROUP BY {key} ORDER BY {key}"
+        ).fetchall()
+    else:
+        j = o.join(c, o.o_custkey == c.c_custkey)
+        got_df = j.groupBy(key).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("o_orderkey").alias("chk")
+        )
+        want = duck.execute(
+            f"SELECT {key}, COUNT(*), SUM(o_orderkey) "
+            f"FROM orders JOIN customer ON o_custkey = c_custkey "
+            f"WHERE {sql} GROUP BY {key} ORDER BY {key}"
+        ).fetchall()
+    got = sorted(
+        [(r[key], r["n"], r["chk"]) for r in got_df.collect()],
+        key=lambda x: (x[0] is None, x[0]),
+    )
+    assert got == [tuple(w) for w in want], f"join+agg mismatch: {sql} by {key}"
