@@ -640,3 +640,30 @@ def fn_try_safe(spark: SparkSession, sf: str) -> DataFrame:
         F.concat(F.lit("20"), F.col("l_linenumber").cast("string"), F.lit("-13-99"))
             .try_cast("date").alias("bad_date"),
     )
+
+
+@query(
+    "fn_char_ops",
+    oracle="""
+        SELECT doc_id,
+               ASCII(SUBSTRING(lang, 1, 1)) AS lang_first_code,
+               CHR(CAST(doc_id % 26 + 97 AS INT)) AS bucket_char,
+               TO_BASE64(ENCODE(SUBSTRING(text, 1, 12))) AS b64_prefix,
+               HEX(ENCODE(SUBSTRING(lang, 1, 2))) AS hex_lang
+        FROM documents
+    """,
+    tags=("function", "string"),
+)
+def fn_char_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """Character/byte-level codecs: ascii code points, chr construction,
+    base64 and hex encodings of UTF-8 bytes — the primitives for building
+    portable record keys and wire-safe payload columns (binary columns
+    travel as base64 through JSON sinks)."""
+    d = load_table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.ascii(F.substring("lang", 1, 1)).alias("lang_first_code"),
+        F.chr((F.col("doc_id") % 26 + 97).cast("int")).alias("bucket_char"),
+        F.base64(F.substring("text", 1, 12).cast("binary")).alias("b64_prefix"),
+        F.hex(F.substring("lang", 1, 2).cast("binary")).alias("hex_lang"),
+    )

@@ -395,3 +395,45 @@ def win_running_distinct(spark: SparkSession, sf: str) -> DataFrame:
         F.col("new_users").cast("bigint").alias("new_users"),
         F.sum("new_users").over(w).cast("bigint").alias("cum_distinct_users"),
     )
+
+
+@query(
+    "win_share_of_total",
+    oracle="""
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,8)))
+                        AS VARCHAR) AS DOUBLE) AS cust_total
+            FROM orders GROUP BY o_custkey
+        ),
+        tot AS (
+            SELECT o_custkey, cust_total,
+                   CAST(CAST(SUM(CAST(cust_total AS DECIMAL(38,8))) OVER ()
+                        AS VARCHAR) AS DOUBLE) AS grand_total
+            FROM per_cust
+        )
+        SELECT o_custkey, cust_total,
+               FLOOR((cust_total / grand_total) * 10000.0 + 0.5) / 10000.0
+                   AS share
+        FROM tot
+    """,
+    tags=("window", "bi"),
+)
+def win_share_of_total(spark: SparkSession, sf: str) -> DataFrame:
+    """Share-of-total: per-customer revenue over an unpartitioned window
+    sum — the percent-of-whole column every BI layer needs. The window
+    input is the ALREADY-AGGREGATED per-customer frame (cardinality =
+    customers, not orders), so the single-partition window is cheap; the
+    decimal window sum keeps the denominator identical on both engines
+    and under any partitioning."""
+    o = load_table(spark, sf, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("cust_total")
+    )
+    w = W.partitionBy()
+    grand = F.sum(F.col("cust_total").cast(DEC)).over(w).cast("double")
+    return per_cust.select(
+        "o_custkey", "cust_total",
+        (F.floor((F.col("cust_total") / grand) * 10000.0 + 0.5) / 10000.0)
+            .alias("share"),
+    )

@@ -1214,3 +1214,55 @@ def workload_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+@query(
+    "workload_anomaly_zscore",
+    oracle=f"""
+        WITH s AS (
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   {{s1}} AS s1,
+                   {{s2}} AS s2
+            FROM events GROUP BY event_type
+        ),
+        stats AS (
+            SELECT event_type, n, s1 / n AS mean_v,
+                   SQRT(s2 / n - (s1 / n) * (s1 / n)) AS sd
+            FROM s
+        )
+        SELECT e.event_id, e.event_type,
+               FLOOR(((e.value - st.mean_v) / st.sd) * 10000.0 + 0.5)
+                   / 10000.0 AS z,
+               ABS((e.value - st.mean_v) / st.sd) > 2.0 AS is_anomaly
+        FROM events e JOIN stats st ON e.event_type = st.event_type
+    """.format(
+        s1="CAST(CAST(SUM(CAST(value AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)",
+        s2="CAST(CAST(SUM(CAST(value * value AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)",
+    ),
+    tags=("workload", "events", "quality"),
+)
+def workload_anomaly_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    """Population z-score anomaly flags per event type: group stats from
+    decimal-exact power sums (Σv, Σv² — identical on both engines and
+    under any partitioning, unlike built-in stddev accumulation), joined
+    back onto the stream as a broadcast (types × 3 numbers). The
+    outlier-gate shape for metric streams; in production the stats come
+    from yesterday's snapshot, making this a pure map-side operation."""
+    e = load_table(spark, sf, "events")
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("value")).alias("s1"),
+        dsum(F.col("value") * F.col("value")).alias("s2"),
+    )
+    mean_v = F.col("s1") / F.col("n")
+    stats = s.select(
+        "event_type", mean_v.alias("mean_v"),
+        F.sqrt(F.col("s2") / F.col("n") - mean_v * mean_v).alias("sd"),
+    )
+    z = (F.col("value") - F.col("mean_v")) / F.col("sd")
+    return e.join(F.broadcast(stats), "event_type").select(
+        "event_id", "event_type",
+        (F.floor(z * 10000.0 + 0.5) / 10000.0).alias("z"),
+        (F.abs(z) > 2.0).alias("is_anomaly"),
+    )
