@@ -979,3 +979,88 @@ def ml_kmeans_lloyd(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_members"),
         round4(davg(F.col("d2"))).alias("mean_d2"),
     )
+
+
+@query(
+    "llm_sketch_countmin",
+    oracle="""
+        WITH tok AS (
+            SELECT UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS token
+            FROM documents
+        ),
+        tc AS (
+            SELECT token, COUNT(*) AS true_c FROM tok GROUP BY token
+        ),
+        cells AS (
+            SELECT d.i,
+                   CAST(('0x' || SUBSTRING(
+                       MD5(tc.token || ':' || CAST(d.i AS VARCHAR)), 1, 8
+                   ))::BIGINT % 256 AS INT) AS col,
+                   tc.token, tc.true_c
+            FROM tc CROSS JOIN (SELECT UNNEST(range(0, 4)) AS i) d
+        ),
+        cms AS (
+            SELECT i, col, CAST(SUM(true_c) AS BIGINT) AS counter
+            FROM cells GROUP BY i, col
+        ),
+        est AS (
+            SELECT c.token, MAX(c.true_c) AS true_c,
+                   MIN(m.counter) AS est_c
+            FROM cells c JOIN cms m ON c.i = m.i AND c.col = m.col
+            GROUP BY c.token
+        )
+        SELECT token,
+               CAST(true_c AS BIGINT) AS true_c,
+               CAST(est_c AS BIGINT) AS est_c,
+               est_c >= true_c AS never_underestimates
+        FROM est WHERE true_c >= 50
+    """,
+    tags=("llm", "sketch"),
+)
+def llm_sketch_countmin(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-Min sketch (depth 4 × width 256) built and queried entirely
+    as DataFrames, with md5-derived row hashes BOTH engines replay
+    bit-for-bit — a custom sketch the engine lacks natively, implemented
+    portably rather than via an opaque built-in (cf. the rows-only
+    ``agg_approx_*`` ops, whose sketch bytes are implementation-specific).
+    Build: token counts → 4 (row, col) cells each → 1024-cell sum. Query:
+    heavy-hitter estimate = min over the 4 counters; CMS guarantees
+    est ≥ true (asserted as a column). At 100 TB the 1024-cell sketch is
+    a broadcastable heavy-hitter filter refreshed per batch — the
+    pre-screen before an exact count of candidates only."""
+    d = load_table(spark, sf, "documents")
+    tc = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("true_c"))
+    )
+    rows = spark.range(4).select(F.col("id").cast("int").alias("i"))
+    col = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("token"), F.lit(":"), F.col("i").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint") % 256
+    ).cast("int")
+    cells = tc.crossJoin(F.broadcast(rows)).select(
+        "i", col.alias("col"), "token", "true_c"
+    )
+    cms = cells.groupBy("i", "col").agg(
+        F.sum("true_c").cast("bigint").alias("counter")
+    )
+    est = (
+        cells.join(F.broadcast(cms), ["i", "col"])
+        .groupBy("token")
+        .agg(
+            F.max("true_c").alias("true_c"),
+            F.min("counter").alias("est_c"),
+        )
+    )
+    return est.filter(F.col("true_c") >= 50).select(
+        "token",
+        F.col("true_c").cast("bigint").alias("true_c"),
+        F.col("est_c").cast("bigint").alias("est_c"),
+        (F.col("est_c") >= F.col("true_c")).alias("never_underestimates"),
+    )

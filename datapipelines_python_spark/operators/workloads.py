@@ -1266,3 +1266,55 @@ def workload_anomaly_zscore(spark: SparkSession, sf: str) -> DataFrame:
         (F.floor(z * 10000.0 + 0.5) / 10000.0).alias("z"),
         (F.abs(z) > 2.0).alias("is_anomaly"),
     )
+
+
+@query(
+    "workload_hypertable_rollup",
+    oracle="""
+        SELECT CASE WHEN GROUPING(hour_b) = 0 THEN 'hour' ELSE 'day' END
+                   AS grain,
+               day_b, hour_b, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(38,8))) AS VARCHAR)
+                    AS DOUBLE) AS sum_value
+        FROM (
+            SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day_b,
+                   DATE_TRUNC('hour', ts) AS hour_b,
+                   event_type, value
+            FROM events
+        ) b
+        GROUP BY GROUPING SETS (
+            (day_b, hour_b, event_type),
+            (day_b, event_type)
+        )
+    """,
+    tags=("workload", "timeseries"),
+)
+def workload_hypertable_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: one pass materializes BOTH
+    the hourly and daily rollups via GROUPING SETS (Expand feeds a single
+    shuffle; grain identified by GROUPING()) — the time-series
+    materialized-view refresh shape. At 100 TB this runs incrementally
+    per arriving partition and merges into the rollup table; coarser
+    grains (week/month) re-aggregate the hourly output, never the raw
+    events."""
+    e = load_table(spark, sf, "events")
+    e.select(
+        F.date_trunc("day", "ts").alias("day_b"),
+        F.date_trunc("hour", "ts").alias("hour_b"),
+        "event_type", "value",
+    ).createOrReplaceTempView("events_ht")
+    return spark.sql(
+        """
+        SELECT CASE WHEN GROUPING(hour_b) = 0 THEN 'hour' ELSE 'day' END
+                   AS grain,
+               day_b, hour_b, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(38,8))) AS DOUBLE) AS sum_value
+        FROM events_ht
+        GROUP BY GROUPING SETS (
+            (day_b, hour_b, event_type),
+            (day_b, event_type)
+        )
+        """
+    )
