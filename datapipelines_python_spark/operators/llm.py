@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from datapipelines_python_spark.catalog import load_table
 from datapipelines_python_spark.operators._helpers import (
+    DEC,
     davg,
     round4,
     sql_davg,
@@ -1063,4 +1064,149 @@ def llm_sketch_countmin(spark: SparkSession, sf: str) -> DataFrame:
         F.col("true_c").cast("bigint").alias("true_c"),
         F.col("est_c").cast("bigint").alias("est_c"),
         (F.col("est_c") >= F.col("true_c")).alias("never_underestimates"),
+    )
+
+
+@query(
+    "llm_embed_pq",
+    oracle=f"""
+        WITH v AS MATERIALIZED (
+            SELECT vec_id, embedding FROM embeddings
+        ),
+        seeds AS MATERIALIZED (
+            SELECT vec_id AS cid, embedding AS s FROM embeddings
+            WHERE vec_id < 16
+        ),
+        sub AS (
+            SELECT v.vec_id, m.m, seeds.cid,
+                   {_sql_d2("LIST_SLICE(v.embedding, m.m * 8 + 1, m.m * 8 + 8)",
+                            "LIST_TRANSFORM(LIST_SLICE(seeds.s, m.m * 8 + 1, m.m * 8 + 8), x -> CAST(x AS DOUBLE))")}
+                       AS d2
+            FROM v
+            CROSS JOIN (SELECT UNNEST(range(0, 8)) AS m) m
+            CROSS JOIN seeds
+        ),
+        best AS (
+            SELECT vec_id, m, cid, d2 FROM (
+                SELECT vec_id, m, cid, d2,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+                FROM sub
+            ) r WHERE rn = 1
+        )
+        SELECT vec_id,
+               LIST(CAST(cid AS INT) ORDER BY m) AS pq_code,
+               {sql_round4(sql_dsum_local := "CAST(CAST(SUM(CAST(d2 AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)")}
+                   AS quant_error
+        FROM best
+        GROUP BY vec_id
+    """,
+    tags=("llm", "embedding", "sketch"),
+)
+def llm_embed_pq(spark: SparkSession, sf: str) -> DataFrame:
+    """Product quantization: the 64-dim vector splits into M=8 subvectors
+    of 8 dims; each is coded as its nearest of 16 sub-codewords
+    (deterministic seeds: vec_id < 16, sliced per subspace) → an 8-byte
+    code replaces 256 bytes of floats (32× compression), plus the exact
+    per-vector quantization error. Completes the vector-index family:
+    sign-LSH (hash buckets) and IVF (coarse cells) prune the SEARCH;
+    PQ compresses the RESIDENT vectors so a 100 TB corpus's codes fit in
+    a fraction of the footprint and distance approximation happens over
+    codes. All subspace math rides the same fold-portable d2 as k-means;
+    codes are engine-exact, the error decimal-summed across subspaces."""
+    emb = load_table(spark, sf, "embeddings")
+    v = emb.select("vec_id", "embedding")
+    seeds = v.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("s"),
+    )
+    ms = spark.range(8).select(F.col("id").cast("int").alias("m"))
+
+    def d2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    sub = (
+        v.crossJoin(F.broadcast(ms))
+        .crossJoin(F.broadcast(seeds))
+        .select(
+            "vec_id", "m", "cid",
+            d2(
+                F.slice("embedding", F.col("m") * 8 + 1, 8),
+                F.slice("s", F.col("m") * 8 + 1, 8),
+            ).alias("d2"),
+        )
+    )
+    from pyspark.sql.window import Window as W_
+
+    w = W_.partitionBy("vec_id", "m").orderBy("d2", "cid")
+    best = (
+        sub.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "cid", "d2")
+    )
+    return best.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "cid"))),
+            lambda s: s["cid"].cast("int"),
+        ).alias("pq_code"),
+        round4(F.sum(F.col("d2").cast(DEC)).cast("double")).alias("quant_error"),
+    )
+
+
+@query(
+    "llm_readability",
+    oracle="""
+        WITH m AS (
+            SELECT doc_id,
+                   LEN(STRING_SPLIT(LOWER(text), ' ')) AS n_words,
+                   GREATEST(LEN(regexp_extract_all(text, '[.!?]+')), 1)
+                       AS n_sents,
+                   GREATEST(LEN(regexp_extract_all(LOWER(text), '[aeiouy]+')),
+                            1) AS n_syll
+            FROM documents
+        )
+        SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+               CAST(n_sents AS BIGINT) AS n_sents,
+               CAST(n_syll AS BIGINT) AS n_syll,
+               FLOOR((206.835
+                      - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+                      - 84.6 * (CAST(n_syll AS DOUBLE) / n_words))
+                     * 10000.0 + 0.5) / 10000.0 AS flesch
+        FROM m
+    """,
+    tags=("llm", "text", "quality"),
+)
+def llm_readability(spark: SparkSession, sf: str) -> DataFrame:
+    """Flesch reading-ease per document, with the standard streaming-safe
+    approximations: sentences = punctuation runs, syllables = vowel-group
+    count (the classic dictionary-free estimator). Pure regexp projection
+    — zero shuffle, rides the same scan as the other quality signals and
+    joins the gate in ``llm_quality_gopher`` as another filter term."""
+    d = load_table(spark, sf, "documents")
+    n_words = F.size(F.split(F.lower("text"), " "))
+    n_sents = F.greatest(F.regexp_count("text", F.lit("[.!?]+")), F.lit(1))
+    n_syll = F.greatest(
+        F.regexp_count(F.lower("text"), F.lit("[aeiouy]+")), F.lit(1)
+    )
+    m = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sents.alias("n_sents"),
+        n_syll.alias("n_syll"),
+    )
+    flesch = (
+        F.lit(206.835)
+        - 1.015 * (F.col("n_words").cast("double") / F.col("n_sents"))
+        - 84.6 * (F.col("n_syll").cast("double") / F.col("n_words"))
+    )
+    return m.select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.col("n_sents").cast("bigint").alias("n_sents"),
+        F.col("n_syll").cast("bigint").alias("n_syll"),
+        (F.floor(flesch * 10000.0 + 0.5) / 10000.0).alias("flesch"),
     )
