@@ -316,3 +316,73 @@ def sink_sorted_clustered(spark: SparkSession, sf: str) -> DataFrame:
         .parquet(path)
     )
     return spark.read.parquet(path).select(*df.columns)
+
+
+@query(
+    "scan_python_stream_source",
+    oracle="""
+        SELECT r.range AS id,
+               CAST(r.range % 5 AS INT) AS shard
+        FROM range(0, 3000) r
+    """,
+    tags=("scan", "source", "streaming", "connector"),
+)
+def scan_python_stream_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom STREAMING source via the Spark 4 Python DataSource API:
+    a ``SimpleDataSourceStreamReader`` tracks its own offset (here a row
+    counter; in production a shard cursor / log sequence number), each
+    micro-batch reads [start, end) and commits. Drained with
+    ``Trigger.AvailableNow`` into a memory sink, the union of batches must
+    equal the deterministic whole — the same batch-equivalence discipline
+    as the file-stream ops, applied to a from-scratch connector. This is
+    the extension point for queues/logs Spark has no reader for."""
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    TOTAL, STEP = 3000, 1000
+
+    class _CounterStreamReader(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"pos": 0}
+
+        def read(self, start: dict):
+            pos = start["pos"]
+            end = min(pos + STEP, TOTAL)
+            rows = iter([(i, i % 5) for i in range(pos, end)])
+            return rows, {"pos": end}
+
+        def readBetweenOffsets(self, start: dict, end: dict):
+            return iter([(i, i % 5) for i in range(start["pos"], end["pos"])])
+
+    class CounterStreamSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "counter_stream"
+
+        def schema(self):
+            return "id bigint, shard int"
+
+        def simpleStreamReader(self, schema):
+            return _CounterStreamReader()
+
+    spark.dataSource.register(CounterStreamSource)
+    q = (
+        spark.readStream.format("counter_stream")
+        .load()
+        .writeStream.format("memory")
+        .queryName("py_stream_source_sink")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    # The source is finite and deterministic: run micro-batches until the
+    # whole range has been committed, then stop (a real deployment never
+    # stops; this is the test-drain idiom for an unbounded custom source).
+    import time as _time
+
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        if spark.table("py_stream_source_sink").count() >= TOTAL:
+            break
+        _time.sleep(0.3)
+    q.stop()
+    q.awaitTermination()
+    return spark.table("py_stream_source_sink")
