@@ -1210,3 +1210,57 @@ def llm_readability(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_syll").cast("bigint").alias("n_syll"),
         (F.floor(flesch * 10000.0 + 0.5) / 10000.0).alias("flesch"),
     )
+
+
+@query(
+    "llm_sketch_linear_count",
+    oracle="""
+        WITH tok AS (
+            SELECT DISTINCT UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS token
+            FROM documents
+        ),
+        hits AS (
+            SELECT COUNT(DISTINCT
+                       CAST(('0x' || SUBSTRING(MD5(token || ':lc'), 1, 8))
+                            ::BIGINT % 1024 AS INT)) AS buckets_hit,
+                   COUNT(*) AS true_distinct
+            FROM tok
+        )
+        SELECT CAST(buckets_hit AS BIGINT) AS buckets_hit,
+               CAST(true_distinct AS BIGINT) AS true_distinct,
+               FLOOR((-1024.0 * LN(1.0 - buckets_hit / 1024.0))
+                     * 10000.0 + 0.5) / 10000.0 AS lc_estimate
+        FROM hits
+    """,
+    tags=("llm", "sketch"),
+)
+def llm_sketch_linear_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Linear-counting distinct sketch, portably: tokens hash (md5, both
+    engines replay it) into a 1024-bucket bitmap; the estimator is
+    −m·ln(empty/m). Beside the built-in HLL (``agg_approx_distinct``,
+    rows-only because its sketch bytes are implementation-specific), this
+    shows the same idea built from first principles WITH an exact oracle.
+    The bitmap is a 1024-key partial agg — mergeable across partitions
+    and days like any sum, which is what makes sketch-based distinct
+    counting work incrementally at 100 TB."""
+    d = load_table(spark, sf, "documents")
+    tok = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .distinct()
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("token"), F.lit(":lc"))), 1, 8),
+            16, 10,
+        ).cast("bigint") % 1024
+    ).cast("int")
+    hits = tok.agg(
+        F.countDistinct(bucket).alias("buckets_hit"),
+        F.count(F.lit(1)).alias("true_distinct"),
+    )
+    est = -1024.0 * F.log(1.0 - F.col("buckets_hit") / 1024.0)
+    return hits.select(
+        F.col("buckets_hit").cast("bigint").alias("buckets_hit"),
+        F.col("true_distinct").cast("bigint").alias("true_distinct"),
+        (F.floor(est * 10000.0 + 0.5) / 10000.0).alias("lc_estimate"),
+    )

@@ -437,3 +437,39 @@ def win_share_of_total(spark: SparkSession, sf: str) -> DataFrame:
         (F.floor((F.col("cust_total") / grand) * 10000.0 + 0.5) / 10000.0)
             .alias("share"),
     )
+
+
+@query(
+    "win_following_frame",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,8))) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING
+               ) AS VARCHAR) AS DOUBLE) AS next3_total,
+               CAST(COUNT(*) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+               ) AS BIGINT) AS n_later
+        FROM orders
+    """,
+    tags=("window",),
+)
+def win_following_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """Forward-looking frames (CURRENT ROW .. k FOLLOWING, and 1 FOLLOWING
+    .. UNBOUNDED): the look-ahead twin of the running/moving frames — how
+    much will this customer spend over their next three orders, how many
+    orders remain. Same single shuffle+sort as any window; frame direction
+    is free. Decimal window sum keeps the money math engine-exact;
+    (date, key) ordering makes tie order deterministic."""
+    o = load_table(spark, sf, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey", "o_custkey", "o_orderdate",
+        F.sum(F.col("o_totalprice").cast(DEC))
+            .over(w.rowsBetween(W.currentRow, 2))
+            .cast("double").alias("next3_total"),
+        F.count(F.lit(1))
+            .over(w.rowsBetween(1, W.unboundedFollowing))
+            .cast("bigint").alias("n_later"),
+    )

@@ -1318,3 +1318,107 @@ def workload_hypertable_rollup(spark: SparkSession, sf: str) -> DataFrame:
         )
         """
     )
+
+
+@query(
+    "graph_pagerank",
+    oracle="""
+        WITH edges AS (
+            SELECT a.n_nationkey AS src, b.n_nationkey AS dst
+            FROM nation a JOIN nation b
+              ON a.n_regionkey = b.n_regionkey
+             AND a.n_nationkey <> b.n_nationkey
+        ),
+        deg AS (
+            SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
+        ),
+        n AS (SELECT COUNT(*) AS n_nodes FROM nation),
+        r0 AS (
+            SELECT n_nationkey AS node, 1.0 / n.n_nodes AS r
+            FROM nation, n
+        ),
+        contrib1 AS (
+            SELECT e.dst AS node,
+                   CAST(CAST(SUM(CAST(r0.r / deg.outdeg AS DECIMAL(38,18)))
+                        AS VARCHAR) AS DOUBLE) AS inflow
+            FROM edges e
+            JOIN r0 ON e.src = r0.node
+            JOIN deg ON e.src = deg.src
+            GROUP BY e.dst
+        ),
+        r1 AS (
+            SELECT r0.node,
+                   0.15 / n.n_nodes
+                   + 0.85 * COALESCE(contrib1.inflow, 0.0) AS r
+            FROM r0 LEFT JOIN contrib1 ON r0.node = contrib1.node, n
+        ),
+        contrib2 AS (
+            SELECT e.dst AS node,
+                   CAST(CAST(SUM(CAST(r1.r / deg.outdeg AS DECIMAL(38,18)))
+                        AS VARCHAR) AS DOUBLE) AS inflow
+            FROM edges e
+            JOIN r1 ON e.src = r1.node
+            JOIN deg ON e.src = deg.src
+            GROUP BY e.dst
+        )
+        SELECT r1.node,
+               FLOOR((0.15 / n.n_nodes
+                      + 0.85 * COALESCE(contrib2.inflow, 0.0))
+                     * 10000000.0 + 0.5) / 10000000.0 AS rank
+        FROM r1 LEFT JOIN contrib2 ON r1.node = contrib2.node, n
+    """,
+    tags=("workload", "graph"),
+)
+def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """PageRank, two unrolled power iterations (damping 0.85) over the
+    intra-region nation adjacency graph: each iteration is edges ⋈ ranks ⋈
+    out-degrees → per-destination decimal-exact inflow sum — the standard
+    DataFrame formulation that scales to billions of edges (ranks and
+    degrees shuffle on node id; the edge table partitions by src and at
+    scale would be pre-bucketed on it). Decimal(38,18) contribution sums
+    make the per-iteration ranks bit-identical on both engines; more
+    iterations repeat the same stage with ``localCheckpoint`` per round
+    (cf. ``llm_dedup_clusters``)."""
+    nat = load_table(spark, sf, "nation")
+    a, b = nat.alias("a"), nat.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        & (F.col("a.n_nationkey") != F.col("b.n_nationkey")),
+    ).select(
+        F.col("a.n_nationkey").alias("src"), F.col("b.n_nationkey").alias("dst")
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    n_nodes = nat.count()  # scalar; node-count of the dimension graph
+    ranks = nat.select(
+        F.col("n_nationkey").alias("node"),
+        F.lit(1.0 / n_nodes).alias("r"),
+    )
+
+    def step(r, final=False):
+        contrib = (
+            edges.join(r.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(
+                F.sum((F.col("r") / F.col("outdeg")).cast("decimal(38,18)"))
+                .cast("double")
+                .alias("inflow")
+            )
+            .withColumnRenamed("dst", "node")
+        )
+        out = r.select("node").join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(0.15 / n_nodes)
+                + 0.85 * F.coalesce(F.col("inflow"), F.lit(0.0))
+            ).alias("r"),
+        )
+        return out
+
+    r1 = step(ranks)
+    r2 = step(r1)
+    return r2.select(
+        "node",
+        (F.floor(F.col("r") * 10000000.0 + 0.5) / 10000000.0).alias("rank"),
+    )
