@@ -1610,3 +1610,57 @@ def llm_dataset_mixture(spark: SparkSession, sf: str) -> DataFrame:
         round4(epochs).alias("epochs"),
         round4(F.least(F.lit(1.0), epochs)).alias("sample_rate"),
     )
+
+
+@query(
+    "llm_cross_source_dedup",
+    oracle="""
+        WITH ranked AS (
+            SELECT doc_id, source, lang,
+                   MD5(LOWER(TRIM(text))) AS fp,
+                   CASE source WHEN 'wiki' THEN 1 WHEN 'web' THEN 2
+                               ELSE 3 END AS prio
+            FROM documents
+        ),
+        survivors AS (
+            SELECT doc_id, source, lang, fp FROM (
+                SELECT doc_id, source, lang, fp,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY fp ORDER BY prio, doc_id
+                       ) AS rn
+                FROM ranked
+            ) r WHERE rn = 1
+        )
+        SELECT source, lang,
+               CAST(COUNT(*) AS BIGINT) AS n_survivors
+        FROM survivors GROUP BY source, lang
+    """,
+    tags=("llm", "dedup", "policy"),
+)
+def llm_cross_source_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source dedup with a survivor POLICY: when the same content
+    appears in multiple sources, keep the highest-priority source's copy
+    (wiki > web > rest; doc_id tiebreak) — dedup is rarely "keep any one",
+    it encodes curation preference. Same one-shuffle window-on-fingerprint
+    plan as plain exact dedup; only the ORDER BY changes. Reports the
+    surviving mix per (source, lang), i.e. what the policy did to the
+    corpus composition."""
+    d = load_table(spark, sf, "documents")
+    prio = (
+        F.when(F.col("source") == "wiki", 1)
+        .when(F.col("source") == "web", 2)
+        .otherwise(3)
+    )
+    ranked = d.select(
+        "doc_id", "source", "lang",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fp"),
+        prio.alias("prio"),
+    )
+    w = W.partitionBy("fp").orderBy("prio", "doc_id")
+    survivors = (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return survivors.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_survivors")
+    )

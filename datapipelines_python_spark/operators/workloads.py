@@ -1422,3 +1422,137 @@ def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
         "node",
         (F.floor(F.col("r") * 10000000.0 + 0.5) / 10000000.0).alias("rank"),
     )
+
+
+@query(
+    "workload_basket_affinity",
+    oracle="""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        n_orders AS (
+            SELECT COUNT(DISTINCT l_orderkey) AS n FROM lineitem
+        ),
+        item_freq AS (
+            SELECT l_partkey, COUNT(*) AS c FROM items GROUP BY l_partkey
+        ),
+        pairs AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   COUNT(*) AS c_ab
+            FROM items a JOIN items b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 3
+        )
+        SELECT p.part_a, p.part_b,
+               CAST(p.c_ab AS BIGINT) AS c_ab,
+               FLOOR(((CAST(p.c_ab AS DOUBLE) / n_orders.n)
+                      / ((CAST(fa.c AS DOUBLE) / n_orders.n)
+                         * (CAST(fb.c AS DOUBLE) / n_orders.n)))
+                     * 10000.0 + 0.5) / 10000.0 AS lift
+        FROM pairs p
+        JOIN item_freq fa ON p.part_a = fa.l_partkey
+        JOIN item_freq fb ON p.part_b = fb.l_partkey,
+        n_orders
+    """,
+    tags=("workload", "affinity"),
+)
+def workload_basket_affinity(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket affinity: co-occurrence counts of part pairs within
+    an order plus lift (observed / expected-if-independent). The pair
+    generation is an order-keyed self-join — cost scales with Σ(basket²),
+    not catalog², because only items in the SAME order ever meet (the same
+    inverted-index discipline as near-dedup). Frequencies broadcast back
+    onto the surviving pairs. The recommender/assortment primitive."""
+    li = load_table(spark, sf, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.select("l_orderkey").distinct().count()
+    item_freq = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 3)
+    )
+    fa = item_freq.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("ca"))
+    fb = item_freq.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("cb"))
+    j = pairs.join(F.broadcast(fa), "part_a").join(F.broadcast(fb), "part_b")
+    lift = (F.col("c_ab").cast("double") / n_orders) / (
+        (F.col("ca").cast("double") / n_orders)
+        * (F.col("cb").cast("double") / n_orders)
+    )
+    return j.select(
+        "part_a", "part_b",
+        F.col("c_ab").cast("bigint").alias("c_ab"),
+        (F.floor(lift * 10000.0 + 0.5) / 10000.0).alias("lift"),
+    )
+
+
+@query(
+    "join_temporal_dim",
+    oracle="""
+        WITH versions AS (
+            SELECT c_custkey, segment, valid_from,
+                   LEAD(valid_from) OVER (
+                       PARTITION BY c_custkey ORDER BY valid_from
+                   ) AS valid_to
+            FROM (
+                SELECT c_custkey, c_mktsegment AS segment,
+                       TIMESTAMP '2024-01-01 00:00:00' AS valid_from
+                FROM customer
+                UNION ALL
+                SELECT c_custkey, 'MACHINERY-NEW',
+                       TIMESTAMP '2024-01-15 00:00:00'
+                FROM customer WHERE c_custkey % 5 = 0
+            ) v
+        )
+        SELECT e.event_id, e.user_id, e.ts, d.segment
+        FROM events e
+        JOIN versions d
+          ON e.user_id % 1500 = d.c_custkey
+         AND e.ts >= d.valid_from
+         AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+    """,
+    tags=("join", "temporal", "scd"),
+)
+def join_temporal_dim(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time join against a versioned (SCD2) dimension: each fact
+    row picks the dimension version whose [valid_from, valid_to) interval
+    contains its timestamp — equi-join on the key plus an interval
+    residual, so it plans as a hash join with a post-filter, NOT a range
+    scan. The companion read-side of ``workload_scd2``: together they are
+    how history-correct enrichment works (what segment WAS this user in
+    when the event happened). Dimension versions broadcast when small;
+    at 100 TB dims, bucket both sides on the key."""
+    c = load_table(spark, sf, "customer")
+    base = c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("valid_from"),
+    )
+    changes = c.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey",
+        F.lit("MACHINERY-NEW").alias("segment"),
+        F.to_timestamp(F.lit("2024-01-15 00:00:00")).alias("valid_from"),
+    )
+    w = W.partitionBy("c_custkey").orderBy("valid_from")
+    versions = base.unionByName(changes).select(
+        "c_custkey", "segment", "valid_from",
+        F.lead("valid_from").over(w).alias("valid_to"),
+    )
+    e = load_table(spark, sf, "events")
+    return e.join(
+        F.broadcast(versions),
+        (F.pmod(e.user_id, F.lit(1500)) == versions.c_custkey)
+        & (e.ts >= versions.valid_from)
+        & (versions.valid_to.isNull() | (e.ts < versions.valid_to)),
+    ).select("event_id", "user_id", "ts", "segment")
