@@ -1264,3 +1264,66 @@ def llm_sketch_linear_count(spark: SparkSession, sf: str) -> DataFrame:
         F.col("true_distinct").cast("bigint").alias("true_distinct"),
         (F.floor(est * 10000.0 + 0.5) / 10000.0).alias("lc_estimate"),
     )
+
+
+@query(
+    "llm_winnowing",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS toks
+            FROM documents
+        ),
+        hashed AS (
+            SELECT doc_id,
+                   [CAST(('0x' || SUBSTRING(MD5(
+                        toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                    ), 1, 8))::BIGINT AS BIGINT)
+                    FOR i IN RANGE(1, LEN(toks) - 1)] AS h
+            FROM tok WHERE LEN(toks) >= 6
+        ),
+        fp AS (
+            SELECT doc_id,
+                   LIST_SORT(LIST_DISTINCT(
+                       [LIST_MIN(h[j:j+3]) FOR j IN RANGE(1, LEN(h) - 2)]
+                   )) AS fingerprints
+            FROM hashed
+        )
+        SELECT doc_id,
+               CAST(LEN(fingerprints) AS INT) AS n_fp,
+               fingerprints[1] AS min_fp,
+               fingerprints[LEN(fingerprints)] AS max_fp
+        FROM fp
+    """,
+    tags=("llm", "dedup", "fingerprint"),
+)
+def llm_winnowing(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS algorithm): hash every
+    word 3-gram, slide a window of 4 hashes, keep each window's minimum —
+    guaranteed to select at least one fingerprint per window, so any
+    sufficiently long shared passage between two documents shares a
+    fingerprint, with ~2/(w+1) selection density. Entirely array-local
+    (transform over slices — zero shuffle, codegen'd); the distinct
+    sorted fingerprint set is the per-doc signature that joins the same
+    inverted-index dedup machinery as shingles, at ~25% the index size.
+    md5-derived hashes make engine and oracle select identical mins."""
+    d = load_table(spark, sf, "documents")
+    toks = F.split(F.lower("text"), " ")
+    t = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 6)
+    h = F.expr(
+        "transform(sequence(0, size(toks) - 3), i -> "
+        "cast(conv(substring(md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2])"
+        "), 1, 8), 16, 10) as bigint))"
+    )
+    hashed = t.select("doc_id", h.alias("h"))
+    wins = F.expr(
+        "transform(sequence(1, size(h) - 3), j -> array_min(slice(h, j, 4)))"
+    )
+    fp = hashed.select(
+        "doc_id", F.array_sort(F.array_distinct(wins)).alias("fingerprints")
+    )
+    return fp.select(
+        "doc_id",
+        F.size("fingerprints").alias("n_fp"),
+        F.element_at("fingerprints", 1).alias("min_fp"),
+        F.element_at("fingerprints", -1).alias("max_fp"),
+    )

@@ -386,3 +386,43 @@ def scan_python_stream_source(spark: SparkSession, sf: str) -> DataFrame:
     q.stop()
     q.awaitTermination()
     return spark.table("py_stream_source_sink")
+
+
+@query(
+    "scan_binary_files",
+    oracle="""
+        SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.bin' AS filename,
+               CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS length,
+               MD5(text) AS content_md5
+        FROM documents WHERE doc_id < 8
+    """,
+    tags=("scan", "connector", "multimodal"),
+)
+def scan_binary_files(spark: SparkSession, sf: str) -> DataFrame:
+    """Whole-file binary ingest via the ``binaryFile`` source — the entry
+    point for image/audio/video corpora: one row per file with path,
+    length, and raw bytes, which then feed the mapInPandas decode
+    operators (``mm_*``). Fixture bytes are written from document text so
+    the oracle can replay length and checksum; a real corpus points the
+    same reader at an object-store prefix, partitioned by the file listing.
+    Read parallelism comes from the file count — at 100 TB you shard
+    files across directories and let maxPartitionBytes pack them."""
+    import pyarrow.parquet as pq
+
+    path = scratch_dir("binary_docs")
+    os.makedirs(path, exist_ok=True)
+    # Fixture prep happens driver-side via pyarrow (8 tiny files) — the
+    # operator under test is the binaryFile READ, not this setup.
+    tbl = pq.read_table(
+        f"{sf.rstrip('/')}/documents.parquet", columns=["doc_id", "text"]
+    )
+    for doc_id, text in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+        if doc_id < 8:
+            with open(os.path.join(path, f"doc_{doc_id}.bin"), "wb") as f:
+                f.write(text.encode("utf-8"))
+    b = spark.read.format("binaryFile").load(path)
+    return b.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("filename"),
+        F.col("length"),
+        F.md5(F.col("content").cast("string")).alias("content_md5"),
+    )
