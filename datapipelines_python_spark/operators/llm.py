@@ -1327,3 +1327,53 @@ def llm_winnowing(spark: SparkSession, sf: str) -> DataFrame:
         F.element_at("fingerprints", 1).alias("min_fp"),
         F.element_at("fingerprints", -1).alias("max_fp"),
     )
+
+
+@query(
+    "llm_entropy_score",
+    oracle="""
+        WITH chars AS (
+            SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), '')) AS ch
+            FROM documents
+        ),
+        cc AS (
+            SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch
+        ),
+        tot AS (
+            SELECT doc_id, SUM(c) AS n FROM cc GROUP BY doc_id
+        )
+        SELECT cc.doc_id,
+               CAST(MAX(tot.n) AS BIGINT) AS n_chars,
+               CAST(COUNT(*) AS INT) AS alphabet_size,
+               FLOOR((-SUM((CAST(cc.c AS DOUBLE) / tot.n)
+                           * LN(CAST(cc.c AS DOUBLE) / tot.n) / LN(2.0)))
+                     * 10000.0 + 0.5) / 10000.0 AS entropy_bits
+        FROM cc JOIN tot ON cc.doc_id = tot.doc_id
+        GROUP BY cc.doc_id
+    """,
+    tags=("llm", "text", "quality"),
+)
+def llm_entropy_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Shannon character entropy per document (bits/char): natural text
+    sits ~3.5–4.5 bits; base64 blobs, hex dumps, and repeated-character
+    spam land far outside — a one-pass gibberish detector that needs no
+    dictionary. Shuffles on (doc_id, char): alphabet-bounded per doc, so
+    partial aggregation collapses almost everything map-side. The -Σp·lg p
+    sum is order-dependent float in principle, but both engines sum the
+    identical ≤alphabet-size term set; round4 absorbs the residue."""
+    d = load_table(spark, sf, "documents")
+    cc = (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), "")).alias("ch"))
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = cc.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    j = cc.join(tot, "doc_id")
+    p = F.col("c").cast("double") / F.col("n")
+    return j.groupBy("doc_id").agg(
+        F.max("n").cast("bigint").alias("n_chars"),
+        F.count(F.lit(1)).cast("int").alias("alphabet_size"),
+        (F.floor(
+            (-F.sum(p * F.log(p) / F.log(F.lit(2.0)))) * 10000.0 + 0.5
+        ) / 10000.0).alias("entropy_bits"),
+    )

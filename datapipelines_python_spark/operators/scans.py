@@ -426,3 +426,39 @@ def scan_binary_files(spark: SparkSession, sf: str) -> DataFrame:
         F.col("length"),
         F.md5(F.col("content").cast("string")).alias("content_md5"),
     )
+
+
+@query(
+    "scan_dynamic_partition_pruning",
+    oracle="""
+        WITH flags AS (
+            SELECT * FROM (VALUES ('R', 'returned')) f(flag, label)
+        )
+        SELECT l.l_orderkey, l.l_quantity, l.l_returnflag, f.label
+        FROM lineitem l JOIN flags f ON l.l_returnflag = f.flag
+    """,
+    tags=("scan", "connector", "scale"),
+)
+def scan_dynamic_partition_pruning(spark: SparkSession, sf: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is laid out partitioned
+    by the join column; the dimension carries the selective filter. At
+    planning time the partition set is unknown — Spark injects a runtime
+    subquery (DynamicPruningExpression, pinned in the plan tests) that
+    evaluates the dim side FIRST and prunes fact partitions before the
+    scan. The star-schema scale feature: a date-dim filter prunes a
+    date-partitioned 100 TB fact to the matching days with zero manual
+    predicate copying."""
+    df = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    path = scratch_dir("parquet_lineitem_dpp")
+    df.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+    fact = spark.read.parquet(path)
+    # the dim must carry a SELECTIVE filter for the DPP heuristic to fire
+    # (an unfiltered dim can't prune anything)
+    flags = spark.createDataFrame(
+        [("R", "returned"), ("A", "accepted"), ("N", "none")],
+        "flag string, label string",
+    ).filter(F.col("label") == "returned")
+    j = fact.join(flags, fact.l_returnflag == flags.flag)
+    return j.select("l_orderkey", "l_quantity", "l_returnflag", "label")

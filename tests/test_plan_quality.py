@@ -192,3 +192,8 @@ def test_clustered_sink_writes_range_partitioned(spark, registry):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "rangepartitioning" in plan.lower()
+
+
+def test_dynamic_partition_pruning_injected(spark, registry):
+    plan = _plan(spark, registry, "scan_dynamic_partition_pruning")
+    assert "dynamicpruning" in plan.lower()  # runtime partition filter
