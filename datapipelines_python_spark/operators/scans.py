@@ -462,3 +462,58 @@ def scan_dynamic_partition_pruning(spark: SparkSession, sf: str) -> DataFrame:
     ).filter(F.col("label") == "returned")
     j = fact.join(flags, fact.l_returnflag == flags.flag)
     return j.select("l_orderkey", "l_quantity", "l_returnflag", "label")
+
+
+@query(
+    "sink_python_datasource",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_orderstatus
+        FROM orders WHERE o_orderstatus = 'F'
+    """,
+    tags=("scan", "connector", "sink"),
+)
+def sink_python_datasource(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom SINK via the Spark 4 Python DataSource writer API: a
+    ``DataSourceWriter`` whose ``write(iterator)`` runs once per
+    partition on executors (each emitting its own part file — the
+    idempotent-per-task shape that makes retries safe), with ``commit``
+    finalizing on the driver. Completes the connector story: custom
+    reader (batch + streaming) AND custom writer, the template for
+    pushing to systems Spark has no sink for. Round-trip checked: the
+    written data re-read must equal the filtered source."""
+    from pyspark.sql.datasource import DataSource, DataSourceWriter, WriterCommitMessage
+
+    out_dir = scratch_dir("py_sink_orders")
+    os.makedirs(out_dir, exist_ok=True)
+
+    class _PartFileWriter(DataSourceWriter):
+        def __init__(self, options):
+            self.path = options.get("path")
+
+        def write(self, iterator):
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            n = 0
+            with open(os.path.join(self.path, f"part-{pid:05d}.csv"), "w") as f:
+                for row in iterator:
+                    f.write(f"{row.o_orderkey},{row.o_custkey},{row.o_orderstatus}\n")
+                    n += 1
+            return WriterCommitMessage()
+
+    class PartFileSink(DataSource):
+        @classmethod
+        def name(cls):
+            return "part_file_sink"
+
+        def writer(self, schema, overwrite):
+            return _PartFileWriter(self.options)
+
+    spark.dataSource.register(PartFileSink)
+    src = load_table(spark, sf, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_custkey", "o_orderstatus")
+    src.write.format("part_file_sink").option("path", out_dir).mode("append").save()
+    return spark.read.schema(
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string"
+    ).csv(out_dir)
