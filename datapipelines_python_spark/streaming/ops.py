@@ -390,3 +390,72 @@ def stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
         & (F.col("v_ts") <= F.col("p_ts")),
     ).select("purchase_id", "view_id", "user_id")
     return drain_to_memory(joined, "stream_stream_join_sink")
+
+
+@query(
+    "stream_session_dynamic_gap",
+    oracle=f"""
+        WITH base AS (
+            SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+                   CAST(ts AS TIMESTAMP) +
+                   CASE WHEN event_type = 'purchase'
+                        THEN INTERVAL '60 minutes'
+                        ELSE INTERVAL '15 minutes' END AS w_end
+            FROM events
+        ),
+        flagged AS (
+            SELECT user_id, event_id, ts, value, w_end,
+                   CASE WHEN MAX(w_end) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                        ) IS NULL
+                     OR ts > MAX(w_end) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                        )
+                        THEN 1 ELSE 0 END AS new_session
+            FROM base
+        ),
+        sessions AS (
+            SELECT user_id, ts, value, w_end,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS session_id
+            FROM flagged
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(w_end) AS session_end,
+               COUNT(*) AS n_events,
+               {sql_dsum('value')} AS sum_value
+        FROM sessions
+        GROUP BY user_id, session_id
+    """,
+    tags=("streaming", "session"),
+)
+def stream_session_dynamic_gap(spark: SparkSession, sf: str) -> DataFrame:
+    """Session windows with a DYNAMIC gap — the inactivity timeout depends
+    on the event (purchases hold a session open 60 min, everything else
+    15): ``session_window(ts, CASE ...)``. The oracle replays Spark's
+    window-merge semantics exactly: a session extends while the next
+    event starts at or before the running MAX of per-event window ends
+    (not simply last-event + constant gap — merged ends are a cumulative
+    max once gaps vary). Stateful merging is per-user, so state scales
+    with active users, same as the fixed-gap variant."""
+    s = events_stream(spark, sf)
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("60 minutes")
+    ).otherwise(F.lit("15 minutes"))
+    agg = s.groupBy(F.session_window("ts", gap), "user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
+    )
+    out = agg.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+        "sum_value",
+    )
+    return drain_to_memory(out, "stream_session_dyngap_sink", "complete")
