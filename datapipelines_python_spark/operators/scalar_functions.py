@@ -713,3 +713,46 @@ def fn_xml(spark: SparkSession, sf: str) -> DataFrame:
         F.col("r.qty").alias("qty"),
         F.col("r.lang").alias("lang_x"),
     )
+
+
+@query(
+    "fn_map_hof",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   STRING_SPLIT(lang, '')[1:2] AS ks,
+                   [CAST(doc_id % 7 AS BIGINT), CAST(doc_id % 11 AS BIGINT)]
+                       AS vs
+            FROM documents
+        )
+        SELECT doc_id,
+               LIST_SORT(ks) AS keys_sorted,
+               LIST_SORT(LIST_TRANSFORM(vs, v -> v * 2 + 1))
+                   AS scaled_sorted,
+               LEN(LIST_FILTER(vs, v -> v >= 5)) AS n_big
+        FROM t
+    """,
+    tags=("function", "map"),
+)
+def fn_map_hof(spark: SparkSession, sf: str) -> DataFrame:
+    """Map higher-order functions: build a map from key/value arrays,
+    ``transform_values`` to rescale, ``map_filter`` to gate — then emit
+    sorted key/value arrays, because map iteration order is unspecified
+    in BOTH engines (and across Spark shuffles): any hash or comparison
+    of a raw map is a nondeterminism bug. The sorted-projection is the
+    portable boundary; DuckDB's oracle works on the underlying lists."""
+    d = load_table(spark, sf, "documents")
+    ks = F.slice(F.split("lang", ""), 1, 2)
+    vs = F.array(
+        (F.col("doc_id") % 7).cast("long"), (F.col("doc_id") % 11).cast("long")
+    )
+    t = d.select("doc_id", ks.alias("ks"), vs.alias("vs"))
+    m = F.map_from_arrays("ks", "vs")
+    scaled = F.transform_values(m, lambda k, v: v * 2 + 1)
+    big = F.map_filter(m, lambda k, v: v >= 5)
+    return t.select(
+        "doc_id",
+        F.sort_array(F.map_keys(m)).alias("keys_sorted"),
+        F.sort_array(F.map_values(scaled)).alias("scaled_sorted"),
+        F.size(F.map_values(big)).alias("n_big"),
+    )

@@ -473,3 +473,44 @@ def win_following_frame(spark: SparkSession, sf: str) -> DataFrame:
             .over(w.rowsBetween(1, W.unboundedFollowing))
             .cast("bigint").alias("n_later"),
     )
+
+
+@query(
+    "win_nth_value",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               NTH_VALUE(o_totalprice, 2) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS second_order_price,
+               FIRST_VALUE(o_orderkey) OVER (
+                   PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS biggest_order_key
+        FROM orders
+    """,
+    tags=("window",),
+)
+def win_nth_value(spark: SparkSession, sf: str) -> DataFrame:
+    """``nth_value`` over the full partition (second order ever placed)
+    plus a differently-ordered ``first_value`` in the same select — two
+    window specs, two sorts, one shuffle each on the same key; Catalyst
+    shares the exchange between them. Explicit full-frame bounds because
+    the default frame stops at CURRENT ROW, which silently turns
+    nth_value into 'nth so far' — a classic window-frame bug."""
+    o = load_table(spark, sf, "orders")
+    w1 = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    w2 = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey", "o_orderkey", "o_totalprice",
+        F.nth_value("o_totalprice", 2).over(w1).alias("second_order_price"),
+        F.first("o_orderkey").over(w2).alias("biggest_order_key"),
+    )

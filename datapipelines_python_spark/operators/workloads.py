@@ -1556,3 +1556,68 @@ def join_temporal_dim(spark: SparkSession, sf: str) -> DataFrame:
         & (e.ts >= versions.valid_from)
         & (versions.valid_to.isNull() | (e.ts < versions.valid_to)),
     ).select("event_id", "user_id", "ts", "segment")
+
+
+@query(
+    "workload_profile_table",
+    oracle="""
+        SELECT 'o_orderkey' AS col_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+               CAST(MIN(o_orderkey) AS VARCHAR) AS min_repr,
+               CAST(MAX(o_orderkey) AS VARCHAR) AS max_repr
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+               COUNT(DISTINCT o_orderstatus),
+               CAST(MIN(o_orderstatus) AS VARCHAR),
+               CAST(MAX(o_orderstatus) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+               COUNT(DISTINCT o_orderpriority),
+               CAST(MIN(o_orderpriority) AS VARCHAR),
+               CAST(MAX(o_orderpriority) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+               COUNT(DISTINCT o_custkey),
+               CAST(MIN(o_custkey) AS VARCHAR),
+               CAST(MAX(o_custkey) AS VARCHAR)
+        FROM orders
+    """,
+    tags=("workload", "profiling"),
+)
+def workload_profile_table(spark: SparkSession, sf: str) -> DataFrame:
+    """Column profiling (the ANALYZE/data-quality summary): one row per
+    column with row/null/distinct counts and min/max (string repr for a
+    uniform schema). Computed as ONE aggregate pass over the table — all
+    per-column stats are sibling aggregates in a single agg, then
+    unpivoted driver-free via an Expand of literal column names — not N
+    scans. The first thing a pipeline runs on unfamiliar input, and the
+    stats feed CBO/layout decisions at scale."""
+    o = load_table(spark, sf, "orders")
+    cols = ["o_orderkey", "o_orderstatus", "o_orderpriority", "o_custkey"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"{c}__nonnull"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    profile = None
+    for c in cols:
+        row = wide.select(
+            F.lit(c).alias("col_name"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            (F.col("n_rows") - F.col(f"{c}__nonnull")).cast("bigint")
+                .alias("n_nulls"),
+            F.col(f"{c}__distinct").cast("bigint").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_repr"),
+            F.col(f"{c}__max").alias("max_repr"),
+        )
+        profile = row if profile is None else profile.unionByName(row)
+    return profile
