@@ -596,3 +596,51 @@ def join_null_safe_eq(spark: SparkSession, sf: str) -> DataFrame:
     ).select(F.nullif(F.col("t"), F.lit("click")).alias("et"), "w")
     j = e.join(F.broadcast(d), e.et.eqNullSafe(d.et))
     return j.select("event_id", "user_id", "w")
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+        WITH e AS (
+            SELECT event_id, user_id % 1500 AS k, CAST(ts AS TIMESTAMP) AS ts
+            FROM events
+        ),
+        ranked AS (
+            SELECT e.event_id, e.k, e.ts, o.o_orderkey, o.o_orderdate,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY ABS(EPOCH(e.ts) - EPOCH(o.o_orderdate)),
+                                o.o_orderdate, o.o_orderkey
+                   ) AS rn
+            FROM e JOIN orders o ON o.o_custkey = e.k
+        )
+        SELECT event_id, k, ts, o_orderkey, o_orderdate
+        FROM ranked WHERE rn = 1
+    """,
+    tags=("join", "asof"),
+)
+def join_asof_nearest(spark: SparkSession, sf: str) -> DataFrame:
+    """NEAREST as-of join (either direction): each event pairs with the
+    temporally closest order for its key — ties broken (earlier date,
+    lower key) so the winner is unique. Beside the backward-only
+    ``join_asof``: backward answers "state at event time", nearest
+    answers "which transaction does this event belong to". Shape: equi
+    join on the key then a per-event argmin window — candidate count is
+    per-key order volume, never a cross product; at 100 TB add a coarse
+    time-bucket equi-key to bound candidates per event."""
+    e = load_table(spark, sf, "events").select(
+        "event_id", F.pmod(F.col("user_id"), F.lit(1500)).alias("k"), "ts"
+    )
+    o = load_table(spark, sf, "orders").select(
+        F.col("o_custkey").alias("k"), "o_orderkey", "o_orderdate"
+    )
+    j = e.join(o, "k")
+    diff = F.abs(
+        F.unix_timestamp("ts") - F.unix_timestamp("o_orderdate")
+    )
+    w = W.partitionBy("event_id").orderBy(diff, "o_orderdate", "o_orderkey")
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "k", "ts", "o_orderkey", "o_orderdate")
+    )

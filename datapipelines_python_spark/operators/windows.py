@@ -514,3 +514,45 @@ def win_nth_value(spark: SparkSession, sf: str) -> DataFrame:
         F.nth_value("o_totalprice", 2).over(w1).alias("second_order_price"),
         F.first("o_orderkey").over(w2).alias("biggest_order_key"),
     )
+
+
+@query(
+    "win_forward_fill",
+    oracle="""
+        WITH gappy AS (
+            SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                   CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v
+            FROM events
+        )
+        SELECT event_id, user_id, ts, v,
+               LAST_VALUE(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS v_filled
+        FROM gappy
+    """,
+    tags=("window", "gapfill"),
+)
+def win_forward_fill(spark: SparkSession, sf: str) -> DataFrame:
+    """Forward fill (last observation carried forward): ``last(...,
+    ignorenulls=True)`` over a running frame propagates the latest
+    non-null reading into gaps — the sensor/metric gap-repair primitive
+    (a third of events nulled here to create gaps). One window shuffle on
+    the series key; rows before the first observation stay NULL, which
+    is the honest answer (fabricating a backfill needs a policy, not a
+    default)."""
+    e = load_table(spark, sf, "events")
+    gappy = e.select(
+        "event_id", "user_id", "ts",
+        F.when(F.col("event_id") % 3 == 0, None).otherwise(F.col("value"))
+            .alias("v"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return gappy.select(
+        "event_id", "user_id", "ts", "v",
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+    )
