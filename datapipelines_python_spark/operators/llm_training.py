@@ -1664,3 +1664,67 @@ def llm_cross_source_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return survivors.groupBy("source", "lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_survivors")
     )
+
+
+from datapipelines_python_spark.registry import _REGISTRY as _REG2
+
+
+@query(
+    "llm_dedup_eval",
+    oracle=f"""
+        WITH exact_pairs AS ({_REG2["llm_dedup_near"].oracle}),
+        lsh_pairs AS ({_REG2["llm_dedup_minhash_lsh"].oracle}),
+        stats AS (
+            SELECT (SELECT COUNT(*) FROM exact_pairs) AS n_exact,
+                   (SELECT COUNT(*) FROM lsh_pairs) AS n_lsh,
+                   (SELECT COUNT(*) FROM exact_pairs e
+                     WHERE EXISTS (SELECT 1 FROM lsh_pairs l
+                                   WHERE l.doc_a = e.doc_a
+                                     AND l.doc_b = e.doc_b)) AS n_hit
+        )
+        SELECT CAST(n_exact AS BIGINT) AS n_exact,
+               CAST(n_lsh AS BIGINT) AS n_lsh,
+               CAST(n_hit AS BIGINT) AS n_hit,
+               CASE WHEN n_exact = 0 THEN 1.0
+                    ELSE FLOOR((CAST(n_hit AS DOUBLE) / n_exact)
+                               * 10000.0 + 0.5) / 10000.0 END AS recall,
+               CASE WHEN n_lsh = 0 THEN 1.0
+                    ELSE FLOOR((CAST(n_hit AS DOUBLE) / n_lsh)
+                               * 10000.0 + 0.5) / 10000.0 END AS precision
+        FROM stats
+    """,
+    tags=("llm", "dedup", "eval"),
+)
+def llm_dedup_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall/precision of the sub-quadratic LSH dedup against the exact
+    inverted-index ground truth — the index-tuning loop for dedup, same
+    discipline as ``llm_ann_recall`` for similarity search: band/row
+    parameters get adjusted until recall clears the bar, THEN the cheap
+    path ships. Composes two registered operators; the oracle composes
+    their SQL verbatim, so the metric itself is engine-checked. At scale
+    the ground truth comes from a sampled shard, which is this exact
+    shape."""
+    exact = _REG2["llm_dedup_near"].fn(spark, sf).select("doc_a", "doc_b")
+    lsh = (
+        _REG2["llm_dedup_minhash_lsh"].fn(spark, sf)
+        .select("doc_a", "doc_b", F.lit(1).alias("hit"))
+    )
+    joined = exact.join(lsh, ["doc_a", "doc_b"], "left")
+    stats = joined.agg(
+        F.count(F.lit(1)).alias("n_exact"), F.count("hit").alias("n_hit")
+    ).crossJoin(lsh.agg(F.count(F.lit(1)).alias("n_lsh")))
+    rec = F.when(F.col("n_exact") == 0, 1.0).otherwise(
+        F.floor((F.col("n_hit").cast("double") / F.col("n_exact")) * 10000.0 + 0.5)
+        / 10000.0
+    )
+    prec = F.when(F.col("n_lsh") == 0, 1.0).otherwise(
+        F.floor((F.col("n_hit").cast("double") / F.col("n_lsh")) * 10000.0 + 0.5)
+        / 10000.0
+    )
+    return stats.select(
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.col("n_lsh").cast("bigint").alias("n_lsh"),
+        F.col("n_hit").cast("bigint").alias("n_hit"),
+        rec.alias("recall"),
+        prec.alias("precision"),
+    )
