@@ -1621,3 +1621,67 @@ def workload_profile_table(spark: SparkSession, sf: str) -> DataFrame:
         )
         profile = row if profile is None else profile.unionByName(row)
     return profile
+
+
+@query(
+    "workload_incremental_rollup",
+    oracle="""
+        WITH existing AS (
+            SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day_b,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(38,8))) AS VARCHAR)
+                        AS DOUBLE) AS sum_value
+            FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00'
+            GROUP BY 1, 2
+        ),
+        increment AS (
+            SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day_b,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(38,8))) AS VARCHAR)
+                        AS DOUBLE) AS sum_value
+            FROM events WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+            GROUP BY 1, 2
+        ),
+        merged AS (
+            SELECT day_b, event_type, n_events, sum_value FROM existing
+            UNION ALL
+            SELECT day_b, event_type, n_events, sum_value FROM increment
+        )
+        SELECT day_b, event_type,
+               CAST(SUM(n_events) AS BIGINT) AS n_events,
+               CAST(CAST(SUM(CAST(sum_value AS DECIMAL(38,8))) AS VARCHAR)
+                    AS DOUBLE) AS sum_value
+        FROM merged GROUP BY day_b, event_type
+    """,
+    tags=("workload", "timeseries", "incremental"),
+)
+def workload_incremental_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental materialized-view maintenance: yesterday's rollup table
+    plus today's increment merge by re-aggregating their UNION — counts
+    and decimal sums are mergeable, so the merge touches only rollup-sized
+    data (days × types), never the raw history. This is the refresh loop
+    ``workload_hypertable_rollup`` runs per arriving partition at 100 TB;
+    mergeability is also why the profile/sketch ops keep sums and counts
+    instead of finished averages. The cutoff splits the fixture stream
+    into 'existing' and 'increment' so the oracle replays both halves."""
+    e = load_table(spark, sf, "events")
+    cutoff = F.lit("2024-01-20 00:00:00").cast("timestamp")
+
+    def rollup(df):
+        return df.groupBy(
+            F.date_trunc("day", "ts").alias("day_b"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+
+    existing = rollup(e.filter(F.col("ts") < cutoff))
+    increment = rollup(e.filter(F.col("ts") >= cutoff))
+    merged = existing.unionByName(increment)
+    return merged.groupBy("day_b", "event_type").agg(
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        dsum(F.col("sum_value")).alias("sum_value"),
+    )
