@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from datapipelines_python_spark.catalog import load_table
-from datapipelines_python_spark.operators._helpers import round4, sql_round4
+from datapipelines_python_spark.operators._helpers import dsum, round4, sql_round4
 from datapipelines_python_spark.operators.llm import dot, sql_dot
 from datapipelines_python_spark.registry import query
 
@@ -1727,4 +1727,129 @@ def llm_dedup_eval(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_hit").cast("bigint").alias("n_hit"),
         rec.alias("recall"),
         prec.alias("precision"),
+    )
+
+
+@query(
+    "llm_perplexity_filter",
+    oracle="""
+        WITH split AS (
+            SELECT doc_id, LOWER(text) AS t,
+                   CAST(('0x' || SUBSTRING(
+                       MD5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8
+                   ))::BIGINT % 100 AS INT) AS bucket
+            FROM documents
+        ),
+        train_ex AS (
+            SELECT doc_id,
+                   GENERATE_SUBSCRIPTS(STRING_SPLIT(t, ' '), 1) AS pos,
+                   UNNEST(STRING_SPLIT(t, ' ')) AS tok
+            FROM split WHERE bucket < 95
+        ),
+        uni AS (
+            SELECT tok, COUNT(*) AS c1 FROM train_ex GROUP BY tok
+        ),
+        v AS (SELECT COUNT(*) AS vocab FROM uni),
+        bi AS (
+            SELECT w1, w2, COUNT(*) AS c2 FROM (
+                SELECT doc_id,
+                       LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+                       tok AS w2
+                FROM train_ex
+            ) p WHERE w1 IS NOT NULL GROUP BY w1, w2
+        ),
+        test_bi AS (
+            SELECT doc_id, w1, w2 FROM (
+                SELECT doc_id,
+                       LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+                       tok AS w2
+                FROM (
+                    SELECT doc_id,
+                           GENERATE_SUBSCRIPTS(STRING_SPLIT(t, ' '), 1) AS pos,
+                           UNNEST(STRING_SPLIT(t, ' ')) AS tok
+                    FROM split WHERE bucket >= 95
+                ) x
+            ) p WHERE w1 IS NOT NULL
+        ),
+        scored AS (
+            SELECT tb.doc_id,
+                   -LN((COALESCE(bi.c2, 0) + 1.0)
+                       / (COALESCE(uni.c1, 0) + v.vocab)) AS nll
+            FROM test_bi tb
+            LEFT JOIN bi ON tb.w1 = bi.w1 AND tb.w2 = bi.w2
+            LEFT JOIN uni ON tb.w1 = uni.tok, v
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               FLOOR((CAST(CAST(SUM(CAST(nll AS DECIMAL(38,8))) AS VARCHAR)
+                           AS DOUBLE) / COUNT(*)) * 10000.0 + 0.5) / 10000.0
+                   AS avg_nll,
+               (CAST(CAST(SUM(CAST(nll AS DECIMAL(38,8))) AS VARCHAR)
+                     AS DOUBLE) / COUNT(*)) < 9.0 AS keep
+        FROM scored GROUP BY doc_id
+    """,
+    tags=("llm", "quality", "lm"),
+)
+def llm_perplexity_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Perplexity filtering (the CCNet recipe): an add-one-smoothed bigram
+    LM trained on the corpus's own train split scores each held-out doc's
+    average negative log-likelihood; fluent text scores low, gibberish and
+    boilerplate high, and the threshold becomes the keep gate. The LM IS
+    two count tables — unigram and bigram frequencies — broadcast-joined
+    onto the test bigrams, which is why this runs at corpus scale without
+    a model server. Per-doc NLL sums ride decimal (term count varies per
+    doc; order must not matter); probabilities are IEEE-identical on both
+    engines, so the gate is engine-exact."""
+    d = load_table(spark, sf, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint") % 100
+    ).cast("int")
+    split = d.select("doc_id", F.lower("text").alias("t"), bucket.alias("bucket"))
+
+    def bigrams(df):
+        ex = df.select(
+            "doc_id", F.posexplode(F.split("t", " ")).alias("pos", "tok")
+        )
+        w = W.partitionBy("doc_id").orderBy("pos")
+        return ex.select(
+            "doc_id", F.lag("tok").over(w).alias("w1"), F.col("tok").alias("w2")
+        ).filter(F.col("w1").isNotNull())
+
+    train = split.filter(F.col("bucket") < 95)
+    test = split.filter(F.col("bucket") >= 95)
+    train_ex = train.select(
+        "doc_id", F.posexplode(F.split("t", " ")).alias("pos", "tok")
+    )
+    uni = train_ex.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = uni.agg(F.count(F.lit(1)).alias("vocab"))
+    bi = bigrams(train).groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    tb = bigrams(test)
+    scored = (
+        tb.join(F.broadcast(bi), ["w1", "w2"], "left")
+        .join(
+            F.broadcast(uni.select(F.col("tok").alias("w1"), "c1")), "w1", "left"
+        )
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            (-F.log(
+                (F.coalesce(F.col("c2"), F.lit(0)) + 1.0)
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("vocab"))
+            )).alias("nll"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        (dsum(F.col("nll")) / F.count(F.lit(1))).alias("raw_avg"),
+    )
+    return agg.select(
+        "doc_id", "n_bigrams",
+        (F.floor(F.col("raw_avg") * 10000.0 + 0.5) / 10000.0).alias("avg_nll"),
+        (F.col("raw_avg") < 9.0).alias("keep"),
     )
