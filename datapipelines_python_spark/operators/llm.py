@@ -1377,3 +1377,47 @@ def llm_entropy_score(spark: SparkSession, sf: str) -> DataFrame:
             (-F.sum(p * F.log(p) / F.log(F.lit(2.0)))) * 10000.0 + 0.5
         ) / 10000.0).alias("entropy_bits"),
     )
+
+
+@query(
+    "llm_quality_composite",
+    oracle=f"""
+        WITH gopher AS ({_REG["llm_quality_gopher"].oracle}),
+        entropy AS ({_REG["llm_entropy_score"].oracle}),
+        readability AS ({_REG["llm_readability"].oracle})
+        SELECT g.doc_id,
+               g.keep AS keep_gopher,
+               (e.entropy_bits >= 3.0 AND e.entropy_bits <= 5.2)
+                   AS keep_entropy,
+               (r.flesch > 0.0) AS keep_readability,
+               (g.keep AND e.entropy_bits >= 3.0 AND e.entropy_bits <= 5.2
+                AND r.flesch > 0.0) AS keep_final
+        FROM gopher g
+        JOIN entropy e ON g.doc_id = e.doc_id
+        JOIN readability r ON g.doc_id = r.doc_id
+    """,
+    tags=("llm", "quality", "pipeline"),
+)
+def llm_quality_composite(spark: SparkSession, sf: str) -> DataFrame:
+    """The assembled quality gate: Gopher repetition/composition signals ∧
+    entropy band (3.0–5.2 bits/char ≈ natural text) ∧ readability floor —
+    each signal a registered operator, each oracle composed verbatim, so
+    the COMBINED policy is engine-checked end to end. All three signals
+    derive from the same documents scan; Catalyst shares nothing across
+    the joins here by default, but at 100 TB you'd compute the signals in
+    one pass (they're sibling aggregates) and this op is the policy spec
+    the fused job must reproduce — which is exactly what the oracle
+    verifies."""
+    g = _REG["llm_quality_gopher"].fn(spark, sf).select("doc_id", "keep")
+    e = _REG["llm_entropy_score"].fn(spark, sf).select("doc_id", "entropy_bits")
+    r = _REG["llm_readability"].fn(spark, sf).select("doc_id", "flesch")
+    j = g.join(e, "doc_id").join(r, "doc_id")
+    keep_entropy = (F.col("entropy_bits") >= 3.0) & (F.col("entropy_bits") <= 5.2)
+    keep_read = F.col("flesch") > 0.0
+    return j.select(
+        "doc_id",
+        F.col("keep").alias("keep_gopher"),
+        keep_entropy.alias("keep_entropy"),
+        keep_read.alias("keep_readability"),
+        (F.col("keep") & keep_entropy & keep_read).alias("keep_final"),
+    )
