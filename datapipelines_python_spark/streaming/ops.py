@@ -459,3 +459,44 @@ def stream_session_dynamic_gap(spark: SparkSession, sf: str) -> DataFrame:
         "sum_value",
     )
     return drain_to_memory(out, "stream_session_dyngap_sink", "complete")
+
+
+@query(
+    "stream_append_mode_windows",
+    oracle=f"""
+        WITH mx AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS max_ts FROM events),
+        agg AS (
+            SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS win_start,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   {sql_dsum('value')} AS sum_value
+            FROM events
+            GROUP BY 1, 2
+        )
+        SELECT win_start, event_type, n_events, sum_value
+        FROM agg, mx
+        WHERE win_start + INTERVAL 1 HOUR <= mx.max_ts - INTERVAL 10 MINUTE
+    """,
+    tags=("streaming", "watermark"),
+)
+def stream_append_mode_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Append-mode windowed aggregation: each 1-hour window is emitted
+    EXACTLY ONCE — when the 10-minute watermark passes its end — instead
+    of being re-emitted on every update. The price of exactly-once
+    emission is that windows still open at stream end never appear; the
+    oracle replays that semantics precisely (window end ≤ final
+    watermark = max event time − 10 min). Append mode is what feeds
+    downstream file/table sinks at scale, where updates-in-place don't
+    exist and re-emission would mean duplicates."""
+    s = events_stream(spark, sf).withWatermark("ts", "10 minutes")
+    agg = s.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
+    )
+    out = agg.select(
+        F.col("window.start").alias("win_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+    return drain_to_memory(out, "stream_append_windows_sink", "append")
