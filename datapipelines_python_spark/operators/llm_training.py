@@ -1853,3 +1853,61 @@ def llm_perplexity_filter(spark: SparkSession, sf: str) -> DataFrame:
         (F.floor(F.col("raw_avg") * 10000.0 + 0.5) / 10000.0).alias("avg_nll"),
         (F.col("raw_avg") < 9.0).alias("keep"),
     )
+
+
+@query(
+    "mm_image_patch_grid",
+    oracle="""
+        WITH img AS (
+            SELECT doc_id,
+                   64 AS width,
+                   CAST(OCTET_LENGTH(ENCODE(text)) // 64 AS INT) AS height
+            FROM documents
+            WHERE OCTET_LENGTH(ENCODE(text)) // 64 >= 16
+        ),
+        grid AS (
+            SELECT doc_id, width, height,
+                   width // 16 AS nx, height // 16 AS ny
+            FROM img
+        )
+        SELECT doc_id,
+               CAST(p AS INT) AS patch_id,
+               CAST((p % nx) * 16 AS INT) AS x0,
+               CAST((p // nx) * 16 AS INT) AS y0,
+               CAST(nx * ny AS INT) AS n_patches
+        FROM (
+            SELECT doc_id, nx, ny, UNNEST(range(0, nx * ny)) AS p
+            FROM grid
+        ) g
+    """,
+    tags=("llm", "multimodal"),
+)
+def mm_image_patch_grid(spark: SparkSession, sf: str) -> DataFrame:
+    """ViT-style patchification geometry: treat the payload as a 64-wide
+    8-bit image, tile it into 16×16 patches, and emit one row per patch
+    with its grid position — the row fan-out a vision tokenizer performs
+    before embedding. Pure JVM arithmetic (sequence + explode), no Python:
+    the geometry layer needs no decoder, which is the point — schema and
+    partitioning are settled before the expensive decode UDF (see
+    ``mm_binary_features``) ever runs."""
+    d = load_table(spark, sf, "documents")
+    height = (F.length(F.col("text").cast("binary")) / 64).cast("int")
+    img = d.select(
+        "doc_id", F.lit(64).alias("width"), height.alias("height")
+    ).filter(height >= 16)
+    grid = img.select(
+        "doc_id",
+        (F.col("width") / 16).cast("int").alias("nx"),
+        (F.col("height") / 16).cast("int").alias("ny"),
+    )
+    g = grid.select(
+        "doc_id", "nx", "ny",
+        F.explode(F.sequence(F.lit(0), F.col("nx") * F.col("ny") - 1)).alias("p"),
+    )
+    return g.select(
+        "doc_id",
+        F.col("p").cast("int").alias("patch_id"),
+        ((F.col("p") % F.col("nx")) * 16).cast("int").alias("x0"),
+        (F.floor(F.col("p") / F.col("nx")) * 16).cast("int").alias("y0"),
+        (F.col("nx") * F.col("ny")).cast("int").alias("n_patches"),
+    )

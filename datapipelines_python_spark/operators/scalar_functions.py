@@ -756,3 +756,32 @@ def fn_map_hof(spark: SparkSession, sf: str) -> DataFrame:
         F.sort_array(F.map_values(scaled)).alias("scaled_sorted"),
         F.size(F.map_values(big)).alias("n_big"),
     )
+
+
+@query(
+    "fn_regexp_extract_all",
+    oracle="""
+        SELECT doc_id,
+               regexp_extract_all(LOWER(text), '(^| )([aeiou][a-z]+)', 2)
+                   AS vowel_words,
+               LEN(regexp_extract_all(LOWER(text), '(^| )([aeiou][a-z]+)', 2))
+                   AS n_vowel_words
+        FROM documents
+    """,
+    tags=("function", "regexp"),
+)
+def fn_regexp_extract_all(spark: SparkSession, sf: str) -> DataFrame:
+    """``regexp_extract_all`` with a capture-group index: every
+    vowel-initial word per document, in positional order (both engines
+    scan left-to-right, so the array order is deterministic without a
+    sort). The all-matches extraction primitive behind the PII and
+    pattern-mining ops; patterns stay POSIX-portable across Java regex
+    and RE2."""
+    d = load_table(spark, sf, "documents")
+    pat = "(^| )([aeiou][a-z]+)"
+    return d.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower("text"), F.lit(pat), 2).alias("vowel_words"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(pat), 2))
+            .alias("n_vowel_words"),
+    )
