@@ -1421,3 +1421,79 @@ def llm_quality_composite(spark: SparkSession, sf: str) -> DataFrame:
         keep_read.alias("keep_readability"),
         (F.col("keep") & keep_entropy & keep_read).alias("keep_final"),
     )
+
+
+@query(
+    "llm_zipf_fit",
+    oracle="""
+        WITH tc AS (
+            SELECT tok, COUNT(*) AS c
+            FROM (SELECT UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok
+                  FROM documents) t
+            GROUP BY tok
+        ),
+        ranked AS (
+            SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rnk
+            FROM tc
+        ),
+        pts AS (
+            SELECT LN(CAST(rnk AS DOUBLE)) AS x, LN(CAST(c AS DOUBLE)) AS y
+            FROM ranked WHERE rnk <= 1000
+        ),
+        s AS (
+            SELECT COUNT(*) AS n,
+                   CAST(CAST(SUM(CAST(x AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS sx,
+                   CAST(CAST(SUM(CAST(y AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS sy,
+                   CAST(CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS sxx,
+                   CAST(CAST(SUM(CAST(x * y AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS sxy
+            FROM pts
+        )
+        SELECT CAST(n AS BIGINT) AS n_points,
+               FLOOR(((sxy - sx * sy / n) / (sxx - sx * sx / n))
+                     * 10000.0 + 0.5) / 10000.0 AS zipf_slope,
+               FLOOR(((sy - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * sx)
+                      / n) * 10000.0 + 0.5) / 10000.0 AS intercept
+        FROM s
+    """,
+    tags=("llm", "text", "stats"),
+)
+def llm_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
+    """Zipf's-law fit over the top-1000 token ranks: least-squares slope
+    of ln(freq) on ln(rank) — natural language sits near −1; a corpus
+    that drifts far off is boilerplate-heavy or synthetic, making the
+    slope a cheap corpus-health dial. The regression is four decimal-exact
+    power sums finished with one fixed double formula (same discipline as
+    ``agg_moments``); ranking ties break on token so both engines rank
+    identically."""
+    d = load_table(spark, sf, "documents")
+    tc = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from pyspark.sql.window import Window as W_
+
+    ranked = tc.select(
+        "c", F.row_number().over(W_.orderBy(F.col("c").desc(), F.col("tok"))).alias("rnk")
+    ).filter(F.col("rnk") <= 1000)
+    pts = ranked.select(
+        F.log(F.col("rnk").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    D18 = "decimal(38,18)"
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(D18)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(D18)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(D18)).cast("double").alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast(D18)).cast("double").alias("sxy"),
+    )
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return s.select(
+        F.col("n").cast("bigint").alias("n_points"),
+        (F.floor(slope * 10000.0 + 0.5) / 10000.0).alias("zipf_slope"),
+        (F.floor(intercept * 10000.0 + 0.5) / 10000.0).alias("intercept"),
+    )
