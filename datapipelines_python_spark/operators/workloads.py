@@ -1685,3 +1685,70 @@ def workload_incremental_rollup(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("n_events").cast("bigint").alias("n_events"),
         dsum(F.col("sum_value")).alias("sum_value"),
     )
+
+
+@query(
+    "workload_rfm_segmentation",
+    oracle="""
+        WITH rfm AS (
+            SELECT o_custkey,
+                   DATEDIFF('day', MAX(CAST(o_orderdate AS DATE)),
+                            DATE '2024-06-01') AS recency_days,
+                   COUNT(*) AS frequency,
+                   CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,8)))
+                        AS VARCHAR) AS DOUBLE) AS monetary
+            FROM orders GROUP BY o_custkey
+        ),
+        scored AS (
+            SELECT o_custkey, recency_days, frequency, monetary,
+                   NTILE(5) OVER (ORDER BY recency_days DESC, o_custkey)
+                       AS r_score,
+                   NTILE(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+                   NTILE(5) OVER (ORDER BY monetary, o_custkey) AS m_score
+            FROM rfm
+        )
+        SELECT o_custkey, recency_days,
+               CAST(frequency AS BIGINT) AS frequency, monetary,
+               r_score, f_score, m_score,
+               CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+                    WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+                    WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+                    ELSE 'regular' END AS segment
+        FROM scored
+    """,
+    tags=("workload", "bi"),
+)
+def workload_rfm_segmentation(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM customer segmentation: recency / frequency / monetary per
+    customer, quintile-scored with NTILE (ties broken by key so quintile
+    membership is deterministic — unordered NTILE is a silent
+    reproducibility bug), then rule-based segments. One customer-keyed
+    agg plus three single-partition windows over the customer-sized frame
+    (already aggregated, so the unpartitioned window is cheap — same
+    argument as ``win_share_of_total``). The marketing-analytics staple."""
+    o = load_table(spark, sf, "orders")
+    ref = F.lit("2024-06-01").cast("date")
+    rfm = o.groupBy("o_custkey").agg(
+        F.datediff(ref, F.max(F.col("o_orderdate").cast("date")))
+            .alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        dsum(F.col("o_totalprice")).alias("monetary"),
+    )
+    r_w = W.orderBy(F.col("recency_days").desc(), F.col("o_custkey"))
+    f_w = W.orderBy(F.col("frequency"), F.col("o_custkey"))
+    m_w = W.orderBy(F.col("monetary"), F.col("o_custkey"))
+    scored = rfm.select(
+        "o_custkey", "recency_days",
+        F.col("frequency").cast("bigint").alias("frequency"),
+        "monetary",
+        F.ntile(5).over(r_w).alias("r_score"),
+        F.ntile(5).over(f_w).alias("f_score"),
+        F.ntile(5).over(m_w).alias("m_score"),
+    )
+    seg = (
+        F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "champion")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4), "at_risk")
+        .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2), "new")
+        .otherwise("regular")
+    )
+    return scored.withColumn("segment", seg)
