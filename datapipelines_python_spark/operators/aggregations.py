@@ -631,3 +631,38 @@ def agg_weighted_avg(spark: SparkSession, sf: str) -> DataFrame:
             F.col("weighted_sum") / F.col("weight_sum")
         ).alias("weighted_avg_price"),
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    tags=("agg", "distinct", "bitmap"),
+)
+def agg_bitmap_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) via Spark 4 bitmap aggregates: keys are
+    mapped to (bucket, bit) positions, per-bucket bitmaps are OR-merged
+    with ``bitmap_construct_agg``, and the final count is a sum of
+    per-bucket popcounts. Same answer as COUNT(DISTINCT) — the oracle —
+    but the intermediate state is mergeable fixed-width bytes rather
+    than a hash set of keys, which is the distinct-count formulation
+    that survives 100 TB: partial states are tiny, re-aggregable across
+    partitions/days (same argument as ``workload_incremental_rollup``),
+    and never spill a per-group hash table. Two narrow shuffles:
+    (status, bucket) then (status)."""
+    o = load_table(spark, sf, "orders")
+    per_bucket = o.groupBy(
+        "o_orderstatus",
+        F.bitmap_bucket_number(F.col("o_custkey")).alias("bucket"),
+    ).agg(
+        F.bitmap_construct_agg(
+            F.bitmap_bit_position(F.col("o_custkey"))
+        ).alias("bm")
+    )
+    return per_bucket.groupBy("o_orderstatus").agg(
+        F.sum(F.bitmap_count("bm")).cast("bigint").alias("n_customers")
+    )

@@ -1752,3 +1752,164 @@ def workload_rfm_segmentation(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise("regular")
     )
     return scored.withColumn("segment", seg)
+
+
+@query(
+    "workload_gap_fill_calendar",
+    oracle="""
+        WITH bounds AS (
+            SELECT DATE_TRUNC('hour', MIN(ts)) AS lo,
+                   DATE_TRUNC('hour', MAX(ts)) AS hi
+            FROM events
+        ),
+        hours AS (
+            SELECT UNNEST(GENERATE_SERIES(lo, hi, INTERVAL 1 HOUR)) AS hour_b
+            FROM bounds
+        ),
+        types AS (SELECT DISTINCT event_type FROM events),
+        grid AS (SELECT hour_b, event_type FROM hours CROSS JOIN types),
+        actual AS (
+            SELECT DATE_TRUNC('hour', ts) AS hour_b, event_type,
+                   COUNT(*) AS n,
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(38,8))) AS VARCHAR)
+                        AS DOUBLE) AS sv
+            FROM events GROUP BY 1, 2
+        )
+        SELECT g.hour_b, g.event_type,
+               CAST(COALESCE(a.n, 0) AS BIGINT) AS n_events,
+               COALESCE(a.sv, 0.0) AS sum_value
+        FROM grid g LEFT JOIN actual a
+          ON g.hour_b = a.hour_b AND g.event_type = a.event_type
+    """,
+    tags=("workload", "timeseries"),
+)
+def workload_gap_fill_calendar(spark: SparkSession, sf: str) -> DataFrame:
+    """Calendar densification (gap fill): hourly rollup left-joined onto
+    the full hour × event_type grid generated with ``sequence`` + explode,
+    missing cells zero-filled — what every time-series chart / downstream
+    window needs before LOCF (``win_forward_fill``) or anomaly scoring
+    can be trusted. The grid is *generated*, never scanned: bounds come
+    from one tiny agg, then ``sequence(lo, hi, 1 hour)`` fans out
+    driver-free on the executors; at 100 TB the grid side stays
+    hours × types (thousands of rows) and broadcasts onto the rollup
+    regardless of fact size."""
+    e = load_table(spark, sf, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_b")
+    )
+    types = e.select("event_type").distinct()
+    grid = hours.crossJoin(types)
+    actual = e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_b"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("value")).alias("sv"),
+    )
+    return grid.join(actual, ["hour_b", "event_type"], "left").select(
+        "hour_b",
+        "event_type",
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+        F.coalesce(F.col("sv"), F.lit(0.0)).alias("sum_value"),
+    )
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+        WITH nv AS MATERIALIZED (
+            SELECT vec_id, embedding,
+                   SQRT(list_reduce(list_prepend(0.0, list_transform(list_zip(embedding, embedding), s -> CAST(s[1] AS DOUBLE) * s[2])), (acc, x) -> acc + x)) AS norm
+            FROM embeddings
+        ),
+        p AS (
+            SELECT a.vec_id AS u, b.vec_id AS v,
+                   FLOOR((list_reduce(list_prepend(0.0, list_transform(list_zip(a.embedding, b.embedding), s -> CAST(s[1] AS DOUBLE) * s[2])), (acc, x) -> acc + x) / (a.norm * b.norm)) * 10000.0 + 0.5) / 10000.0 AS c
+            FROM nv a JOIN nv b ON a.vec_id <> b.vec_id
+        ),
+        topk AS MATERIALIZED (
+            SELECT u, v FROM (
+                SELECT u, v,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY u ORDER BY c DESC, v) AS rn
+                FROM p
+            ) r WHERE rn <= 5
+        ),
+        mutual AS MATERIALIZED (
+            SELECT x.u, x.v
+            FROM topk x JOIN topk y ON x.u = y.v AND x.v = y.u
+            WHERE x.u < x.v
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nv) AS n_nodes,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM mutual) AS n_edges,
+               (SELECT CAST(COUNT(*) AS BIGINT)
+                FROM mutual e1
+                JOIN mutual e2 ON e1.v = e2.u
+                JOIN mutual e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles
+    """,
+    tags=("workload", "graph", "similarity"),
+)
+def graph_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Triangle counting over the mutual-5-NN cosine graph of the
+    embedding corpus — the standard diagnostic for ANN-graph quality
+    (triangle density ~ how clusterable the corpus is; near-zero means
+    the kNN graph is noise). Edges are undirected (u < v) and each
+    triangle is counted exactly once via the oriented three-way
+    self-join e1(a,b) JOIN e2(b,c) JOIN e3(a,c), the degree-ordered
+    formulation whose fan-out is bounded by edges x max-degree (<= k=5
+    here) instead of degree^2 — at 100 TB the kNN edge list (n*k rows)
+    is the *input*, produced by the bucketed ANN path
+    (``llm_ann_lsh_bucketed``), never the O(n^2) product used for the
+    fixture-scale oracle. Ranking on round4(cosine) with vec_id
+    tie-break keeps neighbor sets engine-exact."""
+    from datapipelines_python_spark.operators.llm import dot
+
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    nv = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(dot("embedding", "embedding")).alias("norm"),
+    )
+    p = (
+        nv.alias("a")
+        .join(nv.alias("b"), F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("u"),
+            F.col("b.vec_id").alias("v"),
+            round4(
+                dot(F.col("a.embedding"), F.col("b.embedding"))
+                / (F.col("a.norm") * F.col("b.norm"))
+            ).alias("c"),
+        )
+    )
+    w = W.partitionBy("u").orderBy(F.desc("c"), F.asc("v"))
+    topk = (
+        p.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("u", "v")
+    )
+    mutual = (
+        topk.alias("x")
+        .join(
+            topk.alias("y"),
+            (F.col("x.u") == F.col("y.v")) & (F.col("x.v") == F.col("y.u")),
+        )
+        .filter(F.col("x.u") < F.col("x.v"))
+        .select(F.col("x.u").alias("u"), F.col("x.v").alias("v"))
+    )
+    n_nodes = nv.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    n_edges = mutual.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    tri = (
+        mutual.alias("e1")
+        .join(mutual.alias("e2"), F.col("e1.v") == F.col("e2.u"))
+        .join(
+            mutual.alias("e3"),
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    return n_nodes.crossJoin(n_edges).crossJoin(tri)
