@@ -1911,3 +1911,226 @@ def mm_image_patch_grid(spark: SparkSession, sf: str) -> DataFrame:
         (F.floor(F.col("p") / F.col("nx")) * 16).cast("int").alias("y0"),
         (F.col("nx") * F.col("ny")).cast("int").alias("n_patches"),
     )
+
+
+@query(
+    "llm_bm25",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM tok GROUP BY doc_id, tok
+        ),
+        dl AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+            FROM tok GROUP BY doc_id
+        ),
+        nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        dft AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok
+        ),
+        qt AS (SELECT tok, df FROM dft ORDER BY df DESC, tok ASC LIMIT 3),
+        ad AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+        scored AS (
+            SELECT tf.doc_id,
+                   LN((nd.n_docs - qt.df + 0.5) / (qt.df + 0.5) + 1.0)
+                   * ((tf.tf * 2.2)
+                      / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / ad.avgdl)))) AS c
+            FROM tf
+            JOIN qt ON tf.tok = qt.tok
+            JOIN dl ON tf.doc_id = dl.doc_id, nd, ad
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_terms,
+               FLOOR((CAST(CAST(SUM(CAST(c AS DECIMAL(38,8))) AS VARCHAR)
+                           AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS bm25
+        FROM scored GROUP BY doc_id
+    """,
+    tags=("llm", "retrieval"),
+)
+def llm_bm25(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) relevance of every document to a derived query
+    (the 3 highest-document-frequency corpus terms, tie-broken
+    lexicographically). The index IS three relational artifacts — term
+    frequencies, document lengths, document frequencies — and scoring is a
+    join of the query terms (tiny, broadcast) against the tf table plus one
+    per-doc sum. Per-term contributions ride decimal so the score is
+    order-independent; idf/length-normalization float math is written in
+    the same expression order on both engines. At 100 TB the tf/dl tables
+    are the inverted index you'd persist; per-query work is a broadcast
+    semi-join of it, never a corpus rescan."""
+    d = load_table(spark, sf, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    dl = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dl")
+    )
+    nd = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    dft = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    qt = dft.orderBy(F.desc("df"), F.asc("tok")).limit(3)
+    ad = dl.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl")
+    )
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    norm = (F.col("tf") * 2.2) / (
+        F.col("tf") + 1.2 * (F.lit(0.25) + 0.75 * (F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(qt), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(nd))
+        .crossJoin(F.broadcast(ad))
+        .select("doc_id", (idf * norm).alias("c"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        round4(dsum(F.col("c"))).alias("bm25"),
+    )
+
+
+@query(
+    "ml_naive_bayes_lang",
+    oracle="""
+        WITH split AS (
+            SELECT doc_id, lang, LOWER(text) AS t,
+                   CAST(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8))::BIGINT % 100 AS INT) AS bucket
+            FROM documents
+        ),
+        train_tok AS (
+            SELECT lang, UNNEST(STRING_SPLIT(t, ' ')) AS tok
+            FROM split WHERE bucket < 90
+        ),
+        cnt AS (
+            SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+            FROM train_tok GROUP BY lang, tok
+        ),
+        tot AS (
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS t_tokens
+            FROM train_tok GROUP BY lang
+        ),
+        voc AS (
+            SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM train_tok
+        ),
+        prior AS (
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS n_total
+            FROM split WHERE bucket < 90 GROUP BY lang
+        ),
+        val_tok AS (
+            SELECT doc_id, lang AS lang_actual, UNNEST(STRING_SPLIT(t, ' ')) AS tok
+            FROM split WHERE bucket >= 90 AND bucket < 95
+        ),
+        contrib AS (
+            SELECT vt.doc_id, vt.lang_actual, tot.lang,
+                   -LN((COALESCE(cnt.c, 0) + 1.0) / (tot.t_tokens + voc.v)) AS nll
+            FROM val_tok vt
+            CROSS JOIN tot
+            LEFT JOIN cnt ON cnt.lang = tot.lang AND cnt.tok = vt.tok, voc
+        ),
+        doc_lang AS (
+            SELECT c.doc_id, c.lang_actual, c.lang,
+                   FLOOR((CAST(CAST(SUM(CAST(c.nll AS DECIMAL(38,8))) AS VARCHAR)
+                               AS DOUBLE)
+                          - LN(CAST(p.n_docs AS DOUBLE) / p.n_total))
+                         * 10000.0 + 0.5) / 10000.0 AS score
+            FROM contrib c JOIN prior p ON c.lang = p.lang
+            GROUP BY c.doc_id, c.lang_actual, c.lang, p.n_docs, p.n_total
+        ),
+        ranked AS (
+            SELECT doc_id, lang_actual, lang, score,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY score ASC, lang ASC) AS rn
+            FROM doc_lang
+        )
+        SELECT doc_id, lang_actual, lang AS lang_pred, score,
+               lang = lang_actual AS correct
+        FROM ranked WHERE rn = 1
+    """,
+    tags=("ml", "llm", "classify"),
+)
+def ml_naive_bayes_lang(spark: SparkSession, sf: str) -> DataFrame:
+    """Multinomial naive-Bayes language ID trained on the corpus's own
+    hash-based train split and evaluated on the validation split: the model
+    IS two count tables (per-lang token counts + per-lang totals) plus a
+    vocabulary size and doc-count priors — all broadcast-sized regardless
+    of corpus scale, so scoring is a map-side join over the val tokens.
+    Add-one smoothing keeps unseen tokens finite; per-(doc,lang) negative
+    log-likelihood sums ride decimal (order-independent), are rounded to
+    4 decimals, and argmin is taken with a (score, lang) total order so
+    the prediction is engine-deterministic."""
+    d = load_table(spark, sf, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))), 1, 8),
+            16, 10,
+        ).cast("bigint") % 100
+    ).cast("int")
+    split = d.select(
+        "doc_id", "lang", F.lower("text").alias("t"), bucket.alias("bucket")
+    )
+    train = split.filter(F.col("bucket") < 90)
+    val = split.filter((F.col("bucket") >= 90) & (F.col("bucket") < 95))
+    train_tok = train.select(
+        "lang", F.explode(F.split("t", " ")).alias("tok")
+    )
+    cnt = train_tok.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tot = train_tok.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("t_tokens")
+    )
+    voc = train_tok.agg(
+        F.countDistinct("tok").cast("bigint").alias("v")
+    )
+    prior = (
+        train.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .withColumn("n_total", F.sum("n_docs").over(W.partitionBy()).cast("bigint"))
+    )
+    val_tok = val.select(
+        "doc_id", F.col("lang").alias("lang_actual"),
+        F.explode(F.split("t", " ")).alias("tok"),
+    )
+    contrib = (
+        val_tok.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(cnt), ["lang", "tok"], "left")
+        .crossJoin(F.broadcast(voc))
+        .select(
+            "doc_id", "lang_actual", "lang",
+            (-F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+                / (F.col("t_tokens") + F.col("v"))
+            )).alias("nll"),
+        )
+    )
+    doc_lang = (
+        contrib.groupBy("doc_id", "lang_actual", "lang")
+        .agg(dsum(F.col("nll")).alias("snll"))
+        .join(F.broadcast(prior), "lang")
+        .select(
+            "doc_id", "lang_actual", "lang",
+            (
+                F.floor(
+                    (
+                        F.col("snll")
+                        - F.log(F.col("n_docs").cast("double") / F.col("n_total"))
+                    )
+                    * 10000.0 + 0.5
+                ) / 10000.0
+            ).alias("score"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.asc("score"), F.asc("lang"))
+    return (
+        doc_lang.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id", "lang_actual", F.col("lang").alias("lang_pred"), "score",
+            (F.col("lang") == F.col("lang_actual")).alias("correct"),
+        )
+    )

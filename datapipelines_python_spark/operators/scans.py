@@ -115,13 +115,13 @@ def scan_stream_files(spark: SparkSession, sf: str) -> DataFrame:
     raw_schema = spark.read.parquet(f"{sf.rstrip('/')}/events.parquet").schema
     # The file stream source wants a directory; glob-filter the sf dir down
     # to the events table file.
-    stream = (
+    from datapipelines_python_spark.catalog import normalize_events_ts
+
+    stream = normalize_events_ts(
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf.rstrip("/"))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        .select("event_id", "ts", "user_id", "event_type", "value", "props")
-    )
+    ).select("event_id", "ts", "user_id", "event_type", "value", "props")
     q = (
         stream.writeStream.format("memory")
         .queryName("scan_stream_files_sink")

@@ -1913,3 +1913,517 @@ def graph_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
     )
     return n_nodes.crossJoin(n_edges).crossJoin(tri)
+
+
+@query(
+    "ml_ols_regression",
+    oracle=f"""
+        WITH s AS (
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   {sql_dsum('l_quantity')} AS sx,
+                   {sql_dsum('l_extendedprice')} AS sy,
+                   {sql_dsum('l_quantity * l_extendedprice')} AS sxy,
+                   {sql_dsum('l_quantity * l_quantity')} AS sxx,
+                   {sql_dsum('l_extendedprice * l_extendedprice')} AS syy
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n,
+               {sql_round4('(n * sxy - sx * sy) / (n * sxx - sx * sx)')} AS slope,
+               {sql_round4('(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n')}
+                   AS intercept,
+               {sql_round4('((n * sxy - sx * sy) * (n * sxy - sx * sy)) / ((n * sxx - sx * sx) * (n * syy - sy * sy))')}
+                   AS r2
+        FROM s
+    """,
+    tags=("ml", "regression"),
+    bench=True,
+)
+def ml_ols_regression(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group simple OLS (price ~ quantity) in closed form from one
+    aggregation pass: slope/intercept/R² derive from the five power sums
+    (Σx, Σy, Σxy, Σx², Σy²), each decimal-exact so the fit is identical
+    under any partitioning or engine. The map-side-combinable sums mean
+    one narrow shuffle of 3 groups × 5 numbers regardless of fact size —
+    the distributed-regression shape that needs no MLlib and no iteration.
+    """
+    li = load_table(spark, sf, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum(x).alias("sx"),
+        dsum(y).alias("sy"),
+        dsum(x * y).alias("sxy"),
+        dsum(x * x).alias("sxx"),
+        dsum(y * y).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "l_returnflag", "n",
+        round4(slope).alias("slope"),
+        round4((sy - slope * sx) / n).alias("intercept"),
+        round4(
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ).alias("r2"),
+    )
+
+
+@query(
+    "workload_ab_test",
+    oracle="""
+        WITH u AS (
+            SELECT user_id,
+                   CAST(('0x' || SUBSTRING(MD5(CAST(user_id AS VARCHAR) || ':ab'), 1, 8))::BIGINT % 2 AS INT) AS b,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS k
+            FROM events GROUP BY user_id
+        ),
+        v AS (
+            SELECT CAST(SUM(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                   CAST(SUM(CASE WHEN b = 0 THEN k ELSE 0 END) AS BIGINT) AS s1_a,
+                   CAST(SUM(CASE WHEN b = 0 THEN k * k ELSE 0 END) AS BIGINT) AS s2_a,
+                   CAST(SUM(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                   CAST(SUM(CASE WHEN b = 1 THEN k ELSE 0 END) AS BIGINT) AS s1_b,
+                   CAST(SUM(CASE WHEN b = 1 THEN k * k ELSE 0 END) AS BIGINT) AS s2_b
+            FROM u
+        )
+        SELECT n_a, n_b,
+               FLOOR((CAST(s1_a AS DOUBLE) / n_a) * 10000.0 + 0.5) / 10000.0 AS mean_a,
+               FLOOR((CAST(s1_b AS DOUBLE) / n_b) * 10000.0 + 0.5) / 10000.0 AS mean_b,
+               FLOOR(((CAST(s1_a AS DOUBLE) / n_a - CAST(s1_b AS DOUBLE) / n_b)
+                      / SQRT(((CAST(s2_a AS DOUBLE) - (CAST(s1_a AS DOUBLE) / n_a) * s1_a) / (n_a - 1)) / n_a
+                             + ((CAST(s2_b AS DOUBLE) - (CAST(s1_b AS DOUBLE) / n_b) * s1_b) / (n_b - 1)) / n_b))
+                     * 10000.0 + 0.5) / 10000.0 AS z
+        FROM v
+    """,
+    tags=("workload", "experiment"),
+)
+def workload_ab_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Welch two-sample z-test for a hash-split A/B experiment on per-user
+    purchase counts: users are assigned to arms by a salted content hash
+    (reproducible across engines and re-runs — never rand()), the metric
+    is each user's purchase count, and the statistic comes out of one
+    user-grain aggregate plus a single-row reduction over integer power
+    sums (n, Σk, Σk² per arm) — exact under any partitioning, with the
+    float expression evaluated once at the end. At 100 TB the user-grain
+    aggregate is the only shuffle. (A conversion-*rate* test degenerates
+    on these fixtures — every user eventually purchases — so the count
+    metric is also the statistically meaningful choice.)"""
+    e = load_table(spark, sf, "events")
+    u = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).cast("bigint").alias("k")
+    )
+    b = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":ab"))), 1, 8),
+            16, 10,
+        ).cast("bigint") % 2
+    ).cast("int")
+    u = u.select(b.alias("b"), "k")
+    arm = lambda side: F.when(F.col("b") == side, F.col("k")).otherwise(0)  # noqa: E731
+    v = u.agg(
+        F.sum(F.when(F.col("b") == 0, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(arm(0)).cast("bigint").alias("s1_a"),
+        F.sum(arm(0) * arm(0)).cast("bigint").alias("s2_a"),
+        F.sum(F.when(F.col("b") == 1, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(arm(1)).cast("bigint").alias("s1_b"),
+        F.sum(arm(1) * arm(1)).cast("bigint").alias("s2_b"),
+    )
+    n_a, s1_a, s2_a = F.col("n_a"), F.col("s1_a"), F.col("s2_a")
+    n_b, s1_b, s2_b = F.col("n_b"), F.col("s1_b"), F.col("s2_b")
+    m_a = s1_a.cast("double") / n_a
+    m_b = s1_b.cast("double") / n_b
+    var_a = (s2_a.cast("double") - m_a * s1_a) / (n_a - 1)
+    var_b = (s2_b.cast("double") - m_b * s1_b) / (n_b - 1)
+    z = (m_a - m_b) / F.sqrt(var_a / n_a + var_b / n_b)
+    return v.select(
+        "n_a", "n_b",
+        round4(m_a).alias("mean_a"),
+        round4(m_b).alias("mean_b"),
+        round4(z).alias("z"),
+    )
+
+
+@query(
+    "workload_dau_rolling",
+    oracle="""
+        WITH ud AS (
+            SELECT DISTINCT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS uday,
+                   user_id
+            FROM events
+        ),
+        days AS (SELECT DISTINCT uday AS day FROM ud)
+        SELECT d.day,
+               CAST(COUNT(DISTINCT CASE WHEN u.uday = d.day THEN u.user_id END) AS BIGINT) AS dau,
+               CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS dau_7d
+        FROM days d
+        JOIN ud u ON u.uday BETWEEN d.day - INTERVAL 6 DAY AND d.day
+        GROUP BY d.day
+    """,
+    tags=("workload", "timeseries"),
+)
+def workload_dau_rolling(spark: SparkSession, sf: str) -> DataFrame:
+    """DAU plus 7-day rolling distinct users per day. COUNT(DISTINCT) over a
+    sliding window has no direct window-function form (distinct state can't
+    be framed), so the classic distributed shape is used: dedup to (day,
+    user) grain first — the big shuffle, at day grain ~30× smaller than raw
+    events — then a broadcast interval join against the tiny day spine fans
+    each user-day into the ≤7 rolling windows it belongs to, and one
+    distinct-agg per window closes it. Window membership fan-out is bounded
+    (×7), so this survives any corpus size."""
+    e = load_table(spark, sf, "events")
+    ud = e.select(
+        F.date_trunc("day", "ts").alias("uday"), "user_id"
+    ).distinct()
+    days = ud.select(F.col("uday").alias("day")).distinct()
+    j = ud.join(
+        F.broadcast(days),
+        (F.col("uday") >= F.col("day") - F.expr("INTERVAL 6 DAYS"))
+        & (F.col("uday") <= F.col("day")),
+    )
+    return j.groupBy("day").agg(
+        F.countDistinct(
+            F.when(F.col("uday") == F.col("day"), F.col("user_id"))
+        ).cast("bigint").alias("dau"),
+        F.countDistinct("user_id").cast("bigint").alias("dau_7d"),
+    )
+
+
+@query(
+    "workload_attribution_last_touch",
+    oracle=f"""
+        WITH seq AS (
+            SELECT user_id, event_type, value,
+                   LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+            FROM events
+        )
+        SELECT COALESCE(touch, 'direct') AS channel,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               {sql_dsum('value')} AS revenue
+        FROM seq WHERE event_type = 'purchase'
+        GROUP BY 1
+    """,
+    tags=("workload", "events"),
+)
+def workload_attribution_last_touch(spark: SparkSession, sf: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase's value is credited
+    to the user's most recent non-purchase event before it (or 'direct'
+    when none exists). One window pass per user carries the last touch
+    forward (`last(..., ignorenulls=True)` over a strictly-preceding row
+    frame — never a per-user collect+loop), then a 5-ish-group rollup.
+    The per-user ordered window is the only shuffle; ties on ts are broken
+    by event_id so the credited channel is engine-deterministic."""
+    e = load_table(spark, sf, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        e.select("user_id", "event_type", "value", touch.alias("touch"))
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("touch"), F.lit("direct")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            dsum(F.col("value")).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "workload_latency_percentiles",
+    oracle=f"""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               {sql_round4('QUANTILE_CONT(value, 0.5)')} AS p50,
+               {sql_round4('QUANTILE_CONT(value, 0.95)')} AS p95,
+               {sql_round4('QUANTILE_CONT(value, 0.99)')} AS p99
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("workload", "percentile", "events"),
+)
+def workload_latency_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """The SLO dashboard staple: exact interpolating p50/p95/p99 of the
+    metric column per event type. Exact percentiles need the full value
+    multiset per group (one shuffle on the 5-ary type key); at 100 TB the
+    same query downgrades gracefully to `approx_percentile` (t-digest,
+    mergeable, bounded memory) — registered separately as
+    `agg_approx_percentile` precisely because sketch outputs are
+    engine-specific while this one is oracle-exact."""
+    e = load_table(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        round4(F.percentile("value", F.lit(0.5))).alias("p50"),
+        round4(F.percentile("value", F.lit(0.95))).alias("p95"),
+        round4(F.percentile("value", F.lit(0.99))).alias("p99"),
+    )
+
+
+@query(
+    "llm_sketch_bloom",
+    oracle="""
+        WITH members AS (SELECT DISTINCT o_custkey AS k FROM orders),
+        bits AS (
+            SELECT DISTINCT
+                   CAST(('0x' || SUBSTRING(MD5(CAST(k AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 8))::BIGINT % 2048 AS INT) AS pos
+            FROM members, (SELECT UNNEST([0, 1, 2]) AS i) h
+        ),
+        probe AS (
+            SELECT c.c_custkey,
+                   CAST(('0x' || SUBSTRING(MD5(CAST(c.c_custkey AS VARCHAR) || ':' || CAST(h.i AS VARCHAR)), 1, 8))::BIGINT % 2048 AS INT) AS pos
+            FROM customer c, (SELECT UNNEST([0, 1, 2]) AS i) h
+        ),
+        verdict AS (
+            SELECT p.c_custkey,
+                   CAST(COUNT(b.pos) AS BIGINT) = 3 AS maybe,
+                   MAX(CASE WHEN m.k IS NULL THEN 0 ELSE 1 END) = 1 AS is_member
+            FROM probe p
+            LEFT JOIN bits b ON p.pos = b.pos
+            LEFT JOIN members m ON p.c_custkey = m.k
+            GROUP BY p.c_custkey
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM members) AS n_members,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS n_bits_set,
+               CAST(COUNT(*) AS BIGINT) AS n_probes,
+               CAST(SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe,
+               CAST(SUM(CASE WHEN maybe AND NOT is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+        FROM verdict
+    """,
+    tags=("llm", "sketch"),
+)
+def llm_sketch_bloom(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter membership sketch built and queried as DataFrames:
+    m=2048 bits, k=3 salted-md5 hash positions — pure integer ops the
+    oracle replays bit-for-bit, so even the false positives are
+    oracle-checkable (completing the sketch family beside Count-Min and
+    linear counting). The filter is the distinct set-bit table: mergeable
+    by union (OR), broadcastable at any member cardinality that fits m.
+    This is the join-pruning primitive at 100 TB — ship the bits to the
+    probe side and drop non-members before the shuffle; Spark's own
+    runtime bloom-join (`spark.sql.optimizer.runtime.bloomFilter`) does
+    exactly this inside AQE."""
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    hashes = F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("i")
+
+    def pos(key: F.Column) -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(key.cast("string"), F.lit(":"), F.col("i").cast("string"))),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("bigint") % 2048
+        ).cast("int")
+
+    members = o.select(F.col("o_custkey").alias("k")).distinct()
+    bits = (
+        members.select("k", hashes)
+        .select(pos(F.col("k")).alias("pos"))
+        .distinct()
+    )
+    probe = c.select("c_custkey", hashes).select(
+        "c_custkey", pos(F.col("c_custkey")).alias("pos")
+    )
+    verdict = (
+        probe.join(F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left")
+        .join(
+            F.broadcast(members.withColumn("mem", F.lit(1))),
+            probe["c_custkey"] == members["k"],
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(
+            (F.count("hit").cast("bigint") == 3).alias("maybe"),
+            (F.max(F.coalesce(F.col("mem"), F.lit(0))) == 1).alias("is_member"),
+        )
+    )
+    n_members = members.agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+    n_bits = bits.agg(F.count(F.lit(1)).cast("bigint").alias("n_bits_set"))
+    summary = verdict.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+        F.sum(F.when(F.col("maybe"), 1).otherwise(0)).cast("bigint").alias("n_maybe"),
+        F.sum(
+            F.when(F.col("maybe") & ~F.col("is_member"), 1).otherwise(0)
+        ).cast("bigint").alias("n_false_pos"),
+    )
+    return n_members.crossJoin(n_bits).crossJoin(summary).select(
+        "n_members", "n_bits_set", "n_probes", "n_maybe", "n_false_pos"
+    )
+
+
+@query(
+    "workload_ship_lag",
+    oracle=f"""
+        SELECT o.o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               {sql_davg("DATE_DIFF('day', o.o_orderdate, l.l_shipdate)")} AS avg_lag_days,
+               {sql_round4("QUANTILE_CONT(DATE_DIFF('day', o.o_orderdate, l.l_shipdate), 0.5)")} AS p50_lag,
+               CAST(MAX(DATE_DIFF('day', o.o_orderdate, l.l_shipdate)) AS BIGINT) AS max_lag
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+    """,
+    tags=("workload", "date"),
+)
+def workload_ship_lag(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-to-ship fulfillment lag per order priority: one fact⋈dim-ish
+    equi-join (orders is 1/4 the fact size — AQE keeps it a shuffle join;
+    at 100 TB both sides co-bucket on orderkey, see
+    `join_bucketed_colocated`), lag computed as whole days (both fixture
+    date columns are midnight-valued timestamps so the day diff is exact
+    on both engines), then mean/median/max per the 5-ary priority key."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            davg(lag).alias("avg_lag_days"),
+            round4(F.percentile(lag, F.lit(0.5))).alias("p50_lag"),
+            F.max(lag).cast("bigint").alias("max_lag"),
+        )
+    )
+
+
+@query(
+    "graph_khop_reach",
+    oracle="""
+        WITH nv AS MATERIALIZED (
+            SELECT vec_id, embedding,
+                   SQRT(list_reduce(list_prepend(0.0, list_transform(list_zip(embedding, embedding), s -> CAST(s[1] AS DOUBLE) * s[2])), (acc, x) -> acc + x)) AS norm
+            FROM embeddings
+        ),
+        p AS (
+            SELECT a.vec_id AS u, b.vec_id AS v,
+                   FLOOR((list_reduce(list_prepend(0.0, list_transform(list_zip(a.embedding, b.embedding), s -> CAST(s[1] AS DOUBLE) * s[2])), (acc, x) -> acc + x) / (a.norm * b.norm)) * 10000.0 + 0.5) / 10000.0 AS c
+            FROM nv a JOIN nv b ON a.vec_id <> b.vec_id
+        ),
+        topk AS MATERIALIZED (
+            SELECT u, v FROM (
+                SELECT u, v,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY u ORDER BY c DESC, v) AS rn
+                FROM p
+            ) r WHERE rn <= 5
+        ),
+        mutual AS MATERIALIZED (
+            SELECT x.u, x.v
+            FROM topk x JOIN topk y ON x.u = y.v AND x.v = y.u
+            WHERE x.u < x.v
+        ),
+        adj AS MATERIALIZED (
+            SELECT u AS src, v AS dst FROM mutual
+            UNION ALL
+            SELECT v AS src, u AS dst FROM mutual
+        ),
+        seeds AS (SELECT vec_id AS seed FROM nv WHERE vec_id % 97 = 0),
+        h1 AS (
+            SELECT DISTINCT s.seed, a.dst
+            FROM seeds s JOIN adj a ON a.src = s.seed
+        ),
+        reach AS (
+            SELECT seed, dst FROM h1
+            UNION
+            SELECT h1.seed, a2.dst
+            FROM h1 JOIN adj a2 ON a2.src = h1.dst
+        )
+        SELECT s.seed,
+               CAST(COALESCE(c1.n, 0) AS BIGINT) AS n_hop1,
+               CAST(COALESCE(c2.n, 0) AS BIGINT) AS n_reach2
+        FROM seeds s
+        LEFT JOIN (SELECT seed, COUNT(*) AS n FROM h1 GROUP BY seed) c1
+               ON c1.seed = s.seed
+        LEFT JOIN (SELECT seed, COUNT(*) AS n
+                   FROM reach WHERE dst <> seed GROUP BY seed) c2
+               ON c2.seed = s.seed
+    """,
+    tags=("workload", "graph", "similarity"),
+)
+def graph_khop_reach(spark: SparkSession, sf: str) -> DataFrame:
+    """2-hop BFS frontier over the mutual-5NN cosine graph from a
+    deterministic seed set (vec_id % 97 = 0): per seed, the 1-hop degree
+    and the distinct ≤2-hop reach — the expansion-rate diagnostic for
+    ANN-graph navigability (how fast greedy search can spread). BFS is
+    expressed as two self-joins on the adjacency list with a distinct
+    between hops (frontier dedup — without it, fan-out multiplies rather
+    than unions); k bounds each hop's fan-out at ×5, so an h-hop frontier
+    costs ≤ seeds·k^h rows, never a full-graph traversal. The O(n²) kNN
+    build is fixture-scale oracle machinery — at 100 TB the edge list
+    arrives from the bucketed ANN path (see `graph_triangle_count`)."""
+    from datapipelines_python_spark.operators.llm import dot
+
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    nv = emb.select(
+        "vec_id", "embedding", F.sqrt(dot("embedding", "embedding")).alias("norm")
+    )
+    p = (
+        nv.alias("a")
+        .join(nv.alias("b"), F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("u"),
+            F.col("b.vec_id").alias("v"),
+            round4(
+                dot(F.col("a.embedding"), F.col("b.embedding"))
+                / (F.col("a.norm") * F.col("b.norm"))
+            ).alias("c"),
+        )
+    )
+    w = W.partitionBy("u").orderBy(F.desc("c"), F.asc("v"))
+    topk = (
+        p.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("u", "v")
+    )
+    mutual = (
+        topk.alias("x")
+        .join(
+            topk.alias("y"),
+            (F.col("x.u") == F.col("y.v")) & (F.col("x.v") == F.col("y.u")),
+        )
+        .filter(F.col("x.u") < F.col("x.v"))
+        .select(F.col("x.u").alias("u"), F.col("x.v").alias("v"))
+    )
+    adj = mutual.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        mutual.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    seeds = nv.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("seed")
+    )
+    h1 = (
+        seeds.join(adj, adj["src"] == seeds["seed"])
+        .select("seed", "dst")
+        .distinct()
+    )
+    a2 = adj.select(F.col("src").alias("src2"), F.col("dst").alias("dst2"))
+    reach = h1.select("seed", "dst").union(
+        h1.join(a2, a2["src2"] == h1["dst"]).select("seed", F.col("dst2").alias("dst"))
+    ).distinct()
+    c1 = h1.groupBy("seed").agg(F.count(F.lit(1)).alias("n"))
+    c2 = (
+        reach.filter(F.col("dst") != F.col("seed"))
+        .groupBy("seed")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        seeds.join(c1.withColumnRenamed("n", "n1"), "seed", "left")
+        .join(c2.withColumnRenamed("n", "n2"), "seed", "left")
+        .select(
+            "seed",
+            F.coalesce(F.col("n1"), F.lit(0)).cast("bigint").alias("n_hop1"),
+            F.coalesce(F.col("n2"), F.lit(0)).cast("bigint").alias("n_reach2"),
+        )
+    )

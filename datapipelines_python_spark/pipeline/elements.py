@@ -206,7 +206,7 @@ class FixtureSource(TableSource):
         if not self.can_provide(table):
             raise UnsupportedError(table)
         spark: SparkSession = context[PipelineContext.Keys.SPARK]
-        from pyspark.sql import functions as F
+        from datapipelines_python_spark.catalog import normalize_events_ts
 
         sf = self.sf_dir.rstrip("/")
         if table == "events":
@@ -218,5 +218,5 @@ class FixtureSource(TableSource):
             .parquet(sf)
         )
         if table == "events":
-            stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+            stream = normalize_events_ts(stream)
         return stream

@@ -40,15 +40,15 @@ _DEC = "decimal(38,8)"
 def events_stream(spark: SparkSession, sf: str) -> DataFrame:
     """File-source stream over the events table (nanos→micros fixed up,
     same as the batch catalog loader)."""
+    from datapipelines_python_spark.catalog import normalize_events_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(f"{sf.rstrip('/')}/events.parquet").schema
-    return (
+    return normalize_events_ts(
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf.rstrip("/"))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        .select("event_id", "ts", "user_id", "event_type", "value", "props")
-    )
+    ).select("event_id", "ts", "user_id", "event_type", "value", "props")
 
 
 def drain_to_memory(

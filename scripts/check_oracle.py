@@ -15,11 +15,14 @@ import argparse
 import datetime as dt
 import decimal
 import math
+import os
 import sys
 import time
 import traceback
 
 import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from datapipelines_python_spark import get_registry, get_spark
 from datapipelines_python_spark.catalog import TABLES
