@@ -517,3 +517,71 @@ def sink_python_datasource(spark: SparkSession, sf: str) -> DataFrame:
     return spark.read.schema(
         "o_orderkey bigint, o_custkey bigint, o_orderstatus string"
     ).csv(out_dir)
+
+
+@query(
+    "scan_parquet_merge_schema",
+    oracle="""
+        SELECT n_nationkey, n_name, CAST(NULL AS INTEGER) AS n_regionkey
+        FROM nation
+        UNION ALL
+        SELECT n_nationkey, CAST(NULL AS VARCHAR) AS n_name, n_regionkey
+        FROM nation
+    """,
+    tags=("scan", "connector", "schema-evolution"),
+)
+def scan_parquet_merge_schema(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema-evolution read: two parquet generations with different column
+    sets merged into one frame via ``mergeSchema`` (missing columns
+    NULL-filled per file). This is the lakehouse reality — years of files
+    written as the schema grew — and the read-side twin of
+    ``setop_union_evolved``. mergeSchema costs a footer read per file at
+    planning time, so production tables pin the merged schema in a
+    catalog instead; semantics are identical."""
+    n = load_table(spark, sf, "nation")
+    p1 = scratch_dir("merge_schema/v1")
+    p2 = scratch_dir("merge_schema/v2")
+    n.select("n_nationkey", "n_name").write.mode("overwrite").parquet(p1)
+    n.select("n_nationkey", "n_regionkey").write.mode("overwrite").parquet(p2)
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(p1, p2)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
+
+
+@query(
+    "sink_dynamic_partition_overwrite",
+    oracle="""
+        SELECT o_orderkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderstatus <> 'O'
+        UNION ALL
+        SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderstatus = 'O'
+    """,
+    tags=("sink", "connector", "partitioned"),
+)
+def sink_dynamic_partition_overwrite(spark: SparkSession, sf: str) -> DataFrame:
+    """Dynamic partition overwrite: a second write replaces ONLY the
+    partitions present in its input (status='O' here, price restated),
+    leaving sibling partitions untouched — the incremental-reload
+    primitive for partitioned lakehouse tables (vs static overwrite,
+    which would truncate the whole table first). Verified by reading the
+    final table state back; partition values ride the directory names."""
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    path = scratch_dir("dyn_overwrite_orders")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    restated = o.filter(F.col("o_orderstatus") == "O").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    (
+        restated.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_orderstatus")
+        .parquet(path)
+    )
+    return spark.read.parquet(path).select(
+        "o_orderkey", "o_totalprice", F.col("o_orderstatus").cast("string").alias("o_orderstatus")
+    )

@@ -2427,3 +2427,275 @@ def graph_khop_reach(spark: SparkSession, sf: str) -> DataFrame:
             F.coalesce(F.col("n2"), F.lit(0)).cast("bigint").alias("n_reach2"),
         )
     )
+
+
+@query(
+    "ml_linreg_multi",
+    oracle=f"""
+        WITH s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   {sql_dsum('l_quantity')} AS sx1,
+                   {sql_dsum('l_discount')} AS sx2,
+                   {sql_dsum('l_extendedprice')} AS sy,
+                   {sql_dsum('l_quantity * l_quantity')} AS sx1x1,
+                   {sql_dsum('l_quantity * l_discount')} AS sx1x2,
+                   {sql_dsum('l_discount * l_discount')} AS sx2x2,
+                   {sql_dsum('l_quantity * l_extendedprice')} AS sx1y,
+                   {sql_dsum('l_discount * l_extendedprice')} AS sx2y
+            FROM lineitem
+        ),
+        c AS (
+            SELECT n,
+                   sx1x1 - sx1 * sx1 / n AS a11,
+                   sx1x2 - sx1 * sx2 / n AS a12,
+                   sx2x2 - sx2 * sx2 / n AS a22,
+                   sx1y - sx1 * sy / n AS b1,
+                   sx2y - sx2 * sy / n AS b2,
+                   sx1 / n AS mx1, sx2 / n AS mx2, sy / n AS my
+            FROM s
+        )
+        SELECT n,
+               {sql_round4('(a22 * b1 - a12 * b2) / (a11 * a22 - a12 * a12)')} AS beta_qty,
+               {sql_round4('(a11 * b2 - a12 * b1) / (a11 * a22 - a12 * a12)')} AS beta_disc,
+               {sql_round4('my - ((a22 * b1 - a12 * b2) / (a11 * a22 - a12 * a12)) * mx1 - ((a11 * b2 - a12 * b1) / (a11 * a22 - a12 * a12)) * mx2')} AS intercept
+        FROM c
+    """,
+    tags=("ml", "regression"),
+)
+def ml_linreg_multi(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-feature linear regression (price ~ quantity + discount) solved
+    in closed form: one aggregation pass collects the 9 power sums, and
+    the 2×2 normal equations are inverted symbolically (Cramer's rule) in
+    the final projection — no iteration, no MLlib, no driver math. The
+    decimal-exact sums make the fit partition-invariant; the float solve
+    is one expression evaluated identically on both engines. This is the
+    pattern for any fixed-small-d regression at 100 TB: shuffle d²/2
+    numbers, never rows."""
+    li = load_table(spark, sf, "lineitem")
+    x1, x2, y = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
+    s = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum(x1).alias("sx1"),
+        dsum(x2).alias("sx2"),
+        dsum(y).alias("sy"),
+        dsum(x1 * x1).alias("sx1x1"),
+        dsum(x1 * x2).alias("sx1x2"),
+        dsum(x2 * x2).alias("sx2x2"),
+        dsum(x1 * y).alias("sx1y"),
+        dsum(x2 * y).alias("sx2y"),
+    )
+    n = F.col("n")
+    c = s.select(
+        "n",
+        (F.col("sx1x1") - F.col("sx1") * F.col("sx1") / n).alias("a11"),
+        (F.col("sx1x2") - F.col("sx1") * F.col("sx2") / n).alias("a12"),
+        (F.col("sx2x2") - F.col("sx2") * F.col("sx2") / n).alias("a22"),
+        (F.col("sx1y") - F.col("sx1") * F.col("sy") / n).alias("b1"),
+        (F.col("sx2y") - F.col("sx2") * F.col("sy") / n).alias("b2"),
+        (F.col("sx1") / n).alias("mx1"),
+        (F.col("sx2") / n).alias("mx2"),
+        (F.col("sy") / n).alias("my"),
+    )
+    det = F.col("a11") * F.col("a22") - F.col("a12") * F.col("a12")
+    beta1 = (F.col("a22") * F.col("b1") - F.col("a12") * F.col("b2")) / det
+    beta2 = (F.col("a11") * F.col("b2") - F.col("a12") * F.col("b1")) / det
+    return c.select(
+        "n",
+        round4(beta1).alias("beta_qty"),
+        round4(beta2).alias("beta_disc"),
+        round4(
+            F.col("my") - beta1 * F.col("mx1") - beta2 * F.col("mx2")
+        ).alias("intercept"),
+    )
+
+
+@query(
+    "workload_pareto_share",
+    oracle=f"""
+        WITH rev AS (
+            SELECT o_custkey,
+                   {sql_dsum('o_totalprice')} AS revenue
+            FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+            SELECT o_custkey, revenue,
+                   NTILE(5) OVER (ORDER BY revenue DESC, o_custkey ASC) AS q
+            FROM rev
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(CASE WHEN q = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_top,
+               {sql_round4(
+                   "CAST(CAST(SUM(CASE WHEN q = 1 THEN CAST(revenue AS DECIMAL(38,8)) END) AS VARCHAR) AS DOUBLE)"
+                   " / CAST(CAST(SUM(CAST(revenue AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)"
+               )} AS top20_share
+        FROM ranked
+    """,
+    tags=("workload", "revenue"),
+)
+def workload_pareto_share(spark: SparkSession, sf: str) -> DataFrame:
+    """The 80/20 question: what revenue share do the top-20% customers
+    hold? Customer-grain rollup (the one real shuffle), NTILE(5) with a
+    full (revenue, custkey) tie-break so quintile membership is
+    engine-exact, then decimal-exact share arithmetic. The NTILE window
+    is a single-partition sort at customer grain — fine to ~100M
+    customers; beyond that the quintile boundary comes from
+    `approx_percentile` instead and membership becomes a filter."""
+    o = load_table(spark, sf, "orders")
+    rev = o.groupBy("o_custkey").agg(dsum(F.col("o_totalprice")).alias("revenue"))
+    w = W.partitionBy().orderBy(F.desc("revenue"), F.asc("o_custkey"))
+    ranked = rev.withColumn("q", F.ntile(5).over(w))
+    top_sum = F.sum(
+        F.when(F.col("q") == 1, F.col("revenue").cast("decimal(38,8)"))
+    ).cast("double")
+    all_sum = F.sum(F.col("revenue").cast("decimal(38,8)")).cast("double")
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum(F.when(F.col("q") == 1, 1).otherwise(0)).cast("bigint").alias("n_top"),
+        round4(top_sum / all_sum).alias("top20_share"),
+    )
+
+
+@query(
+    "llm_bpe_pair_stats",
+    oracle="""
+        WITH tok AS (
+            SELECT UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok FROM documents
+        ),
+        pairs AS (
+            SELECT UNNEST(list_transform(range(1, LENGTH(tok)), k -> SUBSTRING(tok, k, 2))) AS pair
+            FROM tok WHERE LENGTH(tok) >= 2
+        )
+        SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pairs GROUP BY pair
+        ORDER BY n DESC, pair ASC LIMIT 20
+    """,
+    tags=("llm", "tokenizer"),
+)
+def llm_bpe_pair_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """The inner loop of BPE tokenizer training: corpus-wide counts of
+    adjacent symbol pairs (here the character-level first iteration), top
+    candidates ranked for the next merge. Pairs are materialized
+    array-locally — `transform(sequence(...))` slices each token inside
+    one projection, no window/lag over an exploded char table (which
+    would shuffle n_chars rows) — then one count shuffle bounded by the
+    pair alphabet. Real BPE iterates merge→recount; each round is this
+    same plan over the rewritten symbol stream."""
+    d = load_table(spark, sf, "documents")
+    tok = d.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).filter(F.length("tok") >= 2)
+    pairs = tok.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("tok") - 1),
+                lambda k: F.col("tok").substr(k, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+    )
+
+
+@query(
+    "ml_pca_power",
+    oracle=f"""
+        WITH ex AS (
+            SELECT vec_id, CAST(GENERATE_SUBSCRIPTS(embedding, 1) AS INT) AS i,
+                   CAST(UNNEST(embedding) AS DOUBLE) AS x
+            FROM embeddings
+        ),
+        mu AS (SELECT i, {sql_davg('x')} AS mu FROM ex GROUP BY i),
+        sxx AS (
+            SELECT a.i AS i, b.i AS j,
+                   {sql_dsum('a.x * b.x')} AS sxy,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM ex a JOIN ex b ON a.vec_id = b.vec_id
+            GROUP BY a.i, b.i
+        ),
+        c AS (
+            SELECT s.i, s.j, s.sxy / s.cnt - mi.mu * mj.mu AS c
+            FROM sxx s JOIN mu mi ON s.i = mi.i JOIN mu mj ON s.j = mj.i
+        ),
+        w AS (SELECT i, {sql_dsum('c')} AS w FROM c GROUP BY i),
+        v AS (
+            SELECT c.i, {sql_dsum('c.c * wj.w')} AS v
+            FROM c JOIN w wj ON c.j = wj.i
+            GROUP BY c.i
+        ),
+        nw AS (SELECT SQRT({sql_dsum('w * w')}) AS nw FROM w),
+        nv AS (SELECT SQRT({sql_dsum('v * v')}) AS nv FROM v)
+        SELECT v.i AS dim,
+               {sql_round4('v.v / nv.nv')} AS loading,
+               {sql_round4('nv.nv / nw.nw')} AS lambda_ratio
+        FROM v, nw, nv
+    """,
+    tags=("ml", "embedding"),
+)
+def ml_pca_power(spark: SparkSession, sf: str) -> DataFrame:
+    """Principal component of the embedding corpus by two power-iteration
+    matvecs, entirely relational: the 64×64 covariance is an aggregate
+    over locally-generated (i,j) pairs (decimal-exact sums → the matrix
+    is partition-invariant), and each matvec is a broadcast join of the
+    4096-row matrix against a 64-row vector. The corpus-sized work is ONE
+    pass to build covariance; iteration cost is independent of n — the
+    right split at 100 TB, where d²=4096 numbers summarize 100 TB of
+    vectors and the eigensolve is effectively free. Direction is
+    normalized (loading = v/||v||); ||v||/||w|| estimates λ₁ after one
+    ratio step. Deterministic with no randomized init: start vector is
+    all-ones, fine unless the top component is exactly orthogonal to 1."""
+    emb = load_table(spark, sf, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("p", "xf")
+    ).select(
+        "vec_id",
+        (F.col("p") + 1).cast("int").alias("i"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    mu = ex.groupBy("i").agg(davg(F.col("x")).alias("mu"))
+    pair = (
+        ex.alias("a")
+        .join(ex.alias("b"), F.col("a.vec_id") == F.col("b.vec_id"))
+        .select(
+            F.col("a.i").alias("i"), F.col("b.i").alias("j"),
+            (F.col("a.x") * F.col("b.x")).alias("xy"),
+        )
+    )
+    sxx = pair.groupBy("i", "j").agg(
+        dsum(F.col("xy")).alias("sxy"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+    )
+    c = (
+        sxx.join(F.broadcast(mu.select("i", F.col("mu").alias("mu_i"))), "i")
+        .join(
+            F.broadcast(mu.select(F.col("i").alias("j"), F.col("mu").alias("mu_j"))),
+            "j",
+        )
+        .select(
+            "i", "j",
+            (F.col("sxy") / F.col("cnt") - F.col("mu_i") * F.col("mu_j")).alias("c"),
+        )
+    )
+    w = c.groupBy("i").agg(dsum(F.col("c")).alias("w"))
+    v = (
+        c.join(
+            F.broadcast(w.select(F.col("i").alias("j"), F.col("w").alias("wj"))),
+            "j",
+        )
+        .groupBy("i")
+        .agg(dsum(F.col("c") * F.col("wj")).alias("v"))
+    )
+    nw = w.agg(F.sqrt(dsum(F.col("w") * F.col("w"))).alias("nw"))
+    nv = v.agg(F.sqrt(dsum(F.col("v") * F.col("v"))).alias("nv"))
+    return (
+        v.crossJoin(F.broadcast(nw))
+        .crossJoin(F.broadcast(nv))
+        .select(
+            F.col("i").alias("dim"),
+            round4(F.col("v") / F.col("nv")).alias("loading"),
+            round4(F.col("nv") / F.col("nw")).alias("lambda_ratio"),
+        )
+    )
