@@ -666,3 +666,38 @@ def agg_bitmap_distinct(spark: SparkSession, sf: str) -> DataFrame:
     return per_bucket.groupBy("o_orderstatus").agg(
         F.sum(F.bitmap_count("bm")).cast("bigint").alias("n_customers")
     )
+
+
+@query(
+    "agg_hll_sketch",
+    oracle=None,  # sketch estimates are implementation-specific: rows-only
+    tags=("agg", "approx", "sketch"),
+)
+def agg_hll_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL, Spark 4
+    ``hll_sketch_agg``/``hll_union_agg``): per-day user sketches are built
+    once, then *merged* per event type — the two-level shape that matters
+    at 100 TB. ``approx_count_distinct`` answers one query; a stored
+    sketch-per-partition table answers every future rollup (any date
+    range, any grain) by cheap binary union, never rescanning the facts —
+    the same re-aggregability argument as ``workload_incremental_rollup``
+    and ``agg_bitmap_distinct``, but with fixed ~2.5 KB state (lgK=12,
+    ~1.6% rel. error) instead of cardinality-proportional bitmaps.
+
+    No SQL oracle: sketch internals differ per implementation, so the
+    driver records a rows-only check; tests/test_hll_sketch.py asserts the
+    estimates land within tolerance of exact COUNT(DISTINCT) and that
+    merged-by-parts equals built-whole."""
+    e = load_table(spark, sf, "events")
+    per_day = e.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.hll_sketch_agg(F.col("user_id"), F.lit(12)).alias("sk"))
+    return (
+        per_day.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg(F.col("sk")))
+            .cast("bigint")
+            .alias("approx_users"),
+            F.count(F.lit(1)).cast("bigint").alias("n_days_merged"),
+        )
+    )

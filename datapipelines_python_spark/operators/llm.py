@@ -1497,3 +1497,84 @@ def llm_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
         (F.floor(slope * 10000.0 + 0.5) / 10000.0).alias("zipf_slope"),
         (F.floor(intercept * 10000.0 + 0.5) / 10000.0).alias("intercept"),
     )
+
+
+@query(
+    "llm_dedup_paragraph",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents
+        ),
+        blk AS (
+            SELECT doc_id, i AS blk_idx,
+                   ARRAY_TO_STRING(toks[(i*16+1):(i*16+16)], ' ') AS btext,
+                   LEAST(16, LEN(toks) - i*16) AS btok
+            FROM tok
+            CROSS JOIN UNNEST(RANGE(0, CAST(CEIL(LEN(toks)/16.0) AS INT))) AS t(i)
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY btext
+                                         ORDER BY doc_id, blk_idx) AS rn
+            FROM blk
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_blocks,
+               CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dropped,
+               CAST(SUM(CASE WHEN rn = 1 THEN btok ELSE 0 END) AS BIGINT)
+                   AS n_tokens_kept
+        FROM ranked GROUP BY doc_id
+    """,
+    tags=("llm", "dedup"),
+)
+def llm_dedup_paragraph(spark: SparkSession, sf: str) -> DataFrame:
+    """Sub-document (C4/RefinedWeb-style) duplicate-segment removal: every
+    doc is cut into non-overlapping 16-token blocks; a block whose text
+    already occurred earlier in the corpus scan order (first occurrence =
+    min (doc_id, blk_idx)) is dropped, and the per-doc retained token mass
+    reported. This is the layer *between* ``llm_dedup_exact`` (whole-doc)
+    and ``llm_dedup_near`` (fuzzy doc pairs): boilerplate repeated across
+    otherwise-distinct pages is removed block-wise.
+
+    Plan shape: the block fan-out is array-local (``posexplode`` over a
+    per-doc ``transform(sequence)``, zero shuffle), then ONE shuffle on the
+    block-text hash for the first-occurrence window, then one agg back on
+    doc_id. No global sort anywhere: the first-occurrence window partitions
+    by block text (hash-partitioned exchange, per-partition local sort on
+    the tiny (doc_id, blk_idx) pair). Reference parity: the framework's
+    pipelines have no sub-document ops (SURVEY.md §2A); this comes from the
+    north-star extension set (BASELINE.json:6 dedup family)."""
+    d = load_table(spark, sf, "documents")
+    tok = d.select("doc_id", F.split("text", " ").alias("toks"))
+    nblk = F.ceil(F.size("toks") / F.lit(16.0)).cast("int")
+    blocks = tok.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nblk - 1),
+                lambda i: F.array_join(F.slice("toks", i * 16 + 1, 16), " "),
+            )
+        ).alias("blk_idx", "btext"),
+        F.size("toks").alias("n_toks"),
+    ).withColumn(
+        "btok", F.least(F.lit(16), F.col("n_toks") - F.col("blk_idx") * 16)
+    )
+    from pyspark.sql.window import Window as W
+
+    # Partition the window by the block text itself: the exchange hash-
+    # partitions on the expression's hash anyway, and unlike grouping by
+    # xxhash64(btext) this can never interleave two colliding texts into
+    # one row_number sequence.
+    first = F.row_number().over(
+        W.partitionBy("btext").orderBy("doc_id", "blk_idx")
+    )
+    ranked = blocks.withColumn("rn", first)
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dropped"),
+        F.sum(F.when(F.col("rn") == 1, F.col("btok")).otherwise(0))
+        .cast("bigint")
+        .alias("n_tokens_kept"),
+    )

@@ -2134,3 +2134,42 @@ def ml_naive_bayes_lang(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("lang") == F.col("lang_actual")).alias("correct"),
         )
     )
+
+
+from datapipelines_python_spark.registry import _REGISTRY as _REG  # noqa: E402
+
+
+@query(
+    "ml_confusion_matrix",
+    oracle=f"""
+        WITH pred AS ({_REG["ml_naive_bayes_lang"].oracle})
+        SELECT lang_actual, lang_pred,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               FLOOR(COUNT(*) / CAST(SUM(COUNT(*)) OVER (PARTITION BY lang_actual)
+                                     AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+                   AS frac_of_actual
+        FROM pred
+        GROUP BY lang_actual, lang_pred
+    """,
+    tags=("ml", "eval"),
+)
+def ml_confusion_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Model-eval layer over ``ml_naive_bayes_lang``: confusion counts
+    (actual × predicted language) with each cell's share of its actual-class
+    row — precision/recall read straight off the matrix. Composes the
+    registered classifier op verbatim (and its oracle verbatim as a CTE), so
+    the eval can never drift from the model it scores — same discipline as
+    ``llm_ann_recall`` / ``llm_dedup_eval``. The extra cost over the
+    classifier is one ~25-row hash aggregate: evaluation is free relative
+    to scoring, which is how it should look at any scale."""
+    pred = _REG["ml_naive_bayes_lang"].fn(spark, sf)
+    g = pred.groupBy("lang_actual", "lang_pred").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = F.sum("n").over(W.partitionBy("lang_actual")).cast("double")
+    return g.select(
+        "lang_actual",
+        "lang_pred",
+        "n",
+        round4(F.col("n") / tot).alias("frac_of_actual"),
+    )

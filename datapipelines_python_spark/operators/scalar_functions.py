@@ -785,3 +785,52 @@ def fn_regexp_extract_all(spark: SparkSession, sf: str) -> DataFrame:
         F.size(F.regexp_extract_all(F.lower("text"), F.lit(pat), 2))
             .alias("n_vowel_words"),
     )
+
+
+@query(
+    "fn_collation",
+    oracle="""
+        WITH m AS (
+            SELECT CASE WHEN c_custkey % 2 = 0 THEN LOWER(c_mktsegment)
+                        ELSE c_mktsegment END AS seg
+            FROM customer
+        )
+        SELECT LOWER(seg) AS segment,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT seg) AS BIGINT) AS n_case_variants
+        FROM m GROUP BY LOWER(seg)
+    """,
+    tags=("fn", "string", "spark4"),
+)
+def fn_collation(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark 4 collation-aware comparison: grouping under ``UTF8_LCASE``
+    unifies case variants *without* rewriting the values — the engine-level
+    alternative to sprinkling ``LOWER()`` into every predicate (and, unlike
+    LOWER, extends to locale/accent-insensitive collations). Case variance
+    is injected deterministically (even keys lowered), the group key is
+    ``collate(seg, 'UTF8_LCASE')``, and a binary-collated COUNT(DISTINCT)
+    inside each group counts the case variants that LCASE equality merged.
+    The oracle expresses the same semantics the pre-collation way. At scale
+    collation-aware grouping hashes the collation key directly — one
+    aggregate, no derived normalized column to carry through the shuffle."""
+    c = load_table(spark, sf, "customer")
+    m = c.select(
+        F.when(
+            F.col("c_custkey") % 2 == 0, F.lower("c_mktsegment")
+        )
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg")
+    )
+    g = m.groupBy(F.collate(F.col("seg"), "UTF8_LCASE").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        # the untouched binary-collated column: counts real case variants
+        # that LCASE equality merged into this group
+        F.countDistinct("seg").cast("bigint").alias("n_case_variants"),
+    )
+    # normalize the representative for the cross-engine compare (which
+    # variant survives as the group key is collation-internal detail)
+    return g.select(
+        F.lower(F.col("k").cast("string")).alias("segment"),
+        "n_rows",
+        "n_case_variants",
+    )

@@ -2699,3 +2699,386 @@ def ml_pca_power(spark: SparkSession, sf: str) -> DataFrame:
             round4(F.col("nv") / F.col("nw")).alias("lambda_ratio"),
         )
     )
+
+
+@query(
+    "ml_decision_stump",
+    oracle="""
+        WITH pts AS (
+            SELECT o_totalprice AS x,
+                   COUNT(*) AS cnt,
+                   SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS pos
+            FROM orders GROUP BY 1
+        ),
+        cum AS (
+            SELECT x,
+                   CAST(SUM(cnt) OVER (ORDER BY x) AS DOUBLE) AS nl,
+                   CAST(SUM(pos) OVER (ORDER BY x) AS DOUBLE) AS posl,
+                   CAST((SELECT SUM(cnt) FROM pts) AS DOUBLE) AS n,
+                   CAST((SELECT SUM(pos) FROM pts) AS DOUBLE) AS post
+            FROM pts
+        ),
+        g AS (
+            SELECT x, nl, n - nl AS nr,
+                   (nl * (1.0 - (posl * posl + (nl - posl) * (nl - posl))
+                                / (nl * nl))
+                    + (n - nl) * (1.0 - ((post - posl) * (post - posl)
+                                         + ((n - nl) - (post - posl))
+                                           * ((n - nl) - (post - posl)))
+                                        / ((n - nl) * (n - nl)))) / n AS gini
+            FROM cum WHERE nl < n
+        )
+        SELECT x AS threshold,
+               FLOOR(gini * 10000.0 + 0.5) / 10000.0 AS gini,
+               CAST(nl AS BIGINT) AS n_left,
+               CAST(nr AS BIGINT) AS n_right
+        FROM g
+        QUALIFY ROW_NUMBER() OVER (ORDER BY gini, x) = 1
+    """,
+    tags=("ml", "workload"),
+)
+def ml_decision_stump(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact best-split search for a one-level decision tree (stump):
+    predict ``o_orderstatus = 'F'`` from ``o_totalprice``; among all
+    candidate thresholds (every distinct feature value), pick the split
+    ``x <= t`` minimizing weighted Gini impurity, ties broken by smallest
+    threshold. The classic tree-learner inner loop, done relationally.
+
+    Plan shape — the scalable split-finding recipe: (1) ONE hash aggregate
+    compresses the fact table to (distinct value, count, positives) — the
+    only pass that touches all rows; (2) cumulative sums over the *deduped*
+    candidate list (orders of magnitude smaller; here a single-partition
+    window, at 100 TB a fixed-width histogram binning would cap candidates
+    first) give left/right class counts per threshold in O(distinct);
+    (3) Gini from pure integer counts cast to double once — every engine
+    computes identical IEEE expressions, so the argmin is deterministic.
+    No MLlib, no iteration, no driver collect."""
+    o = load_table(spark, sf, "orders")
+    pts = o.groupBy(F.col("o_totalprice").alias("x")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias(
+            "pos"
+        ),
+    )
+    w_cum = W.orderBy("x").rangeBetween(W.unboundedPreceding, W.currentRow)
+    w_all = W.partitionBy()
+    cum = pts.select(
+        "x",
+        F.sum("cnt").over(w_cum).cast("double").alias("nl"),
+        F.sum("pos").over(w_cum).cast("double").alias("posl"),
+        F.sum("cnt").over(w_all).cast("double").alias("n"),
+        F.sum("pos").over(w_all).cast("double").alias("post"),
+    )
+    nl, posl = F.col("nl"), F.col("posl")
+    n, post = F.col("n"), F.col("post")
+    nr, posr = n - nl, post - posl
+    gini_l = F.lit(1.0) - (posl * posl + (nl - posl) * (nl - posl)) / (nl * nl)
+    gini_r = F.lit(1.0) - (posr * posr + (nr - posr) * (nr - posr)) / (nr * nr)
+    g = cum.filter(nl < n).select(
+        "x",
+        "nl",
+        nr.alias("nr"),
+        ((nl * gini_l + nr * gini_r) / n).alias("gini"),
+    )
+    best = F.row_number().over(W.orderBy("gini", "x"))
+    return (
+        g.withColumn("rn", best)
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("x").alias("threshold"),
+            (F.floor(F.col("gini") * 10000.0 + 0.5) / 10000.0).alias("gini"),
+            F.col("nl").cast("bigint").alias("n_left"),
+            F.col("nr").cast("bigint").alias("n_right"),
+        )
+    )
+
+
+@query(
+    "workload_error_bursts",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_id, ts,
+                   event_type = 'error' AS is_err,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ),
+        err AS (
+            SELECT user_id, ts, event_id,
+                   rn - ROW_NUMBER() OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS grp
+            FROM e WHERE is_err
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_errors,
+               MIN(ts) AS burst_start,
+               MAX(ts) AS burst_end
+        FROM err
+        GROUP BY user_id, grp
+        HAVING COUNT(*) >= 3
+    """,
+    tags=("workload", "events"),
+)
+def workload_error_bursts(spark: SparkSession, sf: str) -> DataFrame:
+    """Consecutive-run detection (gaps-and-islands on a *condition*, not a
+    time gap — the twin of ``win_sessionize_batch``): find runs of >= 3
+    uninterrupted 'error' events per user, reporting run length and span.
+    The alerting/SLO shape: "N failures in a row" rather than "N failures
+    per window".
+
+    Islands via the rank-difference trick: global row_number minus
+    error-only row_number is constant within an unbroken error run. Two
+    windows share ONE exchange (both partition by user_id, same sort), so
+    the plan is a single shuffle + per-partition sort + one hash agg —
+    scales as a sessionize, with per-user state never materialized."""
+    e = load_table(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.col("event_type") == "error").alias("is_err"),
+        F.row_number().over(w).alias("rn"),
+    )
+    err = ranked.filter("is_err").withColumn(
+        "grp", F.col("rn") - F.row_number().over(w)
+    )
+    return (
+        err.groupBy("user_id", "grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_errors"),
+            F.min("ts").alias("burst_start"),
+            F.max("ts").alias("burst_end"),
+        )
+        .filter(F.col("n_errors") >= 3)
+        .drop("grp")
+    )
+
+
+@query(
+    "workload_ewma_smoothing",
+    oracle="""
+        WITH b AS (
+            SELECT event_id, user_id, value,
+                   LAG(value, 1) OVER w AS v1, LAG(value, 2) OVER w AS v2,
+                   LAG(value, 3) OVER w AS v3, LAG(value, 4) OVER w AS v4,
+                   LAG(value, 5) OVER w AS v5, LAG(value, 6) OVER w AS v6,
+                   LAG(value, 7) OVER w AS v7
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT event_id, user_id, value,
+               (((((((value
+                   + COALESCE(v1, 0.0) * 0.5)
+                   + COALESCE(v2, 0.0) * 0.25)
+                   + COALESCE(v3, 0.0) * 0.125)
+                   + COALESCE(v4, 0.0) * 0.0625)
+                   + COALESCE(v5, 0.0) * 0.03125)
+                   + COALESCE(v6, 0.0) * 0.015625)
+                   + COALESCE(v7, 0.0) * 0.0078125)
+               /
+               (((((((1.0
+                   + CASE WHEN v1 IS NULL THEN 0.0 ELSE 0.5 END)
+                   + CASE WHEN v2 IS NULL THEN 0.0 ELSE 0.25 END)
+                   + CASE WHEN v3 IS NULL THEN 0.0 ELSE 0.125 END)
+                   + CASE WHEN v4 IS NULL THEN 0.0 ELSE 0.0625 END)
+                   + CASE WHEN v5 IS NULL THEN 0.0 ELSE 0.03125 END)
+                   + CASE WHEN v6 IS NULL THEN 0.0 ELSE 0.015625 END)
+                   + CASE WHEN v7 IS NULL THEN 0.0 ELSE 0.0078125 END)
+               AS ewma8
+        FROM b
+    """,
+    tags=("workload", "events", "timeseries"),
+)
+def workload_ewma_smoothing(spark: SparkSession, sf: str) -> DataFrame:
+    """Exponentially-weighted moving average (8-tap, alpha = 1/2) per user
+    over the event-time series — the standard smoothing pass before anomaly
+    thresholds (``workload_anomaly_zscore`` is its global-stats sibling).
+
+    EWMA is a recurrence, which doesn't distribute; the scalable form is
+    the finite-tap expansion: weights (1/2)^k over the last 8 observations,
+    renormalized over the taps actually present at the series head. All
+    eight LAG columns ride ONE exchange + sort (same window spec), and the
+    weighted sum is a fixed-depth expression tree — no state, no UDF, no
+    recursion. Weights are negative powers of two, so each product is an
+    exact IEEE exponent shift and the left-to-right addition chain is
+    bit-identical on any engine — the raw doubles hash-match with no
+    rounding step. Truncation error vs the infinite recurrence is
+    2^-8 ≈ 0.4% of the weight mass, the standard engineering cutoff."""
+    e = load_table(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = [F.lag("value", k).over(w).alias(f"v{k}") for k in range(1, 8)]
+    b = e.select("event_id", "user_id", "value", *lags)
+    num = F.col("value")
+    den = F.lit(1.0)
+    for k in range(1, 8):
+        wt = 0.5**k  # exact binary fraction, same literal the oracle uses
+        num = num + F.coalesce(F.col(f"v{k}"), F.lit(0.0)) * F.lit(wt)
+        den = den + F.when(F.col(f"v{k}").isNull(), 0.0).otherwise(wt)
+    return b.select(
+        "event_id", "user_id", "value", (num / den).alias("ewma8")
+    )
+
+
+@query(
+    "workload_data_quality",
+    oracle="""
+        SELECT 'orders_nonpositive_price' AS rule_name,
+               CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_checked,
+               CAST((SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0)
+                    AS BIGINT) AS n_violations
+        UNION ALL
+        SELECT 'lineitem_discount_range',
+               CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+               CAST((SELECT COUNT(*) FROM lineitem
+                     WHERE l_discount < 0 OR l_discount > 0.1) AS BIGINT)
+        UNION ALL
+        SELECT 'lineitem_orphan_orderkey',
+               CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+               CAST((SELECT COUNT(*) FROM lineitem l
+                     WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                       WHERE o.o_orderkey = l.l_orderkey))
+                    AS BIGINT)
+        UNION ALL
+        SELECT 'lineitem_ship_before_order',
+               CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+               CAST((SELECT COUNT(*)
+                     FROM lineitem l JOIN orders o
+                       ON l.l_orderkey = o.o_orderkey
+                     WHERE l.l_shipdate < o.o_orderdate) AS BIGINT)
+    """,
+    tags=("workload", "quality"),
+)
+def workload_data_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Declarative data-quality audit — the validation pass every ingest
+    pipeline runs before publishing a partition: range rules, referential
+    integrity (orphan foreign keys via anti-join), and cross-table
+    consistency (shipped-before-ordered via the FK join), each reported as
+    (rule, checked, violations).
+
+    Plan shape: the two scalar range rules fuse into ONE aggregate pass per
+    table (a single scan emitting several conditional counts); the FK rules
+    are one anti-join and one equi-join, both broadcast-eligible on the
+    orders side at fixture scale and shuffle-hash at 100 TB. Violation
+    counting never materializes violating rows — audits that collect bad
+    rows to the driver die at scale; this shape returns 4 rows regardless
+    of input size. The same rules re-expressed as scalar subqueries form
+    the oracle."""
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    n_orders = o.count()
+    n_li = li.count()
+
+    r1 = o.agg(
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_violations")
+    ).select(
+        F.lit("orders_nonpositive_price").alias("rule_name"),
+        F.lit(n_orders).cast("bigint").alias("n_checked"),
+        "n_violations",
+    )
+    r2 = li.agg(
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_violations")
+    ).select(
+        F.lit("lineitem_discount_range").alias("rule_name"),
+        F.lit(n_li).cast("bigint").alias("n_checked"),
+        "n_violations",
+    )
+    r3 = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_violations"))
+        .select(
+            F.lit("lineitem_orphan_orderkey").alias("rule_name"),
+            F.lit(n_li).cast("bigint").alias("n_checked"),
+            "n_violations",
+        )
+    )
+    r4 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .agg(
+            F.sum(F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violations")
+        )
+        .select(
+            F.lit("lineitem_ship_before_order").alias("rule_name"),
+            F.lit(n_li).cast("bigint").alias("n_checked"),
+            "n_violations",
+        )
+    )
+    return r1.unionAll(r2).unionAll(r3).unionAll(r4)
+
+
+@query(
+    "workload_top_movers",
+    oracle="""
+        WITH rev AS (
+            SELECT DATE_TRUNC('month', CAST(l_shipdate AS DATE)) AS month,
+                   p_type,
+                   CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                      AS DECIMAL(38,8))) AS VARCHAR)
+                        AS DOUBLE) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY 1, 2
+        ),
+        d AS (
+            SELECT month, p_type, revenue,
+                   revenue - LAG(revenue) OVER (PARTITION BY p_type
+                                                ORDER BY month) AS delta
+            FROM rev
+        )
+        SELECT month, p_type, revenue, delta,
+               CAST(rnk AS INT) AS rnk
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY month
+                                         ORDER BY ABS(delta) DESC, p_type)
+                          AS rnk
+            FROM d WHERE delta IS NOT NULL
+        )
+        WHERE rnk <= 3
+    """,
+    tags=("workload", "timeseries"),
+)
+def workload_top_movers(spark: SparkSession, sf: str) -> DataFrame:
+    """Period-over-period movers — the BI staple: monthly revenue per part
+    type, month-over-month delta via LAG, and the top-3 absolute movers
+    within each month (full tie-break on p_type so ranks are deterministic
+    under any partitioning).
+
+    Plan shape: fact⋈dim join (part broadcast), ONE hash aggregate down to
+    (month × type) — thousands of rows at any SF, so both windows (the lag
+    per type, the per-month rank) run on the *aggregated* frame, not the
+    fact table; window-group-limit pushdown caps the rank window's state
+    at k=3 per month. Revenue sums are decimal-exact, so deltas and the
+    ABS ranking are bit-identical cross-engine."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part")
+    rev = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.date_trunc("month", F.col("l_shipdate"))
+            .cast("date")
+            .alias("month"),
+            "p_type",
+        )
+        .agg(dsum(_disc_price()).alias("revenue"))
+    )
+    d = rev.withColumn(
+        "delta",
+        F.col("revenue")
+        - F.lag("revenue").over(W.partitionBy("p_type").orderBy("month")),
+    ).filter(F.col("delta").isNotNull())
+    rnk = F.row_number().over(
+        W.partitionBy("month").orderBy(F.abs("delta").desc(), "p_type")
+    )
+    return (
+        d.withColumn("rnk", rnk.cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("month", "p_type", "revenue", "delta", "rnk")
+    )

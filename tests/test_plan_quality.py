@@ -197,3 +197,26 @@ def test_clustered_sink_writes_range_partitioned(spark, registry):
 def test_dynamic_partition_pruning_injected(spark, registry):
     plan = _plan(spark, registry, "scan_dynamic_partition_pruning")
     assert "dynamicpruning" in plan.lower()  # runtime partition filter
+
+
+def test_error_bursts_single_exchange(spark, registry):
+    # Both windows and the final agg partition by user_id: one shuffle
+    # total (plus AQE reads) — the docstring's claim, pinned.
+    plan = _plan(spark, registry, "workload_error_bursts")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_ewma_lags_share_one_exchange(spark, registry):
+    # Eight LAG columns over the same window spec must not multiply
+    # exchanges or sorts.
+    plan = _plan(spark, registry, "workload_ewma_smoothing")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Sort ") <= 1
+
+
+def test_paragraph_dedup_no_global_sort(spark, registry):
+    # Block fan-out is array-local; the only sort is the per-partition one
+    # under the first-occurrence window — never a global (rangepartitioned)
+    # sort.
+    plan = _plan(spark, registry, "llm_dedup_paragraph")
+    assert "Exchange rangepartitioning" not in plan

@@ -12,6 +12,7 @@ KNOWN_ROWS_ONLY = {
     "sink_parquet_partitioned",
     "agg_approx_distinct",
     "agg_approx_percentile",  # sketch values are implementation-specific
+    "agg_hll_sketch",  # DataSketches estimates; tests/test_hll_sketch.py pins semantics
 }
 
 
@@ -28,9 +29,12 @@ def test_oracles_reference_registered_tables_only():
     }
     for name, sql in all_oracles().items():
         froms = set(re.findall(r"\b(?:FROM|JOIN)\s+([a-z_][a-z_0-9]*)", sql, re.IGNORECASE))
+        table_fns = {"lateral", "range", "unnest"}
         unknown = {
-            f for f in froms if f.lower() not in tables
-        } - _cte_names(sql) - {"lateral", "range"}  # range() is a table function
+            f
+            for f in froms
+            if f.lower() not in tables and f.lower() not in table_fns
+        } - _cte_names(sql)
         assert not unknown or all(f.lower() in _cte_names(sql) or f in {"t", "d"} for f in unknown), (
             f"{name}: oracle references unknown relation(s) {unknown}"
         )
