@@ -834,3 +834,41 @@ def fn_collation(spark: SparkSession, sf: str) -> DataFrame:
         "n_rows",
         "n_case_variants",
     )
+
+
+@query(
+    "fn_format_string",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               PRINTF('ORD-%08d/L%d', l_orderkey, l_linenumber) AS line_uid,
+               PRINTF('%s|%s|%5d cents',
+                      l_returnflag, l_linestatus,
+                      CAST(FLOOR(l_discount * 1000.0) AS BIGINT))
+                   AS flag_summary
+        FROM lineitem WHERE l_orderkey % 100 = 0
+    """,
+    tags=("fn", "string"),
+)
+def fn_format_string(spark: SparkSession, sf: str) -> DataFrame:
+    """printf-style formatting (``format_string`` ≙ DuckDB ``printf``) for
+    building stable composite identifiers and log lines JVM-side — the
+    zero-padded key pattern (``ORD-%08d``) that keeps lexicographic order
+    equal to numeric order, which matters when downstream systems sort
+    file names or keys as strings. Restricted to the portable subset:
+    %d/%s with width/zero-pad. Float verbs are deliberately absent —
+    Java's %.2f rounds half-up, C's rounds half-even, so fractional
+    values are pre-converted to integers with FLOOR on both engines."""
+    li = load_table(spark, sf, "lineitem")
+    return li.filter(F.col("l_orderkey") % 100 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.format_string(
+            "ORD-%08d/L%d", F.col("l_orderkey"), F.col("l_linenumber")
+        ).alias("line_uid"),
+        F.format_string(
+            "%s|%s|%5d cents",
+            F.col("l_returnflag"),
+            F.col("l_linestatus"),
+            F.floor(F.col("l_discount") * 1000.0).cast("bigint"),
+        ).alias("flag_summary"),
+    )

@@ -3082,3 +3082,228 @@ def workload_top_movers(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("month", "p_type", "revenue", "delta", "rnk")
     )
+
+
+@query(
+    "workload_histogram_equiheight",
+    oracle=f"""
+        WITH b AS (
+            SELECT value, NTILE(10) OVER (ORDER BY value, event_id) AS bucket
+            FROM events
+        )
+        SELECT CAST(bucket AS INT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(value) AS lo,
+               MAX(value) AS hi,
+               {sql_dsum('value')} AS sum_value
+        FROM b GROUP BY bucket
+    """,
+    tags=("workload", "stats"),
+)
+def workload_histogram_equiheight(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-height (quantile-bucket) histogram over ``events.value`` — the
+    optimizer-statistics twin of ``agg_histogram`` (equi-width): every
+    bucket holds the same row count, bucket bounds land where the data is
+    dense. NTILE over a total order (value, event_id — the id tie-break
+    makes bucket membership deterministic) assigns buckets, then one hash
+    aggregate per bucket.
+
+    Scale note: a global NTILE is a single-partition sort — fine for the
+    fixture, wrong at 100 TB. The production path computes boundary values
+    first (``approx_percentile`` one-pass sketch, or an exact
+    two-pass count + range-partitioned rank), then buckets by comparison
+    against the broadcast boundary array; the output contract (equal-count
+    buckets, exact per-bucket stats) is unchanged, which is what this op
+    pins."""
+    e = load_table(spark, sf, "events")
+    b = e.select(
+        "value",
+        F.ntile(10).over(W.orderBy("value", "event_id")).alias("bucket"),
+    )
+    return b.groupBy(F.col("bucket").cast("int").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        dsum(F.col("value")).alias("sum_value"),
+    )
+
+
+@query(
+    "ml_tree_depth2",
+    oracle="""
+        WITH pts AS (
+            SELECT o_totalprice AS x,
+                   COUNT(*) AS cnt,
+                   SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS pos
+            FROM orders GROUP BY 1
+        ),
+        rcum AS (
+            SELECT x,
+                   CAST(SUM(cnt) OVER (ORDER BY x) AS DOUBLE) AS nl,
+                   CAST(SUM(pos) OVER (ORDER BY x) AS DOUBLE) AS posl,
+                   CAST((SELECT SUM(cnt) FROM pts) AS DOUBLE) AS n,
+                   CAST((SELECT SUM(pos) FROM pts) AS DOUBLE) AS post
+            FROM pts
+        ),
+        rbest AS (
+            SELECT 'root' AS node, x AS threshold,
+                   (nl * (1.0 - (posl * posl + (nl - posl) * (nl - posl)) / (nl * nl)) + (n - nl) * (1.0 - ((post - posl) * (post - posl) + ((n - nl) - (post - posl)) * ((n - nl) - (post - posl))) / ((n - nl) * (n - nl)))) / n AS gini, nl, n - nl AS nr
+            FROM rcum WHERE nl < n
+            QUALIFY ROW_NUMBER() OVER (ORDER BY (nl * (1.0 - (posl * posl + (nl - posl) * (nl - posl)) / (nl * nl)) + (n - nl) * (1.0 - ((post - posl) * (post - posl) + ((n - nl) - (post - posl)) * ((n - nl) - (post - posl))) / ((n - nl) * (n - nl)))) / n, x) = 1
+        ),
+        sided AS (
+            SELECT p.x, p.cnt, p.pos,
+                   CASE WHEN p.x <= rb.threshold THEN 'L' ELSE 'R' END AS side
+            FROM pts p, rbest rb
+        ),
+        scum AS (
+            SELECT side, x,
+                   CAST(SUM(cnt) OVER (PARTITION BY side ORDER BY x)
+                        AS DOUBLE) AS nl,
+                   CAST(SUM(pos) OVER (PARTITION BY side ORDER BY x)
+                        AS DOUBLE) AS posl,
+                   CAST(SUM(cnt) OVER (PARTITION BY side) AS DOUBLE) AS n,
+                   CAST(SUM(pos) OVER (PARTITION BY side) AS DOUBLE) AS post
+            FROM sided
+        ),
+        sbest AS (
+            SELECT side AS node, x AS threshold,
+                   (nl * (1.0 - (posl * posl + (nl - posl) * (nl - posl)) / (nl * nl)) + (n - nl) * (1.0 - ((post - posl) * (post - posl) + ((n - nl) - (post - posl)) * ((n - nl) - (post - posl))) / ((n - nl) * (n - nl)))) / n AS gini, nl, n - nl AS nr
+            FROM scum WHERE nl < n
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY side
+                                       ORDER BY (nl * (1.0 - (posl * posl + (nl - posl) * (nl - posl)) / (nl * nl)) + (n - nl) * (1.0 - ((post - posl) * (post - posl) + ((n - nl) - (post - posl)) * ((n - nl) - (post - posl))) / ((n - nl) * (n - nl)))) / n, x) = 1
+        ),
+        un AS (
+            SELECT * FROM rbest UNION ALL SELECT * FROM sbest
+        )
+        SELECT node, threshold,
+               FLOOR(gini * 10000.0 + 0.5) / 10000.0 AS gini,
+               CAST(nl AS BIGINT) AS n_left,
+               CAST(nr AS BIGINT) AS n_right
+        FROM un
+    """,
+    tags=("ml", "workload"),
+)
+def ml_tree_depth2(spark: SparkSession, sf: str) -> DataFrame:
+    """Depth-2 decision tree on one feature: the ``ml_decision_stump``
+    split machinery applied twice — once for the root, then (with the root
+    threshold broadcast back onto the candidate table) once per child,
+    windows partitioned by side. Shows how tree learning *composes*
+    relationally: level k+1 re-runs the identical
+    dedup -> cumulative-window -> argmin pipeline with one more partition
+    column, so depth-d training is d sequential passes over the *deduped
+    candidate* table (not the fact table), each a narrow window + argmin.
+    All class counts are integers cast to double once; both engines run
+    identical IEEE expressions, so thresholds and Gini agree bit-for-bit
+    before the final display rounding."""
+    o = load_table(spark, sf, "orders")
+    pts = o.groupBy(F.col("o_totalprice").alias("x")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias(
+            "pos"
+        ),
+    )
+
+    def best_splits(df: DataFrame) -> DataFrame:
+        """Argmin weighted-Gini threshold per ``side`` partition."""
+        w_cum = (
+            W.partitionBy("side")
+            .orderBy("x")
+            .rangeBetween(W.unboundedPreceding, W.currentRow)
+        )
+        w_all = W.partitionBy("side")
+        cum = df.select(
+            "side",
+            "x",
+            F.sum("cnt").over(w_cum).cast("double").alias("nl"),
+            F.sum("pos").over(w_cum).cast("double").alias("posl"),
+            F.sum("cnt").over(w_all).cast("double").alias("n"),
+            F.sum("pos").over(w_all).cast("double").alias("post"),
+        )
+        nl, posl = F.col("nl"), F.col("posl")
+        n, post = F.col("n"), F.col("post")
+        nr, posr = n - nl, post - posl
+        g_l = F.lit(1.0) - (posl * posl + (nl - posl) * (nl - posl)) / (
+            nl * nl
+        )
+        g_r = F.lit(1.0) - (posr * posr + (nr - posr) * (nr - posr)) / (
+            nr * nr
+        )
+        g = cum.filter(nl < n).select(
+            "side",
+            "x",
+            "nl",
+            nr.alias("nr"),
+            ((nl * g_l + nr * g_r) / n).alias("gini"),
+        )
+        rn = F.row_number().over(W.partitionBy("side").orderBy("gini", "x"))
+        return g.withColumn("rn", rn).filter(F.col("rn") == 1).drop("rn")
+
+    root = best_splits(pts.withColumn("side", F.lit("root")))
+    sided = pts.crossJoin(
+        F.broadcast(root.select(F.col("x").alias("t0")))
+    ).withColumn(
+        "side", F.when(F.col("x") <= F.col("t0"), "L").otherwise("R")
+    )
+    leaves = best_splits(sided.select("side", "x", "cnt", "pos"))
+    un = root.unionAll(leaves)
+    return un.select(
+        F.col("side").alias("node"),
+        F.col("x").alias("threshold"),
+        (F.floor(F.col("gini") * 10000.0 + 0.5) / 10000.0).alias("gini"),
+        F.col("nl").cast("bigint").alias("n_left"),
+        F.col("nr").cast("bigint").alias("n_right"),
+    )
+
+
+@query(
+    "workload_forecast_seasonal",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        with_pred AS (
+            SELECT event_type, day, n,
+                   LAG(n, 7) OVER (PARTITION BY event_type ORDER BY day)
+                       AS pred
+            FROM daily
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_days_scored,
+               CAST(SUM(ABS(n - pred)) AS BIGINT) AS total_abs_err,
+               FLOOR(SUM(ABS(n - pred)) / CAST(COUNT(*) AS DOUBLE)
+                     * 10000.0 + 0.5) / 10000.0 AS mae
+        FROM with_pred WHERE pred IS NOT NULL
+        GROUP BY event_type
+    """,
+    tags=("workload", "timeseries"),
+)
+def workload_forecast_seasonal(spark: SparkSession, sf: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each day's event volume
+    with the value from 7 days earlier (the standard baseline every real
+    forecasting model must beat) and score MAE per event type. The
+    evaluation harness shape matters more than the model: day-grain
+    aggregate -> per-series LAG(7) -> error aggregate is the same
+    three-step plan any backtest (ARIMA residuals, holdout windows) runs,
+    and every step is a narrow shuffle on (type) or (type, day). Errors
+    stay integers (counts) until the single final division, so the MAE is
+    engine-exact before display rounding."""
+    e = load_table(spark, sf, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    pred = F.lag("n", 7).over(W.partitionBy("event_type").orderBy("day"))
+    scored = daily.withColumn("pred", pred).filter(F.col("pred").isNotNull())
+    err = F.abs(F.col("n") - F.col("pred"))
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days_scored"),
+        F.sum(err).cast("bigint").alias("total_abs_err"),
+        (
+            F.floor(
+                F.sum(err) / F.count(F.lit(1)).cast("double") * 10000.0 + 0.5
+            )
+            / 10000.0
+        ).alias("mae"),
+    )
