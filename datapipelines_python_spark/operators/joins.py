@@ -644,3 +644,89 @@ def join_asof_nearest(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("event_id", "k", "ts", "o_orderkey", "o_orderdate")
     )
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+        WITH views AS (
+            SELECT user_id, ts, ARG_MAX(event_id, event_id) AS view_id
+            FROM events WHERE event_type = 'view'
+            GROUP BY user_id, ts
+        ),
+        purchases AS (
+            SELECT event_id AS purchase_id, user_id, ts
+            FROM events WHERE event_type = 'purchase'
+        ),
+        matched AS (
+            SELECT p.purchase_id, p.user_id, p.ts AS p_ts,
+                   v.view_id, v.ts AS v_ts
+            FROM purchases p
+            ASOF LEFT JOIN views v
+              ON p.user_id = v.user_id AND v.ts <= p.ts
+        )
+        SELECT purchase_id, user_id,
+               CASE WHEN (EPOCH_US(p_ts) - EPOCH_US(v_ts)) // 1000000 <= 3600
+                    THEN view_id END AS matched_view_id,
+               CASE WHEN (EPOCH_US(p_ts) - EPOCH_US(v_ts)) // 1000000 <= 3600
+                    THEN CAST((EPOCH_US(p_ts) - EPOCH_US(v_ts)) // 1000000
+                              AS BIGINT) END AS lag_seconds
+        FROM matched
+    """,
+    tags=("join", "asof"),
+)
+def join_asof_tolerance(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join with a staleness bound: each purchase takes the user's
+    latest prior view only if it happened within the last hour — matches
+    older than the tolerance become NULL (attribution windows, sensor
+    lookups, quote-at-trade joins all carry this bound in practice).
+
+    Same single-shuffle union+window plan as ``join_asof`` — the carried
+    value is a (view_id, ts) struct so the match's age is known at the
+    purchase row, and the tolerance is a post-window projection, not a
+    join condition: state stays O(1) per user and no pair explosion. The
+    oracle applies the identical cutoff on DuckDB's native ASOF result;
+    lag arithmetic is integer epoch-seconds on both engines."""
+    e = load_table(spark, sf, "events")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+        .select(
+            "user_id", "ts", "view_id",
+            F.lit(None).cast("long").alias("purchase_id"),
+        )
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(None).cast("long").alias("view_id"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    tagged = views.unionByName(purchases).withColumn(
+        "is_view", F.col("view_id").isNotNull().cast("int")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_view").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = tagged.withColumn(
+        "last_view",
+        F.last(
+            F.when(
+                F.col("is_view") == 1,
+                F.struct(F.col("view_id"), F.col("ts").alias("v_ts")),
+            ),
+            ignorenulls=True,
+        ).over(w),
+    )
+    lag_s = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.col("last_view.v_ts"))
+    ) / F.lit(1000000)
+    lag_floor = F.floor(lag_s).cast("bigint")
+    fresh = lag_floor <= 3600
+    return carried.filter(F.col("purchase_id").isNotNull()).select(
+        "purchase_id",
+        "user_id",
+        F.when(fresh, F.col("last_view.view_id")).alias("matched_view_id"),
+        F.when(fresh, lag_floor).alias("lag_seconds"),
+    )

@@ -585,3 +585,53 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf: str) -> DataFrame:
     return spark.read.parquet(path).select(
         "o_orderkey", "o_totalprice", F.col("o_orderstatus").cast("string").alias("o_orderstatus")
     )
+
+
+@query(
+    "scan_json_nested",
+    oracle="""
+        WITH agg AS (
+            SELECT o_custkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,8)))
+                             AS VARCHAR) AS DOUBLE) AS total_spend,
+                   (ARRAY_AGG(o_orderkey ORDER BY o_orderkey DESC))[1:3]
+                       AS recent_orders
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT o_custkey AS custkey, n_orders, total_spend, recent_orders
+        FROM agg
+    """,
+    tags=("scan", "connector", "nested"),
+)
+def scan_json_nested(spark: SparkSession, sf: str) -> DataFrame:
+    """Nested-schema JSON connector roundtrip: a per-customer document
+    ``{custkey, stats: {n_orders, total_spend}, recent_orders: [...]}`` is
+    written as JSON lines and read back with an *explicit* nested schema
+    (no inference — schema inference is a full extra pass over the data
+    and non-deterministic under sampling at scale), then flattened. The
+    struct/array nesting survives the connector: the oracle computes the
+    same flattened result straight from orders, so any field lost or
+    type-coerced in the JSON hop fails the hash. Top-3 recent orders are
+    ORDER BY-deterministic on both engines."""
+    o = load_table(spark, sf, "orders")
+    nested = o.groupBy("o_custkey").agg(
+        F.struct(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,8)"))
+            .cast("double")
+            .alias("total_spend"),
+        ).alias("stats"),
+        F.slice(
+            F.sort_array(F.collect_list("o_orderkey"), asc=False), 1, 3
+        ).alias("recent_orders"),
+    )
+    path = scratch_dir("json_nested")
+    nested.write.mode("overwrite").json(path)
+    back = spark.read.schema(nested.schema).json(path)
+    return back.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("stats.n_orders").alias("n_orders"),
+        F.col("stats.total_spend").alias("total_spend"),
+        "recent_orders",
+    )

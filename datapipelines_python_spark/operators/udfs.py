@@ -310,3 +310,68 @@ def udf_arrow_scalar(spark: SparkSession, sf: str) -> DataFrame:
         ntok("text").alias("n_tokens"),
         nchar("text").alias("n_nonspace"),
     )
+
+
+@query(
+    "udtf_analyze_polymorphic",
+    oracle="""
+        SELECT doc_id,
+               CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(LENGTH(text) AS BIGINT) AS n_chars,
+               lang AS lang_tag
+        FROM documents
+    """,
+    tags=("udf", "udtf", "spark4"),
+)
+def udtf_analyze_polymorphic(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark 4 polymorphic Python UDTF: the static ``analyze`` hook
+    computes the output schema *from the call site's literal argument* —
+    here a requested-metrics string decides which columns the UDTF emits
+    (schema-on-call, the table-function analogue of generics). The driver
+    invokes analyze once at plan time; executors then stream Arrow
+    batches through ``eval`` with a schema Catalyst already trusts, so
+    downstream pruning/codegen see ordinary columns. Kept deliberately
+    side-effect-free and oracle-expressible: the same three metrics in
+    plain SQL."""
+    from pyspark.sql.functions import lit, udtf
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class DocMetrics:
+        @staticmethod
+        def analyze(
+            doc_id: AnalyzeArgument,
+            text: AnalyzeArgument,
+            lang: AnalyzeArgument,
+            metrics: AnalyzeArgument,
+        ) -> AnalyzeResult:
+            fields = [
+                T.StructField("doc_id", T.LongType()),
+            ]
+            for m in metrics.value.split(","):
+                if m == "tokens":
+                    fields.append(T.StructField("n_tokens", T.LongType()))
+                elif m == "chars":
+                    fields.append(T.StructField("n_chars", T.LongType()))
+                elif m == "lang":
+                    fields.append(T.StructField("lang_tag", T.StringType()))
+            return AnalyzeResult(schema=T.StructType(fields))
+
+        def eval(self, doc_id: int, text: str, lang: str, metrics: str):
+            row = [doc_id]
+            for m in metrics.split(","):
+                if m == "tokens":
+                    row.append(len(text.split(" ")))
+                elif m == "chars":
+                    row.append(len(text))
+                elif m == "lang":
+                    row.append(lang)
+            yield tuple(row)
+
+    metrics_udtf = udtf(DocMetrics)
+    spark.udtf.register("doc_metrics", metrics_udtf)
+    d = load_table(spark, sf, "documents")
+    d.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT m.* FROM _udtf_docs d, "
+        "LATERAL doc_metrics(d.doc_id, d.text, d.lang, 'tokens,chars,lang') m"
+    )

@@ -3307,3 +3307,52 @@ def workload_forecast_seasonal(spark: SparkSession, sf: str) -> DataFrame:
             / 10000.0
         ).alias("mae"),
     )
+
+
+@query(
+    "workload_queue_depth",
+    oracle="""
+        WITH pts AS (
+            SELECT CAST(o_orderdate AS DATE) AS day, 1 AS d FROM orders
+            UNION ALL
+            SELECT CAST(o_orderdate AS DATE) + 30, -1 FROM orders
+        ),
+        agg AS (
+            SELECT day, CAST(SUM(d) AS BIGINT) AS delta
+            FROM pts GROUP BY day
+        )
+        SELECT day,
+               CAST(SUM(delta) OVER (ORDER BY day) AS BIGINT) AS open_orders
+        FROM agg
+    """,
+    tags=("workload", "intervals"),
+)
+def workload_queue_depth(spark: SparkSession, sf: str) -> DataFrame:
+    """Concurrent-interval counting (queue depth / active sessions / open
+    orders): how many orders are simultaneously open on each day, where an
+    order is open for 30 days from its order date. The difference-array
+    sweep: each interval contributes +1 at its start and -1 past its end;
+    a hash aggregate collapses the ±1 stream to one delta per boundary
+    day, and a running sum over boundary days yields the depth — exact,
+    and piecewise-constant between boundaries so the boundary-day output
+    is complete.
+
+    This shape replaces the O(days × orders) "count intervals covering
+    each day" theta join with O(orders) fan-out (×2) + one small running
+    sum. The prefix sum runs over distinct boundary *days* (thousands at
+    any SF — a single-partition window is fine even at 100 TB of orders);
+    if the boundary domain were itself huge, the standard two-phase
+    distributed prefix sum (per-partition partials, broadcast offsets)
+    drops in without changing the contract."""
+    o = load_table(spark, sf, "orders")
+    day = F.col("o_orderdate").cast("date")
+    pts = o.select(day.alias("day"), F.lit(1).alias("d")).unionAll(
+        o.select(F.date_add(day, 30).alias("day"), F.lit(-1).alias("d"))
+    )
+    agg = pts.groupBy("day").agg(F.sum("d").cast("bigint").alias("delta"))
+    running = (
+        W.orderBy("day").rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return agg.select(
+        "day", F.sum("delta").over(running).cast("bigint").alias("open_orders")
+    )
