@@ -701,3 +701,56 @@ def agg_hll_sketch(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_days_merged"),
         )
     )
+
+
+@query(
+    "agg_filter_clause",
+    oracle=f"""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+                   AS n_finished,
+               {sql_dsum('o_totalprice')} AS sum_all,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,8)))
+                         FILTER (WHERE o_orderstatus = 'F') AS VARCHAR)
+                    AS DOUBLE) AS sum_finished,
+               CAST(MIN(o_orderkey) FILTER (WHERE o_orderstatus = 'O')
+                    AS BIGINT) AS first_open_key
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    tags=("agg",),
+)
+def agg_filter_clause(spark: SparkSession, sf: str) -> DataFrame:
+    """ANSI ``FILTER (WHERE ...)`` aggregate modifier — several
+    differently-filtered aggregates from ONE scan and ONE shuffle, the
+    idiom that replaces N self-joins in report queries (and, unlike
+    CASE-wrapping, keeps NULL semantics right for MIN/MAX/AVG: an
+    unmatched row contributes nothing rather than a NULL/0 sentinel).
+    Spark 4 accepts the clause in SQL, so the op goes through
+    ``spark.sql`` against the registered view — same Catalyst plan as
+    the DataFrame CASE formulation (both compile to conditional
+    aggregate inputs), which the twin ops (``agg_bool_bitwise``
+    count_if, ``workload_data_quality``) express the DataFrame way."""
+    from datapipelines_python_spark.catalog import table_path
+
+    spark.read.parquet(table_path(sf, "orders")).createOrReplaceTempView(
+        "_filter_orders"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+                   AS n_finished,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE)
+                   AS sum_all,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,8)))
+                    FILTER (WHERE o_orderstatus = 'F') AS DOUBLE)
+                   AS sum_finished,
+               MIN(o_orderkey) FILTER (WHERE o_orderstatus = 'O')
+                   AS first_open_key
+        FROM _filter_orders
+        GROUP BY o_orderpriority
+        """
+    )

@@ -635,3 +635,27 @@ def scan_json_nested(spark: SparkSession, sf: str) -> DataFrame:
         F.col("stats.total_spend").alias("total_spend"),
         "recent_orders",
     )
+
+
+@query(
+    "scan_csv_compressed",
+    oracle="SELECT * FROM supplier",
+    tags=("scan", "connector"),
+)
+def scan_csv_compressed(spark: SparkSession, sf: str) -> DataFrame:
+    """Gzip-compressed CSV roundtrip — the codec facet of the connector
+    surface (the plain-CSV twin is ``scan_csv_roundtrip``). Write side
+    picks the codec explicitly; read side must infer it from the ``.gz``
+    extension with the schema still supplied (never inferred). The catch
+    this op pins: gzip is NOT splittable — one file = one task regardless
+    of size, so at scale the writer controls parallelism by emitting many
+    moderate files (here via the upstream partitioning), or chooses a
+    splittable codec/format upstream; the reader's task count follows the
+    file count, which is why single-giant-gzip ingest is a classic 100 TB
+    antipattern."""
+    sup = load_table(spark, sf, "supplier")
+    path = scratch_dir("csv_gz")
+    sup.write.mode("overwrite").option("header", True).option(
+        "compression", "gzip"
+    ).csv(path)
+    return spark.read.schema(sup.schema).option("header", True).csv(path)

@@ -3356,3 +3356,179 @@ def workload_queue_depth(spark: SparkSession, sf: str) -> DataFrame:
     return agg.select(
         "day", F.sum("delta").over(running).cast("bigint").alias("open_orders")
     )
+
+
+@query(
+    "ml_knn_classifier",
+    oracle="""
+        WITH nv AS MATERIALIZED (
+            SELECT vec_id, embedding, label,
+                   SQRT(list_reduce(list_prepend(0.0,
+                        list_transform(list_zip(embedding, embedding),
+                                       s -> CAST(s[1] AS DOUBLE) * s[2])),
+                        (acc, x) -> acc + x)) AS norm
+            FROM embeddings
+        ),
+        p AS (
+            SELECT a.vec_id AS q, a.label AS label_actual,
+                   b.label AS label_n,
+                   FLOOR((list_reduce(list_prepend(0.0,
+                          list_transform(list_zip(a.embedding, b.embedding),
+                                         s -> CAST(s[1] AS DOUBLE) * s[2])),
+                          (acc, x) -> acc + x) / (a.norm * b.norm))
+                         * 10000.0 + 0.5) / 10000.0 AS c,
+                   b.vec_id AS v
+            FROM nv a JOIN nv b ON a.vec_id <> b.vec_id
+        ),
+        knn AS MATERIALIZED (
+            SELECT q, label_actual, label_n FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY q
+                                             ORDER BY c DESC, v) AS rn
+                FROM p
+            ) r WHERE rn <= 5
+        ),
+        votes AS (
+            SELECT q, label_actual, label_n,
+                   CAST(COUNT(*) AS BIGINT) AS n_votes
+            FROM knn GROUP BY q, label_actual, label_n
+        ),
+        pred AS (
+            SELECT q, label_actual, label_n AS label_pred FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY q
+                                             ORDER BY n_votes DESC,
+                                                      label_n) AS rn
+                FROM votes
+            ) r WHERE rn = 1
+        )
+        SELECT CAST(label_actual AS INT) AS label_actual,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN label_pred = label_actual
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+               FLOOR(SUM(CASE WHEN label_pred = label_actual
+                              THEN 1 ELSE 0 END)
+                     / CAST(COUNT(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+                   AS accuracy
+        FROM pred GROUP BY label_actual
+    """,
+    tags=("ml", "similarity", "eval"),
+)
+def ml_knn_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    """Leave-one-out 5-NN majority-vote classification over the embedding
+    corpus, scored per true label — the standard embedding-quality probe
+    (high kNN accuracy ⇒ labels are cosine-separable; the trainable-model
+    counterpart of ``graph_triangle_count``'s structural diagnostic).
+    Votes tie-break by (count desc, label asc) and neighbors by
+    (round4 cosine desc, vec_id), so predictions are engine-exact.
+
+    The n² pair stage is the fixture-scale oracle formulation only; at
+    100 TB the neighbor lists come from the bucketed ANN path
+    (``llm_ann_lsh_bucketed`` / ``llm_ann_ivf``) and this op's vote +
+    score stages consume the n×k edge table unchanged — classification
+    cost is the ANN cost, voting is two narrow aggregates."""
+    from datapipelines_python_spark.operators.llm import dot
+
+    emb = load_table(spark, sf, "embeddings")
+    nv = emb.select(
+        "vec_id",
+        "embedding",
+        "label",
+        F.sqrt(dot("embedding", "embedding")).alias("norm"),
+    )
+    p = (
+        nv.alias("a")
+        .join(nv.alias("b"), F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("q"),
+            F.col("a.label").alias("label_actual"),
+            F.col("b.label").alias("label_n"),
+            round4(
+                dot(F.col("a.embedding"), F.col("b.embedding"))
+                / (F.col("a.norm") * F.col("b.norm"))
+            ).alias("c"),
+            F.col("b.vec_id").alias("v"),
+        )
+    )
+    knn = (
+        p.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("q").orderBy(F.desc("c"), F.asc("v"))
+            ),
+        )
+        .filter(F.col("rn") <= 5)
+        .select("q", "label_actual", "label_n")
+    )
+    votes = knn.groupBy("q", "label_actual", "label_n").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_votes")
+    )
+    pred = (
+        votes.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("q").orderBy(
+                    F.desc("n_votes"), F.asc("label_n")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("q", "label_actual", F.col("label_n").alias("label_pred"))
+    )
+    correct = F.when(F.col("label_pred") == F.col("label_actual"), 1).otherwise(0)
+    return pred.groupBy(
+        F.col("label_actual").cast("int").alias("label_actual")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(correct).cast("bigint").alias("n_correct"),
+        (
+            F.floor(
+                F.sum(correct) / F.count(F.lit(1)).cast("double") * 10000.0
+                + 0.5
+            )
+            / 10000.0
+        ).alias("accuracy"),
+    )
+
+
+@query(
+    "workload_new_vs_returning",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+            FROM events GROUP BY user_id
+        ),
+        daily AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        )
+        SELECT d.day,
+               CAST(SUM(CASE WHEN d.day = f.first_day THEN 1 ELSE 0 END)
+                    AS BIGINT) AS new_users,
+               CAST(SUM(CASE WHEN d.day > f.first_day THEN 1 ELSE 0 END)
+                    AS BIGINT) AS returning_users
+        FROM daily d JOIN firsts f ON d.user_id = f.user_id
+        GROUP BY d.day
+    """,
+    tags=("workload", "events"),
+)
+def workload_new_vs_returning(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily active users split into new vs returning — the growth-
+    accounting header number every product dashboard leads with (the
+    cohort matrix ``workload_cohort_retention`` is its drill-down). Three
+    narrow shuffles, all on user_id or day: first-seen day per user (an
+    agg the incremental pipeline maintains as a tiny running MIN table),
+    day-grain activity dedup, then a broadcast-sized join + conditional
+    counts. At 100 TB the firsts table is users-sized, not events-sized,
+    and is exactly the kind of state ``workload_incremental_rollup``
+    shows how to maintain without rescanning history."""
+    e = load_table(spark, sf, "events")
+    day = F.to_date("ts").alias("day")
+    firsts = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
+    daily = e.select("user_id", day).distinct()
+    j = daily.join(firsts, "user_id")
+    return j.groupBy("day").agg(
+        F.sum(F.when(F.col("day") == F.col("first_day"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("new_users"),
+        F.sum(F.when(F.col("day") > F.col("first_day"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("returning_users"),
+    )
