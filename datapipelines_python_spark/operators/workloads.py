@@ -3532,3 +3532,217 @@ def workload_new_vs_returning(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("returning_users"),
     )
+
+
+@query(
+    "workload_peak_detection",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        ctx AS (
+            SELECT event_type, day, n,
+                   LAG(n) OVER w AS prev_n,
+                   LEAD(n) OVER w AS next_n
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        )
+        SELECT event_type, day, n, prev_n, next_n
+        FROM ctx
+        WHERE prev_n IS NOT NULL AND next_n IS NOT NULL
+          AND n > prev_n AND n >= next_n
+    """,
+    tags=("workload", "timeseries"),
+)
+def workload_peak_detection(spark: SparkSession, sf: str) -> DataFrame:
+    """Local-maximum detection over daily event-volume series (strict rise
+    into the peak, non-increasing out; series edges excluded so every
+    verdict has both neighbors) — the alert-on-spike / campaign-impact
+    primitive that pairs with ``workload_ewma_smoothing`` upstream (smooth,
+    then peak-find) and ``workload_anomaly_zscore``'s global-threshold
+    approach. One day-grain aggregate, then LAG and LEAD sharing a single
+    window spec — one shuffle on event_type, integer comparisons, output
+    rows carry their context (prev/next) for triage."""
+    e = load_table(spark, sf, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    ctx = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.lag("n").over(w).alias("prev_n"),
+        F.lead("n").over(w).alias("next_n"),
+    )
+    return ctx.filter(
+        F.col("prev_n").isNotNull()
+        & F.col("next_n").isNotNull()
+        & (F.col("n") > F.col("prev_n"))
+        & (F.col("n") >= F.col("next_n"))
+    )
+
+
+@query(
+    "graph_link_prediction",
+    oracle="""
+        WITH nv AS MATERIALIZED (
+            SELECT vec_id, embedding,
+                   SQRT(list_reduce(list_prepend(0.0,
+                        list_transform(list_zip(embedding, embedding),
+                                       s -> CAST(s[1] AS DOUBLE) * s[2])),
+                        (acc, x) -> acc + x)) AS norm
+            FROM embeddings
+        ),
+        p AS (
+            SELECT a.vec_id AS u, b.vec_id AS v,
+                   FLOOR((list_reduce(list_prepend(0.0,
+                          list_transform(list_zip(a.embedding, b.embedding),
+                                         s -> CAST(s[1] AS DOUBLE) * s[2])),
+                          (acc, x) -> acc + x) / (a.norm * b.norm))
+                         * 10000.0 + 0.5) / 10000.0 AS c
+            FROM nv a JOIN nv b ON a.vec_id <> b.vec_id
+        ),
+        topk AS MATERIALIZED (
+            SELECT u, v FROM (
+                SELECT u, v,
+                       ROW_NUMBER() OVER (PARTITION BY u
+                                          ORDER BY c DESC, v) AS rn
+                FROM p
+            ) r WHERE rn <= 5
+        ),
+        mutual AS MATERIALIZED (
+            SELECT x.u, x.v FROM topk x
+            JOIN topk y ON x.u = y.v AND x.v = y.u
+            WHERE x.u < x.v
+        ),
+        adj AS MATERIALIZED (
+            SELECT u, v FROM mutual UNION ALL SELECT v, u FROM mutual
+        ),
+        deg AS (
+            SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY u
+        ),
+        wedge AS (
+            SELECT a1.u AS u, a2.u AS v, CAST(COUNT(*) AS BIGINT) AS cn
+            FROM adj a1 JOIN adj a2
+              ON a1.v = a2.v AND a1.u < a2.u
+            GROUP BY 1, 2
+        ),
+        cand AS (
+            SELECT w.u, w.v, w.cn,
+                   FLOOR(w.cn / CAST(du.d + dv.d - w.cn AS DOUBLE)
+                         * 10000.0 + 0.5) / 10000.0 AS jaccard
+            FROM wedge w
+            JOIN deg du ON du.u = w.u
+            JOIN deg dv ON dv.u = w.v
+            LEFT JOIN mutual m ON m.u = w.u AND m.v = w.v
+            WHERE m.u IS NULL
+        )
+        SELECT u, v, cn, jaccard,
+               CAST(rnk AS INT) AS rnk
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (ORDER BY jaccard DESC, u, v) AS rnk
+            FROM cand
+        ) WHERE rnk <= 20
+    """,
+    tags=("workload", "graph", "similarity"),
+)
+def graph_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
+    """Common-neighbor link prediction on the mutual-5NN cosine graph:
+    score every NON-adjacent pair that shares >= 1 neighbor by Jaccard of
+    neighborhoods (|N(u) ∩ N(v)| / |N(u) ∪ N(v)|) and return the top-20
+    predicted links — the "you may also like"/missing-edge primitive, and
+    the third member of the kNN-graph family (``graph_triangle_count``
+    diagnoses structure, ``graph_khop_reach`` measures spread).
+
+    The candidate set comes from the wedge join (adj ⋈ adj on the shared
+    endpoint, u < v) — candidates are pairs at distance exactly 2, never
+    all pairs, so cost is Σ deg² over nodes (bounded by n·k² for a kNN
+    graph, k=5), with existing edges anti-joined away. The n² cosine
+    stage below it is the fixture-scale oracle path; at 100 TB the edge
+    list arrives from the bucketed ANN ops and everything from ``adj``
+    down is unchanged."""
+    from datapipelines_python_spark.operators.llm import dot
+
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    nv = emb.select(
+        "vec_id", "embedding",
+        F.sqrt(dot("embedding", "embedding")).alias("norm"),
+    )
+    p = (
+        nv.alias("a")
+        .join(nv.alias("b"), F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("u"),
+            F.col("b.vec_id").alias("v"),
+            round4(
+                dot(F.col("a.embedding"), F.col("b.embedding"))
+                / (F.col("a.norm") * F.col("b.norm"))
+            ).alias("c"),
+        )
+    )
+    topk = (
+        p.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("u").orderBy(F.desc("c"), F.asc("v"))
+            ),
+        )
+        .filter(F.col("rn") <= 5)
+        .select("u", "v")
+    )
+    mutual = (
+        topk.alias("x")
+        .join(
+            topk.alias("y"),
+            (F.col("x.u") == F.col("y.v")) & (F.col("x.v") == F.col("y.u")),
+        )
+        .filter(F.col("x.u") < F.col("x.v"))
+        .select(F.col("x.u").alias("u"), F.col("x.v").alias("v"))
+    )
+    adj = mutual.unionAll(mutual.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    wedge = (
+        adj.alias("a1")
+        .join(
+            adj.alias("a2"),
+            (F.col("a1.v") == F.col("a2.v")) & (F.col("a1.u") < F.col("a2.u")),
+        )
+        .groupBy(F.col("a1.u").alias("u"), F.col("a2.u").alias("v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cn"))
+    )
+    cand = (
+        wedge.join(deg.alias("du"), wedge.u == F.col("du.u"))
+        .join(deg.alias("dv"), wedge.v == F.col("dv.u"))
+        .join(
+            mutual.alias("m"),
+            (wedge.u == F.col("m.u")) & (wedge.v == F.col("m.v")),
+            "left_anti",
+        )
+        .select(
+            wedge.u,
+            wedge.v,
+            "cn",
+            (
+                F.floor(
+                    F.col("cn")
+                    / (F.col("du.d") + F.col("dv.d") - F.col("cn")).cast(
+                        "double"
+                    )
+                    * 10000.0
+                    + 0.5
+                )
+                / 10000.0
+            ).alias("jaccard"),
+        )
+    )
+    return (
+        cand.withColumn(
+            "rnk",
+            F.row_number().over(W.orderBy(F.desc("jaccard"), "u", "v")),
+        )
+        .filter(F.col("rnk") <= 20)
+        .withColumn("rnk", F.col("rnk").cast("int"))
+    )
