@@ -2173,3 +2173,69 @@ def ml_confusion_matrix(spark: SparkSession, sf: str) -> DataFrame:
         "n",
         round4(F.col("n") / tot).alias("frac_of_actual"),
     )
+
+
+@query(
+    "llm_vocab_coverage",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, lang,
+                   UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS t
+            FROM documents
+        ),
+        vocab AS (
+            SELECT t FROM (
+                SELECT t, COUNT(*) AS c FROM tok GROUP BY t
+                QUALIFY ROW_NUMBER() OVER (ORDER BY c DESC, t) <= 20
+            )
+        )
+        SELECT lang,
+               CAST(SUM(1) AS BIGINT) AS total_tokens,
+               CAST(SUM(CASE WHEN v.t IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS covered_tokens,
+               FLOOR(SUM(CASE WHEN v.t IS NOT NULL THEN 1 ELSE 0 END)
+                     / CAST(COUNT(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+                   AS coverage
+        FROM tok LEFT JOIN vocab v ON tok.t = v.t
+        GROUP BY lang
+    """,
+    tags=("llm", "text", "tokenizer"),
+)
+def llm_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: freeze a top-K frequency vocabulary
+    (K=20 here — the fixture corpus has ~31 distinct words, so coverage is
+    non-trivial; production K is 32k–256k) and measure, per language, what
+    fraction of the token stream the vocab covers. The go/no-go check
+    before committing a tokenizer: a language whose coverage lags the
+    corpus average gets shredded into rare/UNK tokens and learns worse —
+    this is the dial that catches it *before* training (the BPE pair
+    stats twin is ``llm_bpe_pair_stats``).
+
+    Plan: one token fan-out (array-local), a top-K aggregate whose result
+    is vocabulary-sized (broadcast back — the vocab join is a broadcast
+    hash join at any corpus scale, K never grows with data), then one
+    agg per language. Vocab selection tie-breaks (count desc, token asc)
+    so the frozen vocab is deterministic."""
+    d = load_table(spark, sf, "documents")
+    tok = d.select(
+        "lang", F.explode(F.split(F.lower("text"), " ")).alias("t")
+    )
+    vocab = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "rn", F.row_number().over(W.orderBy(F.desc("c"), F.asc("t")))
+        )
+        .filter(F.col("rn") <= 20)
+        .select("t", F.lit(1).alias("in_vocab"))
+    )
+    j = tok.join(F.broadcast(vocab), "t", "left")
+    cov = F.sum(F.coalesce(F.col("in_vocab"), F.lit(0)))
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_tokens"),
+        cov.cast("bigint").alias("covered_tokens"),
+        (
+            F.floor(cov / F.count(F.lit(1)).cast("double") * 10000.0 + 0.5)
+            / 10000.0
+        ).alias("coverage"),
+    )

@@ -3746,3 +3746,149 @@ def graph_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rnk") <= 20)
         .withColumn("rnk", F.col("rnk").cast("int"))
     )
+
+
+@query(
+    "workload_path_3step",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ),
+        tri AS (
+            SELECT s1.user_id,
+                   s1.event_type AS e1, s2.event_type AS e2,
+                   s3.event_type AS e3
+            FROM seq s1
+            JOIN seq s2 ON s1.user_id = s2.user_id AND s2.rn = s1.rn + 1
+            JOIN seq s3 ON s1.user_id = s3.user_id AND s3.rn = s1.rn + 2
+        )
+        SELECT e1, e2, e3,
+               CAST(COUNT(*) AS BIGINT) AS n_paths,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM tri GROUP BY e1, e2, e3
+    """,
+    tags=("workload", "events", "paths"),
+)
+def workload_path_3step(spark: SparkSession, sf: str) -> DataFrame:
+    """Three-step behavioral path frequencies (the Sankey-diagram feed,
+    one order deeper than ``workload_event_transitions``' Markov pairs):
+    every consecutive (e1 → e2 → e3) window per user, counted by path and
+    by distinct users walking it.
+
+    Formulated with LEAD rather than the oracle's rank self-joins: after
+    ONE shuffle on user_id, both lookahead columns ride the same sorted
+    window — no re-join of the sequence to itself three times (that's 3
+    shuffles of the full event stream at 100 TB, vs 1 here). Deterministic
+    sequence order via the (ts, event_id) tie-break."""
+    e = load_table(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = e.select(
+        "user_id",
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return tri.groupBy("e1", "e2", "e3").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_paths"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
+
+
+@query(
+    "workload_funnel_conversion_time",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, MIN(e.ts) AS t2
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.t1
+            GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, MIN(e.ts) AS t3
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.t2
+            GROUP BY e.user_id
+        ),
+        lags AS (
+            SELECT 'view_to_click' AS step, c.user_id,
+                   (EPOCH_US(c.t2) - EPOCH_US(v.t1)) // 1000000 AS lag_s
+            FROM c JOIN v ON c.user_id = v.user_id
+            UNION ALL
+            SELECT 'click_to_purchase', p.user_id,
+                   (EPOCH_US(p.t3) - EPOCH_US(c.t2)) // 1000000
+            FROM p JOIN c ON p.user_id = c.user_id
+        )
+        SELECT step,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(MIN(lag_s) AS BIGINT) AS min_s,
+               CAST(FLOOR(MEDIAN(lag_s)) AS BIGINT) AS median_s,
+               CAST(MAX(lag_s) AS BIGINT) AS max_s
+        FROM lags GROUP BY step
+    """,
+    tags=("workload", "events", "funnel"),
+)
+def workload_funnel_conversion_time(spark: SparkSession, sf: str) -> DataFrame:
+    """How long conversions take, per funnel step — the latency view of
+    ``workload_funnel`` (which counts who converts): per user, the gap
+    between first qualifying view→click and click→purchase, summarized as
+    min/median/max seconds. Same chained min-agg joins as the funnel op
+    (each stage one shuffle on user_id, no per-user sort UDF), then one
+    4-row stats aggregate. Lags are integer epoch-second diffs (floor
+    division on both engines) and the per-step user counts are exact, so
+    even MEDIAN is engine-exact: both engines compute the same exact
+    percentile over integers, and an explicit FLOOR collapses the
+    half-sample interpolation identically — a bare BIGINT cast would
+    truncate on Spark but round on DuckDB."""
+    e = load_table(spark, sf, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    cv = c.join(v, "user_id")
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    pc = p.join(c, "user_id")
+
+    def lag_sec(a: str, b: str) -> F.Column:
+        return F.floor(
+            (F.unix_micros(F.col(a)) - F.unix_micros(F.col(b)))
+            / F.lit(1000000)
+        ).cast("bigint")
+
+    lags = cv.select(
+        F.lit("view_to_click").alias("step"),
+        "user_id",
+        lag_sec("t2", "t1").alias("lag_s"),
+    ).unionAll(
+        pc.select(
+            F.lit("click_to_purchase").alias("step"),
+            "user_id",
+            lag_sec("t3", "t2").alias("lag_s"),
+        )
+    )
+    return lags.groupBy("step").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.min("lag_s").cast("bigint").alias("min_s"),
+        F.floor(F.percentile(F.col("lag_s"), F.lit(0.5))).cast("bigint").alias("median_s"),
+        F.max("lag_s").cast("bigint").alias("max_s"),
+    )
