@@ -3892,3 +3892,128 @@ def workload_funnel_conversion_time(spark: SparkSession, sf: str) -> DataFrame:
         F.floor(F.percentile(F.col("lag_s"), F.lit(0.5))).cast("bigint").alias("median_s"),
         F.max("lag_s").cast("bigint").alias("max_s"),
     )
+
+
+@query(
+    "workload_duplicate_payments",
+    oracle="""
+        SELECT a.o_custkey AS custkey,
+               a.o_orderkey AS orderkey_a,
+               b.o_orderkey AS orderkey_b,
+               a.o_totalprice AS price_a,
+               b.o_totalprice AS price_b,
+               CAST(ABS(DATE_DIFF('day', CAST(a.o_orderdate AS DATE),
+                                  CAST(b.o_orderdate AS DATE)))
+                    AS BIGINT) AS days_apart
+        FROM orders a JOIN orders b
+          ON a.o_custkey = b.o_custkey
+         AND FLOOR(a.o_totalprice / 1000) = FLOOR(b.o_totalprice / 1000)
+         AND a.o_orderkey < b.o_orderkey
+         AND ABS(DATE_DIFF('day', CAST(a.o_orderdate AS DATE),
+                           CAST(b.o_orderdate AS DATE))) <= 90
+    """,
+    tags=("workload", "audit"),
+)
+def workload_duplicate_payments(spark: SparkSession, sf: str) -> DataFrame:
+    """Suspected duplicate payments: pairs of orders by the same customer
+    for a similar amount (same 1000-unit price band) within 90 days — the
+    classic accounts-payable audit / fraud screen.
+
+    The formulation IS the scale lesson: candidate pairs come from an
+    EQUI-join on the blocking key (custkey, price-band) — Catalyst plans a
+    hash join, cost tracks band occupancy — with the date-window and
+    ordering checks as residual filters on the matched pairs. The naive
+    phrasing (theta join on |Δprice| and |Δdays|) degenerates to a
+    nested-loop over customers' full histories; banding trades a sliver
+    of recall at band edges (standard entity-resolution practice, same
+    trick as ``llm_dedup_minhash_lsh``'s bands) for a plan that survives
+    100 TB of payments."""
+    o = load_table(spark, sf, "orders")
+    a, b = o.alias("a"), o.alias("b")
+    band = lambda side: F.floor(F.col(f"{side}.o_totalprice") / 1000)
+    days_apart = F.abs(
+        F.datediff(
+            F.col("a.o_orderdate").cast("date"),
+            F.col("b.o_orderdate").cast("date"),
+        )
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (band("a") == band("b"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+            & (days_apart <= 90),
+        )
+        .select(
+            F.col("a.o_custkey").alias("custkey"),
+            F.col("a.o_orderkey").alias("orderkey_a"),
+            F.col("b.o_orderkey").alias("orderkey_b"),
+            F.col("a.o_totalprice").alias("price_a"),
+            F.col("b.o_totalprice").alias("price_b"),
+            days_apart.cast("bigint").alias("days_apart"),
+        )
+    )
+
+
+@query(
+    "workload_seasonality_dow",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(DAYOFWEEK(CAST(ts AS DATE)) + 1 AS INT) AS dow,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2, 3
+        )
+        SELECT event_type, dow,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(n) AS BIGINT) AS total_events,
+               FLOOR(SUM(n) / CAST(COUNT(*) AS DOUBLE) * 10000.0 + 0.5)
+                   / 10000.0 AS avg_per_day,
+               FLOOR((SUM(n) / CAST(COUNT(*) AS DOUBLE))
+                     / (CAST(SUM(SUM(n)) OVER (PARTITION BY event_type)
+                             AS DOUBLE)
+                        / CAST(SUM(COUNT(*)) OVER (PARTITION BY event_type)
+                               AS DOUBLE))
+                     * 10000.0 + 0.5) / 10000.0 AS dow_lift
+        FROM daily
+        GROUP BY event_type, dow
+    """,
+    tags=("workload", "timeseries"),
+)
+def workload_seasonality_dow(spark: SparkSession, sf: str) -> DataFrame:
+    """Day-of-week seasonality profile: per event type, each weekday's
+    average daily volume and its lift vs the type's overall daily average
+    (lift > 1 = that weekday runs hot). The profile every forecast
+    (``workload_forecast_seasonal``'s lag-7 implicitly assumes it) and
+    anomaly threshold should be conditioned on before paging anyone about
+    a quiet Sunday. Day-grain pre-aggregation first, so the weekday stats
+    and the windowed per-type totals all run on a ~150-row frame; counts
+    stay integers until the two final divisions, which both engines
+    evaluate in the same order. Spark's DAYOFWEEK is 1=Sunday, DuckDB's
+    0=Sunday — the oracle offsets (+1), same convention as ``fn_date``."""
+    e = load_table(spark, sf, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.dayofweek(F.to_date("ts")).alias("dow"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = W.partitionBy("event_type")
+    g = daily.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("n").cast("bigint").alias("total_events"),
+    )
+    avg_day = F.col("total_events") / F.col("n_days").cast("double")
+    overall = (
+        F.sum("total_events").over(w).cast("double")
+        / F.sum("n_days").over(w).cast("double")
+    )
+    r4 = lambda c: F.floor(c * 10000.0 + 0.5) / 10000.0
+    return g.select(
+        "event_type",
+        "dow",
+        "n_days",
+        "total_events",
+        r4(avg_day).alias("avg_per_day"),
+        r4(avg_day / overall).alias("dow_lift"),
+    )
