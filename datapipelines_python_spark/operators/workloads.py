@@ -4017,3 +4017,231 @@ def workload_seasonality_dow(spark: SparkSession, sf: str) -> DataFrame:
         r4(avg_day).alias("avg_per_day"),
         r4(avg_day / overall).alias("dow_lift"),
     )
+
+
+@query(
+    "workload_sessionized_conversion",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                             OR LAG(ts) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, event_type,
+                   SUM(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS session_seq
+            FROM flagged
+        ),
+        per_session AS (
+            SELECT user_id, session_seq,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   MAX(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END) AS converted
+            FROM sess GROUP BY user_id, session_seq
+        )
+        SELECT CASE WHEN n_events <= 2 THEN '1-2'
+                    WHEN n_events <= 5 THEN '3-5'
+                    WHEN n_events <= 10 THEN '6-10'
+                    ELSE '11+' END AS session_len_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(SUM(converted) AS BIGINT) AS n_converted,
+               FLOOR(SUM(converted) / CAST(COUNT(*) AS DOUBLE)
+                     * 10000.0 + 0.5) / 10000.0 AS conv_rate
+        FROM per_session
+        GROUP BY 1
+    """,
+    tags=("workload", "events", "sessionize"),
+)
+def workload_sessionized_conversion(spark: SparkSession, sf: str) -> DataFrame:
+    """Conversion rate by session depth: gap-sessionize (30-min, same
+    islands logic as ``win_sessionize_batch``), flag sessions containing a
+    purchase, and report conversion by session-length bucket — the
+    engagement-vs-conversion curve product teams steer by ("do longer
+    sessions convert more?"). Both windows and the per-session aggregate
+    share the user_id exchange; the bucket rollup runs on the
+    session-count-sized frame. Conversion stays an integer MAX/SUM until
+    the one final division."""
+    e = load_table(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = e.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("is_new"),
+    )
+    sess = flagged.withColumn(
+        "session_seq",
+        F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    per_session = sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    bucket = (
+        F.when(F.col("n_events") <= 2, "1-2")
+        .when(F.col("n_events") <= 5, "3-5")
+        .when(F.col("n_events") <= 10, "6-10")
+        .otherwise("11+")
+    )
+    return per_session.groupBy(bucket.alias("session_len_bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+        (
+            F.floor(
+                F.sum("converted") / F.count(F.lit(1)).cast("double")
+                * 10000.0 + 0.5
+            )
+            / 10000.0
+        ).alias("conv_rate"),
+    )
+
+
+@query(
+    "graph_assortativity",
+    oracle="""
+        WITH nv AS MATERIALIZED (
+            SELECT vec_id, embedding,
+                   SQRT(list_reduce(list_prepend(0.0,
+                        list_transform(list_zip(embedding, embedding),
+                                       s -> CAST(s[1] AS DOUBLE) * s[2])),
+                        (acc, x) -> acc + x)) AS norm
+            FROM embeddings
+        ),
+        p AS (
+            SELECT a.vec_id AS u, b.vec_id AS v,
+                   FLOOR((list_reduce(list_prepend(0.0,
+                          list_transform(list_zip(a.embedding, b.embedding),
+                                         s -> CAST(s[1] AS DOUBLE) * s[2])),
+                          (acc, x) -> acc + x) / (a.norm * b.norm))
+                         * 10000.0 + 0.5) / 10000.0 AS c
+            FROM nv a JOIN nv b ON a.vec_id <> b.vec_id
+        ),
+        topk AS MATERIALIZED (
+            SELECT u, v FROM (
+                SELECT u, v,
+                       ROW_NUMBER() OVER (PARTITION BY u
+                                          ORDER BY c DESC, v) AS rn
+                FROM p
+            ) r WHERE rn <= 5
+        ),
+        mutual AS MATERIALIZED (
+            SELECT x.u, x.v FROM topk x
+            JOIN topk y ON x.u = y.v AND x.v = y.u
+            WHERE x.u < x.v
+        ),
+        adj AS MATERIALIZED (
+            SELECT u, v FROM mutual UNION ALL SELECT v, u FROM mutual
+        ),
+        deg AS (
+            SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY u
+        ),
+        ed AS (
+            SELECT du.d AS x, dv.d AS y
+            FROM adj JOIN deg du ON adj.u = du.u
+                     JOIN deg dv ON adj.v = dv.u
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS m,
+                   CAST(SUM(x) AS DOUBLE) AS sx,
+                   CAST(SUM(y) AS DOUBLE) AS sy,
+                   CAST(SUM(x * y) AS DOUBLE) AS sxy,
+                   CAST(SUM(x * x) AS DOUBLE) AS sxx,
+                   CAST(SUM(y * y) AS DOUBLE) AS syy
+            FROM ed
+        )
+        SELECT CAST(m AS BIGINT) AS n_directed_edges,
+               FLOOR((m * sxy - sx * sy)
+                     / (SQRT(m * sxx - sx * sx) * SQRT(m * syy - sy * sy))
+                     * 10000.0 + 0.5) / 10000.0 AS assortativity
+        FROM s
+    """,
+    tags=("workload", "graph"),
+)
+def graph_assortativity(spark: SparkSession, sf: str) -> DataFrame:
+    """Degree assortativity of the mutual-5NN cosine graph: Pearson
+    correlation of endpoint degrees over the directed edge list — positive
+    means hubs link to hubs (hub-dominated similarity structure, an ANN
+    index smell: a few vectors appear in everyone's neighbor list),
+    negative means hub-and-spoke. Fourth member of the kNN-graph family
+    (structure: triangles; spread: k-hop; missing edges: link prediction).
+    All sums are over exact integer degrees (≤ k=5 here, < 2^26 generally)
+    so the correlation inputs are exact doubles and both engines evaluate
+    one identical closed-form expression — the same five-power-sums
+    discipline as ``ml_ols_regression``."""
+    from datapipelines_python_spark.operators.llm import dot
+
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    nv = emb.select(
+        "vec_id", "embedding",
+        F.sqrt(dot("embedding", "embedding")).alias("norm"),
+    )
+    p = (
+        nv.alias("a")
+        .join(nv.alias("b"), F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("u"),
+            F.col("b.vec_id").alias("v"),
+            round4(
+                dot(F.col("a.embedding"), F.col("b.embedding"))
+                / (F.col("a.norm") * F.col("b.norm"))
+            ).alias("c"),
+        )
+    )
+    topk = (
+        p.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("u").orderBy(F.desc("c"), F.asc("v"))
+            ),
+        )
+        .filter(F.col("rn") <= 5)
+        .select("u", "v")
+    )
+    mutual = (
+        topk.alias("x")
+        .join(
+            topk.alias("y"),
+            (F.col("x.u") == F.col("y.v")) & (F.col("x.v") == F.col("y.u")),
+        )
+        .filter(F.col("x.u") < F.col("x.v"))
+        .select(F.col("x.u").alias("u"), F.col("x.v").alias("v"))
+    )
+    adj = mutual.unionAll(
+        mutual.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    ed = (
+        adj.alias("e")
+        .join(deg.alias("du"), F.col("e.u") == F.col("du.u"))
+        .join(deg.alias("dv"), F.col("e.v") == F.col("dv.u"))
+        .select(F.col("du.d").alias("x"), F.col("dv.d").alias("y"))
+    )
+    s = ed.agg(
+        F.count(F.lit(1)).cast("double").alias("m"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    m, sx, sy = F.col("m"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return s.select(
+        m.cast("bigint").alias("n_directed_edges"),
+        (
+            F.floor(
+                (m * sxy - sx * sy)
+                / (F.sqrt(m * sxx - sx * sx) * F.sqrt(m * syy - sy * sy))
+                * 10000.0
+                + 0.5
+            )
+            / 10000.0
+        ).alias("assortativity"),
+    )
