@@ -2239,3 +2239,86 @@ def llm_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
             / 10000.0
         ).alias("coverage"),
     )
+
+
+@query(
+    "llm_hard_negative_mining",
+    oracle="""
+        WITH nv AS MATERIALIZED (
+            SELECT vec_id, embedding, label,
+                   SQRT(list_reduce(list_prepend(0.0,
+                        list_transform(list_zip(embedding, embedding),
+                                       s -> CAST(s[1] AS DOUBLE) * s[2])),
+                        (acc, x) -> acc + x)) AS norm
+            FROM embeddings
+        ),
+        p AS (
+            SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+                   b.vec_id AS negative_id,
+                   FLOOR((list_reduce(list_prepend(0.0,
+                          list_transform(list_zip(a.embedding, b.embedding),
+                                         s -> CAST(s[1] AS DOUBLE) * s[2])),
+                          (acc, x) -> acc + x) / (a.norm * b.norm))
+                         * 10000.0 + 0.5) / 10000.0 AS cos_sim
+            FROM nv a JOIN nv b
+              ON a.vec_id <> b.vec_id AND a.label <> b.label
+        )
+        SELECT anchor_id, CAST(anchor_label AS INT) AS anchor_label,
+               negative_id, cos_sim, CAST(rn AS INT) AS neg_rank
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                         ORDER BY cos_sim DESC,
+                                                  negative_id) AS rn
+            FROM p
+        ) r WHERE rn <= 3
+    """,
+    tags=("llm", "similarity", "training"),
+)
+def llm_hard_negative_mining(spark: SparkSession, sf: str) -> DataFrame:
+    """Hard-negative mining for contrastive/retrieval training: for every
+    anchor vector, the 3 most cosine-similar vectors bearing a DIFFERENT
+    label — the near-misses that produce useful gradient, vs easy random
+    negatives that contribute nothing. The standard batch-mining pass run
+    between training epochs (same family as ``ml_knn_classifier``'s
+    neighbor machinery, opposite selection predicate: closest
+    *wrong*-label instead of majority label).
+
+    The label-mismatch predicate rides the pair join itself, so same-label
+    pairs are never scored. At 100 TB the candidate pairs come from the
+    ANN bucket joins (``llm_ann_lsh_bucketed`` / ``llm_ann_ivf``) with
+    this op's rank-and-take-3 stage unchanged on the n×k candidate table;
+    the n² join below is the fixture-scale oracle formulation."""
+    from datapipelines_python_spark.operators.llm import dot
+
+    emb = load_table(spark, sf, "embeddings")
+    nv = emb.select(
+        "vec_id", "embedding", "label",
+        F.sqrt(dot("embedding", "embedding")).alias("norm"),
+    )
+    p = (
+        nv.alias("a")
+        .join(
+            nv.alias("b"),
+            (F.col("a.vec_id") != F.col("b.vec_id"))
+            & (F.col("a.label") != F.col("b.label")),
+        )
+        .select(
+            F.col("a.vec_id").alias("anchor_id"),
+            F.col("a.label").cast("int").alias("anchor_label"),
+            F.col("b.vec_id").alias("negative_id"),
+            round4(
+                dot(F.col("a.embedding"), F.col("b.embedding"))
+                / (F.col("a.norm") * F.col("b.norm"))
+            ).alias("cos_sim"),
+        )
+    )
+    rn = F.row_number().over(
+        W.partitionBy("anchor_id").orderBy(
+            F.desc("cos_sim"), F.asc("negative_id")
+        )
+    )
+    return (
+        p.withColumn("neg_rank", rn)
+        .filter(F.col("neg_rank") <= 3)
+        .withColumn("neg_rank", F.col("neg_rank").cast("int"))
+    )

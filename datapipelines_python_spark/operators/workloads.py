@@ -4245,3 +4245,86 @@ def graph_assortativity(spark: SparkSession, sf: str) -> DataFrame:
             / 10000.0
         ).alias("assortativity"),
     )
+
+
+@query(
+    "ml_auc_roc",
+    oracle="""
+        WITH ranked AS (
+            SELECT o_orderstatus = 'F' AS is_pos, o_totalprice,
+                   CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice,
+                                           o_orderkey) AS DOUBLE) AS rn
+            FROM orders
+        ),
+        tied AS (
+            SELECT is_pos,
+                   AVG(rn) OVER (PARTITION BY o_totalprice) AS avg_rank
+            FROM ranked
+        ),
+        s AS (
+            SELECT CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS DOUBLE)
+                       AS np,
+                   CAST(SUM(CASE WHEN NOT is_pos THEN 1 ELSE 0 END)
+                        AS DOUBLE) AS nn,
+                   SUM(CASE WHEN is_pos THEN avg_rank ELSE 0 END) AS rp
+            FROM tied
+        )
+        SELECT CAST(np AS BIGINT) AS n_pos,
+               CAST(nn AS BIGINT) AS n_neg,
+               FLOOR((rp - np * (np + 1) / 2) / (np * nn)
+                     * 10000.0 + 0.5) / 10000.0 AS auc
+        FROM s
+    """,
+    tags=("ml", "eval"),
+)
+def ml_auc_roc(spark: SparkSession, sf: str) -> DataFrame:
+    """ROC-AUC via the Mann-Whitney U statistic — AUC equals the
+    probability a random positive outranks a random negative, so it falls
+    out of rank sums with NO threshold sweep: rank all rows by score
+    (o_totalprice as the score, status='F' as the positive class — a
+    deliberately weak predictor, AUC ≈ 0.5; the metric machinery is the
+    artifact), average ranks within score ties (making the result
+    tie-order invariant), then one closed-form expression.
+
+    Every quantity stays exact: integer ranks, tie-averaged ranks are
+    multiples of 1/2, and their sums sit far below 2^53 — so the AUC is
+    bit-identical cross-engine before display rounding. The global rank
+    is the one single-partition step; at scale it becomes a two-pass
+    range-partitioned rank (partition boundaries from sampled quantiles,
+    per-partition offsets broadcast), the same evolution noted for
+    ``workload_histogram_equiheight``."""
+    o = load_table(spark, sf, "orders")
+    ranked = o.select(
+        (F.col("o_orderstatus") == "F").alias("is_pos"),
+        "o_totalprice",
+        F.row_number()
+        .over(W.orderBy("o_totalprice", "o_orderkey"))
+        .cast("double")
+        .alias("rn"),
+    )
+    tied = ranked.select(
+        "is_pos",
+        F.avg("rn").over(W.partitionBy("o_totalprice")).alias("avg_rank"),
+    )
+    s = tied.agg(
+        F.sum(F.when(F.col("is_pos"), 1).otherwise(0))
+        .cast("double")
+        .alias("np"),
+        F.sum(F.when(~F.col("is_pos"), 1).otherwise(0))
+        .cast("double")
+        .alias("nn"),
+        F.sum(F.when(F.col("is_pos"), F.col("avg_rank")).otherwise(0.0)).alias(
+            "rp"
+        ),
+    )
+    np_, nn_, rp = F.col("np"), F.col("nn"), F.col("rp")
+    return s.select(
+        np_.cast("bigint").alias("n_pos"),
+        nn_.cast("bigint").alias("n_neg"),
+        (
+            F.floor(
+                (rp - np_ * (np_ + 1) / 2) / (np_ * nn_) * 10000.0 + 0.5
+            )
+            / 10000.0
+        ).alias("auc"),
+    )
