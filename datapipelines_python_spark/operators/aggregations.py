@@ -754,3 +754,84 @@ def agg_filter_clause(spark: SparkSession, sf: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+_CORR_COLS = ['l_quantity', 'l_extendedprice', 'l_discount', 'l_tax']
+
+
+@query(
+    "agg_corr_matrix",
+    oracle="""WITH s AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS s_l_quantity,
+           CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS ss_l_quantity,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS s_l_extendedprice,
+           CAST(CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS ss_l_extendedprice,
+           CAST(CAST(SUM(CAST(l_discount AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS s_l_discount,
+           CAST(CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS ss_l_discount,
+           CAST(CAST(SUM(CAST(l_tax AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS s_l_tax,
+           CAST(CAST(SUM(CAST(l_tax * l_tax AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS ss_l_tax,
+           CAST(CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sx_l_quantity_l_extendedprice,
+           CAST(CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sx_l_quantity_l_discount,
+           CAST(CAST(SUM(CAST(l_quantity * l_tax AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sx_l_quantity_l_tax,
+           CAST(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sx_l_extendedprice_l_discount,
+           CAST(CAST(SUM(CAST(l_extendedprice * l_tax AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sx_l_extendedprice_l_tax,
+           CAST(CAST(SUM(CAST(l_discount * l_tax AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sx_l_discount_l_tax
+    FROM lineitem
+)
+SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, FLOOR(((n * sx_l_quantity_l_extendedprice - s_l_quantity * s_l_extendedprice) / (SQRT(n * ss_l_quantity - s_l_quantity * s_l_quantity) * SQRT(n * ss_l_extendedprice - s_l_extendedprice * s_l_extendedprice))) * 10000.0 + 0.5) / 10000.0 AS corr FROM s
+UNION ALL
+SELECT 'l_quantity' AS col_a, 'l_discount' AS col_b, FLOOR(((n * sx_l_quantity_l_discount - s_l_quantity * s_l_discount) / (SQRT(n * ss_l_quantity - s_l_quantity * s_l_quantity) * SQRT(n * ss_l_discount - s_l_discount * s_l_discount))) * 10000.0 + 0.5) / 10000.0 AS corr FROM s
+UNION ALL
+SELECT 'l_quantity' AS col_a, 'l_tax' AS col_b, FLOOR(((n * sx_l_quantity_l_tax - s_l_quantity * s_l_tax) / (SQRT(n * ss_l_quantity - s_l_quantity * s_l_quantity) * SQRT(n * ss_l_tax - s_l_tax * s_l_tax))) * 10000.0 + 0.5) / 10000.0 AS corr FROM s
+UNION ALL
+SELECT 'l_extendedprice' AS col_a, 'l_discount' AS col_b, FLOOR(((n * sx_l_extendedprice_l_discount - s_l_extendedprice * s_l_discount) / (SQRT(n * ss_l_extendedprice - s_l_extendedprice * s_l_extendedprice) * SQRT(n * ss_l_discount - s_l_discount * s_l_discount))) * 10000.0 + 0.5) / 10000.0 AS corr FROM s
+UNION ALL
+SELECT 'l_extendedprice' AS col_a, 'l_tax' AS col_b, FLOOR(((n * sx_l_extendedprice_l_tax - s_l_extendedprice * s_l_tax) / (SQRT(n * ss_l_extendedprice - s_l_extendedprice * s_l_extendedprice) * SQRT(n * ss_l_tax - s_l_tax * s_l_tax))) * 10000.0 + 0.5) / 10000.0 AS corr FROM s
+UNION ALL
+SELECT 'l_discount' AS col_a, 'l_tax' AS col_b, FLOOR(((n * sx_l_discount_l_tax - s_l_discount * s_l_tax) / (SQRT(n * ss_l_discount - s_l_discount * s_l_discount) * SQRT(n * ss_l_tax - s_l_tax * s_l_tax))) * 10000.0 + 0.5) / 10000.0 AS corr FROM s""",
+    tags=("agg", "stats", "ml"),
+)
+def agg_corr_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Full pairwise Pearson correlation matrix (4 numeric lineitem
+    columns, 6 pairs) from ONE scan and ONE reduce: 15 decimal-exact
+    power sums (4 sums, 4 sum-of-squares, 6 cross-products, 1 count)
+    feed every pair's closed form, and the 6 output rows are projected
+    from that single aggregate row — no per-pair re-scan, which is how
+    ``agg_stats``'s single corr generalizes to the EDA/feature-selection
+    matrix at 100 TB (cost is one map-side-combinable aggregate
+    regardless of how many pairs; adding columns grows state
+    quadratically but never adds a scan). The n-weighted closed form
+    avoids subtracting near-equal means; sums are exact decimals so the
+    matrix is partition-count invariant and engine-exact."""
+    li = load_table(spark, sf, "lineitem")
+    cols = _CORR_COLS
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for c in cols:
+        aggs.append(dsum(F.col(c)).alias(f"s_{c}"))
+        aggs.append(dsum(F.col(c) * F.col(c)).alias(f"ss_{c}"))
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    for a, b in pairs:
+        aggs.append(dsum(F.col(a) * F.col(b)).alias(f"sx_{a}_{b}"))
+    s = li.agg(*aggs)
+    n = F.col("n")
+
+    def corr(a: str, b: str) -> F.Column:
+        num = n * F.col(f"sx_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        da = F.sqrt(n * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
+        db = F.sqrt(n * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
+        return F.floor(num / (da * db) * 10000.0 + 0.5) / 10000.0
+
+    rows = s.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    corr(a, b).alias("corr"),
+                )
+                for a, b in pairs
+            ])
+        ).alias("r")
+    )
+    return rows.select("r.col_a", "r.col_b", "r.corr")

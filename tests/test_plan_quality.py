@@ -220,3 +220,27 @@ def test_paragraph_dedup_no_global_sort(spark, registry):
     # sort.
     plan = _plan(spark, registry, "llm_dedup_paragraph")
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_path_3step_single_exchange(spark, registry):
+    # Both LEAD columns ride one user_id window; the only other exchange
+    # is the final small groupBy on the path triple.
+    plan = _plan(spark, registry, "workload_path_3step")
+    assert plan.count("Window") == 1
+    assert "SortMergeJoin" not in plan  # LEAD formulation, not rank self-joins
+
+
+def test_duplicate_payments_is_hash_join(spark, registry):
+    # The blocking-key formulation must plan an equi hash/merge join with
+    # the date window as a residual condition — never a nested loop.
+    plan = _plan(spark, registry, "workload_duplicate_payments")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_corr_matrix_single_aggregate_pass(spark, registry):
+    # 15 power sums in one partial+final aggregate; pair rows are
+    # projected from the single reduced row (Generate), not re-scanned.
+    plan = _plan(spark, registry, "agg_corr_matrix")
+    assert plan.count("FileScan") == 1
+    assert "partial_" in plan
