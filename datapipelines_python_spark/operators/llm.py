@@ -1578,3 +1578,128 @@ def llm_dedup_paragraph(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("n_tokens_kept"),
     )
+
+
+@query(
+    "llm_repetition_ngram",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS t FROM documents
+        ),
+        tg AS (
+            SELECT doc_id, lang,
+                   [ARRAY_TO_STRING(t[i:i+2], ' ')
+                    for i in RANGE(1, LEN(t) - 1)] AS g
+            FROM toks WHERE LEN(t) >= 3
+        )
+        SELECT doc_id, lang,
+               CAST(LEN(g) AS BIGINT) AS n_trigrams,
+               CAST(LEN(LIST_DISTINCT(g)) AS BIGINT) AS n_unique,
+               {sql_round4(
+                   "CAST(LEN(g) - LEN(LIST_DISTINCT(g)) AS DOUBLE) / LEN(g)"
+               )} AS dup_frac
+        FROM tg
+    """,
+    tags=("llm", "quality"),
+)
+def llm_repetition_ngram(spark: SparkSession, sf: str) -> DataFrame:
+    """Within-document duplicate-trigram fraction — the Gopher repetition
+    signal family's n-gram member (`llm_quality_gopher` covers top-token
+    fraction; this covers "duplicate 3-grams" — boilerplate and
+    copy-paste loops score high). Entirely array-local: trigrams are
+    built by a `transform` over an index sequence (no explode, no
+    shuffle), and the array column is referenced twice (`size` +
+    `size(array_distinct)`) which blocks CollapseProject from inlining
+    the lambda twice (SCALE.md §4.2). Zero-exchange projection — at
+    100 TB this runs scan-bound alongside the other per-doc quality
+    gates in `llm_quality_composite`."""
+    d = load_table(spark, sf, "documents")
+    tok = d.select("doc_id", "lang", F.split("text", " ").alias("toks"))
+    tg = tok.filter(F.size("toks") >= 3).select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "transform(sequence(1, size(toks) - 2),"
+            " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"
+        ).alias("g"),
+    )
+    n_tg = F.size("g").cast("bigint")
+    n_uq = F.size(F.array_distinct("g")).cast("bigint")
+    return tg.select(
+        "doc_id",
+        "lang",
+        n_tg.alias("n_trigrams"),
+        n_uq.alias("n_unique"),
+        round4((n_tg - n_uq).cast("double") / n_tg).alias("dup_frac"),
+    )
+
+
+@query(
+    "llm_ngram_novelty",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   UNNEST(LIST_DISTINCT(
+                       [ARRAY_TO_STRING(t[i:i+7], ' ')
+                        for i in RANGE(1, LEN(t) - 6)]
+                   )) AS g
+            FROM toks WHERE LEN(t) >= 8
+        ),
+        first_seen AS (
+            SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g
+        )
+        SELECT gr.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN gr.doc_id = f.first_doc THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               {sql_round4(
+                   "CAST(SUM(CASE WHEN gr.doc_id = f.first_doc THEN 1 ELSE 0 END)"
+                   " AS DOUBLE) / COUNT(*)"
+               )} AS novelty
+        FROM grams gr JOIN first_seen f ON gr.g = f.g
+        GROUP BY gr.doc_id
+    """,
+    tags=("llm", "quality", "dedup"),
+)
+def llm_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-order 8-gram novelty per document: the fraction of a doc's
+    distinct 8-grams whose first corpus occurrence (min doc_id) is that
+    doc — low novelty flags documents that mostly restate earlier corpus
+    content, the streaming-ingest cousin of `llm_dedup_paragraph` and the
+    metric behind "how much new text does this crawl snapshot add".
+    The distinct-gram array is built and deduped array-locally and
+    inlined directly into `explode(...)` (SCALE.md §4.1 — no inferred
+    size()>0 re-evaluation); the gram→min(doc_id) aggregate is the one
+    fact-sized shuffle, map-side-combined since duplicate grams
+    concentrate within partitions. At 100 TB grams become 64-bit
+    xxhash64 fingerprints (collision-safe at corpus scale) to shrink the
+    exchange ~6× — semantics unchanged."""
+    d = load_table(spark, sf, "documents")
+    tok = d.select("doc_id", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= 8
+    )
+    grams = tok.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(1, size(toks) - 7),"
+                " i -> concat_ws(' ', slice(toks, i, 8))))"
+            )
+        ).alias("g"),
+    )
+    first_seen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
+    )
+    return (
+        grams.join(first_seen, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            novel.cast("bigint").alias("n_novel"),
+            round4(novel.cast("double") / F.count(F.lit(1))).alias("novelty"),
+        )
+    )

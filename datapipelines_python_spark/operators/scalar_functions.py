@@ -872,3 +872,92 @@ def fn_format_string(spark: SparkSession, sf: str) -> DataFrame:
             F.floor(F.col("l_discount") * 1000.0).cast("bigint"),
         ).alias("flag_summary"),
     )
+
+
+@query(
+    "fn_luhn_check",
+    oracle="""
+        WITH cards AS (
+            SELECT o_orderkey,
+                   LPAD(CAST((o_orderkey * 7919) % 1000000000000 AS VARCHAR),
+                        12, '0') AS card
+            FROM orders WHERE o_orderkey % 10 = 0
+        )
+        SELECT o_orderkey, card,
+               LIST_SUM([
+                   CASE WHEN i % 2 = 1
+                        THEN CAST(SUBSTRING(REVERSE(card), i, 1) AS INT)
+                        ELSE CASE
+                            WHEN 2 * CAST(SUBSTRING(REVERSE(card), i, 1) AS INT) > 9
+                            THEN 2 * CAST(SUBSTRING(REVERSE(card), i, 1) AS INT) - 9
+                            ELSE 2 * CAST(SUBSTRING(REVERSE(card), i, 1) AS INT)
+                        END
+                   END
+                   for i in range(1, 13)
+               ]) % 10 = 0 AS luhn_valid
+        FROM cards
+    """,
+    tags=("fn", "string", "validation"),
+)
+def fn_luhn_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Luhn mod-10 checksum validation (``luhn_check``, Spark 3.5+) over
+    synthetic 12-digit account numbers derived from order keys — the
+    ingest-validation shape for card/IMEI/member-ID columns. The oracle
+    re-implements Luhn from first principles (reverse, double every
+    second digit, fold >9 by −9, mod 10), so Spark's native expression is
+    checked against an independent formulation — about 1 in 10 synthetic
+    numbers passes, giving a real true/false mix. Pure projection:
+    codegen'd JVM expression, zero shuffle, scan-bound at any scale."""
+    o = load_table(spark, sf, "orders")
+    card = F.lpad(
+        ((F.col("o_orderkey") * 7919) % F.lit(1000000000000)).cast("string"),
+        12,
+        "0",
+    )
+    return (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .select("o_orderkey", card.alias("card"))
+        .select(
+            "o_orderkey",
+            "card",
+            F.expr("luhn_check(card)").alias("luhn_valid"),
+        )
+    )
+
+
+@query(
+    "fn_aes_roundtrip",
+    oracle="""
+        SELECT doc_id,
+               text AS decrypted,
+               CAST((FLOOR(n_chars / 16) + 1) * 16 AS BIGINT) AS cipher_bytes
+        FROM documents
+    """,
+    tags=("fn", "crypto"),
+)
+def fn_aes_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Column-level encryption surface: ``aes_encrypt`` → ``aes_decrypt``
+    round-trip under AES-128-ECB. ECB is the one deterministic mode (GCM
+    salts a random IV per call), which is exactly why it's usable here as
+    an oracle-checkable identity: decrypt(encrypt(x)) = x, and the
+    ciphertext length is the closed-form PKCS#7 size 16·(⌊n/16⌋+1) —
+    checked against the fixture's byte-accurate ``n_chars`` column. The
+    encrypt expression is referenced twice (decrypt + length) from one
+    projection, so it's evaluated once per row either way; all JVM
+    codegen, zero shuffle. Real deployments hold the key in a secret
+    manager and use GCM for storage (nondeterminism is then a feature);
+    the plumbing — binary columns through codegen crypto exprs — is
+    identical."""
+    d = load_table(spark, sf, "documents")
+    key = "0123456789abcdef"
+    enc = d.select(
+        "doc_id",
+        F.expr(f"aes_encrypt(text, '{key}', 'ECB')").alias("c"),
+    )
+    return enc.select(
+        "doc_id",
+        F.expr(f"cast(aes_decrypt(c, '{key}', 'ECB') as string)").alias(
+            "decrypted"
+        ),
+        F.length("c").cast("bigint").alias("cipher_bytes"),
+    )

@@ -30,6 +30,7 @@ _OPERATOR_MODULES = (
     "datapipelines_python_spark.operators.llm",
     "datapipelines_python_spark.operators.llm_training",
     "datapipelines_python_spark.operators.workloads",
+    "datapipelines_python_spark.operators.stats",
     "datapipelines_python_spark.streaming.ops",
 )
 

@@ -500,3 +500,114 @@ def stream_append_mode_windows(spark: SparkSession, sf: str) -> DataFrame:
         "sum_value",
     )
     return drain_to_memory(out, "stream_append_windows_sink", "append")
+
+
+# transformWithStateInPandas spawns a Python state-server worker that
+# needs the `protobuf` package; register the op only where it exists
+# (import-gated per the environment policy -- everything else in this
+# module is pure PySpark).
+try:
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+
+    _HAS_PROTOBUF = True
+except ImportError:  # pragma: no cover
+    _HAS_PROTOBUF = False
+
+
+if _HAS_PROTOBUF:
+    @query(
+        "stream_transform_with_state",
+        oracle="""
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_purchases,
+                   MAX(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS max_cents
+            FROM events
+            GROUP BY user_id
+        """,
+        tags=("streaming", "stateful"),
+    )
+    def stream_transform_with_state(spark: SparkSession, sf: str) -> DataFrame:
+        """Spark 4's arbitrary-state API (``transformWithStateInPandas`` with
+        a ``StatefulProcessor``) — the successor to applyInPandasWithState
+        used by `stream_stateful_count`, with named state variables
+        (Value/List/Map), timers, and TTL. Here a per-user ValueState carries
+        (event count, purchase count, max value in cents) across
+        micro-batches; values are pre-converted to integer cents JVM-side so
+        state math is float-free and the final state equals the batch GROUP
+        BY bit-for-bit. Requires the RocksDB state-store provider — which is
+        also the right provider at scale: state lives off-heap/on-disk with
+        changelog checkpointing, so per-key state size is bounded by RocksDB,
+        not executor heap. Update-mode re-emissions are collapsed by a
+        monotonic max, exactly as in `stream_stateful_count`."""
+        import pandas as pd
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        class PurchaseStats(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._state = handle.getValueState(
+                    "stats", "n BIGINT, p BIGINT, mx BIGINT"
+                )
+
+            def handleInputRows(self, key, rows, timerValues):
+                if self._state.exists():
+                    n, p, mx = self._state.get()
+                else:
+                    n, p, mx = 0, 0, None
+                for pdf in rows:
+                    n += len(pdf)
+                    p += int((pdf["event_type"] == "purchase").sum())
+                    batch_mx = int(pdf["cents"].max())
+                    mx = batch_mx if mx is None else max(mx, batch_mx)
+                self._state.update((n, p, mx))
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "n_events": [n],
+                        "n_purchases": [p],
+                        "max_cents": [mx],
+                    }
+                )
+
+            def close(self) -> None:
+                pass
+
+        prev_provider = spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass", None
+        )
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        try:
+            s = events_stream(spark, sf).select(
+                "user_id",
+                "event_type",
+                F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("cents"),
+            )
+            out = s.groupBy("user_id").transformWithStateInPandas(
+                PurchaseStats(),
+                outputStructType=(
+                    "user_id long, n_events long, n_purchases long, max_cents long"
+                ),
+                outputMode="update",
+                timeMode="none",
+            )
+            drained = drain_to_memory(out, "stream_tws_sink", "update")
+            return drained.groupBy("user_id").agg(
+                F.max("n_events").alias("n_events"),
+                F.max("n_purchases").alias("n_purchases"),
+                F.max("max_cents").alias("max_cents"),
+            )
+        finally:
+            if prev_provider is None:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+            else:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", prev_provider
+                )
