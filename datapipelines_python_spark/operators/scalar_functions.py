@@ -961,3 +961,62 @@ def fn_aes_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         ),
         F.length("c").cast("bigint").alias("cipher_bytes"),
     )
+
+
+@query(
+    "fn_uuid_deterministic",
+    oracle="""
+        WITH h AS (
+            SELECT o_orderkey,
+                   MD5('orders:' || CAST(o_orderkey AS VARCHAR)) AS x
+            FROM orders WHERE o_orderkey % 20 = 0
+        )
+        SELECT o_orderkey,
+               SUBSTRING(x, 1, 8) || '-' || SUBSTRING(x, 9, 4)
+               || '-3' || SUBSTRING(x, 14, 3) || '-'
+               || SUBSTRING('89ab',
+                            CAST(('0x' || SUBSTRING(x, 17, 1)) AS INT) % 4 + 1,
+                            1)
+               || SUBSTRING(x, 18, 3) || '-' || SUBSTRING(x, 21, 12) AS uuid
+        FROM h
+    """,
+    tags=("fn", "hash"),
+)
+def fn_uuid_deterministic(spark: SparkSession, sf: str) -> DataFrame:
+    """Name-based UUIDv3 (RFC 4122) synthesis from a namespaced MD5 —
+    the stable-surrogate-key primitive: unlike ``uuid()`` (random, breaks
+    retries and dedup) a name-based UUID is a pure function of
+    (namespace, business key), so re-running an idempotent pipeline
+    yields byte-identical keys, and two datasets keyed independently
+    still agree. Built entirely from codegen'd string ops over one MD5 —
+    hex slices with the version nibble forced to '3' and the variant
+    nibble folded into [89ab] — zero shuffle, scan-bound. The oracle
+    rebuilds the same bit-fiddling from DuckDB's md5, so the check
+    covers the RFC layout, not just the hash."""
+    o = load_table(spark, sf, "orders")
+    x = F.md5(F.concat(F.lit("orders:"), F.col("o_orderkey").cast("string")))
+    h = o.filter(F.col("o_orderkey") % 20 == 0).select(
+        "o_orderkey", x.alias("x")
+    )
+    variant = F.substring(
+        F.lit("89ab"),
+        (F.conv(F.substring("x", 17, 1), 16, 10).cast("int") % 4 + 1).cast(
+            "int"
+        ),
+        1,
+    )
+    return h.select(
+        "o_orderkey",
+        F.concat(
+            F.substring("x", 1, 8),
+            F.lit("-"),
+            F.substring("x", 9, 4),
+            F.lit("-3"),
+            F.substring("x", 14, 3),
+            F.lit("-"),
+            variant,
+            F.substring("x", 18, 3),
+            F.lit("-"),
+            F.substring("x", 21, 12),
+        ).alias("uuid"),
+    )

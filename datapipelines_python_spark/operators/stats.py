@@ -338,3 +338,216 @@ def workload_interarrival(spark: SparkSession, sf: str) -> DataFrame:
         round4(F.percentile("gap_us", F.lit(0.5)) / 1e6).alias("p50_gap_s"),
         round4(F.max("gap_us").cast("double") / 1e6).alias("max_gap_s"),
     )
+
+
+@query(
+    "workload_autocorr",
+    oracle=f"""
+        WITH bounds AS (
+            SELECT DATE_TRUNC('day', MIN(o_orderdate)) AS lo,
+                   DATE_TRUNC('day', MAX(o_orderdate)) AS hi
+            FROM orders
+        ),
+        cal AS (
+            SELECT UNNEST(GENERATE_SERIES(lo, hi, INTERVAL 1 DAY)) AS d
+            FROM bounds
+        ),
+        rev AS (
+            SELECT DATE_TRUNC('day', o_orderdate) AS d,
+                   SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS x
+            FROM orders GROUP BY 1
+        ),
+        dense AS (
+            SELECT cal.d, CAST(COALESCE(rev.x, 0) AS HUGEINT) AS x
+            FROM cal LEFT JOIN rev ON rev.d = cal.d
+        ),
+        ser AS (
+            SELECT x,
+                   LAG(x, 1) OVER (ORDER BY d) AS x1,
+                   LAG(x, 7) OVER (ORDER BY d) AS x7
+            FROM dense
+        ),
+        s1 AS (
+            SELECT 1 AS lag, COUNT(*) AS n, SUM(x1) AS sx, SUM(x) AS sy,
+                   SUM(x1 * x) AS sxy, SUM(x1 * x1) AS sxx, SUM(x * x) AS syy
+            FROM ser WHERE x1 IS NOT NULL
+        ),
+        s7 AS (
+            SELECT 7 AS lag, COUNT(*) AS n, SUM(x7) AS sx, SUM(x) AS sy,
+                   SUM(x7 * x) AS sxy, SUM(x7 * x7) AS sxx, SUM(x * x) AS syy
+            FROM ser WHERE x7 IS NOT NULL
+        ),
+        u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s7)
+        SELECT lag, CAST(n AS BIGINT) AS n_pairs,
+               {sql_round4(
+                   "CAST(n * sxy - sx * sy AS DOUBLE)"
+                   " / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)"
+                   "        * CAST(n * syy - sy * sy AS DOUBLE))"
+               )} AS acf
+        FROM u
+        ORDER BY lag
+    """,
+    tags=("workload", "stats", "timeseries"),
+)
+def workload_autocorr(spark: SparkSession, sf: str) -> DataFrame:
+    """Lag-1 and lag-7 autocorrelation of the daily-revenue series — the
+    momentum/weekly-seasonality dial behind `workload_forecast_seasonal`'s
+    lag-7 model choice. Revenue is integer cents summed per calendar-
+    densified day (absent days are real zeros, as in
+    `workload_burstiness`); both lag columns come from ONE window sort;
+    and the Pearson form n·Σxy−Σx·Σy keeps every sum an exact integer —
+    Spark carries them as decimal(38,0), the oracle as HUGEINT — so the
+    one sqrt-and-divide at the end sees identical operands. The global
+    day-ordered window runs on a day-cardinality frame (thousands of
+    rows regardless of fact size); the fact-sized work is only the
+    map-side-combined daily pre-aggregate."""
+    o = load_table(spark, sf, "orders")
+    day = F.date_trunc("day", F.col("o_orderdate"))
+    rev = o.groupBy(day.alias("d")).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint")
+        ).alias("x")
+    )
+    bounds = o.agg(
+        F.date_trunc("day", F.min("o_orderdate")).alias("lo"),
+        F.date_trunc("day", F.max("o_orderdate")).alias("hi"),
+    )
+    cal = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("d")
+    )
+    dense = cal.join(rev, "d", "left").select(
+        "d", F.coalesce(F.col("x"), F.lit(0)).alias("x")
+    )
+    w = W.orderBy("d")
+    ser = dense.select(
+        "x",
+        F.lag("x", 1).over(w).alias("x1"),
+        F.lag("x", 7).over(w).alias("x7"),
+    )
+
+    def acf_at(lagcol: str, k: int) -> DataFrame:
+        dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+        s = ser.filter(F.col(lagcol).isNotNull()).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec(lagcol)).alias("sx"),
+            F.sum(dec("x")).alias("sy"),
+            F.sum(dec(lagcol) * dec("x")).alias("sxy"),
+            F.sum(dec(lagcol) * dec(lagcol)).alias("sxx"),
+            F.sum(dec("x") * dec("x")).alias("syy"),
+        )
+        n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+        sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+        return s.select(
+            F.lit(k).alias("lag"),
+            n.cast("bigint").alias("n_pairs"),
+            round4(
+                (n * sxy - sx * sy).cast("double")
+                / F.sqrt(
+                    (n * sxx - sx * sx).cast("double")
+                    * (n * syy - sy * sy).cast("double")
+                )
+            ).alias("acf"),
+        )
+
+    return acf_at("x1", 1).unionByName(acf_at("x7", 7)).orderBy("lag")
+
+
+@query(
+    "workload_cusum",
+    oracle="""
+        WITH bounds AS (
+            SELECT DATE_TRUNC('day', MIN(o_orderdate)) AS lo,
+                   DATE_TRUNC('day', MAX(o_orderdate)) AS hi
+            FROM orders
+        ),
+        cal AS (
+            SELECT UNNEST(GENERATE_SERIES(lo, hi, INTERVAL 1 DAY)) AS d
+            FROM bounds
+        ),
+        cnt AS (
+            SELECT DATE_TRUNC('day', o_orderdate) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM orders GROUP BY 1
+        ),
+        dense AS (
+            SELECT cal.d, COALESCE(cnt.x, 0) AS x
+            FROM cal LEFT JOIN cnt ON cnt.d = cal.d
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(SUM(x) AS BIGINT) AS total
+            FROM dense
+        ),
+        pre AS (
+            SELECT d, x,
+                   SUM(n_days * x - total) OVER (
+                       ORDER BY d ROWS UNBOUNDED PRECEDING
+                   ) AS r
+            FROM dense, tot
+        ),
+        refl AS (
+            SELECT d, x, r,
+                   LEAST(0, MIN(r) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING))
+                       AS floor_r
+            FROM pre
+        )
+        SELECT d, x,
+               CAST(r - floor_r AS BIGINT) AS cusum,
+               r - floor_r > 4 * (SELECT total FROM tot) AS alarm
+        FROM refl
+    """,
+    tags=("workload", "stats", "timeseries"),
+)
+def workload_cusum(spark: SparkSession, sf: str) -> DataFrame:
+    """CUSUM changepoint detector over the daily order-count series:
+    S_t = max(0, S_{t-1} + (x_t − μ)). The textbook recursion looks
+    inherently sequential, but by the reflection identity
+    S_t = R_t − min(0, min_{j≤t} R_j) (R = running sum of deviations) it
+    decomposes into two running-window primitives — which is exactly what
+    makes it distributable: running sum and running min are both
+    two-pass per-partition scans with broadcast carry at any scale, no
+    per-row state machine. Deviations are scaled by n_days
+    (n·x_t − total) so everything stays integer; μ never materializes as
+    a float. The alarm threshold (4·total in scaled units ≙ 4·μ̄ raw) is
+    arbitrary but deterministic — the detector shape, not the tuning, is
+    the artifact."""
+    o = load_table(spark, sf, "orders")
+    day = F.date_trunc("day", F.col("o_orderdate"))
+    cnt = o.groupBy(day.alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    bounds = o.agg(
+        F.date_trunc("day", F.min("o_orderdate")).alias("lo"),
+        F.date_trunc("day", F.max("o_orderdate")).alias("hi"),
+    )
+    cal = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("d")
+    )
+    dense = cal.join(cnt, "d", "left").select(
+        "d", F.coalesce(F.col("x"), F.lit(0)).alias("x")
+    )
+    tot = dense.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("x").cast("bigint").alias("total"),
+    )
+    pre = dense.crossJoin(tot).select(
+        "d",
+        "x",
+        "total",
+        F.sum(F.col("n_days") * F.col("x") - F.col("total"))
+        .over(W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("r"),
+    )
+    floor_r = F.least(
+        F.lit(0).cast("bigint"),
+        F.min("r").over(
+            W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    refl = pre.select("d", "x", "r", "total", floor_r.alias("floor_r"))
+    return refl.select(
+        "d",
+        "x",
+        (F.col("r") - F.col("floor_r")).cast("bigint").alias("cusum"),
+        (F.col("r") - F.col("floor_r") > 4 * F.col("total")).alias("alarm"),
+    )
