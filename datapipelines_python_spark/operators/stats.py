@@ -551,3 +551,297 @@ def workload_cusum(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("r") - F.col("floor_r")).cast("bigint").alias("cusum"),
         (F.col("r") - F.col("floor_r") > 4 * F.col("total")).alias("alarm"),
     )
+
+
+@query(
+    "ml_ks_test",
+    oracle=f"""
+        WITH pooled AS (
+            SELECT CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT) AS v,
+                   CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS a,
+                   CASE WHEN c.c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END AS b
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+        ),
+        per_v AS (
+            SELECT v, CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb
+            FROM pooled GROUP BY v
+        ),
+        cum AS (
+            SELECT SUM(na) OVER (ORDER BY v) AS ca,
+                   SUM(nb) OVER (ORDER BY v) AS cb
+            FROM per_v
+        ),
+        tot AS (
+            SELECT CAST(SUM(na) AS BIGINT) AS n1, CAST(SUM(nb) AS BIGINT) AS n2
+            FROM per_v
+        ),
+        d AS (
+            SELECT MAX(ABS(tot.n2 * cum.ca - tot.n1 * cum.cb)) AS numer
+            FROM cum, tot
+        )
+        SELECT tot.n1 AS n_building, tot.n2 AS n_machinery,
+               {sql_round4("CAST(d.numer AS DOUBLE) / (tot.n1 * tot.n2)")} AS ks_d,
+               {sql_round4(
+                   "1.358 * SQRT((tot.n1 + tot.n2)"
+                   " / (CAST(tot.n1 AS DOUBLE) * tot.n2))"
+               )} AS crit_05,
+               CAST(d.numer AS DOUBLE) / (tot.n1 * tot.n2)
+                   > 1.358 * SQRT((tot.n1 + tot.n2)
+                                  / (CAST(tot.n1 AS DOUBLE) * tot.n2))
+                   AS reject_05
+        FROM d, tot
+    """,
+    tags=("ml", "stats"),
+)
+def ml_ks_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test: do BUILDING and MACHINERY
+    customers draw order totals from the same distribution? The KS
+    statistic D = max|F₁(v) − F₂(v)| is computed entirely in integers:
+    prices become cents, the pooled distinct-value axis carries running
+    counts (c₁, c₂), and the sup is max|n₂·c₁ − n₁·c₂| — one division by
+    n₁·n₂ at the very end. Ties are handled correctly by aggregating to
+    distinct values BEFORE the cumulative window (ECDF is evaluated
+    after each distinct value, the standard ties treatment). The global
+    cumulative window runs over the distinct-cents axis — already
+    aggregated, orders of magnitude below fact size; at 100 TB it
+    becomes the two-pass range-partitioned prefix sum. The 1.358/√̄n
+    asymptotic critical value (α=0.05) makes it a decision, not just a
+    number."""
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    pooled = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(
+            F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+            .cast("bigint")
+            .alias("v"),
+            F.when(F.col("c_mktsegment") == "BUILDING", 1)
+            .otherwise(0)
+            .alias("a"),
+            F.when(F.col("c_mktsegment") == "MACHINERY", 1)
+            .otherwise(0)
+            .alias("b"),
+        )
+    )
+    per_v = pooled.groupBy("v").agg(
+        F.sum("a").cast("bigint").alias("na"),
+        F.sum("b").cast("bigint").alias("nb"),
+    )
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = per_v.select(
+        F.sum("na").over(w).alias("ca"), F.sum("nb").over(w).alias("cb")
+    )
+    tot = per_v.agg(
+        F.sum("na").cast("bigint").alias("n1"),
+        F.sum("nb").cast("bigint").alias("n2"),
+    )
+    d = cum.crossJoin(tot).agg(
+        F.max(
+            F.abs(F.col("n2") * F.col("ca") - F.col("n1") * F.col("cb"))
+        ).alias("numer"),
+        F.first("n1").alias("n1"),
+        F.first("n2").alias("n2"),
+    )
+    n1, n2, numer = F.col("n1"), F.col("n2"), F.col("numer")
+    ks = numer.cast("double") / (n1 * n2)
+    crit = 1.358 * F.sqrt((n1 + n2) / (n1.cast("double") * n2))
+    return d.select(
+        n1.alias("n_building"),
+        n2.alias("n_machinery"),
+        round4(ks).alias("ks_d"),
+        round4(crit).alias("crit_05"),
+        (ks > crit).alias("reject_05"),
+    )
+
+
+@query(
+    "workload_seasonal_decompose",
+    oracle=f"""
+        WITH bounds AS (
+            SELECT DATE_TRUNC('day', MIN(o_orderdate)) AS lo,
+                   DATE_TRUNC('day', MAX(o_orderdate)) AS hi
+            FROM orders
+        ),
+        cal AS (
+            SELECT UNNEST(GENERATE_SERIES(lo, hi, INTERVAL 1 DAY)) AS d
+            FROM bounds
+        ),
+        rev AS (
+            SELECT DATE_TRUNC('day', o_orderdate) AS d,
+                   SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS x
+            FROM orders GROUP BY 1
+        ),
+        dense AS (
+            SELECT cal.d, COALESCE(rev.x, 0) AS x
+            FROM cal LEFT JOIN rev ON rev.d = cal.d
+        ),
+        ma AS (
+            SELECT d, x,
+                   SUM(x) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING
+                                AND 3 FOLLOWING) AS s7,
+                   COUNT(*) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING
+                                  AND 3 FOLLOWING) AS w
+            FROM dense
+        ),
+        dev AS (
+            SELECT CAST(DAYOFWEEK(CAST(d AS DATE)) + 1 AS INT) AS dow,
+                   7 * x - s7 AS e
+            FROM ma WHERE w = 7
+        )
+        SELECT dow,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               {sql_round4("CAST(SUM(e) AS DOUBLE) / COUNT(*) / 700.0")}
+                   AS seasonal_idx_dollars
+        FROM dev
+        GROUP BY dow
+        ORDER BY dow
+    """,
+    tags=("workload", "stats", "timeseries"),
+)
+def workload_seasonal_decompose(spark: SparkSession, sf: str) -> DataFrame:
+    """Classical additive seasonal decomposition, day-of-week component:
+    detrend daily revenue with a centered 7-day moving average, then
+    average the residual per weekday. The 1/7 division never happens —
+    the residual is kept as the scaled integer 7·x_t − Σ₇x (zero-mean by
+    construction over full weeks), and a single divide-by-700 converts
+    the per-dow mean to dollars at the end. Edge days without a full
+    7-day window are excluded (w = 7), matching the textbook treatment.
+    Day-cardinality windows as in `workload_autocorr`; the complementary
+    op `workload_forecast_seasonal` consumes exactly this weekly
+    structure as its model."""
+    o = load_table(spark, sf, "orders")
+    day = F.date_trunc("day", F.col("o_orderdate"))
+    rev = o.groupBy(day.alias("d")).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint")
+        ).alias("x")
+    )
+    bounds = o.agg(
+        F.date_trunc("day", F.min("o_orderdate")).alias("lo"),
+        F.date_trunc("day", F.max("o_orderdate")).alias("hi"),
+    )
+    cal = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("d")
+    )
+    dense = cal.join(rev, "d", "left").select(
+        "d", F.coalesce(F.col("x"), F.lit(0)).alias("x")
+    )
+    w7 = W.orderBy("d").rowsBetween(-3, 3)
+    ma = dense.select(
+        "d",
+        "x",
+        F.sum("x").over(w7).alias("s7"),
+        F.count(F.lit(1)).over(w7).alias("w"),
+    )
+    dev = ma.filter(F.col("w") == 7).select(
+        F.dayofweek(F.col("d").cast("date")).alias("dow"),
+        (7 * F.col("x") - F.col("s7")).alias("e"),
+    )
+    return (
+        dev.groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            round4(
+                F.sum("e").cast("double") / F.count(F.lit(1)) / 700.0
+            ).alias("seasonal_idx_dollars"),
+        )
+        .orderBy("dow")
+    )
+
+
+@query(
+    "workload_bollinger",
+    oracle=f"""
+        WITH bounds AS (
+            SELECT DATE_TRUNC('day', MIN(o_orderdate)) AS lo,
+                   DATE_TRUNC('day', MAX(o_orderdate)) AS hi
+            FROM orders
+        ),
+        cal AS (
+            SELECT UNNEST(GENERATE_SERIES(lo, hi, INTERVAL 1 DAY)) AS d
+            FROM bounds
+        ),
+        rev AS (
+            SELECT DATE_TRUNC('day', o_orderdate) AS d,
+                   SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS x
+            FROM orders GROUP BY 1
+        ),
+        dense AS (
+            SELECT cal.d, CAST(COALESCE(rev.x, 0) AS HUGEINT) AS x
+            FROM cal LEFT JOIN rev ON rev.d = cal.d
+        ),
+        roll AS (
+            SELECT d, x,
+                   SUM(x) OVER w AS s1,
+                   SUM(x * x) OVER w AS s2,
+                   COUNT(*) OVER w AS w_n
+            FROM dense
+            WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        )
+        SELECT d,
+               CAST(x AS BIGINT) AS cents,
+               {sql_round4("CAST(s1 AS DOUBLE) / 700.0")} AS ma7_dollars,
+               {sql_round4(
+                   "SQRT(CAST(7 * s2 - s1 * s1 AS DOUBLE)) / 700.0"
+               )} AS sigma_dollars,
+               7 * x - s1 > 0
+                   AND (7 * x - s1) * (7 * x - s1) > 4 * (7 * s2 - s1 * s1)
+                   AS breakout_up,
+               7 * x - s1 < 0
+                   AND (7 * x - s1) * (7 * x - s1) > 4 * (7 * s2 - s1 * s1)
+                   AS breakout_down
+        FROM roll WHERE w_n = 7
+    """,
+    tags=("workload", "stats", "timeseries"),
+)
+def workload_bollinger(spark: SparkSession, sf: str) -> DataFrame:
+    """Bollinger-band breakout detection on daily revenue: rolling 7-day
+    mean ± 2σ, with the breakout predicate algebraically cleared of both
+    the division and the square root — x > μ + 2σ becomes
+    (7x − s₁) > 0 ∧ (7x − s₁)² > 4·(7s₂ − s₁²) — so the FLAGS are exact
+    integer comparisons (decimal(38,0) on Spark, HUGEINT in the oracle;
+    squares of scaled cents overflow int64) and only the display columns
+    (band center/width in dollars) touch floats. This
+    integer-predicate-first discipline is what makes alert pipelines
+    reproducible across engines and partitionings. Rolling power sums
+    over the day axis: same two-pass-prefix scale path as
+    `workload_cusum`."""
+    o = load_table(spark, sf, "orders")
+    day = F.date_trunc("day", F.col("o_orderdate"))
+    rev = o.groupBy(day.alias("d")).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint")
+        ).alias("x")
+    )
+    bounds = o.agg(
+        F.date_trunc("day", F.min("o_orderdate")).alias("lo"),
+        F.date_trunc("day", F.max("o_orderdate")).alias("hi"),
+    )
+    cal = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("d")
+    )
+    dec = "decimal(38,0)"
+    dense = cal.join(rev, "d", "left").select(
+        "d", F.coalesce(F.col("x"), F.lit(0)).cast(dec).alias("x")
+    )
+    w = W.orderBy("d").rowsBetween(-6, 0)
+    roll = dense.select(
+        "d",
+        "x",
+        F.sum("x").over(w).alias("s1"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("s2"),
+        F.count(F.lit(1)).over(w).alias("w_n"),
+    ).filter(F.col("w_n") == 7)
+    x, s1, s2 = F.col("x"), F.col("s1"), F.col("s2")
+    devi = 7 * x - s1
+    var49 = 7 * s2 - s1 * s1
+    return roll.select(
+        "d",
+        x.cast("bigint").alias("cents"),
+        round4(s1.cast("double") / 700.0).alias("ma7_dollars"),
+        round4(F.sqrt(var49.cast("double")) / 700.0).alias("sigma_dollars"),
+        ((devi > 0) & (devi * devi > 4 * var49)).alias("breakout_up"),
+        ((devi < 0) & (devi * devi > 4 * var49)).alias("breakout_down"),
+    )
