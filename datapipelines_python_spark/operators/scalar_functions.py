@@ -1020,3 +1020,100 @@ def fn_uuid_deterministic(spark: SparkSession, sf: str) -> DataFrame:
             F.substring("x", 21, 12),
         ).alias("uuid"),
     )
+
+
+@query(
+    "fn_timezone_convert",
+    oracle="""
+        SELECT event_id,
+               CAST(ts AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York'
+                    AS TIMESTAMP) AS ny_ts,
+               CAST(ts AT TIME ZONE 'UTC' AT TIME ZONE 'Asia/Tokyo'
+                    AS TIMESTAMP) AS tokyo_ts,
+               CAST(CAST(ts AT TIME ZONE 'UTC' AT TIME ZONE 'Asia/Tokyo'
+                         AS TIMESTAMP) AS DATE)
+                   <> CAST(ts AS DATE) AS tokyo_next_day
+        FROM events
+        WHERE event_id % 10 = 0
+    """,
+    tags=("fn", "timestamp", "timezone"),
+)
+def fn_timezone_convert(spark: SparkSession, sf: str) -> DataFrame:
+    """IANA timezone conversion (``from_utc_timestamp``): storage stays
+    UTC, presentation is per-market local time — the only sane layout at
+    scale, because a naive-local column can't be range-pruned or joined
+    across regions, and DST makes local time non-monotonic. Both engines
+    resolve through the same IANA tzdata (DuckDB via the two-step
+    ``AT TIME ZONE`` idiom: interpret-as-UTC, then render local), so
+    offsets — including the Tokyo day-boundary flip checked here — agree
+    exactly. Pure projection, codegen'd, zero shuffle."""
+    e = load_table(spark, sf, "events")
+    ny = F.from_utc_timestamp("ts", "America/New_York")
+    tk = F.from_utc_timestamp("ts", "Asia/Tokyo")
+    return e.filter(F.col("event_id") % 10 == 0).select(
+        "event_id",
+        ny.alias("ny_ts"),
+        tk.alias("tokyo_ts"),
+        (F.to_date(tk) != F.to_date("ts")).alias("tokyo_next_day"),
+    )
+
+
+@query(
+    "fn_morton_zorder",
+    oracle="""
+        SELECT o_orderkey, x, y,
+               (xs4 | (ys4 << 1)) AS zcode
+        FROM (
+            SELECT o_orderkey,
+                   o_custkey % 65536 AS x,
+                   DATE_DIFF('day', DATE '1970-01-01',
+                             CAST(o_orderdate AS DATE)) % 65536 AS y,
+                   (x | (x << 8)) & 16711935 AS xs1,
+                   (xs1 | (xs1 << 4)) & 252645135 AS xs2,
+                   (xs2 | (xs2 << 2)) & 858993459 AS xs3,
+                   (xs3 | (xs3 << 1)) & 1431655765 AS xs4,
+                   (y | (y << 8)) & 16711935 AS ys1,
+                   (ys1 | (ys1 << 4)) & 252645135 AS ys2,
+                   (ys2 | (ys2 << 2)) & 858993459 AS ys3,
+                   (ys3 | (ys3 << 1)) & 1431655765 AS ys4
+            FROM orders
+            WHERE o_orderkey % 5 = 0
+        ) t
+    """,
+    tags=("fn", "bitwise", "layout"),
+)
+def fn_morton_zorder(spark: SparkSession, sf: str) -> DataFrame:
+    """Morton (Z-order) code: interleave the bits of two 16-bit bucket
+    keys (customer, order-day) into one 32-bit sort key — the
+    space-filling-curve primitive behind multi-dimensional data
+    clustering. Files written in zcode order get NARROW min/max ranges
+    on BOTH dimensions simultaneously, so parquet row-group stats can
+    skip on either predicate — single-column sort (the
+    `sink_sorted_clustered` layout) can only serve one. The classic
+    shift-or-mask spread runs as four lateral-alias steps per axis
+    (both engines support same-SELECT alias reuse; writing it nested
+    would duplicate the base expression 16×) — all int64 bitwise ops,
+    codegen'd, zero shuffle. The write-side pairing at scale is
+    ``repartitionByRange(zcode).sortWithinPartitions(zcode)``."""
+    o = load_table(spark, sf, "orders")
+    base = o.filter(F.col("o_orderkey") % 5 == 0).selectExpr(
+        "o_orderkey",
+        "o_custkey % 65536 AS x",
+        "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') % 65536 AS y",
+    )
+    spread = base.selectExpr(
+        "o_orderkey",
+        "x",
+        "y",
+        "(x | shiftleft(x, 8)) & 16711935 AS xs1",
+        "(xs1 | shiftleft(xs1, 4)) & 252645135 AS xs2",
+        "(xs2 | shiftleft(xs2, 2)) & 858993459 AS xs3",
+        "(xs3 | shiftleft(xs3, 1)) & 1431655765 AS xs4",
+        "(y | shiftleft(y, 8)) & 16711935 AS ys1",
+        "(ys1 | shiftleft(ys1, 4)) & 252645135 AS ys2",
+        "(ys2 | shiftleft(ys2, 2)) & 858993459 AS ys3",
+        "(ys3 | shiftleft(ys3, 1)) & 1431655765 AS ys4",
+    )
+    return spread.selectExpr(
+        "o_orderkey", "x", "y", "xs4 | shiftleft(ys4, 1) AS zcode"
+    )

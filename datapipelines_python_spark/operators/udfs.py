@@ -375,3 +375,87 @@ def udtf_analyze_polymorphic(spark: SparkSession, sf: str) -> DataFrame:
         "SELECT m.* FROM _udtf_docs d, "
         "LATERAL doc_metrics(d.doc_id, d.text, d.lang, 'tokens,chars,lang') m"
     )
+
+
+@query(
+    "udtf_table_arg",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, EPOCH_US(ts) AS us, event_id FROM events
+        ),
+        g AS (
+            SELECT user_id,
+                   CASE WHEN LAG(us) OVER w IS NULL
+                             OR us - LAG(us) OVER w > 1800000000
+                        THEN 1 ELSE 0 END AS brk,
+                   us, event_id
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        ),
+        s AS (
+            SELECT user_id,
+                   SUM(brk) OVER (PARTITION BY user_id
+                                  ORDER BY us, event_id) AS sid
+            FROM g
+        ),
+        sess AS (
+            SELECT user_id, sid, COUNT(*) AS len
+            FROM s GROUP BY user_id, sid
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS INT) AS n_sessions,
+               CAST(MAX(len) AS INT) AS max_session_len
+        FROM sess GROUP BY user_id
+    """,
+    tags=("udf", "udtf", "spark4"),
+)
+def udtf_table_arg(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark 4 Python UDTF with a TABLE argument — the per-group
+    streaming table function: ``PARTITION BY user_id ORDER BY ts``
+    hands each user's rows to one UDTF instance IN ORDER, so the class
+    can run an O(1)-state sequential algorithm (here a 30-minute-gap
+    sessionizer counting sessions and the longest run) without
+    collecting the group into memory — the imperative escape hatch when
+    window functions can't express the per-row state machine. Ordering
+    ties are broken by event_id so the scan order — and therefore the
+    session split — is partition-order invariant; timestamps enter as
+    integer epoch-micros (computed JVM-side). The oracle replays the
+    same semantics as gaps-and-islands SQL. Costs exactly one shuffle
+    (the PARTITION BY); state per instance is three integers, so a
+    1000-executor run is bounded by the widest user, not the table."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="user_id bigint, n_sessions int, max_session_len int")
+    class SessionSummary:
+        def __init__(self) -> None:
+            self._user = None
+            self._last = None
+            self._sessions = 0
+            self._cur = 0
+            self._max = 0
+
+        def eval(self, row) -> None:
+            self._user = row["user_id"]
+            us = row["us"]
+            if self._last is None or us - self._last > 1_800_000_000:
+                self._sessions += 1
+                self._cur = 1
+            else:
+                self._cur += 1
+            if self._cur > self._max:
+                self._max = self._cur
+            self._last = us
+
+        def terminate(self):
+            if self._user is not None:
+                yield (self._user, self._sessions, self._max)
+
+    spark.udtf.register("session_summary", SessionSummary)
+    e = load_table(spark, sf, "events").select(
+        "user_id", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    e.createOrReplaceTempView("_udtf_sessions_in")
+    return spark.sql(
+        "SELECT * FROM session_summary("
+        "TABLE(_udtf_sessions_in) PARTITION BY user_id ORDER BY (us, event_id))"
+    )

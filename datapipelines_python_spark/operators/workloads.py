@@ -4328,3 +4328,64 @@ def ml_auc_roc(spark: SparkSession, sf: str) -> DataFrame:
             / 10000.0
         ).alias("auc"),
     )
+
+
+@query(
+    "sql_recursive_hierarchy",
+    oracle=f"""
+        WITH RECURSIVE tree AS (
+            SELECT c_custkey AS node, 0 AS depth,
+                   CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents
+            FROM customer WHERE c_custkey = 0
+            UNION ALL
+            SELECT c.c_custkey, t.depth + 1,
+                   CAST(FLOOR(c.c_acctbal * 100.0 + 0.5) AS BIGINT)
+            FROM customer c
+            JOIN tree t ON c.c_custkey // 2 = t.node
+            WHERE c.c_custkey >= 1 AND t.depth < 40
+        )
+        SELECT depth,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(cents) AS BIGINT) AS sum_balance_cents
+        FROM tree
+        GROUP BY depth
+        ORDER BY depth
+    """,
+    tags=("sql", "recursive", "spark4"),
+)
+def sql_recursive_hierarchy(spark: SparkSession, sf: str) -> DataFrame:
+    """Recursive CTE (Spark 4.0's WITH RECURSIVE) flattening an
+    arbitrary-depth hierarchy — the org-chart/BOM workload that before
+    Spark 4 needed a driver-side loop of self-joins. The hierarchy is
+    derived deterministically from the data (parent(k) = k DIV 2, a
+    binary forest rooted at customer 0), and the recursion carries
+    (node, depth, balance-in-cents), aggregated per level at the end.
+    Each recursive step is one equi-join of the frontier against the
+    base table — on a cluster the frontier is a broadcast-sized fraction
+    after the first levels, and the engine terminates when the frontier
+    empties (the depth guard is a safety rail, not the driver). Keys and
+    cents stay integer throughout, so every level's rollup hashes
+    exactly."""
+    c = load_table(spark, sf, "customer")
+    c.createOrReplaceTempView("_rec_customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE tree AS (
+            SELECT c_custkey AS node, 0 AS depth,
+                   CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents
+            FROM _rec_customer WHERE c_custkey = 0
+            UNION ALL
+            SELECT c.c_custkey, t.depth + 1,
+                   CAST(FLOOR(c.c_acctbal * 100.0 + 0.5) AS BIGINT)
+            FROM _rec_customer c
+            JOIN tree t ON c.c_custkey DIV 2 = t.node
+            WHERE c.c_custkey >= 1 AND t.depth < 40
+        )
+        SELECT depth,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(cents) AS BIGINT) AS sum_balance_cents
+        FROM tree
+        GROUP BY depth
+        ORDER BY depth
+        """
+    )
