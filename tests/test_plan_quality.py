@@ -244,3 +244,30 @@ def test_corr_matrix_single_aggregate_pass(spark, registry):
     plan = _plan(spark, registry, "agg_corr_matrix")
     assert plan.count("FileScan") == 1
     assert "partial_" in plan
+
+
+def test_repetition_ngram_is_shuffle_free(spark, registry):
+    # Per-doc duplicate-trigram fraction is array-local: no Exchange at
+    # all, and the trigram lambda is built once (the array column is
+    # multi-referenced, blocking CollapseProject inlining).
+    plan = _plan(spark, registry, "llm_repetition_ngram")
+    assert "Exchange" not in plan
+
+
+def test_morton_zorder_is_shuffle_free(spark, registry):
+    # Z-order codes are pure bitwise projection; the filter reaches the
+    # parquet scan.
+    plan = _plan(spark, registry, "fn_morton_zorder")
+    assert "Exchange" not in plan
+    assert "PushedFilters: [" in plan
+
+
+def test_ks_test_aggregates_before_global_window(spark, registry):
+    # The cumulative-ECDF window must run on the distinct-value axis:
+    # a partial_ hash aggregate reduces fact rows per distinct cents
+    # BEFORE the single-partition window sees them.
+    plan = _plan(spark, registry, "ml_ks_test")
+    assert "partial_" in plan
+    w = plan.index("Window")
+    agg = plan.index("HashAggregate", w)
+    assert agg > w  # aggregate appears below the window in the tree
