@@ -4389,3 +4389,289 @@ def sql_recursive_hierarchy(spark: SparkSession, sf: str) -> DataFrame:
         ORDER BY depth
         """
     )
+
+
+@query(
+    "sql_pipe_syntax",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               {sql_dsum("l_quantity")} AS sum_qty,
+               {sql_dsum(_DISC_PRICE)} AS sum_disc_price
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-09-01'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("sql", "spark4"),
+)
+def sql_pipe_syntax(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark 4's SQL pipe syntax (`|>`): the flagship Q1 aggregation
+    written as a linear dataflow — FROM |> WHERE |> EXTEND |> AGGREGATE
+    — instead of inside-out nested SQL. Pipe stages compile to exactly
+    the same Catalyst plan as the classic form (filter pushdown, partial
+    aggregation all intact), so this pins the parser surface, not a new
+    engine path; the oracle is the classic-syntax twin. The EXTEND stage
+    computes the discounted price once and the AGGREGATE stage reuses
+    it — the same alias-once discipline the DataFrame ops follow."""
+    li = load_table(spark, sf, "lineitem")
+    li.createOrReplaceTempView("_pipe_lineitem")
+    return spark.sql(
+        """
+        FROM _pipe_lineitem
+        |> WHERE l_shipdate <= TIMESTAMP '2000-09-01'
+        |> EXTEND CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,8))
+               AS disc_price
+        |> AGGREGATE
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,8))) AS DOUBLE)
+                   AS sum_qty,
+               CAST(SUM(disc_price) AS DOUBLE) AS sum_disc_price
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, n_lines, sum_qty,
+                  sum_disc_price
+        """
+    )
+
+
+@query(
+    "scan_file_metadata",
+    oracle="""
+        SELECT 'lineitem.parquet' AS file_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey,
+               CAST(MAX(l_orderkey) AS BIGINT) AS max_orderkey
+        FROM lineitem
+    """,
+    tags=("scan", "connector", "metadata"),
+)
+def scan_file_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    """Hidden ``_metadata`` file columns on file-source scans: every row
+    carries its provenance (file name, modification time, size) without
+    any schema change — the lineage/debugging primitive behind "which
+    input file produced this bad row", and the grouping key for
+    per-file audit counts as here (rows + key span per file). The
+    oracle reads the same parquet with DuckDB's ``filename=true``.
+    Metadata is constant per file split, so Catalyst treats it like a
+    partition column — no per-row cost, no shuffle beyond the file-count
+    aggregate."""
+    from datapipelines_python_spark.catalog import table_path
+
+    df = spark.read.parquet(table_path(sf, "lineitem"))
+    return df.groupBy(
+        F.col("_metadata.file_name").alias("file_name")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("l_orderkey").cast("bigint").alias("min_orderkey"),
+        F.max("l_orderkey").cast("bigint").alias("max_orderkey"),
+    )
+
+
+@query(
+    "workload_cdc_apply",
+    oracle="""
+        WITH feed AS (
+            SELECT user_id,
+                   CASE event_type WHEN 'error' THEN 'D'
+                                   WHEN 'signup' THEN 'I'
+                                   ELSE 'U' END AS op,
+                   CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents,
+                   ts, event_id
+            FROM events
+        ),
+        latest AS (
+            SELECT user_id, op, cents, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn,
+                   COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+            FROM feed
+        )
+        SELECT user_id, cents AS final_cents,
+               CAST(n_changes AS BIGINT) AS n_changes,
+               event_id AS last_event_id
+        FROM latest
+        WHERE rn = 1 AND op <> 'D'
+    """,
+    tags=("workload", "cdc"),
+)
+def workload_cdc_apply(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC change-feed application, latest-wins: a stream of keyed
+    Insert/Update/Delete changes (derived deterministically from the
+    events table) collapses to the current snapshot — keep each key's
+    most recent non-delete payload, drop keys whose last change is a
+    delete. This is the read-side of `merge_upsert_emulated`: MERGE
+    applies one batch against a target; CDC-apply compacts an entire
+    ordered feed in one pass. One shuffle on the key; the version
+    window and per-key change count share the partitioning. Ordering is
+    total (ts, event_id), so the snapshot is replay-order invariant —
+    the property that makes the operation idempotent, which at scale is
+    what lets you re-run a failed compaction without a diff."""
+    e = load_table(spark, sf, "events")
+    feed = e.select(
+        "user_id",
+        F.when(F.col("event_type") == "error", "D")
+        .when(F.col("event_type") == "signup", "I")
+        .otherwise("U")
+        .alias("op"),
+        F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("cents"),
+        "ts",
+        "event_id",
+    )
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = feed.select(
+        "user_id",
+        "op",
+        "cents",
+        "event_id",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("user_id")).alias("n_changes"),
+    )
+    return latest.filter((F.col("rn") == 1) & (F.col("op") != "D")).select(
+        "user_id",
+        F.col("cents").alias("final_cents"),
+        F.col("n_changes").cast("bigint").alias("n_changes"),
+        F.col("event_id").alias("last_event_id"),
+    )
+
+
+@query(
+    "ml_logistic_newton",
+    oracle=f"""
+        WITH base AS (
+            SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+                   CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c
+            FROM orders
+        ),
+        s1 AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(c) AS HUGEINT) AS sc,
+                   SUM(CAST(c AS HUGEINT) * c) AS scc,
+                   SUM(CAST(c AS HUGEINT) * y) AS scy
+            FROM base
+        ),
+        b1 AS (
+            SELECT n, sy,
+                   CAST(sc AS DOUBLE) / 1e7 AS sx,
+                   CAST(scc AS DOUBLE) / 1e14 AS sxx,
+                   CAST(scy AS DOUBLE) / 1e7 AS sxy
+            FROM s1
+        ),
+        beta1 AS (
+            SELECT n, sy,
+                   4.0 * (sxx * (sy - n / 2.0) - sx * (sxy - sx / 2.0))
+                       / (n * sxx - sx * sx) AS b0,
+                   4.0 * (n * (sxy - sx / 2.0) - sx * (sy - n / 2.0))
+                       / (n * sxx - sx * sx) AS b1
+            FROM b1
+        ),
+        scored AS (
+            SELECT base.y, base.c / 1e7 AS x, beta1.b0, beta1.b1, beta1.n,
+                   beta1.sy,
+                   1.0 / (1.0 + EXP(-(beta1.b0 + beta1.b1 * (base.c / 1e7))))
+                       AS p
+            FROM base, beta1
+        ),
+        s2 AS (
+            SELECT MAX(n) AS n, MAX(sy) AS sy, MAX(b0) AS b0, MAX(b1) AS b1,
+                   {sql_dsum("y - p")} AS g0,
+                   {sql_dsum("x * (y - p)")} AS g1,
+                   {sql_dsum("p * (1.0 - p)")} AS w0,
+                   {sql_dsum("x * p * (1.0 - p)")} AS w1,
+                   {sql_dsum("x * x * p * (1.0 - p)")} AS w2
+            FROM scored
+        )
+        SELECT n AS n_orders, sy AS n_pos,
+               {sql_round4(
+                   "b0 + (w2 * g0 - w1 * g1) / (w0 * w2 - w1 * w1)"
+               )} AS beta0,
+               {sql_round4(
+                   "b1 + (w0 * g1 - w1 * g0) / (w0 * w2 - w1 * w1)"
+               )} AS beta1
+        FROM s2
+    """,
+    tags=("ml", "iterative"),
+)
+def ml_logistic_newton(spark: SparkSession, sf: str) -> DataFrame:
+    """Logistic regression by two Newton-Raphson steps, relationally:
+    P(status='F' | price). The first step from β=0 is CLOSED FORM — at
+    β=0 every p=½, so the Hessian is ¼·X'X and the update is
+    4·(X'X)⁻¹X'(y−½) with X'X built from exact integer power sums of
+    price-cents (HUGEINT/decimal(38,0); cents² overflows int64). The
+    second step must evaluate σ(β·x) per row — the one transcendental —
+    and its five weighted sums are stabilized by the dsum convention
+    (cast to decimal(38,8) per row, then sum), making them order- and
+    partition-invariant; cross-engine exp() ulp noise is absorbed by the
+    8-decimal quantization and final round4. Both Newton solves are
+    symbolic 2×2 inversions, the same pattern as `ml_linreg_multi`.
+    Two scans + two scalar reduces — no collect, the β¹ row rides a
+    broadcast cross-join into the second pass, so the whole fit is ONE
+    Catalyst plan that scales exactly like two aggregate queries."""
+    o = load_table(spark, sf, "orders")
+    dec0 = "decimal(38,0)"
+    base = o.select(
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+        .cast("bigint")
+        .alias("c"),
+    )
+    s1 = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("c").cast(dec0)).alias("sc"),
+        F.sum(F.col("c").cast(dec0) * F.col("c")).alias("scc"),
+        F.sum(F.col("c").cast(dec0) * F.col("y")).alias("scy"),
+    )
+    b1 = s1.select(
+        "n",
+        "sy",
+        (F.col("sc").cast("double") / 1e7).alias("sx"),
+        (F.col("scc").cast("double") / 1e14).alias("sxx"),
+        (F.col("scy").cast("double") / 1e7).alias("sxy"),
+    )
+    n, sy = F.col("n"), F.col("sy")
+    sx, sxx, sxy = F.col("sx"), F.col("sxx"), F.col("sxy")
+    det1 = n * sxx - sx * sx
+    beta1 = b1.select(
+        "n",
+        "sy",
+        (4.0 * (sxx * (sy - n / 2.0) - sx * (sxy - sx / 2.0)) / det1).alias(
+            "b0"
+        ),
+        (4.0 * (n * (sxy - sx / 2.0) - sx * (sy - n / 2.0)) / det1).alias(
+            "b1"
+        ),
+    )
+    x = F.col("c") / 1e7
+    p = 1.0 / (1.0 + F.exp(-(F.col("b0") + F.col("b1") * x)))
+    scored = base.crossJoin(F.broadcast(beta1)).select(
+        "y",
+        x.alias("x"),
+        "b0",
+        "b1",
+        "n",
+        "sy",
+        p.alias("p"),
+    )
+    yv, pv, xv = F.col("y"), F.col("p"), F.col("x")
+    s2 = scored.agg(
+        F.max("n").alias("n"),
+        F.max("sy").alias("sy"),
+        F.max("b0").alias("b0"),
+        F.max("b1").alias("b1"),
+        dsum(yv - pv).alias("g0"),
+        dsum(xv * (yv - pv)).alias("g1"),
+        dsum(pv * (1.0 - pv)).alias("w0"),
+        dsum(xv * pv * (1.0 - pv)).alias("w1"),
+        dsum(xv * xv * pv * (1.0 - pv)).alias("w2"),
+    )
+    g0, g1 = F.col("g0"), F.col("g1")
+    w0, w1, w2 = F.col("w0"), F.col("w1"), F.col("w2")
+    det2 = w0 * w2 - w1 * w1
+    return s2.select(
+        F.col("n").alias("n_orders"),
+        F.col("sy").alias("n_pos"),
+        round4(F.col("b0") + (w2 * g0 - w1 * g1) / det2).alias("beta0"),
+        round4(F.col("b1") + (w0 * g1 - w1 * g0) / det2).alias("beta1"),
+    )
