@@ -2322,3 +2322,149 @@ def llm_hard_negative_mining(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("neg_rank") <= 3)
         .withColumn("neg_rank", F.col("neg_rank").cast("int"))
     )
+
+
+@query(
+    "llm_sft_format",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, text, lang, source,
+                   LEN(STRING_SPLIT(text, ' ')) AS n_tokens
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(json_object(
+                   'messages', json_array(
+                       json_object('role', 'user',
+                                   'content',
+                                   'Summarize: ' || SUBSTRING(text, 1, 64)),
+                       json_object('role', 'assistant', 'content', text)
+                   ),
+                   'meta', json_object('lang', lang, 'source', source)
+               ) AS VARCHAR) AS jsonl,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               n_tokens <= 512 AS fits_context
+        FROM t
+    """,
+    tags=("llm", "training", "format"),
+)
+def llm_sft_format(spark: SparkSession, sf: str) -> DataFrame:
+    """SFT/chat-template rendering: each document becomes one JSONL
+    training line — a messages array (user prompt + assistant target)
+    plus provenance metadata — with a context-window fit flag from the
+    token count. ``to_json(struct(...))`` runs JVM-side and emits the
+    same compact, field-ordered JSON as DuckDB's json_object (verified
+    byte-equal), so the serialized lines hash cross-engine. This is the
+    last mile of every fine-tuning pipeline: upstream ops clean/dedup/
+    select; this op freezes the tensor-ready text. Zero shuffle — pure
+    projection; at 100 TB it's written straight out with
+    `sink_parquet_partitioned` (or text) sharded by the hash split of
+    `llm_train_val_split`."""
+    d = load_table(spark, sf, "documents")
+    msg = F.array(
+        F.struct(
+            F.lit("user").alias("role"),
+            F.concat(F.lit("Summarize: "), F.substring("text", 1, 64)).alias(
+                "content"
+            ),
+        ),
+        F.struct(
+            F.lit("assistant").alias("role"), F.col("text").alias("content")
+        ),
+    )
+    meta = F.struct(F.col("lang").alias("lang"), F.col("source").alias("source"))
+    n_tokens = F.size(F.split("text", " ")).cast("bigint")
+    return d.select(
+        "doc_id",
+        F.to_json(
+            F.struct(msg.alias("messages"), meta.alias("meta"))
+        ).alias("jsonl"),
+        n_tokens.alias("n_tokens"),
+        (n_tokens <= 512).alias("fits_context"),
+    )
+
+
+@query(
+    "llm_preference_pairs",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, source,
+                   LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS n_uniq,
+                   LEN(STRING_SPLIT(text, ' ')) AS n_tok
+            FROM documents
+        ),
+        ranked AS (
+            SELECT doc_id, source,
+                   CAST(n_uniq AS DOUBLE) / n_tok AS ratio,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY CAST(n_uniq AS DOUBLE) / n_tok DESC, doc_id
+                   ) AS rn_best,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY CAST(n_uniq AS DOUBLE) / n_tok ASC, doc_id
+                   ) AS rn_worst,
+                   COUNT(*) OVER (PARTITION BY source) AS n_docs
+            FROM scored
+        )
+        SELECT b.source,
+               b.doc_id AS chosen_doc,
+               w.doc_id AS rejected_doc,
+               {sql_round4("b.ratio")} AS chosen_diversity,
+               {sql_round4("w.ratio")} AS rejected_diversity
+        FROM ranked b
+        JOIN ranked w ON b.source = w.source
+        WHERE b.rn_best = 1 AND w.rn_worst = 1
+          AND b.n_docs >= 2 AND b.doc_id <> w.doc_id
+    """,
+    tags=("llm", "training", "preference"),
+)
+def llm_preference_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """DPO/RLHF preference-pair mining: per source, pair the most
+    lexically diverse document (chosen) against the least diverse
+    (rejected) — the automated-judge pattern for building preference
+    data when no human labels exist. The diversity score
+    |distinct tokens|/|tokens| is a ratio of exact integers (identical
+    IEEE division both engines), ranking ties break on doc_id, and
+    degenerate pairs (singleton sources, chosen = rejected) are
+    excluded. One shuffle on source for both rankings and the
+    self-join — Catalyst reuses the partitioning. At 100 TB the same
+    shape mines pairs per prompt-cluster rather than per source, and
+    the judge score column swaps for a model score."""
+    d = load_table(spark, sf, "documents")
+    toks = F.split("text", " ")
+    scored = d.select(
+        "doc_id",
+        "source",
+        (
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+        ).alias("ratio"),
+    )
+    wsrc = W.partitionBy("source")
+    ranked = scored.select(
+        "doc_id",
+        "source",
+        "ratio",
+        F.row_number()
+        .over(wsrc.orderBy(F.col("ratio").desc(), F.col("doc_id")))
+        .alias("rn_best"),
+        F.row_number()
+        .over(wsrc.orderBy(F.col("ratio").asc(), F.col("doc_id")))
+        .alias("rn_worst"),
+        F.count(F.lit(1)).over(wsrc).alias("n_docs"),
+    )
+    b = ranked.filter((F.col("rn_best") == 1) & (F.col("n_docs") >= 2)).alias(
+        "b"
+    )
+    w_ = ranked.filter(F.col("rn_worst") == 1).alias("w")
+    return (
+        b.join(w_, F.col("b.source") == F.col("w.source"))
+        .filter(F.col("b.doc_id") != F.col("w.doc_id"))
+        .select(
+            F.col("b.source").alias("source"),
+            F.col("b.doc_id").alias("chosen_doc"),
+            F.col("w.doc_id").alias("rejected_doc"),
+            round4(F.col("b.ratio")).alias("chosen_diversity"),
+            round4(F.col("w.ratio")).alias("rejected_diversity"),
+        )
+    )

@@ -659,3 +659,90 @@ def scan_csv_compressed(spark: SparkSession, sf: str) -> DataFrame:
         "compression", "gzip"
     ).csv(path)
     return spark.read.schema(sup.schema).option("header", True).csv(path)
+
+
+@query(
+    "scan_json_corrupt_column",
+    oracle="""
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nation) AS n_good,
+               CAST(2 AS BIGINT) AS n_bad
+    """,
+    tags=("scan", "connector", "quality"),
+)
+def scan_json_corrupt_column(spark: SparkSession, sf: str) -> DataFrame:
+    """PERMISSIVE JSON ingest with quarantine: corrupt lines land in the
+    ``columnNameOfCorruptRecord`` column instead of killing the job or
+    silently vanishing (the DROPMALFORMED twin is
+    `scan_csv_permissive`). The nation table round-trips through JSONL,
+    two broken lines are appended OUTSIDE Spark (real corruption never
+    comes from your own writer), and the op reports good/quarantined
+    counts — the shape of every ingest-health dashboard. Note the
+    documented Spark quirk: the corrupt column can't be the ONLY
+    referenced column; aggregating it alongside a data column keeps the
+    plan legal. At scale the quarantined rows would be written to a
+    side table for replay, not counted and dropped."""
+    from datapipelines_python_spark.catalog import load_table as _lt
+
+    path = scratch_dir("json_corrupt")
+    n = _lt(spark, sf, "nation")
+    n.write.mode("overwrite").json(path)
+    # corrupt lines appended outside Spark
+    bad = os.path.join(path, "part-manual-corrupt.json")
+    with open(bad, "w") as f:
+        f.write('{"n_nationkey": "not-an-int and unclosed\n')
+        f.write("utter garbage, not json at all\n")
+    schema = (
+        "n_nationkey int, n_name string, n_regionkey int, _bad string"
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(path)
+    )
+    return df.agg(
+        F.count("n_name").cast("bigint").alias("n_good"),
+        F.count("_bad").cast("bigint").alias("n_bad"),
+    )
+
+
+@query(
+    "sink_compact_small_files",
+    oracle="""
+        SELECT CAST(64 AS BIGINT) AS n_files_before,
+               CAST(4 AS BIGINT) AS n_files_after,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_rows
+    """,
+    tags=("sink", "connector", "maintenance"),
+)
+def sink_compact_small_files(spark: SparkSession, sf: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance op every streaming
+    or incremental sink eventually needs: a directory fragmented into 64
+    shards (round-robin repartition guarantees none is empty) is
+    rewritten as 4 right-sized files via ``coalesce`` — which NARROWS
+    partitions without a shuffle, the whole point: compaction cost is
+    one read + one write, not an exchange. File counts are verified
+    against the actual directory listing, rows against the re-read. At
+    scale the target count comes from bytes/128 MB, the rewrite goes
+    partition-by-partition (`sink_dynamic_partition_overwrite`), and
+    files are picked by a size threshold rather than wholesale."""
+    from datapipelines_python_spark.catalog import load_table as _lt
+
+    frag = scratch_dir("compact_frag")
+    compact = scratch_dir("compact_out")
+    o = _lt(spark, sf, "orders")
+    o.repartition(64).write.mode("overwrite").parquet(frag)
+    n_before = len(
+        [f for f in os.listdir(frag) if f.endswith(".parquet")]
+    )
+    spark.read.parquet(frag).coalesce(4).write.mode("overwrite").parquet(
+        compact
+    )
+    n_after = len(
+        [f for f in os.listdir(compact) if f.endswith(".parquet")]
+    )
+    return spark.read.parquet(compact).agg(
+        F.lit(n_before).cast("bigint").alias("n_files_before"),
+        F.lit(n_after).cast("bigint").alias("n_files_after"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
