@@ -2468,3 +2468,80 @@ def llm_preference_pairs(spark: SparkSession, sf: str) -> DataFrame:
             round4(F.col("w.ratio")).alias("rejected_diversity"),
         )
     )
+
+
+@query(
+    "llm_span_corruption",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, STRING_SPLIT(text, ' ') AS t,
+                   LEN(STRING_SPLIT(text, ' ')) AS n
+            FROM documents
+        ),
+        built AS (
+            SELECT doc_id, n,
+                   ARRAY_TO_STRING(
+                       [CASE WHEN p % 10 = 6 AND p + 2 <= n
+                             THEN '<extra_id_' || CAST(p // 10 AS VARCHAR) || '>'
+                             ELSE t[p] END
+                        for p in RANGE(1, n + 1)
+                        if NOT ((p % 10 = 7 AND p + 1 <= n) OR p % 10 = 8)],
+                       ' ') AS input_text,
+                   ARRAY_TO_STRING(
+                       ['<extra_id_' || CAST(p // 10 AS VARCHAR) || '> '
+                            || t[p] || ' ' || t[p+1] || ' ' || t[p+2]
+                        for p in RANGE(1, n + 1)
+                        if p % 10 = 6 AND p + 2 <= n],
+                       ' ') AS target_text,
+                   LEN([p for p in RANGE(1, n + 1)
+                        if p % 10 = 6 AND p + 2 <= n]) AS n_spans
+            FROM toks WHERE n >= 8
+        )
+        SELECT doc_id, input_text, target_text,
+               CAST(n_spans AS BIGINT) AS n_spans
+        FROM built
+    """,
+    tags=("llm", "training", "objective"),
+)
+def llm_span_corruption(spark: SparkSession, sf: str) -> DataFrame:
+    """T5-style span corruption: deterministic 3-token spans (1-based
+    positions ≡ 6 mod 10) are cut from the input and replaced by
+    numbered sentinels; the target reassembles sentinel → original
+    tokens — the denoising-objective data prep, made reproducible by
+    swapping the usual RNG for a position rule. Spans that would run off
+    the end stay unmasked; the keep/drop predicates are written so a
+    dangling position 7/8 is only dropped when its span start actually
+    masked (p%10=7 needs p+1≤n; p%10=8 implies fit). Everything is
+    array-local lambda work on the token array — build, filter, join,
+    count — ZERO shuffle, and the token array is multi-referenced so
+    CollapseProject can't inline it per-lambda (SCALE.md §4.2). At
+    100 TB the position rule becomes seeded xxhash64(doc_id, span_idx)
+    — still reproducible, same plan shape."""
+    d = load_table(spark, sf, "documents")
+    toks = d.select(
+        "doc_id",
+        F.split("text", " ").alias("t"),
+        F.size(F.split("text", " ")).alias("n"),
+    ).filter(F.col("n") >= 8)
+    input_text = F.expr(
+        "array_join(transform(filter(sequence(1, n),"
+        " p -> NOT ((p % 10 = 7 AND p + 1 <= n) OR p % 10 = 8)),"
+        " p -> CASE WHEN p % 10 = 6 AND p + 2 <= n"
+        "      THEN concat('<extra_id_', CAST(p DIV 10 AS STRING), '>')"
+        "      ELSE t[p-1] END), ' ')"
+    )
+    target_text = F.expr(
+        "array_join(transform(filter(sequence(1, n),"
+        " p -> p % 10 = 6 AND p + 2 <= n),"
+        " p -> concat('<extra_id_', CAST(p DIV 10 AS STRING), '> ',"
+        "             t[p-1], ' ', t[p], ' ', t[p+1])), ' ')"
+    )
+    n_spans = F.expr(
+        "size(filter(sequence(1, n), p -> p % 10 = 6 AND p + 2 <= n))"
+    )
+    return toks.select(
+        "doc_id",
+        input_text.alias("input_text"),
+        target_text.alias("target_text"),
+        n_spans.cast("bigint").alias("n_spans"),
+    )

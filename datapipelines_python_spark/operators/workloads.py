@@ -4675,3 +4675,241 @@ def ml_logistic_newton(spark: SparkSession, sf: str) -> DataFrame:
         round4(F.col("b0") + (w2 * g0 - w1 * g1) / det2).alias("beta0"),
         round4(F.col("b1") + (w0 * g1 - w1 * g0) / det2).alias("beta1"),
     )
+
+
+@query(
+    "ml_gbt_stumps",
+    oracle=f"""
+        WITH base AS (
+            SELECT CAST(l_quantity AS BIGINT) AS y,
+                   CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS x1,
+                   CAST(FLOOR(l_discount * 100.0 + 0.5) AS BIGINT) AS x2
+            FROM lineitem
+        ),
+        pts1 AS (
+            SELECT x1, CAST(COUNT(*) AS BIGINT) AS c,
+                   CAST(SUM(y) AS BIGINT) AS s
+            FROM base GROUP BY x1
+        ),
+        cum1 AS (
+            SELECT x1,
+                   SUM(c) OVER (ORDER BY x1) AS cl,
+                   SUM(s) OVER (ORDER BY x1) AS sl,
+                   SUM(c) OVER () AS n,
+                   SUM(s) OVER () AS st
+            FROM pts1
+        ),
+        best1 AS (
+            SELECT x1 AS t1,
+                   CAST(sl * 1000000 // cl AS BIGINT) AS leaf_l1,
+                   CAST((st - sl) * 1000000 // (n - cl) AS BIGINT) AS leaf_r1,
+                   CAST(cl AS BIGINT) AS nl1, CAST(n - cl AS BIGINT) AS nr1,
+                   CAST(n AS BIGINT) AS n
+            FROM cum1 WHERE cl < n
+            ORDER BY (CAST(sl AS DOUBLE) * sl / cl
+                      + CAST(st - sl AS DOUBLE) * (st - sl) / (n - cl)) DESC,
+                     x1 ASC
+            LIMIT 1
+        ),
+        resid AS (
+            SELECT b.x2,
+                   b.y * 1000000
+                       - CASE WHEN b.x1 <= best1.t1 THEN best1.leaf_l1
+                              ELSE best1.leaf_r1 END AS r
+            FROM base b, best1
+        ),
+        mse1 AS (
+            SELECT SUM(CAST(r AS HUGEINT) * r) AS sse FROM resid
+        ),
+        pts2 AS (
+            SELECT x2, CAST(COUNT(*) AS BIGINT) AS c,
+                   CAST(SUM(r) AS BIGINT) AS s
+            FROM resid GROUP BY x2
+        ),
+        cum2 AS (
+            SELECT x2,
+                   SUM(c) OVER (ORDER BY x2) AS cl,
+                   SUM(s) OVER (ORDER BY x2) AS sl,
+                   SUM(c) OVER () AS n,
+                   SUM(s) OVER () AS st
+            FROM pts2
+        ),
+        best2 AS (
+            SELECT x2 AS t2,
+                   CAST(CASE WHEN sl >= 0 THEN sl * 1000000 // cl
+                        ELSE -((-sl) * 1000000 // cl)
+                        END AS BIGINT) AS leaf_l2,
+                   CAST(CASE WHEN st - sl >= 0
+                        THEN (st - sl) * 1000000 // (n - cl)
+                        ELSE -((sl - st) * 1000000 // (n - cl))
+                        END AS BIGINT) AS leaf_r2,
+                   CAST(cl AS BIGINT) AS nl2, CAST(n - cl AS BIGINT) AS nr2
+            FROM cum2 WHERE cl < n
+            ORDER BY (CAST(sl AS DOUBLE) * sl / cl
+                      + CAST(st - sl AS DOUBLE) * (st - sl) / (n - cl)) DESC,
+                     x2 ASC
+            LIMIT 1
+        ),
+        resid2 AS (
+            SELECT r - (CASE WHEN resid.x2 <= best2.t2
+                             THEN best2.leaf_l2 ELSE best2.leaf_r2 END)
+                       / 1000000.0 * 1000000 AS r2d,
+                   r, resid.x2, best2.t2, best2.leaf_l2, best2.leaf_r2
+            FROM resid, best2
+        ),
+        mse2 AS (
+            SELECT SUM(CAST(CAST(r - CASE WHEN x2 <= t2 THEN leaf_l2
+                                     ELSE leaf_r2 END AS BIGINT) AS HUGEINT)
+                       * CAST(r - CASE WHEN x2 <= t2 THEN leaf_l2
+                              ELSE leaf_r2 END AS BIGINT)) AS sse
+            FROM resid2
+        )
+        SELECT 1 AS round, 'price_cents' AS feature,
+               best1.t1 AS threshold,
+               best1.leaf_l1 AS leaf_left_micro,
+               best1.leaf_r1 AS leaf_right_micro,
+               best1.nl1 AS n_left, best1.nr1 AS n_right,
+               {sql_round4(
+                   "CAST(CAST(mse1.sse AS VARCHAR) AS DOUBLE)"
+                   " / best1.n / 1e12"
+               )} AS mse_after
+        FROM best1, mse1
+        UNION ALL
+        SELECT 2, 'discount_cents', best2.t2, best2.leaf_l2, best2.leaf_r2,
+               best2.nl2, best2.nr2,
+               {sql_round4(
+                   "CAST(CAST(mse2.sse AS VARCHAR) AS DOUBLE)"
+                   " / best1.n / 1e12"
+               )}
+        FROM best2, mse2, best1
+    """,
+    tags=("ml", "iterative", "tree"),
+)
+def ml_gbt_stumps(spark: SparkSession, sf: str) -> DataFrame:
+    """Gradient-boosted regression stumps, two rounds, fully relational
+    and integer-exact: round 1 fits the variance-minimizing split of
+    quantity on price (same deduped-candidates + cumulative-window
+    recipe as `ml_decision_stump`, objective S²_L/C_L + S²_R/C_R from
+    integer sums); leaf predictions are quantized to exact micro-units
+    by INTEGER DIVISION (floor-toward-zero on both engines — negative
+    leaf values are handled by an explicit sign-split so Spark's DIV and
+    DuckDB's // agree), making every residual an exact integer that the
+    second stump (on discount) fits with the same machinery. Squared-
+    error sums ride HUGEINT/decimal(38,0). Output: both stumps + the
+    post-round train MSE — boosting's monotone-improvement contract,
+    checkable bit-for-bit. The fact table is touched three times (two
+    candidate aggregates + one residual pass); the windows run over
+    deduped candidate axes only."""
+    li = load_table(spark, sf, "lineitem")
+    dec0 = "decimal(38,0)"
+    base = li.select(
+        F.col("l_quantity").cast("bigint").alias("y"),
+        F.floor(F.col("l_extendedprice") * 100.0 + 0.5)
+        .cast("bigint")
+        .alias("x1"),
+        F.floor(F.col("l_discount") * 100.0 + 0.5).cast("bigint").alias("x2"),
+    )
+
+    def best_split(pts: DataFrame, xcol: str):
+        w_cum = W.orderBy(xcol).rangeBetween(W.unboundedPreceding, W.currentRow)
+        w_all = W.partitionBy()
+        cum = pts.select(
+            xcol,
+            F.sum("c").over(w_cum).alias("cl"),
+            F.sum("s").over(w_cum).alias("sl"),
+            F.sum("c").over(w_all).alias("n"),
+            F.sum("s").over(w_all).alias("st"),
+        ).filter(F.col("cl") < F.col("n"))
+        sl, cl = F.col("sl"), F.col("cl")
+        st, n = F.col("st"), F.col("n")
+        score = sl.cast("double") * sl / cl + (st - sl).cast("double") * (
+            st - sl
+        ) / (n - cl)
+        rn = F.row_number().over(W.orderBy(F.desc("score"), F.asc(xcol)))
+        # Leaf division must floor TOWARD ZERO to match DuckDB's // on
+        # negative sums (Spark's DIV floors toward -inf): explicit
+        # sign-split below.
+        return (
+            cum.withColumn("score", score)
+            .withColumn("rn", rn)
+            .filter(F.col("rn") == 1)
+            .select(
+                F.col(xcol).alias("t"),
+                F.when(sl >= 0, F.expr("sl * 1000000 DIV cl"))
+                .otherwise(-F.expr("(-sl) * 1000000 DIV cl"))
+                .cast("bigint")
+                .alias("leaf_l"),
+                F.when(
+                    st - sl >= 0, F.expr("(st - sl) * 1000000 DIV (n - cl)")
+                )
+                .otherwise(-F.expr("(sl - st) * 1000000 DIV (n - cl)"))
+                .cast("bigint")
+                .alias("leaf_r"),
+                cl.cast("bigint").alias("nl"),
+                (n - cl).cast("bigint").alias("nr"),
+                n.cast("bigint").alias("n"),
+            )
+        )
+
+    pts1 = base.groupBy("x1").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.sum("y").cast("bigint").alias("s"),
+    )
+    best1 = best_split(pts1, "x1")
+    resid = base.crossJoin(F.broadcast(best1)).select(
+        "x2",
+        (
+            F.col("y") * 1000000
+            - F.when(F.col("x1") <= F.col("t"), F.col("leaf_l")).otherwise(
+                F.col("leaf_r")
+            )
+        ).alias("r"),
+        F.col("n").alias("n"),
+    )
+    stats1 = resid.agg(
+        F.sum(F.col("r").cast(dec0) * F.col("r")).alias("sse"),
+        F.max("n").alias("n"),
+    )
+    pts2 = resid.groupBy("x2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.sum("r").cast("bigint").alias("s"),
+    )
+    best2 = best_split(pts2, "x2")
+    resid2 = resid.crossJoin(F.broadcast(best2.drop("n"))).select(
+        (
+            F.col("r")
+            - F.when(F.col("x2") <= F.col("t"), F.col("leaf_l")).otherwise(
+                F.col("leaf_r")
+            )
+        ).alias("r2"),
+        F.col("n"),
+    )
+    stats2 = resid2.agg(
+        F.sum(F.col("r2").cast(dec0) * F.col("r2")).alias("sse"),
+        F.max("n").alias("n"),
+    )
+    row1 = best1.crossJoin(stats1.select("sse")).select(
+        F.lit(1).alias("round"),
+        F.lit("price_cents").alias("feature"),
+        F.col("t").alias("threshold"),
+        F.col("leaf_l").alias("leaf_left_micro"),
+        F.col("leaf_r").alias("leaf_right_micro"),
+        F.col("nl").alias("n_left"),
+        F.col("nr").alias("n_right"),
+        round4(F.col("sse").cast("double") / F.col("n") / 1e12).alias(
+            "mse_after"
+        ),
+    )
+    row2 = best2.crossJoin(stats2.select("sse")).select(
+        F.lit(2).alias("round"),
+        F.lit("discount_cents").alias("feature"),
+        F.col("t").alias("threshold"),
+        F.col("leaf_l").alias("leaf_left_micro"),
+        F.col("leaf_r").alias("leaf_right_micro"),
+        F.col("nl").alias("n_left"),
+        F.col("nr").alias("n_right"),
+        round4(F.col("sse").cast("double") / F.col("n") / 1e12).alias(
+            "mse_after"
+        ),
+    )
+    return row1.unionByName(row2)
