@@ -835,3 +835,52 @@ def agg_corr_matrix(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("r")
     )
     return rows.select("r.col_a", "r.col_b", "r.corr")
+
+
+@query(
+    "agg_percentile_family",
+    oracle=f"""
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               {sql_round4("QUANTILE_CONT(l_extendedprice, 0.25)")} AS p25_cont,
+               {sql_round4("QUANTILE_CONT(l_extendedprice, 0.50)")} AS p50_cont,
+               {sql_round4("QUANTILE_CONT(l_extendedprice, 0.90)")} AS p90_cont,
+               QUANTILE_DISC(l_extendedprice, 0.50) AS p50_disc,
+               QUANTILE_DISC(l_extendedprice, 0.90) AS p90_disc
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("agg", "percentile"),
+)
+def agg_percentile_family(spark: SparkSession, sf: str) -> DataFrame:
+    """The full ANSI quantile family side by side: PERCENTILE_CONT
+    (linear interpolation between order statistics — can emit values not
+    in the data) vs PERCENTILE_DISC (always an actual data value — what
+    you want for "a real observed latency", and exact with NO rounding
+    needed since it just selects an input). Interpolated values get
+    round4 (the (1−f)·a + f·b arithmetic is identical IEEE given
+    identical selected neighbors); discrete values hash raw. Exact
+    quantiles need the value multiset per group — one shuffle on the
+    3-ary flag; the sketch-based twin for 100 TB is
+    `agg_approx_percentile`."""
+    li = load_table(spark, sf, "lineitem")
+    li.createOrReplaceTempView("_pctl_lineitem")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               {{r4}} AS p25_cont,
+               {{r5}} AS p50_cont,
+               {{r9}} AS p90_cont,
+               PERCENTILE_DISC(0.50) WITHIN GROUP (ORDER BY l_extendedprice)
+                   AS p50_disc,
+               PERCENTILE_DISC(0.90) WITHIN GROUP (ORDER BY l_extendedprice)
+                   AS p90_disc
+        FROM _pctl_lineitem
+        GROUP BY l_returnflag
+        """.format(
+            r4="FLOOR(PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY l_extendedprice) * 1e4 + 5e-1) / 1e4",
+            r5="FLOOR(PERCENTILE_CONT(0.50) WITHIN GROUP (ORDER BY l_extendedprice) * 1e4 + 5e-1) / 1e4",
+            r9="FLOOR(PERCENTILE_CONT(0.90) WITHIN GROUP (ORDER BY l_extendedprice) * 1e4 + 5e-1) / 1e4",
+        )
+    )
