@@ -782,3 +782,99 @@ def join_fuzzy_blocked(spark: SparkSession, sf: str) -> DataFrame:
             .alias("dist"),
         )
     )
+
+
+@query(
+    "join_null_aware_anti",
+    oracle="""
+        WITH sub AS (
+            SELECT CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+                        ELSE o_custkey END AS k
+            FROM orders WHERE o_orderstatus = 'P'
+        )
+        SELECT
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+             WHERE c_custkey NOT IN (SELECT k FROM sub)) AS n_with_nulls,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+             WHERE c_custkey NOT IN (SELECT k FROM sub WHERE k IS NOT NULL))
+                AS n_null_filtered,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM customer c
+             WHERE NOT EXISTS (SELECT 1 FROM sub s WHERE s.k = c.c_custkey))
+                AS n_not_exists
+    """,
+    tags=("join", "anti", "null-semantics"),
+)
+def join_null_aware_anti(spark: SparkSession, sf: str) -> DataFrame:
+    """NOT IN versus NOT EXISTS under NULLs — the ANSI three-valued-logic
+    trap, measured: with even ONE NULL in the subquery, ``x NOT IN (…)``
+    can never be TRUE (every comparison is at best UNKNOWN), so the
+    count collapses to 0; filter the NULLs and the real complement
+    appears; NOT EXISTS ignores NULLs by construction and equals the
+    filtered form. Spark plans the NOT IN as a NULL-AWARE anti join — a
+    different (and more expensive, broadcast-only) physical operator
+    than the plain LeftAnti the EXISTS form gets, which is exactly why
+    pipelines at scale should write NOT EXISTS. All three counts in one
+    pass, oracle verbatim."""
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    o.createOrReplaceTempView("_naa_orders")
+    c.createOrReplaceTempView("_naa_customer")
+    return spark.sql(
+        """
+        WITH sub AS (
+            SELECT CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+                        ELSE o_custkey END AS k
+            FROM _naa_orders WHERE o_orderstatus = 'P'
+        )
+        SELECT
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM _naa_customer
+             WHERE c_custkey NOT IN (SELECT k FROM sub)) AS n_with_nulls,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM _naa_customer
+             WHERE c_custkey NOT IN (SELECT k FROM sub WHERE k IS NOT NULL))
+                AS n_null_filtered,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM _naa_customer c
+             WHERE NOT EXISTS (SELECT 1 FROM sub s WHERE s.k = c.c_custkey))
+                AS n_not_exists
+        """
+    )
+
+
+@query(
+    "join_correlated_scalar",
+    oracle="""
+        SELECT o_orderkey, o_totalprice,
+               (SELECT MAX(l.l_quantity) FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey) AS max_qty,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey) AS n_lines
+        FROM orders o
+        WHERE o.o_orderkey % 7 = 0
+    """,
+    tags=("join", "subquery"),
+)
+def join_correlated_scalar(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated SCALAR subqueries in the projection — "each order with
+    its max line quantity and line count" written the way analysts write
+    it. Catalyst decorrelates both subqueries into ONE left-outer
+    aggregate join (they share the correlation key), so the naive
+    O(orders × lineitem-probe) reading costs a single shuffled join at
+    any scale — the same rewrite `join_lateral_topk` pins for LATERAL.
+    Orders without lines keep NULL max and 0 count (COUNT's
+    empty-group-is-zero contract survives decorrelation — the subtle
+    part of the rewrite, handled with a post-join coalesce by the
+    optimizer). Oracle verbatim."""
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    o.createOrReplaceTempView("_cs_orders")
+    li.createOrReplaceTempView("_cs_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice,
+               (SELECT MAX(l.l_quantity) FROM _cs_lineitem l
+                WHERE l.l_orderkey = o.o_orderkey) AS max_qty,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM _cs_lineitem l
+                WHERE l.l_orderkey = o.o_orderkey) AS n_lines
+        FROM _cs_orders o
+        WHERE o.o_orderkey % 7 = 0
+        """
+    )
