@@ -1703,3 +1703,51 @@ def llm_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
             round4(novel.cast("double") / F.count(F.lit(1))).alias("novelty"),
         )
     )
+
+
+@query(
+    "llm_embed_matryoshka",
+    oracle=f"""
+        WITH per AS (
+            SELECT label,
+                   {sql_dot('embedding[1:8]', 'embedding[1:8]')} AS e8,
+                   {sql_dot('embedding[1:16]', 'embedding[1:16]')} AS e16,
+                   {sql_dot('embedding[1:32]', 'embedding[1:32]')} AS e32,
+                   {sql_dot('embedding', 'embedding')} AS efull
+            FROM embeddings
+        )
+        SELECT label,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               {sql_round4(sql_davg('e8 / efull'))} AS energy_8,
+               {sql_round4(sql_davg('e16 / efull'))} AS energy_16,
+               {sql_round4(sql_davg('e32 / efull'))} AS energy_32
+        FROM per
+        GROUP BY label
+    """,
+    tags=("llm", "embedding", "similarity"),
+)
+def llm_embed_matryoshka(spark: SparkSession, sf: str) -> DataFrame:
+    """Matryoshka (MRL) truncation audit: how much of each vector's L2
+    energy survives truncation to the first 8/16/32 dims, averaged per
+    label. This is the go/no-go dial for serving truncated embeddings
+    (MRL-style) instead of the full 64 dims — if energy_16 ≈ 1, a 4×
+    cheaper ANN index loses nothing. Per-vector energies are sequential
+    double folds over prefix slices (bit-identical on both engines);
+    ratios are row-wise double divisions; the per-label mean rides the
+    decimal-sum convention. One projection + one small groupBy — the
+    only shuffle is |labels| rows wide, so at 100 TB this is a single
+    map-side-combined pass over the corpus."""
+    emb = load_table(spark, sf, "embeddings")
+    e = emb.select(
+        "label",
+        dot(F.slice("embedding", 1, 8), F.slice("embedding", 1, 8)).alias("e8"),
+        dot(F.slice("embedding", 1, 16), F.slice("embedding", 1, 16)).alias("e16"),
+        dot(F.slice("embedding", 1, 32), F.slice("embedding", 1, 32)).alias("e32"),
+        dot("embedding", "embedding").alias("efull"),
+    )
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        round4(davg(F.col("e8") / F.col("efull"))).alias("energy_8"),
+        round4(davg(F.col("e16") / F.col("efull"))).alias("energy_16"),
+        round4(davg(F.col("e32") / F.col("efull"))).alias("energy_32"),
+    )

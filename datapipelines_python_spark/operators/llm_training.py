@@ -2545,3 +2545,65 @@ def llm_span_corruption(spark: SparkSession, sf: str) -> DataFrame:
         target_text.alias("target_text"),
         n_spans.cast("bigint").alias("n_spans"),
     )
+
+
+@query(
+    "llm_fim_transform",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, STRING_SPLIT(text, ' ') AS t,
+                   LEN(STRING_SPLIT(text, ' ')) AS n
+            FROM documents
+        ),
+        cuts AS (
+            SELECT doc_id, t, n, n // 3 AS c1, n - n // 4 AS c2
+            FROM toks WHERE n >= 8
+        )
+        SELECT doc_id,
+               '<PRE> ' || ARRAY_TO_STRING(t[1:c1], ' ')
+                   || ' <SUF> ' || ARRAY_TO_STRING(t[c2+1:n], ' ')
+                   || ' <MID> ' || ARRAY_TO_STRING(t[c1+1:c2], ' ')
+                   AS fim_text,
+               CAST(c1 AS BIGINT) AS n_prefix,
+               CAST(c2 - c1 AS BIGINT) AS n_middle,
+               CAST(n - c2 AS BIGINT) AS n_suffix
+        FROM cuts
+    """,
+    tags=("llm", "training", "objective"),
+)
+def llm_fim_transform(spark: SparkSession, sf: str) -> DataFrame:
+    """Fill-in-the-middle (FIM) transform in PSM order: each document's
+    token stream splits at two deterministic cut points (⌊n/3⌋ and
+    n−⌊n/4⌋, the RNG-free stand-ins for the usual uniform cuts) into
+    prefix/middle/suffix, re-serialized as ``<PRE> p <SUF> s <MID> m``
+    so an autoregressive model learns infilling — the code-model data
+    prep (Bavarian et al. 2022), reproducible across engines and runs.
+    n ≥ 8 guarantees all three segments are non-empty. Pure array-local
+    slicing inside one projection: ZERO shuffle, and at 100 TB the cut
+    rule swaps to seeded xxhash64(doc_id) with the identical plan
+    shape."""
+    d = load_table(spark, sf, "documents")
+    toks = d.select(
+        "doc_id",
+        F.split("text", " ").alias("t"),
+        F.size(F.split("text", " ")).alias("n"),
+    ).filter(F.col("n") >= 8)
+    cuts = toks.select(
+        "doc_id", "t", "n",
+        F.expr("n DIV 3").alias("c1"),
+        F.expr("n - n DIV 4").alias("c2"),
+    )
+    return cuts.select(
+        "doc_id",
+        F.concat(
+            F.lit("<PRE> "),
+            F.array_join(F.expr("slice(t, 1, c1)"), " "),
+            F.lit(" <SUF> "),
+            F.array_join(F.expr("slice(t, c2 + 1, n - c2)"), " "),
+            F.lit(" <MID> "),
+            F.array_join(F.expr("slice(t, c1 + 1, c2 - c1)"), " "),
+        ).alias("fim_text"),
+        F.col("c1").cast("bigint").alias("n_prefix"),
+        (F.col("c2") - F.col("c1")).cast("bigint").alias("n_middle"),
+        (F.col("n") - F.col("c2")).cast("bigint").alias("n_suffix"),
+    )

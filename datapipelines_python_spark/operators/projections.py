@@ -234,3 +234,56 @@ def sample_hash_deterministic(spark: SparkSession, sf: str) -> DataFrame:
     return o.filter(bucket.isin("0", "1")).select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
+
+
+@query(
+    "sample_weighted_ares",
+    oracle="""
+        WITH pr AS (
+            SELECT doc_id, n_chars,
+                   LN((list_reduce(list_prepend(CAST(0 AS BIGINT),
+                           list_transform(string_split(substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), ''),
+                                          c -> CAST(ascii(c) AS BIGINT))),
+                           (a, b) -> a * 16 + (b - CASE WHEN b >= 97 THEN 87 ELSE 48 END))
+                       + 0.5) / 4294967296.0) / n_chars AS k
+            FROM documents WHERE n_chars > 0
+        )
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+               FLOOR(k * 10000.0 + 0.5) / 10000.0 AS rank_key
+        FROM pr
+        ORDER BY k DESC, doc_id
+        LIMIT 20
+    """,
+    tags=("projection", "sampling"),
+)
+def sample_weighted_ares(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted sampling without replacement, A-Res style (Efraimidis &
+    Spirtes): each doc gets key ln(u)/w — the log form of u^(1/w), same
+    ordering, one libm call instead of pow — with u a deterministic
+    uniform folded from the doc's md5 prefix (cross-engine replayable,
+    unlike an RNG), w = n_chars so long documents are proportionally
+    favored. Top-20 by key is the weighted sample — the data-mixing
+    primitive for 'sample this source at rate ∝ length'. The plan is
+    one projection + TakeOrderedAndProject: each partition keeps its
+    local top-20 and only those reach the driver-side merge, so at
+    100 TB there is no global sort and no shuffle of the corpus —
+    exactly how distributed weighted reservoir sampling should look."""
+    d = load_table(spark, sf, "documents").filter(F.col("n_chars") > 0)
+    h = F.expr(
+        "aggregate(split(substring(md5(CAST(doc_id AS STRING)), 1, 8), ''), 0L,"
+        " (acc, c) -> acc * 16 +"
+        " (ascii(c) - CASE WHEN ascii(c) >= 97 THEN 87 ELSE 48 END))"
+    )
+    u = (h + F.lit(0.5)) / F.lit(4294967296.0)
+    keyed = d.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("weight"),
+        (F.log(u) / F.col("n_chars")).alias("k"),
+    )
+    from datapipelines_python_spark.operators._helpers import round4
+
+    return (
+        keyed.orderBy(F.desc("k"), F.asc("doc_id"))
+        .limit(20)
+        .select("doc_id", "weight", round4(F.col("k")).alias("rank_key"))
+    )

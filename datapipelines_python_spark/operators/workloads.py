@@ -4913,3 +4913,229 @@ def ml_gbt_stumps(spark: SparkSession, sf: str) -> DataFrame:
         ),
     )
     return row1.unionByName(row2)
+
+
+_SQL_MUTUAL_5NN = """
+        nv AS MATERIALIZED (
+            SELECT vec_id, embedding,
+                   SQRT(list_reduce(list_prepend(0.0, list_transform(list_zip(embedding, embedding), s -> CAST(s[1] AS DOUBLE) * s[2])), (acc, x) -> acc + x)) AS norm
+            FROM embeddings
+        ),
+        p AS (
+            SELECT a.vec_id AS u, b.vec_id AS v,
+                   FLOOR((list_reduce(list_prepend(0.0, list_transform(list_zip(a.embedding, b.embedding), s -> CAST(s[1] AS DOUBLE) * s[2])), (acc, x) -> acc + x) / (a.norm * b.norm)) * 10000.0 + 0.5) / 10000.0 AS c
+            FROM nv a JOIN nv b ON a.vec_id <> b.vec_id
+        ),
+        topk AS MATERIALIZED (
+            SELECT u, v FROM (
+                SELECT u, v,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY u ORDER BY c DESC, v) AS rn
+                FROM p
+            ) r WHERE rn <= 5
+        ),
+        mutual AS MATERIALIZED (
+            SELECT x.u, x.v
+            FROM topk x JOIN topk y ON x.u = y.v AND x.v = y.u
+            WHERE x.u < x.v
+        )
+"""
+
+
+def _mutual_5nn(spark: SparkSession, sf: str) -> DataFrame:
+    """Undirected (u < v) mutual-5-NN cosine edges of the embedding corpus
+    — the fixture-scale twin of the bucketed-ANN edge list that feeds
+    every graph op at 100 TB (see graph_triangle_count docstring)."""
+    from datapipelines_python_spark.operators.llm import dot
+
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    nv = emb.select(
+        "vec_id", "embedding",
+        F.sqrt(dot("embedding", "embedding")).alias("norm"),
+    )
+    p = (
+        nv.alias("a")
+        .join(nv.alias("b"), F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("u"),
+            F.col("b.vec_id").alias("v"),
+            round4(
+                dot(F.col("a.embedding"), F.col("b.embedding"))
+                / (F.col("a.norm") * F.col("b.norm"))
+            ).alias("c"),
+        )
+    )
+    w = W.partitionBy("u").orderBy(F.desc("c"), F.asc("v"))
+    topk = (
+        p.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("u", "v")
+    )
+    return (
+        topk.alias("x")
+        .join(
+            topk.alias("y"),
+            (F.col("x.u") == F.col("y.v")) & (F.col("x.v") == F.col("y.u")),
+        )
+        .filter(F.col("x.u") < F.col("x.v"))
+        .select(F.col("x.u").alias("u"), F.col("x.v").alias("v"))
+    )
+
+
+@query(
+    "graph_kcore",
+    oracle=f"""
+        WITH {_SQL_MUTUAL_5NN},
+        deg1 AS (
+            SELECT node, COUNT(*) AS d FROM (
+                SELECT u AS node FROM mutual
+                UNION ALL SELECT v FROM mutual
+            ) GROUP BY node
+        ),
+        keep1 AS MATERIALIZED (SELECT node FROM deg1 WHERE d >= 2),
+        e1 AS MATERIALIZED (
+            SELECT m.u, m.v FROM mutual m
+            JOIN keep1 a ON m.u = a.node
+            JOIN keep1 b ON m.v = b.node
+        ),
+        deg2 AS (
+            SELECT node, COUNT(*) AS d FROM (
+                SELECT u AS node FROM e1
+                UNION ALL SELECT v FROM e1
+            ) GROUP BY node
+        ),
+        keep2 AS MATERIALIZED (SELECT node FROM deg2 WHERE d >= 2),
+        e2 AS (
+            SELECT e.u, e.v FROM e1 e
+            JOIN keep2 a ON e.u = a.node
+            JOIN keep2 b ON e.v = b.node
+        )
+        SELECT CAST(0 AS BIGINT) AS peel_round,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM nv) AS n_nodes,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM mutual) AS n_edges
+        UNION ALL
+        SELECT CAST(1 AS BIGINT),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM keep1),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM e1)
+        UNION ALL
+        SELECT CAST(2 AS BIGINT),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM keep2),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM e2)
+    """,
+    tags=("workload", "graph", "similarity"),
+)
+def graph_kcore(spark: SparkSession, sf: str) -> DataFrame:
+    """2-core peeling of the mutual-5-NN cosine graph, two unrolled
+    rounds: drop nodes of degree < 2, recompute degrees on the induced
+    subgraph, drop again — per-round (nodes, edges) counts show how much
+    of the corpus sits in locally dense neighborhoods vs dangling
+    chains (the dedup-cluster / community-core diagnostic). Each round
+    is a groupBy degree count + two semi-joins back onto the edge list,
+    so cost is O(|E|) per round with shuffles keyed on node id — the
+    textbook distributed k-core step, and at 100 TB the edge list comes
+    from the bucketed ANN path, never the O(n²) pair product the
+    fixture-scale oracle replays. Peeling to a FIXED round count (not
+    convergence) keeps the plan static and oracle-replayable."""
+    mutual = _mutual_5nn(spark, sf)
+    nv = load_table(spark, sf, "embeddings").select("vec_id")
+
+    def degrees(edges: DataFrame) -> DataFrame:
+        return (
+            edges.select(F.col("u").alias("node"))
+            .unionAll(edges.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+
+    keep1 = degrees(mutual).filter(F.col("d") >= 2).select("node")
+    e1 = (
+        mutual.join(keep1.withColumnRenamed("node", "u"), "u", "left_semi")
+        .join(keep1.withColumnRenamed("node", "v"), "v", "left_semi")
+        .select("u", "v")
+    )
+    keep2 = degrees(e1).filter(F.col("d") >= 2).select("node")
+    e2 = (
+        e1.join(keep2.withColumnRenamed("node", "u"), "u", "left_semi")
+        .join(keep2.withColumnRenamed("node", "v"), "v", "left_semi")
+        .select("u", "v")
+    )
+
+    def row(r: int, nodes: DataFrame, edges: DataFrame) -> DataFrame:
+        n = nodes.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        e = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+        return n.crossJoin(e).select(
+            F.lit(r).cast("bigint").alias("peel_round"), "n_nodes", "n_edges"
+        )
+
+    return row(0, nv, mutual).unionByName(row(1, keep1, e1)).unionByName(
+        row(2, keep2, e2)
+    )
+
+
+@query(
+    "workload_snapshot_diff",
+    oracle=f"""
+        WITH v1 AS (
+            SELECT o_orderkey, o_totalprice AS price
+            FROM orders WHERE o_orderkey % 7 <> 0
+        ),
+        v2 AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+                        ELSE o_totalprice END AS price
+            FROM orders WHERE o_orderkey % 5 <> 0
+        ),
+        d AS (
+            SELECT CASE
+                       WHEN v1.o_orderkey IS NULL THEN 'added'
+                       WHEN v2.o_orderkey IS NULL THEN 'removed'
+                       WHEN v1.price <> v2.price THEN 'changed'
+                       ELSE 'unchanged' END AS change,
+                   COALESCE(v2.price, 0.0) - COALESCE(v1.price, 0.0) AS delta
+            FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+        )
+        SELECT change, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               {sql_dsum('delta')} AS net_delta
+        FROM d GROUP BY change
+    """,
+    tags=("workload", "versioning"),
+)
+def workload_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot diff between two table versions — the audit behind every
+    'what changed since yesterday's load' question and the verification
+    step of a lakehouse time-travel story. Versions are carved
+    deterministically from orders (v1 drops key%7=0; v2 drops key%5=0
+    and bumps key%3=0 prices), then ONE full outer join on the key
+    classifies every row added / removed / changed / unchanged and nets
+    the monetary delta per class (decimal-summed). At 100 TB both
+    snapshots shuffle once on the same join key — or zero times if the
+    versions are bucketed on it — and the classification is pure
+    projection; no row ever reaches the driver."""
+    o = load_table(spark, sf, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", F.col("o_totalprice").alias("price")
+    )
+    v2 = o.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + 1.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+    )
+    j = v1.alias("a").join(
+        v2.alias("b"), F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full"
+    )
+    d = j.select(
+        F.when(F.col("a.o_orderkey").isNull(), "added")
+        .when(F.col("b.o_orderkey").isNull(), "removed")
+        .when(F.col("a.price") != F.col("b.price"), "changed")
+        .otherwise("unchanged")
+        .alias("change"),
+        (
+            F.coalesce(F.col("b.price"), F.lit(0.0))
+            - F.coalesce(F.col("a.price"), F.lit(0.0))
+        ).alias("delta"),
+    )
+    return d.groupBy("change").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        dsum(F.col("delta")).alias("net_delta"),
+    )
