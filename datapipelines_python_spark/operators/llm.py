@@ -1751,3 +1751,266 @@ def llm_embed_matryoshka(spark: SparkSession, sf: str) -> DataFrame:
         round4(davg(F.col("e16") / F.col("efull"))).alias("energy_16"),
         round4(davg(F.col("e32") / F.col("efull"))).alias("energy_32"),
     )
+
+
+@query(
+    "llm_ann_pq_adc",
+    oracle=f"""
+        WITH v AS MATERIALIZED (
+            SELECT vec_id, embedding FROM embeddings
+        ),
+        seeds AS MATERIALIZED (
+            SELECT vec_id AS cid, embedding AS s FROM embeddings
+            WHERE vec_id < 16
+        ),
+        sub AS (
+            SELECT v.vec_id, m.m, seeds.cid,
+                   {_sql_d2("LIST_SLICE(v.embedding, m.m * 8 + 1, m.m * 8 + 8)",
+                            "LIST_TRANSFORM(LIST_SLICE(seeds.s, m.m * 8 + 1, m.m * 8 + 8), x -> CAST(x AS DOUBLE))")}
+                       AS d2
+            FROM v
+            CROSS JOIN (SELECT UNNEST(range(0, 8)) AS m) m
+            CROSS JOIN seeds
+        ),
+        codes AS MATERIALIZED (
+            SELECT vec_id, m, cid FROM (
+                SELECT vec_id, m, cid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+                FROM sub
+            ) r WHERE rn = 1
+        ),
+        qtab AS MATERIALIZED (
+            SELECT q.vec_id AS q_id, m.m, seeds.cid,
+                   {_sql_d2("LIST_SLICE(q.embedding, m.m * 8 + 1, m.m * 8 + 8)",
+                            "LIST_TRANSFORM(LIST_SLICE(seeds.s, m.m * 8 + 1, m.m * 8 + 8), x -> CAST(x AS DOUBLE))")}
+                       AS d2
+            FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 4) q
+            CROSS JOIN (SELECT UNNEST(range(0, 8)) AS m) m
+            CROSS JOIN seeds
+        ),
+        adc AS (
+            SELECT qtab.q_id, codes.vec_id,
+                   CAST(CAST(SUM(CAST(qtab.d2 AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)
+                       AS adc_d2
+            FROM codes JOIN qtab
+              ON codes.m = qtab.m AND codes.cid = qtab.cid
+            WHERE codes.vec_id <> qtab.q_id
+            GROUP BY qtab.q_id, codes.vec_id
+        )
+        SELECT q_id, vec_id AS neighbor_id,
+               {sql_round4('adc_d2')} AS adc_dist, rnk
+        FROM (
+            SELECT q_id, vec_id, adc_d2,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY q_id ORDER BY adc_d2, vec_id) AS INT) AS rnk
+            FROM adc
+        ) r WHERE rnk <= 5
+    """,
+    tags=("llm", "embedding", "similarity"),
+)
+def llm_ann_pq_adc(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ asymmetric-distance (ADC) search: the database lives ONLY as
+    8-byte PQ codes (llm_embed_pq's assignment replayed); each query
+    precomputes an 8×16 table of exact subspace distances to the
+    codewords, and the approximate distance to any database vector is
+    the sum of 8 table lookups keyed by its code — top-5 per query.
+    This is how a 100 TB corpus is searched in RAM: codes (32× smaller
+    than floats) shuffle-join the broadcast query tables on (m, cid) —
+    512 rows per 4 queries — then one groupBy(q, vec) decimal-sums the
+    8 partial distances; no full vector is ever touched at query time.
+    Completes LSH (bucket-prune) / IVF (cell-prune) / PQ (compress)
+    with the PQ *search* half. Ranking on the decimal-exact ADC sum
+    with vec_id tie-break keeps the top-5 engine-exact."""
+    emb = load_table(spark, sf, "embeddings")
+    v = emb.select("vec_id", "embedding")
+    seeds = v.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("s"),
+    )
+    ms = spark.range(8).select(F.col("id").cast("int").alias("m"))
+
+    def d2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    sub = (
+        v.crossJoin(F.broadcast(ms))
+        .crossJoin(F.broadcast(seeds))
+        .select(
+            "vec_id", "m", "cid",
+            d2(
+                F.slice("embedding", F.col("m") * 8 + 1, 8),
+                F.slice("s", F.col("m") * 8 + 1, 8),
+            ).alias("d2"),
+        )
+    )
+    from pyspark.sql.window import Window as W_
+
+    wvm = W_.partitionBy("vec_id", "m").orderBy("d2", "cid")
+    codes = (
+        sub.withColumn("rn", F.row_number().over(wvm))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "cid")
+    )
+    qtab = (
+        v.filter(F.col("vec_id") < 4)
+        .select(F.col("vec_id").alias("q_id"), "embedding")
+        .crossJoin(F.broadcast(ms))
+        .crossJoin(F.broadcast(seeds))
+        .select(
+            "q_id", "m", "cid",
+            d2(
+                F.slice("embedding", F.col("m") * 8 + 1, 8),
+                F.slice("s", F.col("m") * 8 + 1, 8),
+            ).alias("d2"),
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(qtab), ["m", "cid"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum(F.col("d2").cast(DEC)).cast("double").alias("adc_d2"))
+    )
+    wq = W_.partitionBy("q_id").orderBy("adc_d2", "vec_id")
+    return (
+        adc.withColumn("rnk", F.row_number().over(wq).cast("int"))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            round4(F.col("adc_d2")).alias("adc_dist"),
+            "rnk",
+        )
+    )
+
+
+@query(
+    "ml_silhouette",
+    oracle=f"""
+        WITH v AS MATERIALIZED (
+            SELECT vec_id, embedding FROM embeddings
+        ),
+        c0 AS MATERIALIZED (
+            SELECT vec_id AS cid,
+                   LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS c
+            FROM embeddings WHERE vec_id < 8
+        ),
+        p1 AS (
+            SELECT v.vec_id, c0.cid,
+                   {_sql_d2('v.embedding', 'c0.c')} AS d2
+            FROM v CROSS JOIN c0
+        ),
+        a1 AS MATERIALIZED (
+            SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                FROM p1
+            ) r WHERE rn = 1
+        ),
+        e1 AS (
+            SELECT a1.cid,
+                   GENERATE_SUBSCRIPTS(v.embedding, 1) AS pos,
+                   UNNEST(v.embedding) AS val
+            FROM v JOIN a1 USING (vec_id)
+        ),
+        m1 AS (
+            SELECT cid, pos,
+                   {sql_round4(sql_davg('CAST(val AS DOUBLE)'))} AS m
+            FROM e1 GROUP BY 1, 2
+        ),
+        c1 AS MATERIALIZED (
+            SELECT cid, LIST(m ORDER BY pos) AS c FROM m1 GROUP BY cid
+        ),
+        p2 AS (
+            SELECT v.vec_id, c1.cid,
+                   {_sql_d2('v.embedding', 'c1.c')} AS d2,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {_sql_d2('v.embedding', 'c1.c')}, c1.cid) AS rn
+            FROM v CROSS JOIN c1
+        ),
+        sil AS (
+            SELECT vec_id,
+                   MIN(CASE WHEN rn = 1 THEN cid END) AS own_cid,
+                   SQRT(MIN(CASE WHEN rn = 1 THEN d2 END)) AS a,
+                   SQRT(MIN(CASE WHEN rn = 2 THEN d2 END)) AS b
+            FROM p2 WHERE rn <= 2 GROUP BY vec_id
+        )
+        SELECT own_cid AS cid,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               {sql_round4(sql_davg('(b - a) / GREATEST(a, b)'))} AS mean_silhouette
+        FROM sil GROUP BY own_cid
+    """,
+    tags=("llm", "embedding", "ml"),
+)
+def ml_silhouette(spark: SparkSession, sf: str) -> DataFrame:
+    """Centroid-based (simplified) silhouette of the k-means clustering:
+    for every vector, a = distance to its own centroid, b = distance to
+    the nearest OTHER centroid, s = (b−a)/max(a,b); per-cluster mean s
+    is the separation dial — near 0 means the cluster boundary is
+    noise, near 1 means well-separated (the embedding-space health
+    check before trusting any cluster-based dedup or mixing decision).
+    Reuses ml_kmeans_lloyd's one-update centroids (round4 grid ⇒ both
+    engines hold identical centroids); a and b come from ONE K-way
+    broadcast distance pass ranked per vector — the two smallest of K
+    distances — so the corpus is scanned once; the simplified form
+    avoids full silhouette's O(n²) pairwise term by design, which is
+    exactly the substitution you make at 100 TB."""
+    from pyspark.sql.window import Window as W_
+
+    emb = load_table(spark, sf, "embeddings")
+    v = emb.select("vec_id", "embedding")
+
+    def d2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    cent0 = v.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("c"),
+    )
+    p1 = v.crossJoin(F.broadcast(cent0)).select(
+        "vec_id", "cid", d2(F.col("embedding"), F.col("c")).alias("d2")
+    )
+    w = W_.partitionBy("vec_id").orderBy("d2", "cid")
+    a1 = (
+        p1.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    e1 = v.join(a1, "vec_id").select(
+        "cid", F.posexplode("embedding").alias("pos", "val")
+    )
+    m1 = e1.groupBy("cid", "pos").agg(
+        round4(davg(F.col("val").cast("double"))).alias("m")
+    )
+    cent1 = m1.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda s: s["m"],
+        ).alias("c")
+    )
+    p2 = (
+        v.crossJoin(F.broadcast(cent1))
+        .select("vec_id", "cid", d2(F.col("embedding"), F.col("c")).alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+    )
+    sil = p2.groupBy("vec_id").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("cid"))).alias("own_cid"),
+        F.sqrt(F.min(F.when(F.col("rn") == 1, F.col("d2")))).alias("a"),
+        F.sqrt(F.min(F.when(F.col("rn") == 2, F.col("d2")))).alias("b"),
+    )
+    s = (F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b"))
+    return sil.groupBy(F.col("own_cid").alias("cid")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        round4(davg(s)).alias("mean_silhouette"),
+    )

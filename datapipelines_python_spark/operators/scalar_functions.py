@@ -1117,3 +1117,57 @@ def fn_morton_zorder(spark: SparkSession, sf: str) -> DataFrame:
     return spread.selectExpr(
         "o_orderkey", "x", "y", "xs4 | shiftleft(ys4, 1) AS zcode"
     )
+
+
+@query(
+    "fn_haversine",
+    oracle=f"""
+        WITH pts AS (
+            SELECT n_nationkey AS k, n_name,
+                   CAST((n_nationkey * 7) % 140 AS DOUBLE) - 70.0 + 0.5 AS lat,
+                   CAST((n_nationkey * 13) % 360 AS DOUBLE) - 180.0 + 0.25 AS lon
+            FROM nation
+        )
+        SELECT a.n_name AS name_a, b.n_name AS name_b,
+               {sql_round4('''12742.0 * ASIN(SQRT(
+                   POW(SIN(RADIANS(b.lat - a.lat) / 2.0), 2)
+                   + COS(RADIANS(a.lat)) * COS(RADIANS(b.lat))
+                     * POW(SIN(RADIANS(b.lon - a.lon) / 2.0), 2)))''')}
+                   AS dist_km
+        FROM pts a JOIN pts b ON a.k < b.k
+    """,
+    tags=("scalar", "math", "geo"),
+)
+def fn_haversine(spark: SparkSession, sf: str) -> DataFrame:
+    """Great-circle (haversine) distance over synthetic per-nation
+    coordinates derived from integer key arithmetic (deterministic, no
+    geo columns in the fixtures) — the geodesic scalar every
+    store-locator / geo-dedup / radius-filter workload needs. All math
+    is row-wise IEEE (sin/cos/asin over identical input bits on both
+    engines; round4 absorbs cross-libm ulp). The n<m pair product is
+    25×25 dims here; at 100 TB the same expression runs as a projection
+    after a geohash-bucketed candidate join, never a cross join."""
+    n = load_table(spark, sf, "nation")
+    pts = n.select(
+        F.col("n_nationkey").alias("k"),
+        "n_name",
+        ((F.col("n_nationkey") * 7 % 140).cast("double") - 70.0 + 0.5).alias("lat"),
+        ((F.col("n_nationkey") * 13 % 360).cast("double") - 180.0 + 0.25).alias("lon"),
+    )
+    a, b = pts.alias("a"), pts.alias("b")
+    dlat = F.radians(F.col("b.lat") - F.col("a.lat")) / 2.0
+    dlon = F.radians(F.col("b.lon") - F.col("a.lon")) / 2.0
+    h = (
+        F.pow(F.sin(dlat), 2)
+        + F.cos(F.radians(F.col("a.lat")))
+        * F.cos(F.radians(F.col("b.lat")))
+        * F.pow(F.sin(dlon), 2)
+    )
+    return (
+        a.join(b, F.col("a.k") < F.col("b.k"))
+        .select(
+            F.col("a.n_name").alias("name_a"),
+            F.col("b.n_name").alias("name_b"),
+            round4(F.lit(12742.0) * F.asin(F.sqrt(h))).alias("dist_km"),
+        )
+    )

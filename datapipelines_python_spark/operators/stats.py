@@ -845,3 +845,63 @@ def workload_bollinger(spark: SparkSession, sf: str) -> DataFrame:
         ((devi > 0) & (devi * devi > 4 * var49)).alias("breakout_up"),
         ((devi < 0) & (devi * devi > 4 * var49)).alias("breakout_down"),
     )
+
+
+@query(
+    "ml_theil_sen",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type, date_part('day', ts) AS d,
+                   FLOOR({sql_dsum('value')} * 100.0 + 0.5) AS y
+            FROM events GROUP BY event_type, date_part('day', ts)
+        ),
+        slopes AS (
+            SELECT a.event_type,
+                   (b.y - a.y) / CAST(b.d - a.d AS DOUBLE) AS slope
+            FROM daily a JOIN daily b
+              ON a.event_type = b.event_type AND a.d < b.d
+        )
+        SELECT event_type,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM daily x
+                WHERE x.event_type = slopes.event_type) AS n_days,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               {sql_round4('QUANTILE_CONT(slope, 0.5) / 100.0')} AS sen_slope
+        FROM slopes
+        GROUP BY event_type
+    """,
+    tags=("ml", "timeseries", "robust"),
+)
+def ml_theil_sen(spark: SparkSession, sf: str) -> DataFrame:
+    """Theil–Sen robust trend: the median of all pairwise slopes of the
+    per-type daily revenue series — breakdown point 29%, immune to the
+    outlier days that wreck an OLS fit (ml_ols_regression is the
+    fragile twin). Daily cents are decimal-exact; each slope is one
+    double division of exact integers (bit-identical both engines);
+    the median rides the same quantile_cont+round4 convention as
+    agg_percentile. The pair product is per-series O(days²) — 435
+    pairs here — computed AFTER the aggregation to day grain, so at
+    100 TB the corpus-sized work is one map-side-combined groupBy and
+    the quadratic part touches only series_length rows per key."""
+    ev = load_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.dayofmonth("ts").alias("d")
+    ).agg(F.floor(dsum(F.col("value")) * 100.0 + 0.5).alias("y"))
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.d") < F.col("b.d")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        ((F.col("b.y") - F.col("a.y")) / (F.col("b.d") - F.col("a.d")).cast("double")).alias("slope"),
+    )
+    n_days = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    agg = slopes.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        round4(F.percentile("slope", F.lit(0.5)) / 100.0).alias("sen_slope"),
+    )
+    return n_days.join(agg, "event_type").select(
+        "event_type", "n_days", "n_pairs", "sen_slope"
+    )

@@ -24,6 +24,7 @@ from pyspark.sql.window import Window as W
 
 from datapipelines_python_spark.catalog import load_table
 from datapipelines_python_spark.operators._helpers import (
+    DEC,
     davg,
     dsum,
     round4,
@@ -5138,4 +5139,93 @@ def workload_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
     return d.groupBy("change").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         dsum(F.col("delta")).alias("net_delta"),
+    )
+
+
+def _holt_sql() -> str:
+    """Build the chained-CTE Holt recursion (shared step algebra with the
+    Spark loop in workload_holt_linear — one template, two dialects)."""
+    ys = ", ".join(f"y{i}" for i in range(1, 10))
+    dsum_day = (
+        "COALESCE(CAST(CAST(SUM(CASE WHEN d = {d} THEN "
+        "CAST(value AS DECIMAL(38,8)) END) AS VARCHAR) AS DOUBLE), 0.0)"
+    )
+    piv_cols = ", ".join(
+        f"FLOOR({dsum_day.format(d=d)} * 100.0 + 0.5) AS y{d}" for d in range(1, 10)
+    )
+    ctes = [
+        "base AS (SELECT event_type, date_part('day', ts) AS d, value"
+        " FROM events WHERE ts < TIMESTAMP '2024-01-10 00:00:00')",
+        f"piv AS (SELECT event_type, {piv_cols} FROM base GROUP BY event_type)",
+        f"s1 AS (SELECT event_type, {ys}, y1 AS l1, y2 - y1 AS b1 FROM piv)",
+    ]
+    for t in range(2, 10):
+        lexpr = f"0.5 * y{t} + 0.5 * (l{t-1} + b{t-1})"
+        bexpr = f"0.5 * (({lexpr}) - l{t-1}) + 0.5 * b{t-1}"
+        ctes.append(
+            f"s{t} AS (SELECT event_type, {ys}, {lexpr} AS l{t},"
+            f" {bexpr} AS b{t} FROM s{t-1})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + """
+        SELECT event_type,
+               l9 / 100.0 AS level_final,
+               b9 / 100.0 AS trend_final,
+               (l9 + b9) / 100.0 AS forecast_1,
+               (l9 + 2.0 * b9) / 100.0 AS forecast_2
+        FROM s9
+    """
+    )
+
+
+@query(
+    "workload_holt_linear",
+    oracle=_holt_sql(),
+    tags=("workload", "timeseries", "forecast"),
+)
+def workload_holt_linear(spark: SparkSession, sf: str) -> DataFrame:
+    """Holt's linear-trend (double exponential) smoothing over the first
+    9 days of per-type daily revenue, α = β = ½, recursion unrolled as
+    8 chained projections (Catalyst collapses them into one) — level,
+    trend, and 1/2-step-ahead forecasts per series. The ½ smoothing
+    weights keep every state dyadic-rational in integer cents, so the
+    doubles are bit-exact on both engines with NO rounding at all —
+    the same power-of-two trick as workload_ewma_smoothing, extended
+    to coupled two-state recursions. The heavy part (daily decimal
+    sums) is one map-side-combined aggregate over the events stream;
+    the recursion then runs on |event_types| rows. At 100 TB: same
+    plan, or swap the fixed 9-day pivot for a windowed scan when the
+    horizon is long (the recursion itself stays O(series) tiny)."""
+    ev = load_table(spark, sf, "events")
+    base = ev.filter(F.col("ts") < F.lit("2024-01-10 00:00:00").cast("timestamp")).select(
+        "event_type", F.dayofmonth("ts").alias("d"), "value"
+    )
+    piv = base.groupBy("event_type").agg(
+        *[
+            F.floor(
+                F.coalesce(
+                    F.sum(F.when(F.col("d") == d, F.col("value").cast(DEC)))
+                    .cast("double"),
+                    F.lit(0.0),
+                )
+                * 100.0
+                + 0.5
+            ).cast("double").alias(f"y{d}")
+            for d in range(1, 10)
+        ]
+    )
+    ys = [f"y{i}" for i in range(1, 10)]
+    cur = piv.selectExpr("event_type", *ys, "y1 AS l1", "y2 - y1 AS b1")
+    for t in range(2, 10):
+        lexpr = f"0.5 * y{t} + 0.5 * (l{t-1} + b{t-1})"
+        bexpr = f"0.5 * (({lexpr}) - l{t-1}) + 0.5 * b{t-1}"
+        cur = cur.selectExpr(
+            "event_type", *ys, f"{lexpr} AS l{t}", f"{bexpr} AS b{t}"
+        )
+    return cur.selectExpr(
+        "event_type",
+        "l9 / 100.0 AS level_final",
+        "b9 / 100.0 AS trend_final",
+        "(l9 + b9) / 100.0 AS forecast_1",
+        "(l9 + 2.0 * b9) / 100.0 AS forecast_2",
     )
