@@ -2607,3 +2607,111 @@ def llm_fim_transform(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("c2") - F.col("c1")).cast("bigint").alias("n_middle"),
         (F.col("n") - F.col("c2")).cast("bigint").alias("n_suffix"),
     )
+
+
+@query(
+    "llm_bpe_merge_step",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS t,
+                   LEN(STRING_SPLIT(LOWER(text), ' ')) AS n
+            FROM documents
+        ),
+        p0 AS (
+            SELECT UNNEST([t[i] || ' ' || t[i+1] for i in range(1, n)]) AS pair
+            FROM toks WHERE n >= 2
+        ),
+        top1 AS (
+            SELECT STRING_SPLIT(pair, ' ')[1] AS px,
+                   STRING_SPLIT(pair, ' ')[2] AS py
+            FROM (SELECT pair, COUNT(*) AS c FROM p0 GROUP BY pair) r
+            WHERE STRING_SPLIT(pair, ' ')[1] <> STRING_SPLIT(pair, ' ')[2]
+            ORDER BY c DESC, pair ASC LIMIT 1
+        ),
+        merged AS (
+            SELECT doc_id,
+                   [CASE WHEN t[p] = px AND p + 1 <= n AND t[p+1] = py
+                         THEN px || '@@' || py ELSE t[p] END
+                    for p in range(1, n + 1)
+                    if NOT (p >= 2 AND t[p-1] = px AND t[p] = py)] AS u
+            FROM toks CROSS JOIN top1
+        ),
+        p1 AS (
+            SELECT UNNEST([u[i] || ' ' || u[i+1] for i in range(1, LEN(u))]) AS pair
+            FROM merged WHERE LEN(u) >= 2
+        ),
+        c1 AS (SELECT pair, COUNT(*) AS n_after FROM p1 GROUP BY pair)
+        SELECT pair, CAST(n_after AS BIGINT) AS n_after,
+               CAST(rnk AS INT) AS rnk,
+               CONTAINS(pair, '@@') AS has_merged_unit
+        FROM (
+            SELECT pair, n_after,
+                   ROW_NUMBER() OVER (ORDER BY n_after DESC, pair ASC) AS rnk
+            FROM c1
+        ) f WHERE rnk <= 10
+    """,
+    tags=("llm", "tokenizer"),
+)
+def llm_bpe_merge_step(spark: SparkSession, sf: str) -> DataFrame:
+    """One full BPE merge round at the word-token level: count adjacent
+    pairs corpus-wide, pick the most frequent pair (count desc, pair
+    asc; self-pairs excluded so the greedy left-to-right rewrite can't
+    overlap), rewrite every document's token stream replacing x·y with
+    the fused symbol x@@y, recount — top-10 post-merge pairs. This is
+    the merge→recount loop that trains a real BPE/wordpiece vocab;
+    llm_bpe_pair_stats is round-0 counting, this op closes the loop.
+    The rewrite is a pure array-local comprehension (zero shuffle); the
+    learned pair is a 1-row broadcast; the only shuffles are the two
+    alphabet-bounded pair counts. At 100 TB each merge round is one
+    corpus map + one bounded agg — the rewritten stream is never
+    materialized to disk between rounds."""
+    d = load_table(spark, sf, "documents")
+    toks = d.select(
+        "doc_id",
+        F.split(F.lower("text"), " ").alias("t"),
+        F.size(F.split(F.lower("text"), " ")).alias("n"),
+    )
+    p0 = toks.filter(F.col("n") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, n - 1), i -> concat(t[i-1], ' ', t[i]))")
+        ).alias("pair")
+    )
+    top1 = (
+        p0.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(
+            F.split(F.col("pair"), " ")[0] != F.split(F.col("pair"), " ")[1]
+        )
+        .orderBy(F.desc("c"), F.asc("pair"))
+        .limit(1)
+        .select(
+            F.split(F.col("pair"), " ")[0].alias("px"),
+            F.split(F.col("pair"), " ")[1].alias("py"),
+        )
+    )
+    merged = toks.crossJoin(F.broadcast(top1)).select(
+        "doc_id",
+        F.expr(
+            "transform(filter(sequence(1, n),"
+            " p -> NOT (p >= 2 AND t[p-2] = px AND t[p-1] = py)),"
+            " p -> CASE WHEN t[p-1] = px AND p + 1 <= n AND t[p] = py"
+            "      THEN concat(px, '@@', py) ELSE t[p-1] END)"
+        ).alias("u"),
+    )
+    p1 = merged.filter(F.size("u") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, size(u) - 1), i -> concat(u[i-1], ' ', u[i]))")
+        ).alias("pair")
+    )
+    c1 = p1.groupBy("pair").agg(F.count(F.lit(1)).cast("bigint").alias("n_after"))
+    return (
+        c1.withColumn(
+            "rnk",
+            F.row_number().over(W.orderBy(F.desc("n_after"), F.asc("pair"))).cast("int"),
+        )
+        .filter(F.col("rnk") <= 10)
+        .select(
+            "pair", "n_after", "rnk",
+            F.col("pair").contains("@@").alias("has_merged_unit"),
+        )
+    )

@@ -1171,3 +1171,56 @@ def fn_haversine(spark: SparkSession, sf: str) -> DataFrame:
             round4(F.lit(12742.0) * F.asin(F.sqrt(h))).alias("dist_km"),
         )
     )
+
+
+@query(
+    "fn_inet",
+    oracle="""
+        WITH ips AS (
+            SELECT c_custkey,
+                   (c_custkey * 2654435761) % 4294967296 AS ip
+            FROM customer
+        )
+        SELECT c_custkey,
+               CAST(ip // 16777216 AS VARCHAR) || '.'
+                   || CAST((ip // 65536) % 256 AS VARCHAR) || '.'
+                   || CAST((ip // 256) % 256 AS VARCHAR) || '.'
+                   || CAST(ip % 256 AS VARCHAR) AS ip_str,
+               ip // 16777216 = 10 AS in_10_slash_8,
+               CAST(ip // 16777216 AS VARCHAR) || '.'
+                   || CAST((ip // 65536) % 256 AS VARCHAR) || '.'
+                   || CAST((ip // 256) % 256 AS VARCHAR) || '.0/24' AS subnet_24,
+               CAST(ip // 65536 AS BIGINT) AS subnet_16_id
+        FROM ips
+    """,
+    tags=("scalar", "inet"),
+)
+def fn_inet(spark: SparkSession, sf: str) -> DataFrame:
+    """IPv4 codec scalars: uint32 → dotted-quad rendering, CIDR /8
+    membership, /24 subnet string, /16 bucket id — the address-handling
+    kit of every access-log / abuse-filter pipeline (synthetic addresses
+    via Knuth multiplicative hash of the key; the fixtures carry no IP
+    column). Pure integer div/mod — portable, pushdown-friendly, and at
+    100 TB the /16 bucket id is the natural partition key for per-netblock
+    aggregation without string parsing in the hot path."""
+    c = load_table(spark, sf, "customer")
+    ip = (F.col("c_custkey") * 2654435761) % F.lit(4294967296)
+    ips = c.select("c_custkey", ip.alias("ip"))
+    o1 = F.expr("ip DIV 16777216")
+    o2 = F.expr("(ip DIV 65536) % 256")
+    o3 = F.expr("(ip DIV 256) % 256")
+    o4 = F.expr("ip % 256")
+    dq = F.concat_ws(
+        ".",
+        o1.cast("string"), o2.cast("string"), o3.cast("string"), o4.cast("string"),
+    )
+    return ips.select(
+        "c_custkey",
+        dq.alias("ip_str"),
+        (o1 == 10).alias("in_10_slash_8"),
+        F.concat(
+            F.concat_ws(".", o1.cast("string"), o2.cast("string"), o3.cast("string")),
+            F.lit(".0/24"),
+        ).alias("subnet_24"),
+        F.expr("ip DIV 65536").cast("bigint").alias("subnet_16_id"),
+    )

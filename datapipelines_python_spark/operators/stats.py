@@ -905,3 +905,84 @@ def ml_theil_sen(spark: SparkSession, sf: str) -> DataFrame:
     return n_days.join(agg, "event_type").select(
         "event_type", "n_days", "n_pairs", "sen_slope"
     )
+
+
+@query(
+    "ml_subsample_ci",
+    oracle=f"""
+        WITH halves AS (
+            SELECT o.o_orderpriority, b.b,
+                   {sql_davg('o.o_totalprice')} AS mb
+            FROM orders o
+            CROSS JOIN (SELECT UNNEST(range(0, 8)) AS b) b
+            WHERE ascii(SUBSTRING(
+                      md5(CAST(o.o_orderkey AS VARCHAR) || ':'
+                          || CAST(b.b AS VARCHAR)), 1, 1)) % 2 = 0
+            GROUP BY o.o_orderpriority, b.b
+        ),
+        full_m AS (
+            SELECT o_orderpriority, {sql_davg('o_totalprice')} AS mean_full
+            FROM orders GROUP BY o_orderpriority
+        )
+        SELECT f.o_orderpriority,
+               {sql_round4('f.mean_full')} AS mean_full,
+               {sql_round4('STDDEV_SAMP(h.mb)')} AS half_sample_sd,
+               {sql_round4('f.mean_full - 2.0 * STDDEV_SAMP(h.mb)')} AS ci_lo,
+               {sql_round4('f.mean_full + 2.0 * STDDEV_SAMP(h.mb)')} AS ci_hi
+        FROM halves h JOIN full_m f ON h.o_orderpriority = f.o_orderpriority
+        GROUP BY f.o_orderpriority, f.mean_full
+    """,
+    tags=("ml", "stats", "uncertainty"),
+)
+def ml_subsample_ci(spark: SparkSession, sf: str) -> DataFrame:
+    """Half-sample (delete-d jackknife flavored) confidence interval for
+    the per-priority mean order value: B=8 deterministic half-samples —
+    membership decided by the parity of an md5 over (key, replicate),
+    replayable on any engine, unlike RNG bootstrap — each yields a
+    decimal-exact mean; their spread estimates the sampling SD and a
+    ±2·SD band around the full mean. The scalable uncertainty recipe:
+    the corpus is scanned ONCE against a broadcast 8-row replicate
+    table (membership is a filter, not a shuffle), partial aggregation
+    keeps the fan-out map-side, and the final stats run on B rows per
+    group. At 100 TB swap md5 for xxhash64 — same plan, same bands."""
+    o = load_table(spark, sf, "orders")
+    reps = spark.range(8).select(F.col("id").cast("bigint").alias("b"))
+    halves = (
+        o.crossJoin(F.broadcast(reps))
+        .filter(
+            F.ascii(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("o_orderkey").cast("string"),
+                            F.lit(":"),
+                            F.col("b").cast("string"),
+                        )
+                    ),
+                    1, 1,
+                )
+            ) % 2
+            == 0
+        )
+        .groupBy("o_orderpriority", "b")
+        .agg(davg(F.col("o_totalprice")).alias("mb"))
+    )
+    full_m = o.groupBy("o_orderpriority").agg(
+        davg(F.col("o_totalprice")).alias("mean_full")
+    )
+    sd = F.stddev_samp("mb")
+    return (
+        halves.join(full_m, "o_orderpriority")
+        .groupBy("o_orderpriority", "mean_full")
+        .agg(
+            round4(F.col("mean_full")).alias("mf"),
+            round4(sd).alias("half_sample_sd"),
+            round4(F.col("mean_full") - 2.0 * sd).alias("ci_lo"),
+            round4(F.col("mean_full") + 2.0 * sd).alias("ci_hi"),
+        )
+        .select(
+            "o_orderpriority",
+            F.col("mf").alias("mean_full"),
+            "half_sample_sd", "ci_lo", "ci_hi",
+        )
+    )

@@ -10,6 +10,7 @@ them.
 from __future__ import annotations
 
 import pandas as pd
+from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -459,3 +460,38 @@ def udtf_table_arg(spark: SparkSession, sf: str) -> DataFrame:
         "SELECT * FROM session_summary("
         "TABLE(_udtf_sessions_in) PARTITION BY user_id ORDER BY (us, event_id))"
     )
+
+
+@query(
+    "udf_pandas_iter",
+    oracle="""
+        SELECT doc_id,
+               CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1
+                    AS BIGINT) AS n_tokens_iter
+        FROM documents
+    """,
+    tags=("udf", "pandas", "iterator"),
+)
+def udf_pandas_iter(spark: SparkSession, sf: str) -> DataFrame:
+    """SCALAR_ITER pandas UDF — the Iterator[pd.Series] → Iterator
+    [pd.Series] variant that completes the UDF matrix (scalar / iter /
+    grouped-map / grouped-agg / cogrouped / mapInPandas / mapInArrow).
+    The iterator form exists for exactly one scale reason: expensive
+    per-executor setup (a tokenizer, a model handle) amortizes across
+    ALL Arrow batches of a partition instead of re-initializing per
+    batch — below, the 'model' is a trivial splitter regex, stood up
+    once before the loop, counting whitespace tokens per doc. Body
+    stays SQL-expressible for the oracle."""
+    # typing.Iterator at module scope: `from __future__ import annotations`
+    # makes hints strings that pyspark resolves in module globals
+    @pandas_udf("bigint")
+    def tok_count(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # one-time per-partition setup (the amortization the API is for)
+        import re
+
+        splitter = re.compile(r" ")
+        for s in batches:
+            yield s.map(lambda t: len(splitter.split(t))).astype("int64")
+
+    d = load_table(spark, sf, "documents")
+    return d.select("doc_id", tok_count("text").alias("n_tokens_iter"))
