@@ -271,3 +271,69 @@ def test_ks_test_aggregates_before_global_window(spark, registry):
     w = plan.index("Window")
     agg = plan.index("HashAggregate", w)
     assert agg > w  # aggregate appears below the window in the tree
+
+
+def test_fim_transform_is_shuffle_free(spark, registry):
+    # PSM slicing is array-local projection work: no Exchange at all.
+    plan = _plan(spark, registry, "llm_fim_transform")
+    assert "Exchange" not in plan
+
+
+def test_weighted_sample_is_take_ordered(spark, registry):
+    # A-Res top-k must plan TakeOrderedAndProject (per-partition local
+    # top-k + driver merge), never a global sort of the corpus.
+    plan = _plan(spark, registry, "sample_weighted_ares")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_matryoshka_single_pass(spark, registry):
+    # Four prefix energies fold in one scan; per-label mean is a
+    # two-phase (partial_) aggregate — one corpus pass, one tiny shuffle.
+    plan = _plan(spark, registry, "llm_embed_matryoshka")
+    assert plan.count("FileScan") == 1
+    assert "partial_" in plan
+
+
+def test_holt_recursion_collapses_to_one_exchange(spark, registry):
+    # The 8 chained recursion projections must collapse into the pivot
+    # aggregate's single shuffle — recursion itself adds no exchange.
+    plan = _plan(spark, registry, "workload_holt_linear")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_" in plan
+
+
+def test_snapshot_diff_equi_join(spark, registry):
+    # Version diff is a key-equi full outer join: no nested loop, no
+    # cartesian, and the classification is pure projection above it.
+    plan = _plan(spark, registry, "workload_snapshot_diff")
+    assert "FullOuter" in plan or "SortMergeJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_theil_sen_aggregates_before_pair_join(spark, registry):
+    # The O(days^2) pair product runs on the day-grain aggregate, never
+    # the raw events: a partial_ agg must sit below the self-join, and
+    # the join itself is equi on event_type (range residual), not a
+    # cartesian.
+    plan = _plan(spark, registry, "ml_theil_sen")
+    assert "partial_" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bpe_merge_learned_pair_broadcasts(spark, registry):
+    # The learned 1-row pair reaches every document via broadcast; the
+    # corpus itself is never cartesian-joined.
+    plan = _plan(spark, registry, "llm_bpe_merge_step")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_subsample_ci_replicates_broadcast(spark, registry):
+    # The 8-row replicate table must broadcast onto the orders scan and
+    # the half-sample means must partial-aggregate map-side.
+    plan = _plan(spark, registry, "ml_subsample_ci")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_" in plan
