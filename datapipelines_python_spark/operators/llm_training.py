@@ -2715,3 +2715,84 @@ def llm_bpe_merge_step(spark: SparkSession, sf: str) -> DataFrame:
             F.col("pair").contains("@@").alias("has_merged_unit"),
         )
     )
+
+
+@query(
+    "llm_url_canonicalize",
+    oracle="""
+        WITH raw AS (
+            SELECT doc_id,
+                   'HTTPS://' || UPPER(source) || '.Example.COM/' || lang
+                       || '/doc-' || CAST(doc_id % 50 AS VARCHAR)
+                       || CASE CAST(doc_id % 3 AS INT)
+                              WHEN 0 THEN '?utm_source=feed&utm_campaign=x'
+                              WHEN 1 THEN '?ref=tw#section-2'
+                              ELSE '/' END AS url
+            FROM documents
+        ),
+        canon AS (
+            SELECT doc_id, url,
+                   LOWER(regexp_extract(s3, '^[a-zA-Z]+://[^/]+'))
+                       || SUBSTRING(s3, LENGTH(regexp_extract(s3, '^[a-zA-Z]+://[^/]+')) + 1)
+                       AS canon_url
+            FROM (
+                SELECT doc_id, url,
+                       regexp_replace(
+                           regexp_replace(
+                               regexp_replace(url, '#.*$', ''),
+                               '\\?.*$', ''),
+                           '/$', '') AS s3
+                FROM raw
+            ) t
+        )
+        SELECT canon_url,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_variants,
+               MIN(doc_id) AS survivor_id
+        FROM canon
+        GROUP BY canon_url
+    """,
+    tags=("llm", "dedup", "url"),
+)
+def llm_url_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
+    """URL canonicalization dedup — the first pass of every crawl
+    pipeline: scheme/host case-folding, fragment stripping, tracking-
+    query stripping (utm_*/ref junk), trailing-slash normalization,
+    then group-by-canonical with a min-doc_id survivor and a count of
+    raw variants collapsed. URLs are synthesized deterministically from
+    (source, lang, doc_id) since the fixtures carry none — three
+    variant families (utm-tagged, fragment+ref, trailing slash) fold
+    onto one canonical form. All string surgery is identical POSIX
+    regex on both engines, array-free and shuffle-once (the group-by on
+    canonical key); at 100 TB this GROUP BY is the natural first
+    shuffle of crawl ingestion and the survivor rule makes re-crawls
+    idempotent."""
+    d = load_table(spark, sf, "documents")
+    raw = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://"), F.upper("source"), F.lit(".Example.COM/"),
+            F.col("lang"), F.lit("/doc-"), (F.col("doc_id") % 50).cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, "?utm_source=feed&utm_campaign=x")
+            .when(F.col("doc_id") % 3 == 1, "?ref=tw#section-2")
+            .otherwise("/"),
+        ).alias("url"),
+    )
+    s3 = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("url"), "#.*$", ""), "\\?.*$", ""
+        ),
+        "/$", "",
+    )
+    host = F.regexp_extract(F.col("s3"), "^[a-zA-Z]+://[^/]+", 0)
+    canon = raw.withColumn("s3", s3).select(
+        "doc_id", "url",
+        F.concat(
+            F.lower(host), F.expr("substring(s3, length(regexp_extract(s3, '^[a-zA-Z]+://[^/]+', 0)) + 1)")
+        ).alias("canon_url"),
+    )
+    return canon.groupBy("canon_url").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("url").cast("bigint").alias("n_raw_variants"),
+        F.min("doc_id").alias("survivor_id"),
+    )

@@ -986,3 +986,188 @@ def ml_subsample_ci(spark: SparkSession, sf: str) -> DataFrame:
             "half_sample_sd", "ci_lo", "ci_hi",
         )
     )
+
+
+@query(
+    "ml_markov_stationary",
+    oracle=f"""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   LAG(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type
+            FROM events
+        ),
+        counts AS (
+            SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+            FROM seq WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, next_type
+        ),
+        p AS (
+            SELECT c.prev_type, c.next_type,
+                   CAST(c.n AS DOUBLE) / r.tot AS p
+            FROM counts c
+            JOIN (SELECT prev_type, SUM(n) AS tot
+                  FROM counts GROUP BY prev_type) r
+              ON c.prev_type = r.prev_type
+        ),
+        states AS (SELECT DISTINCT prev_type AS state FROM counts),
+        pi0 AS (
+            SELECT state,
+                   1.0 / (SELECT COUNT(*) FROM states) AS pi
+            FROM states
+        ),
+        pi1 AS (
+            SELECT p.next_type AS state,
+                   {sql_round4(sql_dsum('pi0.pi * p.p'))} AS pi
+            FROM p JOIN pi0 ON p.prev_type = pi0.state
+            GROUP BY p.next_type
+        ),
+        pi2 AS (
+            SELECT p.next_type AS state,
+                   {sql_round4(sql_dsum('pi1.pi * p.p'))} AS pi
+            FROM p JOIN pi1 ON p.prev_type = pi1.state
+            GROUP BY p.next_type
+        )
+        SELECT pi2.state, pi1.pi AS pi_iter1, pi2.pi AS pi_iter2
+        FROM pi2 JOIN pi1 ON pi2.state = pi1.state
+    """,
+    tags=("ml", "graph", "timeseries"),
+)
+def ml_markov_stationary(spark: SparkSession, sf: str) -> DataFrame:
+    """Stationary distribution of the user-behavior Markov chain: the
+    event-type transition matrix (workload_event_transitions' counts,
+    row-normalized) powered twice from a uniform start — π·P·P — the
+    steady-state mix of user activity, i.e. PageRank's little sibling
+    on the behavioral graph. Each iteration is one equi-join of the
+    K²-row transition table with the K-row distribution plus a
+    decimal-summed matvec reduce; round4 after every iteration keeps
+    both engines on the identical probability grid (the same fixed-
+    round unroll discipline as ml_kmeans_lloyd/graph_pagerank). The
+    corpus-sized work — lag + pair counts — happens ONCE; iterations
+    touch only K-sized state, so at 100 TB you run 50 iterations for
+    the same corpus cost as 2."""
+    ev = load_table(spark, sf, "events")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type").over(
+            W.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("prev_type"),
+    )
+    counts = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    row = counts.groupBy("prev_type").agg(F.sum("n").alias("tot"))
+    p = counts.join(row, "prev_type").select(
+        "prev_type", "next_type",
+        (F.col("n").cast("double") / F.col("tot")).alias("p"),
+    )
+    states = counts.select(F.col("prev_type").alias("state")).distinct()
+    k = states.agg(F.count(F.lit(1)).alias("k"))
+    pi0 = states.crossJoin(F.broadcast(k)).select(
+        "state", (F.lit(1.0) / F.col("k")).alias("pi")
+    )
+
+    def step(pi: DataFrame) -> DataFrame:
+        return (
+            p.join(F.broadcast(pi), p.prev_type == pi.state)
+            .groupBy(F.col("next_type").alias("state"))
+            .agg(round4(dsum(F.col("pi") * F.col("p"))).alias("pi"))
+        )
+
+    pi1 = step(pi0)
+    pi2 = step(pi1)
+    return pi2.join(
+        pi1.withColumnRenamed("pi", "pi_iter1"), "state"
+    ).select("state", "pi_iter1", F.col("pi").alias("pi_iter2"))
+
+
+@query(
+    "ml_mutual_info",
+    oracle=f"""
+        WITH cells AS (
+            SELECT lang, source, COUNT(*) AS c
+            FROM documents GROUP BY lang, source
+        ),
+        n AS (SELECT SUM(c) AS n FROM cells),
+        rl AS (SELECT lang, SUM(c) AS rl FROM cells GROUP BY lang),
+        cs AS (SELECT source, SUM(c) AS cs FROM cells GROUP BY source),
+        mi AS (
+            SELECT {sql_dsum(
+                '(CAST(cells.c AS DOUBLE) / n.n) * '
+                'LN((CAST(cells.c AS DOUBLE) * n.n) / '
+                '(CAST(rl.rl AS DOUBLE) * cs.cs))')} AS mi
+            FROM cells
+            JOIN rl ON cells.lang = rl.lang
+            JOIN cs ON cells.source = cs.source
+            CROSS JOIN n
+        ),
+        hl AS (
+            SELECT {sql_dsum(
+                '-(CAST(rl AS DOUBLE) / n.n) * LN(CAST(rl AS DOUBLE) / n.n)'
+            )} AS h FROM rl CROSS JOIN n
+        ),
+        hs AS (
+            SELECT {sql_dsum(
+                '-(CAST(cs AS DOUBLE) / n.n) * LN(CAST(cs AS DOUBLE) / n.n)'
+            )} AS h FROM cs CROSS JOIN n
+        )
+        SELECT {sql_round4('mi.mi')} AS mutual_info_nats,
+               {sql_round4('hl.h')} AS h_lang,
+               {sql_round4('hs.h')} AS h_source,
+               {sql_round4('mi.mi / SQRT(hl.h * hs.h)')} AS nmi
+        FROM mi, hl, hs
+    """,
+    tags=("ml", "stats", "information"),
+)
+def ml_mutual_info(spark: SparkSession, sf: str) -> DataFrame:
+    """Mutual information between the corpus's lang and source labels
+    (nats), with marginal entropies and the geometric-mean-normalized
+    NMI — the information-theoretic 'are these two metadata columns
+    redundant' dial that chi-square (ml_chi2_independence) answers
+    only as a yes/no. Everything reduces from ONE |langs|×|sources|
+    contingency aggregate: margins join back onto the cells, each
+    cell's p·ln term is row-wise IEEE (identical bits both engines),
+    and the three sums ride the decimal convention. One corpus scan,
+    alphabet-bounded everything after — the 100 TB shape."""
+    d = load_table(spark, sf, "documents")
+    cells = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("c"))
+    n = cells.agg(F.sum("c").alias("n"))
+    rl = cells.groupBy("lang").agg(F.sum("c").alias("rl"))
+    cs = cells.groupBy("source").agg(F.sum("c").alias("cs"))
+    cd = F.col("c").cast("double")
+    mi = (
+        cells.join(rl, "lang")
+        .join(cs, "source")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            dsum(
+                (cd / F.col("n"))
+                * F.log((cd * F.col("n")) / (F.col("rl").cast("double") * F.col("cs")))
+            ).alias("mi")
+        )
+    )
+    hl = rl.crossJoin(F.broadcast(n)).agg(
+        dsum(
+            -(F.col("rl").cast("double") / F.col("n"))
+            * F.log(F.col("rl").cast("double") / F.col("n"))
+        ).alias("h")
+    )
+    hs = cs.crossJoin(F.broadcast(n)).agg(
+        dsum(
+            -(F.col("cs").cast("double") / F.col("n"))
+            * F.log(F.col("cs").cast("double") / F.col("n"))
+        ).alias("h")
+    )
+    return (
+        mi.crossJoin(hl.withColumnRenamed("h", "h_lang"))
+        .crossJoin(hs.withColumnRenamed("h", "h_source"))
+        .select(
+            round4(F.col("mi")).alias("mutual_info_nats"),
+            round4(F.col("h_lang")).alias("h_lang"),
+            round4(F.col("h_source")).alias("h_source"),
+            round4(F.col("mi") / F.sqrt(F.col("h_lang") * F.col("h_source"))).alias("nmi"),
+        )
+    )
