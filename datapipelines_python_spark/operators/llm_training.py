@@ -24,7 +24,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from datapipelines_python_spark.catalog import load_table
-from datapipelines_python_spark.operators._helpers import dsum, round4, sql_round4
+from datapipelines_python_spark.operators._helpers import (
+    dsum,
+    round4,
+    sql_dsum,
+    sql_round4,
+)
 from datapipelines_python_spark.operators.llm import dot, sql_dot
 from datapipelines_python_spark.registry import query
 
@@ -2796,3 +2801,85 @@ def llm_url_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
         F.countDistinct("url").cast("bigint").alias("n_raw_variants"),
         F.min("doc_id").alias("survivor_id"),
     )
+
+
+from datapipelines_python_spark.registry import _REGISTRY as _REG3
+
+
+@query(
+    "ml_cohens_kappa",
+    oracle=f"""
+        WITH pred AS ({{nb}}),
+        g AS (
+            SELECT lang_actual, lang_pred, COUNT(*) AS n
+            FROM pred GROUP BY lang_actual, lang_pred
+        ),
+        tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS n FROM g),
+        ro AS (SELECT lang_actual AS l, SUM(n) AS r FROM g GROUP BY lang_actual),
+        co AS (SELECT lang_pred AS l, SUM(n) AS c FROM g GROUP BY lang_pred),
+        po AS (
+            SELECT {sql_dsum('CASE WHEN lang_actual = lang_pred THEN CAST(n AS DOUBLE) ELSE 0.0 END')} AS agree
+            FROM g
+        ),
+        pe AS (
+            SELECT {sql_dsum('CAST(COALESCE(ro.r, 0) AS DOUBLE) * COALESCE(co.c, 0)')} AS cross_sum
+            FROM ro FULL JOIN co ON ro.l = co.l
+        )
+        SELECT CAST(tot.n AS BIGINT) AS n_docs,
+               {sql_round4('po.agree / tot.n')} AS p_observed,
+               {sql_round4('pe.cross_sum / (tot.n * tot.n)')} AS p_expected,
+               {sql_round4('(po.agree / tot.n - pe.cross_sum / (tot.n * tot.n)) / (1.0 - pe.cross_sum / (tot.n * tot.n))')}
+                   AS kappa
+        FROM po, pe, tot
+    """.format(nb="{nb}"),
+    tags=("ml", "eval"),
+)
+def ml_cohens_kappa(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohen's kappa of the naive-Bayes language classifier vs truth:
+    chance-corrected agreement κ = (p_o − p_e)/(1 − p_e), with p_e from
+    the marginal products — the honest eval when classes are imbalanced
+    (raw accuracy flatters any classifier that just predicts the
+    majority language). Composes ml_naive_bayes_lang verbatim (op and
+    oracle), then everything is label-alphabet-bounded: one confusion
+    aggregate, two margins, a full-outer margin join, three scalar
+    sums. Evaluation costs one ~25-row pass beyond scoring at any
+    corpus size."""
+    pred = _REG3["ml_naive_bayes_lang"].fn(spark, sf)
+    g = pred.groupBy("lang_actual", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = g.agg(F.sum("n").cast("double").alias("nn"))
+    ro = g.groupBy(F.col("lang_actual").alias("l")).agg(F.sum("n").alias("r"))
+    co = g.groupBy(F.col("lang_pred").alias("l")).agg(F.sum("n").alias("c"))
+    po = g.agg(
+        dsum(
+            F.when(
+                F.col("lang_actual") == F.col("lang_pred"),
+                F.col("n").cast("double"),
+            ).otherwise(0.0)
+        ).alias("agree")
+    )
+    pe = (
+        ro.join(co, "l", "full")
+        .agg(
+            dsum(
+                F.coalesce(F.col("r"), F.lit(0)).cast("double")
+                * F.coalesce(F.col("c"), F.lit(0))
+            ).alias("cross_sum")
+        )
+    )
+    out = po.crossJoin(pe).crossJoin(tot)
+    p_o = F.col("agree") / F.col("nn")
+    p_e = F.col("cross_sum") / (F.col("nn") * F.col("nn"))
+    return out.select(
+        F.col("nn").cast("bigint").alias("n_docs"),
+        round4(p_o).alias("p_observed"),
+        round4(p_e).alias("p_expected"),
+        round4((p_o - p_e) / (1.0 - p_e)).alias("kappa"),
+    )
+
+
+# Patch the composed oracle now that the base op is certainly registered.
+_REG3["ml_cohens_kappa"].oracle = _REG3["ml_cohens_kappa"].oracle.format(
+    nb=_REG3["ml_naive_bayes_lang"].oracle
+)

@@ -1224,3 +1224,60 @@ def fn_inet(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("subnet_24"),
         F.expr("ip DIV 65536").cast("bigint").alias("subnet_16_id"),
     )
+
+
+@query(
+    "fn_soundex",
+    oracle="""
+        WITH words AS (
+            SELECT DISTINCT UPPER(regexp_extract(p_name, '^[a-z]+')) AS word
+            FROM part WHERE regexp_extract(p_name, '^[a-z]+') <> ''
+        ),
+        f AS (SELECT word, string_split(word, '') AS cs FROM words),
+        folded AS (
+            SELECT word,
+                   list_reduce(
+                       list_prepend(
+                           {'o': cs[1], 'l': CASE WHEN cs[1] IN ('B','F','P','V') THEN '1' WHEN cs[1] IN ('C','G','J','K','Q','S','X','Z') THEN '2' WHEN cs[1] IN ('D','T') THEN '3' WHEN cs[1] = 'L' THEN '4' WHEN cs[1] IN ('M','N') THEN '5' WHEN cs[1] = 'R' THEN '6' WHEN cs[1] IN ('A','E','I','O','U','Y') THEN '0' WHEN cs[1] IN ('H','W') THEN '7' ELSE NULL END},
+                           list_transform(cs[2:], c -> {'o': c, 'l': CAST(NULL AS VARCHAR)})
+                       ),
+                       (acc, x) -> CASE
+                           WHEN CASE WHEN x.o IN ('B','F','P','V') THEN '1' WHEN x.o IN ('C','G','J','K','Q','S','X','Z') THEN '2' WHEN x.o IN ('D','T') THEN '3' WHEN x.o = 'L' THEN '4' WHEN x.o IN ('M','N') THEN '5' WHEN x.o = 'R' THEN '6' WHEN x.o IN ('A','E','I','O','U','Y') THEN '0' WHEN x.o IN ('H','W') THEN '7' ELSE NULL END IS NULL THEN acc
+                           WHEN CASE WHEN x.o IN ('B','F','P','V') THEN '1' WHEN x.o IN ('C','G','J','K','Q','S','X','Z') THEN '2' WHEN x.o IN ('D','T') THEN '3' WHEN x.o = 'L' THEN '4' WHEN x.o IN ('M','N') THEN '5' WHEN x.o = 'R' THEN '6' WHEN x.o IN ('A','E','I','O','U','Y') THEN '0' WHEN x.o IN ('H','W') THEN '7' ELSE NULL END = '7' THEN acc
+                           WHEN CASE WHEN x.o IN ('B','F','P','V') THEN '1' WHEN x.o IN ('C','G','J','K','Q','S','X','Z') THEN '2' WHEN x.o IN ('D','T') THEN '3' WHEN x.o = 'L' THEN '4' WHEN x.o IN ('M','N') THEN '5' WHEN x.o = 'R' THEN '6' WHEN x.o IN ('A','E','I','O','U','Y') THEN '0' WHEN x.o IN ('H','W') THEN '7' ELSE NULL END = '0' THEN {'o': acc.o, 'l': '0'}
+                           WHEN CASE WHEN x.o IN ('B','F','P','V') THEN '1' WHEN x.o IN ('C','G','J','K','Q','S','X','Z') THEN '2' WHEN x.o IN ('D','T') THEN '3' WHEN x.o = 'L' THEN '4' WHEN x.o IN ('M','N') THEN '5' WHEN x.o = 'R' THEN '6' WHEN x.o IN ('A','E','I','O','U','Y') THEN '0' WHEN x.o IN ('H','W') THEN '7' ELSE NULL END = acc.l THEN acc
+                           ELSE {'o': acc.o || CASE WHEN x.o IN ('B','F','P','V') THEN '1' WHEN x.o IN ('C','G','J','K','Q','S','X','Z') THEN '2' WHEN x.o IN ('D','T') THEN '3' WHEN x.o = 'L' THEN '4' WHEN x.o IN ('M','N') THEN '5' WHEN x.o = 'R' THEN '6' WHEN x.o IN ('A','E','I','O','U','Y') THEN '0' WHEN x.o IN ('H','W') THEN '7' ELSE NULL END, 'l': CASE WHEN x.o IN ('B','F','P','V') THEN '1' WHEN x.o IN ('C','G','J','K','Q','S','X','Z') THEN '2' WHEN x.o IN ('D','T') THEN '3' WHEN x.o = 'L' THEN '4' WHEN x.o IN ('M','N') THEN '5' WHEN x.o = 'R' THEN '6' WHEN x.o IN ('A','E','I','O','U','Y') THEN '0' WHEN x.o IN ('H','W') THEN '7' ELSE NULL END} END
+                   ) AS st
+            FROM f
+        ),
+        coded AS (
+            SELECT word, SUBSTRING(st.o || '000', 1, 4) AS sdx FROM folded
+        )
+        SELECT sdx, CAST(COUNT(*) AS BIGINT) AS n_words,
+               MIN(word) AS sample_word
+        FROM coded GROUP BY sdx
+    """,
+    tags=("scalar", "string", "phonetic"),
+)
+def fn_soundex(spark: SparkSession, sf: str) -> DataFrame:
+    """Soundex phonetic codes over the part-name vocabulary, grouped
+    into phonetic buckets (code, bucket size, sample word) — the
+    classic blocking key for fuzzy name matching: candidate pairs for
+    join_fuzzy_blocked-style matching come from equal soundex codes, an
+    equi-join, instead of an O(n^2) edit-distance sweep. Spark's native
+    soundex() does the encoding; the oracle replays the exact algorithm
+    (vowels reset the last-code state, H/W are transparent, first
+    letter kept, pad to 4) as a DuckDB struct-accumulator list fold —
+    pinned against Spark on the H/W adjacency edge cases. Encoding is
+    pure projection; the only shuffle is the bucket count."""
+    p = load_table(spark, sf, "part")
+    words = (
+        p.select(F.upper(F.regexp_extract("p_name", "^[a-z]+", 0)).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    coded = words.select("word", F.soundex("word").alias("sdx"))
+    return coded.groupBy("sdx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.min("word").alias("sample_word"),
+    )

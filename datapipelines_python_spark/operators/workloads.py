@@ -5229,3 +5229,155 @@ def workload_holt_linear(spark: SparkSession, sf: str) -> DataFrame:
         "(l9 + b9) / 100.0 AS forecast_1",
         "(l9 + 2.0 * b9) / 100.0 AS forecast_2",
     )
+
+
+@query(
+    "graph_modularity",
+    oracle=f"""
+        WITH {_SQL_MUTUAL_5NN},
+        lab AS (SELECT vec_id, label FROM embeddings),
+        el AS (
+            SELECT m.u, m.v, la.label AS lu, lb.label AS lv
+            FROM mutual m
+            JOIN lab la ON m.u = la.vec_id
+            JOIN lab lb ON m.v = lb.vec_id
+        ),
+        mm AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM el),
+        ew AS (
+            SELECT lu AS label, COUNT(*) AS e_within
+            FROM el WHERE lu = lv GROUP BY lu
+        ),
+        dg AS (
+            SELECT label, COUNT(*) AS d_sum FROM (
+                SELECT lu AS label FROM el
+                UNION ALL SELECT lv FROM el
+            ) GROUP BY label
+        )
+        SELECT CAST(dg.label AS INT) AS label,
+               CAST(COALESCE(ew.e_within, 0) AS BIGINT) AS e_within,
+               CAST(dg.d_sum AS BIGINT) AS degree_sum,
+               {sql_round4(
+                   'COALESCE(ew.e_within, 0) / mm.m'
+                   ' - (dg.d_sum / (2.0 * mm.m)) * (dg.d_sum / (2.0 * mm.m))')}
+                   AS q_contrib
+        FROM dg LEFT JOIN ew ON dg.label = ew.label
+        CROSS JOIN mm
+    """,
+    tags=("workload", "graph", "similarity"),
+)
+def graph_modularity(spark: SparkSession, sf: str) -> DataFrame:
+    """Newman modularity of the label partition on the mutual-5-NN
+    cosine graph, per community: Q_c = e_c/m − (d_c/2m)² — do the
+    embedding labels line up with the geometry? (Σ Q_c near 0 ⇒ labels
+    are orthogonal to neighborhood structure => don't trust
+    cluster-based curation decisions.) The edge list joins the node
+    labels twice (key = vec_id, the natural co-partition), then
+    everything is label-alphabet-bounded: within-edges count, degree
+    sums, one scalar edge total broadcast back. Integer counts →
+    row-wise IEEE contribution → round4. At 100 TB the edge list again
+    comes from the bucketed ANN path; this op adds two hash joins and
+    two tiny aggregates on top of it."""
+    mutual = _mutual_5nn(spark, sf)
+    lab = load_table(spark, sf, "embeddings").select("vec_id", "label")
+    el = (
+        mutual.join(lab.withColumnRenamed("vec_id", "u").withColumnRenamed("label", "lu"), "u")
+        .join(lab.withColumnRenamed("vec_id", "v").withColumnRenamed("label", "lv"), "v")
+        .select("u", "v", "lu", "lv")
+    )
+    mm = el.agg(F.count(F.lit(1)).cast("double").alias("m"))
+    ew = (
+        el.filter(F.col("lu") == F.col("lv"))
+        .groupBy(F.col("lu").alias("label"))
+        .agg(F.count(F.lit(1)).alias("e_within"))
+    )
+    dg = (
+        el.select(F.col("lu").alias("label"))
+        .unionAll(el.select(F.col("lv").alias("label")))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("d_sum"))
+    )
+    ewc = F.coalesce(F.col("e_within"), F.lit(0))
+    return (
+        dg.join(ew, "label", "left")
+        .crossJoin(F.broadcast(mm))
+        .select(
+            F.col("label").cast("int").alias("label"),
+            ewc.cast("bigint").alias("e_within"),
+            F.col("d_sum").cast("bigint").alias("degree_sum"),
+            round4(
+                ewc / F.col("m")
+                - (F.col("d_sum") / (2.0 * F.col("m")))
+                * (F.col("d_sum") / (2.0 * F.col("m")))
+            ).alias("q_contrib"),
+        )
+    )
+
+
+@query(
+    "workload_skyline_pareto_front",
+    oracle="""
+        WITH pts AS (
+            SELECT o_orderkey, o_totalprice,
+                   CAST(o_orderdate AS DATE) AS od
+            FROM orders
+        ),
+        ranked AS (
+            SELECT o_orderkey, o_totalprice, od,
+                   MAX(o_totalprice) OVER (
+                       ORDER BY od DESC, o_totalprice DESC, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS best_price_more_recent
+            FROM pts
+        )
+        SELECT o_orderkey, o_totalprice, od AS order_date
+        FROM ranked
+        WHERE best_price_more_recent IS NULL
+           OR o_totalprice > best_price_more_recent
+    """,
+    tags=("workload", "skyline"),
+)
+def workload_skyline_pareto_front(spark: SparkSession, sf: str) -> DataFrame:
+    """2-D skyline (Pareto front): orders not dominated on (recency,
+    price) — no other order is both more recent and pricier. The
+    classic O(n²) dominance test collapses to ONE window: sort by date
+    desc, keep a row iff its price beats the running max of everything
+    more recent (ties broken deterministically). One sort-shuffle,
+    no self-join — at 100 TB this is the difference between a skyline
+    that runs and one that doesn't; for k-D skylines the same
+    sort-and-sweep runs per grid cell after a space-partitioning
+    shuffle. Output is the front itself (dates exposed as DATE so both
+    engines hash the same type).
+
+    Scale refinement: before the single-partition sweep, a month-grain
+    prefilter drops every row beaten by a strictly-later month's max
+    price (a broadcast join against an ~|months|-row cummax table).
+    Provably result-identical — any row dominated by a dropped row is
+    transitively dominated by a surviving later-month witness — and it
+    shrinks the global window's input from the corpus to the candidate
+    sliver, which is what makes a 100 TB skyline runnable."""
+    o = load_table(spark, sf, "orders")
+    pts = o.select(
+        "o_orderkey", "o_totalprice", F.col("o_orderdate").cast("date").alias("od")
+    )
+    month = F.date_trunc("month", F.col("od")).cast("date")
+    mmax = pts.groupBy(month.alias("mo")).agg(
+        F.max("o_totalprice").alias("mo_max")
+    )
+    wmo = W.orderBy(F.desc("mo")).rowsBetween(W.unboundedPreceding, -1)
+    later = mmax.select("mo", F.max("mo_max").over(wmo).alias("best_later"))
+    cand = (
+        pts.join(F.broadcast(later), month == F.col("mo"))
+        .filter(
+            F.col("best_later").isNull()
+            | (F.col("o_totalprice") > F.col("best_later"))
+        )
+        .select("o_orderkey", "o_totalprice", "od")
+    )
+    w = (
+        W.orderBy(F.desc("od"), F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    ranked = cand.withColumn("best", F.max("o_totalprice").over(w))
+    return ranked.filter(
+        F.col("best").isNull() | (F.col("o_totalprice") > F.col("best"))
+    ).select("o_orderkey", "o_totalprice", F.col("od").alias("order_date"))
