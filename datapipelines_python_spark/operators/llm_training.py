@@ -2883,3 +2883,150 @@ def ml_cohens_kappa(spark: SparkSession, sf: str) -> DataFrame:
 _REG3["ml_cohens_kappa"].oracle = _REG3["ml_cohens_kappa"].oracle.format(
     nb=_REG3["ml_naive_bayes_lang"].oracle
 )
+
+
+@query(
+    "llm_kneser_ney_lm",
+    oracle="""
+        WITH split AS (
+            SELECT doc_id, LOWER(text) AS t,
+                   CAST(('0x' || SUBSTRING(
+                       MD5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8
+                   ))::BIGINT % 100 AS INT) AS bucket
+            FROM documents
+        ),
+        train_ex AS (
+            SELECT doc_id,
+                   GENERATE_SUBSCRIPTS(STRING_SPLIT(t, ' '), 1) AS pos,
+                   UNNEST(STRING_SPLIT(t, ' ')) AS tok
+            FROM split WHERE bucket < 95
+        ),
+        bi AS (
+            SELECT w1, w2, COUNT(*) AS c2 FROM (
+                SELECT doc_id,
+                       LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+                       tok AS w2
+                FROM train_ex
+            ) p WHERE w1 IS NOT NULL GROUP BY w1, w2
+        ),
+        ctx AS (
+            SELECT w1, SUM(c2) AS c1w, COUNT(*) AS nfwd
+            FROM bi GROUP BY w1
+        ),
+        bwd AS (SELECT w2, COUNT(*) AS nbwd FROM bi GROUP BY w2),
+        scal AS (
+            SELECT (SELECT COUNT(*) FROM bi) AS t_types,
+                   (SELECT COUNT(DISTINCT tok) FROM train_ex) AS vocab
+        ),
+        test_bi AS (
+            SELECT doc_id, w1, w2 FROM (
+                SELECT doc_id,
+                       LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+                       tok AS w2
+                FROM (
+                    SELECT doc_id,
+                           GENERATE_SUBSCRIPTS(STRING_SPLIT(t, ' '), 1) AS pos,
+                           UNNEST(STRING_SPLIT(t, ' ')) AS tok
+                    FROM split WHERE bucket >= 95
+                ) x
+            ) p WHERE w1 IS NOT NULL
+        ),
+        scored AS (
+            SELECT tb.doc_id,
+                   -LN(
+                       CASE WHEN COALESCE(ctx.c1w, 0) > 0 THEN
+                           GREATEST(COALESCE(bi.c2, 0) - 0.75, 0.0) / ctx.c1w
+                           + 0.75 * ctx.nfwd / ctx.c1w
+                             * ((COALESCE(bwd.nbwd, 0) + 1.0)
+                                / (scal.t_types + scal.vocab))
+                       ELSE (COALESCE(bwd.nbwd, 0) + 1.0)
+                            / (scal.t_types + scal.vocab)
+                       END
+                   ) AS nll
+            FROM test_bi tb
+            LEFT JOIN bi ON tb.w1 = bi.w1 AND tb.w2 = bi.w2
+            LEFT JOIN ctx ON tb.w1 = ctx.w1
+            LEFT JOIN bwd ON tb.w2 = bwd.w2, scal
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               FLOOR((CAST(CAST(SUM(CAST(nll AS DECIMAL(38,8))) AS VARCHAR)
+                           AS DOUBLE) / COUNT(*)) * 10000.0 + 0.5) / 10000.0
+                   AS avg_nll,
+               (CAST(CAST(SUM(CAST(nll AS DECIMAL(38,8))) AS VARCHAR)
+                     AS DOUBLE) / COUNT(*)) < 8.0 AS keep
+        FROM scored GROUP BY doc_id
+    """,
+    tags=("llm", "quality", "lm"),
+)
+def llm_kneser_ney_lm(spark: SparkSession, sf: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM (absolute discount D=0.75,
+    +1-smoothed continuation so unseen types stay finite) scoring the
+    same held-out split as llm_perplexity_filter — the LM that actually
+    ships in CCNet-style quality filters (KenLM is KN): continuation
+    probability counts how many CONTEXTS a word follows, not how often
+    it occurs, which stops 'San Francisco'-style collocations from
+    inflating 'Francisco' everywhere. The model is still nothing but
+    count tables — bigram types, per-context totals/fan-out, per-word
+    continuation fan-in, two scalars — all broadcast onto the test
+    bigrams; discount/interpolation arithmetic is row-wise IEEE and the
+    per-doc NLL decimal-sums. Same plan shape as the add-one twin:
+    train once, broadcast, score in one pass at any corpus size."""
+    d = load_table(spark, sf, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint") % 100
+    ).cast("int")
+    split = d.select("doc_id", F.lower("text").alias("t"), bucket.alias("bucket"))
+
+    def bigrams(df):
+        ex = df.select(
+            "doc_id", F.posexplode(F.split("t", " ")).alias("pos", "tok")
+        )
+        w = W.partitionBy("doc_id").orderBy("pos")
+        return ex.select(
+            "doc_id", F.lag("tok").over(w).alias("w1"), F.col("tok").alias("w2")
+        ).filter(F.col("w1").isNotNull())
+
+    train = split.filter(F.col("bucket") < 95)
+    test = split.filter(F.col("bucket") >= 95)
+    bi = bigrams(train).groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    ctx = bi.groupBy("w1").agg(
+        F.sum("c2").alias("c1w"), F.count(F.lit(1)).alias("nfwd")
+    )
+    bwd = bi.groupBy("w2").agg(F.count(F.lit(1)).alias("nbwd"))
+    train_ex = train.select(F.explode(F.split("t", " ")).alias("tok"))
+    scal = bi.agg(F.count(F.lit(1)).alias("t_types")).crossJoin(
+        train_ex.agg(F.countDistinct("tok").alias("vocab"))
+    )
+    tb = bigrams(test)
+    pcont = (F.coalesce(F.col("nbwd"), F.lit(0)) + 1.0) / (
+        F.col("t_types") + F.col("vocab")
+    )
+    p = F.when(
+        F.coalesce(F.col("c1w"), F.lit(0)) > 0,
+        F.greatest(F.coalesce(F.col("c2"), F.lit(0)) - 0.75, F.lit(0.0))
+        / F.col("c1w")
+        + 0.75 * F.col("nfwd") / F.col("c1w") * pcont,
+    ).otherwise(pcont)
+    scored = (
+        tb.join(F.broadcast(bi), ["w1", "w2"], "left")
+        .join(F.broadcast(ctx), "w1", "left")
+        .join(F.broadcast(bwd), "w2", "left")
+        .crossJoin(F.broadcast(scal))
+        .select("doc_id", (-F.log(p)).alias("nll"))
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        (dsum(F.col("nll")) / F.count(F.lit(1))).alias("raw_avg"),
+    )
+    return agg.select(
+        "doc_id", "n_bigrams",
+        (F.floor(F.col("raw_avg") * 10000.0 + 0.5) / 10000.0).alias("avg_nll"),
+        (F.col("raw_avg") < 8.0).alias("keep"),
+    )

@@ -1281,3 +1281,62 @@ def fn_soundex(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_words"),
         F.min("word").alias("sample_word"),
     )
+
+
+@query(
+    "fn_time_bucket",
+    oracle=f"""
+        WITH b AS (
+            SELECT event_type,
+                   to_timestamp(
+                       1704067200 + (CAST(FLOOR(epoch(ts)) AS BIGINT) - 1704067200)
+                           // 1209600 * 1209600
+                   ) AT TIME ZONE 'UTC' AS bucket_14d,
+                   to_timestamp(
+                       1704067200 + (CAST(FLOOR(epoch(ts)) AS BIGINT) - 1704067200)
+                           // 14400 * 14400
+                   ) AT TIME ZONE 'UTC' AS bucket_4h,
+                   value
+            FROM events
+        )
+        SELECT event_type,
+               CAST(bucket_14d AS VARCHAR) AS bucket_14d,
+               CAST(bucket_4h AS VARCHAR) AS bucket_4h,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               {sql_round4("CAST(CAST(SUM(CAST(value AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)")} AS sum_value
+        FROM b GROUP BY event_type, bucket_14d, bucket_4h
+    """,
+    tags=("scalar", "date", "timeseries"),
+)
+def fn_time_bucket(spark: SparkSession, sf: str) -> DataFrame:
+    """Arbitrary-width time bucketing with an explicit origin (the
+    TimescaleDB ``time_bucket`` primitive): 14-day and 4-hour buckets
+    anchored at 2024-01-01 UTC — widths ``date_trunc`` cannot express
+    (fortnights don't align to months; 4h isn't a named grain). Pure
+    epoch integer math — origin + (epoch−origin) div width × width —
+    so the bucket IS a partition key computable at scan time, unlike a
+    window function; rendered via VARCHAR so both engines hash the
+    identical canonical form. One projection + one group-by, the
+    hypertable-chunking primitive at any scale."""
+    ev = load_table(spark, sf, "events")
+    origin = 1704067200  # 2024-01-01T00:00:00Z
+    ep = F.unix_timestamp(F.col("ts")).cast("bigint")
+
+    def bucket(width: int):
+        return F.from_unixtime(
+            origin + F.floor((ep - origin) / width).cast("bigint") * width,
+            "yyyy-MM-dd HH:mm:ss",
+        )
+
+    b = ev.select(
+        "event_type",
+        bucket(1209600).alias("bucket_14d"),
+        bucket(14400).alias("bucket_4h"),
+        "value",
+    )
+    from datapipelines_python_spark.operators._helpers import dsum
+
+    return b.groupBy("event_type", "bucket_14d", "bucket_4h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        round4(dsum(F.col("value"))).alias("sum_value"),
+    )

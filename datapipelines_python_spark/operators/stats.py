@@ -1171,3 +1171,61 @@ def ml_mutual_info(spark: SparkSession, sf: str) -> DataFrame:
             round4(F.col("mi") / F.sqrt(F.col("h_lang") * F.col("h_source"))).alias("nmi"),
         )
     )
+
+
+@query(
+    "ml_calibration_bins",
+    oracle=f"""
+        WITH scored AS (
+            SELECT o_orderkey,
+                   1.0 / (1.0 + EXP(-((o_totalprice - 150000.0) / 50000.0)))
+                       AS p_hat,
+                   CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1.0 ELSE 0.0 END AS y
+            FROM orders
+        ),
+        binned AS (
+            SELECT CAST(LEAST(FLOOR(p_hat * 10.0), 9) AS INT) AS bin,
+                   p_hat, y, (p_hat - y) * (p_hat - y) AS sq
+            FROM scored
+        )
+        SELECT bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               {sql_round4(sql_davg('p_hat'))} AS mean_predicted,
+               {sql_round4(sql_davg('y'))} AS actual_rate,
+               {sql_round4(sql_davg('sq'))} AS brier_contrib
+        FROM binned GROUP BY bin
+    """,
+    tags=("ml", "eval", "calibration"),
+)
+def ml_calibration_bins(spark: SparkSession, sf: str) -> DataFrame:
+    """Calibration curve + per-bin Brier decomposition for a fixed
+    logistic scorer (sigmoid of scaled order value) predicting
+    high-priority orders: ten fixed-width probability bins, each with
+    mean predicted probability vs realized rate — the reliability
+    diagram that tells you whether a score can be thresholded as a
+    probability, plus the Brier contribution per bin. Fixed-width
+    binning (floor(p·10)) instead of quantile bins keeps the op
+    embarrassingly parallel — binning is pure projection, no sort, no
+    NTILE window — and at 100 TB this is one map-side-combined
+    aggregate over the scored stream. Sigmoid is row-wise IEEE;
+    per-bin means ride the decimal convention."""
+    o = load_table(spark, sf, "orders")
+    p_hat = 1.0 / (
+        1.0 + F.exp(-((F.col("o_totalprice") - 150000.0) / 50000.0))
+    )
+    y = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1.0
+    ).otherwise(0.0)
+    scored = o.select(p_hat.alias("p_hat"), y.alias("y"))
+    binned = scored.select(
+        F.least(F.floor(F.col("p_hat") * 10.0), F.lit(9)).cast("int").alias("bin"),
+        "p_hat", "y",
+        ((F.col("p_hat") - F.col("y")) * (F.col("p_hat") - F.col("y"))).alias("sq"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        round4(davg(F.col("p_hat"))).alias("mean_predicted"),
+        round4(davg(F.col("y"))).alias("actual_rate"),
+        round4(davg(F.col("sq"))).alias("brier_contrib"),
+    )
