@@ -17,6 +17,7 @@ from pyspark.sql.window import Window as W
 
 from datapipelines_python_spark.catalog import load_table
 from datapipelines_python_spark.operators._helpers import (
+    DEC,
     davg,
     dsum,
     round4,
@@ -1228,4 +1229,186 @@ def ml_calibration_bins(spark: SparkSession, sf: str) -> DataFrame:
         round4(davg(F.col("p_hat"))).alias("mean_predicted"),
         round4(davg(F.col("y"))).alias("actual_rate"),
         round4(davg(F.col("sq"))).alias("brier_contrib"),
+    )
+
+
+@query(
+    "ml_kaplan_meier",
+    oracle=f"""
+        WITH lag AS (
+            SELECT o.o_orderkey,
+                   DATE_DIFF('day', o.o_orderdate, MIN(l.l_shipdate)) AS raw_t
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY o.o_orderkey, o.o_orderdate
+        ),
+        obs AS (
+            SELECT LEAST(raw_t, 60) AS t,
+                   CASE WHEN raw_t <= 60 THEN 1 ELSE 0 END AS ev
+            FROM lag
+        ),
+        per_t AS (
+            SELECT t, SUM(ev) AS d, COUNT(*) AS c FROM obs GROUP BY t
+        ),
+        risk AS (
+            SELECT t, d, c,
+                   (SELECT COUNT(*) FROM obs)
+                       - COALESCE(SUM(c) OVER (
+                             ORDER BY t
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                         ), 0) AS n_risk
+            FROM per_t
+        ),
+        surv AS (
+            SELECT t, d, n_risk,
+                   EXP(CAST(CAST(SUM(CAST(LN(1.0 - CAST(d AS DOUBLE) / n_risk)
+                                         AS DECIMAL(38,8))) OVER (
+                           ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS VARCHAR) AS DOUBLE)) AS s
+            FROM risk
+        )
+        SELECT CAST(t AS BIGINT) AS t_day,
+               CAST(n_risk AS BIGINT) AS n_risk,
+               CAST(d AS BIGINT) AS n_events,
+               {sql_round4('s')} AS survival
+        FROM surv
+    """,
+    tags=("ml", "stats", "survival"),
+)
+def ml_kaplan_meier(spark: SparkSession, sf: str) -> DataFrame:
+    """Kaplan-Meier survival curve of order-to-first-ship lag with
+    right-censoring at a 60-day horizon (lag > 60 = 'still open' at
+    analysis time) — the estimator behind every time-to-event question
+    (churn, fulfillment SLA, incident TTR) that naive averaging gets
+    wrong in the presence of censoring. S(t) = Π(1 − d_i/n_i): the
+    corpus-sized work is ONE orderkey-co-partitioned join + a day-grain
+    aggregate; the product telescopes as exp of a decimal-summed
+    running ln over ≤ 61 distinct-day rows (the same
+    aggregate-then-tiny-window discipline as ml_ks_test — the risk-set
+    window never sees raw orders). Factors are row-wise IEEE; round4
+    seals the curve."""
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    lag = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.min("l_shipdate").alias("first_ship"))
+        .select(
+            F.datediff(F.col("first_ship"), F.col("o_orderdate")).alias("raw_t")
+        )
+    )
+    obs = lag.select(
+        F.least(F.col("raw_t"), F.lit(60)).alias("t"),
+        F.when(F.col("raw_t") <= 60, 1).otherwise(0).alias("ev"),
+    )
+    per_t = obs.groupBy("t").agg(
+        F.sum("ev").alias("d"), F.count(F.lit(1)).alias("c")
+    )
+    total = obs.agg(F.count(F.lit(1)).alias("total"))
+    wprev = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
+    wrun = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
+    risk = per_t.crossJoin(F.broadcast(total)).select(
+        "t", "d", "c",
+        (
+            F.col("total")
+            - F.coalesce(F.sum("c").over(wprev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    lnterm = F.log(1.0 - F.col("d").cast("double") / F.col("n_risk"))
+    surv = risk.select(
+        "t", "d", "n_risk",
+        F.exp(F.sum(lnterm.cast(DEC)).over(wrun).cast("double")).alias("s"),
+    )
+    return surv.select(
+        F.col("t").cast("bigint").alias("t_day"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d").cast("bigint").alias("n_events"),
+        round4(F.col("s")).alias("survival"),
+    )
+
+
+@query(
+    "workload_sprt",
+    oracle="""
+        WITH arms AS (
+            SELECT CASE WHEN ascii(SUBSTRING(
+                            md5(CAST(user_id AS VARCHAR)), 1, 1)) % 2 = 0
+                        THEN 'control' ELSE 'treatment' END AS arm,
+                   CASE WHEN event_type = 'purchase'
+                        THEN CAST(0.25 AS DOUBLE)
+                        ELSE CAST(-0.015625 AS DOUBLE) END AS w,
+                   ts, event_id
+            FROM events
+        ),
+        walk AS (
+            SELECT arm, w,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY arm ORDER BY ts, event_id) AS rn,
+                   SUM(w) OVER (
+                       PARTITION BY arm ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS llr
+            FROM arms
+        )
+        SELECT arm,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MAX(CASE WHEN rn = (SELECT MAX(rn) FROM walk w2
+                                   WHERE w2.arm = walk.arm)
+                        THEN llr END) AS final_llr,
+               CAST(MIN(CASE WHEN llr >= 3.0 THEN rn END) AS BIGINT)
+                   AS first_upper_cross,
+               CAST(MIN(CASE WHEN llr <= -3.0 THEN rn END) AS BIGINT)
+                   AS first_lower_cross,
+               CASE
+                   WHEN COALESCE(MIN(CASE WHEN llr >= 3.0 THEN rn END),
+                                 9223372036854775807)
+                        < COALESCE(MIN(CASE WHEN llr <= -3.0 THEN rn END),
+                                   9223372036854775807)
+                       THEN 'accept_h1'
+                   WHEN MIN(CASE WHEN llr <= -3.0 THEN rn END) IS NOT NULL
+                       THEN 'accept_h0'
+                   ELSE 'continue' END AS decision
+        FROM walk GROUP BY arm
+    """,
+    tags=("workload", "stats", "sequential"),
+)
+def workload_sprt(spark: SparkSession, sf: str) -> DataFrame:
+    """Wald's sequential probability ratio test over the hash-split A/B
+    arms: each event moves a per-arm log-likelihood random walk
+    (+0.25 on conversion, −1/64 otherwise — the a-priori log ratios
+    quantized to exact dyadic weights so 30k-step cumulative sums are
+    bit-exact on both engines with no decimal crutch), and the test
+    reports the FIRST boundary crossing (±3.0 ≈ ln 19, α=β=5%) — stop
+    early, ship sooner, the whole point of sequential testing vs the
+    fixed-horizon workload_ab_test. One window sort per arm computes
+    the entire walk; first-crossing and final state fall out of a
+    single aggregate. Sequential tests are inherently order-serial, so
+    at 100 TB the walk runs per (arm, day) with day-boundary carryover
+    — same operators, chunked."""
+    ev = load_table(spark, sf, "events")
+    arm = F.when(
+        F.ascii(F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)) % 2
+        == 0,
+        "control",
+    ).otherwise("treatment")
+    w_ = F.when(F.col("event_type") == "purchase", 0.25).otherwise(-0.015625)
+    arms = ev.select(arm.alias("arm"), w_.alias("w"), "ts", "event_id")
+    wspec = W.partitionBy("arm").orderBy("ts", "event_id")
+    walk = arms.select(
+        "arm",
+        F.row_number().over(wspec).alias("rn"),
+        F.sum("w").over(wspec.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("llr"),
+    )
+    up = F.min(F.when(F.col("llr") >= 3.0, F.col("rn")))
+    lo = F.min(F.when(F.col("llr") <= -3.0, F.col("rn")))
+    big = F.lit(9223372036854775807)
+    return walk.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max_by("llr", "rn").alias("final_llr"),
+        up.cast("bigint").alias("first_upper_cross"),
+        lo.cast("bigint").alias("first_lower_cross"),
+        F.when(F.coalesce(up, big) < F.coalesce(lo, big), "accept_h1")
+        .when(lo.isNotNull(), "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
     )
