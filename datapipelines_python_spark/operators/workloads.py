@@ -5381,3 +5381,84 @@ def workload_skyline_pareto_front(spark: SparkSession, sf: str) -> DataFrame:
     return ranked.filter(
         F.col("best").isNull() | (F.col("o_totalprice") > F.col("best"))
     ).select("o_orderkey", "o_totalprice", F.col("od").alias("order_date"))
+
+
+@query(
+    "sql_named_parameters",
+    oracle=f"""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               {sql_dsum('o_totalprice')} AS revenue
+        FROM orders
+        WHERE o_totalprice > 100000.0
+          AND o_orderdate >= TIMESTAMP '1995-01-01'
+        GROUP BY o_orderpriority
+    """,
+    tags=("sql", "spark4"),
+)
+def sql_named_parameters(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark 4 parameterized SQL: the query text carries ``:named``
+    parameter markers and values bind at execution via
+    ``spark.sql(sql, args={...})`` — injection-safe templated queries
+    without string splicing, the API every query-service front end
+    should use. Binding happens in the parser, so the bound literal
+    constant-folds and pushes down exactly like an inline one (the
+    min-price predicate reaches the parquet scan). Oracle is the
+    inlined twin."""
+    o = load_table(spark, sf, "orders")
+    o.createOrReplaceTempView("_param_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE)
+                   AS revenue
+        FROM _param_orders
+        WHERE o_totalprice > :min_price
+          AND o_orderdate >= :cutoff
+        GROUP BY o_orderpriority
+        """,
+        args={
+            "min_price": 100000.0,
+            "cutoff": "1995-01-01 00:00:00",
+        },
+    )
+
+
+@query(
+    "sql_variables",
+    oracle=f"""
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+        FROM lineitem
+        WHERE l_quantity BETWEEN 10.0 AND 40.0
+        GROUP BY l_returnflag
+    """,
+    tags=("sql", "spark4"),
+)
+def sql_variables(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark 4 SQL session variables: DECLARE VARIABLE + SET VARIABLE
+    define session-scoped typed state that subsequent queries reference
+    as ``system.session.<name>`` (or bare) — the SQL-native way to
+    thread thresholds through a multi-statement job (dbt-style configs)
+    without client-side templating. Variables resolve to literals at
+    analysis time, so pushdown/folding are identical to inline
+    constants; the oracle is the inlined twin."""
+    li = load_table(spark, sf, "lineitem")
+    li.createOrReplaceTempView("_var_lineitem")
+    spark.sql("DECLARE OR REPLACE VARIABLE qty_lo DOUBLE DEFAULT 0.0")
+    spark.sql("DECLARE OR REPLACE VARIABLE qty_hi DOUBLE DEFAULT 50.0")
+    spark.sql("SET VARIABLE qty_lo = 10.0")
+    spark.sql("SET VARIABLE qty_hi = 40.0")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(38,8))) AS DOUBLE) AS revenue
+        FROM _var_lineitem
+        WHERE l_quantity BETWEEN qty_lo AND qty_hi
+        GROUP BY l_returnflag
+        """
+    )
