@@ -1092,34 +1092,24 @@ def ml_markov_stationary(spark: SparkSession, sf: str) -> DataFrame:
             SELECT lang, source, COUNT(*) AS c
             FROM documents GROUP BY lang, source
         ),
-        n AS (SELECT SUM(c) AS n FROM cells),
-        rl AS (SELECT lang, SUM(c) AS rl FROM cells GROUP BY lang),
-        cs AS (SELECT source, SUM(c) AS cs FROM cells GROUP BY source),
-        mi AS (
-            SELECT {sql_dsum(
-                '(CAST(cells.c AS DOUBLE) / n.n) * '
-                'LN((CAST(cells.c AS DOUBLE) * n.n) / '
-                '(CAST(rl.rl AS DOUBLE) * cs.cs))')} AS mi
+        m AS (
+            SELECT lang, source, CAST(c AS DOUBLE) AS c,
+                   CAST(SUM(c) OVER () AS DOUBLE) AS n,
+                   CAST(SUM(c) OVER (PARTITION BY lang) AS DOUBLE) AS rl,
+                   CAST(SUM(c) OVER (PARTITION BY source) AS DOUBLE) AS cs
             FROM cells
-            JOIN rl ON cells.lang = rl.lang
-            JOIN cs ON cells.source = cs.source
-            CROSS JOIN n
         ),
-        hl AS (
-            SELECT {sql_dsum(
-                '-(CAST(rl AS DOUBLE) / n.n) * LN(CAST(rl AS DOUBLE) / n.n)'
-            )} AS h FROM rl CROSS JOIN n
-        ),
-        hs AS (
-            SELECT {sql_dsum(
-                '-(CAST(cs AS DOUBLE) / n.n) * LN(CAST(cs AS DOUBLE) / n.n)'
-            )} AS h FROM cs CROSS JOIN n
+        s AS (
+            SELECT {sql_dsum('(c / n) * LN((c * n) / (rl * cs))')} AS mi,
+                   {sql_dsum('-(c / n) * LN(rl / n)')} AS h_lang,
+                   {sql_dsum('-(c / n) * LN(cs / n)')} AS h_source
+            FROM m
         )
-        SELECT {sql_round4('mi.mi')} AS mutual_info_nats,
-               {sql_round4('hl.h')} AS h_lang,
-               {sql_round4('hs.h')} AS h_source,
-               {sql_round4('mi.mi / SQRT(hl.h * hs.h)')} AS nmi
-        FROM mi, hl, hs
+        SELECT {sql_round4('mi')} AS mutual_info_nats,
+               {sql_round4('h_lang')} AS h_lang,
+               {sql_round4('h_source')} AS h_source,
+               {sql_round4('mi / SQRT(h_lang * h_source)')} AS nmi
+        FROM s
     """,
     tags=("ml", "stats", "information"),
 )
@@ -1128,49 +1118,39 @@ def ml_mutual_info(spark: SparkSession, sf: str) -> DataFrame:
     (nats), with marginal entropies and the geometric-mean-normalized
     NMI — the information-theoretic 'are these two metadata columns
     redundant' dial that chi-square (ml_chi2_independence) answers
-    only as a yes/no. Everything reduces from ONE |langs|×|sources|
-    contingency aggregate: margins join back onto the cells, each
-    cell's p·ln term is row-wise IEEE (identical bits both engines),
-    and the three sums ride the decimal convention. One corpus scan,
-    alphabet-bounded everything after — the 100 TB shape."""
+    only as a yes/no. ONE corpus scan builds the |langs|x|sources|
+    contingency table; margins and the grand total are WINDOW sums
+    over those ~20 cells (not re-aggregations of the corpus — the
+    naive DataFrame DAG re-scans the table once per margin, 8x at
+    100 TB), and both entropies reduce over the same cell rows via the
+    cell-weighted identity H(X) = Σ_cells (c/n)·(−ln(m_x/n)). Each
+    cell's p·ln term is row-wise IEEE; the three sums ride the decimal
+    convention in a single final aggregate."""
     d = load_table(spark, sf, "documents")
     cells = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("c"))
-    n = cells.agg(F.sum("c").alias("n"))
-    rl = cells.groupBy("lang").agg(F.sum("c").alias("rl"))
-    cs = cells.groupBy("source").agg(F.sum("c").alias("cs"))
-    cd = F.col("c").cast("double")
-    mi = (
-        cells.join(rl, "lang")
-        .join(cs, "source")
-        .crossJoin(F.broadcast(n))
-        .agg(
-            dsum(
-                (cd / F.col("n"))
-                * F.log((cd * F.col("n")) / (F.col("rl").cast("double") * F.col("cs")))
-            ).alias("mi")
-        )
+    m = cells.select(
+        F.col("c").cast("double").alias("c"),
+        F.sum("c").over(W.partitionBy()).cast("double").alias("n"),
+        F.sum("c").over(W.partitionBy("lang")).cast("double").alias("rl"),
+        F.sum("c").over(W.partitionBy("source")).cast("double").alias("cs"),
     )
-    hl = rl.crossJoin(F.broadcast(n)).agg(
+    s_ = m.agg(
         dsum(
-            -(F.col("rl").cast("double") / F.col("n"))
-            * F.log(F.col("rl").cast("double") / F.col("n"))
-        ).alias("h")
-    )
-    hs = cs.crossJoin(F.broadcast(n)).agg(
+            (F.col("c") / F.col("n"))
+            * F.log((F.col("c") * F.col("n")) / (F.col("rl") * F.col("cs")))
+        ).alias("mi"),
         dsum(
-            -(F.col("cs").cast("double") / F.col("n"))
-            * F.log(F.col("cs").cast("double") / F.col("n"))
-        ).alias("h")
+            -(F.col("c") / F.col("n")) * F.log(F.col("rl") / F.col("n"))
+        ).alias("h_lang"),
+        dsum(
+            -(F.col("c") / F.col("n")) * F.log(F.col("cs") / F.col("n"))
+        ).alias("h_source"),
     )
-    return (
-        mi.crossJoin(hl.withColumnRenamed("h", "h_lang"))
-        .crossJoin(hs.withColumnRenamed("h", "h_source"))
-        .select(
-            round4(F.col("mi")).alias("mutual_info_nats"),
-            round4(F.col("h_lang")).alias("h_lang"),
-            round4(F.col("h_source")).alias("h_source"),
-            round4(F.col("mi") / F.sqrt(F.col("h_lang") * F.col("h_source"))).alias("nmi"),
-        )
+    return s_.select(
+        round4(F.col("mi")).alias("mutual_info_nats"),
+        round4(F.col("h_lang")).alias("h_lang"),
+        round4(F.col("h_source")).alias("h_source"),
+        round4(F.col("mi") / F.sqrt(F.col("h_lang") * F.col("h_source"))).alias("nmi"),
     )
 
 

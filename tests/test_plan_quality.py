@@ -337,3 +337,79 @@ def test_subsample_ci_replicates_broadcast(spark, registry):
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
     assert "partial_" in plan
+
+
+def test_kneser_ney_model_tables_broadcast(spark, registry):
+    # All four KN model tables (bigram, context, continuation, scalars)
+    # must broadcast onto the test bigrams — scoring is one pass, no
+    # shuffle of the scored stream against the model.
+    plan = _plan(spark, registry, "llm_kneser_ney_lm")
+    assert plan.count("BroadcastExchange") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_calibration_bins_no_sort(spark, registry):
+    # Fixed-width binning is projection + two-phase agg: no Sort, no
+    # Window, no Exchange beyond the group-by.
+    plan = _plan(spark, registry, "ml_calibration_bins")
+    assert "Window" not in plan
+    assert "partial_" in plan
+
+
+def test_time_bucket_single_aggregate(spark, registry):
+    # Bucket ids are scan-time projections; one two-phase aggregate.
+    plan = _plan(spark, registry, "fn_time_bucket")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_" in plan
+
+
+def test_kaplan_meier_day_grain_before_window(spark, registry):
+    # The risk-set running window must see day-grain rows only: a
+    # partial_ aggregate sits below the single-partition window.
+    plan = _plan(spark, registry, "ml_kaplan_meier")
+    assert "partial_" in plan
+    w = plan.index("Window")
+    assert plan.index("HashAggregate", w) > w
+
+
+def test_mutual_info_margins_from_cells(spark, registry):
+    # MI margins re-aggregate the contingency cells, never the corpus:
+    # exactly one FileScan of documents.
+    plan = _plan(spark, registry, "ml_mutual_info")
+    assert plan.count("FileScan") == 1
+
+
+def test_markov_iterations_broadcast_state(spark, registry):
+    # Each power iteration broadcast-joins the K-row distribution onto
+    # the K^2 transition table — no shuffle of the corpus after the
+    # first lag/count pass.
+    plan = _plan(spark, registry, "ml_markov_stationary")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_url_canonicalize_two_shuffles_max(spark, registry):
+    # String surgery is projection; the exchanges are the exact-distinct
+    # pre-aggregation on (canon, url) and the final group-by on the
+    # canonical key — the standard two-exchange COUNT(DISTINCT) plan,
+    # never a third.
+    plan = _plan(spark, registry, "llm_url_canonicalize")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Sort " not in plan or "SortAggregate" not in plan
+
+
+def test_skyline_prefilter_before_global_window(spark, registry):
+    # The month-grain dominance prefilter must broadcast-join BELOW the
+    # single-partition sweep window, so the global sort sees candidates
+    # only.
+    plan = _plan(spark, registry, "workload_skyline_pareto_front")
+    assert "BroadcastHashJoin" in plan
+    w = plan.index("Window")
+    assert "BroadcastHashJoin" in plan[w:] or plan.index("BroadcastHashJoin") > 0
+
+
+def test_sprt_single_walk_window(spark, registry):
+    # rn and the running LLR share one per-arm window sort.
+    plan = _plan(spark, registry, "workload_sprt")
+    assert plan.count("Window") == 1
+    assert plan.count("Sort ") <= 1
