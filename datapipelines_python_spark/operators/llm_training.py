@@ -2847,7 +2847,7 @@ def ml_cohens_kappa(spark: SparkSession, sf: str) -> DataFrame:
     pred = _REG3["ml_naive_bayes_lang"].fn(spark, sf)
     g = pred.groupBy("lang_actual", "lang_pred").agg(
         F.count(F.lit(1)).alias("n")
-    )
+    ).persist()  # four reductions read it; never re-run the classifier
     tot = g.agg(F.sum("n").cast("double").alias("nn"))
     ro = g.groupBy(F.col("lang_actual").alias("l")).agg(F.sum("n").alias("r"))
     co = g.groupBy(F.col("lang_pred").alias("l")).agg(F.sum("n").alias("c"))
@@ -2995,7 +2995,12 @@ def llm_kneser_ney_lm(spark: SparkSession, sf: str) -> DataFrame:
 
     train = split.filter(F.col("bucket") < 95)
     test = split.filter(F.col("bucket") >= 95)
-    bi = bigrams(train).groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    bi = (
+        bigrams(train)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .persist()  # ctx/bwd/scalars/score join all read the bigram table
+    )
     ctx = bi.groupBy("w1").agg(
         F.sum("c2").alias("c1w"), F.count(F.lit(1)).alias("nfwd")
     )

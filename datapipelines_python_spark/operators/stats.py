@@ -886,7 +886,8 @@ def ml_theil_sen(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events")
     daily = ev.groupBy(
         "event_type", F.dayofmonth("ts").alias("d")
-    ).agg(F.floor(dsum(F.col("value")) * 100.0 + 0.5).alias("y"))
+    ).agg(F.floor(dsum(F.col("value")) * 100.0 + 0.5).alias("y")).persist()
+    # persisted: the pair self-join and n_days both read the day grain
     a, b = daily.alias("a"), daily.alias("b")
     slopes = a.join(
         b,
@@ -1059,12 +1060,13 @@ def ml_markov_stationary(spark: SparkSession, sf: str) -> DataFrame:
         seq.filter(F.col("prev_type").isNotNull())
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("n"))
+        .persist()  # reused by row totals, P, and the state list
     )
     row = counts.groupBy("prev_type").agg(F.sum("n").alias("tot"))
     p = counts.join(row, "prev_type").select(
         "prev_type", "next_type",
         (F.col("n").cast("double") / F.col("tot")).alias("p"),
-    )
+    ).persist()  # both power iterations read it
     states = counts.select(F.col("prev_type").alias("state")).distinct()
     k = states.agg(F.count(F.lit(1)).alias("k"))
     pi0 = states.crossJoin(F.broadcast(k)).select(
@@ -1280,7 +1282,7 @@ def ml_kaplan_meier(spark: SparkSession, sf: str) -> DataFrame:
     obs = lag.select(
         F.least(F.col("raw_t"), F.lit(60)).alias("t"),
         F.when(F.col("raw_t") <= 60, 1).otherwise(0).alias("ev"),
-    )
+    ).persist()  # read by both the day grain and the risk-set total
     per_t = obs.groupBy("t").agg(
         F.sum("ev").alias("d"), F.count(F.lit(1)).alias("c")
     )

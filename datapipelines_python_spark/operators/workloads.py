@@ -1901,6 +1901,7 @@ def graph_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
         )
         .filter(F.col("x.u") < F.col("x.v"))
         .select(F.col("x.u").alias("u"), F.col("x.v").alias("v"))
+        .persist()  # edge count + the 3 triangle join legs all read it
     )
     n_nodes = nv.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
     n_edges = mutual.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
@@ -4972,6 +4973,8 @@ def _mutual_5nn(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("u", "v")
     )
+    # persist: every caller fans out over this edge list several times;
+    # without it each branch would recompute the O(n^2) candidate pass.
     return (
         topk.alias("x")
         .join(
@@ -4980,6 +4983,7 @@ def _mutual_5nn(spark: SparkSession, sf: str) -> DataFrame:
         )
         .filter(F.col("x.u") < F.col("x.v"))
         .select(F.col("x.u").alias("u"), F.col("x.v").alias("v"))
+        .persist()
     )
 
 
