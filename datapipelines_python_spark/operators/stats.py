@@ -1394,3 +1394,71 @@ def workload_sprt(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise("continue")
         .alias("decision"),
     )
+
+
+@query(
+    "ml_psi_drift",
+    oracle=f"""
+        WITH split AS (
+            SELECT CASE WHEN ascii(SUBSTRING(
+                            md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) % 2 = 0
+                        THEN 'ref' ELSE 'cur' END AS cohort,
+                   CAST(LEAST(FLOOR(o_totalprice / 50000.0), 9) AS INT) AS bin
+            FROM orders
+        ),
+        cells AS (
+            SELECT bin,
+                   SUM(CASE WHEN cohort = 'ref' THEN 1 ELSE 0 END) AS a,
+                   SUM(CASE WHEN cohort = 'cur' THEN 1 ELSE 0 END) AS b
+            FROM split GROUP BY bin
+        ),
+        probs AS (
+            SELECT bin,
+                   (a + 0.5) / CAST(SUM(a + 0.5) OVER () AS DOUBLE) AS pa,
+                   (b + 0.5) / CAST(SUM(b + 0.5) OVER () AS DOUBLE) AS pb
+            FROM cells
+        )
+        SELECT bin,
+               {sql_round4('pa')} AS p_ref,
+               {sql_round4('pb')} AS p_cur,
+               {sql_round4('(pa - pb) * LN(pa / pb)')} AS psi_contrib
+        FROM probs
+    """,
+    tags=("ml", "drift", "monitoring"),
+)
+def ml_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Population stability index between a reference and a current
+    cohort (deterministic md5 halves standing in for yesterday/today)
+    over fixed 50k-wide order-value bins: PSI = Σ (p_ref − p_cur)·
+    ln(p_ref/p_cur), THE production drift alarm for model inputs
+    (>0.25 = retrain). Laplace-(+½)-smoothed so empty bins stay finite
+    and deterministic. One corpus scan → conditional-count cells → bin
+    probabilities as window sums over ≤10 rows (the single-scan
+    margins discipline of ml_mutual_info, SCALE.md §5); each
+    contribution is row-wise IEEE + round4. At 100 TB the cohorts are
+    partition predicates (date=yesterday vs today) and the scan prunes
+    to exactly two partitions."""
+    o = load_table(spark, sf, "orders")
+    cohort = F.when(
+        F.ascii(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)) % 2
+        == 0,
+        "ref",
+    ).otherwise("cur")
+    b = F.least(F.floor(F.col("o_totalprice") / 50000.0), F.lit(9)).cast("int")
+    split = o.select(cohort.alias("cohort"), b.alias("bin"))
+    cells = split.groupBy("bin").agg(
+        F.sum(F.when(F.col("cohort") == "ref", 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("cohort") == "cur", 1).otherwise(0)).alias("b"),
+    )
+    wall = W.partitionBy()
+    probs = cells.select(
+        "bin",
+        ((F.col("a") + 0.5) / F.sum(F.col("a") + 0.5).over(wall).cast("double")).alias("pa"),
+        ((F.col("b") + 0.5) / F.sum(F.col("b") + 0.5).over(wall).cast("double")).alias("pb"),
+    )
+    return probs.select(
+        "bin",
+        round4(F.col("pa")).alias("p_ref"),
+        round4(F.col("pb")).alias("p_cur"),
+        round4((F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb"))).alias("psi_contrib"),
+    )

@@ -5466,3 +5466,72 @@ def sql_variables(spark: SparkSession, sf: str) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+@query(
+    "workload_medallion",
+    oracle=f"""
+        WITH bronze AS (
+            SELECT event_id, ts, user_id, event_type, value, props
+            FROM events
+        ),
+        silver AS (
+            SELECT event_id, ts, user_id, event_type, value,
+                   json_extract_string(props, '$.device') AS device
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY event_id ORDER BY ts, user_id) AS rn
+                FROM bronze
+            ) d
+            WHERE rn = 1 AND value IS NOT NULL AND value >= 0.0
+        ),
+        gold AS (
+            SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                   event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+                   {sql_dsum('value')} AS sum_value,
+                   CAST(COUNT(device) AS BIGINT) AS n_with_device
+            FROM silver
+            GROUP BY day, event_type
+        )
+        SELECT * FROM gold
+    """,
+    tags=("workload", "pipeline"),
+)
+def workload_medallion(spark: SparkSession, sf: str) -> DataFrame:
+    """Bronze → silver → gold medallion pipeline as ONE Catalyst plan:
+    bronze is the raw stream; silver deduplicates on event_id
+    (first-by-ts survivor), quarantines null/negative measures, and
+    extracts the typed device field from the JSON props; gold is the
+    day × type serving aggregate with exact distinct users. The layers
+    are views over each other, not materializations — Catalyst pushes
+    the silver filters into the bronze scan and fuses the whole
+    lineage, so 'three-layer architecture' costs two shuffles (dedup
+    window by event_id, gold group-by), not three jobs + two
+    intermediate tables. At 100 TB you materialize silver/gold only at
+    layer boundaries consumed by OTHER jobs — each materialization is
+    this same plan cut at a CTE — and the dedup window rides the
+    event_id bucketing of the bronze layout."""
+    ev = load_table(spark, sf, "events")
+    wdup = W.partitionBy("event_id").orderBy("ts", "user_id")
+    silver = (
+        ev.withColumn("rn", F.row_number().over(wdup))
+        .filter(
+            (F.col("rn") == 1)
+            & F.col("value").isNotNull()
+            & (F.col("value") >= 0.0)
+        )
+        .select(
+            "event_id", "ts", "user_id", "event_type", "value",
+            F.get_json_object("props", "$.device").alias("device"),
+        )
+    )
+    return silver.groupBy(
+        F.col("ts").cast("date").cast("string").alias("day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        dsum(F.col("value")).alias("sum_value"),
+        F.count("device").cast("bigint").alias("n_with_device"),
+    )
