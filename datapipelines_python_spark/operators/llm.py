@@ -24,8 +24,10 @@ from datapipelines_python_spark.catalog import load_table
 from datapipelines_python_spark.operators._helpers import (
     DEC,
     davg,
+    dsum,
     round4,
     sql_davg,
+    sql_dsum,
     sql_round4,
 )
 from datapipelines_python_spark.registry import query
@@ -2013,4 +2015,162 @@ def ml_silhouette(spark: SparkSession, sf: str) -> DataFrame:
     return sil.groupBy(F.col("own_cid").alias("cid")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members"),
         round4(davg(s)).alias("mean_silhouette"),
+    )
+
+
+@query(
+    "llm_tfidf_knn",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS t
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t
+        ),
+        df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+        nn AS (SELECT COUNT(*) AS n FROM documents),
+        w AS (
+            SELECT tf.doc_id, tf.t,
+                   tf.tf * LN(CAST(nn.n AS DOUBLE) / df.df) AS w
+            FROM tf JOIN df ON tf.t = df.t CROSS JOIN nn
+        ),
+        nrm AS (
+            SELECT doc_id,
+                   SQRT({sql_dsum('w * w')}) AS nrm
+            FROM w GROUP BY doc_id
+        ),
+        dots AS (
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   {sql_dsum('a.w * b.w')} AS dot
+            FROM w a JOIN w b ON a.t = b.t AND a.doc_id <> b.doc_id
+            WHERE a.doc_id < 20
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT a AS anchor_id, b AS neighbor_id, cos, CAST(rnk AS INT) AS rnk
+        FROM (
+            SELECT d.a, d.b,
+                   {sql_round4('d.dot / (na.nrm * nb.nrm)')} AS cos,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY d.a
+                       ORDER BY {sql_round4('d.dot / (na.nrm * nb.nrm)')} DESC,
+                                d.b) AS rnk
+            FROM dots d
+            JOIN nrm na ON d.a = na.doc_id
+            JOIN nrm nb ON d.b = nb.doc_id
+        ) r WHERE rnk <= 3
+    """,
+    tags=("llm", "similarity", "sparse"),
+)
+def llm_tfidf_knn(spark: SparkSession, sf: str) -> DataFrame:
+    """Sparse document similarity: top-3 cosine neighbors per anchor in
+    TF-IDF space via the INVERTED INDEX — candidate pairs come from
+    shared tokens (an equi-join on the term), partial dot products
+    decimal-sum per pair, norms join back — never a dense n² product
+    and never a vector materialization. This is the lexical twin of
+    the embedding ANN family: at 100 TB the token join shuffles on the
+    term key (on a natural vocabulary a df cap or AQE skew-split guards the
+    stopword postings; the fixture's 31-word vocab makes every term
+    dense, so the cap is omitted to keep the result meaningful), anchors are whatever slice you're querying, and cost is
+    Σ df² over shared terms — the classic sparse-similarity bound.
+    Ranking on round4(cos) with doc tie-break keeps neighbor sets
+    engine-exact."""
+    d = load_table(spark, sf, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("t")
+    )
+    tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tf.persist()  # df, n, weights, and both join sides derive from it
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    nn = d.agg(F.count(F.lit(1)).alias("n"))  # doc_id is unique per row
+    w = (
+        tf.join(dfreq, "t")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "doc_id", "t",
+            (F.col("tf") * F.log(F.col("n").cast("double") / F.col("df"))).alias("w"),
+        )
+        .persist()  # norms + both sides of the pair join read it
+    )
+    nrm = w.groupBy("doc_id").agg(F.sqrt(dsum(F.col("w") * F.col("w"))).alias("nrm"))
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.filter(F.col("a.doc_id") < 20)
+        .join(b, (F.col("a.t") == F.col("b.t")) & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .agg(dsum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    from pyspark.sql.window import Window as W_
+
+    na = nrm.withColumnRenamed("doc_id", "a").withColumnRenamed("nrm", "na")
+    nb = nrm.withColumnRenamed("doc_id", "b").withColumnRenamed("nrm", "nb")
+    cos = round4(F.col("dot") / (F.col("na") * F.col("nb")))
+    ranked = (
+        dots.join(F.broadcast(na), "a")
+        .join(nb, "b")
+        .select("a", "b", cos.alias("cos"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                W_.partitionBy("a").orderBy(F.desc("cos"), F.asc("b"))
+            ).cast("int"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+    return ranked.select(
+        F.col("a").alias("anchor_id"),
+        F.col("b").alias("neighbor_id"),
+        "cos", "rnk",
+    )
+
+
+@query(
+    "llm_context_fit",
+    oracle="""
+        WITH lens AS (
+            SELECT doc_id,
+                   LEN(STRING_SPLIT(text, ' ')) AS n_tokens
+            FROM documents
+        )
+        SELECT w.win AS context_window,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN n_tokens <= w.win THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_fit,
+               CAST(SUM(LEAST(n_tokens, w.win)) AS BIGINT) AS tokens_kept,
+               CAST(SUM(GREATEST(n_tokens - w.win, 0)) AS BIGINT)
+                   AS tokens_truncated,
+               FLOOR(SUM(CASE WHEN n_tokens <= w.win THEN 1 ELSE 0 END)
+                     / CAST(COUNT(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+                   AS fit_rate
+        FROM lens CROSS JOIN (SELECT UNNEST([128, 512, 2048]) AS win) w
+        GROUP BY w.win
+    """,
+    tags=("llm", "tokenizer", "planning"),
+)
+def llm_context_fit(spark: SparkSession, sf: str) -> DataFrame:
+    """Context-window fit audit: for each candidate window size
+    (128/512/2048 tokens) — how many documents fit whole, how many
+    tokens survive truncation, how many are thrown away. The
+    capacity-planning dial that decides chunking strategy
+    (llm_chunk_documents) vs plain truncation vs a longer-context
+    model, and the denominator of every 'tokens seen per epoch'
+    estimate. One corpus scan against a 3-row broadcast window table;
+    token counts are array-local; everything else is a conditional
+    aggregate. Trivially 100 TB-safe: map-side combine reduces to
+    3 rows."""
+    d = load_table(spark, sf, "documents")
+    lens = d.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    wins = spark.range(3).select(
+        F.element_at(F.array(F.lit(128), F.lit(512), F.lit(2048)), (F.col("id") + 1).cast("int")).alias("win")
+    )
+    j = lens.crossJoin(F.broadcast(wins))
+    fit = F.sum(F.when(F.col("n_tokens") <= F.col("win"), 1).otherwise(0))
+    return j.groupBy(F.col("win").alias("context_window")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        fit.cast("bigint").alias("n_fit"),
+        F.sum(F.least(F.col("n_tokens"), F.col("win"))).cast("bigint").alias("tokens_kept"),
+        F.sum(F.greatest(F.col("n_tokens") - F.col("win"), F.lit(0))).cast("bigint").alias("tokens_truncated"),
+        (F.floor(fit / F.count(F.lit(1)).cast("double") * 10000.0 + 0.5) / 10000.0).alias("fit_rate"),
     )
