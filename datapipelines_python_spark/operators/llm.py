@@ -2174,3 +2174,70 @@ def llm_context_fit(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.greatest(F.col("n_tokens") - F.col("win"), F.lit(0))).cast("bigint").alias("tokens_truncated"),
         (F.floor(fit / F.count(F.lit(1)).cast("double") * 10000.0 + 0.5) / 10000.0).alias("fit_rate"),
     )
+
+
+_SENTIMENT_CASE_SQL = (
+    "CASE {c} WHEN 'fast' THEN 2 WHEN 'small' THEN 1 WHEN 'merge' THEN 1 "
+    "WHEN 'slow' THEN -2 WHEN 'dup' THEN -3 WHEN 'big' THEN -1 ELSE 0 END"
+)
+
+
+@query(
+    "llm_sentiment_lexicon",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id,
+                   LEN(STRING_SPLIT(LOWER(text), ' ')) AS n_tokens,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(STRING_SPLIT(LOWER(text), ' '),
+                                      c -> CAST({_SENTIMENT_CASE_SQL.format(c='c')} AS BIGINT))),
+                       (a, b) -> a + b) AS sentiment_sum
+            FROM documents
+        )
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               sentiment_sum,
+               FLOOR(CAST(sentiment_sum AS DOUBLE) / n_tokens * 10000.0 + 0.5)
+                   / 10000.0 AS score,
+               CASE WHEN sentiment_sum > 2 THEN 'positive'
+                    WHEN sentiment_sum < -2 THEN 'negative'
+                    ELSE 'neutral' END AS polarity
+        FROM scored
+    """,
+    tags=("llm", "text", "sentiment"),
+)
+def llm_sentiment_lexicon(spark: SparkSession, sf: str) -> DataFrame:
+    """Lexicon-based sentiment scoring (the AFINN/VADER-lite recipe of
+    the retrieved 'Large Scale Sentiment Analysis on Twitter with
+    Spark', EDBT 2016): each token maps to an integer valence from an
+    inline lexicon (keyed to the fixture vocabulary: fast/small/merge
+    positive, slow/dup/big negative), summed per document with a
+    length-normalized score and a ±2 polarity gate. The lexicon rides
+    INSIDE the fold lambda as a CASE — array-local, ZERO shuffle, no
+    join at all; a real 10k-word lexicon becomes a broadcast map or a
+    literal map_from_arrays lookup with the identical plan shape.
+    Integer sums are exact; the one division is row-wise IEEE."""
+    d = load_table(spark, sf, "documents")
+    case_expr = _SENTIMENT_CASE_SQL.format(c="c")
+    scored = d.select(
+        "doc_id",
+        F.size(F.split(F.lower("text"), " ")).alias("n_tokens"),
+        F.expr(
+            f"aggregate(split(lower(text), ' '), 0L, (a, c) -> a + ({case_expr}))"
+        ).alias("sentiment_sum"),
+    )
+    return scored.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "sentiment_sum",
+        (
+            F.floor(
+                F.col("sentiment_sum").cast("double") / F.col("n_tokens") * 10000.0
+                + 0.5
+            )
+            / 10000.0
+        ).alias("score"),
+        F.when(F.col("sentiment_sum") > 2, "positive")
+        .when(F.col("sentiment_sum") < -2, "negative")
+        .otherwise("neutral")
+        .alias("polarity"),
+    )
