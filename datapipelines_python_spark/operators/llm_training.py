@@ -2293,28 +2293,25 @@ def llm_hard_negative_mining(spark: SparkSession, sf: str) -> DataFrame:
     ANN bucket joins (``llm_ann_lsh_bucketed`` / ``llm_ann_ivf``) with
     this op's rank-and-take-3 stage unchanged on the n×k candidate table;
     the n² join below is the fixture-scale oracle formulation."""
-    from datapipelines_python_spark.operators.llm import dot
+    from datapipelines_python_spark.operators.workloads import _cosine_pairs
 
-    emb = load_table(spark, sf, "embeddings")
-    nv = emb.select(
-        "vec_id", "embedding", "label",
-        F.sqrt(dot("embedding", "embedding")).alias("norm"),
-    )
+    lab = load_table(spark, sf, "embeddings").select("vec_id", "label")
     p = (
-        nv.alias("a")
+        _cosine_pairs(spark, sf)
         .join(
-            nv.alias("b"),
-            (F.col("a.vec_id") != F.col("b.vec_id"))
-            & (F.col("a.label") != F.col("b.label")),
+            F.broadcast(lab.select(F.col("vec_id").alias("u"),
+                                   F.col("label").alias("la"))), "u"
         )
+        .join(
+            F.broadcast(lab.select(F.col("vec_id").alias("v"),
+                                   F.col("label").alias("lb"))), "v"
+        )
+        .filter(F.col("la") != F.col("lb"))
         .select(
-            F.col("a.vec_id").alias("anchor_id"),
-            F.col("a.label").cast("int").alias("anchor_label"),
-            F.col("b.vec_id").alias("negative_id"),
-            round4(
-                dot(F.col("a.embedding"), F.col("b.embedding"))
-                / (F.col("a.norm") * F.col("b.norm"))
-            ).alias("cos_sim"),
+            F.col("u").alias("anchor_id"),
+            F.col("la").cast("int").alias("anchor_label"),
+            F.col("v").alias("negative_id"),
+            F.col("c").alias("cos_sim"),
         )
     )
     rn = F.row_number().over(

@@ -3362,28 +3362,18 @@ def ml_knn_classifier(spark: SparkSession, sf: str) -> DataFrame:
     (``llm_ann_lsh_bucketed`` / ``llm_ann_ivf``) and this op's vote +
     score stages consume the n×k edge table unchanged — classification
     cost is the ANN cost, voting is two narrow aggregates."""
-    from datapipelines_python_spark.operators.llm import dot
-
-    emb = load_table(spark, sf, "embeddings")
-    nv = emb.select(
-        "vec_id",
-        "embedding",
-        "label",
-        F.sqrt(dot("embedding", "embedding")).alias("norm"),
-    )
+    lab = load_table(spark, sf, "embeddings").select("vec_id", "label")
+    pairs = _cosine_pairs(spark, sf)
     p = (
-        nv.alias("a")
-        .join(nv.alias("b"), F.col("a.vec_id") != F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("q"),
-            F.col("a.label").alias("label_actual"),
-            F.col("b.label").alias("label_n"),
-            round4(
-                dot(F.col("a.embedding"), F.col("b.embedding"))
-                / (F.col("a.norm") * F.col("b.norm"))
-            ).alias("c"),
-            F.col("b.vec_id").alias("v"),
+        pairs.join(
+            F.broadcast(lab.select(F.col("vec_id").alias("u"),
+                                   F.col("label").alias("label_actual"))), "u"
         )
+        .join(
+            F.broadcast(lab.select(F.col("vec_id").alias("v"),
+                                   F.col("label").alias("label_n"))), "v"
+        )
+        .select(F.col("u").alias("q"), "label_actual", "label_n", "c", "v")
     )
     knn = (
         p.withColumn(
@@ -4805,6 +4795,45 @@ _SQL_MUTUAL_5NN = """
 """
 
 
+_COSINE_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _cosine_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """All ordered cosine pairs (u, v, round4 c), u != v, of the embedding
+    corpus — the one O(n^2) pass behind the whole kNN-graph/mining family,
+    built and persisted once per (session, sf). Every consumer
+    (mutual-5NN edges, LOO-kNN classification, hard-negative mining)
+    derives from this table with narrow joins and windows; at 100 TB the
+    table is replaced by the bucketed-ANN candidate pairs with identical
+    downstream plans."""
+    key = (spark.sparkContext.applicationId, sf)
+    cached = _COSINE_PAIRS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    from datapipelines_python_spark.operators.llm import dot
+
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    nv = emb.select(
+        "vec_id", "embedding",
+        F.sqrt(dot("embedding", "embedding")).alias("norm"),
+    )
+    pairs = (
+        nv.alias("a")
+        .join(nv.alias("b"), F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("u"),
+            F.col("b.vec_id").alias("v"),
+            round4(
+                dot(F.col("a.embedding"), F.col("b.embedding"))
+                / (F.col("a.norm") * F.col("b.norm"))
+            ).alias("c"),
+        )
+        .persist()
+    )
+    _COSINE_PAIRS_CACHE[key] = pairs
+    return pairs
+
+
 _MUTUAL_5NN_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -4823,25 +4852,7 @@ def _mutual_5nn(spark: SparkSession, sf: str) -> DataFrame:
     cached = _MUTUAL_5NN_CACHE.get(key)
     if cached is not None:
         return cached
-    from datapipelines_python_spark.operators.llm import dot
-
-    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
-    nv = emb.select(
-        "vec_id", "embedding",
-        F.sqrt(dot("embedding", "embedding")).alias("norm"),
-    )
-    p = (
-        nv.alias("a")
-        .join(nv.alias("b"), F.col("a.vec_id") != F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("u"),
-            F.col("b.vec_id").alias("v"),
-            round4(
-                dot(F.col("a.embedding"), F.col("b.embedding"))
-                / (F.col("a.norm") * F.col("b.norm"))
-            ).alias("c"),
-        )
-    )
+    p = _cosine_pairs(spark, sf)
     w = W.partitionBy("u").orderBy(F.desc("c"), F.asc("v"))
     topk = (
         p.withColumn("rn", F.row_number().over(w))
