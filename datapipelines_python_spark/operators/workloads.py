@@ -4809,6 +4809,8 @@ def _cosine_pairs(spark: SparkSession, sf: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf)
     cached = _COSINE_PAIRS_CACHE.get(key)
     if cached is not None:
+        if not cached.storageLevel.useMemory:  # re-pin after clearCache()
+            cached.persist()
         return cached
     from datapipelines_python_spark.operators.llm import dot
 
@@ -4851,6 +4853,8 @@ def _mutual_5nn(spark: SparkSession, sf: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf)
     cached = _MUTUAL_5NN_CACHE.get(key)
     if cached is not None:
+        if not cached.storageLevel.useMemory:  # re-pin after clearCache()
+            cached.persist()
         return cached
     p = _cosine_pairs(spark, sf)
     w = W.partitionBy("u").orderBy(F.desc("c"), F.asc("v"))
