@@ -5427,3 +5427,176 @@ def workload_medallion(spark: SparkSession, sf: str) -> DataFrame:
         dsum(F.col("value")).alias("sum_value"),
         F.count("device").cast("bigint").alias("n_with_device"),
     )
+
+
+@query(
+    "workload_fifo_allocation",
+    oracle="""
+        WITH base AS (
+            SELECT user_id, event_type, ts, event_id,
+                   CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+            FROM events WHERE user_id % 97 = 0
+        ),
+        g AS (
+            SELECT user_id,
+                   ROW_NUMBER() OVER w AS grant_seq,
+                   SUM(cents) OVER w - cents AS lo,
+                   SUM(cents) OVER w AS hi
+            FROM base WHERE event_type = 'signup'
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        c AS (
+            SELECT user_id,
+                   ROW_NUMBER() OVER w AS cons_seq,
+                   SUM(cents) OVER w - cents AS lo,
+                   SUM(cents) OVER w AS hi
+            FROM base WHERE event_type = 'purchase'
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT g.user_id,
+               CAST(g.grant_seq AS BIGINT) AS grant_seq,
+               CAST(c.cons_seq AS BIGINT) AS cons_seq,
+               LEAST(g.hi, c.hi) - GREATEST(g.lo, c.lo) AS matched_cents
+        FROM g JOIN c
+          ON g.user_id = c.user_id AND g.lo < c.hi AND c.lo < g.hi
+    """,
+    tags=("workload", "ledger", "fifo"),
+)
+def workload_fifo_allocation(spark: SparkSession, sf: str) -> DataFrame:
+    """FIFO ledger allocation — signup events grant credit, purchases
+    consume it, and every consumption is matched to the EARLIEST
+    unconsumed grants (cost-basis matching, prepaid-credit burn-down,
+    inventory FIFO — the classic 'hard in SQL' problem). The procedural
+    queue vanishes under the cumulative-interval identity: each grant
+    owns [cum−amt, cum) of the user's lifetime credit line, each
+    consumption owns the same interval on its own axis, and FIFO
+    matching IS interval overlap — one equi-join on user with a range
+    residual, matched amount = overlap length. Exact integer cents;
+    per-user windows and the join share the user_id partitioning (ONE
+    shuffle at scale with co-bucketed layout); overlap fan-out is
+    bounded by grants+consumptions per user, never their product.
+    Users subset (%97) keeps the fixture output compact."""
+    ev = load_table(spark, sf, "events")
+    base = ev.filter(F.col("user_id") % 97 == 0).select(
+        "user_id", "event_type", "ts", "event_id",
+        F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("cents"),
+    )
+    wspec = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wrn = W.partitionBy("user_id").orderBy("ts", "event_id")
+
+    def ledger(etype: str, seq_name: str) -> DataFrame:
+        side = base.filter(F.col("event_type") == etype)
+        return side.select(
+            "user_id",
+            F.row_number().over(wrn).cast("bigint").alias(seq_name),
+            (F.sum("cents").over(wspec) - F.col("cents")).alias("lo"),
+            F.sum("cents").over(wspec).alias("hi"),
+        )
+
+    g = ledger("signup", "grant_seq")
+    c = ledger("purchase", "cons_seq")
+    ga, ca = g.alias("g"), c.alias("c")
+    return (
+        ga.join(
+            ca,
+            (F.col("g.user_id") == F.col("c.user_id"))
+            & (F.col("g.lo") < F.col("c.hi"))
+            & (F.col("c.lo") < F.col("g.hi")),
+        )
+        .select(
+            F.col("g.user_id").alias("user_id"),
+            "grant_seq",
+            "cons_seq",
+            (
+                F.least(F.col("g.hi"), F.col("c.hi"))
+                - F.greatest(F.col("g.lo"), F.col("c.lo"))
+            ).alias("matched_cents"),
+        )
+    )
+
+
+@query(
+    "workload_interval_union",
+    oracle="""
+        WITH iv AS (
+            SELECT user_id,
+                   CAST(FLOOR(epoch(ts)) AS BIGINT) AS lo,
+                   CAST(FLOOR(epoch(ts)) AS BIGINT) + 300 AS hi
+            FROM events WHERE user_id % 199 = 0
+        ),
+        flagged AS (
+            SELECT user_id, lo, hi,
+                   CASE WHEN lo > COALESCE(MAX(hi) OVER (
+                            PARTITION BY user_id ORDER BY lo, hi
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                        ), -1) THEN 1 ELSE 0 END AS new_block
+            FROM iv
+        ),
+        blocks AS (
+            SELECT user_id, lo, hi,
+                   SUM(new_block) OVER (
+                       PARTITION BY user_id ORDER BY lo, hi
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS block_id
+            FROM flagged
+        )
+        SELECT user_id,
+               CAST(COUNT(DISTINCT block_id) AS BIGINT) AS n_blocks,
+               CAST(SUM(span) AS BIGINT) AS covered_seconds,
+               CAST(SUM(n) AS BIGINT) AS n_intervals
+        FROM (
+            SELECT user_id, block_id,
+                   MAX(hi) - MIN(lo) AS span, COUNT(*) AS n
+            FROM blocks GROUP BY user_id, block_id
+        ) b
+        GROUP BY user_id
+    """,
+    tags=("workload", "interval"),
+)
+def workload_interval_union(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval union (merge overlapping intervals): each event opens a
+    5-minute activity window; per user, overlapping windows merge into
+    maximal blocks and the op reports block count + total covered
+    seconds — the 'actual active time' metric that naive
+    count×duration overstates wherever activity overlaps, and the twin
+    of workload_queue_depth (which counts concurrency instead of
+    merging it). The procedural merge loop vanishes under the
+    running-max identity: a window starts a new block iff its lo
+    exceeds the max hi of every earlier window; the cumulative flag
+    sum IS the block id (same islands trick as sessionization, but on
+    interval geometry, not gaps). Two windows + two aggregates, all
+    partitioned by user — one shuffle end to end at any scale."""
+    ev = load_table(spark, sf, "events")
+    ep = F.unix_timestamp(F.col("ts")).cast("bigint")
+    iv = ev.filter(F.col("user_id") % 199 == 0).select(
+        "user_id", ep.alias("lo"), (ep + 300).alias("hi")
+    )
+    worder = W.partitionBy("user_id").orderBy("lo", "hi")
+    prevmax = F.max("hi").over(worder.rowsBetween(W.unboundedPreceding, -1))
+    flagged = iv.select(
+        "user_id", "lo", "hi",
+        F.when(F.col("lo") > F.coalesce(prevmax, F.lit(-1)), 1)
+        .otherwise(0)
+        .alias("new_block"),
+    )
+    blocks = flagged.select(
+        "user_id", "lo", "hi",
+        F.sum("new_block")
+        .over(worder.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("block_id"),
+    )
+    per_block = blocks.groupBy("user_id", "block_id").agg(
+        (F.max("hi") - F.min("lo")).alias("span"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return per_block.groupBy("user_id").agg(
+        F.countDistinct("block_id").cast("bigint").alias("n_blocks"),
+        F.sum("span").cast("bigint").alias("covered_seconds"),
+        F.sum("n").cast("bigint").alias("n_intervals"),
+    )
