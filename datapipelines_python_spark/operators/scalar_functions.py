@@ -1340,3 +1340,85 @@ def fn_time_bucket(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         round4(dsum(F.col("value"))).alias("sum_value"),
     )
+
+
+@query(
+    "fn_string_extra",
+    oracle="""
+        SELECT p_partkey,
+               ARRAY_TO_STRING(
+                   list_transform(STRING_SPLIT(p_name, ' '),
+                       w -> UPPER(w[1]) || LOWER(w[2:])),
+                   ' ') AS name_initcap,
+               TRANSLATE(p_brand, '#', '-') AS brand_dashed,
+               REVERSE(p_type) AS type_reversed,
+               REPEAT(LEFT(p_brand, 5), 2) AS brand_echo,
+               RIGHT(p_type, 4) AS type_tail,
+               STARTS_WITH(p_type, 'STANDARD') AS is_standard,
+               CONTAINS(p_type, 'BRUSHED') AS is_brushed
+        FROM part
+    """,
+    tags=("scalar", "string"),
+)
+def fn_string_extra(spark: SparkSession, sf: str) -> DataFrame:
+    """Second string-scalar tranche beyond fn_string: initcap (oracle
+    emulates Spark's lowercase-the-rest semantics per word, which
+    DuckDB lacks natively), translate character mapping, reverse,
+    repeat, left/right slicing, startswith/contains predicates. Pure
+    projections — codegen'd JVM string intrinsics, no shuffle, and the
+    boolean predicates are pushdown-eligible when used in filters."""
+    p = load_table(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.initcap("p_name").alias("name_initcap"),
+        F.translate("p_brand", "#", "-").alias("brand_dashed"),
+        F.reverse("p_type").alias("type_reversed"),
+        F.repeat(F.substring("p_brand", 1, 5), 2).alias("brand_echo"),
+        F.substring("p_type", -4, 4).alias("type_tail"),
+        F.col("p_type").startswith("STANDARD").alias("is_standard"),
+        F.col("p_type").contains("BRUSHED").alias("is_brushed"),
+    )
+
+
+@query(
+    "fn_array_extra",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS toks
+            FROM documents
+        )
+        SELECT doc_id,
+               flatten([toks[1:3], toks[4:5]]) AS head_flat,
+               CAST(list_position(toks, 'data') AS INT) AS pos_data,
+               [x for x in toks if x <> 'the'] AS no_the,
+               ['pad' for i in range(3)] AS pad3,
+               [x for x in toks if x IS NOT NULL AND x <> ''] AS compacted
+        FROM t
+    """,
+    tags=("scalar", "array"),
+)
+def fn_array_extra(spark: SparkSession, sf: str) -> DataFrame:
+    """Second array-scalar tranche beyond fn_array/fn_array_hof:
+    flatten (nested → flat), array_position (1-based, 0 when absent —
+    Spark and DuckDB agree on that convention), array_remove,
+    array_repeat, and array_compact (null/empty scrub, emulated with a
+    filter on the DuckDB side where Spark's compact only drops NULLs —
+    the op removes both so the two are aligned). All array-local
+    projections: ZERO shuffle, and the token array is built once per
+    row and multi-referenced, keeping CollapseProject from inlining
+    the split per lambda (SCALE.md §4)."""
+    d = load_table(spark, sf, "documents")
+    toks = F.split(F.lower("text"), " ")
+    t = d.select("doc_id", toks.alias("toks"))
+    return t.select(
+        "doc_id",
+        F.flatten(
+            F.array(F.slice("toks", 1, 3), F.slice("toks", 4, 2))
+        ).alias("head_flat"),
+        F.array_position("toks", "data").cast("int").alias("pos_data"),
+        F.array_remove("toks", "the").alias("no_the"),
+        F.array_repeat(F.lit("pad"), 3).alias("pad3"),
+        F.filter(
+            "toks", lambda x: x.isNotNull() & (x != F.lit(""))
+        ).alias("compacted"),
+    )
