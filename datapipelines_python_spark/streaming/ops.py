@@ -611,3 +611,90 @@ if _HAS_PROTOBUF:
                 spark.conf.set(
                     "spark.sql.streaming.stateStore.providerClass", prev_provider
                 )
+
+
+@query(
+    "stream_dedup_within_watermark",
+    oracle="""
+        SELECT event_id, MIN(event_type) AS event_type
+        FROM events GROUP BY event_id
+    """,
+    tags=("streaming", "dedup", "watermark"),
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark``: stateful dedup whose per-key
+    state is EVICTED once the watermark passes the key's event time —
+    the unbounded-state fix for stream_dedup's plain
+    ``dropDuplicates``, whose state grows forever on an infinite
+    stream. Within the watermark horizon duplicates collapse exactly
+    like the batch GROUP BY oracle; at 100 TB/day this is the only
+    dedup that survives week-long streams, with the horizon chosen to
+    cover the real duplicate window (late retries, at-least-once
+    sources)."""
+    s = events_stream(spark, sf).withWatermark("ts", "10 minutes")
+    dd = s.dropDuplicatesWithinWatermark(["event_id"]).select(
+        "event_id", "event_type"
+    )
+    out = drain_to_memory(dd, "stream_ddww_sink", "append")
+    # one row per event_id survives; MIN collapses the oracle identically
+    return out.groupBy("event_id").agg(F.min("event_type").alias("event_type"))
+
+
+@query(
+    "stream_chained_window_aggs",
+    oracle=f"""
+        WITH mx AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS max_ts FROM events),
+        q AS (
+            SELECT CAST(to_timestamp(1704067200 +
+                       (CAST(FLOOR(epoch(ts)) AS BIGINT) - 1704067200)
+                           // 900 * 900) AT TIME ZONE 'UTC' AS TIMESTAMP)
+                       AS q_start,
+                   event_type,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        closed_q AS (
+            SELECT q.* FROM q, mx
+            WHERE q_start + INTERVAL 15 MINUTE <= mx.max_ts - INTERVAL 10 MINUTE
+        ),
+        h AS (
+            SELECT CAST(DATE_TRUNC('hour', q_start) AS TIMESTAMP) AS hour_start,
+                   event_type,
+                   MAX(n) AS peak_quarter_hour,
+                   SUM(n) AS total_events
+            FROM closed_q
+            GROUP BY 1, 2
+        )
+        SELECT h.* FROM h, mx
+        WHERE hour_start + INTERVAL 1 HOUR <= mx.max_ts - INTERVAL 10 MINUTE
+    """,
+    tags=("streaming", "spark4", "chained"),
+)
+def stream_chained_window_aggs(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark 4 chained stateful operators: TWO windowed aggregations in
+    ONE streaming query — 15-minute tumbling counts per event type,
+    re-windowed into hourly peak/total rollups (the '15-min grain for
+    alerting, hourly grain for dashboards' hierarchy) — previously
+    impossible without an intermediate sink + second job. The outer agg
+    windows over the inner agg's ``window`` struct directly; both
+    stages emit append-mode exactly-once, so the oracle replays BOTH
+    closure rules: a quarter-hour participates iff its end ≤ final
+    watermark (max ts − 10 min), an hour emits iff its end ≤ the same
+    watermark. State stays bounded at both grains by the one watermark;
+    at scale this halves the job count and the sink traffic of every
+    multi-grain rollup pipeline."""
+    s = events_stream(spark, sf).withWatermark("ts", "10 minutes")
+    q = s.groupBy(F.window("ts", "15 minutes"), "event_type").agg(
+        F.count("*").alias("n")
+    )
+    h = q.groupBy(F.window(F.col("window"), "1 hour"), "event_type").agg(
+        F.max("n").alias("peak_quarter_hour"),
+        F.sum("n").alias("total_events"),
+    )
+    out = h.select(
+        F.col("window.start").alias("hour_start"),
+        "event_type",
+        "peak_quarter_hour",
+        "total_events",
+    )
+    return drain_to_memory(out, "stream_chained_sink", "append")
