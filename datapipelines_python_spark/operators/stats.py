@@ -1462,3 +1462,87 @@ def ml_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
         round4(F.col("pb")).alias("p_cur"),
         round4((F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb"))).alias("psi_contrib"),
     )
+
+
+@query(
+    "ml_shapley_closed_form",
+    oracle=f"""
+        WITH feats AS (
+            SELECT o_orderkey, o_orderpriority,
+                   o_totalprice / 50000.0 AS x1,
+                   CAST(CAST(SUBSTRING(o_orderpriority, 1, 1) AS INTEGER)
+                        AS DOUBLE) AS x2
+            FROM orders
+        ),
+        mu AS (
+            SELECT {sql_round4(sql_davg('x1'))} AS m1,
+                   {sql_round4(sql_davg('x2'))} AS m2
+            FROM feats
+        ),
+        phi AS (
+            SELECT o_orderpriority,
+                   0.5 * ((1.0/(1.0+EXP(-(-2.0 + 0.8*x1 + 0.3*m2)))
+                           - 1.0/(1.0+EXP(-(-2.0 + 0.8*m1 + 0.3*m2))))
+                        + (1.0/(1.0+EXP(-(-2.0 + 0.8*x1 + 0.3*x2)))
+                           - 1.0/(1.0+EXP(-(-2.0 + 0.8*m1 + 0.3*x2)))))
+                       AS phi1,
+                   0.5 * ((1.0/(1.0+EXP(-(-2.0 + 0.8*m1 + 0.3*x2)))
+                           - 1.0/(1.0+EXP(-(-2.0 + 0.8*m1 + 0.3*m2))))
+                        + (1.0/(1.0+EXP(-(-2.0 + 0.8*x1 + 0.3*x2)))
+                           - 1.0/(1.0+EXP(-(-2.0 + 0.8*x1 + 0.3*m2)))))
+                       AS phi2,
+                   1.0/(1.0+EXP(-(-2.0 + 0.8*x1 + 0.3*x2)))
+                       - 1.0/(1.0+EXP(-(-2.0 + 0.8*m1 + 0.3*m2))) AS total
+            FROM feats, mu
+        )
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               {sql_round4(sql_davg('phi1'))} AS mean_phi_price,
+               {sql_round4(sql_davg('phi2'))} AS mean_phi_priority,
+               {sql_round4(sql_davg('phi1 + phi2 - total'))} AS efficiency_gap
+        FROM phi GROUP BY o_orderpriority
+    """,
+    tags=("ml", "explainability"),
+)
+def ml_shapley_closed_form(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact Shapley attribution for a fixed 2-feature logistic scorer
+    (σ(−2 + 0.8·price/50k + 0.3·priority_rank)): with two features the
+    2! orderings enumerate in closed form, so each row's φ is ½ the sum
+    of both marginal contributions against the feature-mean baseline —
+    no sampling, no surrogate model. Per-priority mean attributions
+    answer 'what drives the score here', and the efficiency_gap column
+    audits the Shapley identity φ₁+φ₂ = f(x)−f(baseline) (≡0 up to
+    round4 — shipped as a built-in self-check). Baseline means are
+    round4-pinned and broadcast; everything else is row-wise IEEE in
+    ONE scan + one small aggregate. The exponential-in-features blowup
+    starts at d>10 — there you sample orderings with the deterministic
+    md5 trick of ml_subsample_ci, same plan shape."""
+    o = load_table(spark, sf, "orders")
+    feats = o.select(
+        "o_orderpriority",
+        (F.col("o_totalprice") / 50000.0).alias("x1"),
+        F.substring("o_orderpriority", 1, 1).cast("integer").cast("double").alias("x2"),
+    )
+    mu = feats.agg(
+        round4(davg(F.col("x1"))).alias("m1"),
+        round4(davg(F.col("x2"))).alias("m2"),
+    )
+
+    def sig(x1, x2):
+        return 1.0 / (1.0 + F.exp(-(F.lit(-2.0) + 0.8 * x1 + 0.3 * x2)))
+
+    j = feats.crossJoin(F.broadcast(mu))
+    x1, x2, m1, m2 = F.col("x1"), F.col("x2"), F.col("m1"), F.col("m2")
+    phi1 = 0.5 * ((sig(x1, m2) - sig(m1, m2)) + (sig(x1, x2) - sig(m1, x2)))
+    phi2 = 0.5 * ((sig(m1, x2) - sig(m1, m2)) + (sig(x1, x2) - sig(x1, m2)))
+    total = sig(x1, x2) - sig(m1, m2)
+    phi = j.select(
+        "o_orderpriority",
+        phi1.alias("phi1"), phi2.alias("phi2"), total.alias("total"),
+    )
+    return phi.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        round4(davg(F.col("phi1"))).alias("mean_phi_price"),
+        round4(davg(F.col("phi2"))).alias("mean_phi_priority"),
+        round4(davg(F.col("phi1") + F.col("phi2") - F.col("total"))).alias("efficiency_gap"),
+    )

@@ -5600,3 +5600,106 @@ def workload_interval_union(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("span").cast("bigint").alias("covered_seconds"),
         F.sum("n").cast("bigint").alias("n_intervals"),
     )
+
+
+@query(
+    "workload_bitemporal",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od, o_totalprice
+            FROM orders WHERE o_orderkey % 50 = 0
+        ),
+        versions AS (
+            SELECT o_orderkey, o_totalprice AS price,
+                   od AS valid_from, od + INTERVAL 90 DAY AS valid_to,
+                   od AS tx_from,
+                   CASE WHEN o_orderkey % 3 = 0
+                        THEN od + INTERVAL 10 DAY
+                        ELSE DATE '9999-12-31' END AS tx_to
+            FROM base
+            UNION ALL
+            SELECT o_orderkey, o_totalprice + 5.0,
+                   od, od + INTERVAL 90 DAY,
+                   od + INTERVAL 10 DAY, DATE '9999-12-31'
+            FROM base WHERE o_orderkey % 3 = 0
+        ),
+        q AS (
+            SELECT o_orderkey, od + INTERVAL 1 DAY AS v_q,
+                   od + INTERVAL 5 DAY AS tx_early,
+                   od + INTERVAL 15 DAY AS tx_late
+            FROM base
+        )
+        SELECT q.o_orderkey,
+               MIN(CASE WHEN v.tx_from <= q.tx_early AND q.tx_early < v.tx_to
+                        THEN v.price END) AS price_known_at_5d,
+               MIN(CASE WHEN v.tx_from <= q.tx_late AND q.tx_late < v.tx_to
+                        THEN v.price END) AS price_known_at_15d,
+               q.o_orderkey % 3 = 0 AS was_corrected
+        FROM q JOIN versions v
+          ON q.o_orderkey = v.o_orderkey
+         AND v.valid_from <= q.v_q AND q.v_q < v.valid_to
+        GROUP BY q.o_orderkey
+    """,
+    tags=("workload", "versioning", "temporal"),
+)
+def workload_bitemporal(spark: SparkSession, sf: str) -> DataFrame:
+    """Bitemporal versioning — VALID time (when the fact was true in the
+    world) × TRANSACTION time (when the database learned it): every
+    third order receives a price correction 10 days after entry, and
+    the query answers 'what price did we believe at +5d vs +15d for
+    the validity instant +1d' — the audit/restatement question SCD2
+    (valid-time only, workload_scd2) cannot answer, because a
+    correction rewrites history without changing validity. Versions
+    live as rows with two closed-open intervals; an as-of point query
+    is one key-equi join with interval residuals on both axes. At
+    100 TB the key join co-partitions exactly like join_temporal_dim
+    and the tx-axis CASE rides the aggregate, not a second join."""
+    o = load_table(spark, sf, "orders")
+    base = o.filter(F.col("o_orderkey") % 50 == 0).select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("od"),
+        "o_totalprice",
+    ).persist()  # versions (×2 branches) and the query table all read it
+    inf = F.lit("9999-12-31").cast("date")
+    v1 = base.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.col("od").alias("valid_from"),
+        F.date_add("od", 90).alias("valid_to"),
+        F.col("od").alias("tx_from"),
+        F.when(F.col("o_orderkey") % 3 == 0, F.date_add("od", 10))
+        .otherwise(inf)
+        .alias("tx_to"),
+    )
+    v2 = base.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 5.0).alias("price"),
+        F.col("od").alias("valid_from"),
+        F.date_add("od", 90).alias("valid_to"),
+        F.date_add("od", 10).alias("tx_from"),
+        inf.alias("tx_to"),
+    )
+    versions = v1.unionByName(v2)
+    q = base.select(
+        "o_orderkey",
+        F.date_add("od", 1).alias("v_q"),
+        F.date_add("od", 5).alias("tx_early"),
+        F.date_add("od", 15).alias("tx_late"),
+    )
+    j = q.join(
+        versions,
+        (q["o_orderkey"] == versions["o_orderkey"])
+        & (versions["valid_from"] <= q["v_q"])
+        & (q["v_q"] < versions["valid_to"]),
+    )
+    known = lambda t: F.min(
+        F.when(
+            (F.col("tx_from") <= F.col(t)) & (F.col(t) < F.col("tx_to")),
+            F.col("price"),
+        )
+    )
+    return j.groupBy(q["o_orderkey"].alias("o_orderkey")).agg(
+        known("tx_early").alias("price_known_at_5d"),
+        known("tx_late").alias("price_known_at_15d"),
+        F.min((q["o_orderkey"] % 3 == 0).cast("boolean")).alias("was_corrected"),
+    )
