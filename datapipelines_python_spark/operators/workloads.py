@@ -5703,3 +5703,118 @@ def workload_bitemporal(spark: SparkSession, sf: str) -> DataFrame:
         known("tx_late").alias("price_known_at_15d"),
         F.min((q["o_orderkey"] % 3 == 0).cast("boolean")).alias("was_corrected"),
     )
+
+
+@query(
+    "workload_shapley_attribution",
+    oracle=f"""
+        WITH exposure AS (
+            SELECT user_id,
+                   CAST(SUM(DISTINCT CASE event_type
+                        WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                        WHEN 'signup' THEN 4 WHEN 'error' THEN 8
+                        ELSE 0 END) AS INT) AS mask,
+                   MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS conv
+            FROM events GROUP BY user_id
+        ),
+        v AS (
+            SELECT mask, {sql_round4(sql_davg('CAST(conv AS DOUBLE)'))} AS v,
+                   COUNT(*) AS n
+            FROM exposure GROUP BY mask
+        ),
+        chans AS (
+            SELECT * FROM (VALUES (1, 'view'), (2, 'click'),
+                                  (4, 'signup'), (8, 'error')) AS t(bit, channel)
+        ),
+        masks AS (SELECT CAST(UNNEST(range(0, 16)) AS INT) AS s),
+        terms AS (
+            SELECT c.channel, c.bit,
+                   CASE bit_count(CAST(m.s AS BIGINT))
+                        WHEN 0 THEN 6.0/24.0 WHEN 1 THEN 2.0/24.0
+                        WHEN 2 THEN 2.0/24.0 ELSE 6.0/24.0 END
+                       * (COALESCE(vi.v, 0.0) - COALESCE(vs.v, 0.0)) AS term
+            FROM chans c
+            JOIN masks m ON (m.s // c.bit) % 2 = 0
+            LEFT JOIN v vs ON vs.mask = m.s
+            LEFT JOIN v vi ON vi.mask = m.s + c.bit
+        ),
+        expo_n AS (
+            SELECT c.channel, CAST(COALESCE(SUM(v.n), 0) AS BIGINT) AS n_exposed
+            FROM chans c LEFT JOIN v ON (v.mask // c.bit) % 2 = 1
+            GROUP BY c.channel
+        )
+        SELECT t.channel,
+               {sql_round4(sql_dsum('term'))} AS shapley_value,
+               e.n_exposed
+        FROM terms t JOIN expo_n e ON t.channel = e.channel
+        GROUP BY t.channel, e.n_exposed
+    """,
+    tags=("workload", "attribution", "ml"),
+)
+def workload_shapley_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Shapley-value marketing attribution: each non-purchase channel's
+    fair share of conversion lift, computed EXACTLY over the 16-subset
+    coalition lattice — v(S) is the conversion rate of users exposed to
+    exactly channel-set S, and φ(channel) sums weighted marginals
+    w(|S|)·(v(S∪i)−v(S)) — the game-theoretic answer to 'which channel
+    earns the credit' that last-touch (workload_attribution_last_touch)
+    systematically distorts. The corpus collapses in ONE pass to a
+    16-row coalition table (mask = OR of channel bits per user); the
+    Shapley sum is a 4×8-row join on that table — exact attribution at
+    any corpus size, exponential only in CHANNELS (sample coalitions
+    past ~15, same md5 trick as ml_subsample_ci). Coalition rates are
+    round4-pinned so both engines hold identical v before the
+    marginal algebra."""
+    ev = load_table(spark, sf, "events")
+    bit = (
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "signup", 4)
+        .when(F.col("event_type") == "error", 8)
+        .otherwise(0)
+    )
+    exposure = ev.groupBy("user_id").agg(
+        F.sum_distinct(bit).cast("int").alias("mask"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("conv"),
+    )
+    v = exposure.groupBy("mask").agg(
+        round4(davg(F.col("conv").cast("double"))).alias("v"),
+        F.count(F.lit(1)).alias("n"),
+    ).persist()  # Shapley terms (two joins) + exposure counts read it
+    chans = spark.createDataFrame(
+        [(1, "view"), (2, "click"), (4, "signup"), (8, "error")],
+        ["bit", "channel"],
+    )
+    masks = spark.range(16).select(F.col("id").cast("int").alias("s"))
+    wgt = (
+        F.when(F.bit_count(F.col("s").cast("bigint")) == 0, 6.0 / 24.0)
+        .when(F.bit_count(F.col("s").cast("bigint")) == 1, 2.0 / 24.0)
+        .when(F.bit_count(F.col("s").cast("bigint")) == 2, 2.0 / 24.0)
+        .otherwise(6.0 / 24.0)
+    )
+    vs = v.select(F.col("mask").alias("ms"), F.col("v").alias("v_s"))
+    vi = v.select(F.col("mask").alias("mi"), F.col("v").alias("v_i"))
+    terms = (
+        chans.join(masks, F.expr("(s DIV bit) % 2 = 0"))
+        .join(F.broadcast(vs), F.col("s") == F.col("ms"), "left")
+        .join(F.broadcast(vi), (F.col("s") + F.col("bit")) == F.col("mi"), "left")
+        .select(
+            "channel", "bit",
+            (
+                wgt
+                * (F.coalesce(F.col("v_i"), F.lit(0.0)) - F.coalesce(F.col("v_s"), F.lit(0.0)))
+            ).alias("term"),
+        )
+    )
+    expo_n = (
+        chans.join(F.broadcast(v), F.expr("(mask DIV bit) % 2 = 1"), "left")
+        .groupBy("channel")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_exposed"))
+    )
+    phi = terms.groupBy("channel", "bit").agg(
+        round4(dsum(F.col("term"))).alias("shapley_value")
+    )
+    return phi.join(expo_n, "channel").select(
+        "channel", "shapley_value", "n_exposed"
+    )
