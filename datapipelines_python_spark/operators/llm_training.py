@@ -3032,3 +3032,63 @@ def llm_kneser_ney_lm(spark: SparkSession, sf: str) -> DataFrame:
         (F.floor(F.col("raw_avg") * 10000.0 + 0.5) / 10000.0).alias("avg_nll"),
         (F.col("raw_avg") < 8.0).alias("keep"),
     )
+
+
+@query(
+    "llm_curriculum_order",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id,
+                   LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+                   LEN(list_distinct(STRING_SPLIT(LOWER(text), ' '))) AS n_types
+            FROM documents
+        ),
+        phased AS (
+            SELECT doc_id, n_tokens,
+                   NTILE(3) OVER (ORDER BY n_tokens, doc_id) AS phase,
+                   SUBSTRING(md5(CAST(doc_id AS VARCHAR) || ':cur'), 1, 8)
+                       AS shuffle_key
+            FROM scored
+        )
+        SELECT doc_id,
+               CAST(phase AS INT) AS phase,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY phase ORDER BY shuffle_key, doc_id
+               ) AS BIGINT) AS position,
+               CAST(n_tokens AS BIGINT) AS n_tokens
+        FROM phased
+    """,
+    tags=("llm", "training", "curriculum"),
+)
+def llm_curriculum_order(spark: SparkSession, sf: str) -> DataFrame:
+    """Curriculum-learning data order: documents split into 3 difficulty
+    phases (NTILE by token length, the standard short-to-long
+    curriculum) and deterministically shuffled WITHIN each phase by an
+    md5 key — easy docs first, hard docs last, random-looking order
+    inside a phase, and the whole schedule reproducible across engines
+    and reruns (an RNG shuffle is not). Output is the exact training
+    order (phase, position). Phasing is one global NTILE — at 100 TB
+    replace it with fixed token-length breakpoints from a quantile
+    sketch so the phase assignment is a pure projection, and the
+    within-phase shuffle stays an embarrassingly parallel sort by
+    hash key within each phase partition."""
+    d = load_table(spark, sf, "documents")
+    scored = d.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    phased = scored.select(
+        "doc_id", "n_tokens",
+        F.ntile(3).over(W.orderBy("n_tokens", "doc_id")).alias("phase"),
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":cur"))), 1, 8
+        ).alias("shuffle_key"),
+    )
+    return phased.select(
+        "doc_id",
+        F.col("phase").cast("int").alias("phase"),
+        F.row_number()
+        .over(W.partitionBy("phase").orderBy("shuffle_key", "doc_id"))
+        .cast("bigint")
+        .alias("position"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+    )

@@ -5818,3 +5818,80 @@ def workload_shapley_attribution(spark: SparkSession, sf: str) -> DataFrame:
     return phi.join(expo_n, "channel").select(
         "channel", "shapley_value", "n_exposed"
     )
+
+
+@query(
+    "workload_rate_limit_replay",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_id,
+                   ROW_NUMBER() OVER w AS rn,
+                   COALESCE(CAST(FLOOR(epoch(ts)) AS BIGINT)
+                            - LAG(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER w,
+                            0) AS dt
+            FROM events WHERE user_id % 97 = 0
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        walk AS (
+            SELECT user_id, event_id, rn,
+                   SUM(1000 - 2 * dt) OVER (
+                       PARTITION BY user_id ORDER BY rn
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS s
+            FROM seq
+        ),
+        lvl AS (
+            SELECT user_id, event_id,
+                   s - LEAST(MIN(s) OVER (
+                       PARTITION BY user_id ORDER BY rn
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ), 0) AS backlog
+            FROM walk
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_requests,
+               CAST(SUM(CASE WHEN backlog > 5000 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_throttled,
+               CAST(MAX(backlog) AS BIGINT) AS max_backlog
+        FROM lvl GROUP BY user_id
+    """,
+    tags=("workload", "ratelimit"),
+)
+def workload_rate_limit_replay(spark: SparkSession, sf: str) -> DataFrame:
+    """Leaky-bucket rate-limiter replay: each request adds 1000
+    millitokens of debt, the bucket drains 2/sec, and a request is
+    throttled when the backlog exceeds a 5000 burst allowance — replayed
+    over the event log per user to answer 'which users WOULD a proposed
+    limit throttle'. The sequential recursion
+    x_t = max(0, x_{t-1} + a_t) dissolves under the reflection identity
+    x_t = S_t − min(0, min_{j≤t} S_j): one cumulative sum and one
+    running-min over it — two stacked windows on the SAME user
+    partition (one shuffle, one sort), no recursion, exact integers.
+    The same identity powers workload_cusum; here it prices a real
+    config change offline at any traffic volume."""
+    ev = load_table(spark, sf, "events")
+    wseq = W.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.unix_timestamp("ts").cast("bigint")
+    seq = ev.filter(F.col("user_id") % 97 == 0).select(
+        "user_id", "event_id",
+        F.row_number().over(wseq).alias("rn"),
+        F.coalesce(sec - F.lag(sec).over(wseq), F.lit(0)).alias("dt"),
+    )
+    wrun = W.partitionBy("user_id").orderBy("rn").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    walk = seq.select(
+        "user_id", "event_id", "rn",
+        F.sum(1000 - 2 * F.col("dt")).over(wrun).alias("s"),
+    )
+    lvl = walk.select(
+        "user_id", "event_id",
+        (F.col("s") - F.least(F.min("s").over(wrun), F.lit(0))).alias("backlog"),
+    )
+    return lvl.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_requests"),
+        F.sum(F.when(F.col("backlog") > 5000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_throttled"),
+        F.max("backlog").cast("bigint").alias("max_backlog"),
+    )
