@@ -3092,3 +3092,197 @@ def llm_curriculum_order(spark: SparkSession, sf: str) -> DataFrame:
         .alias("position"),
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
     )
+
+
+@query(
+    "llm_dsir_importance",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS w
+            FROM documents
+        ),
+        vocab AS (
+            SELECT w,
+                   COUNT(*) AS cg,
+                   COUNT(CASE WHEN lang = 'en' THEN 1 END) AS ct
+            FROM tok GROUP BY w
+        ),
+        scal AS (
+            SELECT COUNT(*) AS ng,
+                   COUNT(CASE WHEN lang = 'en' THEN 1 END) AS nt,
+                   COUNT(DISTINCT w) AS v
+            FROM tok
+        ),
+        ratio AS (
+            SELECT w,
+                   LN(CAST((ct + 1) * (ng + v) AS DOUBLE)
+                      / CAST((cg + 1) * (nt + v) AS DOUBLE)) AS lr
+            FROM vocab CROSS JOIN scal
+        ),
+        scored AS (
+            SELECT tok.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   {sql_round4(sql_dsum('ratio.lr'))} AS dsir_score
+            FROM tok JOIN ratio ON tok.w = ratio.w
+            GROUP BY tok.doc_id
+        )
+        SELECT doc_id, n_tokens, dsir_score,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY dsir_score DESC, doc_id) AS INT) AS rank
+        FROM scored
+        QUALIFY rank <= 50
+    """,
+    tags=("llm", "sampling", "quality"),
+)
+def llm_dsir_importance(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every document
+    by how much more likely its unigrams are under a *target* domain LM
+    (here: the English slice) than under the general corpus LM, both
+    add-one smoothed over the shared vocabulary. The top-scored docs are
+    the ones importance resampling would up-sample when building a
+    domain-targeted pretraining mix.
+
+    Scale shape: two corpus scans — one to build the vocabulary count
+    table (vocab-sized, broadcast back), one to score tokens against it —
+    then a per-doc sum. The smoothed log-ratio is computed from exact
+    integer counts promoted to double (counts < 2^53, so the quotient is
+    a ratio of exact doubles and LN sees identical bits on both engines);
+    per-doc sums ride the decimal convention; rank ties broken by doc_id."""
+    d = load_table(spark, sf, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    is_en = F.when(F.col("lang") == "en", 1)
+    vocab = tok.groupBy("w").agg(
+        F.count(F.lit(1)).alias("cg"), F.count(is_en).alias("ct")
+    )
+    scal = tok.agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.count(is_en).alias("nt"),
+        F.countDistinct("w").alias("v"),
+    )
+    ratio = vocab.crossJoin(F.broadcast(scal)).select(
+        "w",
+        F.log(
+            ((F.col("ct") + 1) * (F.col("ng") + F.col("v"))).cast("double")
+            / ((F.col("cg") + 1) * (F.col("nt") + F.col("v"))).cast("double")
+        ).alias("lr"),
+    )
+    scored = (
+        tok.join(F.broadcast(ratio), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            round4(dsum(F.col("lr"))).alias("dsir_score"),
+        )
+    )
+    w_rank = W.orderBy(F.desc("dsir_score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("rank") <= 50)
+        .select("doc_id", "n_tokens", "dsir_score", "rank")
+    )
+
+
+@query(
+    "llm_semdedup",
+    oracle=f"""
+        WITH nv AS MATERIALIZED (
+            SELECT vec_id, embedding,
+                   SQRT({sql_dot('embedding', 'embedding')}) AS norm
+            FROM embeddings
+        ),
+        cent AS MATERIALIZED (
+            SELECT vec_id AS cid, embedding AS c_emb, norm AS c_norm
+            FROM nv WHERE vec_id < 16
+        ),
+        assigned AS MATERIALIZED (
+            SELECT vec_id, embedding, norm, cid FROM (
+                SELECT nv.vec_id, nv.embedding, nv.norm, cent.cid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY nv.vec_id
+                           ORDER BY {sql_dot('nv.embedding', 'cent.c_emb')}
+                                    / (nv.norm * cent.c_norm) DESC, cent.cid
+                       ) AS rn
+                FROM nv CROSS JOIN cent
+            ) a WHERE rn = 1
+        ),
+        dropped AS (
+            SELECT b.vec_id,
+                   MIN(a.vec_id) AS keeper
+            FROM assigned a JOIN assigned b
+              ON a.cid = b.cid AND a.vec_id < b.vec_id
+            WHERE {sql_dot('a.embedding', 'b.embedding')} / (a.norm * b.norm)
+                  >= 0.30
+            GROUP BY b.vec_id
+        )
+        SELECT assigned.cid,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(COUNT(dropped.vec_id) AS BIGINT) AS n_dropped,
+               CAST(COUNT(*) - COUNT(dropped.vec_id) AS BIGINT) AS n_kept,
+               CAST(MIN(CASE WHEN dropped.vec_id IS NULL
+                             THEN assigned.vec_id END) AS BIGINT)
+                   AS representative
+        FROM assigned LEFT JOIN dropped ON assigned.vec_id = dropped.vec_id
+        GROUP BY assigned.cid
+    """,
+    tags=("llm", "dedup", "similarity"),
+)
+def llm_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by clustering
+    embeddings, then dropping, within each cluster, every vector whose
+    cosine to a lower-id cluster-mate reaches the threshold — keeping the
+    first-seen member of each semantic duplicate group. Clusters are
+    nearest-assignment to the K=16 deterministic seed centroids (same
+    replayable scheme as ``llm_ann_ivf``), so the O(n²) pair search is
+    cluster-local: cost follows Σ(cluster size²), not corpus², which is
+    the property that makes SemDeDup run at dataset scale. The fixture
+    plants no true semantic dups, so τ=0.30 exercises the path (real
+    sweeps use ~0.95 after k-means). Output: per-cluster occupancy,
+    drop/keep counts, and the smallest surviving vec_id as the cluster
+    representative."""
+    emb = load_table(spark, sf, "embeddings")
+    nv = emb.withColumn("norm", F.sqrt(dot("embedding", "embedding")))
+    cent = nv.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    cos_c = dot("embedding", "c_emb") / (F.col("norm") * F.col("c_norm"))
+    w_assign = W.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cid"))
+    assigned = (
+        nv.crossJoin(F.broadcast(cent))
+        .select("vec_id", "embedding", "norm", "cid", cos_c.alias("cos_c"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "norm", "cid")
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+        F.col("norm").alias("a_norm"),
+        F.col("cid").alias("a_cid"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+        F.col("norm").alias("b_norm"),
+        F.col("cid").alias("b_cid"),
+    )
+    pair_cos = dot("a_emb", "b_emb") / (F.col("a_norm") * F.col("b_norm"))
+    dropped = (
+        a.join(b, (F.col("a_cid") == F.col("b_cid")) & (F.col("a_id") < F.col("b_id")))
+        .filter(pair_cos >= 0.30)
+        .groupBy(F.col("b_id").alias("vec_id"))
+        .agg(F.min("a_id").alias("keeper"))
+    )
+    joined = assigned.join(dropped, "vec_id", "left")
+    return joined.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.count(F.col("keeper")).cast("bigint").alias("n_dropped"),
+        (F.count(F.lit(1)) - F.count(F.col("keeper"))).cast("bigint").alias("n_kept"),
+        F.min(F.when(F.col("keeper").isNull(), F.col("vec_id")))
+        .cast("bigint")
+        .alias("representative"),
+    )

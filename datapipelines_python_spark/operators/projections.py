@@ -287,3 +287,66 @@ def sample_weighted_ares(spark: SparkSession, sf: str) -> DataFrame:
         .limit(20)
         .select("doc_id", "weight", round4(F.col("k")).alias("rank_key"))
     )
+
+
+from datapipelines_python_spark.operators._helpers import (  # noqa: E402
+    davg,
+    round4,
+    sql_davg,
+    sql_round4,
+)
+
+_PIV_SOURCES = ("src0", "src1", "src2", "src3")
+
+
+def _piv_mc_sql(src: str) -> str:
+    num = (
+        f"CAST(CAST(SUM(CASE WHEN source = '{src}' "
+        f"THEN CAST(n_chars AS DECIMAL(38,8)) END) AS VARCHAR) AS DOUBLE)"
+    )
+    den = f"COUNT(CASE WHEN source = '{src}' THEN 1 END)"
+    return sql_round4(f"{num} / {den}")
+
+
+@query(
+    "reshape_pivot_multi",
+    oracle=f"""
+        SELECT lang,
+               {', '.join(
+                   f"COUNT(CASE WHEN source = '{s}' THEN 1 END) AS {s}_docs, "
+                   + _piv_mc_sql(s) + f" AS {s}_mc"
+                   for s in _PIV_SOURCES
+               )}
+        FROM documents
+        WHERE source IN ('src0', 'src1', 'src2', 'src3')
+        GROUP BY lang
+    """,
+    tags=("reshape", "pivot"),
+)
+def reshape_pivot_multi(spark: SparkSession, sf: str) -> DataFrame:
+    """PIVOT with MULTIPLE aggregates per cell (count + mean chars):
+    Spark names the output columns ``{pivotValue}_{aggAlias}``. Passing the
+    pivot values explicitly matters doubly at scale: it skips the extra
+    collect-distinct job Spark otherwise runs to discover them, AND it
+    keeps the plan a single hash aggregate (lang × 4 sources × 2 aggs is a
+    fixed-width row, so map-side partials do all the work). The oracle is
+    the classic conditional-aggregation rewrite. Empty cells: count is
+    coalesced to 0 on both sides, the mean stays NULL on both sides."""
+    d = load_table(spark, sf, "documents").filter(
+        F.col("source").isin(*_PIV_SOURCES)
+    )
+    piv = (
+        d.groupBy("lang")
+        .pivot("source", list(_PIV_SOURCES))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("docs"),
+            round4(davg(F.col("n_chars").cast("double"))).alias("mc"),
+        )
+    )
+    cols = [F.col("lang")]
+    for s in _PIV_SOURCES:
+        cols.append(
+            F.coalesce(F.col(f"{s}_docs"), F.lit(0).cast("bigint")).alias(f"{s}_docs")
+        )
+        cols.append(F.col(f"{s}_mc"))
+    return piv.select(*cols)

@@ -1422,3 +1422,85 @@ def fn_array_extra(spark: SparkSession, sf: str) -> DataFrame:
             "toks", lambda x: x.isNotNull() & (x != F.lit(""))
         ).alias("compacted"),
     )
+
+
+@query(
+    "fn_string_index",
+    oracle="""
+        SELECT c_custkey,
+               SPLIT_PART(c_name, '#', 1) AS name_head,
+               SPLIT_PART(c_name, '#', 2) AS id_digits,
+               SUBSTR(c_name, 1, 4) || '***' || SUBSTR(c_name, 8) AS name_masked,
+               CAST(STRPOS(c_name, '#') AS INT) AS hash_pos,
+               CASE CAST(c_custkey % 3 AS INT) + 1
+                   WHEN 1 THEN 'bronze' WHEN 2 THEN 'silver' ELSE 'gold'
+               END AS tier,
+               CAST(LIST_POSITION(
+                   STRING_SPLIT('FURNITURE,MACHINERY,BUILDING,HOUSEHOLD,AUTOMOBILE', ','),
+                   c_mktsegment) AS INT) AS segment_slot
+        FROM customer
+    """,
+    tags=("fn", "string"),
+)
+def fn_string_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Position-oriented string scalars: ``substring_index`` (head / tail
+    around a delimiter), ``overlay`` (fixed-position masking),
+    ``locate``, ``elt`` (1-based list pick) and ``find_in_set`` — the
+    surgical-substring tranche that complements ``fn_string``'s
+    whole-string ops. All JVM row-wise expressions inside one codegen
+    stage; the oracle replays each with DuckDB's split_part / substr
+    concatenation / strpos / CASE / list_position equivalents."""
+    c = load_table(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.substring_index(F.col("c_name"), "#", 1).alias("name_head"),
+        F.substring_index(F.col("c_name"), "#", -1).alias("id_digits"),
+        F.overlay(F.col("c_name"), F.lit("***"), F.lit(5), F.lit(3)).alias("name_masked"),
+        F.locate("#", F.col("c_name")).alias("hash_pos"),
+        F.expr(
+            "elt(CAST(c_custkey % 3 AS INT) + 1, 'bronze', 'silver', 'gold')"
+        ).alias("tier"),
+        F.expr(
+            "find_in_set(c_mktsegment,"
+            " 'FURNITURE,MACHINERY,BUILDING,HOUSEHOLD,AUTOMOBILE')"
+        ).alias("segment_slot"),
+    )
+
+
+@query(
+    "fn_generators",
+    oracle="""
+        SELECT c_custkey AS id, 'acctbal' AS metric, c_acctbal AS val
+        FROM customer WHERE c_custkey < 50
+        UNION ALL
+        SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE)
+        FROM customer WHERE c_custkey < 50
+        UNION ALL
+        SELECT s_suppkey, 'acctbal', s_acctbal FROM supplier
+        UNION ALL
+        SELECT s_suppkey, 'nationkey', CAST(s_nationkey AS DOUBLE) FROM supplier
+    """,
+    tags=("fn", "generator"),
+)
+def fn_generators(spark: SparkSession, sf: str) -> DataFrame:
+    """Row-generator surface beyond ``explode``: ``stack`` (inline
+    wide-to-long of scalar pairs) and ``inline`` (array-of-struct
+    expansion). Both are Generate operators — pure per-row fan-out, no
+    shuffle, and at 100 TB they stream through whole-stage codegen
+    exactly like a projection. The oracle replays each generator as the
+    equivalent UNION ALL."""
+    c = load_table(spark, sf, "customer").filter(F.col("c_custkey") < 50)
+    via_stack = c.selectExpr(
+        "c_custkey AS id",
+        "stack(2, 'acctbal', c_acctbal,"
+        " 'nationkey', CAST(c_nationkey AS DOUBLE)) AS (metric, val)",
+    )
+    s = load_table(spark, sf, "supplier")
+    via_inline = s.selectExpr(
+        "s_suppkey AS id",
+        "inline(array("
+        " named_struct('metric', 'acctbal', 'val', s_acctbal),"
+        " named_struct('metric', 'nationkey', 'val', CAST(s_nationkey AS DOUBLE))"
+        ")) AS (metric, val)",
+    )
+    return via_stack.unionByName(via_inline)

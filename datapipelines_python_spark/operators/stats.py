@@ -1546,3 +1546,107 @@ def ml_shapley_closed_form(spark: SparkSession, sf: str) -> DataFrame:
         round4(davg(F.col("phi2"))).alias("mean_phi_priority"),
         round4(davg(F.col("phi1") + F.col("phi2") - F.col("total"))).alias("efficiency_gap"),
     )
+
+
+@query(
+    "ml_precision_recall",
+    oracle=f"""
+        WITH scored AS (
+            SELECT CAST(LEAST(FLOOR(
+                       (1.0 / (1.0 + EXP(-((o_totalprice - 150000.0)
+                                           / 50000.0)))) * 10.0), 9) AS INT)
+                       AS bin,
+                   CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END AS y
+            FROM orders
+        ),
+        per_bin AS (
+            SELECT bin, COUNT(*) AS n, SUM(y) AS pos
+            FROM scored GROUP BY bin
+        ),
+        totals AS (
+            SELECT SUM(pos) AS p_total FROM per_bin
+        ),
+        thr AS (
+            SELECT CAST(range AS INT) AS t_bin FROM range(1, 10)
+        ),
+        confusion AS (
+            SELECT thr.t_bin,
+                   COALESCE(SUM(CASE WHEN per_bin.bin >= thr.t_bin
+                                     THEN per_bin.pos END), 0) AS tp,
+                   COALESCE(SUM(CASE WHEN per_bin.bin >= thr.t_bin
+                                     THEN per_bin.n - per_bin.pos END), 0) AS fp
+            FROM thr CROSS JOIN per_bin
+            GROUP BY thr.t_bin
+        )
+        SELECT CAST(t_bin AS DOUBLE) / 10.0 AS threshold,
+               CAST(tp AS BIGINT) AS tp,
+               CAST(fp AS BIGINT) AS fp,
+               CAST(t.p_total - tp AS BIGINT) AS fn,
+               {sql_round4('CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0)')}
+                   AS precision,
+               {sql_round4('CAST(tp AS DOUBLE) / t.p_total')} AS recall,
+               {sql_round4(
+                   'CAST(2 * tp AS DOUBLE) / NULLIF(2 * tp + fp + (t.p_total - tp), 0)'
+               )} AS f1
+        FROM confusion CROSS JOIN totals t
+    """,
+    tags=("ml", "eval"),
+)
+def ml_precision_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Precision/recall/F1 sweep for the fixed logistic scorer of
+    ``ml_calibration_bins`` at thresholds 0.1…0.9. Scale shape: the raw
+    scores are first collapsed into ten (bin, n, pos) count rows — one
+    map-side-combined aggregate over the scored stream — and the 9-way
+    threshold sweep then runs on that fixed-width table, so the per-
+    threshold confusion matrix never rescans the data (contrast with the
+    naive scores×thresholds cross join). Threshold semantics are exact:
+    bin k holds p∈[k/10,(k+1)/10), so p_hat ≥ t ⟺ bin ≥ 10t at these
+    bin-edge thresholds. All counts integer; three final float divisions."""
+    o = load_table(spark, sf, "orders")
+    p_hat = 1.0 / (1.0 + F.exp(-((F.col("o_totalprice") - 150000.0) / 50000.0)))
+    y = F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)
+    scored = o.select(
+        F.least(F.floor(p_hat * 10.0), F.lit(9)).cast("int").alias("bin"),
+        y.alias("y"),
+    )
+    per_bin = scored.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+    )
+    totals = per_bin.agg(F.sum("pos").alias("p_total"))
+    thr = spark.range(1, 10).select(F.col("id").cast("int").alias("t_bin"))
+    confusion = (
+        F.broadcast(thr)
+        .crossJoin(per_bin)
+        .groupBy("t_bin")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("bin") >= F.col("t_bin"), F.col("pos"))),
+                F.lit(0),
+            ).alias("tp"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("bin") >= F.col("t_bin"), F.col("n") - F.col("pos")
+                    )
+                ),
+                F.lit(0),
+            ).alias("fp"),
+        )
+    )
+    out = confusion.crossJoin(F.broadcast(totals))
+    fn_ = F.col("p_total") - F.col("tp")
+    return out.select(
+        (F.col("t_bin").cast("double") / 10.0).alias("threshold"),
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        fn_.cast("bigint").alias("fn"),
+        round4(
+            F.col("tp").cast("double") / F.nullif(F.col("tp") + F.col("fp"), F.lit(0))
+        ).alias("precision"),
+        round4(F.col("tp").cast("double") / F.col("p_total")).alias("recall"),
+        round4(
+            (2 * F.col("tp")).cast("double")
+            / F.nullif(2 * F.col("tp") + F.col("fp") + fn_, F.lit(0))
+        ).alias("f1"),
+    )

@@ -5895,3 +5895,145 @@ def workload_rate_limit_replay(spark: SparkSession, sf: str) -> DataFrame:
         .alias("n_throttled"),
         F.max("backlog").cast("bigint").alias("max_backlog"),
     )
+
+
+@query(
+    "workload_twap_vwap",
+    oracle=f"""
+        WITH base AS (
+            SELECT event_type,
+                   DATE_TRUNC('day', ts) AS day,
+                   ts, event_id, value,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS qty
+            FROM events
+        ),
+        seq AS (
+            SELECT *,
+                   LEAD(epoch_us(ts)) OVER (
+                       PARTITION BY event_type, day ORDER BY ts, event_id
+                   ) - epoch_us(ts) AS dt_us
+            FROM base
+        )
+        SELECT event_type, day,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               {sql_round4(sql_dsum('value * qty') + ' / SUM(qty)')} AS vwap,
+               {sql_round4(
+                   sql_dsum('value * dt_us') + ' / NULLIF(SUM(dt_us), 0)'
+               )} AS twap
+        FROM seq
+        GROUP BY event_type, day
+    """,
+    tags=("workload", "timeseries"),
+)
+def workload_twap_vwap(spark: SparkSession, sf: str) -> DataFrame:
+    """Volume- and time-weighted average price per (event_type, day):
+    VWAP weights each tick's price (``value``) by its size (the JSON
+    ``props.k``), TWAP weights it by how long the price "held" — the
+    micros until the next tick in the same series (last tick holds zero).
+    The lead() runs inside a (type, day) window so state is bounded per
+    partition key, and both averages ride the decimal-sum convention so
+    results are partition-order independent — the difference between the
+    two surfaces wash-trade-like bursts (many tiny ticks move VWAP, not
+    TWAP). Groups with one tick have no held time: TWAP is NULL on both
+    engines via NULLIF."""
+    e = load_table(spark, sf, "events")
+    base = e.select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        "ts",
+        "event_id",
+        "value",
+        F.get_json_object("props", "$.k").cast("bigint").alias("qty"),
+    )
+    w = W.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    seq = base.withColumn(
+        "dt_us",
+        F.lead(F.unix_micros(F.col("ts"))).over(w) - F.unix_micros(F.col("ts")),
+    )
+    return seq.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        round4(
+            dsum(F.col("value") * F.col("qty")) / F.sum("qty")
+        ).alias("vwap"),
+        round4(
+            dsum(F.col("value") * F.col("dt_us"))
+            / F.nullif(F.sum("dt_us"), F.lit(0))
+        ).alias("twap"),
+    )
+
+
+@query(
+    "workload_feature_snapshot",
+    oracle="""
+        WITH pre AS (
+            SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00'
+        ),
+        feats AS (
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+                   CAST(CAST(SUM(CASE WHEN event_type = 'purchase'
+                                      THEN CAST(value AS DECIMAL(38,8))
+                                      ELSE CAST(0 AS DECIMAL(38,8)) END)
+                             AS VARCHAR) AS DOUBLE) AS monetary,
+                   CAST(DATE_DIFF('day', MAX(CAST(ts AS DATE)),
+                                  DATE '2024-01-20') AS INT) AS recency_days
+            FROM pre
+            GROUP BY user_id
+        ),
+        labels AS (
+            SELECT DISTINCT user_id
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+              AND event_type = 'purchase'
+        )
+        SELECT f.user_id, f.n_events, f.n_types, f.monetary, f.recency_days,
+               CAST(CASE WHEN l.user_id IS NOT NULL THEN 1 ELSE 0 END AS INT)
+                   AS label
+        FROM feats f LEFT JOIN labels l ON f.user_id = l.user_id
+    """,
+    tags=("workload", "ml", "features"),
+)
+def workload_feature_snapshot(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time training-set assembly — the feature-store snapshot
+    pattern: features are computed ONLY from events before the cutoff
+    (2024-01-20), the label ONLY from events at/after it, so there is no
+    target leakage by construction. Per user: RFM-style frequency,
+    breadth, purchase monetary (decimal-exact) and recency in days,
+    left-joined to a future-purchase label. Both passes are single
+    hash aggregates keyed on user_id; at 100 TB the cutoff predicates
+    push into the scan so each side reads only its time slice."""
+    cutoff = F.lit("2024-01-20 00:00:00").cast("timestamp")
+    e = load_table(spark, sf, "events")
+    pre = e.filter(F.col("ts") < cutoff)
+    feats = pre.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("event_type").cast("bigint").alias("n_types"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value"))
+            .otherwise(F.lit(0.0))
+            .cast(DEC)
+        )
+        .cast("double")
+        .alias("monetary"),
+        F.datediff(F.lit("2024-01-20").cast("date"), F.max(F.col("ts").cast("date")))
+        .cast("int")
+        .alias("recency_days"),
+    )
+    labels = (
+        e.filter((F.col("ts") >= cutoff) & (F.col("event_type") == "purchase"))
+        .select("user_id")
+        .distinct()
+        .withColumn("future_buyer", F.lit(1))
+    )
+    return (
+        feats.join(labels, "user_id", "left")
+        .select(
+            "user_id",
+            "n_events",
+            "n_types",
+            "monetary",
+            "recency_days",
+            F.coalesce(F.col("future_buyer"), F.lit(0)).cast("int").alias("label"),
+        )
+    )
