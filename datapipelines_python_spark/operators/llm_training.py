@@ -3156,11 +3156,14 @@ def llm_dsir_importance(spark: SparkSession, sf: str) -> DataFrame:
     is_en = F.when(F.col("lang") == "en", 1)
     vocab = tok.groupBy("w").agg(
         F.count(F.lit(1)).alias("cg"), F.count(is_en).alias("ct")
-    )
-    scal = tok.agg(
-        F.count(F.lit(1)).alias("ng"),
-        F.count(is_en).alias("nt"),
-        F.countDistinct("w").alias("v"),
+    ).persist()  # vocab-sized; read by both the scalars agg and the ratio map
+    # N_t / N_g / V are pure reductions OF the vocab table — deriving them
+    # there (instead of re-aggregating tok) keeps the corpus scan count at
+    # two: one to build vocab, one to score tokens against the broadcast.
+    scal = vocab.agg(
+        F.sum("cg").alias("ng"),
+        F.sum("ct").alias("nt"),
+        F.count(F.lit(1)).alias("v"),
     )
     ratio = vocab.crossJoin(F.broadcast(scal)).select(
         "w",
@@ -3257,6 +3260,7 @@ def llm_semdedup(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
         .select("vec_id", "embedding", "norm", "cid")
+        .persist()  # read three times: both pair sides + the final rollup
     )
     a = assigned.select(
         F.col("vec_id").alias("a_id"),

@@ -1612,7 +1612,7 @@ def ml_precision_recall(spark: SparkSession, sf: str) -> DataFrame:
     )
     per_bin = scored.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
-    )
+    ).persist()  # ten rows; read by both the totals agg and the sweep
     totals = per_bin.agg(F.sum("pos").alias("p_total"))
     thr = spark.range(1, 10).select(F.col("id").cast("int").alias("t_bin"))
     confusion = (

@@ -413,3 +413,61 @@ def test_sprt_single_walk_window(spark, registry):
     plan = _plan(spark, registry, "workload_sprt")
     assert plan.count("Window") == 1
     assert plan.count("Sort ") <= 1
+
+
+def test_precision_recall_sweep_on_binned_counts(spark, registry):
+    # The 9-threshold sweep must run on the ten pre-binned count rows —
+    # the orders scan feeds exactly one aggregation, and the threshold
+    # table joins in as a broadcast, never re-scanning the fact table.
+    plan = _plan(spark, registry, "ml_precision_recall")
+    # the binned counts are persisted: both consumers read the cache, so
+    # at most one InMemoryRelation materialization scans the fact table
+    assert "InMemoryTableScan" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_dsir_scalars_derive_from_cached_vocab(spark, registry):
+    # DSIR = build vocab (scan 1) + score tokens (scan 2); the scalars
+    # derive FROM the persisted vocab table (InMemoryTableScan), so the
+    # third branch never re-reads the corpus, and the per-token
+    # log-ratio model joins back as a broadcast.
+    plan = _plan(spark, registry, "llm_dsir_importance")
+    assert "InMemoryTableScan" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_semdedup_pair_join_is_cluster_local_hash_join(spark, registry):
+    # The O(n^2) cosine search must be an equi-join on the cluster id
+    # (cost follows cluster occupancy), never a cartesian product. (The
+    # one BroadcastNestedLoopJoin in the tree is the deliberate K=16
+    # broadcast centroid cross join inside the cached assignment.)
+    plan = _plan(spark, registry, "llm_semdedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "InMemoryTableScan" in plan  # assignment computed once, read 3x
+
+
+def test_twap_vwap_single_window_then_aggregate(spark, registry):
+    # One per-(type, day) window sort feeds one hash aggregate on the
+    # same key — lead() and the final group-by share the partitioning.
+    plan = _plan(spark, registry, "workload_twap_vwap")
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_pivot_multi_is_single_hash_aggregate(spark, registry):
+    # Explicit pivot values -> no values-discovery job and hash
+    # aggregates only (fixed-width row per lang; Spark plans pivot as
+    # (lang, source) agg then pivot_first per lang — two exchanges on
+    # tiny keyed data, never a sort-based fallback).
+    plan = _plan(spark, registry, "reshape_pivot_multi")
+    assert "SortAggregate" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_feature_snapshot_pushes_cutoff_to_scan(spark, registry):
+    # Both time slices must reach the parquet scan as pushed predicates
+    # so each side reads only its slice at scale.
+    plan = _plan(spark, registry, "workload_feature_snapshot")
+    assert "PushedFilters: [" in plan
+    assert "ts" in plan.split("PushedFilters:")[1][:300]
