@@ -1504,3 +1504,55 @@ def fn_generators(spark: SparkSession, sf: str) -> DataFrame:
         ")) AS (metric, val)",
     )
     return via_stack.unionByName(via_inline)
+
+
+@query(
+    "fn_bround_conv",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey,
+                   CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+            FROM orders
+        )
+        SELECT o_orderkey,
+               CAST(
+                   (cents // 10 + CASE
+                        WHEN cents % 10 > 5 THEN 1
+                        WHEN cents % 10 < 5 THEN 0
+                        ELSE (cents // 10) % 2 END
+                   ) AS DOUBLE) / 10.0 AS price_bankers,
+               UPPER(printf('%x', cents % 4096)) AS cents_hex,
+               CAST(factorial(CAST(cents % 12 AS INT)) AS BIGINT)
+                   AS small_factorial,
+               FLOOR(CBRT(CAST(cents AS DOUBLE) / 100.0) * 10000.0 + 0.5)
+                   / 10000.0 AS cbrt_price
+        FROM base
+    """,
+    tags=("fn", "math"),
+)
+def fn_bround_conv(spark: SparkSession, sf: str) -> DataFrame:
+    """Banker's rounding (``bround`` = HALF_EVEN — the accounting-safe
+    rounding that doesn't drift upward on ties), base conversion
+    (``conv`` 10→16), ``factorial`` and ``cbrt``. Cross-engine
+    discipline: bround runs on an *exact* DECIMAL built from integer
+    cents (half-even on a binary double is unreplayable — which decimal
+    digit is 'exactly 5' depends on the unseeable binary tail), and the
+    oracle replays HALF_EVEN with pure integer quotient/remainder/parity
+    arithmetic. DuckDB lacks conv(), so hex comes from printf('%x');
+    factorial stays in exact integers (arg < 12), cbrt gets round4 for
+    the one genuinely-libm surface."""
+    o = load_table(spark, sf, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint").alias("cents"),
+    )
+    exact_price = F.col("cents").cast("decimal(18,2)") / 100  # exact 2-dp decimal
+    return base.select(
+        "o_orderkey",
+        F.bround(exact_price, 1).cast("double").alias("price_bankers"),
+        F.conv((F.col("cents") % 4096).cast("string"), 10, 16).alias("cents_hex"),
+        F.factorial((F.col("cents") % 12).cast("int")).cast("bigint").alias(
+            "small_factorial"
+        ),
+        round4(F.cbrt(F.col("cents").cast("double") / 100.0)).alias("cbrt_price"),
+    )

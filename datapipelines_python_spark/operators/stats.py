@@ -1650,3 +1650,94 @@ def ml_precision_recall(spark: SparkSession, sf: str) -> DataFrame:
             / F.nullif(2 * F.col("tp") + F.col("fp") + fn_, F.lit(0))
         ).alias("f1"),
     )
+
+
+@query(
+    "ml_lift_gains",
+    oracle=f"""
+        WITH scored AS (
+            SELECT o_orderkey,
+                   1.0 / (1.0 + EXP(-((o_totalprice - 150000.0) / 50000.0)))
+                       AS p_hat,
+                   CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END AS y
+            FROM orders
+        ),
+        deciled AS (
+            SELECT y,
+                   CAST(NTILE(10) OVER (ORDER BY p_hat DESC, o_orderkey)
+                        AS INT) AS decile
+            FROM scored
+        ),
+        per_d AS (
+            SELECT decile, COUNT(*) AS n, SUM(y) AS pos
+            FROM deciled GROUP BY decile
+        ),
+        cum AS (
+            SELECT decile, n, pos,
+                   SUM(pos) OVER (ORDER BY decile
+                       ROWS UNBOUNDED PRECEDING) AS cum_pos,
+                   SUM(n) OVER (ORDER BY decile
+                       ROWS UNBOUNDED PRECEDING) AS cum_n,
+                   SUM(pos) OVER () AS total_pos,
+                   SUM(n) OVER () AS total_n
+            FROM per_d
+        )
+        SELECT decile,
+               CAST(n AS BIGINT) AS n,
+               CAST(pos AS BIGINT) AS pos,
+               {sql_round4('CAST(cum_pos AS DOUBLE) / total_pos')} AS gains,
+               {sql_round4(
+                   '(CAST(pos AS DOUBLE) / n) / (CAST(total_pos AS DOUBLE) / total_n)'
+               )} AS lift,
+               {sql_round4(
+                   '(CAST(cum_pos AS DOUBLE) / cum_n) / (CAST(total_pos AS DOUBLE) / total_n)'
+               )} AS cum_lift
+        FROM cum
+    """,
+    tags=("ml", "eval"),
+)
+def ml_lift_gains(spark: SparkSession, sf: str) -> DataFrame:
+    """Decile lift & cumulative-gains table for the fixed logistic
+    scorer — the campaign-targeting readout ("mailing the top 2 deciles
+    captures X% of responders at Y× random"). Scores are cut into exact
+    NTILE(10) deciles ordered by score with o_orderkey tie-break (fully
+    deterministic across engines), then ALL ratios derive from the
+    10-row (decile, n, pos) count table: the global sort touches rows
+    once, every window after it runs on ten rows. At 100 TB swap the
+    exact NTILE for fixed score bins (``ml_precision_recall``'s shape)
+    or distributed quantiles; the downstream lift algebra is unchanged.
+    Counts are integers; the three ratios are single float expressions."""
+    o = load_table(spark, sf, "orders")
+    p_hat = 1.0 / (1.0 + F.exp(-((F.col("o_totalprice") - 150000.0) / 50000.0)))
+    y = F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)
+    scored = o.select("o_orderkey", p_hat.alias("p_hat"), y.alias("y"))
+    w_ntile = W.orderBy(F.desc("p_hat"), F.asc("o_orderkey"))
+    deciled = scored.select(
+        "y", F.ntile(10).over(w_ntile).cast("int").alias("decile")
+    )
+    per_d = deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+    )
+    w_cum = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_all = W.orderBy("decile").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    cum = per_d.select(
+        "decile", "n", "pos",
+        F.sum("pos").over(w_cum).alias("cum_pos"),
+        F.sum("n").over(w_cum).alias("cum_n"),
+        F.sum("pos").over(w_all).alias("total_pos"),
+        F.sum("n").over(w_all).alias("total_n"),
+    )
+    rate_all = F.col("total_pos").cast("double") / F.col("total_n")
+    return cum.select(
+        "decile",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("pos").cast("bigint").alias("pos"),
+        round4(F.col("cum_pos").cast("double") / F.col("total_pos")).alias("gains"),
+        round4((F.col("pos").cast("double") / F.col("n")) / rate_all).alias("lift"),
+        round4(
+            (F.col("cum_pos").cast("double") / F.col("cum_n")) / rate_all
+        ).alias("cum_lift"),
+    )

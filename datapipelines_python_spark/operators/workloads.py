@@ -6037,3 +6037,136 @@ def workload_feature_snapshot(spark: SparkSession, sf: str) -> DataFrame:
             F.coalesce(F.col("future_buyer"), F.lit(0)).cast("int").alias("label"),
         )
     )
+
+
+@query(
+    "sql_scalar_udf",
+    oracle=f"""
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')}
+                   AS net_revenue
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("sql", "udf"),
+)
+def sql_scalar_udf(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark 4 SQL scalar UDF: ``CREATE TEMPORARY FUNCTION ... RETURNS
+    DOUBLE RETURN <expr>``. Unlike Python UDFs, a SQL UDF is *inlined
+    into the Catalyst plan* — the body participates in whole-stage
+    codegen, constant folding, and pushdown exactly like a hand-written
+    expression, so it's the zero-cost way to share business logic
+    (here: the net-revenue formula) across queries. The oracle inlines
+    the same expression by hand; the decimal-sum convention rides on
+    top of the UDF call unchanged."""
+    li = load_table(spark, sf, "lineitem")
+    li.createOrReplaceTempView("_sqludf_lineitem")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION _net_rev(p DOUBLE, d DOUBLE,"
+        " t DOUBLE) RETURNS DOUBLE RETURN p * (1 - d) * (1 + t)"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CAST(_net_rev(l_extendedprice, l_discount, l_tax)
+                             AS DECIMAL(38,8))) AS DOUBLE) AS net_revenue
+        FROM _sqludf_lineitem
+        GROUP BY l_returnflag
+        """
+    )
+
+
+@query(
+    "sql_table_udf",
+    oracle="""
+        SELECT 'BUILDING' AS segment, c_custkey, c_acctbal
+        FROM customer
+        WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 5000
+        UNION ALL
+        SELECT 'MACHINERY', c_custkey, c_acctbal
+        FROM customer
+        WHERE c_mktsegment = 'MACHINERY' AND c_acctbal > 5000
+    """,
+    tags=("sql", "udf"),
+)
+def sql_table_udf(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark 4 SQL *table* function: ``CREATE TEMPORARY FUNCTION ...
+    RETURNS TABLE(...) RETURN SELECT ...`` — a parameterized view.
+    Each call site is expanded inline (the segment parameter becomes a
+    pushable literal predicate on the scan), so a table UDF gives the
+    reuse of a view with per-call parameters and none of the
+    lateral-join cost a correlated subquery would imply. Two call
+    sites UNION'd here prove the function is re-entrant."""
+    c = load_table(spark, sf, "customer")
+    c.createOrReplaceTempView("_tf_customer")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION _seg_rich(seg STRING)"
+        " RETURNS TABLE(c_custkey BIGINT, c_acctbal DOUBLE)"
+        " RETURN SELECT c_custkey, c_acctbal FROM _tf_customer"
+        " WHERE c_mktsegment = seg AND c_acctbal > 5000"
+    )
+    return spark.sql(
+        """
+        SELECT 'BUILDING' AS segment, * FROM _seg_rich('BUILDING')
+        UNION ALL
+        SELECT 'MACHINERY', * FROM _seg_rich('MACHINERY')
+        """
+    )
+
+
+@query(
+    "workload_price_elasticity",
+    oracle=f"""
+        WITH obs AS (
+            SELECT p.p_brand,
+                   LN(l.l_extendedprice / l.l_quantity) AS x,
+                   LN(l.l_quantity) AS y
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ),
+        s AS (
+            SELECT p_brand,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   {sql_dsum('x')} AS sx,
+                   {sql_dsum('y')} AS sy,
+                   {sql_dsum('x * y')} AS sxy,
+                   {sql_dsum('x * x')} AS sxx
+            FROM obs GROUP BY p_brand
+        )
+        SELECT p_brand, n,
+               {sql_round4('(n * sxy - sx * sy) / (n * sxx - sx * sx)')}
+                   AS elasticity
+        FROM s
+    """,
+    tags=("workload", "ml", "regression"),
+)
+def workload_price_elasticity(spark: SparkSession, sf: str) -> DataFrame:
+    """Own-price elasticity of demand per brand: the log-log OLS slope
+    of quantity on unit price (β = %Δqty / %Δprice — the pricing-team
+    dial). Same closed-form power-sum machinery as ``ml_ols_regression``
+    but on log-transformed observations: the LN is a row-wise IEEE
+    projection (identical bits both engines), the four power sums are
+    decimal-exact, and the slope is one float expression per brand. The
+    part side joins broadcast (dims are small); the fact table is
+    scanned once and reduced map-side to 25 brands × 5 numbers."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part")
+    obs = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "p_brand",
+        F.log(F.col("l_extendedprice") / F.col("l_quantity")).alias("x"),
+        F.log(F.col("l_quantity")).alias("y"),
+    )
+    x, y = F.col("x"), F.col("y")
+    s = obs.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum(x).alias("sx"),
+        dsum(y).alias("sy"),
+        dsum(x * y).alias("sxy"),
+        dsum(x * x).alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    return s.select(
+        "p_brand", "n",
+        round4((n * sxy - sx * sy) / (n * sxx - sx * sx)).alias("elasticity"),
+    )

@@ -698,3 +698,87 @@ def stream_chained_window_aggs(spark: SparkSession, sf: str) -> DataFrame:
         "total_events",
     )
     return drain_to_memory(out, "stream_chained_sink", "append")
+
+
+@query(
+    "stream_stream_left_outer",
+    oracle="""
+        WITH mx AS (
+            SELECT LEAST(
+                MAX(CASE WHEN event_type = 'purchase' THEN ts END),
+                MAX(CASE WHEN event_type = 'view' THEN ts END)
+            ) AS wm_base
+            FROM events
+        ),
+        p AS (
+            SELECT event_id AS purchase_id, user_id, ts AS p_ts
+            FROM events WHERE event_type = 'purchase'
+        ),
+        v AS (
+            SELECT event_id AS view_id, user_id AS v_user, ts AS v_ts
+            FROM events WHERE event_type = 'view'
+        ),
+        matched AS (
+            SELECT p.purchase_id, v.view_id, p.user_id
+            FROM p JOIN v
+              ON p.user_id = v.v_user
+             AND v.v_ts >= p.p_ts - INTERVAL 1 HOUR AND v.v_ts <= p.p_ts
+        ),
+        unmatched AS (
+            SELECT p.purchase_id, CAST(NULL AS BIGINT) AS view_id, p.user_id
+            FROM p CROSS JOIN mx
+            WHERE p.p_ts < mx.wm_base - INTERVAL 2 HOUR
+              AND NOT EXISTS (
+                  SELECT 1 FROM v
+                  WHERE v.v_user = p.user_id
+                    AND v.v_ts >= p.p_ts - INTERVAL 1 HOUR
+                    AND v.v_ts <= p.p_ts
+              )
+        )
+        SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+    """,
+    tags=("streaming", "join"),
+)
+def stream_stream_left_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream ⋈ stream LEFT OUTER with watermarks: like
+    ``stream_stream_join`` but purchases with no qualifying view emit a
+    null-extended row — and *when* they emit is pure watermark mechanics:
+    a purchase at p_ts can only match views with v_ts ∈ [p_ts−1h, p_ts],
+    so once the watermark passes p_ts the engine proves no match can
+    arrive, evicts the state row, and emits the null row. The global
+    watermark is the MINIMUM across both watermark operators (each side
+    tracks its own max event time; verified empirically — the purchase
+    side's max lags the view side's here), so under AvailableNow the
+    final horizon is min(max_p, max_v) − 2h and the oracle is exact:
+    matched pairs, plus null rows for unmatched purchases strictly below
+    that horizon (younger unmatched purchases stay in state and are
+    correctly NOT emitted). This eviction rule is
+    what keeps outer-join state bounded on an unbounded stream."""
+    purchases = (
+        events_stream(spark, sf)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    views = (
+        events_stream(spark, sf)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+        "left_outer",
+    ).select("purchase_id", "view_id", "user_id")
+    return drain_to_memory(joined, "stream_stream_left_outer_sink")
