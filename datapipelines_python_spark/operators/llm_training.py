@@ -3290,3 +3290,57 @@ def llm_semdedup(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("representative"),
     )
+
+
+@query(
+    "llm_tokens_per_byte",
+    oracle=f"""
+        WITH per_doc AS (
+            SELECT lang,
+                   LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1
+                       AS n_tokens,
+                   n_chars
+            FROM documents
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS total_bytes,
+               {sql_round4(
+                   'CAST(SUM(n_tokens) AS DOUBLE) / SUM(n_chars)'
+               )} AS tokens_per_byte,
+               CAST(COUNT(CASE WHEN CAST(n_tokens AS DOUBLE) / n_chars
+                                    < 0.12 THEN 1 END) AS BIGINT)
+                   AS n_low_ratio
+        FROM per_doc
+        GROUP BY lang
+    """,
+    tags=("llm", "quality"),
+)
+def llm_tokens_per_byte(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokens-per-byte compression dial per language — the data-curation
+    signal behind 'compression filters': natural prose tokenizes at a
+    stable tokens/byte rate, while boilerplate, base64 blobs, and
+    repeated junk fall far outside the band, and a language whose
+    corpus-level rate drifts needs tokenizer (fertility) attention
+    before training. Pure projection + one map-side-combined aggregate:
+    integer token/byte tallies per lang, one division at the end, plus a
+    count of per-doc outliers below the 0.12 tokens/byte floor. ASCII
+    fixture ⇒ n_chars is bytes; real corpora use octet_length."""
+    d = load_table(spark, sf, "documents")
+    per_doc = d.select(
+        "lang",
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+         + 1).alias("n_tokens"),
+        "n_chars",
+    )
+    ratio_doc = F.col("n_tokens").cast("double") / F.col("n_chars")
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_bytes"),
+        round4(
+            F.sum("n_tokens").cast("double") / F.sum("n_chars")
+        ).alias("tokens_per_byte"),
+        F.count(F.when(ratio_doc < 0.12, 1)).cast("bigint").alias("n_low_ratio"),
+    )

@@ -1556,3 +1556,46 @@ def fn_bround_conv(spark: SparkSession, sf: str) -> DataFrame:
         ),
         round4(F.cbrt(F.col("cents").cast("double") / 100.0)).alias("cbrt_price"),
     )
+
+
+@query(
+    "fn_date_extra",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+                   AS plus_3_months,
+               (YEAR(o_orderdate) - 1995) * 12 + (MONTH(o_orderdate) - 1)
+                   + CAST(DAY(o_orderdate) - 1 AS DOUBLE) / 31.0
+                   AS months_since_1995,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL (CASE
+                       WHEN (8 - ISODOW(o_orderdate)) % 7 = 0 THEN 7
+                       ELSE (8 - ISODOW(o_orderdate)) % 7 END) DAY AS DATE)
+                   AS next_monday,
+               CAST(DAYOFYEAR(o_orderdate) AS INT) AS day_of_year,
+               CAST(WEEKOFYEAR(o_orderdate) AS INT) AS iso_week
+        FROM orders
+    """,
+    tags=("fn", "date"),
+)
+def fn_date_extra(spark: SparkSession, sf: str) -> DataFrame:
+    """Calendar arithmetic beyond ``fn_date``: ``add_months`` (month-end
+    clamped on both engines: Jan 31 + 1mo = Feb 28), ``months_between``
+    (Spark's fraction rule — whole months plus (day₁−day₂)/31 — replayed
+    literally against the fixed 1995-01-01 anchor, whose day-of-month 1
+    is never a month end, so the rule has no special case here),
+    ``next_day`` (strictly-after next Monday, replayed with ISO dow
+    modular arithmetic), plus dayofyear and ISO weekofyear. All row-wise
+    JVM expressions; the date algebra differences live entirely in the
+    oracle SQL."""
+    o = load_table(spark, sf, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.add_months(d.cast("date"), 3).alias("plus_3_months"),
+        F.months_between(d.cast("date"), F.lit("1995-01-01").cast("date"), roundOff=False).alias(
+            "months_since_1995"
+        ),
+        F.next_day(d.cast("date"), "Mon").alias("next_monday"),
+        F.dayofyear(d).alias("day_of_year"),
+        F.weekofyear(d).alias("iso_week"),
+    )

@@ -14,6 +14,7 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from datapipelines_python_spark.catalog import load_table
 from datapipelines_python_spark.registry import query
@@ -745,4 +746,48 @@ def sink_compact_small_files(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(n_before).cast("bigint").alias("n_files_before"),
         F.lit(n_after).cast("bigint").alias("n_files_after"),
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+
+
+@query(
+    "scan_csv_multiline",
+    oracle="""
+        SELECT n_nationkey,
+               n_name || ', line1' || chr(10) || 'line2 "q" \\ end'
+                   AS tricky
+        FROM nation
+    """,
+    tags=("scan", "csv"),
+)
+def scan_csv_multiline(spark: SparkSession, sf: str) -> DataFrame:
+    """CSV hard mode: values containing embedded newlines, the quote
+    character itself, the escape character, and the delimiter must
+    round-trip through a quoted CSV file. Writing quotes every such
+    field; reading requires ``multiLine=true`` (a record spans physical
+    lines, so the file can't be split at newline boundaries —
+    the scale caveat: multiline CSV parallelizes per-FILE, not
+    per-block, so shard wide corpora into many files). The oracle
+    recomputes the constructed value directly from the source table —
+    equality proves byte-exact round-trip."""
+    n = load_table(spark, sf, "nation")
+    tricky = F.concat(
+        F.col("n_name"),
+        F.lit(", line1\nline2 \"q\" \\ end"),
+    )
+    df = n.select("n_nationkey", tricky.alias("tricky"))
+    path = scratch_dir("csv_multiline")
+    df.write.mode("overwrite").option("header", True).option(
+        "quoteAll", True
+    ).csv(path)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("tricky", T.StringType()),
+        ]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("multiLine", True)
+        .csv(path)
     )

@@ -495,3 +495,49 @@ def udf_pandas_iter(spark: SparkSession, sf: str) -> DataFrame:
 
     d = load_table(spark, sf, "documents")
     return d.select("doc_id", tok_count("text").alias("n_tokens_iter"))
+
+
+@query(
+    "udf_pandas_struct",
+    oracle="""
+        SELECT doc_id,
+               CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1
+                    AS INT) AS n_tokens,
+               CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+                   / (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)
+                   AS mean_token_len
+        FROM documents
+    """,
+    tags=("udf", "pandas"),
+)
+def udf_pandas_struct(spark: SparkSession, sf: str) -> DataFrame:
+    """Pandas UDF returning a STRUCT: the vectorized function hands back
+    a pandas DataFrame whose columns become the struct fields — one
+    Arrow exchange produces N typed outputs (vs N separate UDF calls,
+    each with its own serialization round trip). The body is kept
+    SQL-expressible (token count + mean token length over the
+    single-space corpus) so the oracle is exact: integer token counts,
+    one double division. The struct is star-expanded after the UDF so
+    downstream consumers see flat columns."""
+    out_t = T.StructType(
+        [
+            T.StructField("n_tokens", T.IntegerType()),
+            T.StructField("mean_token_len", T.DoubleType()),
+        ]
+    )
+
+    @pandas_udf(out_t)
+    def _tok_stats(texts: pd.Series) -> pd.DataFrame:
+        n_tok = texts.str.count(" ").astype("int32") + 1
+        n_nonspace = texts.str.replace(" ", "", regex=False).str.len()
+        return pd.DataFrame(
+            {
+                "n_tokens": n_tok,
+                "mean_token_len": n_nonspace.astype("float64") / n_tok,
+            }
+        )
+
+    d = load_table(spark, sf, "documents")
+    return d.select("doc_id", _tok_stats(F.col("text")).alias("s")).select(
+        "doc_id", "s.n_tokens", "s.mean_token_len"
+    )

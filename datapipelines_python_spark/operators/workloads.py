@@ -6170,3 +6170,86 @@ def workload_price_elasticity(spark: SparkSession, sf: str) -> DataFrame:
         "p_brand", "n",
         round4((n * sxy - sx * sy) / (n * sxx - sx * sx)).alias("elasticity"),
     )
+
+
+@query(
+    "workload_user_ltv_cohort",
+    oracle=f"""
+        WITH firsts AS (
+            SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+            FROM events GROUP BY user_id
+        ),
+        cohort_sizes AS (
+            SELECT cohort_day, COUNT(*) AS n_users
+            FROM firsts GROUP BY cohort_day
+        ),
+        rev AS (
+            SELECT f.cohort_day,
+                   DATE_DIFF('day', f.cohort_day, CAST(e.ts AS DATE))
+                       AS age_day,
+                   CAST(e.value AS DECIMAL(38,8)) AS v
+            FROM events e JOIN firsts f ON e.user_id = f.user_id
+            WHERE e.event_type = 'purchase'
+        ),
+        per_age AS (
+            SELECT cohort_day, age_day,
+                   SUM(v) AS rev_day
+            FROM rev GROUP BY cohort_day, age_day
+        ),
+        cum AS (
+            SELECT cohort_day, CAST(age_day AS INT) AS age_day,
+                   CAST(CAST(SUM(rev_day) OVER (
+                       PARTITION BY cohort_day ORDER BY age_day
+                       ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS DOUBLE)
+                       AS cum_revenue
+            FROM per_age
+        )
+        SELECT c.cohort_day, c.age_day, CAST(s.n_users AS BIGINT) AS n_users,
+               {sql_round4('c.cum_revenue')} AS cum_revenue,
+               {sql_round4('c.cum_revenue / s.n_users')} AS ltv_per_user
+        FROM cum c JOIN cohort_sizes s ON c.cohort_day = s.cohort_day
+    """,
+    tags=("workload", "cohort"),
+)
+def workload_user_ltv_cohort(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort LTV curves: users are cohorted by first-seen day, purchase
+    revenue lands at its cohort-relative age, and the running decimal-
+    exact cumulative divided by cohort size gives LTV-per-user at every
+    age — the curve growth teams extrapolate to justify acquisition
+    spend. The twin of ``workload_cohort_retention`` (presence → money).
+    Scale shape: the first-seen table is users-sized and joins back
+    broadcast-or-shuffle on user_id; the running sum's window is per
+    cohort over day-grain aggregates (≤ a few hundred rows each), never
+    over raw events."""
+    e = load_table(spark, sf, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_day")
+    ).persist()  # read by the revenue join AND the cohort-size rollup
+    sizes = firsts.groupBy("cohort_day").agg(F.count(F.lit(1)).alias("n_users"))
+    rev = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day")).alias(
+                "age_day"
+            ),
+            F.col("value").cast(DEC).alias("v"),
+        )
+    )
+    per_age = rev.groupBy("cohort_day", "age_day").agg(F.sum("v").alias("rev_day"))
+    w_cum = W.partitionBy("cohort_day").orderBy("age_day").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = per_age.select(
+        "cohort_day",
+        F.col("age_day").cast("int").alias("age_day"),
+        F.sum("rev_day").over(w_cum).cast("double").alias("cum_revenue"),
+    )
+    return cum.join(sizes, "cohort_day").select(
+        "cohort_day",
+        "age_day",
+        F.col("n_users").cast("bigint").alias("n_users"),
+        round4(F.col("cum_revenue")).alias("cum_revenue"),
+        round4(F.col("cum_revenue") / F.col("n_users")).alias("ltv_per_user"),
+    )
