@@ -3344,3 +3344,66 @@ def llm_tokens_per_byte(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("tokens_per_byte"),
         F.count(F.when(ratio_doc < 0.12, 1)).cast("bigint").alias("n_low_ratio"),
     )
+
+
+@query(
+    "llm_mix_temperature",
+    oracle=f"""
+        WITH counts AS (
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS n_bytes
+            FROM documents GROUP BY lang
+        ),
+        total AS (SELECT SUM(n_bytes) AS tot FROM counts),
+        powed AS (
+            SELECT lang, n_docs, n_bytes,
+                   POW(CAST(n_bytes AS DOUBLE) / tot, 0.7) AS p_alpha
+            FROM counts CROSS JOIN total
+        ),
+        z AS (
+            SELECT {sql_dsum('p_alpha')} AS denom FROM powed
+        )
+        SELECT lang, n_docs, n_bytes,
+               {sql_round4('CAST(n_bytes AS DOUBLE) / '
+                           '(SELECT tot FROM total)')} AS p_raw,
+               {sql_round4('p_alpha / z.denom')} AS p_sampled,
+               {sql_round4(
+                   '(p_alpha / z.denom) / (CAST(n_bytes AS DOUBLE) / (SELECT tot FROM total))'
+               )} AS epoch_multiplier
+        FROM powed CROSS JOIN z
+    """,
+    tags=("llm", "sampling", "mixture"),
+)
+def llm_mix_temperature(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-scaled sampling weights per language (the mBERT/XLM-R
+    α=0.7 recipe): raw byte shares are raised to α and renormalized, so
+    low-resource languages are up-sampled (epoch_multiplier > 1) and the
+    head language damped — the standard fix for multilingual corpora
+    where proportional sampling starves the tail. Everything reduces to
+    a lang-sized table first (one map-side-combined aggregate over the
+    corpus); POW is row-wise IEEE on shares whose numerator/denominator
+    are exact integers, the normalizer is a decimal-exact sum of those
+    doubles, and round4 absorbs the final division. Complements
+    ``llm_dataset_mixture`` (target-proportion solver) with the
+    closed-form temperature policy."""
+    d = load_table(spark, sf, "documents")
+    counts = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_bytes"),
+    ).persist()  # lang-sized; read by the total and the weight map
+    total = counts.agg(F.sum("n_bytes").alias("tot"))
+    powed = counts.crossJoin(F.broadcast(total)).select(
+        "lang", "n_docs", "n_bytes", "tot",
+        F.pow(F.col("n_bytes").cast("double") / F.col("tot"), 0.7).alias("p_alpha"),
+    )
+    z = powed.agg(dsum(F.col("p_alpha")).alias("denom"))
+    out = powed.crossJoin(F.broadcast(z))
+    p_raw = F.col("n_bytes").cast("double") / F.col("tot")
+    p_sampled = F.col("p_alpha") / F.col("denom")
+    return out.select(
+        "lang", "n_docs", "n_bytes",
+        round4(p_raw).alias("p_raw"),
+        round4(p_sampled).alias("p_sampled"),
+        round4(p_sampled / p_raw).alias("epoch_multiplier"),
+    )

@@ -1599,3 +1599,38 @@ def fn_date_extra(spark: SparkSession, sf: str) -> DataFrame:
         F.dayofyear(d).alias("day_of_year"),
         F.weekofyear(d).alias("iso_week"),
     )
+
+
+@query(
+    "fn_try_overflow",
+    oracle="""
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey <= 10
+                    THEN o_orderkey * 922337203685477580 END AS try_product,
+               CASE WHEN o_orderkey <= 9223372036854775207
+                    THEN o_orderkey + 600 END AS try_sum,
+               CASE WHEN o_orderkey % 7 <> 0
+                    THEN o_orderkey // (o_orderkey % 7) END AS try_div
+        FROM orders
+    """,
+    tags=("fn", "ansi", "error-safe"),
+)
+def fn_try_overflow(spark: SparkSession, sf: str) -> DataFrame:
+    """ANSI-mode arithmetic that degrades to NULL instead of killing the
+    stage: ``try_multiply`` / ``try_add`` overflow to NULL past int64
+    range (the multiplier is ⌊2⁶³/10⌋, so keys > 10 overflow by
+    construction), ``try_divide`` NULLs on the injected zero divisor.
+    One poisoned row must never fail a 100 TB job — the try_* family is
+    the per-expression form of that policy (the per-row form is
+    ``scan_csv_permissive``'s DROPMALFORMED). The oracle replays the
+    exact overflow boundary with guard predicates."""
+    o = load_table(spark, sf, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.try_multiply(k, F.lit(922337203685477580).cast("bigint")).alias(
+            "try_product"
+        ),
+        F.try_add(k, F.lit(600).cast("bigint")).alias("try_sum"),
+        F.try_divide(k, k % 7).cast("bigint").alias("try_div"),
+    )

@@ -6253,3 +6253,36 @@ def workload_user_ltv_cohort(spark: SparkSession, sf: str) -> DataFrame:
         round4(F.col("cum_revenue")).alias("cum_revenue"),
         round4(F.col("cum_revenue") / F.col("n_users")).alias("ltv_per_user"),
     )
+
+
+@query(
+    "sql_group_by_all",
+    oracle=f"""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               {sql_dsum('o_totalprice')} AS revenue
+        FROM orders
+        GROUP BY o_orderstatus, o_orderpriority
+    """,
+    tags=("sql", "sugar"),
+)
+def sql_group_by_all(spark: SparkSession, sf: str) -> DataFrame:
+    """Modern SQL sugar, Spark 4 parser surface: ``GROUP BY ALL`` (every
+    non-aggregate select item becomes a key — no drift between the
+    select list and the grouping list) and ``* EXCEPT`` column
+    subtraction in the inner projection. Both are resolved at analysis
+    time into exactly the classic plan the oracle writes out — zero
+    runtime cost, pure ergonomics — so this pins that the sugar keeps
+    pushdown and two-phase aggregation intact."""
+    o = load_table(spark, sf, "orders")
+    o.createOrReplaceTempView("_gba_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE)
+                   AS revenue
+        FROM (SELECT * EXCEPT (o_orderdate, o_custkey) FROM _gba_orders)
+        GROUP BY ALL
+        """
+    )
