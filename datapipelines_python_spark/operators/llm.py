@@ -2241,3 +2241,78 @@ def llm_sentiment_lexicon(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise("neutral")
         .alias("polarity"),
     )
+
+
+@query(
+    "ml_ranking_metrics",
+    oracle=f"""
+        WITH ivf AS ({_REG["llm_ann_ivf"].oracle}),
+        exact AS (
+            SELECT * FROM ({_REG["llm_similarity_topk"].oracle}) e
+            WHERE rank <= 5
+        ),
+        judged AS (
+            SELECT ivf.q_id, ivf.rank,
+                   CASE WHEN exact.neighbor_id IS NOT NULL
+                        THEN 1 ELSE 0 END AS rel
+            FROM ivf
+            LEFT JOIN exact ON exact.q_id = ivf.q_id
+                           AND exact.neighbor_id = ivf.neighbor_id
+        ),
+        idcg AS (
+            SELECT SUM(1.0 / LOG2(CAST(r AS DOUBLE) + 1.0)) AS v
+            FROM (SELECT UNNEST([1, 2, 3, 4, 5]) AS r)
+        )
+        SELECT q_id,
+               CAST(SUM(rel) AS BIGINT) AS n_relevant,
+               {sql_round4(
+                   'SUM(rel / LOG2(CAST(rank AS DOUBLE) + 1.0)) / (SELECT v FROM idcg)'
+               )} AS ndcg_at_5,
+               {sql_round4(
+                   'COALESCE(MAX(CASE WHEN rel = 1 THEN 1.0 / rank END), 0.0)'
+               )} AS mrr
+        FROM judged
+        GROUP BY q_id
+    """,
+    tags=("llm", "similarity", "eval"),
+)
+def ml_ranking_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """NDCG@5 and MRR of the IVF index's ranked list against the exact
+    top-5 ground truth — the graded companions to ``llm_ann_recall``'s
+    set-overlap recall: NDCG rewards putting true neighbors early in the
+    list, MRR is the reciprocal rank of the first true neighbor (the
+    'how far does a user scroll' metric). Composes the two registered
+    operators verbatim (oracle composes their SQL), relevance is binary
+    membership in the exact top-5, and the ideal DCG is the closed-form
+    5-hit constant. At 100 TB ground truth comes from a sampled query
+    panel — exactly this shape."""
+    from pyspark.sql.window import Window as _W
+
+    ivf = _REG["llm_ann_ivf"].fn(spark, sf).select("q_id", "neighbor_id", "rank")
+    exact = (
+        _REG["llm_similarity_topk"].fn(spark, sf)
+        .filter(F.col("rank") <= 5)
+        .select("q_id", F.col("neighbor_id").alias("e_nb"), F.lit(1).alias("rel"))
+    )
+    judged = ivf.join(
+        exact,
+        (ivf.q_id == exact.q_id) & (ivf.neighbor_id == exact.e_nb),
+        "left",
+    ).select(
+        ivf.q_id.alias("q_id"),
+        F.col("rank"),
+        F.coalesce(F.col("rel"), F.lit(0)).alias("rel"),
+    )
+    idcg = sum(1.0 / __import__("math").log2(r + 1.0) for r in range(1, 6))
+    return judged.groupBy("q_id").agg(
+        F.sum("rel").cast("bigint").alias("n_relevant"),
+        round4(
+            F.sum(F.col("rel") / F.log2(F.col("rank").cast("double") + 1.0))
+            / F.lit(idcg)
+        ).alias("ndcg_at_5"),
+        round4(
+            F.coalesce(
+                F.max(F.when(F.col("rel") == 1, 1.0 / F.col("rank"))), F.lit(0.0)
+            )
+        ).alias("mrr"),
+    )

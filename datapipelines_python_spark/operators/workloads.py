@@ -6286,3 +6286,137 @@ def sql_group_by_all(spark: SparkSession, sf: str) -> DataFrame:
         GROUP BY ALL
         """
     )
+
+
+@query(
+    "workload_gdpr_erasure",
+    oracle=f"""
+        WITH flagged AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CASE WHEN CAST(('0x' || SUBSTRING(MD5(
+                            CAST(user_id AS VARCHAR) || ':erasure'), 1, 8))
+                            ::BIGINT % 20 AS INT) = 0
+                        THEN 1 ELSE 0 END AS erase
+            FROM events
+        )
+        SELECT day,
+               CAST(COUNT(*) AS BIGINT) AS partition_rows,
+               CAST(SUM(erase) AS BIGINT) AS rows_to_erase,
+               {sql_round4('CAST(SUM(erase) AS DOUBLE) / COUNT(*)')}
+                   AS rewrite_fraction
+        FROM flagged
+        GROUP BY day
+        HAVING SUM(erase) > 0
+    """,
+    tags=("workload", "governance"),
+)
+def workload_gdpr_erasure(spark: SparkSession, sf: str) -> DataFrame:
+    """Right-to-be-forgotten impact plan: a deterministic 5% erasure
+    batch (md5-keyed user sample, replayable by the oracle) is costed
+    against the day-partitioned fact table — per partition, how many
+    rows die and what fraction of the partition a copy-on-write rewrite
+    touches. This is the *planning* half of GDPR deletion at 100 TB:
+    partitions with a tiny rewrite_fraction are candidates for deletion
+    vectors / merge-on-read, near-1.0 partitions for full rewrite, and
+    the write path is exactly ``sink_dynamic_partition_overwrite`` —
+    only touched partitions get replaced. One map-side-combined
+    aggregate; the erasure flag is a pure projection."""
+    e = load_table(spark, sf, "events")
+    erase = (
+        F.when(
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":erasure"))),
+                        1, 8,
+                    ),
+                    16, 10,
+                ).cast("bigint")
+                % 20
+            )
+            == 0,
+            1,
+        ).otherwise(0)
+    )
+    flagged = e.select(F.col("ts").cast("date").alias("day"), erase.alias("erase"))
+    return (
+        flagged.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("partition_rows"),
+            F.sum("erase").cast("bigint").alias("rows_to_erase"),
+            round4(
+                F.sum("erase").cast("double") / F.count(F.lit(1))
+            ).alias("rewrite_fraction"),
+        )
+        .filter(F.col("rows_to_erase") > 0)
+    )
+
+
+@query(
+    "workload_late_arriving_facts",
+    oracle=f"""
+        WITH arrivals AS (
+            SELECT CAST(ts AS DATE) AS event_day,
+                   CAST(('0x' || SUBSTRING(MD5(
+                        CAST(event_id AS VARCHAR) || ':ingest'), 1, 8))
+                        ::BIGINT % 721 AS BIGINT) AS delay_min,
+                   CAST(ts + INTERVAL 1 MINUTE * CAST(('0x' || SUBSTRING(MD5(
+                        CAST(event_id AS VARCHAR) || ':ingest'), 1, 8))
+                        ::BIGINT % 721 AS BIGINT) AS DATE) AS ingest_day
+            FROM events
+        )
+        SELECT event_day,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(CASE WHEN ingest_day > event_day THEN 1 END)
+                    AS BIGINT) AS n_late,
+               {sql_round4(
+                   'CAST(COUNT(CASE WHEN ingest_day > event_day THEN 1 END) AS DOUBLE)'
+                   ' / COUNT(*)'
+               )} AS late_fraction,
+               CAST(MAX(CASE WHEN ingest_day > event_day
+                             THEN delay_min END) AS BIGINT) AS max_late_min
+        FROM arrivals
+        GROUP BY event_day
+    """,
+    tags=("workload", "lakehouse"),
+)
+def workload_late_arriving_facts(spark: SparkSession, sf: str) -> DataFrame:
+    """Late-arriving-fact audit: each event gets a deterministic synth
+    ingest delay (md5-keyed, 0–720 min — replayed exactly by the
+    oracle), and the op reports, per event-day partition, how many rows
+    physically land AFTER their partition's day closed. This number
+    drives two scale decisions: the reprocessing window (how many
+    trailing partitions each incremental run must rewrite — see
+    ``workload_incremental_rollup``) and the streaming watermark delay
+    (late_fraction at the chosen horizon IS the data-loss budget a
+    watermark accepts). Pure projection + one aggregate."""
+    e = load_table(spark, sf, "events")
+    delay = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("event_id").cast("string"), F.lit(":ingest"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint")
+        % 721
+    )
+    arrivals = e.select(
+        F.col("ts").cast("date").alias("event_day"),
+        delay.alias("delay_min"),
+        (
+            F.col("ts")
+            + (delay * F.expr("INTERVAL 1 MINUTE"))
+        ).cast("date").alias("ingest_day"),
+    )
+    is_late = F.col("ingest_day") > F.col("event_day")
+    return arrivals.groupBy("event_day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.count(F.when(is_late, 1)).cast("bigint").alias("n_late"),
+        round4(
+            F.count(F.when(is_late, 1)).cast("double") / F.count(F.lit(1))
+        ).alias("late_fraction"),
+        F.max(F.when(is_late, F.col("delay_min"))).cast("bigint").alias(
+            "max_late_min"
+        ),
+    )
