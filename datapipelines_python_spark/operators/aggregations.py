@@ -884,3 +884,44 @@ def agg_percentile_family(spark: SparkSession, sf: str) -> DataFrame:
             r9="FLOOR(PERCENTILE_CONT(0.90) WITHIN GROUP (ORDER BY l_extendedprice) * 1e4 + 5e-1) / 1e4",
         )
     )
+
+
+from datapipelines_python_spark.operators._helpers import (  # noqa: E402
+    round4 as _r4,
+    sql_round4 as _sql_r4,
+    sql_dsum as _sql_dsum,
+    dsum as _dsum,
+)
+
+
+@query(
+    "agg_geometric_mean",
+    oracle=f"""
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               {_sql_r4('EXP(' + _sql_dsum('LN(l_quantity)') + ' / COUNT(*))')}
+                   AS geo_mean_qty,
+               {_sql_r4('EXP(' + _sql_dsum('LN(l_extendedprice)') + ' / COUNT(*))')}
+                   AS geo_mean_price
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def agg_geometric_mean(spark: SparkSession, sf: str) -> DataFrame:
+    """Geometric mean via exp(mean(ln x)) — the only correct average for
+    multiplicative quantities (growth rates, ratios, prices spanning
+    magnitudes), and an aggregate Spark and DuckDB both lack natively.
+    The log-sum rides the decimal convention (order-independent), the
+    single exp/div at the end is one float expression, so the
+    distributed result is identical under any partitioning — the exact
+    property a naive running product loses (overflow + order drift).
+    Strictly positive inputs by fixture domain; production wraps the LN
+    in a NULLIF guard."""
+    li = load_table(spark, sf, "lineitem")
+    n = F.count(F.lit(1))
+    return li.groupBy("l_returnflag").agg(
+        n.cast("bigint").alias("n"),
+        _r4(F.exp(_dsum(F.log("l_quantity")) / n)).alias("geo_mean_qty"),
+        _r4(F.exp(_dsum(F.log("l_extendedprice")) / n)).alias("geo_mean_price"),
+    )

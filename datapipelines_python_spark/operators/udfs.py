@@ -541,3 +541,45 @@ def udf_pandas_struct(spark: SparkSession, sf: str) -> DataFrame:
     return d.select("doc_id", _tok_stats(F.col("text")).alias("s")).select(
         "doc_id", "s.n_tokens", "s.mean_token_len"
     )
+
+
+@query(
+    "udaf_pandas_window",
+    oracle="""
+        SELECT event_id, user_id,
+               (MIN(value) OVER w + MAX(value) OVER w) / 2.0 AS midrange_5
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("udf", "pandas", "window"),
+)
+def udaf_pandas_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Pandas GROUPED_AGG UDF applied OVER a bounded window — the API
+    corner where a custom aggregate slides along ordered frames: Spark
+    re-evaluates the Arrow-batched UDF per frame (rows -4..0 per user
+    here). The body is the rolling midrange (min+max)/2 — chosen because
+    it is EXACTLY representable regardless of summation order, so the
+    SQL window oracle matches bit-for-bit (a float mean would hinge on
+    accumulation order inside the UDF). Scale note: custom window UDAFs
+    cost one Python round trip per frame — prefer built-in window
+    aggregates when they exist; this op pins the escape hatch for when
+    they don't."""
+    from datapipelines_python_spark.catalog import load_table as _lt
+    from pyspark.sql.window import Window as _W
+
+    @pandas_udf("double")
+    def _midrange(v: pd.Series) -> float:
+        return (v.min() + v.max()) / 2.0
+
+    e = load_table(spark, sf, "events")
+    w = (
+        _W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, _W.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        _midrange(F.col("value")).over(w).alias("midrange_5"),
+    )

@@ -6420,3 +6420,61 @@ def workload_late_arriving_facts(spark: SparkSession, sf: str) -> DataFrame:
             "max_late_min"
         ),
     )
+
+
+@query(
+    "workload_ohlc_bars",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT event_type,
+                   DATE_TRUNC('hour', ts) AS bar_hour,
+                   value,
+                   LPAD(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                       || LPAD(CAST(event_id AS VARCHAR), 12, '0') AS ordkey,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS qty
+            FROM events
+        )
+        SELECT event_type,
+               CAST(bar_hour AS TIMESTAMP) AS bar_hour,
+               ARG_MIN(value, ordkey) AS open,
+               MAX(value) AS high,
+               MIN(value) AS low,
+               ARG_MAX(value, ordkey) AS close,
+               CAST(SUM(qty) AS BIGINT) AS volume,
+               CAST(COUNT(*) AS BIGINT) AS n_ticks
+        FROM keyed
+        GROUP BY event_type, bar_hour
+    """,
+    tags=("workload", "timeseries"),
+)
+def workload_ohlc_bars(spark: SparkSession, sf: str) -> DataFrame:
+    """OHLC resampling — hourly open/high/low/close/volume bars per
+    series, the candlestick primitive: open/close are ``min_by``/
+    ``max_by`` against a zero-padded (epoch_us, event_id) string key
+    (total order even under timestamp ties, identical lexicographic
+    comparison on both engines), high/low/volume are plain aggregates.
+    Everything is ONE map-side-combinable hash aggregate — no window,
+    no sort: at 100 TB the shuffle carries (series × hours) fixed-width
+    bars, never raw ticks. The string ordkey trades a few bytes for
+    engine-portable argmin semantics (DuckDB arg_min takes one ordering
+    expression; a struct key is Spark-only)."""
+    e = load_table(spark, sf, "events")
+    ordkey = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    keyed = e.select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("bar_hour"),
+        "value",
+        ordkey.alias("ordkey"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("qty"),
+    )
+    return keyed.groupBy("event_type", "bar_hour").agg(
+        F.min_by("value", "ordkey").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "ordkey").alias("close"),
+        F.sum("qty").cast("bigint").alias("volume"),
+        F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
+    )
