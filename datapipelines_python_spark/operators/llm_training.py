@@ -3407,3 +3407,87 @@ def llm_mix_temperature(spark: SparkSession, sf: str) -> DataFrame:
         round4(p_sampled).alias("p_sampled"),
         round4(p_sampled / p_raw).alias("epoch_multiplier"),
     )
+
+
+@query(
+    "mm_av_sync_check",
+    oracle="""
+        WITH media AS (
+            SELECT doc_id,
+                   LENGTH(text) // 64 AS n_frames,
+                   CASE WHEN LENGTH(text) >= 256
+                        THEN (LENGTH(text) - 256) // 128 + 1
+                        ELSE 0 END AS n_awin
+            FROM documents
+        ),
+        keyframes AS (
+            SELECT doc_id, n_awin,
+                   UNNEST(RANGE(0, (n_frames - 1) // 30 + 1)) AS k
+            FROM media
+            WHERE n_frames > 0 AND n_awin > 0
+        ),
+        aligned AS (
+            SELECT doc_id, CAST(k AS INT) AS keyframe_idx,
+                   CAST(1000 * k AS BIGINT) AS video_ts_ms,
+                   CAST(LEAST(GREATEST((1000 * k + 8) // 16, 0), n_awin - 1)
+                        AS BIGINT) AS audio_win
+            FROM keyframes
+        )
+        SELECT doc_id, keyframe_idx, video_ts_ms,
+               CAST(audio_win AS BIGINT) AS audio_win,
+               CAST(16 * audio_win AS BIGINT) AS audio_ts_ms,
+               CAST(ABS(video_ts_ms - 16 * audio_win) AS BIGINT) AS drift_ms,
+               CAST(ABS(video_ts_ms - 16 * audio_win) > 8 AS BOOLEAN)
+                   AS desynced
+        FROM aligned
+    """,
+    tags=("llm", "multimodal"),
+)
+def mm_av_sync_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio/video sync audit across two modality streams of the same
+    media asset: 30 fps video keyframes (one per second, from
+    ``mm_video_frame_sample``'s frame geometry) aligned against 16 ms
+    audio hop windows (``mm_audio_frame_sample``'s 256/128 layout at
+    8 kHz), nearest-window assignment and drift in ms — desync flags
+    where the audio stream ends before the video (tail clamping), the
+    real-world symptom of truncated/CBR-mismatched muxes. All integer
+    pts math derived from payload length, fanned out array-locally with
+    ``sequence``+``explode`` — zero shuffle, no UDF; a real demuxer
+    replaces length-as-duration, the alignment algebra is production
+    shape."""
+    d = load_table(spark, sf, "documents")
+    length = F.length("text")
+    media = d.select(
+        "doc_id",
+        (length / 64).cast("bigint").alias("n_frames"),
+        F.when(length >= 256, ((length - 256) / 128).cast("bigint") + 1)
+        .otherwise(0)
+        .alias("n_awin"),
+    )
+    keyframes = media.filter(
+        (F.col("n_frames") > 0) & (F.col("n_awin") > 0)
+    ).select(
+        "doc_id",
+        "n_awin",
+        F.explode(
+            F.sequence(F.lit(0), ((F.col("n_frames") - 1) / 30).cast("bigint"))
+        ).alias("k"),
+    )
+    video_ts = (1000 * F.col("k")).cast("bigint")
+    audio_win = F.least(
+        F.greatest(((1000 * F.col("k") + 8) / 16).cast("bigint"), F.lit(0)),
+        F.col("n_awin") - 1,
+    ).cast("bigint")
+    aligned = keyframes.select(
+        "doc_id",
+        F.col("k").cast("int").alias("keyframe_idx"),
+        video_ts.alias("video_ts_ms"),
+        audio_win.alias("audio_win"),
+    )
+    drift = F.abs(F.col("video_ts_ms") - 16 * F.col("audio_win"))
+    return aligned.select(
+        "doc_id", "keyframe_idx", "video_ts_ms", "audio_win",
+        (16 * F.col("audio_win")).cast("bigint").alias("audio_ts_ms"),
+        drift.cast("bigint").alias("drift_ms"),
+        (drift > 8).alias("desynced"),
+    )

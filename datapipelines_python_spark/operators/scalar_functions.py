@@ -1634,3 +1634,79 @@ def fn_try_overflow(spark: SparkSession, sf: str) -> DataFrame:
         F.try_add(k, F.lit(600).cast("bigint")).alias("try_sum"),
         F.try_divide(k, k % 7).cast("bigint").alias("try_div"),
     )
+
+
+@query(
+    "fn_sequence_zip",
+    oracle="""
+        SELECT p_partkey,
+               RANGE(1, LEAST(p_size, 5) + 1) AS size_seq,
+               [CAST(x AS VARCHAR) || ':' || p_brand
+                FOR x IN RANGE(1, LEAST(p_size, 5) + 1)] AS zipped,
+               LIST_TRANSFORM(
+                   LIST_ZIP(RANGE(1, LEAST(p_size, 5) + 1),
+                            RANGE(1, LEAST(p_size, 5) + 1)),
+                   s -> s[1] * s[2]) AS squares
+        FROM part
+    """,
+    tags=("fn", "array"),
+)
+def fn_sequence_zip(spark: SparkSession, sf: str) -> DataFrame:
+    """Array constructors that complete the HOF tranche: ``sequence``
+    (inline integer ranges — the shuffle-free way to fan out k rows per
+    row, see ``llm_chunk_documents``), ``arrays_zip`` (positional
+    struct-of-parallel-arrays), and ``zip_with`` (binary HOF). All
+    array-local projections — zero shuffle, full codegen. The oracle
+    builds the same values with DuckDB RANGE / list comprehension /
+    LIST_ZIP, minding the off-by-one (RANGE excludes its upper bound;
+    Spark sequence includes it)."""
+    p = load_table(spark, sf, "part")
+    seq = F.sequence(F.lit(1), F.least(F.col("p_size"), F.lit(5)))
+    return p.select(
+        "p_partkey",
+        seq.alias("size_seq"),
+        F.transform(
+            F.arrays_zip(
+                seq.alias("idx"),
+                F.transform(seq, lambda _: F.col("p_brand")).alias("brand"),
+            ),
+            lambda s: F.concat(s["idx"].cast("string"), F.lit(":"), s["brand"]),
+        ).alias("zipped"),
+        F.zip_with(seq, seq, lambda a, b: a * b).alias("squares"),
+    )
+
+
+@query(
+    "fn_mask",
+    oracle="""
+        SELECT c_custkey,
+               REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
+                   c_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),
+                   '[0-9]', 'n', 'g') AS name_masked_default,
+               REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
+                   c_name, '[A-Z]', 'Q', 'g'), '[a-z]', 'q', 'g'),
+                   '[0-9]', '*', 'g') AS name_masked_custom,
+               REGEXP_REPLACE(c_mktsegment, '[A-Z]', 'X', 'g')
+                   AS segment_masked
+        FROM customer
+    """,
+    tags=("fn", "string", "governance"),
+)
+def fn_mask(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark's ``mask()`` data-redaction scalar (Spark 3.4+): class-wise
+    substitution of upper/lower/digit/other characters, the column-level
+    PII-redaction primitive (complementing ``llm_pii_detect``'s
+    pattern-level scrub) — e.g. mask a customer identifier while keeping
+    its *shape* for format validation and joins on masked data. Default
+    and custom replacement alphabets both pinned; the oracle replays
+    with per-class regexp passes."""
+    c = load_table(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.mask(F.col("c_name")).alias("name_masked_default"),
+        F.mask(
+            F.col("c_name"),
+            F.lit("Q"), F.lit("q"), F.lit("*"), F.lit(None),
+        ).alias("name_masked_custom"),
+        F.mask(F.col("c_mktsegment")).alias("segment_masked"),
+    )

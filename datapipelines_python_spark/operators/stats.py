@@ -1741,3 +1741,131 @@ def ml_lift_gains(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("cum_pos").cast("double") / F.col("cum_n")) / rate_all
         ).alias("cum_lift"),
     )
+
+
+@query(
+    "ml_propensity_matching",
+    oracle=f"""
+        WITH feats AS (
+            SELECT user_id,
+                   CAST(('0x' || SUBSTRING(MD5(
+                        CAST(user_id AS VARCHAR) || ':psm'), 1, 8))
+                        ::BIGINT % 2 AS INT) AS treated,
+                   COUNT(*) AS n_events,
+                   SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS n_purch
+            FROM events GROUP BY user_id
+        ),
+        scored AS (
+            SELECT user_id, treated,
+                   1.0 / (1.0 + EXP(-(0.2 * n_purch + 0.01 * n_events - 2.0)))
+                       AS score
+            FROM feats
+        ),
+        swept AS (
+            SELECT user_id, treated, score,
+                   LAST_VALUE(CASE WHEN treated = 0 THEN score END
+                              IGNORE NULLS) OVER wb AS before_s,
+                   LAST_VALUE(CASE WHEN treated = 0 THEN user_id END
+                              IGNORE NULLS) OVER wb AS before_u,
+                   FIRST_VALUE(CASE WHEN treated = 0 THEN score END
+                               IGNORE NULLS) OVER wa AS after_s,
+                   FIRST_VALUE(CASE WHEN treated = 0 THEN user_id END
+                               IGNORE NULLS) OVER wa AS after_u
+            FROM scored
+            WINDOW wb AS (ORDER BY score, user_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   wa AS (ORDER BY score, user_id
+                          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        ),
+        matched AS (
+            SELECT user_id, score,
+                   CASE WHEN after_s IS NULL THEN before_u
+                        WHEN before_s IS NULL THEN after_u
+                        WHEN score - before_s <= after_s - score THEN before_u
+                        ELSE after_u END AS control_id,
+                   CASE WHEN after_s IS NULL THEN before_s
+                        WHEN before_s IS NULL THEN after_s
+                        WHEN score - before_s <= after_s - score THEN before_s
+                        ELSE after_s END AS control_score
+            FROM swept WHERE treated = 1
+        )
+        SELECT user_id AS treated_id,
+               CAST(control_id AS BIGINT) AS control_id,
+               {sql_round4('score')} AS t_score,
+               {sql_round4('control_score')} AS c_score,
+               {sql_round4('ABS(score - control_score)')} AS score_gap
+        FROM matched
+    """,
+    tags=("ml", "causal"),
+)
+def ml_propensity_matching(spark: SparkSession, sf: str) -> DataFrame:
+    """Propensity-score matching — the causal-inference workhorse: every
+    treated user (md5-keyed arm split) is paired with the control whose
+    propensity score (a fixed logistic on activity features) is nearest.
+    The naive treated×control product is O(n²); this is the sort-sweep
+    formulation: ONE global ordering by (score, user_id), then the
+    nearest control is either the last control before or the first
+    after — two frame-bounded IGNORE NULLS windows sharing one sort,
+    distance comparison in exact doubles with a deterministic
+    prefer-before tie rule. At 100 TB the window runs per score-range
+    partition (scores are in [0,1] — range-partition the axis), never a
+    pairwise join."""
+    e = load_table(spark, sf, "events")
+    feats = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "n_purch"
+        ),
+    )
+    treated = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":psm"))), 1, 8
+            ),
+            16, 10,
+        ).cast("bigint")
+        % 2
+    ).cast("int")
+    score = 1.0 / (
+        1.0 + F.exp(-(0.2 * F.col("n_purch") + 0.01 * F.col("n_events") - 2.0))
+    )
+    scored = feats.select(
+        "user_id", treated.alias("treated"), score.alias("score")
+    )
+    order = W.orderBy("score", "user_id")
+    wb = order.rowsBetween(W.unboundedPreceding, -1)
+    wa = order.rowsBetween(1, W.unboundedFollowing)
+    ctrl_s = F.when(F.col("treated") == 0, F.col("score"))
+    ctrl_u = F.when(F.col("treated") == 0, F.col("user_id"))
+    swept = scored.select(
+        "user_id", "treated", "score",
+        F.last(ctrl_s, ignorenulls=True).over(wb).alias("before_s"),
+        F.last(ctrl_u, ignorenulls=True).over(wb).alias("before_u"),
+        F.first(ctrl_s, ignorenulls=True).over(wa).alias("after_s"),
+        F.first(ctrl_u, ignorenulls=True).over(wa).alias("after_u"),
+    )
+    take_before = (
+        F.col("after_s").isNull()
+        | (
+            F.col("before_s").isNotNull()
+            & (F.col("score") - F.col("before_s") <= F.col("after_s") - F.col("score"))
+        )
+    )
+    matched = swept.filter(F.col("treated") == 1).select(
+        F.col("user_id").alias("treated_id"),
+        "score",
+        F.when(take_before, F.col("before_u")).otherwise(F.col("after_u"))
+        .cast("bigint")
+        .alias("control_id"),
+        F.when(take_before, F.col("before_s")).otherwise(F.col("after_s")).alias(
+            "control_score"
+        ),
+    )
+    return matched.select(
+        "treated_id",
+        "control_id",
+        round4(F.col("score")).alias("t_score"),
+        round4(F.col("control_score")).alias("c_score"),
+        round4(F.abs(F.col("score") - F.col("control_score"))).alias("score_gap"),
+    )
