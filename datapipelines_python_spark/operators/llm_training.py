@@ -3491,3 +3491,135 @@ def mm_av_sync_check(spark: SparkSession, sf: str) -> DataFrame:
         drift.cast("bigint").alias("drift_ms"),
         (drift > 8).alias("desynced"),
     )
+
+
+@query(
+    "ml_feature_hashing",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w
+            FROM documents
+        ),
+        bucketed AS (
+            SELECT doc_id,
+                   CAST(('0x' || SUBSTRING(MD5(w), 1, 8))::BIGINT % 64
+                        AS INT) AS bucket
+            FROM tok
+        ),
+        cells AS (
+            SELECT doc_id, bucket, COUNT(*) AS cnt
+            FROM bucketed GROUP BY doc_id, bucket
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_nonzero,
+               LIST(LPAD(CAST(bucket AS VARCHAR), 2, '0') || ':'
+                    || CAST(cnt AS VARCHAR) ORDER BY bucket) AS sparse_vector
+        FROM cells
+        GROUP BY doc_id
+    """,
+    tags=("llm", "features"),
+)
+def ml_feature_hashing(spark: SparkSession, sf: str) -> DataFrame:
+    """The hashing trick: tokens are hashed straight into a fixed 64-slot
+    feature space (md5 → bucket, replayed exactly by the oracle), giving
+    every document a bounded sparse count vector with NO vocabulary
+    table at all — the property that matters at 100 TB, where a
+    vocab-indexed featurizer needs a fitted, broadcast dictionary that
+    drifts between corpus versions, while the hashed space is stateless,
+    versionless, and embarrassingly parallel (one explode + two
+    map-side-combinable aggregates; collisions are the accepted trade).
+    Output is the canonical 'bucket:count' sorted sparse encoding."""
+    d = load_table(spark, sf, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast("bigint") % 64
+    ).cast("int")
+    cells = tok.select("doc_id", bucket.alias("bucket")).groupBy(
+        "doc_id", "bucket"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return cells.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nonzero"),
+        F.array_sort(
+            F.collect_list(
+                F.concat(
+                    F.lpad(F.col("bucket").cast("string"), 2, "0"),
+                    F.lit(":"),
+                    F.col("cnt").cast("string"),
+                )
+            )
+        ).alias("sparse_vector"),
+    )
+
+
+@query(
+    "llm_split_leakage",
+    oracle="""
+        WITH labeled AS (
+            SELECT doc_id,
+                   MD5(LOWER(TRIM(text))) AS content_key,
+                   CASE WHEN CAST(('0x' || SUBSTRING(MD5(
+                            CAST(doc_id AS VARCHAR) || ':split'), 1, 8))
+                            ::BIGINT % 100 AS INT) < 90
+                        THEN 'train' ELSE 'heldout' END AS side
+            FROM documents
+        ),
+        per_content AS (
+            SELECT content_key,
+                   COUNT(CASE WHEN side = 'train' THEN 1 END) AS n_train,
+                   COUNT(CASE WHEN side = 'heldout' THEN 1 END) AS n_heldout,
+                   MIN(CASE WHEN side = 'heldout' THEN doc_id END)
+                       AS example_heldout_doc
+            FROM labeled
+            GROUP BY content_key
+        )
+        SELECT content_key,
+               CAST(n_train AS BIGINT) AS n_train,
+               CAST(n_heldout AS BIGINT) AS n_heldout,
+               CAST(example_heldout_doc AS BIGINT) AS example_heldout_doc
+        FROM per_content
+        WHERE n_train > 0 AND n_heldout > 0
+    """,
+    tags=("llm", "split", "eval-hygiene"),
+)
+def llm_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-duplicate leakage across the train/heldout boundary: the
+    doc_id-keyed hash split (``llm_train_val_split``'s rule) is
+    reproducible but content-blind — two byte-identical documents can
+    land on opposite sides, silently inflating eval scores. One
+    content-fingerprint aggregate (md5 of normalized text) counts each
+    side's occupancy and flags fingerprints present in BOTH — the list
+    of eval rows whose answers are literally in the training set. The
+    4-gram-overlap twin for near-miss contamination is
+    ``llm_contamination_check``; the remediation is splitting by
+    content_key instead of doc_id, or dropping the flagged heldout
+    rows. Map-side combinable; shuffle is fingerprint-sized."""
+    d = load_table(spark, sf, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint")
+        % 100
+    ).cast("int")
+    labeled = d.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("content_key"),
+        F.when(bucket < 90, "train").otherwise("heldout").alias("side"),
+    )
+    per_content = labeled.groupBy("content_key").agg(
+        F.count(F.when(F.col("side") == "train", 1)).cast("bigint").alias(
+            "n_train"
+        ),
+        F.count(F.when(F.col("side") == "heldout", 1)).cast("bigint").alias(
+            "n_heldout"
+        ),
+        F.min(F.when(F.col("side") == "heldout", F.col("doc_id")))
+        .cast("bigint")
+        .alias("example_heldout_doc"),
+    )
+    return per_content.filter(
+        (F.col("n_train") > 0) & (F.col("n_heldout") > 0)
+    )

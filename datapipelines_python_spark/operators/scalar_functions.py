@@ -1710,3 +1710,44 @@ def fn_mask(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("name_masked_custom"),
         F.mask(F.col("c_mktsegment")).alias("segment_masked"),
     )
+
+
+@query(
+    "fn_timestamp_parse",
+    oracle="""
+        WITH rendered AS (
+            SELECT event_id,
+                   STRFTIME(ts, '%Y%m%d-%H%M') AS compact,
+                   STRFTIME(ts, '%d/%m/%Y %H:%M:%S') AS euro
+            FROM events
+        )
+        SELECT event_id, compact, euro,
+               STRPTIME(compact, '%Y%m%d-%H%M') AS ts_from_compact,
+               STRPTIME(euro, '%d/%m/%Y %H:%M:%S') AS ts_from_euro,
+               CAST(STRPTIME(compact, '%Y%m%d-%H%M') AS DATE) AS day_part
+        FROM rendered
+    """,
+    tags=("fn", "timestamp"),
+)
+def fn_timestamp_parse(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom-pattern timestamp rendering and re-parsing — the messy-
+    ingest surface: ``date_format`` writes two non-ISO layouts (compact
+    log-style and a European day-first form) and ``to_timestamp`` parses
+    them back under explicit patterns (never inference — ambiguous
+    day/month layouts MUST pin a pattern). Spark uses DateTimeFormatter
+    patterns, DuckDB strftime/strptime codes; the oracle maps between
+    the two dialects. Sub-minute truncation in the compact form is a
+    real lossy-roundtrip: ts_from_compact floors to the minute — parse
+    precision is part of the contract, pinned here."""
+    e = load_table(spark, sf, "events")
+    rendered = e.select(
+        "event_id",
+        F.date_format("ts", "yyyyMMdd-HHmm").alias("compact"),
+        F.date_format("ts", "dd/MM/yyyy HH:mm:ss").alias("euro"),
+    )
+    return rendered.select(
+        "event_id", "compact", "euro",
+        F.to_timestamp("compact", "yyyyMMdd-HHmm").alias("ts_from_compact"),
+        F.to_timestamp("euro", "dd/MM/yyyy HH:mm:ss").alias("ts_from_euro"),
+        F.to_timestamp("compact", "yyyyMMdd-HHmm").cast("date").alias("day_part"),
+    )

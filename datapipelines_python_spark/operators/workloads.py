@@ -6478,3 +6478,73 @@ def workload_ohlc_bars(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("qty").cast("bigint").alias("volume"),
         F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
     )
+
+
+@query(
+    "workload_skew_audit",
+    oracle=f"""
+        WITH key_counts AS (
+            SELECT 'orders.o_custkey' AS join_key, o_custkey AS k, COUNT(*) AS c
+            FROM orders GROUP BY o_custkey
+            UNION ALL
+            SELECT 'lineitem.l_partkey', l_partkey, COUNT(*)
+            FROM lineitem GROUP BY l_partkey
+            UNION ALL
+            SELECT 'events.user_id', user_id, COUNT(*)
+            FROM events GROUP BY user_id
+        )
+        SELECT join_key,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(c) AS BIGINT) AS n_rows,
+               CAST(MAX(c) AS BIGINT) AS max_key_rows,
+               {sql_round4('CAST(SUM(c) AS DOUBLE) / COUNT(*)')}
+                   AS mean_key_rows,
+               {sql_round4('CAST(MAX(c) AS DOUBLE) * COUNT(*) / SUM(c)')}
+                   AS skew_factor,
+               CAST(ARG_MAX(k, c * 10000000 - k) AS BIGINT) AS heaviest_key
+        FROM key_counts
+        GROUP BY join_key
+    """,
+    tags=("workload", "ops", "skew"),
+)
+def workload_skew_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-key skew audit — the diagnostic that decides between a plain
+    shuffle join, AQE skew splitting, and explicit salting
+    (``join_skew_salted``): for each candidate join key, the key count,
+    max-key row count, and skew factor (max/mean — 1.0 is uniform; a
+    key 100× the mean means one straggler task does 100× the work).
+    Two-level aggregation, both map-side combinable; the heaviest key is
+    surfaced via argmax with a deterministic low-key tie-break so the
+    report itself is engine-exact. At 100 TB this runs as a cheap
+    pre-flight on a sample or on the first partition-grain rollup —
+    the audit's own shuffle is keys-sized, not rows-sized."""
+    def key_counts(df: DataFrame, label: str, col: str) -> DataFrame:
+        return df.groupBy(F.col(col).alias("k")).agg(
+            F.count(F.lit(1)).alias("c")
+        ).select(F.lit(label).alias("join_key"), "k", "c")
+
+    kc = (
+        key_counts(load_table(spark, sf, "orders"), "orders.o_custkey", "o_custkey")
+        .unionByName(
+            key_counts(
+                load_table(spark, sf, "lineitem"), "lineitem.l_partkey", "l_partkey"
+            )
+        )
+        .unionByName(
+            key_counts(load_table(spark, sf, "events"), "events.user_id", "user_id")
+        )
+    )
+    return kc.groupBy("join_key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.max("c").cast("bigint").alias("max_key_rows"),
+        round4(F.sum("c").cast("double") / F.count(F.lit(1))).alias(
+            "mean_key_rows"
+        ),
+        round4(
+            F.max("c").cast("double") * F.count(F.lit(1)) / F.sum("c")
+        ).alias("skew_factor"),
+        F.max_by("k", F.col("c") * 10000000 - F.col("k"))
+        .cast("bigint")
+        .alias("heaviest_key"),
+    )
