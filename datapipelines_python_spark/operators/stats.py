@@ -1758,8 +1758,7 @@ def ml_lift_gains(spark: SparkSession, sf: str) -> DataFrame:
         ),
         scored AS (
             SELECT user_id, treated,
-                   1.0 / (1.0 + EXP(-(0.2 * n_purch + 0.01 * n_events - 2.0)))
-                       AS score
+                   CAST(20 * n_purch + n_events AS BIGINT) AS score
             FROM feats
         ),
         swept AS (
@@ -1792,9 +1791,11 @@ def ml_lift_gains(spark: SparkSession, sf: str) -> DataFrame:
         )
         SELECT user_id AS treated_id,
                CAST(control_id AS BIGINT) AS control_id,
-               {sql_round4('score')} AS t_score,
-               {sql_round4('control_score')} AS c_score,
-               {sql_round4('ABS(score - control_score)')} AS score_gap
+               CAST(score AS BIGINT) AS t_score,
+               CAST(control_score AS BIGINT) AS c_score,
+               CAST(ABS(score - control_score) AS BIGINT) AS score_gap,
+               FLOOR((1.0 / (1.0 + EXP(-(0.01 * score - 2.0)))) * 10000.0
+                     + 0.5) / 10000.0 AS t_propensity
         FROM matched
     """,
     tags=("ml", "causal"),
@@ -1802,15 +1803,19 @@ def ml_lift_gains(spark: SparkSession, sf: str) -> DataFrame:
 def ml_propensity_matching(spark: SparkSession, sf: str) -> DataFrame:
     """Propensity-score matching — the causal-inference workhorse: every
     treated user (md5-keyed arm split) is paired with the control whose
-    propensity score (a fixed logistic on activity features) is nearest.
-    The naive treated×control product is O(n²); this is the sort-sweep
-    formulation: ONE global ordering by (score, user_id), then the
-    nearest control is either the last control before or the first
-    after — two frame-bounded IGNORE NULLS windows sharing one sort,
-    distance comparison in exact doubles with a deterministic
-    prefer-before tie rule. At 100 TB the window runs per score-range
-    partition (scores are in [0,1] — range-partition the axis), never a
-    pairwise join."""
+    propensity is nearest. The naive treated×control product is O(n²);
+    this is the sort-sweep formulation: ONE global ordering by
+    (score, user_id), then the nearest control is either the last
+    control before or the first after — two frame-bounded IGNORE NULLS
+    windows sharing one sort, with a deterministic prefer-before tie
+    rule. Matching runs on the INTEGER linear score (20·purchases +
+    events — the logistic's argument, monotone-equivalent for nearest-
+    neighbor purposes): a float sigmoid axis would hinge nearest-control
+    decisions on sub-ulp EXP differences between engines/libms, exactly
+    the class of bug that makes matched cohorts irreproducible across
+    platforms. The display propensity applies the sigmoid after
+    matching. At 100 TB the window runs per score-range partition
+    (range-partition the integer axis), never a pairwise join."""
     e = load_table(spark, sf, "events")
     feats = e.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -1827,9 +1832,7 @@ def ml_propensity_matching(spark: SparkSession, sf: str) -> DataFrame:
         ).cast("bigint")
         % 2
     ).cast("int")
-    score = 1.0 / (
-        1.0 + F.exp(-(0.2 * F.col("n_purch") + 0.01 * F.col("n_events") - 2.0))
-    )
+    score = (20 * F.col("n_purch") + F.col("n_events")).cast("bigint")
     scored = feats.select(
         "user_id", treated.alias("treated"), score.alias("score")
     )
@@ -1865,7 +1868,10 @@ def ml_propensity_matching(spark: SparkSession, sf: str) -> DataFrame:
     return matched.select(
         "treated_id",
         "control_id",
-        round4(F.col("score")).alias("t_score"),
-        round4(F.col("control_score")).alias("c_score"),
-        round4(F.abs(F.col("score") - F.col("control_score"))).alias("score_gap"),
+        F.col("score").cast("bigint").alias("t_score"),
+        F.col("control_score").cast("bigint").alias("c_score"),
+        F.abs(F.col("score") - F.col("control_score")).cast("bigint").alias("score_gap"),
+        round4(
+            1.0 / (1.0 + F.exp(-(0.01 * F.col("score").cast("double") - 2.0)))
+        ).alias("t_propensity"),
     )
