@@ -6548,3 +6548,131 @@ def workload_skew_audit(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("heaviest_key"),
     )
+
+
+@query(
+    "workload_mtbf_mttr",
+    oracle=f"""
+        WITH seq AS (
+            SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+                   FIRST_VALUE(CASE WHEN event_type <> 'error'
+                                    THEN epoch_us(ts) END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 1 FOLLOWING
+                             AND UNBOUNDED FOLLOWING) AS recover_us
+            FROM events
+        ),
+        errors AS (
+            SELECT user_id, us, recover_us,
+                   us - LAG(us) OVER (PARTITION BY user_id ORDER BY us,
+                                      event_id) AS gap_us
+            FROM seq WHERE event_type = 'error'
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_errors,
+               {sql_round4(
+                   'CAST(CAST(SUM(CAST(gap_us AS DECIMAL(38,8))) AS VARCHAR)'
+                   ' AS DOUBLE) / COUNT(gap_us) / 1000000.0'
+               )} AS mtbf_s,
+               {sql_round4(
+                   'CAST(CAST(SUM(CAST(recover_us - us AS DECIMAL(38,8)))'
+                   ' AS VARCHAR) AS DOUBLE) / COUNT(recover_us - us) / 1000000.0'
+               )} AS mttr_s,
+               CAST(COUNT(CASE WHEN recover_us IS NULL THEN 1 END) AS BIGINT)
+                   AS n_unrecovered
+        FROM errors
+        GROUP BY user_id
+    """,
+    tags=("workload", "reliability"),
+)
+def workload_mtbf_mttr(spark: SparkSession, sf: str) -> DataFrame:
+    """Reliability metrics per user-stream: MTBF (mean micros between
+    consecutive error events, the failure-rate dial) and MTTR (mean time
+    from an error to the stream's next non-error activity — the recovery
+    signal), plus errors that never recover inside the observation
+    window. One per-user window sort serves both the forward recovery
+    scan (frame-bounded FIRST IGNORE NULLS) and the error-to-error LAG;
+    the means ride the decimal convention over exact integer micros.
+    Errors-only state after the window: shuffle is error-sized. The SLO
+    companion to ``workload_error_bursts`` (bursts) and
+    ``workload_interarrival`` (all-event gaps)."""
+    e = load_table(spark, sf, "events")
+    w_fwd = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        1, W.unboundedFollowing
+    )
+    seq = e.select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.first(
+            F.when(F.col("event_type") != "error", F.unix_micros(F.col("ts"))),
+            ignorenulls=True,
+        ).over(w_fwd).alias("recover_us"),
+    )
+    w_lag = W.partitionBy("user_id").orderBy("us", "event_id")
+    errors = seq.filter(F.col("event_type") == "error").select(
+        "user_id", "us", "recover_us",
+        (F.col("us") - F.lag("us").over(w_lag)).alias("gap_us"),
+    )
+    repair_us = F.col("recover_us") - F.col("us")
+    return errors.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_errors"),
+        round4(
+            F.sum(F.col("gap_us").cast(DEC)).cast("double")
+            / F.count("gap_us") / 1000000.0
+        ).alias("mtbf_s"),
+        round4(
+            F.sum(repair_us.cast(DEC)).cast("double")
+            / F.count(repair_us) / 1000000.0
+        ).alias("mttr_s"),
+        F.count(F.when(F.col("recover_us").isNull(), 1)).cast("bigint").alias(
+            "n_unrecovered"
+        ),
+    )
+
+
+@query(
+    "sql_values_table",
+    oracle="""
+        SELECT r.r_name, t.target_revenue, t.tier,
+               CAST(COUNT(n.n_nationkey) AS BIGINT) AS n_nations
+        FROM region r
+        JOIN (VALUES ('AFRICA', 1000000.0, 'emerging'),
+                     ('AMERICA', 2500000.0, 'core'),
+                     ('ASIA', 2000000.0, 'core'),
+                     ('EUROPE', 1800000.0, 'core'),
+                     ('MIDDLE EAST', 900000.0, 'emerging'))
+             AS t(r_name, target_revenue, tier)
+          ON r.r_name = t.r_name
+        LEFT JOIN nation n ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, t.target_revenue, t.tier
+    """,
+    tags=("sql", "inline-table"),
+)
+def sql_values_table(spark: SparkSession, sf: str) -> DataFrame:
+    """Inline VALUES table — configuration data (per-region revenue
+    targets and tier labels) expressed directly in the query and joined
+    against real tables, the idiomatic alternative to creating a 5-row
+    physical table or collecting to the driver. Catalyst folds the
+    VALUES into a LocalRelation and broadcasts it into the join; the
+    twin generated-source path is ``scan_range_source``. DuckDB shares
+    the VALUES syntax almost verbatim."""
+    r = load_table(spark, sf, "region")
+    n = load_table(spark, sf, "nation")
+    r.createOrReplaceTempView("_vt_region")
+    n.createOrReplaceTempView("_vt_nation")
+    return spark.sql(
+        """
+        SELECT r.r_name, t.target_revenue, t.tier,
+               CAST(COUNT(n.n_nationkey) AS BIGINT) AS n_nations
+        FROM _vt_region r
+        JOIN VALUES ('AFRICA', 1000000.0, 'emerging'),
+                    ('AMERICA', 2500000.0, 'core'),
+                    ('ASIA', 2000000.0, 'core'),
+                    ('EUROPE', 1800000.0, 'core'),
+                    ('MIDDLE EAST', 900000.0, 'emerging')
+             AS t(r_name, target_revenue, tier)
+          ON r.r_name = t.r_name
+        LEFT JOIN _vt_nation n ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, t.target_revenue, t.tier
+        """
+    )
