@@ -1875,3 +1875,85 @@ def ml_propensity_matching(spark: SparkSession, sf: str) -> DataFrame:
             1.0 / (1.0 + F.exp(-(0.01 * F.col("score").cast("double") - 2.0)))
         ).alias("t_propensity"),
     )
+
+
+@query(
+    "ml_embedding_drift",
+    oracle=f"""
+        WITH ex AS (
+            SELECT CASE WHEN ascii(SUBSTRING(
+                            md5(CAST(vec_id AS VARCHAR) || ':drift'), 1, 1))
+                            % 2 = 0
+                        THEN 'ref' ELSE 'cur' END AS cohort,
+                   GENERATE_SUBSCRIPTS(embedding, 1) AS dim,
+                   UNNEST(embedding) AS val
+            FROM embeddings
+        ),
+        per AS (
+            SELECT dim,
+                   {sql_davg("CASE WHEN cohort = 'ref' THEN CAST(val AS DOUBLE) END")}
+                       AS mean_ref,
+                   {sql_davg("CASE WHEN cohort = 'cur' THEN CAST(val AS DOUBLE) END")}
+                       AS mean_cur
+            FROM ex GROUP BY dim
+        ),
+        rounded AS (
+            SELECT dim,
+                   {sql_round4('mean_ref')} AS mean_ref,
+                   {sql_round4('mean_cur')} AS mean_cur
+            FROM per
+        )
+        SELECT CAST(dim AS INT) AS dim,
+               mean_ref,
+               mean_cur,
+               {sql_round4('ABS(mean_cur - mean_ref)')} AS abs_shift,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY ABS(mean_cur - mean_ref) DESC, dim) AS INT)
+                   AS drift_rank
+        FROM rounded
+    """,
+    tags=("ml", "monitoring", "embedding"),
+)
+def ml_embedding_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-dimension embedding drift between two md5-keyed cohorts (the
+    stand-in for last-month vs this-month encodings): mean activation
+    per dimension per cohort, absolute shift, and a drift ranking — the
+    embedding-space companion to ``ml_psi_drift``'s scalar PSI. A real
+    drifted dimension (encoder update, input-distribution change)
+    surfaces at the top ranks; here the cohorts are exchangeable so the
+    shifts ARE the null distribution — what a healthy monitor reads.
+    Shuffle is (64 dims × 2 cohorts) cells via posexplode + map-side
+    combine, decimal-exact means, one 64-row ranking window."""
+    emb = load_table(spark, sf, "embeddings")
+    cohort = F.when(
+        F.ascii(
+            F.substring(
+                F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(":drift"))),
+                1, 1,
+            )
+        )
+        % 2
+        == 0,
+        "ref",
+    ).otherwise("cur")
+    ex = emb.select(
+        cohort.alias("cohort"),
+        F.posexplode("embedding").alias("dim0", "val"),
+    ).select((F.col("dim0") + 1).alias("dim"), "cohort", "val")
+    per = ex.groupBy("dim").agg(
+        round4(
+            davg(F.when(F.col("cohort") == "ref", F.col("val").cast("double")))
+        ).alias("mean_ref"),
+        round4(
+            davg(F.when(F.col("cohort") == "cur", F.col("val").cast("double")))
+        ).alias("mean_cur"),
+    )
+    shift = F.abs(F.col("mean_cur") - F.col("mean_ref"))
+    w_rank = W.orderBy(F.desc(shift), F.asc("dim"))
+    return per.select(
+        F.col("dim").cast("int").alias("dim"),
+        "mean_ref",
+        "mean_cur",
+        round4(shift).alias("abs_shift"),
+        F.row_number().over(w_rank).cast("int").alias("drift_rank"),
+    )

@@ -6676,3 +6676,115 @@ def sql_values_table(spark: SparkSession, sf: str) -> DataFrame:
         GROUP BY r.r_name, t.target_revenue, t.tier
         """
     )
+
+
+@query(
+    "ml_oversample_interpolate",
+    oracle=f"""
+        WITH {_SQL_MUTUAL_5NN},
+        labeled AS (
+            SELECT m.u, m.v, ea.label,
+                   list_transform(list_zip(ea.embedding, eb.embedding),
+                                  s -> (CAST(s[1] AS DOUBLE) + s[2]) / 2.0)
+                       AS mid
+            FROM mutual m
+            JOIN embeddings ea ON m.u = ea.vec_id
+            JOIN embeddings eb ON m.v = eb.vec_id
+            WHERE ea.label = eb.label
+        ),
+        normed AS (
+            SELECT label,
+                   SQRT(list_reduce(list_prepend(0.0,
+                       list_transform(list_zip(mid, mid),
+                                      s -> s[1] * s[2])),
+                       (acc, x) -> acc + x)) AS mid_norm
+            FROM labeled
+        )
+        SELECT label,
+               CAST(COUNT(*) AS BIGINT) AS n_synthetic,
+               {sql_round4(sql_davg('mid_norm'))} AS mean_mid_norm
+        FROM normed
+        GROUP BY label
+    """,
+    tags=("ml", "sampling", "embedding"),
+)
+def ml_oversample_interpolate(spark: SparkSession, sf: str) -> DataFrame:
+    """SMOTE-style minority oversampling in embedding space: every
+    mutual-5NN edge whose endpoints share a label yields one synthetic
+    midpoint vector ((a+b)/2 per dimension — interpolation INSIDE the
+    class manifold, the property random duplication lacks). Consumes the
+    session-cached kNN edge list (the same artifact the graph ops
+    share), so the O(n²)/ANN neighbor search is never re-run; the
+    midpoint and its norm are array-local zip_with/fold projections.
+    Per-label synthetic counts directly expose class imbalance (few
+    same-label edges ⇒ a class too sparse to interpolate safely)."""
+    from datapipelines_python_spark.operators.llm import dot
+
+    edges = _mutual_5nn(spark, sf)
+    emb = load_table(spark, sf, "embeddings")
+    ea = emb.select(
+        F.col("vec_id").alias("u"),
+        F.col("embedding").alias("emb_a"),
+        F.col("label").alias("label_a"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("v"),
+        F.col("embedding").alias("emb_b"),
+        F.col("label").alias("label_b"),
+    )
+    labeled = (
+        edges.join(ea, "u")
+        .join(eb, "v")
+        .filter(F.col("label_a") == F.col("label_b"))
+        .select(
+            F.col("label_a").alias("label"),
+            F.zip_with(
+                F.col("emb_a").cast("array<double>"),
+                F.col("emb_b").cast("array<double>"),
+                lambda x, y: (x + y) / 2.0,
+            ).alias("mid"),
+        )
+    )
+    normed = labeled.select(
+        "label", F.sqrt(dot("mid", "mid")).alias("mid_norm")
+    )
+    return normed.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_synthetic"),
+        round4(davg(F.col("mid_norm"))).alias("mean_mid_norm"),
+    )
+
+
+@query(
+    "sql_distribute_cluster_by",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               {sql_dsum('l_quantity')} AS sum_qty
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("sql", "partitioning"),
+)
+def sql_distribute_cluster_by(spark: SparkSession, sf: str) -> DataFrame:
+    """``CLUSTER BY`` (≡ DISTRIBUTE BY + SORT BY) — explicit control of
+    the physical layout of a query's output: rows are hash-distributed
+    on the key and sorted *within* each partition, with NO global sort
+    barrier — exactly what you want before a partitioned/clustered write
+    (``sink_sorted_clustered`` is the DataFrame twin via
+    repartitionByRange+sortWithinPartitions). Values are layout-
+    invariant, so the oracle is the plain aggregate; the point pinned
+    here is that the clause parses, plans an Exchange+local-Sort, and
+    leaves results untouched."""
+    li = load_table(spark, sf, "lineitem")
+    li.createOrReplaceTempView("_cb_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,8))) AS DOUBLE)
+                   AS sum_qty
+        FROM _cb_lineitem
+        GROUP BY l_returnflag, l_linestatus
+        CLUSTER BY l_returnflag
+        """
+    )
