@@ -791,3 +791,54 @@ def scan_csv_multiline(spark: SparkSession, sf: str) -> DataFrame:
         .option("multiLine", True)
         .csv(path)
     )
+
+
+@query(
+    "scan_parquet_nested_pushdown",
+    oracle="""
+        SELECT o_orderkey,
+               o_custkey AS cust_key,
+               o_orderstatus AS status,
+               o_totalprice AS price
+        FROM orders
+        WHERE o_orderstatus = 'F' AND o_totalprice > 200000.0
+    """,
+    tags=("scan", "nested"),
+)
+def scan_parquet_nested_pushdown(spark: SparkSession, sf: str) -> DataFrame:
+    """Nested-schema parquet with predicate pushdown INTO struct fields:
+    orders are rewritten as {order: {key, price}, cust: {key, status}}
+    structs, and the read-side filter on ``meta.status`` / ``order_info
+    .price`` must reach the scan (Spark supports nested-column pruning
+    and nested predicate pushdown — `spark.sql.optimizer
+    .nestedSchemaPruning.enabled` is on by default). At 100 TB nested
+    event payloads are the norm, and a reader that flattens before
+    filtering reads every struct leaf; this op + its plan pin keep the
+    engine honest. Output is flattened for the oracle, which replays
+    against the flat source table."""
+    o = load_table(spark, sf, "orders")
+    nested = o.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_custkey").alias("key"),
+            F.col("o_orderstatus").alias("status"),
+        ).alias("meta"),
+        F.struct(
+            F.col("o_totalprice").alias("price"),
+            F.col("o_orderdate").alias("odate"),
+        ).alias("order_info"),
+    )
+    path = scratch_dir("nested_orders")
+    nested.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.filter(
+            (F.col("meta.status") == "F") & (F.col("order_info.price") > 200000.0)
+        )
+        .select(
+            "o_orderkey",
+            F.col("meta.key").alias("cust_key"),
+            F.col("meta.status").alias("status"),
+            F.col("order_info.price").alias("price"),
+        )
+    )

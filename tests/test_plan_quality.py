@@ -471,3 +471,22 @@ def test_feature_snapshot_pushes_cutoff_to_scan(spark, registry):
     plan = _plan(spark, registry, "workload_feature_snapshot")
     assert "PushedFilters: [" in plan
     assert "ts" in plan.split("PushedFilters:")[1][:300]
+
+
+def test_nested_parquet_pushdown_reaches_scan(spark, registry):
+    # The struct-field predicates must appear as pushed filters on the
+    # nested parquet scan, and schema pruning must drop the unused
+    # order_info.odate leaf from ReadSchema.
+    plan = _plan(spark, registry, "scan_parquet_nested_pushdown")
+    scan = plan[plan.rindex("FileScan parquet"):]
+    assert "PushedFilters: [" in scan
+    pushed = scan.split("PushedFilters:")[1][:300]
+    assert "status" in pushed or "price" in pushed
+    assert "odate" not in scan.split("ReadSchema:")[1][:300]
+
+
+def test_cuped_single_user_aggregate_feeds_both_branches(spark, registry):
+    # The per-user pre/post table is persisted: the global power sums and
+    # the per-arm rollup must both read the cache, not re-scan events.
+    plan = _plan(spark, registry, "ml_ab_cuped")
+    assert "InMemoryTableScan" in plan
