@@ -3623,3 +3623,48 @@ def llm_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
     return per_content.filter(
         (F.col("n_train") > 0) & (F.col("n_heldout") > 0)
     )
+
+
+@query(
+    "llm_prefix_cache_stats",
+    oracle=f"""
+        WITH pfx AS (
+            SELECT source,
+                   MD5(ARRAY_TO_STRING(
+                       STRING_SPLIT(text, ' ')[1:16], ' ')) AS prefix_key
+            FROM documents
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT prefix_key) AS BIGINT) AS n_unique_prefixes,
+               {sql_round4(
+                   '1.0 - CAST(COUNT(DISTINCT prefix_key) AS DOUBLE) / COUNT(*)'
+               )} AS prefix_hit_rate
+        FROM pfx
+        GROUP BY source
+    """,
+    tags=("llm", "serving"),
+)
+def llm_prefix_cache_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Prefix-cache economics per source: requests sharing their first 16
+    tokens can reuse a cached KV prefix, so the achievable hit rate is
+    1 − unique_prefixes/requests — the number that decides whether
+    prefix caching pays for a serving fleet (system prompts and
+    templated sources cache well; free-form text doesn't). One
+    projection (first-16-token fingerprint) + the standard two-exchange
+    COUNT(DISTINCT) plan per source; at 100 TB of request logs the
+    fingerprint keys the same analysis without materializing prefixes."""
+    d = load_table(spark, sf, "documents")
+    pfx = d.select(
+        "source",
+        F.md5(
+            F.concat_ws(" ", F.slice(F.split("text", " "), 1, 16))
+        ).alias("prefix_key"),
+    )
+    return pfx.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("prefix_key").cast("bigint").alias("n_unique_prefixes"),
+        round4(
+            1.0 - F.countDistinct("prefix_key").cast("double") / F.count(F.lit(1))
+        ).alias("prefix_hit_rate"),
+    )

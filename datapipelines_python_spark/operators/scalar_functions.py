@@ -1751,3 +1751,49 @@ def fn_timestamp_parse(spark: SparkSession, sf: str) -> DataFrame:
         F.to_timestamp("euro", "dd/MM/yyyy HH:mm:ss").alias("ts_from_euro"),
         F.to_timestamp("compact", "yyyyMMdd-HHmm").cast("date").alias("day_part"),
     )
+
+
+@query(
+    "fn_row_fingerprint",
+    oracle="""
+        SELECT o_orderkey,
+               MD5(CAST(o_orderkey AS VARCHAR) || '|' ||
+                   CAST(o_custkey AS VARCHAR) || '|' ||
+                   o_orderstatus || '|' ||
+                   CAST(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                        AS VARCHAR) || '|' ||
+                   o_orderpriority) AS row_hash,
+               SUBSTRING(MD5(CAST(o_orderkey AS VARCHAR) || '|' ||
+                   CAST(o_custkey AS VARCHAR) || '|' ||
+                   o_orderstatus || '|' ||
+                   CAST(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                        AS VARCHAR) || '|' ||
+                   o_orderpriority), 1, 8) AS short_hash
+        FROM orders
+    """,
+    tags=("fn", "cdc", "hash"),
+)
+def fn_row_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Whole-row content fingerprint — the change-detection primitive
+    behind ``workload_cdc_apply`` / ``workload_snapshot_diff``: md5 over
+    a canonical '|'-delimited serialization of the business columns.
+    Canonicalization rules that make the hash portable (and pinned
+    here): doubles go through integer cents (a raw double→string render
+    differs between engines), column order is fixed, and the delimiter
+    cannot appear in the data. Pure projection — at 100 TB this is how
+    two snapshots compare without shipping the rows: exchange only
+    (key, hash) pairs."""
+    o = load_table(spark, sf, "orders")
+    canonical = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint").cast("string"),
+        F.col("o_orderpriority"),
+    )
+    return o.select(
+        "o_orderkey",
+        F.md5(canonical).alias("row_hash"),
+        F.substring(F.md5(canonical), 1, 8).alias("short_hash"),
+    )
