@@ -2070,3 +2070,103 @@ def ml_ab_cuped(spark: SparkSession, sf: str) -> DataFrame:
             / ((n * sxx - sx * sx) * (n * syy - sy * sy))
         ).alias("variance_reduction"),
     )
+
+
+@query(
+    "ml_ab_did",
+    oracle=f"""
+        WITH per_user AS (
+            SELECT user_id,
+                   CAST(('0x' || SUBSTRING(MD5(
+                        CAST(user_id AS VARCHAR) || ':did'), 1, 8))
+                        ::BIGINT % 2 AS INT) AS arm,
+                   CAST(CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-15'
+                                      THEN CAST(value AS DECIMAL(38,8))
+                                      ELSE CAST(0 AS DECIMAL(38,8)) END)
+                             AS VARCHAR) AS DOUBLE) AS pre,
+                   CAST(CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15'
+                                      THEN CAST(value AS DECIMAL(38,8))
+                                      ELSE CAST(0 AS DECIMAL(38,8)) END)
+                             AS VARCHAR) AS DOUBLE) AS post
+            FROM events GROUP BY user_id
+        ),
+        arms AS (
+            SELECT arm,
+                   CAST(COUNT(*) AS BIGINT) AS n_users,
+                   {sql_dsum('pre')} AS s_pre,
+                   {sql_dsum('post')} AS s_post
+            FROM per_user GROUP BY arm
+        ),
+        wide AS (
+            SELECT
+                MAX(CASE WHEN arm = 1 THEN s_post / n_users END) AS t_post,
+                MAX(CASE WHEN arm = 1 THEN s_pre / n_users END) AS t_pre,
+                MAX(CASE WHEN arm = 0 THEN s_post / n_users END) AS c_post,
+                MAX(CASE WHEN arm = 0 THEN s_pre / n_users END) AS c_pre,
+                CAST(SUM(n_users) AS BIGINT) AS n_total
+            FROM arms
+        )
+        SELECT n_total,
+               {sql_round4('t_pre')} AS treat_pre,
+               {sql_round4('t_post')} AS treat_post,
+               {sql_round4('c_pre')} AS control_pre,
+               {sql_round4('c_post')} AS control_post,
+               {sql_round4('(t_post - t_pre) - (c_post - c_pre)')}
+                   AS did_estimate
+        FROM wide
+    """,
+    tags=("ml", "causal"),
+)
+def ml_ab_did(spark: SparkSession, sf: str) -> DataFrame:
+    """Difference-in-differences: the treatment effect is the change in
+    the treated arm's mean minus the change in the control arm's —
+    each arm serves as its own pre-period baseline, so any level
+    difference between arms and any common time shock cancels (the
+    parallel-trends workhorse for rollouts that can't be randomized;
+    its randomized-experiment cousin with a variance story is
+    ``ml_ab_cuped``). One per-user aggregate, one arm-level rollup,
+    one 2×2 pivot — the estimate is four means and three subtractions,
+    all decimal-exact until the final float expression."""
+    e = load_table(spark, sf, "events")
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":did"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint")
+        % 2
+    ).cast("int")
+    per_user = e.groupBy("user_id").agg(
+        F.first(arm).alias("arm"),
+        F.sum(
+            F.when(F.col("ts") < cutoff, F.col("value")).otherwise(0.0).cast(DEC)
+        ).cast("double").alias("pre"),
+        F.sum(
+            F.when(F.col("ts") >= cutoff, F.col("value")).otherwise(0.0).cast(DEC)
+        ).cast("double").alias("post"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        dsum(F.col("pre")).alias("s_pre"),
+        dsum(F.col("post")).alias("s_post"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == 1, F.col("s_post") / F.col("n_users"))).alias("t_post"),
+        F.max(F.when(F.col("arm") == 1, F.col("s_pre") / F.col("n_users"))).alias("t_pre"),
+        F.max(F.when(F.col("arm") == 0, F.col("s_post") / F.col("n_users"))).alias("c_post"),
+        F.max(F.when(F.col("arm") == 0, F.col("s_pre") / F.col("n_users"))).alias("c_pre"),
+        F.sum("n_users").cast("bigint").alias("n_total"),
+    )
+    return wide.select(
+        "n_total",
+        round4(F.col("t_pre")).alias("treat_pre"),
+        round4(F.col("t_post")).alias("treat_post"),
+        round4(F.col("c_pre")).alias("control_pre"),
+        round4(F.col("c_post")).alias("control_post"),
+        round4(
+            (F.col("t_post") - F.col("t_pre")) - (F.col("c_post") - F.col("c_pre"))
+        ).alias("did_estimate"),
+    )

@@ -6788,3 +6788,99 @@ def sql_distribute_cluster_by(spark: SparkSession, sf: str) -> DataFrame:
         CLUSTER BY l_returnflag
         """
     )
+
+
+@query(
+    "workload_cart_abandonment",
+    oracle=f"""
+        WITH seq AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN LAG(epoch_us(ts)) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id
+                        ) IS NULL
+                     OR epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id
+                        ) > 1800000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ),
+        sessions AS (
+            SELECT user_id, ts, event_type,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS session_id
+            FROM seq
+        ),
+        per_session AS (
+            SELECT user_id, session_id,
+                   CAST(MIN(ts) AS DATE) AS day,
+                   MAX(CASE WHEN event_type IN ('view', 'click')
+                            THEN 1 ELSE 0 END) AS engaged,
+                   MAX(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END) AS purchased
+            FROM sessions
+            GROUP BY user_id, session_id
+        )
+        SELECT day,
+               CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(SUM(CASE WHEN engaged = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_engaged,
+               CAST(SUM(CASE WHEN engaged = 1 AND purchased = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_abandoned,
+               {sql_round4(
+                   'CAST(SUM(CASE WHEN engaged = 1 AND purchased = 0 THEN 1'
+                   ' ELSE 0 END) AS DOUBLE)'
+                   ' / NULLIF(SUM(CASE WHEN engaged = 1 THEN 1 ELSE 0 END), 0)'
+               )} AS abandonment_rate
+        FROM per_session
+        GROUP BY day
+    """,
+    tags=("workload", "funnel"),
+)
+def workload_cart_abandonment(spark: SparkSession, sf: str) -> DataFrame:
+    """Cart abandonment by day: sessionize each user's stream with the
+    30-minute-gap islands trick (the batch twin of
+    ``stream_session_window``), classify every session as engaged
+    (view/click) and/or converted (purchase), and report the fraction of
+    engaged sessions that never purchased — the e-commerce funnel's
+    headline leak metric. One per-user window sort produces the session
+    ids; everything after is session-grain aggregation (shuffle carries
+    sessions, not events). Day attribution is the session's START day —
+    pinned, because sessions straddle midnight."""
+    e = load_table(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    new_session = F.when(
+        F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > 1800000000), 1
+    ).otherwise(0)
+    seq = e.select(
+        "user_id", "ts", "event_id", "event_type",
+        new_session.alias("new_session"),
+    )
+    w_run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sessions = seq.select(
+        "user_id", "ts", "event_type",
+        F.sum("new_session").over(w_run).alias("session_id"),
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.min(F.col("ts")).cast("date").alias("day"),
+        F.max(
+            F.when(F.col("event_type").isin("view", "click"), 1).otherwise(0)
+        ).alias("engaged"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("purchased"),
+    )
+    abandoned = F.sum(
+        F.when((F.col("engaged") == 1) & (F.col("purchased") == 0), 1).otherwise(0)
+    )
+    engaged = F.sum(F.when(F.col("engaged") == 1, 1).otherwise(0))
+    return per_session.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        engaged.cast("bigint").alias("n_engaged"),
+        abandoned.cast("bigint").alias("n_abandoned"),
+        round4(
+            abandoned.cast("double") / F.nullif(engaged, F.lit(0))
+        ).alias("abandonment_rate"),
+    )
