@@ -2170,3 +2170,60 @@ def ml_ab_did(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("t_post") - F.col("t_pre")) - (F.col("c_post") - F.col("c_pre"))
         ).alias("did_estimate"),
     )
+
+
+@query(
+    "ml_outlier_iqr",
+    oracle=f"""
+        WITH fences AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.25) AS q1,
+                   quantile_cont(value, 0.75) AS q3
+            FROM events GROUP BY event_type
+        ),
+        judged AS (
+            SELECT e.event_type, e.value,
+                   f.q1 - 1.5 * (f.q3 - f.q1) AS lo,
+                   f.q3 + 1.5 * (f.q3 - f.q1) AS hi
+            FROM events e JOIN fences f ON e.event_type = f.event_type
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               {sql_round4('MIN(lo)')} AS lo_fence,
+               {sql_round4('MIN(hi)')} AS hi_fence,
+               CAST(COUNT(CASE WHEN value < lo OR value > hi THEN 1 END)
+                    AS BIGINT) AS n_outliers
+        FROM judged
+        GROUP BY event_type
+    """,
+    tags=("ml", "stats", "outliers"),
+)
+def ml_outlier_iqr(spark: SparkSession, sf: str) -> DataFrame:
+    """Tukey IQR fences per series: values beyond Q1−1.5·IQR / Q3+1.5·IQR
+    are flagged — the distribution-free outlier rule (robust where
+    ``workload_anomaly_zscore``'s mean±kσ is dragged by the outliers
+    themselves). Two passes by necessity (exact quantiles, then the
+    fence test) with the 5-row fence table broadcast back onto the
+    stream; at 100 TB swap exact ``percentile`` for the t-digest sketch
+    (``agg_approx_percentile``) and the second pass is unchanged. Exact
+    linear-interpolated quantiles match DuckDB's quantile_cont on
+    identical sorted doubles; round4 absorbs the one interpolation
+    product."""
+    e = load_table(spark, sf, "events")
+    fences = e.groupBy("event_type").agg(
+        F.percentile(F.col("value"), F.lit(0.25)).alias("q1"),
+        F.percentile(F.col("value"), F.lit(0.75)).alias("q3"),
+    )
+    judged = e.join(F.broadcast(fences), "event_type").select(
+        "event_type", "value",
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    return judged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        round4(F.min("lo")).alias("lo_fence"),
+        round4(F.min("hi")).alias("hi_fence"),
+        F.count(
+            F.when((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")), 1)
+        ).cast("bigint").alias("n_outliers"),
+    )

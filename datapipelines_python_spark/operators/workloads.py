@@ -6884,3 +6884,65 @@ def workload_cart_abandonment(spark: SparkSession, sf: str) -> DataFrame:
             abandoned.cast("double") / F.nullif(engaged, F.lit(0))
         ).alias("abandonment_rate"),
     )
+
+
+@query(
+    "workload_sla_burn_rate",
+    oracle=f"""
+        WITH hourly AS (
+            SELECT DATE_TRUNC('hour', ts) AS hour,
+                   COUNT(*) AS n_total,
+                   SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                       AS n_errors
+            FROM events
+            GROUP BY 1
+        ),
+        burn AS (
+            SELECT hour, n_total, n_errors,
+                   (CAST(n_errors AS DOUBLE) / n_total) / 0.05 AS burn_rate,
+                   (CAST(SUM(n_errors) OVER w AS DOUBLE)
+                    / SUM(n_total) OVER w) / 0.05 AS burn_rate_6h
+            FROM hourly
+            WINDOW w AS (ORDER BY hour
+                         ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+        )
+        SELECT CAST(hour AS TIMESTAMP) AS hour,
+               CAST(n_total AS BIGINT) AS n_total,
+               CAST(n_errors AS BIGINT) AS n_errors,
+               {sql_round4('burn_rate')} AS burn_rate,
+               {sql_round4('burn_rate_6h')} AS burn_rate_6h,
+               CAST(burn_rate_6h > 1.0 AS BOOLEAN) AS budget_alarm
+        FROM burn
+    """,
+    tags=("workload", "reliability", "slo"),
+)
+def workload_sla_burn_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """SLO error-budget burn rate (the Google SRE multi-window alert
+    shape): against a 95% success objective, burn = error_rate / 5%
+    budget — burn 1.0 spends the budget exactly at period end, burn > 1
+    on the smoothed 6-hour window trips the alarm (the long window
+    suppresses single-spike pages, the hourly rate shows the spike
+    itself). Events reduce to hour-grain counts FIRST (map-side), so
+    the rolling window slides over ~720 rows/month regardless of event
+    volume — the same aggregate-then-window discipline as
+    ``workload_dau_rolling``. Integer counts; two float divisions."""
+    e = load_table(spark, sf, "events")
+    hourly = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+            "n_errors"
+        ),
+    )
+    w6 = W.orderBy("hour").rowsBetween(-5, W.currentRow)
+    burn = F.col("n_errors").cast("double") / F.col("n_total") / 0.05
+    burn6 = (
+        F.sum("n_errors").over(w6).cast("double") / F.sum("n_total").over(w6)
+    ) / 0.05
+    return hourly.select(
+        "hour",
+        F.col("n_total").cast("bigint").alias("n_total"),
+        F.col("n_errors").cast("bigint").alias("n_errors"),
+        round4(burn).alias("burn_rate"),
+        round4(burn6).alias("burn_rate_6h"),
+        (burn6 > 1.0).alias("budget_alarm"),
+    )
