@@ -3668,3 +3668,119 @@ def llm_prefix_cache_stats(spark: SparkSession, sf: str) -> DataFrame:
             1.0 - F.countDistinct("prefix_key").cast("double") / F.count(F.lit(1))
         ).alias("prefix_hit_rate"),
     )
+
+
+@query(
+    "llm_dataset_card",
+    oracle=f"""
+        WITH labeled AS (
+            SELECT doc_id, lang,
+                   LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1
+                       AS n_tokens,
+                   MD5(LOWER(TRIM(text))) AS content_key,
+                   CASE WHEN CAST(('0x' || SUBSTRING(MD5(
+                            CAST(doc_id AS VARCHAR) || ':split'), 1, 8))
+                            ::BIGINT % 100 AS INT) < 90 THEN 'train'
+                        WHEN CAST(('0x' || SUBSTRING(MD5(
+                            CAST(doc_id AS VARCHAR) || ':split'), 1, 8))
+                            ::BIGINT % 100 AS INT) < 95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        ),
+        lang_counts AS (
+            SELECT split, lang, COUNT(*) AS c
+            FROM labeled GROUP BY split, lang
+        ),
+        lang_roll AS (
+            SELECT split,
+                   CAST(COUNT(*) AS BIGINT) AS n_langs,
+                   ARG_MAX(lang, c * 100000 - ascii(lang)) AS dominant_lang
+            FROM lang_counts GROUP BY split
+        ),
+        dup_roll AS (
+            SELECT split,
+                   SUM(cnt - 1) AS n_dup_docs
+            FROM (SELECT split, content_key, COUNT(*) AS cnt
+                  FROM labeled GROUP BY split, content_key) g
+            GROUP BY split
+        )
+        SELECT l.split,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(l.n_tokens) AS BIGINT) AS total_tokens,
+               {sql_round4('CAST(SUM(l.n_tokens) AS DOUBLE) / COUNT(*)')}
+                   AS mean_doc_tokens,
+               CAST(MAX(lr.n_langs) AS BIGINT) AS n_langs,
+               MAX(lr.dominant_lang) AS dominant_lang,
+               CAST(MAX(d.n_dup_docs) AS BIGINT) AS n_exact_dup_docs
+        FROM labeled l
+        JOIN lang_roll lr ON l.split = lr.split
+        JOIN dup_roll d ON l.split = d.split
+        GROUP BY l.split
+    """,
+    tags=("llm", "release", "dataset-card"),
+)
+def llm_dataset_card(spark: SparkSession, sf: str) -> DataFrame:
+    """The release manifest — one row per split with the numbers every
+    dataset card publishes: document and token counts, language
+    diversity with the dominant language (argmax with an ascii
+    tie-break so the card itself is engine-exact), and residual
+    exact-duplicate count (Σ(occurrences−1) per content fingerprint —
+    what ``llm_dedup_exact`` would remove, reported rather than
+    applied). Built as ONE Catalyst plan over the corpus: the doc-grain
+    table is aggregated three ways (card, language rollup, dup rollup)
+    and joined back on the 3-row split key — at 100 TB each rollup is
+    map-side combinable and the joins are broadcasts of tiny frames."""
+    d = load_table(spark, sf, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint")
+        % 100
+    ).cast("int")
+    labeled = d.select(
+        "doc_id", "lang",
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            + 1
+        ).alias("n_tokens"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("content_key"),
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+        .alias("split"),
+    ).persist()  # doc-grain frame read by three rollups
+    lang_counts = labeled.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    lang_roll = lang_counts.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+        F.max_by("lang", F.col("c") * 100000 - F.ascii("lang")).alias(
+            "dominant_lang"
+        ),
+    )
+    dup_roll = (
+        labeled.groupBy("split", "content_key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("split")
+        .agg(F.sum(F.col("cnt") - 1).alias("n_dup_docs"))
+    )
+    return (
+        labeled.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            round4(
+                F.sum("n_tokens").cast("double") / F.count(F.lit(1))
+            ).alias("mean_doc_tokens"),
+        )
+        .join(F.broadcast(lang_roll), "split")
+        .join(F.broadcast(dup_roll), "split")
+        .select(
+            "split", "n_docs", "total_tokens", "mean_doc_tokens",
+            "n_langs", "dominant_lang",
+            F.col("n_dup_docs").cast("bigint").alias("n_exact_dup_docs"),
+        )
+    )

@@ -6946,3 +6946,78 @@ def workload_sla_burn_rate(spark: SparkSession, sf: str) -> DataFrame:
         round4(burn6).alias("burn_rate_6h"),
         (burn6 > 1.0).alias("budget_alarm"),
     )
+
+
+@query(
+    "workload_file_pruning_stats",
+    oracle=f"""
+        WITH bucketed AS (
+            SELECT l_shipdate,
+                   NTILE(8) OVER (ORDER BY l_shipdate, l_orderkey,
+                                  l_linenumber) AS file_id
+            FROM lineitem
+        ),
+        stats AS (
+            SELECT file_id,
+                   COUNT(*) AS n_rows,
+                   MIN(l_shipdate) AS min_key,
+                   MAX(l_shipdate) AS max_key
+            FROM bucketed GROUP BY file_id
+        ),
+        judged AS (
+            SELECT *,
+                   CASE WHEN max_key < TIMESTAMP '1997-01-01'
+                          OR min_key > TIMESTAMP '1997-12-31 23:59:59'
+                        THEN 1 ELSE 0 END AS pruned
+            FROM stats
+        )
+        SELECT CAST(file_id AS INT) AS file_id,
+               CAST(n_rows AS BIGINT) AS n_rows,
+               min_key, max_key,
+               CAST(pruned AS INT) AS pruned,
+               {sql_round4(
+                   'CAST(SUM(pruned) OVER () AS DOUBLE) / COUNT(*) OVER ()'
+               )} AS prune_fraction
+        FROM judged
+    """,
+    tags=("workload", "lakehouse", "pruning"),
+)
+def workload_file_pruning_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """File-skipping economics of a range-clustered layout: rows are
+    assigned to 8 'files' exactly as ``repartitionByRange`` would
+    (NTILE over the cluster key — the deterministic stand-in for the
+    writer's range split), per-file min/max zone maps are computed, and
+    a ship-year-1997 predicate is evaluated against the maps: files
+    whose [min,max] misses the range are PRUNED without being read.
+    prune_fraction is the number a table-format manifest (or parquet
+    row-group stats) delivers for free on clustered data and cannot
+    deliver on unclustered data — the measurable payoff of
+    ``sink_sorted_clustered``. The NTILE is a one-sort simulation;
+    everything downstream is an 8-row frame."""
+    li = load_table(spark, sf, "lineitem")
+    w = W.orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    bucketed = li.select(
+        "l_shipdate", F.ntile(8).over(w).alias("file_id")
+    )
+    stats = bucketed.groupBy("file_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_shipdate").alias("min_key"),
+        F.max("l_shipdate").alias("max_key"),
+    )
+    lo = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-12-31 23:59:59").cast("timestamp")
+    judged = stats.withColumn(
+        "pruned",
+        F.when((F.col("max_key") < lo) | (F.col("min_key") > hi), 1).otherwise(0),
+    )
+    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return judged.select(
+        F.col("file_id").cast("int").alias("file_id"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        "min_key", "max_key",
+        F.col("pruned").cast("int").alias("pruned"),
+        round4(
+            F.sum("pruned").over(w_all).cast("double")
+            / F.count(F.lit(1)).over(w_all)
+        ).alias("prune_fraction"),
+    )
