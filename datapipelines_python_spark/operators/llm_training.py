@@ -3784,3 +3784,129 @@ def llm_dataset_card(spark: SparkSession, sf: str) -> DataFrame:
             F.col("n_dup_docs").cast("bigint").alias("n_exact_dup_docs"),
         )
     )
+
+
+@query(
+    "mm_block_manifest_cas",
+    oracle=f"""
+        WITH blocks AS (
+            SELECT doc_id,
+                   CAST(b AS INT) AS block_idx,
+                   MD5(SUBSTRING(text, (b * 100) + 1, 100)) AS block_hash
+            FROM documents,
+                 UNNEST(RANGE(0, (LENGTH(text) + 99) // 100)) AS t(b)
+        ),
+        uniq AS (
+            SELECT COUNT(*) AS total_blocks,
+                   COUNT(DISTINCT block_hash) AS unique_blocks
+            FROM blocks
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_blocks,
+               MIN(block_hash) AS first_hash_sorted,
+               CAST(MAX(u.total_blocks) AS BIGINT) AS corpus_blocks,
+               CAST(MAX(u.unique_blocks) AS BIGINT) AS corpus_unique_blocks,
+               {sql_round4(
+                   '1.0 - CAST(MAX(u.unique_blocks) AS DOUBLE) / MAX(u.total_blocks)'
+               )} AS cas_dedup_ratio
+        FROM blocks CROSS JOIN uniq u
+        GROUP BY doc_id
+    """,
+    tags=("llm", "multimodal", "storage"),
+)
+def mm_block_manifest_cas(spark: SparkSession, sf: str) -> DataFrame:
+    """Content-addressable block manifest: payloads are cut into fixed
+    100-byte blocks, each block is content-hashed, and the corpus-wide
+    dedup ratio (1 − unique/total) is the storage a CAS layer (restic/
+    object-store multipart with dedupe) would reclaim — block-level
+    dedup catches shared substructure that whole-file hashing
+    (``fn_row_fingerprint``) misses. The block fan-out is array-local
+    ``sequence``+``explode`` (zero shuffle before the hash aggregate);
+    the corpus rollup is the standard COUNT(DISTINCT) two-exchange
+    plan broadcast back onto the per-doc manifest."""
+    d = load_table(spark, sf, "documents")
+    n_blocks = ((F.length("text") + 99) / 100).cast("bigint")
+    blocks = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_blocks - 1)).alias("b"),
+        F.col("text"),
+    ).select(
+        "doc_id",
+        F.col("b").cast("int").alias("block_idx"),
+        F.md5(
+            F.substring(F.col("text"), (F.col("b") * 100 + 1).cast("int"), 100)
+        ).alias("block_hash"),
+    ).persist()  # read by the corpus rollup AND the per-doc manifest
+    uniq = blocks.agg(
+        F.count(F.lit(1)).alias("total_blocks"),
+        F.countDistinct("block_hash").alias("unique_blocks"),
+    )
+    return (
+        blocks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            F.min("block_hash").alias("first_hash_sorted"),
+        )
+        .crossJoin(F.broadcast(uniq))
+        .select(
+            "doc_id", "n_blocks", "first_hash_sorted",
+            F.col("total_blocks").cast("bigint").alias("corpus_blocks"),
+            F.col("unique_blocks").cast("bigint").alias("corpus_unique_blocks"),
+            round4(
+                1.0
+                - F.col("unique_blocks").cast("double") / F.col("total_blocks")
+            ).alias("cas_dedup_ratio"),
+        )
+    )
+
+
+@query(
+    "mm_augment_params",
+    oracle="""
+        WITH geom AS (
+            SELECT doc_id,
+                   LENGTH(text) AS n_bytes,
+                   ('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)
+                        || ':aug0'), 1, 8))::BIGINT AS h
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(224 + (h % 33) AS INT) AS crop_size,
+               CAST((h // 33) % LEAST(n_bytes, 64) AS INT) AS crop_x,
+               CAST((h // 2112) % LEAST(n_bytes, 64) AS INT) AS crop_y,
+               CAST(h % 2 = 0 AS BOOLEAN) AS hflip,
+               CAST(((h // 7) % 21) - 10 AS INT) AS rotate_deg,
+               CAST(90 + (h // 11) % 10 AS INT) AS jpeg_quality
+        FROM geom
+    """,
+    tags=("llm", "multimodal", "augmentation"),
+)
+def mm_augment_params(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic augmentation-parameter assignment for an image
+    training epoch: crop size/offset, horizontal flip, rotation, and
+    re-encode quality are all derived from a salted hash of the sample
+    key — NOT from rand(), because reproducible augmentation (same
+    epoch seed ⇒ same crops on any cluster, any partitioning, any
+    retry) is what makes training runs debuggable and resumable. The
+    salt (':aug0') is the epoch number: bump it and every sample gets
+    fresh-but-reproducible parameters. Pure projection — the decode+
+    apply stage (`mm_image_resize`) consumes these columns; at 100 TB
+    the params travel with the manifest, never materialized separately."""
+    d = load_table(spark, sf, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":aug0"))), 1, 8
+        ),
+        16, 10,
+    ).cast("bigint")
+    n_bytes = F.length("text")
+    dim = F.least(n_bytes, F.lit(64))
+    return d.select(
+        "doc_id",
+        (224 + h % 33).cast("int").alias("crop_size"),
+        ((h / 33).cast("bigint") % dim).cast("int").alias("crop_x"),
+        ((h / 2112).cast("bigint") % dim).cast("int").alias("crop_y"),
+        (h % 2 == 0).alias("hflip"),
+        (((h / 7).cast("bigint") % 21) - 10).cast("int").alias("rotate_deg"),
+        (90 + (h / 11).cast("bigint") % 10).cast("int").alias("jpeg_quality"),
+    )

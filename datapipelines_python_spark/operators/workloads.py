@@ -7021,3 +7021,75 @@ def workload_file_pruning_stats(spark: SparkSession, sf: str) -> DataFrame:
             / F.count(F.lit(1)).over(w_all)
         ).alias("prune_fraction"),
     )
+
+
+@query(
+    "workload_attribution_linear",
+    oracle=f"""
+        WITH purchases AS (
+            SELECT event_id AS p_id, user_id, ts AS p_ts, value
+            FROM events WHERE event_type = 'purchase'
+        ),
+        touches AS (
+            SELECT event_id AS t_id, user_id, ts AS t_ts, event_type
+            FROM events WHERE event_type IN ('view', 'click')
+        ),
+        pairs AS (
+            SELECT p.p_id, p.value, t.event_type
+            FROM purchases p JOIN touches t
+              ON p.user_id = t.user_id
+             AND t.t_ts >= p.p_ts - INTERVAL 1 DAY AND t.t_ts < p.p_ts
+        ),
+        credited AS (
+            SELECT p_id, event_type,
+                   value / COUNT(*) OVER (PARTITION BY p_id) AS credit
+            FROM pairs
+        )
+        SELECT event_type AS channel,
+               CAST(COUNT(*) AS BIGINT) AS n_touches,
+               CAST(COUNT(DISTINCT p_id) AS BIGINT) AS n_conversions,
+               {sql_round4(sql_dsum('credit'))} AS credited_revenue
+        FROM credited
+        GROUP BY event_type
+    """,
+    tags=("workload", "attribution"),
+)
+def workload_attribution_linear(spark: SparkSession, sf: str) -> DataFrame:
+    """Linear multi-touch attribution: every view/click in the 24 h
+    before a purchase shares that purchase's value equally — the
+    even-split counterweight to ``workload_attribution_last_touch``
+    (and the uniform special case of ``workload_shapley_attribution``).
+    The interval join is user-keyed (the 100 TB path bucketizes it —
+    ``join_range_bucketed``); the per-conversion touch count is a
+    window over each purchase's own touch group, so credit never
+    requires a second join; sums ride the decimal convention. Channels
+    with no assisted conversions simply don't appear — honest zeros."""
+    e = load_table(spark, sf, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        "value",
+    )
+    touches = e.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("t_id"),
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        "event_type",
+    )
+    pairs = purchases.join(
+        touches,
+        (F.col("p_user") == F.col("t_user"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 DAY"))
+        & (F.col("t_ts") < F.col("p_ts")),
+    ).select("p_id", "value", "event_type")
+    w_conv = W.partitionBy("p_id")
+    credited = pairs.select(
+        "p_id", "event_type",
+        (F.col("value") / F.count(F.lit(1)).over(w_conv)).alias("credit"),
+    )
+    return credited.groupBy(F.col("event_type").alias("channel")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        F.countDistinct("p_id").cast("bigint").alias("n_conversions"),
+        round4(dsum(F.col("credit"))).alias("credited_revenue"),
+    )
