@@ -3910,3 +3910,75 @@ def mm_augment_params(spark: SparkSession, sf: str) -> DataFrame:
         (((h / 7).cast("bigint") % 21) - 10).cast("int").alias("rotate_deg"),
         (90 + (h / 11).cast("bigint") % 10).cast("int").alias("jpeg_quality"),
     )
+
+
+@query(
+    "llm_cloze_generation",
+    oracle="""
+        WITH tokenized AS (
+            SELECT doc_id, lang,
+                   STRING_SPLIT(text, ' ') AS toks
+            FROM documents
+        ),
+        sized AS (
+            SELECT doc_id, lang, toks,
+                   LEN(toks) AS n,
+                   1 + CAST(('0x' || SUBSTRING(MD5(
+                       CAST(doc_id AS VARCHAR) || ':cloze'), 1, 8))
+                       ::BIGINT % LEN(toks) AS INT) AS blank_pos
+            FROM tokenized
+            WHERE LEN(toks) >= 8
+        )
+        SELECT doc_id, lang,
+               CAST(blank_pos AS INT) AS blank_pos,
+               toks[blank_pos] AS answer,
+               ARRAY_TO_STRING(
+                   [CASE WHEN i = blank_pos THEN '____' ELSE toks[i] END
+                    FOR i IN RANGE(1, n + 1)], ' ') AS cloze_text
+        FROM sized
+    """,
+    tags=("llm", "synthetic"),
+)
+def llm_cloze_generation(spark: SparkSession, sf: str) -> DataFrame:
+    """Synthetic cloze-task generation — the fill-in-the-blank
+    self-supervision recipe: one hash-chosen token per document becomes
+    the answer, its position is blanked in the text, and (doc, cloze,
+    answer) is a training triple. Like ``mm_augment_params``, position
+    choice is salted-hash, never rand() — the epoch salt regenerates a
+    fresh reproducible task set. The blanking is a single array-local
+    ``transform`` over the token array (zero shuffle, no UDF); docs
+    under 8 tokens are dropped as too easy. The span-level sibling is
+    ``llm_span_corruption`` (T5), the reorder sibling
+    ``llm_fim_transform``."""
+    d = load_table(spark, sf, "documents")
+    toks = F.split("text", " ")
+    tokenized = d.select("doc_id", "lang", toks.alias("toks")).filter(
+        F.size("toks") >= 8
+    )
+    blank_pos = (
+        1
+        + F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":cloze"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint")
+        % F.size("toks")
+    ).cast("int")
+    sized = tokenized.select(
+        "doc_id", "lang", "toks", blank_pos.alias("blank_pos")
+    )
+    cloze = F.concat_ws(
+        " ",
+        F.zip_with(
+            F.col("toks"),
+            F.sequence(F.lit(1), F.size("toks")),
+            lambda t, i: F.when(i == F.col("blank_pos"), "____").otherwise(t),
+        ),
+    )
+    return sized.select(
+        "doc_id", "lang", "blank_pos",
+        F.element_at(F.col("toks"), F.col("blank_pos")).alias("answer"),
+        cloze.alias("cloze_text"),
+    )

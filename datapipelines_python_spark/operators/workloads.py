@@ -7093,3 +7093,80 @@ def workload_attribution_linear(spark: SparkSession, sf: str) -> DataFrame:
         F.countDistinct("p_id").cast("bigint").alias("n_conversions"),
         round4(dsum(F.col("credit"))).alias("credited_revenue"),
     )
+
+
+@query(
+    "workload_budget_pacing",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   SUM(CAST(value AS DECIMAL(38,8))) AS spend
+            FROM events WHERE event_type = 'click'
+            GROUP BY 1
+        ),
+        paced AS (
+            SELECT day, spend,
+                   ROW_NUMBER() OVER (ORDER BY day) AS day_idx,
+                   COUNT(*) OVER () AS n_days,
+                   CAST(CAST(SUM(spend) OVER (ORDER BY day
+                       ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS DOUBLE)
+                       AS cum_spend,
+                   CAST(CAST(SUM(spend) OVER () AS VARCHAR) AS DOUBLE)
+                       AS total_spend
+            FROM daily
+        )
+        SELECT day,
+               {sql_round4('CAST(CAST(spend AS VARCHAR) AS DOUBLE)')}
+                   AS spend,
+               {sql_round4('cum_spend / total_spend')} AS cum_share,
+               {sql_round4('CAST(day_idx AS DOUBLE) / n_days')}
+                   AS linear_pace,
+               {sql_round4(
+                   '(cum_spend / total_spend) / (CAST(day_idx AS DOUBLE) / n_days)'
+               )} AS pacing_index,
+               CAST((cum_spend / total_spend)
+                    / (CAST(day_idx AS DOUBLE) / n_days) > 1.1 AS BOOLEAN)
+                   AS overpacing
+        FROM paced
+    """,
+    tags=("workload", "adtech"),
+)
+def workload_budget_pacing(spark: SparkSession, sf: str) -> DataFrame:
+    """Budget pacing: cumulative click spend share vs the linear pace
+    line (day k of n should have spent k/n of budget) — a pacing index
+    above 1.1 flags a campaign burning budget early (frequency-cap or
+    bid-down territory), below ~0.9 one that will underdeliver. The
+    classic marketing-ops dashboard readout. Events reduce to day grain
+    FIRST; both windows then run over ~30 rows (the aggregate-then-
+    window discipline), cumulative sums decimal-exact, the index one
+    float division, the 1.1 threshold compared on bit-identical
+    doubles."""
+    e = load_table(spark, sf, "events")
+    daily = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.col("value").cast(DEC)).alias("spend"))
+    )
+    w_cum = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_all = W.orderBy("day").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    w_idx = W.orderBy("day")
+    paced = daily.select(
+        "day",
+        F.col("spend").cast("double").alias("spend_d"),
+        F.row_number().over(w_idx).alias("day_idx"),
+        F.count(F.lit(1)).over(w_all).alias("n_days"),
+        F.sum("spend").over(w_cum).cast("double").alias("cum_spend"),
+        F.sum("spend").over(w_all).cast("double").alias("total_spend"),
+    )
+    cum_share = F.col("cum_spend") / F.col("total_spend")
+    pace = F.col("day_idx").cast("double") / F.col("n_days")
+    return paced.select(
+        "day",
+        round4(F.col("spend_d")).alias("spend"),
+        round4(cum_share).alias("cum_share"),
+        round4(pace).alias("linear_pace"),
+        round4(cum_share / pace).alias("pacing_index"),
+        (cum_share / pace > 1.1).alias("overpacing"),
+    )
