@@ -2227,3 +2227,86 @@ def ml_outlier_iqr(spark: SparkSession, sf: str) -> DataFrame:
             F.when((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")), 1)
         ).cast("bigint").alias("n_outliers"),
     )
+
+
+@query(
+    "ml_woe_iv",
+    oracle=f"""
+        WITH scored AS (
+            SELECT o_totalprice,
+                   CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END AS bad
+            FROM orders
+        ),
+        binned AS (
+            SELECT bad,
+                   CAST(NTILE(5) OVER (ORDER BY o_totalprice, bad) AS INT)
+                       AS bin
+            FROM scored
+        ),
+        cells AS (
+            SELECT bin,
+                   SUM(1 - bad) AS n_good,
+                   SUM(bad) AS n_bad
+            FROM binned GROUP BY bin
+        ),
+        tot AS (
+            SELECT SUM(n_good) AS tg, SUM(n_bad) AS tb FROM cells
+        )
+        SELECT bin,
+               CAST(n_good AS BIGINT) AS n_good,
+               CAST(n_bad AS BIGINT) AS n_bad,
+               {sql_round4(
+                   'LN((CAST(n_good AS DOUBLE) * tb) / (CAST(n_bad AS DOUBLE) * tg))'
+               )} AS woe,
+               {sql_round4(
+                   '(CAST(n_good AS DOUBLE) / tg - CAST(n_bad AS DOUBLE) / tb)'
+                   ' * LN((CAST(n_good AS DOUBLE) * tb) / (CAST(n_bad AS DOUBLE) * tg))'
+               )} AS iv_contrib
+        FROM cells CROSS JOIN tot
+    """,
+    tags=("ml", "credit", "features"),
+)
+def ml_woe_iv(spark: SparkSession, sf: str) -> DataFrame:
+    """Weight-of-Evidence / Information-Value binning — the credit-risk
+    feature-screening standard: order value is cut into quintiles, each
+    bin's WOE = ln(good-share/bad-share) measures its separation, and
+    the IV contributions sum to the variable's predictive power (rule
+    of thumb: IV > 0.3 = strong). The WOE argument is a ratio of exact
+    integer products (cross-multiplied to avoid two divisions before
+    the log), so LN sees identical bits on both engines. NTILE with a
+    deterministic tie-break cuts the bins; all downstream algebra runs
+    on the 5-row cell table. At scale, swap NTILE for approx-quantile
+    cuts exactly as in ``ml_lift_gains``."""
+    o = load_table(spark, sf, "orders")
+    bad = F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)
+    scored = o.select("o_totalprice", bad.alias("bad"))
+    w = W.orderBy("o_totalprice", "bad")
+    binned = scored.select(
+        "bad", F.ntile(5).over(w).cast("int").alias("bin")
+    )
+    cells = binned.groupBy("bin").agg(
+        F.sum(1 - F.col("bad")).alias("n_good"),
+        F.sum("bad").alias("n_bad"),
+    )
+    tot = cells.agg(
+        F.sum("n_good").alias("tg"), F.sum("n_bad").alias("tb")
+    )
+    out = cells.crossJoin(F.broadcast(tot))
+    woe = F.log(
+        (F.col("n_good").cast("double") * F.col("tb"))
+        / (F.col("n_bad").cast("double") * F.col("tg"))
+    )
+    return out.select(
+        "bin",
+        F.col("n_good").cast("bigint").alias("n_good"),
+        F.col("n_bad").cast("bigint").alias("n_bad"),
+        round4(woe).alias("woe"),
+        round4(
+            (
+                F.col("n_good").cast("double") / F.col("tg")
+                - F.col("n_bad").cast("double") / F.col("tb")
+            )
+            * woe
+        ).alias("iv_contrib"),
+    )

@@ -7170,3 +7170,64 @@ def workload_budget_pacing(spark: SparkSession, sf: str) -> DataFrame:
         round4(cum_share / pace).alias("pacing_index"),
         (cum_share / pace > 1.1).alias("overpacing"),
     )
+
+
+@query(
+    "workload_otif",
+    oracle=f"""
+        WITH per_order AS (
+            SELECT o.o_orderkey, o.o_orderpriority,
+                   COUNT(*) AS n_lines,
+                   MAX(DATE_DIFF('day', o.o_orderdate, l.l_shipdate))
+                       AS worst_lag,
+                   SUM(CASE WHEN DATE_DIFF('day', o.o_orderdate, l.l_shipdate)
+                                 <= 30 THEN 1 ELSE 0 END) AS on_time_lines
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY o.o_orderkey, o.o_orderpriority
+        )
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CASE WHEN on_time_lines = n_lines THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_otif,
+               {sql_round4(
+                   'CAST(SUM(CASE WHEN on_time_lines = n_lines THEN 1 ELSE 0 END)'
+                   ' AS DOUBLE) / COUNT(*)'
+               )} AS otif_rate,
+               CAST(MAX(worst_lag) AS BIGINT) AS worst_lag_days
+        FROM per_order
+        GROUP BY o_orderpriority
+    """,
+    tags=("workload", "supply-chain"),
+)
+def workload_otif(spark: SparkSession, sf: str) -> DataFrame:
+    """OTIF (On-Time-In-Full) — the supply-chain service-level KPI: an
+    order counts only if EVERY line shipped within the 30-day promise
+    (conjunctive across lines — the property that makes OTIF stricter
+    than ``workload_ship_lag``'s per-line averages, and why operators
+    who report mean lag look better than they deliver). Two-level
+    aggregation: lineitem reduces to order grain (on-time line count vs
+    line count), then order grain to priority class — both shuffles
+    are key-sized and map-side combinable; integer day lags throughout."""
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    lag = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    per_order = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.max(lag).alias("worst_lag"),
+            F.sum(F.when(lag <= 30, 1).otherwise(0)).alias("on_time_lines"),
+        )
+    )
+    otif = F.sum(
+        F.when(F.col("on_time_lines") == F.col("n_lines"), 1).otherwise(0)
+    )
+    return per_order.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        otif.cast("bigint").alias("n_otif"),
+        round4(otif.cast("double") / F.count(F.lit(1))).alias("otif_rate"),
+        F.max("worst_lag").cast("bigint").alias("worst_lag_days"),
+    )
