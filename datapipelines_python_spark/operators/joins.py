@@ -878,3 +878,45 @@ def join_correlated_scalar(spark: SparkSession, sf: str) -> DataFrame:
         WHERE o.o_orderkey % 7 = 0
         """
     )
+
+
+@query(
+    "join_tuple_in_subquery",
+    oracle="""
+        SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_orderpriority
+        FROM orders o
+        JOIN (SELECT o_orderstatus, o_orderpriority
+              FROM orders
+              GROUP BY o_orderstatus, o_orderpriority
+              HAVING COUNT(*) > 1200) f
+          ON o.o_orderstatus = f.o_orderstatus
+         AND o.o_orderpriority = f.o_orderpriority
+    """,
+    tags=("join", "subquery"),
+)
+def join_tuple_in_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-column (tuple) IN subquery — ``(a, b) IN (SELECT x, y …)``:
+    the set-membership test over a COMPOSITE key, which Catalyst plans
+    as a left-semi join on both columns (never a per-row subquery
+    evaluation). Here: keep orders belonging to (status, priority)
+    combinations frequent enough to matter — the 'drop rare segments'
+    filter pattern. Distinct from ``join_left_semi`` (single key) and
+    ``join_correlated_scalar`` (scalar subquery); this pins the tuple-
+    valued membership surface (the oracle rewrites it as the equivalent
+    join against the distinct frequent-combo set — DuckDB 1.0 lacks
+    multi-column IN, which is itself evidence the surface is
+    non-trivial)."""
+    o = load_table(spark, sf, "orders")
+    o.createOrReplaceTempView("_tin_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+        FROM _tin_orders
+        WHERE (o_orderstatus, o_orderpriority) IN (
+            SELECT o_orderstatus, o_orderpriority
+            FROM _tin_orders
+            GROUP BY o_orderstatus, o_orderpriority
+            HAVING COUNT(*) > 1200
+        )
+        """
+    )

@@ -3982,3 +3982,94 @@ def llm_cloze_generation(spark: SparkSession, sf: str) -> DataFrame:
         F.element_at(F.col("toks"), F.col("blank_pos")).alias("answer"),
         cloze.alias("cloze_text"),
     )
+
+
+@query(
+    "llm_self_similarity_sample",
+    oracle=f"""
+        WITH bg AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY doc_id) AS rn,
+                   COUNT(*) OVER () AS n_docs,
+                   list_distinct([toks[i] || ' ' || toks[i+1]
+                                  FOR i IN RANGE(1, LEN(toks))]) AS bigrams
+            FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks
+                  FROM documents) t
+        ),
+        paired AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   LEN(a.bigrams) AS n_a, LEN(b.bigrams) AS n_b,
+                   LEN(list_intersect(a.bigrams, b.bigrams)) AS n_common
+            FROM bg a JOIN bg b
+              ON b.rn = a.rn + a.n_docs // 2
+             AND a.rn <= a.n_docs // 2
+        )
+        SELECT doc_a, doc_b,
+               CAST(n_a AS BIGINT) AS n_a,
+               CAST(n_b AS BIGINT) AS n_b,
+               CAST(n_common AS BIGINT) AS n_common,
+               {sql_round4(
+                   'CAST(n_common AS DOUBLE) / (n_a + n_b - n_common)'
+               )} AS bigram_jaccard
+        FROM paired
+    """,
+    tags=("llm", "diversity", "synthetic"),
+)
+def llm_self_similarity_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Self-similarity audit — the diversity dial for synthetic /
+    model-generated corpora: mode-collapsed generators produce high
+    cross-document n-gram overlap long before exact duplication shows
+    up. Full pairwise self-BLEU is O(n²); this is the sampled
+    formulation every large corpus uses — a deterministic derangement
+    (doc at rank r pairs with rank r + n/2, each doc in ≤1 pair, no
+    self-pairs) and bigram Jaccard per pair. Bigram sets are
+    array-local; the single pair join is rank-keyed (one shuffle of
+    distinct-bigram arrays); at 100 TB sample pairs per shard instead
+    of globally and the audit stays one pass."""
+    d = load_table(spark, sf, "documents")
+    toks = F.split("text", " ")
+    bigrams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+            ),
+        )
+    )
+    w = W.orderBy("doc_id")
+    w_all = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    bg = d.select(
+        "doc_id",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n_docs"),
+        bigrams.alias("bigrams"),
+    )
+    a = bg.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("rn").alias("rn_a"),
+        F.col("n_docs"),
+        F.col("bigrams").alias("bg_a"),
+    )
+    b = bg.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("rn").alias("rn_b"),
+        F.col("bigrams").alias("bg_b"),
+    )
+    paired = a.filter(
+        F.col("rn_a") <= (F.col("n_docs") / 2).cast("bigint")
+    ).join(
+        b,
+        F.col("rn_b") == F.col("rn_a") + (F.col("n_docs") / 2).cast("bigint"),
+    )
+    n_a = F.size("bg_a")
+    n_b = F.size("bg_b")
+    n_common = F.size(F.array_intersect("bg_a", "bg_b"))
+    return paired.select(
+        "doc_a", "doc_b",
+        n_a.cast("bigint").alias("n_a"),
+        n_b.cast("bigint").alias("n_b"),
+        n_common.cast("bigint").alias("n_common"),
+        round4(
+            n_common.cast("double") / (n_a + n_b - n_common)
+        ).alias("bigram_jaccard"),
+    )

@@ -1797,3 +1797,39 @@ def fn_row_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
         F.md5(canonical).alias("row_hash"),
         F.substring(F.md5(canonical), 1, 8).alias("short_hash"),
     )
+
+
+@query(
+    "fn_to_json",
+    oracle="""
+        SELECT c_custkey,
+               to_json({'name': c_name,
+                        'segment': c_mktsegment,
+                        'nation': c_nationkey,
+                        'balance_cents': CAST(FLOOR(c_acctbal * 100.0 + 0.5)
+                                              AS BIGINT)}) AS payload
+        FROM customer
+    """,
+    tags=("fn", "json"),
+)
+def fn_to_json(spark: SparkSession, sf: str) -> DataFrame:
+    """STRUCT → JSON serialization (``to_json``) — the write half of the
+    JSON surface (``fn_json`` covers extraction): rows become compact
+    JSON payloads for event buses / API sinks. Both engines emit the
+    same compact form (no spaces, field order = struct order) so the
+    STRINGS are compared, not re-parsed values — the stronger check.
+    The money field goes through integer cents: a raw double would
+    render differently ("750.5" vs "750.50") between engines; integer-
+    normalizing before serialization is the portable-JSON discipline."""
+    c = load_table(spark, sf, "customer")
+    payload = F.to_json(
+        F.struct(
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_nationkey").alias("nation"),
+            F.floor(F.col("c_acctbal") * 100.0 + 0.5)
+            .cast("bigint")
+            .alias("balance_cents"),
+        )
+    )
+    return c.select("c_custkey", payload.alias("payload"))
