@@ -2310,3 +2310,47 @@ def ml_woe_iv(spark: SparkSession, sf: str) -> DataFrame:
             * woe
         ).alias("iv_contrib"),
     )
+
+
+@query(
+    "ml_kfold_assignment",
+    oracle="""
+        WITH assigned AS (
+            SELECT label,
+                   CAST(('0x' || SUBSTRING(MD5(
+                        CAST(vec_id AS VARCHAR) || ':fold'), 1, 8))
+                        ::BIGINT % 5 AS INT) AS fold
+            FROM embeddings
+        )
+        SELECT fold, label,
+               CAST(COUNT(*) AS BIGINT) AS n_samples
+        FROM assigned
+        GROUP BY fold, label
+    """,
+    tags=("ml", "split", "cv"),
+)
+def ml_kfold_assignment(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 5-fold cross-validation assignment with a per-
+    (fold, label) occupancy audit: fold membership is a salted hash of
+    the sample key — reproducible across engines/partitionings/reruns
+    (``llm_train_val_split``'s rule generalized to k folds), and the
+    occupancy table IS the stratification check: a label whose counts
+    are lopsided across folds needs hash-within-stratum assignment
+    instead. One projection + one map-side-combinable aggregate; at
+    100 TB fold filters push into the scan exactly like the split op's."""
+    emb = load_table(spark, sf, "embeddings")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(":fold"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint")
+        % 5
+    ).cast("int")
+    return (
+        emb.select(fold.alias("fold"), "label")
+        .groupBy("fold", "label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_samples"))
+    )

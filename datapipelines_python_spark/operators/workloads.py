@@ -7231,3 +7231,74 @@ def workload_otif(spark: SparkSession, sf: str) -> DataFrame:
         round4(otif.cast("double") / F.count(F.lit(1))).alias("otif_rate"),
         F.max("worst_lag").cast("bigint").alias("worst_lag_days"),
     )
+
+
+@query(
+    "workload_reorder_point",
+    oracle=f"""
+        WITH daily AS (
+            SELECT l_partkey,
+                   CAST(l_shipdate AS DATE) AS day,
+                   SUM(CAST(l_quantity AS DECIMAL(38,8))) AS qty
+            FROM lineitem
+            GROUP BY 1, 2
+        ),
+        stats AS (
+            SELECT l_partkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_days,
+                   {sql_dsum('CAST(qty AS DOUBLE)')} AS s1,
+                   {sql_dsum('CAST(qty AS DOUBLE) * CAST(qty AS DOUBLE)')}
+                       AS s2
+            FROM daily
+            GROUP BY l_partkey
+            HAVING COUNT(*) >= 20
+        )
+        SELECT l_partkey, n_days,
+               {sql_round4('s1 / n_days')} AS mean_daily_demand,
+               {sql_round4(
+                   'SQRT((s2 - s1 * s1 / n_days) / (n_days - 1))'
+               )} AS sd_daily_demand,
+               {sql_round4(
+                   '(s1 / n_days) * 7.0'
+                   ' + 1.645 * SQRT((s2 - s1 * s1 / n_days) / (n_days - 1))'
+                   ' * SQRT(7.0)'
+               )} AS reorder_point
+        FROM stats
+    """,
+    tags=("workload", "supply-chain", "inventory"),
+)
+def workload_reorder_point(spark: SparkSession, sf: str) -> DataFrame:
+    """Reorder point per part: ROP = demand over the 7-day lead time +
+    95% safety stock (z=1.645 · σ_daily · √LT) — the formula that turns
+    demand history into a replenishment trigger. Demand reduces to
+    (part, day) grain first (decimal-exact), per-part mean/σ come from
+    two power sums (one more map-side-combinable aggregate — never a
+    window over raw lines), and parts with under 20 demand days are
+    excluded rather than given garbage σ. The two SQRT calls sit on
+    identical doubles (decimal-sourced sums), so the safety stock is
+    engine-exact under round4."""
+    li = load_table(spark, sf, "lineitem")
+    daily = li.groupBy(
+        "l_partkey", F.col("l_shipdate").cast("date").alias("day")
+    ).agg(F.sum(F.col("l_quantity").cast(DEC)).alias("qty"))
+    q = F.col("qty").cast("double")
+    stats = (
+        daily.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            dsum(q).alias("s1"),
+            dsum(q * q).alias("s2"),
+        )
+        .filter(F.col("n_days") >= 20)
+    )
+    n, s1, s2 = F.col("n_days"), F.col("s1"), F.col("s2")
+    mean = s1 / n
+    sd = F.sqrt((s2 - s1 * s1 / n) / (n - 1))
+    return stats.select(
+        "l_partkey", "n_days",
+        round4(mean).alias("mean_daily_demand"),
+        round4(sd).alias("sd_daily_demand"),
+        round4(mean * 7.0 + 1.645 * sd * F.sqrt(F.lit(7.0))).alias(
+            "reorder_point"
+        ),
+    )
