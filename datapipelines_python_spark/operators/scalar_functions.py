@@ -1833,3 +1833,50 @@ def fn_to_json(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return c.select("c_custkey", payload.alias("payload"))
+
+
+@query(
+    "fn_from_csv",
+    oracle="""
+        WITH lines AS (
+            SELECT n_nationkey,
+                   CAST(n_nationkey AS VARCHAR) || ';' || n_name || ';'
+                       || CAST(n_regionkey AS VARCHAR) AS csv_line
+            FROM nation
+        )
+        SELECT n_nationkey, csv_line,
+               CAST(SPLIT_PART(csv_line, ';', 1) AS INT) AS parsed_key,
+               SPLIT_PART(csv_line, ';', 2) AS parsed_name,
+               CAST(SPLIT_PART(csv_line, ';', 3) AS INT) AS parsed_region
+        FROM lines
+    """,
+    tags=("fn", "csv"),
+)
+def fn_from_csv(spark: SparkSession, sf: str) -> DataFrame:
+    """``from_csv`` — schema-driven parsing of CSV embedded IN a string
+    column (log lines, legacy message payloads riding inside another
+    table), the CSV sibling of ``fn_json``'s from_json: one call yields
+    a typed struct, star-expanded downstream, with the separator and
+    schema explicit — never per-field split/cast chains scattered
+    through the query. The oracle replays with split_part + casts;
+    the constructed line uses ';' so the test exercises a non-default
+    separator option."""
+    n = load_table(spark, sf, "nation")
+    csv_line = F.concat_ws(
+        ";",
+        F.col("n_nationkey").cast("string"),
+        F.col("n_name"),
+        F.col("n_regionkey").cast("string"),
+    )
+    lines = n.select("n_nationkey", csv_line.alias("csv_line"))
+    parsed = F.from_csv(
+        F.col("csv_line"),
+        F.lit("parsed_key INT, parsed_name STRING, parsed_region INT"),
+        {"sep": ";"},
+    )
+    return lines.select(
+        "n_nationkey", "csv_line", parsed.alias("p")
+    ).select(
+        "n_nationkey", "csv_line",
+        "p.parsed_key", "p.parsed_name", "p.parsed_region",
+    )

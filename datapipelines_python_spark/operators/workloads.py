@@ -7302,3 +7302,70 @@ def workload_reorder_point(spark: SparkSession, sf: str) -> DataFrame:
             "reorder_point"
         ),
     )
+
+
+@query(
+    "sql_hint_rebalance",
+    oracle=f"""
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               {sql_dsum('l_extendedprice')} AS revenue
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("sql", "aqe", "partitioning"),
+)
+def sql_hint_rebalance(spark: SparkSession, sf: str) -> DataFrame:
+    """The AQE REBALANCE hint: asks the engine to even out partition
+    sizes at this point in the plan — splitting oversized partitions
+    AND coalescing tiny ones at runtime (unlike REPARTITION's fixed
+    count). The canonical placement is exactly here: before a write or
+    an expensive stage downstream of a skewed aggregate, where it turns
+    a straggler-bound stage into uniform tasks. Results are
+    layout-invariant, so the oracle is the plain aggregate; the hint's
+    presence is pinned via the plan (RebalancePartitions node under
+    AQE)."""
+    li = load_table(spark, sf, "lineitem")
+    li.createOrReplaceTempView("_rb_lineitem")
+    return spark.sql(
+        """
+        SELECT /*+ REBALANCE(l_returnflag) */
+               l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,8))) AS DOUBLE)
+                   AS revenue
+        FROM _rb_lineitem
+        GROUP BY l_returnflag
+        """
+    )
+
+
+@query(
+    "sql_identifier_clause",
+    oracle="""
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM customer
+        GROUP BY c_mktsegment
+    """,
+    tags=("sql", "parameterized"),
+)
+def sql_identifier_clause(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark 4's ``IDENTIFIER()`` clause: table and column NAMES as
+    bind-parameters — the injection-safe way to template "group table X
+    by column Y" jobs (string-concatenated identifiers are the SQL-
+    injection vector parameter markers can't fix, because markers only
+    bind VALUES). The identifier resolves at analysis time, so the plan
+    is byte-identical to the hand-written query — pure parser surface,
+    pinned against the classic form as oracle."""
+    c = load_table(spark, sf, "customer")
+    c.createOrReplaceTempView("_id_customer")
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:col),
+               CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM IDENTIFIER(:tbl)
+        GROUP BY IDENTIFIER(:col)
+        """,
+        args={"col": "c_mktsegment", "tbl": "_id_customer"},
+    )

@@ -490,3 +490,12 @@ def test_cuped_single_user_aggregate_feeds_both_branches(spark, registry):
     # the per-arm rollup must both read the cache, not re-scan events.
     plan = _plan(spark, registry, "ml_ab_cuped")
     assert "InMemoryTableScan" in plan
+
+
+def test_rebalance_hint_plans_rebalance_node(spark, registry):
+    # The REBALANCE hint must survive into the optimized plan as an
+    # AQE-rebalanced exchange (RebalancePartitions / REBALANCE_PARTITIONS
+    # origin), not be silently dropped.
+    df = registry["sql_hint_rebalance"].fn(spark, SF_SMOKE)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "RebalancePartitions" in optimized or "rebalance" in optimized.lower()
