@@ -2354,3 +2354,117 @@ def ml_kfold_assignment(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("fold", "label")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_samples"))
     )
+
+
+@query(
+    "ml_conformal_interval",
+    oracle=f"""
+        WITH obs AS (
+            SELECT doc_id,
+                   LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1
+                       AS n_tokens,
+                   n_chars,
+                   CASE WHEN CAST(('0x' || SUBSTRING(MD5(
+                            CAST(doc_id AS VARCHAR) || ':conf'), 1, 8))
+                            ::BIGINT % 2 AS INT) = 0
+                        THEN 'cal' ELSE 'test' END AS side
+            FROM documents
+        ),
+        fit AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   {sql_dsum('CAST(n_tokens AS DOUBLE)')} AS sx,
+                   {sql_dsum('CAST(n_chars AS DOUBLE)')} AS sy,
+                   {sql_dsum('CAST(n_tokens AS DOUBLE) * n_chars')} AS sxy,
+                   {sql_dsum('CAST(n_tokens AS DOUBLE) * n_tokens')} AS sxx
+            FROM obs WHERE side = 'cal'
+        ),
+        scored AS (
+            SELECT obs.side,
+                   ABS(n_chars - (
+                       ((f.n * f.sxy - f.sx * f.sy) / (f.n * f.sxx - f.sx * f.sx))
+                       * n_tokens
+                       + (f.sy - ((f.n * f.sxy - f.sx * f.sy)
+                                  / (f.n * f.sxx - f.sx * f.sx)) * f.sx) / f.n
+                   )) AS abs_resid
+            FROM obs CROSS JOIN fit f
+        ),
+        qhat AS (
+            SELECT quantile_cont(abs_resid, 0.9) AS q
+            FROM scored WHERE side = 'cal'
+        )
+        SELECT side,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               {sql_round4('(SELECT q FROM qhat)')} AS interval_halfwidth,
+               CAST(COUNT(CASE WHEN abs_resid <= (SELECT q FROM qhat)
+                               THEN 1 END) AS BIGINT) AS n_covered,
+               {sql_round4(
+                   'CAST(COUNT(CASE WHEN abs_resid <= (SELECT q FROM qhat)'
+                   ' THEN 1 END) AS DOUBLE) / COUNT(*)'
+               )} AS coverage
+        FROM scored
+        GROUP BY side
+    """,
+    tags=("ml", "uncertainty"),
+)
+def ml_conformal_interval(spark: SparkSession, sf: str) -> DataFrame:
+    """Split-conformal prediction intervals — distribution-free
+    uncertainty with a finite-sample guarantee: fit a point model
+    (closed-form OLS of chars on tokens) on the calibration half
+    (hash-split, replayable), take the 90th percentile of calibration
+    |residuals| as the interval half-width, and audit empirical
+    coverage on the held-out half (the guarantee says ≥ ~90% there
+    regardless of the data's distribution — THE property worth paying
+    one quantile for). Shape: one power-sum fit, residuals as
+    projection against the broadcast model, one exact percentile
+    (sketch-swappable at scale), one coverage count."""
+    d = load_table(spark, sf, "documents")
+    side = F.when(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":conf"))),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("bigint")
+            % 2
+        )
+        == 0,
+        "cal",
+    ).otherwise("test")
+    obs = d.select(
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            + 1
+        ).cast("double").alias("n_tokens"),
+        F.col("n_chars").cast("double").alias("n_chars"),
+        side.alias("side"),
+    ).persist()  # read by the fit, the scoring pass, and the quantile
+    x, y = F.col("n_tokens"), F.col("n_chars")
+    fit = obs.filter(F.col("side") == "cal").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum(x).alias("sx"),
+        dsum(y).alias("sy"),
+        dsum(x * y).alias("sxy"),
+        dsum(x * x).alias("sxx"),
+    )
+    scored = obs.crossJoin(F.broadcast(fit))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx = F.col("sxy"), F.col("sxx")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    scored = scored.select(
+        "side", F.abs(y - (slope * x + intercept)).alias("abs_resid")
+    ).persist()  # read by the calibration quantile AND the coverage audit
+    qhat = scored.filter(F.col("side") == "cal").agg(
+        F.percentile(F.col("abs_resid"), F.lit(0.9)).alias("q")
+    )
+    out = scored.crossJoin(F.broadcast(qhat))
+    covered = F.count(F.when(F.col("abs_resid") <= F.col("q"), 1))
+    return out.groupBy("side").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        round4(F.max("q")).alias("interval_halfwidth"),
+        covered.cast("bigint").alias("n_covered"),
+        round4(covered.cast("double") / F.count(F.lit(1))).alias("coverage"),
+    )

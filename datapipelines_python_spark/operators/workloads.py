@@ -7369,3 +7369,83 @@ def sql_identifier_clause(spark: SparkSession, sf: str) -> DataFrame:
         """,
         args={"col": "c_mktsegment", "tbl": "_id_customer"},
     )
+
+
+@query(
+    "workload_sales_mix_variance",
+    oracle=f"""
+        WITH periods AS (
+            SELECT p.p_brand,
+                   CASE WHEN YEAR(l.l_shipdate) <= 1997 THEN 'base'
+                        ELSE 'cur' END AS period,
+                   SUM(CAST(l.l_quantity AS DECIMAL(38,8))) AS qty,
+                   SUM(CAST(l.l_extendedprice AS DECIMAL(38,8))) AS rev
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY 1, 2
+        ),
+        wide AS (
+            SELECT p_brand,
+                   CAST(CAST(MAX(CASE WHEN period = 'base' THEN qty END)
+                        AS VARCHAR) AS DOUBLE) AS q0,
+                   CAST(CAST(MAX(CASE WHEN period = 'base' THEN rev END)
+                        AS VARCHAR) AS DOUBLE) AS r0,
+                   CAST(CAST(MAX(CASE WHEN period = 'cur' THEN qty END)
+                        AS VARCHAR) AS DOUBLE) AS q1,
+                   CAST(CAST(MAX(CASE WHEN period = 'cur' THEN rev END)
+                        AS VARCHAR) AS DOUBLE) AS r1
+            FROM periods GROUP BY p_brand
+            HAVING MAX(CASE WHEN period = 'base' THEN qty END) IS NOT NULL
+               AND MAX(CASE WHEN period = 'cur' THEN qty END) IS NOT NULL
+        )
+        SELECT p_brand,
+               {sql_round4('r1 - r0')} AS revenue_delta,
+               {sql_round4('(q1 - q0) * (r0 / q0)')} AS volume_effect,
+               {sql_round4('(r1 / q1 - r0 / q0) * q1')} AS price_effect,
+               {sql_round4(
+                   '(r1 - r0) - ((q1 - q0) * (r0 / q0))'
+                   ' - ((r1 / q1 - r0 / q0) * q1)'
+               )} AS residual_check
+        FROM wide
+    """,
+    tags=("workload", "finance"),
+)
+def workload_sales_mix_variance(spark: SparkSession, sf: str) -> DataFrame:
+    """Price/volume variance decomposition per brand — the FP&A bridge
+    chart: the period-over-period revenue delta splits into a volume
+    effect (quantity change at old unit price) and a price effect (unit
+    price change at new volume), with the algebraic residual emitted as
+    a built-in audit row (it must be ~0 by construction — a non-zero
+    residual means someone changed the decomposition order). Everything
+    reduces to (brand, period) grain in one decimal-exact aggregate;
+    the 2-period pivot and the bridge algebra run on 25 brand rows."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part")
+    period = F.when(F.year("l_shipdate") <= 1997, "base").otherwise("cur")
+    periods = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", period.alias("period"))
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).alias("qty"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).alias("rev"),
+        )
+    )
+    wide = (
+        periods.groupBy("p_brand")
+        .agg(
+            F.max(F.when(F.col("period") == "base", F.col("qty"))).cast("double").alias("q0"),
+            F.max(F.when(F.col("period") == "base", F.col("rev"))).cast("double").alias("r0"),
+            F.max(F.when(F.col("period") == "cur", F.col("qty"))).cast("double").alias("q1"),
+            F.max(F.when(F.col("period") == "cur", F.col("rev"))).cast("double").alias("r1"),
+        )
+        .filter(F.col("q0").isNotNull() & F.col("q1").isNotNull())
+    )
+    q0, r0, q1, r1 = (F.col(c) for c in ("q0", "r0", "q1", "r1"))
+    volume = (q1 - q0) * (r0 / q0)
+    price = (r1 / q1 - r0 / q0) * q1
+    return wide.select(
+        "p_brand",
+        round4(r1 - r0).alias("revenue_delta"),
+        round4(volume).alias("volume_effect"),
+        round4(price).alias("price_effect"),
+        round4((r1 - r0) - volume - price).alias("residual_check"),
+    )
