@@ -4073,3 +4073,87 @@ def llm_self_similarity_sample(spark: SparkSession, sf: str) -> DataFrame:
             n_common.cast("double") / (n_a + n_b - n_common)
         ).alias("bigram_jaccard"),
     )
+
+
+@query(
+    "llm_watermark_detection",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   LEN(toks) - 1 AS n_bigrams,
+                   LEN([1 FOR i IN RANGE(1, LEN(toks))
+                        IF ('0x' || SUBSTRING(MD5(toks[i] || '|' || toks[i+1]),
+                                              1, 8))::BIGINT % 2 = 0])
+                       AS n_green
+            FROM (SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS toks
+                  FROM documents) t
+            WHERE LEN(toks) >= 2
+        )
+        SELECT doc_id, lang,
+               CAST(n_bigrams AS BIGINT) AS n_bigrams,
+               CAST(n_green AS BIGINT) AS n_green,
+               {sql_round4(
+                   '(n_green - CAST(n_bigrams AS DOUBLE) / 2.0)'
+                   ' / SQRT(CAST(n_bigrams AS DOUBLE) / 4.0)'
+               )} AS green_zscore,
+               CAST((n_green - CAST(n_bigrams AS DOUBLE) / 2.0)
+                    / SQRT(CAST(n_bigrams AS DOUBLE) / 4.0) > 4.0
+                    AS BOOLEAN) AS watermark_flag
+        FROM scored
+    """,
+    tags=("llm", "provenance", "watermark"),
+)
+def llm_watermark_detection(spark: SparkSession, sf: str) -> DataFrame:
+    """Statistical watermark detection (Kirchenbauer et al. 2023): a
+    watermarking sampler biases each token toward a 'green list' seeded
+    by the previous token's hash; the detector recomputes the green
+    partition (md5 of each bigram, hash-replayable by the oracle) and
+    z-tests the green fraction against the unwatermarked null of 1/2 —
+    z > 4 is one-in-thirty-thousand evidence the text came from a
+    watermarked model. The training-data angle: run this gate BEFORE
+    ingesting web text to keep synthetic model output out of the
+    pretraining mix. Array-local green counting (one fold, zero
+    shuffle), integer counts, one sqrt per doc."""
+    d = load_table(spark, sf, "documents")
+    toks = F.split("text", " ")
+    base = d.select("doc_id", "lang", toks.alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    is_green = lambda i: (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.element_at(F.col("toks"), i),
+                        F.lit("|"),
+                        F.element_at(F.col("toks"), i + 1),
+                    )
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint")
+        % 2
+        == 0
+    )
+    n_green = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: is_green(i),
+        )
+    )
+    scored = base.select(
+        "doc_id", "lang",
+        (F.size("toks") - 1).alias("n_bigrams"),
+        n_green.alias("n_green"),
+    )
+    z = (
+        F.col("n_green") - F.col("n_bigrams").cast("double") / 2.0
+    ) / F.sqrt(F.col("n_bigrams").cast("double") / 4.0)
+    return scored.select(
+        "doc_id", "lang",
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        F.col("n_green").cast("bigint").alias("n_green"),
+        round4(z).alias("green_zscore"),
+        (z > 4.0).alias("watermark_flag"),
+    )

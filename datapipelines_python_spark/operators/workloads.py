@@ -7449,3 +7449,79 @@ def workload_sales_mix_variance(spark: SparkSession, sf: str) -> DataFrame:
         round4(price).alias("price_effect"),
         round4((r1 - r0) - volume - price).alias("residual_check"),
     )
+
+
+@query(
+    "graph_local_clustering",
+    oracle=f"""
+        WITH {_SQL_MUTUAL_5NN},
+        adj AS (
+            SELECT u AS v, v AS nb FROM mutual
+            UNION ALL
+            SELECT v AS v, u AS nb FROM mutual
+        ),
+        deg AS (
+            SELECT v, COUNT(*) AS d FROM adj GROUP BY v
+        ),
+        wedges AS (
+            SELECT a.v, a.nb AS x, b.nb AS y
+            FROM adj a JOIN adj b ON a.v = b.v AND a.nb < b.nb
+        ),
+        closed AS (
+            SELECT w.v, COUNT(*) AS n_closed
+            FROM wedges w JOIN mutual m ON w.x = m.u AND w.y = m.v
+            GROUP BY w.v
+        )
+        SELECT deg.v AS vec_id,
+               CAST(deg.d AS BIGINT) AS degree,
+               CAST(COALESCE(closed.n_closed, 0) AS BIGINT) AS closed_wedges,
+               {sql_round4(
+                   'CAST(COALESCE(closed.n_closed, 0) AS DOUBLE)'
+                   ' / (deg.d * (deg.d - 1) / 2)'
+               )} AS local_cc
+        FROM deg LEFT JOIN closed ON deg.v = closed.v
+        WHERE deg.d >= 2
+    """,
+    tags=("graph",),
+)
+def graph_local_clustering(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-node local clustering coefficient over the shared mutual-5NN
+    graph: the fraction of a node's neighbor pairs that are themselves
+    connected — the LOCAL texture the global ``graph_triangle_count``
+    averages away (high-CC nodes sit inside tight semantic clumps;
+    CC≈0 nodes bridge between them — exactly the boundary documents a
+    curriculum or dedup sweep treats differently). Degree ≤ k=5 bounds
+    each node's wedge fan-out at C(5,2)=10, so the wedge self-join is
+    edges × 10 regardless of corpus size — the degree-bounded property
+    that makes kNN-graph analytics tractable where general-graph
+    clustering is not. Consumes the session-cached edge list."""
+    edges = _mutual_5nn(spark, sf)
+    adj = edges.select(F.col("u").alias("v"), F.col("v").alias("nb")).unionByName(
+        edges.select(F.col("v").alias("v"), F.col("u").alias("nb"))
+    )
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    a = adj.select("v", F.col("nb").alias("x"))
+    b = adj.select(F.col("v").alias("v2"), F.col("nb").alias("y"))
+    wedges = a.join(
+        b, (F.col("v") == F.col("v2")) & (F.col("x") < F.col("y"))
+    ).select("v", "x", "y")
+    e2 = edges.select(F.col("u").alias("eu"), F.col("v").alias("ev"))
+    closed = (
+        wedges.join(
+            e2, (F.col("x") == F.col("eu")) & (F.col("y") == F.col("ev")),
+        )
+        .groupBy(F.col("v").alias("node"))
+        .agg(F.count(F.lit(1)).alias("n_closed"))
+    )
+    out = deg.filter(F.col("d") >= 2).join(
+        closed, deg.v == closed.node, "left"
+    )
+    nc = F.coalesce(F.col("n_closed"), F.lit(0))
+    return out.select(
+        deg.v.alias("vec_id"),
+        F.col("d").cast("bigint").alias("degree"),
+        nc.cast("bigint").alias("closed_wedges"),
+        round4(
+            nc.cast("double") / (F.col("d") * (F.col("d") - 1) / 2)
+        ).alias("local_cc"),
+    )
