@@ -782,3 +782,98 @@ def stream_stream_left_outer(spark: SparkSession, sf: str) -> DataFrame:
         "left_outer",
     ).select("purchase_id", "view_id", "user_id")
     return drain_to_memory(joined, "stream_stream_left_outer_sink")
+
+
+@query(
+    "stream_stream_full_outer",
+    oracle="""
+        WITH mx AS (
+            SELECT LEAST(
+                MAX(CASE WHEN event_type = 'purchase' THEN ts END),
+                MAX(CASE WHEN event_type = 'view' THEN ts END)
+            ) AS wm_base
+            FROM events
+        ),
+        p AS (
+            SELECT event_id AS purchase_id, user_id, ts AS p_ts
+            FROM events WHERE event_type = 'purchase'
+        ),
+        v AS (
+            SELECT event_id AS view_id, user_id AS v_user, ts AS v_ts
+            FROM events WHERE event_type = 'view'
+        ),
+        matched AS (
+            SELECT p.purchase_id, v.view_id, p.user_id
+            FROM p JOIN v
+              ON p.user_id = v.v_user
+             AND v.v_ts >= p.p_ts - INTERVAL 1 HOUR AND v.v_ts <= p.p_ts
+        ),
+        unmatched_p AS (
+            SELECT p.purchase_id, CAST(NULL AS BIGINT) AS view_id, p.user_id
+            FROM p CROSS JOIN mx
+            WHERE p.p_ts < mx.wm_base - INTERVAL 2 HOUR
+              AND NOT EXISTS (
+                  SELECT 1 FROM v
+                  WHERE v.v_user = p.user_id
+                    AND v.v_ts >= p.p_ts - INTERVAL 1 HOUR
+                    AND v.v_ts <= p.p_ts)
+        ),
+        unmatched_v AS (
+            SELECT CAST(NULL AS BIGINT) AS purchase_id, v.view_id, v.v_user
+            FROM v CROSS JOIN mx
+            WHERE v.v_ts < mx.wm_base - INTERVAL 3 HOUR
+              AND NOT EXISTS (
+                  SELECT 1 FROM p
+                  WHERE p.user_id = v.v_user
+                    AND p.p_ts >= v.v_ts AND p.p_ts <= v.v_ts + INTERVAL 1 HOUR)
+        )
+        SELECT * FROM matched
+        UNION ALL SELECT * FROM unmatched_p
+        UNION ALL SELECT * FROM unmatched_v
+    """,
+    tags=("streaming", "join"),
+)
+def stream_stream_full_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream ⋈ stream FULL OUTER — both sides emit null-extended rows,
+    each under its OWN eviction horizon derived from the join interval:
+    a purchase can stop waiting once the watermark passes p_ts (views
+    with v_ts ≤ p_ts can no longer arrive) → horizon wm_base − 2h; a
+    view can stop waiting once the watermark passes v_ts + 1h (a
+    matching purchase could be up to 1h after it) → horizon
+    wm_base − 2h − 1h. The asymmetry is pure interval algebra and the
+    oracle replays both rules exactly (wm_base = min of the two sides'
+    max event times, as verified for ``stream_stream_left_outer``).
+    State for BOTH sides stays bounded — the reason full-outer stream
+    joins are even legal under watermarks."""
+    purchases = (
+        events_stream(spark, sf)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    views = (
+        events_stream(spark, sf)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+        "full_outer",
+    ).select(
+        "purchase_id",
+        "view_id",
+        F.coalesce(F.col("user_id"), F.col("v_user")).alias("user_id"),
+    )
+    return drain_to_memory(joined, "stream_stream_full_outer_sink")
