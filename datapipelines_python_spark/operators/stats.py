@@ -2468,3 +2468,101 @@ def ml_conformal_interval(spark: SparkSession, sf: str) -> DataFrame:
         covered.cast("bigint").alias("n_covered"),
         round4(covered.cast("double") / F.count(F.lit(1))).alias("coverage"),
     )
+
+
+@query(
+    "ml_ts_feature_pack",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2
+        ),
+        seq AS (
+            SELECT event_type, day, y,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+                       AS t,
+                   LAG(y) OVER (PARTITION BY event_type ORDER BY day)
+                       AS y_prev
+            FROM daily
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               {sql_round4('CAST(SUM(y) AS DOUBLE) / COUNT(*)')} AS mean_y,
+               {sql_round4(
+                   'SQRT((SUM(y * y) - CAST(SUM(y) AS DOUBLE) * SUM(y)'
+                   ' / COUNT(*)) / (COUNT(*) - 1))'
+               )} AS sd_y,
+               CAST(MIN(y) AS BIGINT) AS min_y,
+               CAST(MAX(y) AS BIGINT) AS max_y,
+               {sql_round4(
+                   '(COUNT(y_prev) * SUM(CASE WHEN y_prev IS NOT NULL'
+                   ' THEN y * y_prev END)'
+                   ' - SUM(CASE WHEN y_prev IS NOT NULL THEN y END)'
+                   ' * SUM(y_prev))'
+                   ' / NULLIF(COUNT(y_prev)'
+                   ' * SUM(CASE WHEN y_prev IS NOT NULL THEN y_prev * y_prev END)'
+                   ' - CAST(SUM(y_prev) AS DOUBLE) * SUM(y_prev), 0)'
+               )} AS acf1_slope,
+               {sql_round4(
+                   '(COUNT(*) * SUM(CAST(t AS DOUBLE) * y)'
+                   ' - SUM(CAST(t AS DOUBLE)) * SUM(y))'
+                   ' / (COUNT(*) * SUM(CAST(t AS DOUBLE) * t)'
+                   ' - SUM(CAST(t AS DOUBLE)) * SUM(CAST(t AS DOUBLE)))'
+               )} AS trend_slope
+        FROM seq
+        GROUP BY event_type
+    """,
+    tags=("ml", "timeseries", "features"),
+)
+def ml_ts_feature_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """Automated time-series feature extraction (the tsfresh shape):
+    each series' daily counts reduce to one fixed-width feature row —
+    level (mean), scale (sd), range, lag-1 autoregression slope
+    (momentum), and linear trend — the features a downstream
+    classifier/forecaster consumes instead of the raw series. One
+    day-grain aggregate, one per-series lag window, then ALL features
+    from a single pass of integer power sums (counts are exact, so the
+    only doubles are the final closed-form expressions). At 100 TB
+    this is per-series work keyed on the series id — embarrassingly
+    parallel feature engineering."""
+    e = load_table(spark, sf, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    w = W.partitionBy("event_type").orderBy("day")
+    seq = daily.select(
+        "event_type", "y",
+        F.row_number().over(w).alias("t"),
+        F.lag("y").over(w).alias("y_prev"),
+    )
+    n = F.count(F.lit(1))
+    y, yp, t = F.col("y"), F.col("y_prev"), F.col("t").cast("double")
+    has_prev = yp.isNotNull()
+    npairs = F.count(yp)
+    sxy_l = F.sum(F.when(has_prev, y * yp))
+    sx_l = F.sum(F.when(has_prev, y))
+    sy_l = F.sum(yp)
+    sxx_l = F.sum(F.when(has_prev, yp * yp))
+    return seq.groupBy("event_type").agg(
+        n.cast("bigint").alias("n_days"),
+        round4(F.sum(y).cast("double") / n).alias("mean_y"),
+        round4(
+            F.sqrt(
+                (F.sum(y * y) - F.sum(y).cast("double") * F.sum(y) / n) / (n - 1)
+            )
+        ).alias("sd_y"),
+        F.min(y).cast("bigint").alias("min_y"),
+        F.max(y).cast("bigint").alias("max_y"),
+        round4(
+            (npairs * sxy_l - sx_l * sy_l)
+            / F.nullif(
+                npairs * sxx_l - sy_l.cast("double") * sy_l, F.lit(0)
+            )
+        ).alias("acf1_slope"),
+        round4(
+            (n * F.sum(t * y) - F.sum(t) * F.sum(y))
+            / (n * F.sum(t * t) - F.sum(t) * F.sum(t))
+        ).alias("trend_slope"),
+    )

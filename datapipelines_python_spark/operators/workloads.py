@@ -7525,3 +7525,64 @@ def graph_local_clustering(spark: SparkSession, sf: str) -> DataFrame:
             nc.cast("double") / (F.col("d") * (F.col("d") - 1) / 2)
         ).alias("local_cc"),
     )
+
+
+@query(
+    "workload_amortization_schedule",
+    oracle=f"""
+        WITH loans AS (
+            SELECT o_orderkey AS loan_id,
+                   CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) / 100.0
+                       AS principal
+            FROM orders WHERE o_orderkey % 100 = 0
+        ),
+        sched AS (
+            SELECT loan_id, principal,
+                   CAST(k AS INT) AS period,
+                   principal * POW(1.005, k)
+                       - (principal * 0.005 / (1.0 - POW(1.005, -36.0)))
+                         * (POW(1.005, k) - 1.0) / 0.005 AS balance
+            FROM loans, UNNEST(RANGE(1, 37)) AS t(k)
+        )
+        SELECT loan_id, period,
+               {sql_round4(
+                   'principal * 0.005 / (1.0 - POW(1.005, -36.0))'
+               )} AS payment,
+               {sql_round4('balance')} AS remaining_balance,
+               CAST(balance < 0.01 AS BOOLEAN) AS paid_off
+        FROM sched
+    """,
+    tags=("workload", "finance"),
+)
+def workload_amortization_schedule(spark: SparkSession, sf: str) -> DataFrame:
+    """36-month amortization schedules (0.5%/month) for a 1% loan
+    sample: the balance after period k has the CLOSED FORM
+    P(1+r)^k − pmt·((1+r)^k−1)/r, so the whole schedule is a
+    ``sequence``+``explode`` fan-out with per-row arithmetic — never
+    the naive month-by-month recursion that would need 36 chained
+    self-joins or a sequential UDF (the same kill-the-recursion move
+    as ``workload_holt_linear`` and ``workload_cusum``). Principals are
+    cents-normalized first so both engines exponentiate identical
+    doubles; round4 absorbs pow()'s last-ulp."""
+    o = load_table(spark, sf, "orders")
+    loans = o.filter(F.col("o_orderkey") % 100 == 0).select(
+        F.col("o_orderkey").alias("loan_id"),
+        (
+            F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint") / 100.0
+        ).alias("principal"),
+    )
+    sched = loans.select(
+        "loan_id", "principal",
+        F.explode(F.sequence(F.lit(1), F.lit(36))).alias("k"),
+    )
+    r = F.lit(0.005)
+    pmt = F.col("principal") * r / (1.0 - F.pow(F.lit(1.005), F.lit(-36.0)))
+    growth = F.pow(F.lit(1.005), F.col("k"))
+    balance = F.col("principal") * growth - pmt * (growth - 1.0) / r
+    return sched.select(
+        "loan_id",
+        F.col("k").cast("int").alias("period"),
+        round4(pmt).alias("payment"),
+        round4(balance).alias("remaining_balance"),
+        (balance < 0.01).alias("paid_off"),
+    )
