@@ -2566,3 +2566,76 @@ def ml_ts_feature_pack(spark: SparkSession, sf: str) -> DataFrame:
             / (n * F.sum(t * t) - F.sum(t) * F.sum(t))
         ).alias("trend_slope"),
     )
+
+
+@query(
+    "ml_als_one_factor",
+    oracle=f"""
+        WITH cells AS (
+            SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS r
+            FROM events GROUP BY user_id, event_type
+        ),
+        users AS (
+            SELECT user_id,
+                   CAST(SUM(r) AS DOUBLE) / COUNT(*) AS u
+            FROM cells GROUP BY user_id
+        ),
+        joined AS (
+            SELECT c.event_type, c.r, us.u
+            FROM cells c JOIN users us ON c.user_id = us.user_id
+        ),
+        items AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_users,
+                   {sql_dsum('r * u')} / {sql_dsum('u * u')} AS v
+            FROM joined GROUP BY event_type
+        ),
+        scored AS (
+            SELECT j.event_type, i.n_users, i.v,
+                   (j.r - j.u * i.v) * (j.r - j.u * i.v) AS sq_err
+            FROM joined j JOIN items i ON j.event_type = i.event_type
+        )
+        SELECT event_type,
+               CAST(MAX(n_users) AS BIGINT) AS n_users,
+               {sql_round4('MAX(v)')} AS item_factor,
+               {sql_round4('SQRT(' + sql_dsum('sq_err') + ' / COUNT(*))')}
+                   AS rmse
+        FROM scored
+        GROUP BY event_type
+    """,
+    tags=("ml", "recommender"),
+)
+def ml_als_one_factor(spark: SparkSession, sf: str) -> DataFrame:
+    """One alternating-least-squares round of a rank-1 implicit-feedback
+    factorization over the user×event_type count matrix: user factors
+    solve in closed form against the all-ones item init (u_i = mean
+    observed rating), item factors then solve against those users
+    (v_j = Σru/Σu² — each an exact decimal-summed ratio), and the
+    per-item reconstruction RMSE shows where one latent dimension
+    already explains the interaction matrix. The recommender shape of
+    the repo's unrolled-iteration family (k-means, PageRank, power
+    iteration): every ALS half-step is two map-side-combinable
+    aggregates and a broadcast join — no MLlib, no per-user solver
+    loop."""
+    e = load_table(spark, sf, "events")
+    cells = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("r")
+    ).persist()  # read by the user solve and the item solve
+    users = cells.groupBy("user_id").agg(
+        (F.sum("r").cast("double") / F.count(F.lit(1))).alias("u")
+    )
+    joined = cells.join(users, "user_id").select("event_type", "r", "u").persist()
+    items = joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        (dsum(F.col("r") * F.col("u")) / dsum(F.col("u") * F.col("u"))).alias("v"),
+    )
+    scored = joined.join(F.broadcast(items), "event_type").select(
+        "event_type", "n_users", "v",
+        ((F.col("r") - F.col("u") * F.col("v"))
+         * (F.col("r") - F.col("u") * F.col("v"))).alias("sq_err"),
+    )
+    return scored.groupBy("event_type").agg(
+        F.max("n_users").cast("bigint").alias("n_users"),
+        round4(F.max("v")).alias("item_factor"),
+        round4(F.sqrt(dsum(F.col("sq_err")) / F.count(F.lit(1)))).alias("rmse"),
+    )

@@ -7586,3 +7586,64 @@ def workload_amortization_schedule(spark: SparkSession, sf: str) -> DataFrame:
         round4(balance).alias("remaining_balance"),
         (balance < 0.01).alias("paid_off"),
     )
+
+
+@query(
+    "workload_local_day_rollup",
+    oracle="""
+        WITH localized AS (
+            SELECT 'utc' AS market, CAST(ts AS DATE) AS local_day
+            FROM events
+            UNION ALL
+            SELECT 'new_york',
+                   CAST(CAST(ts AT TIME ZONE 'UTC'
+                        AT TIME ZONE 'America/New_York' AS TIMESTAMP) AS DATE)
+            FROM events
+            UNION ALL
+            SELECT 'tokyo',
+                   CAST(CAST(ts AT TIME ZONE 'UTC'
+                        AT TIME ZONE 'Asia/Tokyo' AS TIMESTAMP) AS DATE)
+            FROM events
+        )
+        SELECT market, local_day,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM localized
+        GROUP BY market, local_day
+    """,
+    tags=("workload", "timezone"),
+)
+def workload_local_day_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-market LOCAL-day rollup — the analytic consequence of
+    timezones that scalar conversion (``fn_timezone_convert``) only
+    hints at: the same UTC event stream yields three different daily
+    series (a Tokyo 'day' starts 9h earlier; midnight-UTC spikes split
+    differently per market), which is why 'daily active users' must
+    name its timezone to be a number at all. Storage stays UTC; the
+    conversion is a projection applied at aggregation time, one
+    map-side-combined rollup per market — never three materialized
+    copies of the fact table."""
+    e = load_table(spark, sf, "events")
+
+    def market(name: str, day_col):
+        return e.select(
+            F.lit(name).alias("market"), day_col.alias("local_day")
+        )
+
+    localized = (
+        market("utc", F.col("ts").cast("date"))
+        .unionByName(
+            market(
+                "new_york",
+                F.from_utc_timestamp(F.col("ts"), "America/New_York").cast("date"),
+            )
+        )
+        .unionByName(
+            market(
+                "tokyo",
+                F.from_utc_timestamp(F.col("ts"), "Asia/Tokyo").cast("date"),
+            )
+        )
+    )
+    return localized.groupBy("market", "local_day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
