@@ -2639,3 +2639,99 @@ def ml_als_one_factor(spark: SparkSession, sf: str) -> DataFrame:
         round4(F.max("v")).alias("item_factor"),
         round4(F.sqrt(dsum(F.col("sq_err")) / F.count(F.lit(1)))).alias("rmse"),
     )
+
+
+@query(
+    "ml_iv_wald",
+    oracle=f"""
+        WITH per_user AS (
+            SELECT user_id,
+                   CAST(('0x' || SUBSTRING(MD5(
+                        CAST(user_id AS VARCHAR) || ':iv'), 1, 8))
+                        ::BIGINT % 2 AS INT) AS z,
+                   CAST(SUM(CASE WHEN event_type IN ('view', 'click')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                   CAST(CAST(SUM(CASE WHEN event_type = 'purchase'
+                                      THEN CAST(value AS DECIMAL(38,8))
+                                      ELSE CAST(0 AS DECIMAL(38,8)) END)
+                             AS VARCHAR) AS DOUBLE) AS y
+            FROM events GROUP BY user_id
+        ),
+        arms AS (
+            SELECT z,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   {sql_dsum('y')} AS sy
+            FROM per_user GROUP BY z
+        ),
+        wide AS (
+            SELECT
+                MAX(CASE WHEN z = 1 THEN CAST(sx AS DOUBLE) / n END) AS x1,
+                MAX(CASE WHEN z = 0 THEN CAST(sx AS DOUBLE) / n END) AS x0,
+                MAX(CASE WHEN z = 1 THEN sy / n END) AS y1,
+                MAX(CASE WHEN z = 0 THEN sy / n END) AS y0,
+                CAST(SUM(n) AS BIGINT) AS n_total
+            FROM arms
+        )
+        SELECT n_total,
+               {sql_round4('y1 - y0')} AS itt_effect,
+               {sql_round4('x1 - x0')} AS first_stage,
+               {sql_round4('(y1 - y0) / (x1 - x0)')} AS late_wald
+        FROM wide
+    """,
+    tags=("ml", "causal"),
+)
+def ml_iv_wald(spark: SparkSession, sf: str) -> DataFrame:
+    """Instrumental-variable Wald estimator — the third member of the
+    causal family (``ml_ab_cuped`` randomized, ``ml_ab_did``
+    observational-parallel-trends): when the instrument z (an
+    encouragement, here hash-assigned) shifts engagement x but can
+    only affect revenue y THROUGH x, the local average treatment
+    effect is the ratio of intent-to-treat effects — Δy/Δx — per unit
+    of induced engagement. A weak first stage (Δx≈0, reported
+    explicitly) is the classic failure mode and here the instrument is
+    placebo by construction, so first_stage IS the null reading. One
+    per-user aggregate, one 2-row arm rollup, three subtractions and a
+    division."""
+    e = load_table(spark, sf, "events")
+    z = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":iv"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint")
+        % 2
+    ).cast("int")
+    per_user = e.groupBy("user_id").agg(
+        F.first(z).alias("z"),
+        F.sum(
+            F.when(F.col("event_type").isin("view", "click"), 1).otherwise(0)
+        ).cast("bigint").alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value"))
+            .otherwise(0.0)
+            .cast(DEC)
+        ).cast("double").alias("y"),
+    )
+    arms = per_user.groupBy("z").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        dsum(F.col("y")).alias("sy"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("z") == 1, F.col("sx").cast("double") / F.col("n"))).alias("x1"),
+        F.max(F.when(F.col("z") == 0, F.col("sx").cast("double") / F.col("n"))).alias("x0"),
+        F.max(F.when(F.col("z") == 1, F.col("sy") / F.col("n"))).alias("y1"),
+        F.max(F.when(F.col("z") == 0, F.col("sy") / F.col("n"))).alias("y0"),
+        F.sum("n").cast("bigint").alias("n_total"),
+    )
+    return wide.select(
+        "n_total",
+        round4(F.col("y1") - F.col("y0")).alias("itt_effect"),
+        round4(F.col("x1") - F.col("x0")).alias("first_stage"),
+        round4(
+            (F.col("y1") - F.col("y0")) / (F.col("x1") - F.col("x0"))
+        ).alias("late_wald"),
+    )

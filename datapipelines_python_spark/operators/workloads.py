@@ -7647,3 +7647,55 @@ def workload_local_day_rollup(spark: SparkSession, sf: str) -> DataFrame:
     return localized.groupBy("market", "local_day").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events")
     )
+
+
+@query(
+    "sql_pivot_unpivot_clause",
+    oracle=f"""
+        WITH agg AS (
+            SELECT o_orderstatus,
+                   o_orderpriority,
+                   {sql_dsum('o_totalprice')} AS revenue
+            FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+            GROUP BY o_orderstatus, o_orderpriority
+        )
+        SELECT o_orderstatus,
+               CASE o_orderpriority WHEN '1-URGENT' THEN 'urgent'
+                    ELSE 'low' END AS priority,
+               revenue
+        FROM agg
+    """,
+    tags=("sql", "reshape"),
+)
+def sql_pivot_unpivot_clause(spark: SparkSession, sf: str) -> DataFrame:
+    """SQL-native ``PIVOT`` and ``UNPIVOT`` clauses round-tripped: the
+    long aggregate pivots to one column per priority, then unpivots
+    straight back to long form — proving the two clauses are exact
+    inverses (modulo NULL cells, absent here) and pinning the parser
+    surface next to the DataFrame twins (``llm_lang_distribution`` /
+    ``reshape_unpivot``). The oracle is simply the long-form aggregate
+    the roundtrip must reproduce; Catalyst plans the pivot as the
+    standard two-phase aggregate and the unpivot as a shuffle-free
+    Expand."""
+    o = load_table(spark, sf, "orders")
+    o.createOrReplaceTempView("_pu_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, priority, revenue
+        FROM (
+            SELECT * FROM (
+                SELECT o_orderstatus, o_orderpriority,
+                       CAST(o_totalprice AS DECIMAL(38,8)) AS p
+                FROM _pu_orders
+            )
+            PIVOT (
+                CAST(SUM(p) AS DOUBLE)
+                FOR o_orderpriority IN ('1-URGENT' AS urgent, '5-LOW' AS low)
+            )
+        )
+        UNPIVOT (
+            revenue FOR priority IN (urgent, low)
+        )
+        """
+    )
