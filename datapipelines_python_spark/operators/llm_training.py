@@ -4157,3 +4157,78 @@ def llm_watermark_detection(spark: SparkSession, sf: str) -> DataFrame:
         round4(z).alias("green_zscore"),
         (z > 4.0).alias("watermark_flag"),
     )
+
+
+@query(
+    "llm_length_bias_audit",
+    oracle=f"""
+        WITH pairs AS ({_REG2["llm_preference_pairs"].oracle}),
+        lens AS (
+            SELECT p.source,
+                   LENGTH(dc.text) - LENGTH(REPLACE(dc.text, ' ', '')) + 1
+                       AS chosen_len,
+                   LENGTH(dr.text) - LENGTH(REPLACE(dr.text, ' ', '')) + 1
+                       AS rejected_len
+            FROM pairs p
+            JOIN documents dc ON p.chosen_doc = dc.doc_id
+            JOIN documents dr ON p.rejected_doc = dr.doc_id
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(COUNT(CASE WHEN chosen_len > rejected_len THEN 1 END)
+                    AS BIGINT) AS chosen_longer,
+               CAST(COUNT(CASE WHEN chosen_len < rejected_len THEN 1 END)
+                    AS BIGINT) AS chosen_shorter,
+               {sql_round4(
+                   'CAST(COUNT(CASE WHEN chosen_len > rejected_len THEN 1 END)'
+                   ' AS DOUBLE) / COUNT(*)'
+               )} AS longer_rate,
+               {sql_round4(
+                   '(COUNT(CASE WHEN chosen_len > rejected_len THEN 1 END)'
+                   ' - COUNT(CASE WHEN chosen_len <> rejected_len THEN 1 END)'
+                   ' / 2.0)'
+                   ' / NULLIF(SQRT(COUNT(CASE WHEN chosen_len <> rejected_len'
+                   ' THEN 1 END) / 4.0), 0)'
+               )} AS sign_test_z
+        FROM lens
+    """,
+    tags=("llm", "preference", "audit"),
+)
+def llm_length_bias_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Length-bias audit of the mined preference pairs: reward models
+    trained on pairs where 'chosen' is systematically LONGER learn to
+    reward verbosity, not quality — the best-documented failure mode of
+    RLHF data. A sign test over ``llm_preference_pairs``'s output
+    (composed verbatim, oracle included) asks whether chosen beats
+    rejected on length more often than coin-flip: |z| > 2 means the
+    pair-mining heuristic leaks length and needs length-matched
+    sampling. Integer token counts, one aggregate row, ties excluded
+    exactly as the sign test requires."""
+    pairs = _REG2["llm_preference_pairs"].fn(spark, sf).select(
+        "chosen_doc", "rejected_doc"
+    )
+    d = load_table(spark, sf, "documents")
+    tok_len = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    )
+    dc = d.select(F.col("doc_id").alias("chosen_doc"), tok_len.alias("chosen_len"))
+    dr = d.select(
+        F.col("doc_id").alias("rejected_doc"), tok_len.alias("rejected_len")
+    )
+    lens = pairs.join(F.broadcast(dc), "chosen_doc").join(
+        F.broadcast(dr), "rejected_doc"
+    )
+    longer = F.count(F.when(F.col("chosen_len") > F.col("rejected_len"), 1))
+    shorter = F.count(F.when(F.col("chosen_len") < F.col("rejected_len"), 1))
+    decided = F.count(F.when(F.col("chosen_len") != F.col("rejected_len"), 1))
+    return lens.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        longer.cast("bigint").alias("chosen_longer"),
+        shorter.cast("bigint").alias("chosen_shorter"),
+        round4(longer.cast("double") / F.count(F.lit(1))).alias("longer_rate"),
+        round4(
+            (longer - decided / 2.0)
+            / F.nullif(F.sqrt(decided / 4.0), F.lit(0))
+        ).alias("sign_test_z"),
+    )

@@ -7699,3 +7699,73 @@ def sql_pivot_unpivot_clause(spark: SparkSession, sf: str) -> DataFrame:
         )
         """
     )
+
+
+@query(
+    "workload_percent_of_parent",
+    oracle=f"""
+        WITH nat_rev AS (
+            SELECT r.r_name AS region, n.n_name AS nation,
+                   SUM(CAST(o.o_totalprice AS DECIMAL(38,8))) AS rev
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name, n.n_name
+        ),
+        shared AS (
+            SELECT region, nation,
+                   CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS rev_d,
+                   CAST(CAST(SUM(rev) OVER (PARTITION BY region) AS VARCHAR)
+                        AS DOUBLE) AS region_rev,
+                   CAST(CAST(SUM(rev) OVER () AS VARCHAR) AS DOUBLE)
+                       AS total_rev
+            FROM nat_rev
+        )
+        SELECT region, nation,
+               {sql_round4('rev_d')} AS revenue,
+               {sql_round4('rev_d / region_rev')} AS pct_of_region,
+               {sql_round4('region_rev / total_rev')} AS region_pct_of_total,
+               {sql_round4('rev_d / total_rev')} AS pct_of_total
+        FROM shared
+    """,
+    tags=("workload", "olap", "hierarchy"),
+)
+def workload_percent_of_parent(spark: SparkSession, sf: str) -> DataFrame:
+    """Percent-of-parent in a dimension hierarchy (nation ⊂ region ⊂
+    total) — the drill-down report where every row carries its share at
+    each ancestor level, and shares must reconcile exactly (nations sum
+    to their region's 100%, regions to the grand 100% — guaranteed here
+    because every numerator and denominator is the SAME decimal-exact
+    sum, not separately-rounded floats). One fact aggregation to the
+    leaf grain (25 rows), then parent denominators as windows over that
+    tiny frame — never re-aggregations of the fact table per level
+    (the ``workload_hypertable_rollup`` lesson applied to shares)."""
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    nat_rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("rev"))
+    )
+    w_region = W.partitionBy("region")
+    w_all = W.partitionBy()
+    shared = nat_rev.select(
+        "region", "nation",
+        F.col("rev").cast("double").alias("rev_d"),
+        F.sum("rev").over(w_region).cast("double").alias("region_rev"),
+        F.sum("rev").over(w_all).cast("double").alias("total_rev"),
+    )
+    return shared.select(
+        "region", "nation",
+        round4(F.col("rev_d")).alias("revenue"),
+        round4(F.col("rev_d") / F.col("region_rev")).alias("pct_of_region"),
+        round4(F.col("region_rev") / F.col("total_rev")).alias(
+            "region_pct_of_total"
+        ),
+        round4(F.col("rev_d") / F.col("total_rev")).alias("pct_of_total"),
+    )
