@@ -4232,3 +4232,157 @@ def llm_length_bias_audit(spark: SparkSession, sf: str) -> DataFrame:
             / F.nullif(F.sqrt(decided / 4.0), F.lit(0))
         ).alias("sign_test_z"),
     )
+
+
+@query(
+    "llm_prompt_injection_scan",
+    oracle=f"""
+        WITH flagged AS (
+            SELECT source,
+                   CASE WHEN REGEXP_MATCHES(LOWER(text),
+                        'ignore (all )?(previous|prior) instructions'
+                        || '|disregard the above'
+                        || '|you are now|system prompt'
+                        || '|<\\|im_start\\|>|\\[inst\\]')
+                        THEN 1 ELSE 0 END AS hit
+            FROM documents
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(hit) AS BIGINT) AS n_flagged,
+               {sql_round4('CAST(SUM(hit) AS DOUBLE) / COUNT(*)')}
+                   AS injection_rate
+        FROM flagged
+        GROUP BY source
+    """,
+    tags=("llm", "safety", "quality"),
+)
+def llm_prompt_injection_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Prompt-injection / data-poisoning scan over the ingest corpus:
+    documents matching instruction-hijack phrases ("ignore previous
+    instructions", chat-template control tokens like <|im_start|>,
+    [INST]) are counted per source — web text containing these strings
+    trains models to treat DATA as INSTRUCTIONS, so curation pipelines
+    gate them before pretraining (the security sibling of
+    ``llm_pii_detect``). One multi-pattern rlike (single automaton pass
+    per doc, POSIX-portable so the oracle replays it), map-side
+    rollup. The clean fixture reads all-zeros — that IS the expected
+    healthy reading."""
+    d = load_table(spark, sf, "documents")
+    pattern = (
+        "ignore (all )?(previous|prior) instructions"
+        "|disregard the above"
+        "|you are now|system prompt"
+        "|<\\|im_start\\|>|\\[inst\\]"
+    )
+    hit = F.when(F.lower(F.col("text")).rlike(pattern), 1).otherwise(0)
+    return (
+        d.select("source", hit.alias("hit"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("hit").cast("bigint").alias("n_flagged"),
+            round4(F.sum("hit").cast("double") / F.count(F.lit(1))).alias(
+                "injection_rate"
+            ),
+        )
+    )
+
+
+@query(
+    "llm_skipgram_negative_sampling",
+    oracle=f"""
+        WITH vocab AS (
+            SELECT w,
+                   ROW_NUMBER() OVER (ORDER BY w) AS widx,
+                   COUNT(*) OVER () AS vsize
+            FROM (SELECT DISTINCT UNNEST(STRING_SPLIT(text, ' ')) AS w
+                  FROM documents) t
+        ),
+        grams AS (
+            SELECT doc_id,
+                   CAST(i AS INT) AS pos,
+                   toks[i] AS center,
+                   toks[i + 1] AS context
+            FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks
+                  FROM documents) t,
+                 UNNEST(RANGE(1, LEN(toks))) AS u(i)
+            WHERE doc_id % 20 = 0
+        ),
+        with_neg AS (
+            SELECT g.doc_id, g.pos, g.center, g.context,
+                   1 + CAST(('0x' || SUBSTRING(MD5(g.center || ':'
+                        || CAST(g.pos AS VARCHAR)), 1, 8))::BIGINT
+                        % (SELECT MAX(vsize) FROM vocab) AS BIGINT) AS neg_idx
+            FROM grams g
+        )
+        SELECT wn.doc_id, wn.pos, wn.center, wn.context,
+               v.w AS negative
+        FROM with_neg wn JOIN vocab v ON wn.neg_idx = v.widx
+    """,
+    tags=("llm", "training", "embedding"),
+)
+def llm_skipgram_negative_sampling(spark: SparkSession, sf: str) -> DataFrame:
+    """Skip-gram-with-negative-sampling training triples (word2vec's
+    data layer): every adjacent (center, context) pair from a 5% doc
+    sample gets one hash-drawn negative from the corpus vocabulary —
+    the hash (center, position)-keyed so the draw is reproducible (the
+    ``mm_augment_params`` rule applied to negative sampling; true
+    frequency-weighted draws replace the uniform index at production
+    scale, same join shape). Pair extraction is array-local fan-out;
+    the negative lookup is an equi-join against the broadcast
+    row-numbered vocabulary — no per-row randomness, no driver-side
+    vocab."""
+    d = load_table(spark, sf, "documents")
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .distinct()
+        .select(
+            "w",
+            F.row_number().over(W.orderBy("w")).alias("widx"),
+            F.count(F.lit(1)).over(
+                W.orderBy("w").rowsBetween(
+                    W.unboundedPreceding, W.unboundedFollowing
+                )
+            ).alias("vsize"),
+        )
+    ).persist()  # broadcast into the negative lookup; scalar read once
+    toks = F.split("text", " ")
+    grams = (
+        d.filter(F.col("doc_id") % 20 == 0)
+        .select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("toks") - 1)).alias("i"),
+            F.col("toks"),
+        )
+        .select(
+            "doc_id",
+            F.col("i").cast("int").alias("pos"),
+            F.element_at("toks", F.col("i")).alias("center"),
+            F.element_at("toks", F.col("i") + 1).alias("context"),
+        )
+    )
+    vsize = vocab.agg(F.max("vsize").alias("vs"))
+    with_neg = grams.crossJoin(F.broadcast(vsize)).select(
+        "doc_id", "pos", "center", "context",
+        (
+            1
+            + F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("center"), F.lit(":"), F.col("pos").cast("string")
+                        )
+                    ),
+                    1, 8,
+                ).cast("string"),
+                16, 10,
+            ).cast("bigint")
+            % F.col("vs")
+        ).alias("neg_idx"),
+    )
+    return with_neg.join(
+        F.broadcast(vocab.select("widx", F.col("w").alias("negative"))),
+        with_neg.neg_idx == F.col("widx"),
+    ).select("doc_id", "pos", "center", "context", "negative")
