@@ -2735,3 +2735,65 @@ def ml_iv_wald(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("y1") - F.col("y0")) / (F.col("x1") - F.col("x0"))
         ).alias("late_wald"),
     )
+
+
+@query(
+    "ml_beta_binomial_shrinkage",
+    oracle=f"""
+        WITH per_user AS (
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS k
+            FROM events GROUP BY user_id
+        ),
+        cohorts AS (
+            SELECT CAST(user_id % 10 AS INT) AS cohort,
+                   SUM(n) AS n, SUM(k) AS k
+            FROM per_user GROUP BY 1
+        )
+        SELECT cohort,
+               CAST(n AS BIGINT) AS n_events,
+               CAST(k AS BIGINT) AS n_purchases,
+               {sql_round4('CAST(k AS DOUBLE) / n')} AS raw_rate,
+               {sql_round4('CAST(k + 2 AS DOUBLE) / (n + 52)')}
+                   AS posterior_mean,
+               {sql_round4(
+                   '(CAST(k + 2 AS DOUBLE) / (n + 52))'
+                   ' * (1.0 - CAST(k + 2 AS DOUBLE) / (n + 52)) / (n + 53)'
+               )} AS posterior_var,
+               {sql_round4(
+                   'ABS(CAST(k AS DOUBLE) / n - CAST(k + 2 AS DOUBLE) / (n + 52))'
+               )} AS shrinkage
+        FROM cohorts
+    """,
+    tags=("ml", "bayes"),
+)
+def ml_beta_binomial_shrinkage(spark: SparkSession, sf: str) -> DataFrame:
+    """Beta-Binomial shrinkage of conversion rates: each cohort's
+    purchase rate gets a Beta(2, 50) prior (the portfolio-wide ~4%
+    belief), so low-traffic cohorts report the regularized posterior
+    mean (k+α)/(n+α+β) instead of a noisy raw k/n — the estimator that
+    stops dashboards from ranking a 1-of-3 cohort above a 300-of-10000
+    one. Posterior mean, variance, and the shrinkage magnitude are all
+    closed-form ratios of exact integers (conjugacy means no sampling,
+    no special functions); the whole op is two count aggregates."""
+    e = load_table(spark, sf, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("k"),
+    )
+    cohorts = per_user.groupBy(
+        (F.col("user_id") % 10).cast("int").alias("cohort")
+    ).agg(F.sum("n").alias("n"), F.sum("k").alias("k"))
+    n, k = F.col("n"), F.col("k")
+    post = (k + 2).cast("double") / (n + 52)
+    return cohorts.select(
+        "cohort",
+        n.cast("bigint").alias("n_events"),
+        k.cast("bigint").alias("n_purchases"),
+        round4(k.cast("double") / n).alias("raw_rate"),
+        round4(post).alias("posterior_mean"),
+        round4(post * (1.0 - post) / (n + 53)).alias("posterior_var"),
+        round4(F.abs(k.cast("double") / n - post)).alias("shrinkage"),
+    )

@@ -7769,3 +7769,54 @@ def workload_percent_of_parent(spark: SparkSession, sf: str) -> DataFrame:
         ),
         round4(F.col("rev_d") / F.col("total_rev")).alias("pct_of_total"),
     )
+
+
+@query(
+    "workload_dead_stock",
+    oracle=f"""
+        WITH last_sold AS (
+            SELECT l_partkey, MAX(l_shipdate) AS last_ship
+            FROM lineitem GROUP BY l_partkey
+        ),
+        judged AS (
+            SELECT p.p_partkey, p.p_brand, p.p_retailprice,
+                   ls.last_ship,
+                   CASE WHEN ls.l_partkey IS NULL THEN 'never_sold'
+                        WHEN ls.last_ship < TIMESTAMP '2000-01-01'
+                        THEN 'dead'
+                        ELSE 'active' END AS status
+            FROM part p LEFT JOIN last_sold ls ON p.p_partkey = ls.l_partkey
+        )
+        SELECT p_brand, status,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               {sql_round4(sql_dsum('p_retailprice'))} AS capital_at_risk
+        FROM judged
+        GROUP BY p_brand, status
+    """,
+    tags=("workload", "inventory"),
+)
+def workload_dead_stock(spark: SparkSession, sf: str) -> DataFrame:
+    """Dead-stock audit: every part classified as active / dead (last
+    shipment before the 2000 cutoff) / never_sold (the anti-join
+    class), with retail value as capital-at-risk per brand — the
+    working-capital report that drives clearance decisions. The fact
+    table reduces to one last-ship row per part (map-side MAX), the
+    part dimension LEFT-joins against it so never-sold parts survive
+    with NULLs, and the rollup is brand×status cells. At 100 TB the
+    last-sold table is the incremental artifact: maintain it with a
+    MERGE (``merge_upsert_emulated``) instead of rescanning history."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part")
+    last_sold = li.groupBy("l_partkey").agg(F.max("l_shipdate").alias("last_ship"))
+    cutoff = F.lit("2000-01-01 00:00:00").cast("timestamp")
+    judged = p.join(last_sold, p.p_partkey == last_sold.l_partkey, "left").select(
+        "p_brand", "p_retailprice",
+        F.when(F.col("l_partkey").isNull(), "never_sold")
+        .when(F.col("last_ship") < cutoff, "dead")
+        .otherwise("active")
+        .alias("status"),
+    )
+    return judged.groupBy("p_brand", "status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        round4(dsum(F.col("p_retailprice"))).alias("capital_at_risk"),
+    )
