@@ -925,3 +925,45 @@ def agg_geometric_mean(spark: SparkSession, sf: str) -> DataFrame:
         _r4(F.exp(_dsum(F.log("l_quantity")) / n)).alias("geo_mean_qty"),
         _r4(F.exp(_dsum(F.log("l_extendedprice")) / n)).alias("geo_mean_price"),
     )
+
+
+@query(
+    "agg_grouping_id",
+    oracle=f"""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+               CAST(GROUPING(o_orderstatus) * 2
+                    + GROUPING(o_orderpriority) AS INT) AS grouping_id,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "cube", "grouping"),
+)
+def agg_grouping_id(spark: SparkSession, sf: str) -> DataFrame:
+    """``GROUPING()`` / ``GROUPING_ID()`` over a CUBE: the bitmask that
+    tells every output row WHICH aggregation level produced it —
+    without it, a NULL key in a cube result is ambiguous between "the
+    rolled-up ALL row" and "the key really was NULL". Consumers route
+    on the id (0 = leaf cells, 3 = grand total) exactly as
+    ``workload_hypertable_rollup`` routes its grains. One Expand-based
+    cube aggregate; grouping_id is metadata from the Expand, costing
+    nothing. DuckDB's GROUPING_ID bit order differs, so the oracle
+    composes the id from per-column GROUPING() flags — same on both
+    engines."""
+    o = load_table(spark, sf, "orders")
+    cube = o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    g_s = F.grouping("o_orderstatus").cast("int")
+    g_p = F.grouping("o_orderpriority").cast("int")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        g_s.alias("g_status"),
+        g_p.alias("g_priority"),
+        (g_s * 2 + g_p).alias("grouping_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    ).select(
+        "o_orderstatus", "o_orderpriority",
+        "g_status", "g_priority", "grouping_id", "n",
+    )

@@ -4386,3 +4386,53 @@ def llm_skipgram_negative_sampling(spark: SparkSession, sf: str) -> DataFrame:
         F.broadcast(vocab.select("widx", F.col("w").alias("negative"))),
         with_neg.neg_idx == F.col("widx"),
     ).select("doc_id", "pos", "center", "context", "negative")
+
+
+@query(
+    "llm_dup_family_sizes",
+    oracle=f"""
+        WITH assignment AS ({_REG2["llm_dedup_clusters"].oracle}),
+        fams AS (
+            SELECT cluster_id, COUNT(*) AS family_size
+            FROM assignment GROUP BY cluster_id
+        )
+        SELECT CAST(family_size AS BIGINT) AS family_size,
+               CAST(COUNT(*) AS BIGINT) AS n_families,
+               CAST(SUM(family_size) AS BIGINT) AS docs_in_families,
+               {sql_round4(
+                   'CAST(SUM(family_size) - COUNT(*) AS DOUBLE)'
+                   ' / SUM(SUM(family_size)) OVER ()'
+               )} AS removable_share
+        FROM fams
+        GROUP BY family_size
+    """,
+    tags=("llm", "dedup", "audit"),
+)
+def llm_dup_family_sizes(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate-family size distribution over the connected-component
+    assignment (``llm_dedup_clusters`` composed verbatim, oracle
+    included): how many families of each size exist, how many documents
+    they hold, and what share of the CLUSTERED corpus each size class
+    would shed under keep-one-per-family (size−1 per family). The shape
+    of this histogram is the dedup planning input — a fat head (few
+    giant families) means boilerplate/mirrors and big cheap wins; a
+    long size-2 tail means near-dup pairs where the Jaccard threshold
+    choice dominates. Two tiny aggregates over the assignment table."""
+    assignment = _REG2["llm_dedup_clusters"].fn(spark, sf)
+    fams = assignment.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("family_size")
+    )
+    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    out = fams.groupBy("family_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_families"),
+        F.sum("family_size").cast("bigint").alias("docs_in_families"),
+    )
+    return out.select(
+        F.col("family_size").cast("bigint").alias("family_size"),
+        "n_families",
+        "docs_in_families",
+        round4(
+            (F.col("docs_in_families") - F.col("n_families")).cast("double")
+            / F.sum("docs_in_families").over(w_all)
+        ).alias("removable_share"),
+    )
