@@ -2797,3 +2797,67 @@ def ml_beta_binomial_shrinkage(spark: SparkSession, sf: str) -> DataFrame:
         round4(post * (1.0 - post) / (n + 53)).alias("posterior_var"),
         round4(F.abs(k.cast("double") / n - post)).alias("shrinkage"),
     )
+
+
+@query(
+    "ml_mean_excess_tail",
+    oracle=f"""
+        WITH fences AS (
+            SELECT quantile_cont(o_totalprice, 0.90) AS u90,
+                   quantile_cont(o_totalprice, 0.95) AS u95,
+                   quantile_cont(o_totalprice, 0.99) AS u99
+            FROM orders
+        ),
+        thresholds AS (
+            SELECT CAST(0.90 AS DOUBLE) AS q, u90 AS u FROM fences
+            UNION ALL SELECT CAST(0.95 AS DOUBLE), u95 FROM fences
+            UNION ALL SELECT CAST(0.99 AS DOUBLE), u99 FROM fences
+        )
+        SELECT t.q AS quantile,
+               {sql_round4('MIN(t.u)')} AS threshold,
+               CAST(COUNT(CASE WHEN o.o_totalprice > t.u THEN 1 END)
+                    AS BIGINT) AS n_exceed,
+               {sql_round4(
+                   sql_dsum('CASE WHEN o.o_totalprice > t.u'
+                            ' THEN o.o_totalprice - t.u ELSE 0 END')
+                   + ' / NULLIF(COUNT(CASE WHEN o.o_totalprice > t.u'
+                   ' THEN 1 END), 0)'
+               )} AS mean_excess
+        FROM orders o CROSS JOIN thresholds t
+        GROUP BY t.q
+    """,
+    tags=("ml", "risk", "tail"),
+)
+def ml_mean_excess_tail(spark: SparkSession, sf: str) -> DataFrame:
+    """Mean-excess (mean residual life) tail diagnostic — extreme-value
+    theory's workhorse plot: for thresholds at p90/p95/p99, the average
+    exceedance above each threshold. A mean-excess that GROWS with the
+    threshold indicates a heavy (Pareto-type) tail where 'expected
+    overrun' keeps expanding — the input to capacity margins and
+    reinsurance pricing; flat-to-falling means exponential-type tails
+    and simple percentile headroom suffices. Exact quantiles (sketch-
+    swappable) broadcast back over one scan; excesses ride the decimal
+    convention."""
+    o = load_table(spark, sf, "orders")
+    fences = o.agg(
+        F.percentile(F.col("o_totalprice"), F.lit(0.90)).alias("u90"),
+        F.percentile(F.col("o_totalprice"), F.lit(0.95)).alias("u95"),
+        F.percentile(F.col("o_totalprice"), F.lit(0.99)).alias("u99"),
+    )
+    thresholds = (
+        fences.select(F.lit(0.90).alias("q"), F.col("u90").alias("u"))
+        .unionByName(fences.select(F.lit(0.95).alias("q"), F.col("u95").alias("u")))
+        .unionByName(fences.select(F.lit(0.99).alias("q"), F.col("u99").alias("u")))
+    )
+    joined = o.crossJoin(F.broadcast(thresholds))
+    exceed = F.when(F.col("o_totalprice") > F.col("u"), 1)
+    excess = F.when(
+        F.col("o_totalprice") > F.col("u"), F.col("o_totalprice") - F.col("u")
+    ).otherwise(0.0)
+    return joined.groupBy(F.col("q").alias("quantile")).agg(
+        round4(F.min("u")).alias("threshold"),
+        F.count(exceed).cast("bigint").alias("n_exceed"),
+        round4(
+            dsum(excess) / F.nullif(F.count(exceed), F.lit(0))
+        ).alias("mean_excess"),
+    )

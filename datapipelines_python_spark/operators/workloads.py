@@ -7820,3 +7820,84 @@ def workload_dead_stock(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_parts"),
         round4(dsum(F.col("p_retailprice"))).alias("capital_at_risk"),
     )
+
+
+@query(
+    "workload_abc_classification",
+    oracle=f"""
+        WITH part_rev AS (
+            SELECT l_partkey,
+                   SUM(CAST(l_extendedprice AS DECIMAL(38,8))) AS rev
+            FROM lineitem GROUP BY l_partkey
+        ),
+        ranked AS (
+            SELECT l_partkey,
+                   CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS rev_d,
+                   CAST(CAST(SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                       ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS DOUBLE)
+                       AS cum_rev,
+                   CAST(CAST(SUM(rev) OVER () AS VARCHAR) AS DOUBLE)
+                       AS total_rev
+            FROM part_rev
+        ),
+        classed AS (
+            SELECT l_partkey, rev_d,
+                   CASE WHEN cum_rev / total_rev <= 0.80 THEN 'A'
+                        WHEN cum_rev / total_rev <= 0.95 THEN 'B'
+                        ELSE 'C' END AS abc_class
+            FROM ranked
+        )
+        SELECT abc_class,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               {sql_round4(sql_dsum('rev_d'))} AS class_revenue,
+               {sql_round4(
+                   sql_dsum('rev_d')
+                   + ' / (SELECT ' + sql_dsum('rev_d') + ' FROM classed)'
+               )} AS revenue_share
+        FROM classed
+        GROUP BY abc_class
+    """,
+    tags=("workload", "inventory", "pareto"),
+)
+def workload_abc_classification(spark: SparkSession, sf: str) -> DataFrame:
+    """ABC inventory classification — the 80/15/5 Pareto cut: parts are
+    ranked by revenue, the running cumulative share assigns A (first
+    80% of revenue), B (to 95%), C (the long tail), and the class
+    rollup shows the working-capital asymmetry (A is few parts, most
+    money — count them per class). The cumulative window runs over the
+    part-grain aggregate (20k rows at sf0.1), never raw lineitem, with
+    a deterministic (rev DESC, partkey) tie order; boundary membership
+    is decided on decimal-exact cumulative sums so the class labels are
+    engine-identical even AT the 80%/95% cuts. The quintile cousin is
+    ``workload_pareto_share``; this is the named-class operational
+    variant."""
+    li = load_table(spark, sf, "lineitem")
+    part_rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast(DEC)).alias("rev")
+    )
+    w_cum = W.orderBy(F.desc("rev"), F.asc("l_partkey")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    ranked = part_rev.select(
+        "l_partkey",
+        F.col("rev").cast("double").alias("rev_d"),
+        F.sum("rev").over(w_cum).cast("double").alias("cum_rev"),
+        F.sum("rev").over(w_all).cast("double").alias("total_rev"),
+    )
+    share = F.col("cum_rev") / F.col("total_rev")
+    classed = ranked.select(
+        "l_partkey", "rev_d",
+        F.when(share <= 0.80, "A").when(share <= 0.95, "B").otherwise("C")
+        .alias("abc_class"),
+    ).persist()  # read by the rollup AND the grand-total denominator
+    total = classed.agg(dsum(F.col("rev_d")).alias("grand"))
+    out = classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        round4(dsum(F.col("rev_d"))).alias("class_revenue"),
+        dsum(F.col("rev_d")).alias("_raw"),
+    )
+    return out.crossJoin(F.broadcast(total)).select(
+        "abc_class", "n_parts", "class_revenue",
+        round4(F.col("_raw") / F.col("grand")).alias("revenue_share"),
+    )
