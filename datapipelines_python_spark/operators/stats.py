@@ -2861,3 +2861,107 @@ def ml_mean_excess_tail(spark: SparkSession, sf: str) -> DataFrame:
             dsum(excess) / F.nullif(F.count(exceed), F.lit(0))
         ).alias("mean_excess"),
     )
+
+
+@query(
+    "ml_uplift_two_model",
+    oracle=f"""
+        WITH per_user AS (
+            SELECT user_id,
+                   CAST(('0x' || SUBSTRING(MD5(
+                        CAST(user_id AS VARCHAR) || ':uplift'), 1, 8))
+                        ::BIGINT % 2 AS INT) AS treated,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(MAX(CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) AS INT) AS converted
+            FROM events GROUP BY user_id
+        ),
+        segmented AS (
+            SELECT CASE WHEN n_events >= 1000 THEN 'heavy'
+                        WHEN n_events >= 500 THEN 'medium'
+                        ELSE 'light' END AS segment,
+                   treated, converted
+            FROM per_user
+        ),
+        cells AS (
+            SELECT segment,
+                   SUM(CASE WHEN treated = 1 THEN 1 ELSE 0 END) AS n_t,
+                   SUM(CASE WHEN treated = 1 THEN converted ELSE 0 END) AS k_t,
+                   SUM(CASE WHEN treated = 0 THEN 1 ELSE 0 END) AS n_c,
+                   SUM(CASE WHEN treated = 0 THEN converted ELSE 0 END) AS k_c
+            FROM segmented GROUP BY segment
+        )
+        SELECT segment,
+               CAST(n_t AS BIGINT) AS n_treated,
+               CAST(n_c AS BIGINT) AS n_control,
+               {sql_round4('CAST(k_t AS DOUBLE) / NULLIF(n_t, 0)')}
+                   AS rate_treated,
+               {sql_round4('CAST(k_c AS DOUBLE) / NULLIF(n_c, 0)')}
+                   AS rate_control,
+               {sql_round4(
+                   'CAST(k_t AS DOUBLE) / NULLIF(n_t, 0)'
+                   ' - CAST(k_c AS DOUBLE) / NULLIF(n_c, 0)'
+               )} AS uplift,
+               {sql_round4(
+                   '(CAST(k_t AS DOUBLE) / NULLIF(n_t, 0)'
+                   ' - CAST(k_c AS DOUBLE) / NULLIF(n_c, 0)) * n_t'
+               )} AS incremental_conversions
+        FROM cells
+    """,
+    tags=("ml", "causal", "uplift"),
+)
+def ml_uplift_two_model(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-model uplift by segment — heterogeneous treatment effects,
+    the question AFTER the experiment reads positive: WHO moved?
+    Conversion rates are estimated separately for the hash-assigned
+    treated/control arms within each activity segment; the per-segment
+    difference is the uplift and uplift×n_treated the incremental
+    conversions — negative-uplift segments are the 'do-not-disturb'
+    customers every targeting policy must exclude (the aggregate
+    effect hides them; that is uplift modeling's whole point). One
+    per-user aggregate, one segment×arm cell rollup, ratios of exact
+    integers. Completes the causal suite: ``ml_ab_cuped`` (precision),
+    ``ml_ab_did`` (identification), ``ml_iv_wald`` (noncompliance),
+    uplift (heterogeneity)."""
+    e = load_table(spark, sf, "events")
+    treated = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":uplift"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint")
+        % 2
+    ).cast("int")
+    per_user = e.groupBy("user_id").agg(
+        F.first(treated).alias("treated"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    segment = (
+        F.when(F.col("n_events") >= 1000, "heavy")
+        .when(F.col("n_events") >= 500, "medium")
+        .otherwise("light")
+    )
+    cells = per_user.select(
+        segment.alias("segment"), "treated", "converted"
+    ).groupBy("segment").agg(
+        F.sum(F.when(F.col("treated") == 1, 1).otherwise(0)).alias("n_t"),
+        F.sum(F.when(F.col("treated") == 1, F.col("converted")).otherwise(0)).alias("k_t"),
+        F.sum(F.when(F.col("treated") == 0, 1).otherwise(0)).alias("n_c"),
+        F.sum(F.when(F.col("treated") == 0, F.col("converted")).otherwise(0)).alias("k_c"),
+    )
+    rate_t = F.col("k_t").cast("double") / F.nullif(F.col("n_t"), F.lit(0))
+    rate_c = F.col("k_c").cast("double") / F.nullif(F.col("n_c"), F.lit(0))
+    return cells.select(
+        "segment",
+        F.col("n_t").cast("bigint").alias("n_treated"),
+        F.col("n_c").cast("bigint").alias("n_control"),
+        round4(rate_t).alias("rate_treated"),
+        round4(rate_c).alias("rate_control"),
+        round4(rate_t - rate_c).alias("uplift"),
+        round4((rate_t - rate_c) * F.col("n_t")).alias("incremental_conversions"),
+    )
