@@ -1880,3 +1880,43 @@ def fn_from_csv(spark: SparkSession, sf: str) -> DataFrame:
         "n_nationkey", "csv_line",
         "p.parsed_key", "p.parsed_name", "p.parsed_region",
     )
+
+
+@query(
+    "fn_multibyte_lengths",
+    oracle="""
+        WITH s AS (
+            SELECT n_nationkey,
+                   n_name || ' ' || chr(233) || chr(252) || chr(20013)
+                       AS mixed
+            FROM nation
+        )
+        SELECT n_nationkey, mixed,
+               CAST(LENGTH(mixed) AS INT) AS n_chars,
+               CAST(OCTET_LENGTH(ENCODE(mixed)) AS INT) AS n_bytes,
+               CAST(OCTET_LENGTH(ENCODE(mixed)) * 8 AS INT) AS n_bits,
+               UPPER(mixed) AS upper_mixed
+        FROM s
+    """,
+    tags=("fn", "string", "i18n"),
+)
+def fn_multibyte_lengths(spark: SparkSession, sf: str) -> DataFrame:
+    """Characters vs bytes on multibyte UTF-8 — the i18n trap every
+    byte-budgeted pipeline hits: é (2 bytes), ü (2), 中 (3) make
+    ``length`` (chars) and ``octet_length`` (bytes) diverge, and
+    truncating text by CHAR count while budgeting storage/tokenizers
+    by BYTES (or worse, slicing mid-codepoint) corrupts data silently.
+    Both engines count identically once DuckDB's VARCHAR is ENCODE'd
+    to BLOB for the byte view; case-mapping on accented letters rides
+    along (é→É). Pure projection; the constructed column exercises
+    2- and 3-byte sequences deterministically."""
+    n = load_table(spark, sf, "nation")
+    mixed = F.concat(F.col("n_name"), F.lit(" éü中"))
+    s = n.select("n_nationkey", mixed.alias("mixed"))
+    return s.select(
+        "n_nationkey", "mixed",
+        F.length("mixed").alias("n_chars"),
+        F.octet_length("mixed").alias("n_bytes"),
+        F.bit_length("mixed").alias("n_bits"),
+        F.upper(F.col("mixed")).alias("upper_mixed"),
+    )

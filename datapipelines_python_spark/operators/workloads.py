@@ -7901,3 +7901,63 @@ def workload_abc_classification(spark: SparkSession, sf: str) -> DataFrame:
         "abc_class", "n_parts", "class_revenue",
         round4(F.col("_raw") / F.col("grand")).alias("revenue_share"),
     )
+
+
+@query(
+    "workload_hhi_concentration",
+    oracle=f"""
+        WITH cust_rev AS (
+            SELECT c.c_nationkey,
+                   o.o_custkey,
+                   SUM(CAST(o.o_totalprice AS DECIMAL(38,8))) AS rev
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_nationkey, o.o_custkey
+        ),
+        shares AS (
+            SELECT c_nationkey,
+                   CAST(CAST(rev AS VARCHAR) AS DOUBLE)
+                       / CAST(CAST(SUM(rev) OVER (PARTITION BY c_nationkey)
+                                   AS VARCHAR) AS DOUBLE) AS share
+            FROM cust_rev
+        )
+        SELECT c_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               {sql_round4('10000.0 * ' + sql_dsum('share * share'))}
+                   AS hhi,
+               CAST(10000.0 * {sql_dsum('share * share')} > 2500.0
+                    AS BOOLEAN) AS highly_concentrated
+        FROM shares
+        GROUP BY c_nationkey
+    """,
+    tags=("workload", "economics"),
+)
+def workload_hhi_concentration(spark: SparkSession, sf: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration per market (nation): the sum
+    of squared customer revenue shares on the standard 0–10,000 scale,
+    with the DOJ's 2,500 'highly concentrated' line — the antitrust/
+    key-account-risk complement to ``workload_gini`` (HHI weights the
+    head quadratically; Gini integrates the whole curve). Shares come
+    from one customer-grain aggregate plus a per-market window
+    denominator (decimal-exact on both ends), the HHI is one squared-
+    share sum riding the decimal convention — no sort anywhere."""
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    cust_rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("rev"))
+    )
+    w_nat = W.partitionBy("c_nationkey")
+    shares = cust_rev.select(
+        "c_nationkey",
+        (
+            F.col("rev").cast("double")
+            / F.sum("rev").over(w_nat).cast("double")
+        ).alias("share"),
+    )
+    hhi = 10000.0 * dsum(F.col("share") * F.col("share"))
+    return shares.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        round4(hhi).alias("hhi"),
+        (hhi > 2500.0).alias("highly_concentrated"),
+    )
