@@ -920,3 +920,43 @@ def join_tuple_in_subquery(spark: SparkSession, sf: str) -> DataFrame:
         )
         """
     )
+
+
+@query(
+    "sql_hint_merge_join",
+    oracle="""
+        SELECT n.n_name, r.r_name,
+               CAST(COUNT(c.c_custkey) AS BIGINT) AS n_customers
+        FROM nation n
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name, r.r_name
+    """,
+    tags=("sql", "hint", "join"),
+)
+def sql_hint_merge_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-strategy hints: ``MERGE`` forces a sort-merge join where the
+    planner would otherwise broadcast the tiny dimension — the escape
+    hatch for when the "small" side's size estimate is wrong (stale
+    stats after a filter; the 100 TB incident this prevents is a
+    multi-GB 'dimension' broadcast OOMing every executor). Values are
+    strategy-invariant, so the oracle is the plain join; the forced
+    SortMergeJoin is pinned in the plan suite. The opposite hint
+    direction is ``join_broadcast``."""
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    c = load_table(spark, sf, "customer")
+    n.createOrReplaceTempView("_mh_nation")
+    r.createOrReplaceTempView("_mh_region")
+    c.createOrReplaceTempView("_mh_customer")
+    return spark.sql(
+        """
+        SELECT /*+ MERGE(r), MERGE(c) */
+               n.n_name, r.r_name,
+               CAST(COUNT(c.c_custkey) AS BIGINT) AS n_customers
+        FROM _mh_nation n
+        JOIN _mh_region r ON n.n_regionkey = r.r_regionkey
+        LEFT JOIN _mh_customer c ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name, r.r_name
+        """
+    )

@@ -842,3 +842,37 @@ def scan_parquet_nested_pushdown(spark: SparkSession, sf: str) -> DataFrame:
             F.col("order_info.price").alias("price"),
         )
     )
+
+
+@query(
+    "scan_recursive_file_lookup",
+    oracle="SELECT r_regionkey, r_name FROM region",
+    tags=("scan", "layout"),
+)
+def scan_recursive_file_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    """``recursiveFileLookup``: ingest parquet scattered through an
+    arbitrary directory TREE (vendor drops, date-nested log dirs)
+    without the partition-discovery contract — unlike partitioned
+    reads, directory names contribute NO columns, they're just paths.
+    The test writes the table split across nested subdirs of different
+    depths and reads the tree back as one dataset; equality against
+    the source table proves nothing was missed or double-read. Caveat
+    pinned in the option name itself: partition pruning cannot apply —
+    for path-encoded data prefer real partitioned layouts
+    (``scan_partition_pruned``)."""
+    r = load_table(spark, sf, "region").select("r_regionkey", "r_name")
+    base = scratch_dir("recursive_tree")
+    r.filter(F.col("r_regionkey") < 2).write.mode("overwrite").parquet(
+        f"{base}/a/deep/one"
+    )
+    r.filter((F.col("r_regionkey") >= 2) & (F.col("r_regionkey") < 4)).write.mode(
+        "overwrite"
+    ).parquet(f"{base}/b/two")
+    r.filter(F.col("r_regionkey") >= 4).write.mode("overwrite").parquet(
+        f"{base}/c/even/deeper/three"
+    )
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(base)
+        .select("r_regionkey", "r_name")
+    )

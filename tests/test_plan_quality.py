@@ -499,3 +499,11 @@ def test_rebalance_hint_plans_rebalance_node(spark, registry):
     df = registry["sql_hint_rebalance"].fn(spark, SF_SMOKE)
     optimized = df._jdf.queryExecution().optimizedPlan().toString()
     assert "RebalancePartitions" in optimized or "rebalance" in optimized.lower()
+
+
+def test_merge_hint_forces_sort_merge_join(spark, registry):
+    # The MERGE hint must override the broadcast-size heuristic: the
+    # hinted dimensions join via SortMergeJoin even though they are far
+    # below the autoBroadcast threshold.
+    plan = _plan(spark, registry, "sql_hint_merge_join")
+    assert "SortMergeJoin" in plan
