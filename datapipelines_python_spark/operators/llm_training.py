@@ -4436,3 +4436,63 @@ def llm_dup_family_sizes(spark: SparkSession, sf: str) -> DataFrame:
             / F.sum("docs_in_families").over(w_all)
         ).alias("removable_share"),
     )
+
+
+@query(
+    "llm_post_stratification",
+    oracle=f"""
+        WITH cells AS (
+            SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents GROUP BY lang, source
+        ),
+        tot AS (SELECT SUM(n) AS total, COUNT(*) AS n_cells FROM cells),
+        weighted AS (
+            SELECT lang, source, n,
+                   (1.0 / t.n_cells) / (CAST(n AS DOUBLE) / t.total) AS w
+            FROM cells CROSS JOIN tot t
+        )
+        SELECT lang, source, n AS n_docs,
+               {sql_round4('w')} AS weight,
+               {sql_round4(
+                   '((SELECT ' + sql_dsum('w * n') + ' FROM weighted)'
+                   ' * (SELECT ' + sql_dsum('w * n') + ' FROM weighted))'
+                   ' / (SELECT ' + sql_dsum('w * w * n') + ' FROM weighted)'
+               )} AS effective_sample_size
+        FROM weighted
+    """,
+    tags=("llm", "sampling", "weighting"),
+)
+def llm_post_stratification(spark: SparkSession, sf: str) -> DataFrame:
+    """Post-stratification weights for the corpus: every (lang, source)
+    cell gets weight = target_share / observed_share (uniform target
+    here — swap in any desired mix), so weighted statistics read as if
+    the corpus already had the target composition — the survey-stats
+    machinery that also drives dataset REWEIGHTING when physically
+    resampling (``llm_dataset_mixture``) is too expensive. The
+    Kish effective sample size (Σwn)²/Σw²n — identical on every row —
+    is the health check: ESS far below N means a few tiny cells carry
+    huge weights and the reweighted estimates are fragile. One cell
+    aggregate; weights are ratios of exact integers."""
+    d = load_table(spark, sf, "documents")
+    cells = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).persist()  # read by the totals AND the weighted output
+    tot = cells.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_cells")
+    )
+    weighted = cells.crossJoin(F.broadcast(tot)).select(
+        "lang", "source", "n",
+        (
+            (1.0 / F.col("n_cells"))
+            / (F.col("n").cast("double") / F.col("total"))
+        ).alias("w"),
+    )
+    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    sw = F.sum(F.col("w") * F.col("n")).over(w_all)
+    sww = F.sum(F.col("w") * F.col("w") * F.col("n")).over(w_all)
+    return weighted.select(
+        "lang", "source",
+        F.col("n").alias("n_docs"),
+        round4(F.col("w")).alias("weight"),
+        round4((sw * sw) / sww).alias("effective_sample_size"),
+    )

@@ -877,3 +877,97 @@ def stream_stream_full_outer(spark: SparkSession, sf: str) -> DataFrame:
         F.coalesce(F.col("user_id"), F.col("v_user")).alias("user_id"),
     )
     return drain_to_memory(joined, "stream_stream_full_outer_sink")
+
+
+@query(
+    "stream_join_then_window",
+    oracle="""
+        WITH mx AS (
+            SELECT LEAST(
+                MAX(CASE WHEN event_type = 'purchase' THEN ts END),
+                MAX(CASE WHEN event_type = 'view' THEN ts END)
+            ) AS wm_base
+            FROM events
+        ),
+        p AS (
+            SELECT event_id AS purchase_id, user_id, ts AS p_ts
+            FROM events WHERE event_type = 'purchase'
+        ),
+        v AS (
+            SELECT event_id AS view_id, user_id AS v_user, ts AS v_ts
+            FROM events WHERE event_type = 'view'
+        ),
+        joined AS (
+            SELECT p.purchase_id, p.p_ts
+            FROM p JOIN v
+              ON p.user_id = v.v_user
+             AND v.v_ts >= p.p_ts - INTERVAL 1 HOUR AND v.v_ts <= p.p_ts
+        )
+        SELECT CAST(DATE_TRUNC('hour', p_ts) AS TIMESTAMP) AS window_start,
+               CAST(COUNT(*) AS BIGINT) AS n_assisted,
+               CAST(COUNT(DISTINCT purchase_id) AS BIGINT) AS n_purchases,
+               CAST(MAX(cnt) AS BIGINT) AS max_views_per_purchase
+        FROM (
+            SELECT p_ts, purchase_id,
+                   COUNT(*) OVER (PARTITION BY DATE_TRUNC('hour', p_ts),
+                                  purchase_id) AS cnt
+            FROM joined
+        ) g CROSS JOIN mx
+        WHERE DATE_TRUNC('hour', p_ts) + INTERVAL 1 HOUR
+              <= mx.wm_base - INTERVAL 2 HOUR
+        GROUP BY 1
+    """,
+    tags=("streaming", "join", "window", "chained"),
+)
+def stream_join_then_window(spark: SparkSession, sf: str) -> DataFrame:
+    """TWO chained stateful operators in ONE streaming query: the
+    interval stream-stream join feeds a tumbling hourly aggregation of
+    assisted purchases — the Spark-4 multi-stateful-operator capability
+    (before it, this took two queries with an intermediate sink). The
+    emission rule composes mechanically: inner-join output is complete,
+    and the downstream append-mode window emits once the global
+    watermark (min across both input watermark operators − 2h delay)
+    passes its end — so the oracle keeps exactly the closed hours. The
+    dedup-grain twin for agg→agg chaining is
+    ``stream_chained_window_aggs``."""
+    purchases = (
+        events_stream(spark, sf)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    views = (
+        events_stream(spark, sf)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+    )
+    per_purchase = joined.groupBy(
+        F.window("p_ts", "1 hour"), "purchase_id"
+    ).agg(F.count(F.lit(1)).alias("n_views"))
+    per_hour = per_purchase.groupBy(F.window(F.col("window"), "1 hour")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.sum("n_views").cast("bigint").alias("n_assisted"),
+        F.max("n_views").cast("bigint").alias("max_views_per_purchase"),
+    )
+    out = per_hour.select(
+        F.col("window.start").alias("window_start"),
+        "n_assisted",
+        "n_purchases",
+        "max_views_per_purchase",
+    )
+    return drain_to_memory(out, "stream_join_then_window_sink")
