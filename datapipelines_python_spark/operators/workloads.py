@@ -7961,3 +7961,83 @@ def workload_hhi_concentration(spark: SparkSession, sf: str) -> DataFrame:
         round4(hhi).alias("hhi"),
         (hhi > 2500.0).alias("highly_concentrated"),
     )
+
+
+@query(
+    "workload_segment_migration",
+    oracle=f"""
+        WITH spend AS (
+            SELECT o_custkey,
+                   SUM(CASE WHEN YEAR(o_orderdate) <= 1997
+                            THEN CAST(o_totalprice AS DECIMAL(38,8))
+                            ELSE CAST(0 AS DECIMAL(38,8)) END) AS s1,
+                   SUM(CASE WHEN YEAR(o_orderdate) > 1997
+                            THEN CAST(o_totalprice AS DECIMAL(38,8))
+                            ELSE CAST(0 AS DECIMAL(38,8)) END) AS s2
+            FROM orders GROUP BY o_custkey
+        ),
+        tiers AS (
+            SELECT o_custkey,
+                   CASE WHEN s1 = 0 THEN 0
+                        ELSE NTILE(3) OVER (PARTITION BY (s1 > 0)
+                            ORDER BY s1, o_custkey) END AS tier_before,
+                   CASE WHEN s2 = 0 THEN 0
+                        ELSE NTILE(3) OVER (PARTITION BY (s2 > 0)
+                            ORDER BY s2, o_custkey) END AS tier_after
+            FROM spend
+        )
+        SELECT CAST(tier_before AS INT) AS tier_before,
+               CAST(tier_after AS INT) AS tier_after,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               {sql_round4(
+                   'CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER ()'
+               )} AS share
+        FROM tiers
+        GROUP BY tier_before, tier_after
+    """,
+    tags=("workload", "crm"),
+)
+def workload_segment_migration(spark: SparkSession, sf: str) -> DataFrame:
+    """Customer segment migration matrix: each customer's spend tier
+    (terciles among active spenders; 0 = inactive) is computed for the
+    pre-1998 and post-1998 periods and the 4×4 transition counts show
+    churn (high→0), upgrades, and the inactive→active win-backs — the
+    longitudinal view a point-in-time ``workload_rfm_segmentation``
+    can't give. The NTILE ranks only the active slice of the
+    customer-grain frame (zeros pinned to tier 0 — ranking them would
+    let ties leak across the activity boundary); spends are
+    decimal-exact; everything after the one customer-grain aggregate
+    runs on customers-sized data."""
+    o = load_table(spark, sf, "orders")
+    period1 = F.when(
+        F.year("o_orderdate") <= 1997, F.col("o_totalprice")
+    ).otherwise(0.0)
+    period2 = F.when(
+        F.year("o_orderdate") > 1997, F.col("o_totalprice")
+    ).otherwise(0.0)
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(period1.cast(DEC)).alias("s1"),
+        F.sum(period2.cast(DEC)).alias("s2"),
+    )
+    w1 = W.partitionBy(F.col("s1") > 0).orderBy("s1", "o_custkey")
+    w2 = W.partitionBy(F.col("s2") > 0).orderBy("s2", "o_custkey")
+    tiers = spend.select(
+        F.when(F.col("s1") == 0, 0).otherwise(F.ntile(3).over(w1)).alias(
+            "tier_before"
+        ),
+        F.when(F.col("s2") == 0, 0).otherwise(F.ntile(3).over(w2)).alias(
+            "tier_after"
+        ),
+    )
+    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return tiers.groupBy("tier_before", "tier_after").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        (F.count(F.lit(1))).alias("_n"),
+    ).select(
+        F.col("tier_before").cast("int").alias("tier_before"),
+        F.col("tier_after").cast("int").alias("tier_after"),
+        "n_customers",
+        round4(
+            F.col("_n").cast("double") / F.sum("_n").over(w_all)
+        ).alias("share"),
+    )
