@@ -8041,3 +8041,77 @@ def workload_segment_migration(spark: SparkSession, sf: str) -> DataFrame:
             F.col("_n").cast("double") / F.sum("_n").over(w_all)
         ).alias("share"),
     )
+
+
+@query(
+    "workload_littlewood_yield",
+    oracle=f"""
+        WITH demand AS (
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   {sql_dsum('o_totalprice')} AS rev
+            FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+            GROUP BY o_orderpriority
+        ),
+        wide AS (
+            SELECT
+                MAX(CASE WHEN o_orderpriority = '1-URGENT'
+                         THEN rev / n END) AS fare_high,
+                MAX(CASE WHEN o_orderpriority = '5-LOW'
+                         THEN rev / n END) AS fare_low,
+                MAX(CASE WHEN o_orderpriority = '1-URGENT'
+                         THEN n END) AS n_high
+            FROM demand
+        )
+        SELECT {sql_round4('fare_high')} AS fare_high,
+               {sql_round4('fare_low')} AS fare_low,
+               {sql_round4('fare_low / fare_high')} AS critical_ratio,
+               CAST(n_high AS BIGINT) AS high_fare_demand,
+               CAST(CAST(FLOOR(n_high * (1.0 - fare_low / fare_high))
+                    AS BIGINT) AS BIGINT) AS protection_level
+        FROM wide
+    """,
+    tags=("workload", "revenue-management"),
+)
+def workload_littlewood_yield(spark: SparkSession, sf: str) -> DataFrame:
+    """Littlewood's rule — the revenue-management primitive behind every
+    airline/hotel yield system: sell a discounted seat only while the
+    probability of later selling it full-fare is below fare_low /
+    fare_high (the critical ratio); with the fixture's empirical
+    demand as the forecast, the protection level ≈ demand_high ×
+    (1 − ratio) seats held back from the low fare. Two tiers from one
+    aggregate, decimal-exact average fares, the ratio and protection
+    level pure closed forms — the operational twin of the elasticity
+    and pacing dials (``workload_price_elasticity``,
+    ``workload_budget_pacing``)."""
+    o = load_table(spark, sf, "orders")
+    demand = (
+        o.filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            dsum(F.col("o_totalprice")).alias("rev"),
+        )
+    )
+    wide = demand.agg(
+        F.max(
+            F.when(F.col("o_orderpriority") == "1-URGENT", F.col("rev") / F.col("n"))
+        ).alias("fare_high"),
+        F.max(
+            F.when(F.col("o_orderpriority") == "5-LOW", F.col("rev") / F.col("n"))
+        ).alias("fare_low"),
+        F.max(
+            F.when(F.col("o_orderpriority") == "1-URGENT", F.col("n"))
+        ).alias("n_high"),
+    )
+    ratio = F.col("fare_low") / F.col("fare_high")
+    return wide.select(
+        round4(F.col("fare_high")).alias("fare_high"),
+        round4(F.col("fare_low")).alias("fare_low"),
+        round4(ratio).alias("critical_ratio"),
+        F.col("n_high").cast("bigint").alias("high_fare_demand"),
+        F.floor(F.col("n_high") * (1.0 - ratio)).cast("bigint").alias(
+            "protection_level"
+        ),
+    )
