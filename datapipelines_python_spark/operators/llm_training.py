@@ -4496,3 +4496,104 @@ def llm_post_stratification(spark: SparkSession, sf: str) -> DataFrame:
         round4(F.col("w")).alias("weight"),
         round4((sw * sw) / sww).alias("effective_sample_size"),
     )
+
+
+@query(
+    "llm_heaps_law",
+    oracle=f"""
+        WITH ranked_docs AS (
+            SELECT doc_id, text,
+                   ROW_NUMBER() OVER (ORDER BY doc_id) AS rnk,
+                   COUNT(*) OVER () AS n_docs
+            FROM documents
+        ),
+        firsts AS (
+            SELECT w, MIN(rnk) AS first_rank, MAX(n_docs) AS n_docs,
+                   COUNT(*) AS occurrences
+            FROM (SELECT rnk, n_docs, UNNEST(STRING_SPLIT(text, ' ')) AS w
+                  FROM ranked_docs) t
+            GROUP BY w
+        ),
+        tokens_cum AS (
+            SELECT rnk,
+                   SUM(LEN(STRING_SPLIT(text, ' ')))
+                       OVER (ORDER BY rnk) AS cum_tokens
+            FROM ranked_docs
+        ),
+        checkpoints AS (
+            SELECT CAST(q AS DOUBLE) AS frac,
+                   CAST(CEIL(q * (SELECT MAX(n_docs) FROM firsts)) AS BIGINT)
+                       AS cut
+            FROM (SELECT UNNEST([0.25, 0.50, 0.75, 1.00]) AS q)
+        )
+        SELECT c.frac,
+               c.cut AS n_docs_prefix,
+               CAST((SELECT MAX(cum_tokens) FROM tokens_cum
+                     WHERE rnk <= c.cut) AS BIGINT) AS n_tokens,
+               CAST(COUNT(CASE WHEN f.first_rank <= c.cut THEN 1 END)
+                    AS BIGINT) AS vocab_size,
+               {sql_round4(
+                   'CAST(COUNT(CASE WHEN f.first_rank <= c.cut THEN 1 END)'
+                   ' AS DOUBLE) / (SELECT MAX(cum_tokens) FROM tokens_cum'
+                   ' WHERE rnk <= c.cut)'
+               )} AS type_token_ratio
+        FROM checkpoints c CROSS JOIN firsts f
+        GROUP BY c.frac, c.cut
+    """,
+    tags=("llm", "corpus-stats"),
+)
+def llm_heaps_law(spark: SparkSession, sf: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: distinct-type count at 25/50/
+    75/100% corpus prefixes (doc_id order), from ONE pass — each token
+    type carries its first-seen document rank, so every checkpoint's
+    vocabulary is a count over that table, never a re-tokenization per
+    prefix (the same first-occurrence trick as ``llm_ngram_novelty``).
+    A healthy natural corpus grows vocab ∝ tokens^β, β≈0.5 (watch the
+    type/token ratio fall); a FLAT curve means templated/synthetic
+    text, a LINEAR one means noise (serials, hashes) — either way the
+    curve is a one-glance corpus-health readout before tokenizer
+    training."""
+    d = load_table(spark, sf, "documents")
+    w_rank = W.orderBy("doc_id")
+    w_all = W.orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    ranked = d.select(
+        "doc_id", "text",
+        F.row_number().over(w_rank).alias("rnk"),
+        F.count(F.lit(1)).over(w_all).alias("n_docs"),
+    ).persist()  # read by the firsts table AND the cumulative token counts
+    tok = ranked.select(
+        "rnk", "n_docs", F.explode(F.split("text", " ")).alias("w")
+    )
+    firsts = tok.groupBy("w").agg(
+        F.min("rnk").alias("first_rank"), F.max("n_docs").alias("n_docs")
+    )
+    w_cum = W.orderBy("rnk").rowsBetween(W.unboundedPreceding, W.currentRow)
+    tokens_cum = ranked.select(
+        "rnk", F.sum(F.size(F.split("text", " "))).over(w_cum).alias("cum_tokens")
+    ).persist()  # four checkpoint lookups read it
+    n_docs_total = firsts.agg(F.max("n_docs").alias("nd"))
+    checkpoints = (
+        spark.range(1, 5)
+        .select((F.col("id") * 0.25).alias("frac"))
+        .crossJoin(F.broadcast(n_docs_total))
+        .select("frac", F.ceil(F.col("frac") * F.col("nd")).cast("bigint").alias("cut"))
+    )
+    cum_at = tokens_cum.crossJoin(F.broadcast(checkpoints)).filter(
+        F.col("rnk") <= F.col("cut")
+    ).groupBy("frac", "cut").agg(F.max("cum_tokens").alias("n_tokens"))
+    vocab_at = firsts.crossJoin(F.broadcast(checkpoints)).groupBy(
+        "frac", "cut"
+    ).agg(
+        F.count(F.when(F.col("first_rank") <= F.col("cut"), 1)).alias("vocab_size")
+    )
+    return cum_at.join(vocab_at, ["frac", "cut"]).select(
+        "frac",
+        F.col("cut").alias("n_docs_prefix"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("vocab_size").cast("bigint").alias("vocab_size"),
+        round4(
+            F.col("vocab_size").cast("double") / F.col("n_tokens")
+        ).alias("type_token_ratio"),
+    )

@@ -2965,3 +2965,118 @@ def ml_uplift_two_model(spark: SparkSession, sf: str) -> DataFrame:
         round4(rate_t - rate_c).alias("uplift"),
         round4((rate_t - rate_c) * F.col("n_t")).alias("incremental_conversions"),
     )
+
+
+@query(
+    "ml_info_gain_rank",
+    oracle=f"""
+        WITH labeled AS (
+            SELECT CASE WHEN o_totalprice > 200000.0 THEN 1 ELSE 0 END AS y,
+                   o_orderstatus, o_orderpriority
+            FROM orders
+        ),
+        base AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(y) AS pos
+            FROM labeled
+        ),
+        feats AS (
+            SELECT 'o_orderstatus' AS feature, o_orderstatus AS v, y
+            FROM labeled
+            UNION ALL
+            SELECT 'o_orderpriority', o_orderpriority, y FROM labeled
+        ),
+        cells AS (
+            SELECT feature, v, COUNT(*) AS nv, SUM(y) AS kv
+            FROM feats GROUP BY feature, v
+        ),
+        cond AS (
+            SELECT feature,
+                   {sql_dsum(
+                       'CASE WHEN kv IN (0, nv) THEN 0.0 ELSE '
+                       '(CAST(nv AS DOUBLE) / (SELECT n FROM base)) * ('
+                       '-(CAST(kv AS DOUBLE)/nv) * LN(CAST(kv AS DOUBLE)/nv)'
+                       ' - (1.0 - CAST(kv AS DOUBLE)/nv)'
+                       ' * LN(1.0 - CAST(kv AS DOUBLE)/nv)) END'
+                   )} AS h_cond,
+                   CAST(COUNT(*) AS BIGINT) AS n_values
+            FROM cells GROUP BY feature
+        ),
+        prior AS (
+            SELECT -(CAST(pos AS DOUBLE)/n) * LN(CAST(pos AS DOUBLE)/n)
+                   - (1.0 - CAST(pos AS DOUBLE)/n)
+                   * LN(1.0 - CAST(pos AS DOUBLE)/n) AS h0
+            FROM base
+        )
+        SELECT feature, n_values,
+               {sql_round4('(SELECT h0 FROM prior)')} AS label_entropy,
+               {sql_round4('h_cond')} AS conditional_entropy,
+               {sql_round4('(SELECT h0 FROM prior) - h_cond')} AS info_gain,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY (SELECT h0 FROM prior) - h_cond DESC, feature)
+                   AS INT) AS rank
+        FROM cond
+    """,
+    tags=("ml", "features", "selection"),
+)
+def ml_info_gain_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """Information-gain feature ranking — the decision-tree split
+    criterion applied as a feature screen: for each categorical
+    candidate, H(label) − H(label|feature) measures how much knowing
+    the feature shrinks label uncertainty (``ml_woe_iv``'s
+    information-theoretic sibling, and the per-feature generalization
+    of ``ml_mutual_info``). Both candidate features unpivot into one
+    long stream → one cell aggregate each; entropies come from exact
+    integer cell counts (pure-cell 0·ln0 guarded to 0), LN sees
+    identical ratios of exact doubles on both engines, and the final
+    ranking orders the gains. At 100 TB add features as more UNION
+    branches — the plan stays one scan per feature, cells-sized
+    shuffles."""
+    o = load_table(spark, sf, "orders")
+    labeled = o.select(
+        F.when(F.col("o_totalprice") > 200000.0, 1).otherwise(0).alias("y"),
+        "o_orderstatus", "o_orderpriority",
+    ).persist()  # read by the base rates and both feature branches
+    base = labeled.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"), F.sum("y").alias("pos")
+    )
+    feats = labeled.select(
+        F.lit("o_orderstatus").alias("feature"),
+        F.col("o_orderstatus").alias("v"),
+        "y",
+    ).unionByName(
+        labeled.select(
+            F.lit("o_orderpriority").alias("feature"),
+            F.col("o_orderpriority").alias("v"),
+            "y",
+        )
+    )
+    cells = feats.groupBy("feature", "v").agg(
+        F.count(F.lit(1)).alias("nv"), F.sum("y").alias("kv")
+    )
+    joined = cells.crossJoin(F.broadcast(base))
+    p = F.col("kv").cast("double") / F.col("nv")
+    term = F.when(
+        (F.col("kv") == 0) | (F.col("kv") == F.col("nv")), F.lit(0.0)
+    ).otherwise(
+        (F.col("nv").cast("double") / F.col("n"))
+        * (-(p) * F.log(p) - (1.0 - p) * F.log(1.0 - p))
+    )
+    cond = joined.groupBy("feature").agg(
+        dsum(term).alias("h_cond"),
+        F.count(F.lit(1)).cast("bigint").alias("n_values"),
+    )
+    p0 = F.col("pos").cast("double") / F.col("n")
+    prior = base.select(
+        (-(p0) * F.log(p0) - (1.0 - p0) * F.log(1.0 - p0)).alias("h0")
+    )
+    out = cond.crossJoin(F.broadcast(prior))
+    gain = F.col("h0") - F.col("h_cond")
+    w_rank = W.orderBy(F.desc(gain), F.asc("feature"))
+    return out.select(
+        "feature", "n_values",
+        round4(F.col("h0")).alias("label_entropy"),
+        round4(F.col("h_cond")).alias("conditional_entropy"),
+        round4(gain).alias("info_gain"),
+        F.row_number().over(w_rank).cast("int").alias("rank"),
+    )
