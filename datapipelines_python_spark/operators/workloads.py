@@ -8115,3 +8115,54 @@ def workload_littlewood_yield(spark: SparkSession, sf: str) -> DataFrame:
             "protection_level"
         ),
     )
+
+
+@query(
+    "workload_newsvendor",
+    oracle=f"""
+        WITH daily AS (
+            SELECT p.p_brand, CAST(l.l_shipdate AS DATE) AS day,
+                   SUM(CAST(l.l_quantity AS DECIMAL(38,8))) AS qty
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY 1, 2
+        )
+        SELECT p_brand,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               {sql_round4(
+                   'quantile_cont(CAST(qty AS DOUBLE), 0.75)'
+               )} AS order_up_to,
+               {sql_round4(sql_davg('CAST(qty AS DOUBLE)'))}
+                   AS mean_daily_demand,
+               {sql_round4(
+                   'quantile_cont(CAST(qty AS DOUBLE), 0.75) / ('
+                   + sql_davg('CAST(qty AS DOUBLE)') + ')'
+               )} AS buffer_ratio
+        FROM daily
+        GROUP BY p_brand
+    """,
+    tags=("workload", "inventory", "or"),
+)
+def workload_newsvendor(spark: SparkSession, sf: str) -> DataFrame:
+    """The newsvendor solution per brand: with underage cost 3× overage
+    (critical fractile 0.75), the profit-maximizing stocking level is
+    the 75th percentile of daily demand — read off the EMPIRICAL
+    distribution directly, no normality assumption (contrast
+    ``workload_reorder_point``'s z·σ, which under-protects whenever
+    demand is skewed — the buffer_ratio vs mean shows exactly how much
+    the distribution's shape matters per brand). Demand reduces to
+    (brand, day) grain decimal-exact; the exact percentile is
+    sketch-swappable at scale."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part")
+    daily = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", F.col("l_shipdate").cast("date").alias("day"))
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("qty"))
+    )
+    q = F.col("qty").cast("double")
+    return daily.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        round4(F.percentile(q, F.lit(0.75))).alias("order_up_to"),
+        round4(davg(q)).alias("mean_daily_demand"),
+        round4(F.percentile(q, F.lit(0.75)) / davg(q)).alias("buffer_ratio"),
+    )
