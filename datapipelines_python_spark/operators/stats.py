@@ -3080,3 +3080,165 @@ def ml_info_gain_rank(spark: SparkSession, sf: str) -> DataFrame:
         round4(gain).alias("info_gain"),
         F.row_number().over(w_rank).cast("int").alias("rank"),
     )
+
+
+@query(
+    "ml_anova_oneway",
+    oracle=f"""
+        WITH groups AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   {sql_dsum('CAST(n_chars AS DOUBLE)')} AS s1,
+                   {sql_dsum('CAST(n_chars AS DOUBLE) * n_chars')} AS s2
+            FROM documents GROUP BY source
+        ),
+        tot AS (
+            SELECT SUM(n) AS n_tot, COUNT(*) AS k,
+                   {sql_dsum('s1')} AS g1,
+                   {sql_dsum('s2')} AS g2
+            FROM groups
+        ),
+        parts AS (
+            SELECT t.k, t.n_tot,
+                   {sql_dsum('g.s1 * g.s1 / g.n')}
+                       - t.g1 * t.g1 / t.n_tot AS ss_between,
+                   t.g2 - {sql_dsum('g.s1 * g.s1 / g.n')} AS ss_within
+            FROM groups g CROSS JOIN tot t
+            GROUP BY t.k, t.n_tot, t.g1, t.g2
+        )
+        SELECT CAST(k AS BIGINT) AS n_groups,
+               CAST(n_tot AS BIGINT) AS n_docs,
+               {sql_round4('ss_between')} AS ss_between,
+               {sql_round4('ss_within')} AS ss_within,
+               {sql_round4(
+                   '(ss_between / (k - 1)) / (ss_within / (n_tot - k))'
+               )} AS f_stat
+        FROM parts
+    """,
+    tags=("ml", "stats", "test"),
+)
+def ml_anova_oneway(spark: SparkSession, sf: str) -> DataFrame:
+    """One-way ANOVA across sources (do document lengths differ by
+    source beyond noise?): between/within sums of squares from per-group
+    power sums — Σ(G_i²/n_i) − G²/N and Σx² − Σ(G_i²/n_i) — so the F
+    statistic needs ONE map-side-combinable aggregate per group and a
+    20-row reduction, never a second centered pass (the textbook
+    two-pass formulation doubles the corpus scans for nothing).
+    Completes the classical-test suite: chi-square (independence), KS
+    (two-sample shape), Welch (two means), ANOVA (k means). F ≫ 1 here
+    means per-source length profiles are real signal — the same fact
+    ``llm_dataset_mixture`` exploits."""
+    d = load_table(spark, sf, "documents")
+    x = F.col("n_chars").cast("double")
+    groups = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum(x).alias("s1"),
+        dsum(x * F.col("n_chars")).alias("s2"),
+    ).persist()  # read by the totals AND the partition sums
+    tot = groups.agg(
+        F.sum("n").alias("n_tot"),
+        F.count(F.lit(1)).alias("k"),
+        dsum(F.col("s1")).alias("g1"),
+        dsum(F.col("s2")).alias("g2"),
+    )
+    joined = groups.crossJoin(F.broadcast(tot))
+    parts = joined.groupBy("k", "n_tot", "g1", "g2").agg(
+        dsum(F.col("s1") * F.col("s1") / F.col("n")).alias("explained"),
+    )
+    ss_between = F.col("explained") - F.col("g1") * F.col("g1") / F.col("n_tot")
+    ss_within = F.col("g2") - F.col("explained")
+    return parts.select(
+        F.col("k").cast("bigint").alias("n_groups"),
+        F.col("n_tot").cast("bigint").alias("n_docs"),
+        round4(ss_between).alias("ss_between"),
+        round4(ss_within).alias("ss_within"),
+        round4(
+            (ss_between / (F.col("k") - 1)) / (ss_within / (F.col("n_tot") - F.col("k")))
+        ).alias("f_stat"),
+    )
+
+
+@query(
+    "ml_kendall_tau",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(FLOOR({sql_dsum('value')} * 100.0 + 0.5) AS BIGINT)
+                       AS rev_cents
+            FROM events GROUP BY 1
+        ),
+        pairs AS (
+            SELECT
+                SUM(CASE WHEN (a.n_events - b.n_events)
+                              * (a.rev_cents - b.rev_cents) > 0
+                         THEN 1 ELSE 0 END) AS concordant,
+                SUM(CASE WHEN (a.n_events - b.n_events)
+                              * (a.rev_cents - b.rev_cents) < 0
+                         THEN 1 ELSE 0 END) AS discordant,
+                SUM(CASE WHEN a.n_events = b.n_events
+                           OR a.rev_cents = b.rev_cents
+                         THEN 1 ELSE 0 END) AS ties,
+                COUNT(*) AS n_pairs
+            FROM daily a JOIN daily b ON a.day < b.day
+        )
+        SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+               CAST(concordant AS BIGINT) AS concordant,
+               CAST(discordant AS BIGINT) AS discordant,
+               CAST(ties AS BIGINT) AS tied_pairs,
+               {sql_round4(
+                   'CAST(concordant - discordant AS DOUBLE) / n_pairs'
+               )} AS kendall_tau_a
+        FROM pairs
+    """,
+    tags=("ml", "stats", "correlation"),
+)
+def ml_kendall_tau(spark: SparkSession, sf: str) -> DataFrame:
+    """Kendall's τ between daily traffic and daily revenue — the
+    rank-concordance correlation that, unlike Pearson (``agg_stats``'s
+    corr), is immune to outlier days and monotone transforms: count
+    concordant vs discordant day pairs. The O(n²) pair enumeration is
+    legal ONLY because it runs on the day-grain aggregate (≤30 rows →
+    ≤435 pairs; the ``ml_theil_sen`` rule: quadratic after reduction,
+    never on raw events). Revenue is compared in exact integer cents so
+    concordance decisions are engine-identical; τ-a reported with the
+    tie count alongside (τ-b's tie correction is a two-line extension)."""
+    e = load_table(spark, sf, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.floor(dsum(F.col("value")) * 100.0 + 0.5).cast("bigint").alias(
+            "rev_cents"
+        ),
+    )
+    a = daily.select(
+        F.col("day").alias("day_a"),
+        F.col("n_events").alias("x_a"),
+        F.col("rev_cents").alias("y_a"),
+    )
+    b = daily.select(
+        F.col("day").alias("day_b"),
+        F.col("n_events").alias("x_b"),
+        F.col("rev_cents").alias("y_b"),
+    )
+    pairs = a.join(b, F.col("day_a") < F.col("day_b"))
+    sign = (F.col("x_a") - F.col("x_b")) * (F.col("y_a") - F.col("y_b"))
+    agg = pairs.agg(
+        F.sum(F.when(sign > 0, 1).otherwise(0)).alias("concordant"),
+        F.sum(F.when(sign < 0, 1).otherwise(0)).alias("discordant"),
+        F.sum(
+            F.when(
+                (F.col("x_a") == F.col("x_b")) | (F.col("y_a") == F.col("y_b")), 1
+            ).otherwise(0)
+        ).alias("ties"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    return agg.select(
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.col("concordant").cast("bigint").alias("concordant"),
+        F.col("discordant").cast("bigint").alias("discordant"),
+        F.col("ties").cast("bigint").alias("tied_pairs"),
+        round4(
+            (F.col("concordant") - F.col("discordant")).cast("double")
+            / F.col("n_pairs")
+        ).alias("kendall_tau_a"),
+    )
