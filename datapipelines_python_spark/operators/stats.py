@@ -3242,3 +3242,67 @@ def ml_kendall_tau(spark: SparkSession, sf: str) -> DataFrame:
             / F.col("n_pairs")
         ).alias("kendall_tau_a"),
     )
+
+
+@query(
+    "ml_winsorized_mean",
+    oracle=f"""
+        WITH fences AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.05) AS lo,
+                   quantile_cont(value, 0.95) AS hi
+            FROM events GROUP BY event_type
+        ),
+        clamped AS (
+            SELECT e.event_type,
+                   e.value,
+                   LEAST(GREATEST(e.value, f.lo), f.hi) AS wvalue,
+                   CASE WHEN e.value < f.lo OR e.value > f.hi
+                        THEN 1 ELSE 0 END AS clipped
+            FROM events e JOIN fences f ON e.event_type = f.event_type
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(clipped) AS BIGINT) AS n_clipped,
+               {sql_round4(sql_davg('value'))} AS raw_mean,
+               {sql_round4(sql_davg('wvalue'))} AS winsorized_mean,
+               {sql_round4(
+                   sql_davg('value') + ' - (' + sql_davg('wvalue') + ')'
+               )} AS outlier_pull
+        FROM clamped
+        GROUP BY event_type
+    """,
+    tags=("ml", "stats", "robust"),
+)
+def ml_winsorized_mean(spark: SparkSession, sf: str) -> DataFrame:
+    """5/95% winsorized mean per series: tail values are CLAMPED to the
+    percentile fences (not dropped — winsorizing keeps n and weights,
+    unlike trimming: ``udaf_pandas_agg``'s trimmed mean is the dropping
+    twin), and outlier_pull = raw − winsorized quantifies exactly how
+    much the tails were steering the headline KPI. Same two-pass
+    broadcast-fences shape as ``ml_outlier_iqr`` (sketch-swappable
+    percentiles at 100 TB); both means ride the decimal convention so
+    the pull is a difference of exact quantities, not noise."""
+    e = load_table(spark, sf, "events")
+    fences = e.groupBy("event_type").agg(
+        F.percentile(F.col("value"), F.lit(0.05)).alias("lo"),
+        F.percentile(F.col("value"), F.lit(0.95)).alias("hi"),
+    )
+    clamped = e.join(F.broadcast(fences), "event_type").select(
+        "event_type", "value",
+        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias(
+            "wvalue"
+        ),
+        F.when(
+            (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")), 1
+        ).otherwise(0).alias("clipped"),
+    )
+    return clamped.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("clipped").cast("bigint").alias("n_clipped"),
+        round4(davg(F.col("value"))).alias("raw_mean"),
+        round4(davg(F.col("wvalue"))).alias("winsorized_mean"),
+        round4(davg(F.col("value")) - davg(F.col("wvalue"))).alias(
+            "outlier_pull"
+        ),
+    )
