@@ -3306,3 +3306,662 @@ def ml_winsorized_mean(spark: SparkSession, sf: str) -> DataFrame:
             "outlier_pull"
         ),
     )
+
+
+@query(
+    "ml_spearman",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS x,
+                   CAST(FLOOR({sql_dsum('value')} * 100.0 + 0.5) AS BIGINT)
+                       AS y
+            FROM events GROUP BY 1
+        ),
+        ranked AS (
+            SELECT day,
+                   RANK() OVER (ORDER BY x)
+                       + (COUNT(*) OVER (PARTITION BY x) - 1) / 2.0 AS rx,
+                   RANK() OVER (ORDER BY y)
+                       + (COUNT(*) OVER (PARTITION BY y) - 1) / 2.0 AS ry
+            FROM daily
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   {sql_dsum('rx')} AS sx,
+                   {sql_dsum('ry')} AS sy,
+                   {sql_dsum('rx * rx')} AS sxx,
+                   {sql_dsum('ry * ry')} AS syy,
+                   {sql_dsum('rx * ry')} AS sxy
+            FROM ranked
+        )
+        SELECT n AS n_days,
+               {sql_round4(
+                   '(n * sxy - sx * sy)'
+                   ' / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy))'
+               )} AS spearman_rho
+        FROM s
+    """,
+    tags=("ml", "stats", "correlation"),
+)
+def ml_spearman(spark: SparkSession, sf: str) -> DataFrame:
+    """Spearman's ρ between daily traffic and daily revenue — Pearson
+    correlation computed on fractional (average-tie) ranks, the robust
+    companion to ``ml_kendall_tau`` on the same day-grain series. Ranks
+    come from RANK() plus half the tie-group size, so they are exact
+    multiples of 0.5 and every power sum underneath the closed-form
+    Pearson expression is decimal-exact; the single float expression at
+    the end is engine-identical. Windows are global but legal: they run
+    on the ≤31-row daily aggregate (quadratic/ordered work only after
+    reduction — at 100 TB the day grain is still tiny)."""
+    e = load_table(spark, sf, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x"),
+        F.floor(dsum(F.col("value")) * 100.0 + 0.5).cast("bigint").alias("y"),
+    )
+    rx = (
+        F.rank().over(W.orderBy("x"))
+        + (F.count(F.lit(1)).over(W.partitionBy("x")) - 1) / 2.0
+    )
+    ry = (
+        F.rank().over(W.orderBy("y"))
+        + (F.count(F.lit(1)).over(W.partitionBy("y")) - 1) / 2.0
+    )
+    ranked = daily.select(rx.alias("rx"), ry.alias("ry"))
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum(F.col("rx")).alias("sx"),
+        dsum(F.col("ry")).alias("sy"),
+        dsum(F.col("rx") * F.col("rx")).alias("sxx"),
+        dsum(F.col("ry") * F.col("ry")).alias("syy"),
+        dsum(F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    return s.select(
+        n.alias("n_days"),
+        round4(
+            (n * F.col("sxy") - sx * sy)
+            / F.sqrt((n * F.col("sxx") - sx * sx) * (n * F.col("syy") - sy * sy))
+        ).alias("spearman_rho"),
+    )
+
+
+@query(
+    "ml_mann_whitney",
+    oracle=f"""
+        WITH both_groups AS (
+            SELECT event_type, value
+            FROM events
+            WHERE event_type IN ('purchase', 'click')
+        ),
+        ranked AS (
+            SELECT event_type,
+                   RANK() OVER (ORDER BY value)
+                       + (COUNT(*) OVER (PARTITION BY value) - 1) / 2.0
+                       AS r
+            FROM both_groups
+        ),
+        s AS (
+            SELECT
+                CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n1,
+                CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n2,
+                CAST(CAST(SUM(CASE WHEN event_type = 'purchase'
+                                   THEN CAST(r AS DECIMAL(38,8)) END)
+                          AS VARCHAR) AS DOUBLE) AS r1
+            FROM ranked
+        )
+        SELECT n1, n2,
+               {sql_round4('r1 - n1 * (n1 + 1) / 2.0')} AS u_stat,
+               {sql_round4(
+                   '(r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)'
+                   ' / SQRT(n1 * n2 * (n1 + n2 + 1.0) / 12.0)'
+               )} AS z_score
+        FROM s
+    """,
+    tags=("ml", "stats", "test"),
+)
+def ml_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) test: do purchase and click
+    events draw `value` from the same distribution? Nonparametric
+    two-sample companion to the Welch/KS tests already in the suite —
+    rank the pooled sample with average-tie ranks, sum group-1 ranks,
+    U₁ = R₁ − n₁(n₁+1)/2, and the large-sample normal z (tie variance
+    correction omitted — values are continuous doubles, ties are
+    measure-zero and both engines apply the identical formula). Ranks
+    are 0.5-multiples so R₁'s decimal sum is exact. The global rank is
+    the one single-partition window — the ``ml_auc_roc`` pattern; at
+    100 TB it becomes a two-pass range-partitioned rank (per-partition
+    local ranks + broadcast cumulative offsets)."""
+    e = load_table(spark, sf, "events")
+    both = e.filter(F.col("event_type").isin("purchase", "click")).select(
+        "event_type", "value"
+    )
+    r = (
+        F.rank().over(W.orderBy("value"))
+        + (F.count(F.lit(1)).over(W.partitionBy("value")) - 1) / 2.0
+    )
+    ranked = both.select("event_type", r.alias("r"))
+    s = ranked.agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n2"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("r").cast(DEC))
+        )
+        .cast("double")
+        .alias("r1"),
+    )
+    n1, n2, r1 = F.col("n1"), F.col("n2"), F.col("r1")
+    u = r1 - n1 * (n1 + 1) / 2.0
+    return s.select(
+        n1,
+        n2,
+        round4(u).alias("u_stat"),
+        round4(
+            (u - n1 * n2 / 2.0)
+            / F.sqrt(n1 * n2 * (n1 + n2 + 1.0) / 12.0)
+        ).alias("z_score"),
+    )
+
+
+@query(
+    "ml_levene_test",
+    oracle=f"""
+        WITH means AS (
+            SELECT source, {sql_davg('CAST(n_chars AS DOUBLE)')} AS m
+            FROM documents GROUP BY source
+        ),
+        dev AS (
+            SELECT d.source, ABS(CAST(d.n_chars AS DOUBLE) - ms.m) AS z
+            FROM documents d JOIN means ms ON d.source = ms.source
+        ),
+        groups AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   {sql_dsum('z')} AS s1,
+                   {sql_dsum('z * z')} AS s2
+            FROM dev GROUP BY source
+        ),
+        tot AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS n_tot,
+                   CAST(COUNT(*) AS BIGINT) AS k,
+                   {sql_dsum('s1')} AS g1,
+                   {sql_dsum('s2')} AS g2
+            FROM groups
+        ),
+        parts AS (
+            SELECT t.k, t.n_tot,
+                   {sql_dsum('g.s1 * g.s1 / g.n')}
+                       - t.g1 * t.g1 / t.n_tot AS ss_between,
+                   t.g2 - {sql_dsum('g.s1 * g.s1 / g.n')} AS ss_within
+            FROM groups g CROSS JOIN tot t
+            GROUP BY t.k, t.n_tot, t.g1, t.g2
+        )
+        SELECT k AS n_groups,
+               n_tot AS n_docs,
+               {sql_round4(
+                   '(ss_between / (k - 1)) / (ss_within / (n_tot - k))'
+               )} AS levene_w
+        FROM parts
+    """,
+    tags=("ml", "stats", "test"),
+)
+def ml_levene_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Levene's test for homogeneity of variance across sources — do
+    document-length *spreads* differ by source, not just their means
+    (``ml_anova_oneway`` answers the means question on the same table)?
+    Mean-centered variant: z = |x − x̄_g|, then the one-way-ANOVA F on
+    z. Two scan passes by necessity (means, then deviations), but the
+    second pass joins the 20-row group means via broadcast so nothing
+    reshuffles the corpus; the F itself reduces from per-group power
+    sums exactly as ANOVA does. Heteroscedastic lengths invalidate the
+    pooled-variance assumption of plain ANOVA — run this first."""
+    d = load_table(spark, sf, "documents")
+    x = F.col("n_chars").cast("double")
+    means = d.groupBy("source").agg(davg(x).alias("m"))
+    dev = d.join(F.broadcast(means), "source").select(
+        "source", F.abs(x - F.col("m")).alias("z")
+    )
+    groups = dev.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum(F.col("z")).alias("s1"),
+        dsum(F.col("z") * F.col("z")).alias("s2"),
+    )
+    tot = groups.agg(
+        F.sum("n").cast("bigint").alias("n_tot"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        dsum(F.col("s1")).alias("g1"),
+        dsum(F.col("s2")).alias("g2"),
+    )
+    parts = (
+        groups.crossJoin(F.broadcast(tot))
+        .groupBy("k", "n_tot", "g1", "g2")
+        .agg(dsum(F.col("s1") * F.col("s1") / F.col("n")).alias("explained"))
+    )
+    ss_between = F.col("explained") - F.col("g1") * F.col("g1") / F.col("n_tot")
+    ss_within = F.col("g2") - F.col("explained")
+    return parts.select(
+        F.col("k").alias("n_groups"),
+        F.col("n_tot").alias("n_docs"),
+        round4(
+            (ss_between / (F.col("k") - 1))
+            / (ss_within / (F.col("n_tot") - F.col("k")))
+        ).alias("levene_w"),
+    )
+
+
+@query(
+    "ml_grubbs_test",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(FLOOR({sql_dsum('value')} * 100.0 + 0.5) AS BIGINT)
+                       AS rev_cents
+            FROM events GROUP BY 1
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   {sql_dsum('rev_cents')} AS s1,
+                   {sql_dsum('CAST(rev_cents AS DOUBLE) * rev_cents')} AS s2
+            FROM daily
+        ),
+        scored AS (
+            SELECT d.day, d.rev_cents, s.n,
+                   ABS(d.rev_cents - s.s1 / s.n)
+                       / SQRT((s.n * s.s2 - s.s1 * s.s1) / (s.n * (s.n - 1.0)))
+                       AS g
+            FROM daily d CROSS JOIN s
+        )
+        SELECT n AS n_days,
+               day AS outlier_day,
+               rev_cents,
+               {sql_round4('g')} AS g_stat
+        FROM scored
+        ORDER BY g DESC, day ASC
+        LIMIT 1
+    """,
+    tags=("ml", "stats", "test", "outlier"),
+)
+def ml_grubbs_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Grubbs' maximum-studentized-deviate test on the daily-revenue
+    series: G = max|xᵢ − x̄|/s — is the most extreme day an outlier
+    beyond what a normal series of n days would produce? The series is
+    integer cents at day grain, so the power sums behind x̄ and the
+    sample s are exact and the studentization is one engine-identical
+    float expression; argmax ties break on the day. Reduction-first
+    discipline: the quadratic-free single pass aggregates 100 TB of
+    events to ≤31 rows before any per-row scoring, and the 1-row stats
+    frame is broadcast, not windowed."""
+    e = load_table(spark, sf, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.floor(dsum(F.col("value")) * 100.0 + 0.5).cast("bigint").alias(
+            "rev_cents"
+        )
+    )
+    s = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum(F.col("rev_cents")).alias("s1"),
+        dsum(F.col("rev_cents").cast("double") * F.col("rev_cents")).alias(
+            "s2"
+        ),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    g = F.abs(F.col("rev_cents") - s1 / n) / F.sqrt(
+        (n * s2 - s1 * s1) / (n * (n - 1.0))
+    )
+    return (
+        daily.crossJoin(F.broadcast(s))
+        .select(
+            n.alias("n_days"),
+            F.col("day").alias("outlier_day"),
+            "rev_cents",
+            round4(g).alias("g_stat"),
+            g.alias("_g"),
+        )
+        .orderBy(F.col("_g").desc(), F.col("outlier_day").asc())
+        .limit(1)
+        .drop("_g")
+    )
+
+
+@query(
+    "ml_cronbach_alpha",
+    oracle=f"""
+        WITH items AS (
+            SELECT CAST(embedding[1] AS DOUBLE) AS x1,
+                   CAST(embedding[2] AS DOUBLE) AS x2,
+                   CAST(embedding[3] AS DOUBLE) AS x3,
+                   CAST(embedding[4] AS DOUBLE) AS x4,
+                   CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE)
+                       + CAST(embedding[3] AS DOUBLE)
+                       + CAST(embedding[4] AS DOUBLE) AS t
+            FROM embeddings
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   {sql_dsum('x1')} AS s1_1, {sql_dsum('x1 * x1')} AS s2_1,
+                   {sql_dsum('x2')} AS s1_2, {sql_dsum('x2 * x2')} AS s2_2,
+                   {sql_dsum('x3')} AS s1_3, {sql_dsum('x3 * x3')} AS s2_3,
+                   {sql_dsum('x4')} AS s1_4, {sql_dsum('x4 * x4')} AS s2_4,
+                   {sql_dsum('t')} AS st1, {sql_dsum('t * t')} AS st2
+            FROM items
+        ),
+        v AS (
+            SELECT n,
+                   (n * s2_1 - s1_1 * s1_1) / (n * (n - 1.0))
+                 + (n * s2_2 - s1_2 * s1_2) / (n * (n - 1.0))
+                 + (n * s2_3 - s1_3 * s1_3) / (n * (n - 1.0))
+                 + (n * s2_4 - s1_4 * s1_4) / (n * (n - 1.0)) AS item_var,
+                   (n * st2 - st1 * st1) / (n * (n - 1.0)) AS total_var
+            FROM s
+        )
+        SELECT n AS n_vecs,
+               CAST(4 AS BIGINT) AS k_items,
+               {sql_round4('item_var')} AS sum_item_var,
+               {sql_round4('total_var')} AS total_var,
+               {sql_round4('(4.0 / 3.0) * (1.0 - item_var / total_var)')}
+                   AS cronbach_alpha
+        FROM v
+    """,
+    tags=("ml", "stats", "embedding"),
+)
+def ml_cronbach_alpha(spark: SparkSession, sf: str) -> DataFrame:
+    """Cronbach's α internal-consistency coefficient treating the first
+    four embedding dimensions as scale items: α = k/(k−1)·(1 − Σσ²ᵢ/σ²ₜ)
+    where σ²ₜ is the variance of the per-row item sum. The embedding
+    audit question it answers: do leading dimensions co-vary like one
+    latent factor (α→1) or carry independent signal (α→0 or negative —
+    what a well-trained decorrelated embedding should show)? One
+    aggregation pass collects all ten power sums; float32 dims are cast
+    to double identically on both engines and every sum is decimal-
+    exact, leaving one float expression per output cell."""
+    em = load_table(spark, sf, "embeddings")
+    xs = [F.col("embedding")[i].cast("double") for i in range(4)]
+    t = xs[0] + xs[1] + xs[2] + xs[3]
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for i, x in enumerate(xs, 1):
+        aggs.append(dsum(x).alias(f"s1_{i}"))
+        aggs.append(dsum(x * x).alias(f"s2_{i}"))
+    aggs.append(dsum(t).alias("st1"))
+    aggs.append(dsum(t * t).alias("st2"))
+    s = em.agg(*aggs)
+    n = F.col("n")
+    denom = n * (n - 1.0)
+    item_var = sum(
+        (n * F.col(f"s2_{i}") - F.col(f"s1_{i}") * F.col(f"s1_{i}")) / denom
+        for i in range(1, 5)
+    )
+    total_var = (n * F.col("st2") - F.col("st1") * F.col("st1")) / denom
+    return s.select(
+        n.alias("n_vecs"),
+        F.lit(4).cast("bigint").alias("k_items"),
+        round4(item_var).alias("sum_item_var"),
+        round4(total_var).alias("total_var"),
+        round4((4.0 / 3.0) * (1.0 - item_var / total_var)).alias(
+            "cronbach_alpha"
+        ),
+    )
+
+
+@query(
+    "ml_durbin_watson",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(FLOOR({sql_dsum('value')} * 100.0 + 0.5) AS BIGINT)
+                       AS y
+            FROM events GROUP BY 1
+        ),
+        idx AS (
+            SELECT day, y,
+                   CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i
+            FROM daily
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   {sql_dsum('i')} AS si, {sql_dsum('CAST(i AS DOUBLE) * i')} AS sii,
+                   {sql_dsum('y')} AS sy, {sql_dsum('CAST(i AS DOUBLE) * y')} AS siy
+            FROM idx
+        ),
+        fit AS (
+            SELECT n,
+                   (n * siy - si * sy) / (n * sii - si * si) AS b,
+                   sy / n - (n * siy - si * sy) / (n * sii - si * si) * si / n
+                       AS a
+            FROM s
+        ),
+        resid AS (
+            SELECT x.day, x.i,
+                   x.y - (f.a + f.b * x.i) AS e,
+                   f.n
+            FROM idx x CROSS JOIN fit f
+        ),
+        lagged AS (
+            SELECT n, e,
+                   e - LAG(e) OVER (ORDER BY i) AS de
+            FROM resid
+        )
+        SELECT CAST(MAX(n) AS BIGINT) AS n_days,
+               {sql_round4(f"{sql_dsum('de * de')} / {sql_dsum('e * e')}")}
+                   AS durbin_watson
+        FROM lagged
+    """,
+    tags=("ml", "stats", "timeseries"),
+)
+def ml_durbin_watson(spark: SparkSession, sf: str) -> DataFrame:
+    """Durbin–Watson autocorrelation test on detrended daily revenue:
+    fit the OLS trend line in closed form (power sums, one pass over the
+    day grain), take residuals, and report DW = Σ(eₜ−eₜ₋₁)²/Σeₜ² — ≈2
+    means white-noise residuals, →0 positive serial correlation (the
+    trend missed a regime), →4 negative (overdifferencing). The lag
+    window and row-number run on the ≤31-row daily series after the
+    100 TB-of-events reduction; residuals are doubles fed through
+    decimal sums so the ratio is partition-order invariant."""
+    e = load_table(spark, sf, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.floor(dsum(F.col("value")) * 100.0 + 0.5).cast("bigint").alias("y")
+    )
+    idx = daily.select(
+        "day", "y", F.row_number().over(W.orderBy("day")).cast("bigint").alias("i")
+    )
+    s = idx.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum(F.col("i")).alias("si"),
+        dsum(F.col("i").cast("double") * F.col("i")).alias("sii"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("i").cast("double") * F.col("y")).alias("siy"),
+    )
+    n = F.col("n")
+    b = (n * F.col("siy") - F.col("si") * F.col("sy")) / (
+        n * F.col("sii") - F.col("si") * F.col("si")
+    )
+    fit = s.select("n", b.alias("b"), (F.col("sy") / n - b * F.col("si") / n).alias("a"))
+    resid = idx.crossJoin(F.broadcast(fit)).select(
+        "n", "i", (F.col("y") - (F.col("a") + F.col("b") * F.col("i"))).alias("e")
+    )
+    lagged = resid.select(
+        "n", "e", (F.col("e") - F.lag("e").over(W.orderBy("i"))).alias("de")
+    )
+    return lagged.agg(
+        F.max("n").cast("bigint").alias("n_days"),
+        round4(
+            dsum(F.col("de") * F.col("de")) / dsum(F.col("e") * F.col("e"))
+        ).alias("durbin_watson"),
+    )
+
+
+@query(
+    "ml_jackknife_ratio",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS x,
+                   CAST(FLOOR({sql_dsum('value')} * 100.0 + 0.5) AS BIGINT)
+                       AS y
+            FROM events GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy
+            FROM daily
+        ),
+        loo AS (
+            SELECT t.n, t.sx, t.sy,
+                   CAST(t.sy - d.y AS DOUBLE) / (t.sx - d.x) AS r_i
+            FROM daily d CROSS JOIN tot t
+        ),
+        s AS (
+            SELECT n, sx, sy,
+                   {sql_dsum('r_i')} AS s1,
+                   {sql_dsum('r_i * r_i')} AS s2
+            FROM loo GROUP BY n, sx, sy
+        )
+        SELECT n AS n_days,
+               {sql_round4('CAST(sy AS DOUBLE) / sx')} AS ratio_cents,
+               {sql_round4('(n - 1.0) * (s1 / n - CAST(sy AS DOUBLE) / sx)')}
+                   AS jack_bias,
+               {sql_round4(
+                   'SQRT((n - 1.0) / n * (s2 - s1 * s1 / n))'
+               )} AS jack_se
+        FROM s
+    """,
+    tags=("ml", "stats", "resampling"),
+)
+def ml_jackknife_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """Delete-one jackknife for the ratio estimator revenue-per-event
+    (a nonlinear statistic whose naive SE is biased): with day-grain
+    totals (xᵢ events, yᵢ cents), each leave-one-out replicate is the
+    closed form (Sy−yᵢ)/(Sx−xᵢ) — no resampling pass, just the totals
+    broadcast back over the 31 rows. Reports the plug-in ratio, the
+    jackknife bias estimate (n−1)(R̄₍₋₎−R̂), and the jackknife SE from
+    power sums of the replicates. The whole procedure is two tiny
+    aggregates after the one corpus scan, the pattern for jackknifing
+    any smooth statistic at 100 TB: replicate over GROUPS, not rows."""
+    e = load_table(spark, sf, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x"),
+        F.floor(dsum(F.col("value")) * 100.0 + 0.5).cast("bigint").alias("y"),
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+    )
+    loo = daily.crossJoin(F.broadcast(tot)).select(
+        "n", "sx", "sy",
+        ((F.col("sy") - F.col("y")).cast("double") / (F.col("sx") - F.col("x"))).alias("r_i"),
+    )
+    s = loo.groupBy("n", "sx", "sy").agg(
+        dsum(F.col("r_i")).alias("s1"),
+        dsum(F.col("r_i") * F.col("r_i")).alias("s2"),
+    )
+    n = F.col("n")
+    ratio = F.col("sy").cast("double") / F.col("sx")
+    return s.select(
+        n.alias("n_days"),
+        round4(ratio).alias("ratio_cents"),
+        round4((n - 1.0) * (F.col("s1") / n - ratio)).alias("jack_bias"),
+        round4(
+            F.sqrt((n - 1.0) / n * (F.col("s2") - F.col("s1") * F.col("s1") / n))
+        ).alias("jack_se"),
+    )
+
+
+@query(
+    "ml_ridge_path",
+    oracle=f"""
+        WITH s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   {sql_dsum('l_quantity')} AS sx1,
+                   {sql_dsum('l_discount')} AS sx2,
+                   {sql_dsum('l_extendedprice')} AS sy,
+                   {sql_dsum('l_quantity * l_quantity')} AS sx1x1,
+                   {sql_dsum('l_quantity * l_discount')} AS sx1x2,
+                   {sql_dsum('l_discount * l_discount')} AS sx2x2,
+                   {sql_dsum('l_quantity * l_extendedprice')} AS sx1y,
+                   {sql_dsum('l_discount * l_extendedprice')} AS sx2y,
+                   {sql_dsum('l_extendedprice * l_extendedprice')} AS syy
+            FROM lineitem
+        ),
+        r AS (
+            SELECT n,
+                   (n * sx1x2 - sx1 * sx2)
+                       / SQRT((n * sx1x1 - sx1 * sx1) * (n * sx2x2 - sx2 * sx2))
+                       AS r12,
+                   (n * sx1y - sx1 * sy)
+                       / SQRT((n * sx1x1 - sx1 * sx1) * (n * syy - sy * sy))
+                       AS r1y,
+                   (n * sx2y - sx2 * sy)
+                       / SQRT((n * sx2x2 - sx2 * sx2) * (n * syy - sy * sy))
+                       AS r2y
+            FROM s
+        )
+        SELECT CAST(lam AS DOUBLE) AS lam,
+               {sql_round4(
+                   '((1.0 + lam) * r1y - r12 * r2y)'
+                   ' / ((1.0 + lam) * (1.0 + lam) - r12 * r12)'
+               )} AS beta_qty_std,
+               {sql_round4(
+                   '((1.0 + lam) * r2y - r12 * r1y)'
+                   ' / ((1.0 + lam) * (1.0 + lam) - r12 * r12)'
+               )} AS beta_disc_std
+        FROM r CROSS JOIN (VALUES (0.0), (0.1), (1.0), (10.0)) AS l(lam)
+    """,
+    tags=("ml", "regression"),
+)
+def ml_ridge_path(spark: SparkSession, sf: str) -> DataFrame:
+    """Ridge regularization path for the standardized two-feature
+    regression price ~ quantity + discount: solve (R + λI)β = r on the
+    correlation matrix at λ ∈ {0, 0.1, 1, 10} — λ=0 reproduces OLS
+    (``ml_linreg_multi``'s standardized twin), growing λ shows the
+    coefficients shrinking toward zero, the collinearity diagnostic in
+    four rows. The key scale property: ALL λ values share the single
+    sufficient-statistics pass (9 decimal-exact power sums); the path is
+    a 4-row cross join against one broadcast row, so exploring 100
+    λ values costs zero extra scans of 100 TB."""
+    li = load_table(spark, sf, "lineitem")
+    x1, x2, y = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
+    s = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum(x1).alias("sx1"),
+        dsum(x2).alias("sx2"),
+        dsum(y).alias("sy"),
+        dsum(x1 * x1).alias("sx1x1"),
+        dsum(x1 * x2).alias("sx1x2"),
+        dsum(x2 * x2).alias("sx2x2"),
+        dsum(x1 * y).alias("sx1y"),
+        dsum(x2 * y).alias("sx2y"),
+        dsum(y * y).alias("syy"),
+    )
+    n = F.col("n")
+    r12 = (n * F.col("sx1x2") - F.col("sx1") * F.col("sx2")) / F.sqrt(
+        (n * F.col("sx1x1") - F.col("sx1") * F.col("sx1"))
+        * (n * F.col("sx2x2") - F.col("sx2") * F.col("sx2"))
+    )
+    r1y = (n * F.col("sx1y") - F.col("sx1") * F.col("sy")) / F.sqrt(
+        (n * F.col("sx1x1") - F.col("sx1") * F.col("sx1"))
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    r2y = (n * F.col("sx2y") - F.col("sx2") * F.col("sy")) / F.sqrt(
+        (n * F.col("sx2x2") - F.col("sx2") * F.col("sx2"))
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    r = s.select("n", r12.alias("r12"), r1y.alias("r1y"), r2y.alias("r2y"))
+    lams = spark.createDataFrame([(0.0,), (0.1,), (1.0,), (10.0,)], "lam double")
+    joined = r.crossJoin(lams)
+    det = (1.0 + F.col("lam")) * (1.0 + F.col("lam")) - F.col("r12") * F.col("r12")
+    return joined.select(
+        "lam",
+        round4(
+            ((1.0 + F.col("lam")) * F.col("r1y") - F.col("r12") * F.col("r2y")) / det
+        ).alias("beta_qty_std"),
+        round4(
+            ((1.0 + F.col("lam")) * F.col("r2y") - F.col("r12") * F.col("r1y")) / det
+        ).alias("beta_disc_std"),
+    )
