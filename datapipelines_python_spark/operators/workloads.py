@@ -8166,3 +8166,307 @@ def workload_newsvendor(spark: SparkSession, sf: str) -> DataFrame:
         round4(davg(q)).alias("mean_daily_demand"),
         round4(F.percentile(q, F.lit(0.75)) / davg(q)).alias("buffer_ratio"),
     )
+
+
+@query(
+    "workload_changepoint",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(FLOOR({sql_dsum('value')} * 100.0 + 0.5) AS BIGINT)
+                       AS y
+            FROM events GROUP BY 1
+        ),
+        idx AS (
+            SELECT day, y,
+                   CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i,
+                   CAST(SUM(y) OVER (ORDER BY day) AS BIGINT) AS p1,
+                   {'CAST(CAST(SUM(CAST(CAST(y AS DOUBLE) * y AS DECIMAL(38,8))) OVER (ORDER BY day) AS VARCHAR) AS DOUBLE)'} AS p2,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS n,
+                   CAST(SUM(y) OVER () AS BIGINT) AS t1,
+                   {'CAST(CAST(SUM(CAST(CAST(y AS DOUBLE) * y AS DECIMAL(38,8))) OVER () AS VARCHAR) AS DOUBLE)'} AS t2
+            FROM daily
+        ),
+        scored AS (
+            SELECT day, i, n, t1, t2,
+                   (p2 - CAST(p1 AS DOUBLE) * p1 / i)
+                 + ((t2 - p2) - (CAST(t1 - p1 AS DOUBLE) * (t1 - p1)) / (n - i))
+                       AS split_sse,
+                   CAST(p1 AS DOUBLE) / i AS left_mean,
+                   CAST(t1 - p1 AS DOUBLE) / (n - i) AS right_mean
+            FROM idx WHERE i < n
+        )
+        SELECT day AS split_day,
+               i AS n_left,
+               n - i AS n_right,
+               {sql_round4('left_mean')} AS left_mean_cents,
+               {sql_round4('right_mean')} AS right_mean_cents,
+               {sql_round4('(t2 - CAST(t1 AS DOUBLE) * t1 / n) - split_sse')}
+                   AS sse_reduction
+        FROM scored
+        ORDER BY split_sse ASC, day ASC
+        LIMIT 1
+    """,
+    tags=("workload", "timeseries", "changepoint"),
+)
+def workload_changepoint(spark: SparkSession, sf: str) -> DataFrame:
+    """Single mean-shift changepoint on the daily-revenue series — the
+    binary-segmentation step under every changepoint detector: pick the
+    split minimizing SSE_left + SSE_right. Prefix power sums via one
+    cumulative window make every candidate split O(1), so scoring all
+    n−1 splits is one pass over the ≤31-row day grain (never the
+    quadratic re-aggregation of the naive form, and never a second scan
+    of the raw events). Integer-cents prefix sums are exact; each
+    split's SSE is a single float expression, ties break on day.
+    Recursing on each side yields full binary segmentation — same plan
+    shape per level."""
+    e = load_table(spark, sf, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.floor(dsum(F.col("value")) * 100.0 + 0.5).cast("bigint").alias("y")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.orderBy("day").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    y = F.col("y")
+    y2 = y.cast("double") * y
+    idx = daily.select(
+        "day",
+        F.row_number().over(W.orderBy("day")).cast("bigint").alias("i"),
+        F.sum(y).over(w).cast("bigint").alias("p1"),
+        F.sum(y2.cast(DEC)).over(w).cast("double").alias("p2"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n"),
+        F.sum(y).over(wall).cast("bigint").alias("t1"),
+        F.sum(y2.cast(DEC)).over(wall).cast("double").alias("t2"),
+    )
+    i, n = F.col("i"), F.col("n")
+    p1, p2, t1, t2 = F.col("p1"), F.col("p2"), F.col("t1"), F.col("t2")
+    sse = (p2 - p1.cast("double") * p1 / i) + (
+        (t2 - p2) - (t1 - p1).cast("double") * (t1 - p1) / (n - i)
+    )
+    scored = idx.filter(i < n).select(
+        "day", "i", "n",
+        sse.alias("split_sse"),
+        (p1.cast("double") / i).alias("left_mean"),
+        ((t1 - p1).cast("double") / (n - i)).alias("right_mean"),
+        (t2 - t1.cast("double") * t1 / n - sse).alias("reduction"),
+    )
+    return (
+        scored.orderBy(F.col("split_sse").asc(), F.col("day").asc())
+        .limit(1)
+        .select(
+            F.col("day").alias("split_day"),
+            F.col("i").alias("n_left"),
+            (F.col("n") - F.col("i")).alias("n_right"),
+            round4(F.col("left_mean")).alias("left_mean_cents"),
+            round4(F.col("right_mean")).alias("right_mean_cents"),
+            round4(F.col("reduction")).alias("sse_reduction"),
+        )
+    )
+
+
+@query(
+    "workload_mann_kendall",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(FLOOR({sql_dsum('value')} * 100.0 + 0.5) AS BIGINT)
+                       AS y
+            FROM events GROUP BY 1
+        ),
+        pairs AS (
+            SELECT CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                                 WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT)
+                       AS s,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM daily a JOIN daily b ON a.day < b.day
+        ),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily)
+        SELECT n.n AS n_days,
+               p.s AS s_stat,
+               {sql_round4(
+                   '(p.s - CASE WHEN p.s > 0 THEN 1 WHEN p.s < 0 THEN -1'
+                   ' ELSE 0 END)'
+                   ' / SQRT(n.n * (n.n - 1.0) * (2.0 * n.n + 5.0) / 18.0)'
+               )} AS z_score
+        FROM pairs p CROSS JOIN nn n
+    """,
+    tags=("workload", "timeseries", "test"),
+)
+def workload_mann_kendall(spark: SparkSession, sf: str) -> DataFrame:
+    """Mann–Kendall monotone-trend test on daily revenue: S = Σ_{i<j}
+    sign(y_j − y_i), continuity-corrected normal z with the no-ties
+    variance n(n−1)(2n+5)/18 — the nonparametric 'is revenue actually
+    trending' answer that complements ``ml_theil_sen``'s slope estimate
+    (Sen's slope is the magnitude, MK the significance, on the same
+    series). Pairwise comparison is quadratic but on the ≤31-row day
+    grain only — the reduction-first rule — so 100 TB of events costs
+    one scan plus a ≤465-pair in-memory join; comparisons are exact
+    integer cents, engine-identical by construction."""
+    e = load_table(spark, sf, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.floor(dsum(F.col("value")) * 100.0 + 0.5).cast("bigint").alias("y")
+    )
+    a = daily.select(F.col("day").alias("day_a"), F.col("y").alias("y_a"))
+    b = daily.select(F.col("day").alias("day_b"), F.col("y").alias("y_b"))
+    pairs = a.join(b, F.col("day_a") < F.col("day_b")).agg(
+        F.sum(
+            F.when(F.col("y_b") > F.col("y_a"), 1)
+            .when(F.col("y_b") < F.col("y_a"), -1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+    )
+    nn = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    s = F.col("s")
+    cc = F.when(s > 0, 1).when(s < 0, -1).otherwise(0)
+    return pairs.crossJoin(F.broadcast(nn)).select(
+        F.col("n").alias("n_days"),
+        s.alias("s_stat"),
+        round4(
+            (s - cc)
+            / F.sqrt(F.col("n") * (F.col("n") - 1.0) * (2.0 * F.col("n") + 5.0) / 18.0)
+        ).alias("z_score"),
+    )
+
+
+@query(
+    "workload_streak_runs",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(FLOOR({sql_dsum('value')} * 100.0 + 0.5) AS BIGINT)
+                       AS y
+            FROM events GROUP BY 1
+        ),
+        flagged AS (
+            SELECT day, y,
+                   CASE WHEN CAST(y AS DOUBLE)
+                             > CAST(SUM(y) OVER () AS DOUBLE)
+                               / COUNT(*) OVER ()
+                        THEN 1 ELSE 0 END AS above,
+                   CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i
+            FROM daily
+        ),
+        islands AS (
+            SELECT above,
+                   i - ROW_NUMBER() OVER (PARTITION BY above ORDER BY i)
+                       AS grp
+            FROM flagged
+        ),
+        runs AS (
+            SELECT above, grp, CAST(COUNT(*) AS BIGINT) AS run_len
+            FROM islands GROUP BY above, grp
+        )
+        SELECT above,
+               CAST(COUNT(*) AS BIGINT) AS n_runs,
+               CAST(MAX(run_len) AS BIGINT) AS longest_run,
+               {sql_davg('CAST(run_len AS DOUBLE)')} AS avg_run
+        FROM runs GROUP BY above
+    """,
+    tags=("workload", "timeseries", "gaps-islands"),
+)
+def workload_streak_runs(spark: SparkSession, sf: str) -> DataFrame:
+    """Gaps-and-islands run-length analysis: consecutive-day streaks of
+    above-mean vs below-mean revenue (longest winning/losing streak, run
+    counts, average run length — a serial-dependence readout that pairs
+    with ``ml_durbin_watson``). The classic islands trick: row_number
+    minus per-flag row_number is constant within a run, so runs fall out
+    of one groupBy with no self-join or iteration. The above/below
+    threshold is the exact-integer mean compared in doubles —
+    deterministic on both engines; windows run on the reduced ≤31-row
+    series."""
+    e = load_table(spark, sf, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.floor(dsum(F.col("value")) * 100.0 + 0.5).cast("bigint").alias("y")
+    )
+    wall = W.orderBy("day").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    flagged = daily.select(
+        "day",
+        F.when(
+            F.col("y").cast("double")
+            > F.sum("y").over(wall).cast("double") / F.count(F.lit(1)).over(wall),
+            1,
+        )
+        .otherwise(0)
+        .alias("above"),
+        F.row_number().over(W.orderBy("day")).cast("bigint").alias("i"),
+    )
+    islands = flagged.select(
+        "above",
+        (
+            F.col("i")
+            - F.row_number().over(W.partitionBy("above").orderBy("i"))
+        ).alias("grp"),
+    )
+    runs = islands.groupBy("above", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("run_len")
+    )
+    return runs.groupBy("above").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+        F.max("run_len").cast("bigint").alias("longest_run"),
+        davg(F.col("run_len").cast("double")).alias("avg_run"),
+    )
+
+
+@query(
+    "graph_degree_distribution",
+    oracle=f"""
+        WITH {_SQL_MUTUAL_5NN},
+        deg AS (
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+                SELECT u AS node FROM mutual
+                UNION ALL SELECT v FROM mutual
+            ) GROUP BY node
+        )
+        SELECT d AS degree,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               {sql_round4(
+                   'CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM deg)'
+               )} AS share,
+               {sql_round4(
+                   'CAST(SUM(COUNT(*)) OVER (ORDER BY d DESC) AS DOUBLE)'
+                   ' / (SELECT COUNT(*) FROM deg)'
+               )} AS ccdf
+        FROM deg GROUP BY d
+    """,
+    tags=("graph", "stats"),
+)
+def graph_degree_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Degree distribution of the mutual-5-NN cosine graph with the
+    complementary CDF P(D ≥ d) — the first thing to plot before trusting
+    any graph algorithm's cost model: a heavy CCDF tail predicts skewed
+    shuffle keys in triangle counting / PageRank (and argues for the
+    high-degree-vertex mirroring that GraphX/Pregel systems apply). One
+    degree count over the shared session-cached edge list, then a
+    histogram over the tiny degree domain (mutual-kNN caps degree at
+    k=5, which the output verifies). CCDF via a cumulative window on
+    ≤6 rows."""
+    mutual = _mutual_5nn(spark, sf)
+    deg = (
+        mutual.select(F.col("u").alias("node"))
+        .unionAll(mutual.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    n_nodes_total = deg.count()
+    wc = W.orderBy(F.desc("degree")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    hist = deg.groupBy(F.col("d").alias("degree")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
+    return hist.select(
+        "degree",
+        "n_nodes",
+        round4(F.col("n_nodes").cast("double") / F.lit(float(n_nodes_total))).alias(
+            "share"
+        ),
+        round4(
+            F.sum("n_nodes").over(wc).cast("double") / F.lit(float(n_nodes_total))
+        ).alias("ccdf"),
+    )
