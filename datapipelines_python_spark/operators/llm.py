@@ -2316,3 +2316,272 @@ def ml_ranking_metrics(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("mrr"),
     )
+
+
+@query(
+    "llm_word_burstiness",
+    oracle=f"""
+        WITH ex AS (
+            SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+            FROM documents
+        ),
+        w AS (
+            SELECT tok,
+                   CAST(COUNT(*) AS BIGINT) AS cf,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+            FROM ex GROUP BY tok
+        )
+        SELECT tok, cf, df,
+               {sql_round4('CAST(cf AS DOUBLE) / df')} AS burstiness
+        FROM w
+        ORDER BY cf DESC, tok ASC
+        LIMIT 15
+    """,
+    tags=("llm", "text", "stats"),
+)
+def llm_word_burstiness(spark: SparkSession, sf: str) -> DataFrame:
+    """Church–Gale word burstiness: collection frequency over document
+    frequency per token — cf/df ≈ 1 marks evenly sprinkled function
+    words, ≫1 marks bursty content words that pile up inside few
+    documents (the signal separating topical terms from glue, and a
+    cheap feature for ``llm_quality_*`` filters). One explode + one
+    two-measure aggregate; the distinct-doc count rides the same shuffle
+    as the total count (partial distinct per token key). Top-15 by cf
+    with full tie-breaks keeps the output stable across engines and
+    scale factors."""
+    d = load_table(spark, sf, "documents")
+    ex = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    w = ex.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cf"),
+        F.countDistinct("doc_id").cast("bigint").alias("df"),
+    )
+    return (
+        w.select(
+            "tok", "cf", "df",
+            round4(F.col("cf").cast("double") / F.col("df")).alias("burstiness"),
+        )
+        .orderBy(F.col("cf").desc(), F.col("tok").asc())
+        .limit(15)
+    )
+
+
+@query(
+    "llm_template_prefix",
+    oracle="""
+        WITH pref AS (
+            SELECT doc_id, lang,
+                   ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[1:2], ' ')
+                       AS prefix2
+            FROM documents
+        ),
+        grp AS (
+            SELECT prefix2,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+                   CAST(MIN(doc_id) AS BIGINT) AS first_doc
+            FROM pref GROUP BY prefix2
+        )
+        SELECT prefix2, n_docs, n_langs, first_doc
+        FROM grp
+        WHERE n_docs >= 2
+        ORDER BY n_docs DESC, prefix2 ASC
+        LIMIT 15
+    """,
+    tags=("llm", "text", "dedup"),
+)
+def llm_template_prefix(spark: SparkSession, sf: str) -> DataFrame:
+    """Template/boilerplate mining by shared opening n-gram: group the
+    corpus on the first-2-token prefix and surface prefixes that open ≥2
+    documents — the cheap screen for scraped templates, licence
+    headers, and form letters that near-dup LSH (``llm_dedup_minhash``)
+    only catches when the WHOLE document repeats. The prefix is a
+    constant-width substring per row, so this is one hash aggregate on
+    a short key; at 100 TB the same op runs over a longer prefix hashed
+    to 64 bits (``xxhash64``) to keep shuffle rows narrow. Deterministic
+    top-15 with n_docs/prefix tie-break."""
+    d = load_table(spark, sf, "documents")
+    pref = d.select(
+        "doc_id", "lang",
+        F.concat_ws(" ", F.slice(F.split("text", " "), 1, 2)).alias("prefix2"),
+    )
+    grp = pref.groupBy("prefix2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+    )
+    return (
+        grp.filter(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), F.col("prefix2").asc())
+        .limit(15)
+    )
+
+
+@query(
+    "llm_bleu_pairs",
+    oracle=f"""
+        WITH docs AS (
+            SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS toks
+            FROM documents
+        ),
+        pairs AS (
+            SELECT doc_id AS cand_id,
+                   LEAD(doc_id) OVER (PARTITION BY lang ORDER BY doc_id)
+                       AS ref_id,
+                   CAST(LEN(toks) AS BIGINT) AS len_c,
+                   CAST(LEAD(LEN(toks)) OVER (PARTITION BY lang ORDER BY doc_id)
+                        AS BIGINT) AS len_r
+            FROM docs
+        ),
+        live AS (SELECT * FROM pairs WHERE ref_id IS NOT NULL),
+        uni AS (
+            SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM (SELECT doc_id, UNNEST(toks) AS tok FROM docs)
+            GROUP BY doc_id, tok
+        ),
+        ex AS (
+            SELECT doc_id,
+                   GENERATE_SUBSCRIPTS(toks, 1) AS pos,
+                   UNNEST(toks) AS tok
+            FROM docs
+        ),
+        big AS (
+            SELECT doc_id, bigram, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM (
+                SELECT doc_id,
+                       LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+                           || ' ' || tok AS bigram
+                FROM ex
+            ) WHERE bigram IS NOT NULL
+            GROUP BY doc_id, bigram
+        ),
+        clip1 AS (
+            SELECT p.cand_id,
+                   CAST(SUM(LEAST(c.cnt, r.cnt)) AS BIGINT) AS clipped
+            FROM live p
+            JOIN uni c ON c.doc_id = p.cand_id
+            JOIN uni r ON r.doc_id = p.ref_id AND r.tok = c.tok
+            GROUP BY p.cand_id
+        ),
+        clip2 AS (
+            SELECT p.cand_id,
+                   CAST(SUM(LEAST(c.cnt, r.cnt)) AS BIGINT) AS clipped
+            FROM live p
+            JOIN big c ON c.doc_id = p.cand_id
+            JOIN big r ON r.doc_id = p.ref_id AND r.bigram = c.bigram
+            GROUP BY p.cand_id
+        ),
+        scored AS (
+            SELECT p.cand_id,
+                   COALESCE(c1.clipped, 0) AS k1,
+                   COALESCE(c2.clipped, 0) AS k2,
+                   p.len_c, p.len_r,
+                   CAST(COALESCE(c1.clipped, 0) AS DOUBLE) / p.len_c AS p1,
+                   CAST(COALESCE(c2.clipped, 0) AS DOUBLE) / (p.len_c - 1)
+                       AS p2,
+                   CASE WHEN p.len_c >= p.len_r THEN 1.0
+                        ELSE EXP(1.0 - CAST(p.len_r AS DOUBLE) / p.len_c)
+                   END AS bp
+            FROM live p
+            LEFT JOIN clip1 c1 ON c1.cand_id = p.cand_id
+            LEFT JOIN clip2 c2 ON c2.cand_id = p.cand_id
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               {sql_round4(sql_davg('p1'))} AS avg_p1,
+               {sql_round4(sql_davg('p2'))} AS avg_p2,
+               {sql_round4(sql_davg(
+                   'CASE WHEN k1 = 0 OR k2 = 0 THEN 0.0'
+                   ' ELSE bp * EXP(0.5 * (LN(p1) + LN(p2))) END'
+               ))} AS avg_bleu2
+        FROM scored
+    """,
+    tags=("llm", "text", "similarity"),
+)
+def llm_bleu_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus self-BLEU (BLEU-2): each document scored against the next
+    document of the same language — the generation-diversity metric
+    (high self-BLEU = templated/mode-collapsed corpus) computed exactly:
+    clipped unigram+bigram precision, geometric mean, brevity penalty.
+    The plan is the real distributed-BLEU shape: per-doc n-gram count
+    tables (explode + groupBy, map-side combinable), then per-PAIR
+    clipped overlap via joins keyed on (doc, n-gram) — never a
+    quadratic all-pairs pass, and the per-doc count tables are exactly
+    what a 100 TB run would persist once and reuse for every metric
+    that needs n-gram profiles. Zero-overlap pairs survive via left
+    joins; the smoothed score is 0 there by convention."""
+    d = load_table(spark, sf, "documents")
+    docs = d.select("doc_id", "lang", F.split("text", " ").alias("toks"))
+    from pyspark.sql.window import Window as W
+
+    wl = W.partitionBy("lang").orderBy("doc_id")
+    pairs = docs.select(
+        F.col("doc_id").alias("cand_id"),
+        F.lead("doc_id").over(wl).alias("ref_id"),
+        F.size("toks").cast("bigint").alias("len_c"),
+        F.lead(F.size("toks")).over(wl).cast("bigint").alias("len_r"),
+    ).filter(F.col("ref_id").isNotNull())
+    uni = (
+        docs.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    big = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(toks, 1, size(toks) - 1),"
+                    "         slice(toks, 2, size(toks) - 1),"
+                    "         (x, y) -> concat(x, ' ', y))"
+                )
+            ).alias("bigram"),
+        )
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+    def clipped(counts: DataFrame, key: str) -> DataFrame:
+        c = counts.withColumnRenamed("cnt", "c_cnt")
+        r = counts.select(
+            F.col("doc_id").alias("r_doc"),
+            F.col(key).alias(f"r_{key}"),
+            F.col("cnt").alias("r_cnt"),
+        )
+        return (
+            pairs.join(c, c["doc_id"] == pairs["cand_id"])
+            .join(
+                r,
+                (F.col("r_doc") == F.col("ref_id"))
+                & (F.col(f"r_{key}") == F.col(key)),
+            )
+            .groupBy("cand_id")
+            .agg(F.sum(F.least("c_cnt", "r_cnt")).cast("bigint").alias("clipped"))
+        )
+
+    c1 = clipped(uni, "tok").withColumnRenamed("clipped", "k1")
+    c2 = clipped(big, "bigram").withColumnRenamed("clipped", "k2")
+    scored = (
+        pairs.join(c1, "cand_id", "left")
+        .join(c2, "cand_id", "left")
+        .select(
+            F.coalesce(F.col("k1"), F.lit(0)).alias("k1"),
+            F.coalesce(F.col("k2"), F.lit(0)).alias("k2"),
+            "len_c", "len_r",
+        )
+        .select(
+            "k1", "k2",
+            (F.col("k1").cast("double") / F.col("len_c")).alias("p1"),
+            (F.col("k2").cast("double") / (F.col("len_c") - 1)).alias("p2"),
+            F.when(F.col("len_c") >= F.col("len_r"), F.lit(1.0))
+            .otherwise(F.exp(1.0 - F.col("len_r").cast("double") / F.col("len_c")))
+            .alias("bp"),
+        )
+    )
+    bleu = F.when((F.col("k1") == 0) | (F.col("k2") == 0), F.lit(0.0)).otherwise(
+        F.col("bp") * F.exp(0.5 * (F.log("p1") + F.log("p2")))
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        round4(davg(F.col("p1"))).alias("avg_p1"),
+        round4(davg(F.col("p2"))).alias("avg_p2"),
+        round4(davg(bleu)).alias("avg_bleu2"),
+    )
