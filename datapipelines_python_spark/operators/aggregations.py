@@ -967,3 +967,46 @@ def agg_grouping_id(spark: SparkSession, sf: str) -> DataFrame:
         "o_orderstatus", "o_orderpriority",
         "g_status", "g_priority", "grouping_id", "n",
     )
+
+
+@query(
+    "agg_regr_builtins",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(REGR_COUNT(l_extendedprice, l_quantity) AS BIGINT)
+                   AS n_pairs,
+               FLOOR(REGR_SLOPE(l_extendedprice, l_quantity) * 10000.0 + 0.5)
+                   / 10000.0 AS slope,
+               FLOOR(REGR_INTERCEPT(l_extendedprice, l_quantity) * 10000.0
+                     + 0.5) / 10000.0 AS intercept,
+               FLOOR(REGR_R2(l_extendedprice, l_quantity) * 10000.0 + 0.5)
+                   / 10000.0 AS r2,
+               FLOOR(REGR_AVGX(l_extendedprice, l_quantity) * 10000.0 + 0.5)
+                   / 10000.0 AS avg_x,
+               FLOOR(REGR_AVGY(l_extendedprice, l_quantity) * 10000.0 + 0.5)
+                   / 10000.0 AS avg_y
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("agg", "regression"),
+)
+def agg_regr_builtins(spark: SparkSession, sf: str) -> DataFrame:
+    """The SQL-standard bivariate REGR_* aggregate family (count, slope,
+    intercept, R², mean-x, mean-y) grouped by return flag — the
+    one-aggregate-pass regression surface both engines ship natively.
+    Where ``ml_linreg_multi`` builds the fit from explicit power sums
+    (the partition-invariant decimal path), this op exercises the
+    built-in accumulators: JVM-side, whole-stage-codegen'd, partial+
+    final mergeable — the idiomatic way when 4-decimal reproducibility
+    (round4 absorbs float accumulation-order noise) is acceptable."""
+    li = load_table(spark, sf, "lineitem")
+    y, x = "l_extendedprice", "l_quantity"
+    r4 = lambda c: F.floor(c * 10000.0 + 0.5) / 10000.0
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count(y, x).cast("bigint").alias("n_pairs"),
+        r4(F.regr_slope(y, x)).alias("slope"),
+        r4(F.regr_intercept(y, x)).alias("intercept"),
+        r4(F.regr_r2(y, x)).alias("r2"),
+        r4(F.regr_avgx(y, x)).alias("avg_x"),
+        r4(F.regr_avgy(y, x)).alias("avg_y"),
+    )

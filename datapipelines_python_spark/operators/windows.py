@@ -556,3 +556,55 @@ def win_forward_fill(spark: SparkSession, sf: str) -> DataFrame:
         "event_id", "user_id", "ts", "v",
         F.last("v", ignorenulls=True).over(w).alias("v_filled"),
     )
+
+
+@query(
+    "win_rank_fractions",
+    oracle="""
+        WITH ranked AS (
+            SELECT event_type,
+                   value,
+                   PERCENT_RANK() OVER (PARTITION BY event_type
+                                        ORDER BY value) AS pr,
+                   CUME_DIST() OVER (PARTITION BY event_type
+                                     ORDER BY value) AS cd,
+                   NTILE(4) OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS quartile
+            FROM events
+        )
+        SELECT event_type,
+               quartile,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               FLOOR(MIN(pr) * 10000.0 + 0.5) / 10000.0 AS min_pr,
+               FLOOR(MAX(pr) * 10000.0 + 0.5) / 10000.0 AS max_pr,
+               FLOOR(MAX(cd) * 10000.0 + 0.5) / 10000.0 AS max_cd
+        FROM ranked
+        GROUP BY event_type, quartile
+    """,
+    tags=("window", "rank"),
+)
+def win_rank_fractions(spark: SparkSession, sf: str) -> DataFrame:
+    """The fractional-rank window family in one plan: PERCENT_RANK,
+    CUME_DIST, and NTILE(4) per event type, summarized per quartile (the
+    quartile boundaries in percent-rank/cume-dist terms). NTILE's
+    ordering adds event_id as tiebreak because its bucketing — unlike
+    percent_rank's — depends on total order among equal keys. All three
+    functions share ONE window sort per partition key; Spark evaluates
+    them in a single WindowExec pass, and partitioning by event_type
+    keeps the sort distributed (no global window — the 100 TB shape)."""
+    e = load_table(spark, sf, "events")
+    w = W.partitionBy("event_type").orderBy("value")
+    wt = W.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = e.select(
+        "event_type",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.ntile(4).over(wt).alias("quartile"),
+    )
+    r4 = lambda c: F.floor(c * 10000.0 + 0.5) / 10000.0
+    return ranked.groupBy("event_type", "quartile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        r4(F.min("pr")).alias("min_pr"),
+        r4(F.max("pr")).alias("max_pr"),
+        r4(F.max("cd")).alias("max_cd"),
+    )
