@@ -876,3 +876,38 @@ def scan_recursive_file_lookup(spark: SparkSession, sf: str) -> DataFrame:
         .parquet(base)
         .select("r_regionkey", "r_name")
     )
+
+
+@query(
+    "scan_xml_roundtrip",
+    oracle="""
+        SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+    tags=("scan", "connector"),
+)
+def scan_xml_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """XML sink + source roundtrip on the nation dimension — Spark 4's
+    built-in XML data source (`format("xml")`, the spark-xml package
+    folded into core), the interchange format that still fronts most
+    enterprise/feed ingest. Written with an explicit rowTag and read
+    back under an explicit schema: XML inference widens every number to
+    long/double, so schema-on-read is the only scale-safe posture (same
+    rule as JSON). Element-per-row layout splits cleanly, so a 100 TB
+    XML drop parallelizes per file exactly like the CSV/JSON sources."""
+    n = load_table(spark, sf, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    path = scratch_dir("xml_nation")
+    (
+        n.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "nations")
+        .option("rowTag", "nation")
+        .save(path)
+    )
+    return (
+        spark.read.schema("n_nationkey int, n_name string, n_regionkey int")
+        .format("xml")
+        .option("rowTag", "nation")
+        .load(path)
+    )
