@@ -8470,3 +8470,265 @@ def graph_degree_distribution(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("n_nodes").over(wc).cast("double") / F.lit(float(n_nodes_total))
         ).alias("ccdf"),
     )
+
+
+@query(
+    "workload_var_cvar",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(FLOOR({sql_dsum('value')} * 100.0 + 0.5) AS BIGINT)
+                       AS y
+            FROM events GROUP BY 1
+        ),
+        rets AS (
+            SELECT day,
+                   CAST(y - LAG(y) OVER (ORDER BY day) AS DOUBLE)
+                       / LAG(y) OVER (ORDER BY day) AS r
+            FROM daily
+        ),
+        live AS (SELECT r FROM rets WHERE r IS NOT NULL),
+        q AS (SELECT quantile_cont(r, 0.05) AS var95 FROM live)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+               {sql_round4('MIN(q.var95)')} AS var_95,
+               {sql_round4(sql_davg('CASE WHEN l.r <= q.var95 THEN l.r END'))}
+                   AS cvar_95,
+               CAST(SUM(CASE WHEN l.r <= q.var95 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_tail_days
+        FROM live l CROSS JOIN q
+    """,
+    tags=("workload", "finance", "risk"),
+)
+def workload_var_cvar(spark: SparkSession, sf: str) -> DataFrame:
+    """Value-at-Risk and conditional VaR (expected shortfall) on daily
+    revenue returns: the 5th-percentile return and the mean of returns
+    at or below it — 'how bad is a bad day, and how bad is the average
+    bad day'. Returns come from a lag window on the day grain; the
+    exact-interpolating percentile threshold is computed once and
+    broadcast back over the series (never a per-row subquery), and the
+    tail mean uses the decimal-sum convention. ES is the coherent risk
+    measure Basel moved to precisely because it composes under
+    aggregation — the same property that makes it computable with one
+    extra conditional average here."""
+    e = load_table(spark, sf, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.floor(dsum(F.col("value")) * 100.0 + 0.5).cast("bigint").alias("y")
+    )
+    rets = daily.select(
+        "day",
+        (
+            (F.col("y") - F.lag("y").over(W.orderBy("day"))).cast("double")
+            / F.lag("y").over(W.orderBy("day"))
+        ).alias("r"),
+    ).filter(F.col("r").isNotNull())
+    q = rets.agg(F.percentile(F.col("r"), F.lit(0.05)).alias("var95"))
+    joined = rets.crossJoin(F.broadcast(q))
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        round4(F.min("var95")).alias("var_95"),
+        round4(
+            davg(F.when(F.col("r") <= F.col("var95"), F.col("r")))
+        ).alias("cvar_95"),
+        F.sum(F.when(F.col("r") <= F.col("var95"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_tail_days"),
+    )
+
+
+@query(
+    "workload_drawdown",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(FLOOR({sql_dsum('value')} * 100.0 + 0.5) AS BIGINT)
+                       AS y
+            FROM events GROUP BY 1
+        ),
+        eq AS (
+            SELECT day,
+                   CAST(SUM(y) OVER (ORDER BY day) AS BIGINT) AS equity
+            FROM daily
+        ),
+        curve AS (
+            SELECT day, equity,
+                   CAST(MAX(equity) OVER (ORDER BY day) AS BIGINT) AS peak
+            FROM eq
+        ),
+        dd AS (
+            SELECT day, equity, peak,
+                   CAST(peak - equity AS DOUBLE) / peak AS drawdown
+            FROM curve
+        )
+        SELECT CAST((SELECT COUNT(*) FROM daily) AS BIGINT) AS n_days,
+               day AS trough_day,
+               equity AS equity_cents,
+               peak AS peak_cents,
+               {sql_round4('drawdown')} AS max_drawdown
+        FROM dd
+        ORDER BY drawdown DESC, day ASC
+        LIMIT 1
+    """,
+    tags=("workload", "finance", "timeseries"),
+)
+def workload_drawdown(spark: SparkSession, sf: str) -> DataFrame:
+    """Maximum drawdown of the cumulative-revenue equity curve: running
+    peak via a max-over-cumulative-sum window, drawdown = (peak −
+    equity)/peak, report the worst trough with full tie-breaks. Two
+    stacked cumulative windows over the ≤31-row day grain — the whole
+    point is that the 100 TB event scan reduces FIRST and the
+    inherently sequential windows run on the tiny series (same
+    discipline as every *_daily op; a year of days is still only 365
+    rows). Equity and peak stay exact integer cents; the ratio is the
+    single float step."""
+    e = load_table(spark, sf, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.floor(dsum(F.col("value")) * 100.0 + 0.5).cast("bigint").alias("y")
+    )
+    wc = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    curve = daily.select(
+        "day",
+        F.sum("y").over(wc).cast("bigint").alias("equity"),
+    )
+    curve = curve.select(
+        "day", "equity",
+        F.max("equity").over(wc).cast("bigint").alias("peak"),
+    )
+    n = daily.count()
+    dd = curve.select(
+        "day", "equity", "peak",
+        ((F.col("peak") - F.col("equity")).cast("double") / F.col("peak")).alias(
+            "drawdown"
+        ),
+    )
+    return (
+        dd.orderBy(F.col("drawdown").desc(), F.col("day").asc())
+        .limit(1)
+        .select(
+            F.lit(n).cast("bigint").alias("n_days"),
+            F.col("day").alias("trough_day"),
+            F.col("equity").alias("equity_cents"),
+            F.col("peak").alias("peak_cents"),
+            round4(F.col("drawdown")).alias("max_drawdown"),
+        )
+    )
+
+
+@query(
+    "workload_rsi",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(FLOOR({sql_dsum('value')} * 100.0 + 0.5) AS BIGINT)
+                       AS y
+            FROM events GROUP BY 1
+        ),
+        delta AS (
+            SELECT day,
+                   CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i,
+                   CAST(GREATEST(y - LAG(y) OVER (ORDER BY day), 0)
+                        AS BIGINT) AS gain,
+                   CAST(GREATEST(LAG(y) OVER (ORDER BY day) - y, 0)
+                        AS BIGINT) AS loss
+            FROM daily
+        ),
+        win AS (
+            SELECT day, i,
+                   CAST(SUM(gain) OVER (ORDER BY i
+                        ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS g14,
+                   CAST(SUM(loss) OVER (ORDER BY i
+                        ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS l14
+            FROM delta WHERE i >= 2
+        )
+        SELECT day,
+               {sql_round4(
+                   'CASE WHEN l14 = 0 THEN 100.0 ELSE '
+                   '100.0 - 100.0 / (1.0 + CAST(g14 AS DOUBLE) / l14) END'
+               )} AS rsi14
+        FROM win WHERE i >= 15
+    """,
+    tags=("workload", "finance", "timeseries"),
+)
+def workload_rsi(spark: SparkSession, sf: str) -> DataFrame:
+    """14-day RSI (simple-average Cutler variant — Wilder's recursive
+    smoothing trades partition-invariance for path dependence, so the
+    SMA form is the distributed-systems choice) on daily revenue:
+    up-moves and down-moves from a lag window, 14-row rolling sums,
+    RSI = 100 − 100/(1+RS). Gains/losses stay exact integer cents all
+    the way into the rolling sums; only RS and the final index are
+    float. Emits only days with a full 14-sample window, plus the
+    division-by-zero guard (all-gain fortnight ⇒ RSI 100) evaluated
+    identically on both engines."""
+    e = load_table(spark, sf, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.floor(dsum(F.col("value")) * 100.0 + 0.5).cast("bigint").alias("y")
+    )
+    wd = W.orderBy("day")
+    delta = daily.select(
+        "day",
+        F.row_number().over(wd).cast("bigint").alias("i"),
+        F.greatest(F.col("y") - F.lag("y").over(wd), F.lit(0))
+        .cast("bigint")
+        .alias("gain"),
+        F.greatest(F.lag("y").over(wd) - F.col("y"), F.lit(0))
+        .cast("bigint")
+        .alias("loss"),
+    ).filter(F.col("i") >= 2)
+    w14 = W.orderBy("i").rowsBetween(-13, 0)
+    win = delta.select(
+        "day", "i",
+        F.sum("gain").over(w14).cast("bigint").alias("g14"),
+        F.sum("loss").over(w14).cast("bigint").alias("l14"),
+    ).filter(F.col("i") >= 15)
+    rsi = F.when(F.col("l14") == 0, F.lit(100.0)).otherwise(
+        100.0 - 100.0 / (1.0 + F.col("g14").cast("double") / F.col("l14"))
+    )
+    return win.select("day", round4(rsi).alias("rsi14"))
+
+
+@query(
+    "workload_power_users",
+    oracle="""
+        WITH act AS (
+            SELECT user_id,
+                   CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+                       AS days_active
+            FROM events GROUP BY user_id
+        )
+        SELECT days_active,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               FLOOR(CAST(COUNT(*) AS DOUBLE)
+                     / (SELECT COUNT(*) FROM act) * 10000.0 + 0.5) / 10000.0
+                   AS share
+        FROM act GROUP BY days_active
+    """,
+    tags=("workload", "product", "engagement"),
+)
+def workload_power_users(spark: SparkSession, sf: str) -> DataFrame:
+    """The L28-style engagement histogram: users bucketed by number of
+    distinct active days in the fixture month — the curve whose shape
+    (smile vs decay) is the canonical habit-formation readout, and the
+    denominator behind DAU/MAU stickiness. Two hash aggregates: distinct
+    days per user (partial distinct on (user, day) rides the shuffle),
+    then the tiny histogram; the share denominator reuses the first
+    aggregate rather than rescanning events. At 100 TB the (user, day)
+    distinct is the textbook case for a two-level aggregate — exact
+    here, sketch (HLL) when users stop fitting."""
+    e = load_table(spark, sf, "events")
+    act = e.groupBy("user_id").agg(
+        F.countDistinct(F.col("ts").cast("date")).cast("bigint").alias(
+            "days_active"
+        )
+    )
+    n_users = act.count()
+    return act.groupBy("days_active").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        (
+            F.floor(
+                F.count(F.lit(1)).cast("double") / F.lit(float(n_users)) * 10000.0
+                + 0.5
+            )
+            / 10000.0
+        ).alias("share"),
+    )
