@@ -8732,3 +8732,309 @@ def workload_power_users(spark: SparkSession, sf: str) -> DataFrame:
             / 10000.0
         ).alias("share"),
     )
+
+
+@query(
+    "workload_key_discovery",
+    oracle=f"""
+        SELECT 'lineitem(l_orderkey)' AS candidate,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+               {sql_round4('CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE)'
+                           ' / COUNT(*)')} AS uniqueness,
+               COUNT(DISTINCT l_orderkey) = COUNT(*) AS is_key
+        FROM lineitem
+        UNION ALL
+        SELECT 'lineitem(l_orderkey,l_linenumber)',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(DISTINCT l_orderkey * 16 + l_linenumber)
+                    AS BIGINT),
+               {sql_round4('CAST(COUNT(DISTINCT l_orderkey * 16 + l_linenumber)'
+                           ' AS DOUBLE) / COUNT(*)')},
+               COUNT(DISTINCT l_orderkey * 16 + l_linenumber) = COUNT(*)
+        FROM lineitem
+        UNION ALL
+        SELECT 'orders(o_orderkey)',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(DISTINCT o_orderkey) AS BIGINT),
+               {sql_round4('CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE)'
+                           ' / COUNT(*)')},
+               COUNT(DISTINCT o_orderkey) = COUNT(*)
+        FROM orders
+        UNION ALL
+        SELECT 'events(user_id)',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(DISTINCT user_id) AS BIGINT),
+               {sql_round4('CAST(COUNT(DISTINCT user_id) AS DOUBLE)'
+                           ' / COUNT(*)')},
+               COUNT(DISTINCT user_id) = COUNT(*)
+        FROM events
+    """,
+    tags=("workload", "profiling"),
+)
+def workload_key_discovery(spark: SparkSession, sf: str) -> DataFrame:
+    """Candidate-key discovery: uniqueness ratio (|distinct|/|rows|) for
+    proposed keys across four tables, flagging exact keys — the first
+    profiling pass before choosing join, bucketing, and dedup keys
+    (a 0.999 ratio that LOOKS like a key is exactly how silent fan-out
+    joins are born). The composite candidate is tested through a
+    collision-free packing (orderkey·16 + linenumber, linenumber < 16 —
+    cheaper than a struct distinct and identical on both engines). Each
+    candidate is one count-distinct aggregate; at 100 TB swap exact
+    distinct for HLL with the same plan shape. Lineitem's lone orderkey
+    shows ~0.25 (4 lines/order): a near-key miss the ratio exposes."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    e = load_table(spark, sf, "events")
+
+    def probe(df: DataFrame, name: str, col: F.Column) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("candidate"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct(col).cast("bigint").alias("n_distinct"),
+        ).select(
+            "candidate", "n_rows", "n_distinct",
+            round4(F.col("n_distinct").cast("double") / F.col("n_rows")).alias(
+                "uniqueness"
+            ),
+            (F.col("n_distinct") == F.col("n_rows")).alias("is_key"),
+        )
+
+    return (
+        probe(li, "lineitem(l_orderkey)", F.col("l_orderkey"))
+        .unionAll(
+            probe(
+                li,
+                "lineitem(l_orderkey,l_linenumber)",
+                F.col("l_orderkey") * 16 + F.col("l_linenumber"),
+            )
+        )
+        .unionAll(probe(o, "orders(o_orderkey)", F.col("o_orderkey")))
+        .unionAll(probe(e, "events(user_id)", F.col("user_id")))
+    )
+
+
+@query(
+    "workload_fd_violations",
+    oracle=f"""
+        WITH fd1 AS (
+            SELECT source AS lhs, lang AS rhs FROM documents
+        ),
+        c1 AS (
+            SELECT lhs, rhs, CAST(COUNT(*) AS BIGINT) AS n
+            FROM fd1 GROUP BY lhs, rhs
+        ),
+        g1 AS (
+            SELECT lhs, CAST(SUM(n) AS BIGINT) AS tot,
+                   CAST(MAX(n) AS BIGINT) AS keep
+            FROM c1 GROUP BY lhs
+        ),
+        fd2 AS (
+            SELECT lang AS lhs, source AS rhs FROM documents
+        ),
+        c2 AS (
+            SELECT lhs, rhs, CAST(COUNT(*) AS BIGINT) AS n
+            FROM fd2 GROUP BY lhs, rhs
+        ),
+        g2 AS (
+            SELECT lhs, CAST(SUM(n) AS BIGINT) AS tot,
+                   CAST(MAX(n) AS BIGINT) AS keep
+            FROM c2 GROUP BY lhs
+        ),
+        fd3 AS (
+            SELECT user_id AS lhs, event_type AS rhs FROM events
+        ),
+        c3 AS (
+            SELECT lhs, rhs, CAST(COUNT(*) AS BIGINT) AS n
+            FROM fd3 GROUP BY lhs, rhs
+        ),
+        g3 AS (
+            SELECT lhs, CAST(SUM(n) AS BIGINT) AS tot,
+                   CAST(MAX(n) AS BIGINT) AS keep
+            FROM c3 GROUP BY lhs
+        )
+        SELECT 'documents: source -> lang' AS fd,
+               CAST(COUNT(*) AS BIGINT) AS n_lhs,
+               CAST(SUM(tot) AS BIGINT) AS n_rows,
+               CAST(SUM(tot) - SUM(keep) AS BIGINT) AS n_violating_rows,
+               {sql_round4('CAST(SUM(tot) - SUM(keep) AS DOUBLE) / SUM(tot)')}
+                   AS g3_error,
+               SUM(tot) = SUM(keep) AS holds
+        FROM g1
+        UNION ALL
+        SELECT 'documents: lang -> source',
+               CAST(COUNT(*) AS BIGINT), CAST(SUM(tot) AS BIGINT),
+               CAST(SUM(tot) - SUM(keep) AS BIGINT),
+               {sql_round4('CAST(SUM(tot) - SUM(keep) AS DOUBLE) / SUM(tot)')},
+               SUM(tot) = SUM(keep)
+        FROM g2
+        UNION ALL
+        SELECT 'events: user_id -> event_type',
+               CAST(COUNT(*) AS BIGINT), CAST(SUM(tot) AS BIGINT),
+               CAST(SUM(tot) - SUM(keep) AS BIGINT),
+               {sql_round4('CAST(SUM(tot) - SUM(keep) AS DOUBLE) / SUM(tot)')},
+               SUM(tot) = SUM(keep)
+        FROM g3
+    """,
+    tags=("workload", "profiling"),
+)
+def workload_fd_violations(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate functional-dependency audit with the g3 error measure
+    (Kivinen–Mannila: the minimum fraction of rows to delete for
+    X→Y to hold exactly): Σ(group − argmax) over LHS groups, from a
+    two-level aggregate — count (lhs, rhs) cells, then per-lhs total
+    and max. Three candidate FDs probed in one result; g3 = 0 certifies
+    a dependency you may exploit (e.g., denormalize or prune a join),
+    high g3 kills it. Both aggregation levels are map-side combinable
+    and the cell table is tiny after level 1 — the 100 TB cost is one
+    scan per base table, shared across the FDs probed on it."""
+
+    def g3(df: DataFrame, lhs: str, rhs: str, name: str) -> DataFrame:
+        cells = df.groupBy(
+            F.col(lhs).alias("lhs"), F.col(rhs).alias("rhs")
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        grp = cells.groupBy("lhs").agg(
+            F.sum("n").cast("bigint").alias("tot"),
+            F.max("n").cast("bigint").alias("keep"),
+        )
+        return grp.agg(
+            F.lit(name).alias("fd"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lhs"),
+            F.sum("tot").cast("bigint").alias("n_rows"),
+            (F.sum("tot") - F.sum("keep")).cast("bigint").alias(
+                "n_violating_rows"
+            ),
+            round4(
+                (F.sum("tot") - F.sum("keep")).cast("double") / F.sum("tot")
+            ).alias("g3_error"),
+            (F.sum("tot") == F.sum("keep")).alias("holds"),
+        )
+
+    d = load_table(spark, sf, "documents")
+    e = load_table(spark, sf, "events")
+    return (
+        g3(d, "source", "lang", "documents: source -> lang")
+        .unionAll(g3(d, "lang", "source", "documents: lang -> source"))
+        .unionAll(g3(e, "user_id", "event_type", "events: user_id -> event_type"))
+    )
+
+
+@query(
+    "workload_k_anonymity",
+    oracle=f"""
+        WITH qi AS (
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS grp_size,
+                   CAST(COUNT(DISTINCT CASE WHEN c_acctbal < 0
+                                            THEN 'neg' ELSE 'nonneg' END)
+                        AS BIGINT) AS l_div
+            FROM customer
+            GROUP BY c_nationkey, c_mktsegment
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(grp_size) AS BIGINT) AS n_rows,
+               CAST(MIN(grp_size) AS BIGINT) AS k_anonymity,
+               CAST(SUM(CASE WHEN grp_size < 5 THEN grp_size ELSE 0 END)
+                    AS BIGINT) AS rows_below_k5,
+               {sql_round4(
+                   'CAST(SUM(CASE WHEN grp_size < 5 THEN grp_size ELSE 0 END)'
+                   ' AS DOUBLE) / SUM(grp_size)'
+               )} AS share_below_k5,
+               CAST(MIN(l_div) AS BIGINT) AS l_diversity_min,
+               {sql_round4(sql_davg('CAST(l_div AS DOUBLE)'))}
+                   AS l_diversity_avg
+        FROM qi
+    """,
+    tags=("workload", "privacy", "audit"),
+)
+def workload_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
+    """k-anonymity / l-diversity audit before a data release: group the
+    customer table by its quasi-identifiers (nation × market segment),
+    report the minimum equivalence-class size k, how much of the
+    population sits in classes below the k=5 publishing floor, and the
+    diversity of the sensitive attribute (account-balance sign) within
+    classes — k protects re-identification, l protects attribute
+    disclosure when an attacker knows the class (homogeneity attack).
+    One aggregate over the QI key with a distinct-within-group rider;
+    the audit's 100 TB shape is identical, and the small-class rows it
+    flags are the ones generalization/suppression must fold before
+    release (``workload_gdpr_erasure``'s sibling)."""
+    c = load_table(spark, sf, "customer")
+    qi = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("grp_size"),
+        F.countDistinct(
+            F.when(F.col("c_acctbal") < 0, "neg").otherwise("nonneg")
+        )
+        .cast("bigint")
+        .alias("l_div"),
+    )
+    return qi.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("grp_size").cast("bigint").alias("n_rows"),
+        F.min("grp_size").cast("bigint").alias("k_anonymity"),
+        F.sum(F.when(F.col("grp_size") < 5, F.col("grp_size")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_below_k5"),
+        round4(
+            F.sum(
+                F.when(F.col("grp_size") < 5, F.col("grp_size")).otherwise(0)
+            ).cast("double")
+            / F.sum("grp_size")
+        ).alias("share_below_k5"),
+        F.min("l_div").cast("bigint").alias("l_diversity_min"),
+        round4(davg(F.col("l_div").cast("double"))).alias("l_diversity_avg"),
+    )
+
+
+@query(
+    "workload_dp_clipping",
+    oracle=f"""
+        WITH per_user AS (
+            SELECT user_id, {sql_dsum('value')} AS contrib
+            FROM events GROUP BY user_id
+        ),
+        c AS (SELECT quantile_cont(contrib, 0.95) AS clip_c FROM per_user)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               {sql_round4('MIN(c.clip_c)')} AS clip_c,
+               CAST(SUM(CASE WHEN p.contrib > c.clip_c THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clipped,
+               {sql_round4(sql_dsum('p.contrib'))} AS raw_sum,
+               {sql_round4(sql_dsum('LEAST(p.contrib, c.clip_c)'))}
+                   AS clipped_sum,
+               {sql_round4(
+                   f"({sql_dsum('p.contrib')}"
+                   f" - {sql_dsum('LEAST(p.contrib, c.clip_c)')})"
+                   f" / {sql_dsum('p.contrib')}"
+               )} AS mass_clipped
+        FROM per_user p CROSS JOIN c
+    """,
+    tags=("workload", "privacy", "llm"),
+)
+def workload_dp_clipping(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user contribution bounding — the deterministic half of a
+    differentially-private aggregate (and of DP-SGD's gradient step):
+    total contribution per user, clip threshold C at the p95 of the
+    contribution distribution, then the clipped sum whose sensitivity
+    is exactly C (the noise that would be added downstream scales with
+    C — this op quantifies the bias/sensitivity trade the threshold
+    buys). The user-grain reduction comes first (100 TB of events →
+    one row per user), the broadcast scalar C clips, and both raw and
+    clipped decimal sums ride one final aggregate. Reports the clipped
+    user count and the fraction of mass removed."""
+    e = load_table(spark, sf, "events")
+    per_user = e.groupBy("user_id").agg(dsum(F.col("value")).alias("contrib"))
+    c = per_user.agg(F.percentile(F.col("contrib"), F.lit(0.95)).alias("clip_c"))
+    j = per_user.crossJoin(F.broadcast(c))
+    clipped = F.least(F.col("contrib"), F.col("clip_c"))
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        round4(F.min("clip_c")).alias("clip_c"),
+        F.sum(F.when(F.col("contrib") > F.col("clip_c"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clipped"),
+        round4(dsum(F.col("contrib"))).alias("raw_sum"),
+        round4(dsum(clipped)).alias("clipped_sum"),
+        round4(
+            (dsum(F.col("contrib")) - dsum(clipped)) / dsum(F.col("contrib"))
+        ).alias("mass_clipped"),
+    )
