@@ -25,8 +25,10 @@ from pyspark.sql.window import Window as W
 
 from datapipelines_python_spark.catalog import load_table
 from datapipelines_python_spark.operators._helpers import (
+    davg,
     dsum,
     round4,
+    sql_davg,
     sql_dsum,
     sql_round4,
 )
@@ -4596,4 +4598,132 @@ def llm_heaps_law(spark: SparkSession, sf: str) -> DataFrame:
         round4(
             F.col("vocab_size").cast("double") / F.col("n_tokens")
         ).alias("type_token_ratio"),
+    )
+
+
+@query(
+    "mm_shard_packing",
+    oracle=f"""
+        WITH sized AS (
+            SELECT doc_id, n_chars,
+                   CAST(SUM(n_chars) OVER (
+                       ORDER BY n_chars DESC, doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS BIGINT) AS bytes_before
+            FROM documents
+        ),
+        assigned AS (
+            SELECT doc_id, n_chars,
+                   CAST(COALESCE(bytes_before, 0) // 16384 AS BIGINT)
+                       AS shard_id
+            FROM sized
+        )
+        SELECT shard_id,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(n_chars) AS BIGINT) AS shard_bytes,
+               {sql_round4('CAST(SUM(n_chars) AS DOUBLE) / 16384.0')}
+                   AS fill_ratio
+        FROM assigned
+        GROUP BY shard_id
+    """,
+    tags=("llm", "multimodal", "packing"),
+)
+def mm_shard_packing(spark: SparkSession, sf: str) -> DataFrame:
+    """WebDataset-style shard packing: assign media payloads (size =
+    n_chars as the stand-in for encoded bytes) to fixed-capacity 16 KiB
+    shards by next-fit over a size-descending order — the layout step
+    every multimodal training pipeline runs so sequential shard reads
+    replace random object-store gets. The running prefix of bytes
+    *before* each item (window ending at 1 PRECEDING) divided by
+    capacity IS the shard id — one window, no iteration, deterministic
+    across engines via the (size, doc_id) total order. The global sort
+    is the scale bottleneck by design: at 100 TB it becomes a
+    range-partitioned sort (byte-budget boundaries from a sampled CDF),
+    identical downstream. Per-shard fill ratios audit the packing."""
+    d = load_table(spark, sf, "documents")
+    w = (
+        W.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    assigned = d.select(
+        "doc_id", "n_chars",
+        F.floor(F.coalesce(F.sum("n_chars").over(w), F.lit(0)) / 16384)
+        .cast("bigint")
+        .alias("shard_id"),
+    )
+    return assigned.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum("n_chars").cast("bigint").alias("shard_bytes"),
+        round4(F.sum("n_chars").cast("double") / 16384.0).alias("fill_ratio"),
+    )
+
+
+@query(
+    "mm_aspect_bucketing",
+    oracle=f"""
+        WITH dims AS (
+            SELECT doc_id,
+                   CAST(256 + (doc_id % 8) * 64 AS BIGINT) AS width,
+                   CAST(256 + ((doc_id // 8) % 8) * 64 AS BIGINT) AS height
+            FROM documents
+        ),
+        bucketed AS (
+            SELECT doc_id, width, height,
+                   CASE
+                       WHEN CAST(width AS DOUBLE) / height < 0.75
+                           THEN 'tall'
+                       WHEN CAST(width AS DOUBLE) / height <= 1.3333
+                           THEN 'square'
+                       ELSE 'wide'
+                   END AS bucket
+            FROM dims
+        )
+        SELECT bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_images,
+               CAST(MIN(width * height) AS BIGINT) AS min_pixels,
+               CAST(MAX(width * height) AS BIGINT) AS max_pixels,
+               {sql_round4(sql_davg('CAST(width AS DOUBLE) / height'))}
+                   AS avg_aspect
+        FROM bucketed
+        GROUP BY bucket
+    """,
+    tags=("llm", "multimodal"),
+)
+def mm_aspect_bucketing(spark: SparkSession, sf: str) -> DataFrame:
+    """Aspect-ratio bucketing for multimodal batch formation (the
+    SDXL/NaViT trick: batch images of similar aspect so per-batch
+    resize-crop waste is minimal). Image dimensions are a deterministic
+    synthetic derived from doc_id (the container has no image decoder —
+    the decode stub in :func:`mm_binary_features` is where real width/
+    height extraction plugs in); the OPERATOR under test is the
+    bucketing: ratio thresholds → named buckets → per-bucket counts and
+    pixel ranges that size the training batches. Pure row-local
+    arithmetic + one small aggregate: at 100 TB this is scan-bound and
+    the bucket column becomes the partition key the dataloader shards
+    on."""
+    d = load_table(spark, sf, "documents")
+    width = (256 + (F.col("doc_id") % 8) * 64).cast("bigint")
+    height = (256 + ((F.col("doc_id") / 8).cast("bigint") % 8) * 64).cast(
+        "bigint"
+    )
+    dims = d.select("doc_id", width.alias("width"), height.alias("height"))
+    ratio = F.col("width").cast("double") / F.col("height")
+    bucketed = dims.select(
+        "doc_id", "width", "height",
+        F.when(ratio < 0.75, "tall")
+        .when(ratio <= 1.3333, "square")
+        .otherwise("wide")
+        .alias("bucket"),
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_images"),
+        F.min(F.col("width") * F.col("height")).cast("bigint").alias(
+            "min_pixels"
+        ),
+        F.max(F.col("width") * F.col("height")).cast("bigint").alias(
+            "max_pixels"
+        ),
+        round4(davg(F.col("width").cast("double") / F.col("height"))).alias(
+            "avg_aspect"
+        ),
     )
