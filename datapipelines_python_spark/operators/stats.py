@@ -3965,3 +3965,306 @@ def ml_ridge_path(spark: SparkSession, sf: str) -> DataFrame:
             ((1.0 + F.col("lam")) * F.col("r2y") - F.col("r12") * F.col("r1y")) / det
         ).alias("beta_disc_std"),
     )
+
+
+@query(
+    "ml_poisson_dispersion",
+    oracle=f"""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS h,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(c) AS BIGINT) AS s1,
+                   {sql_dsum('CAST(c AS DOUBLE) * c')} AS s2
+            FROM hourly
+        )
+        SELECT n AS n_hours,
+               {sql_round4('CAST(s1 AS DOUBLE) / n')} AS mean_count,
+               {sql_round4('(n * s2 - CAST(s1 AS DOUBLE) * s1) / (n * (n - 1.0))')}
+                   AS var_count,
+               {sql_round4(
+                   '((n * s2 - CAST(s1 AS DOUBLE) * s1) / (n * (n - 1.0)))'
+                   ' / (CAST(s1 AS DOUBLE) / n)'
+               )} AS dispersion_index,
+               {sql_round4(
+                   '(((n * s2 - CAST(s1 AS DOUBLE) * s1) / (n * (n - 1.0)))'
+                   ' / (CAST(s1 AS DOUBLE) / n) - 1.0)'
+                   ' * SQRT((n - 1.0) / 2.0)'
+               )} AS z_score
+        FROM s
+    """,
+    tags=("ml", "stats", "test"),
+)
+def ml_poisson_dispersion(spark: SparkSession, sf: str) -> DataFrame:
+    """Poisson dispersion (index-of-dispersion) test on hourly event
+    counts: D = s²/x̄ with the normal approximation z ≈ (D−1)·√((n−1)/2)
+    — D ≈ 1 is Poisson arrivals, D ≫ 1 overdispersion (bursty traffic ⇒
+    negative-binomial capacity models; ``workload_burstiness``'s Fano
+    factor at a different grain answers the same question per type,
+    this is the corpus-level significance test). Counts reduce 100 TB
+    of events to ~720 hourly rows in one aggregate; power sums are
+    exact (integer counts through decimal), and mean/variance/z are
+    single float expressions."""
+    e = load_table(spark, sf, "events")
+    hourly = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    s = hourly.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s1"),
+        dsum(F.col("c").cast("double") * F.col("c")).alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    mean = s1.cast("double") / n
+    var = (n * s2 - s1.cast("double") * s1) / (n * (n - 1.0))
+    return s.select(
+        n.alias("n_hours"),
+        round4(mean).alias("mean_count"),
+        round4(var).alias("var_count"),
+        round4(var / mean).alias("dispersion_index"),
+        round4((var / mean - 1.0) * F.sqrt((n - 1.0) / 2.0)).alias("z_score"),
+    )
+
+
+@query(
+    "ml_runs_test",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(FLOOR({sql_dsum('value')} * 100.0 + 0.5) AS BIGINT)
+                       AS y
+            FROM events GROUP BY 1
+        ),
+        flagged AS (
+            SELECT day, y,
+                   CASE WHEN CAST(y AS DOUBLE)
+                             > CAST(SUM(y) OVER () AS DOUBLE)
+                               / COUNT(*) OVER ()
+                        THEN 1 ELSE 0 END AS above
+            FROM daily
+        ),
+        runs AS (
+            SELECT above,
+                   CASE WHEN above <> LAG(above) OVER (ORDER BY day)
+                          OR LAG(above) OVER (ORDER BY day) IS NULL
+                        THEN 1 ELSE 0 END AS new_run
+            FROM flagged
+        ),
+        s AS (
+            SELECT CAST(SUM(new_run) AS BIGINT) AS r,
+                   CAST(SUM(above) AS BIGINT) AS n1,
+                   CAST(SUM(1 - above) AS BIGINT) AS n2
+            FROM runs
+        )
+        SELECT n1 AS n_above,
+               n2 AS n_below,
+               r AS n_runs,
+               {sql_round4('2.0 * n1 * n2 / (n1 + n2) + 1.0')} AS expected_runs,
+               {sql_round4(
+                   '(r - (2.0 * n1 * n2 / (n1 + n2) + 1.0))'
+                   ' / SQRT(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)'
+                   '        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0)))'
+               )} AS z_score
+        FROM s
+    """,
+    tags=("ml", "stats", "test"),
+)
+def ml_runs_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Wald–Wolfowitz runs test for randomness of the daily revenue
+    series around its mean: count maximal runs of consecutive
+    above/below days, compare against E[R] = 2n₁n₂/n + 1 with the
+    exact-permutation variance — too FEW runs means sticky regimes
+    (serial dependence; cf. ``ml_durbin_watson`` on residuals), too
+    many means oscillation. Run starts are lag transitions (no
+    gaps-and-islands grouping needed when only the COUNT of runs
+    matters), flags compare exact integer cents to the exact-ratio
+    mean, and the z is one float expression over three integers."""
+    e = load_table(spark, sf, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.floor(dsum(F.col("value")) * 100.0 + 0.5).cast("bigint").alias("y")
+    )
+    wall = W.orderBy("day").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    flagged = daily.select(
+        "day",
+        F.when(
+            F.col("y").cast("double")
+            > F.sum("y").over(wall).cast("double") / F.count(F.lit(1)).over(wall),
+            1,
+        )
+        .otherwise(0)
+        .alias("above"),
+    )
+    lag = F.lag("above").over(W.orderBy("day"))
+    runs = flagged.select(
+        "above",
+        F.when(lag.isNull() | (F.col("above") != lag), 1).otherwise(0).alias(
+            "new_run"
+        ),
+    )
+    s = runs.agg(
+        F.sum("new_run").cast("bigint").alias("r"),
+        F.sum("above").cast("bigint").alias("n1"),
+        F.sum(1 - F.col("above")).cast("bigint").alias("n2"),
+    )
+    r, n1, n2 = F.col("r"), F.col("n1"), F.col("n2")
+    n = n1 + n2
+    er = 2.0 * n1 * n2 / n + 1.0
+    vr = 2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2) / (n * n * (n - 1.0))
+    return s.select(
+        n1.alias("n_above"),
+        n2.alias("n_below"),
+        r.alias("n_runs"),
+        round4(er).alias("expected_runs"),
+        round4((r - er) / F.sqrt(vr)).alias("z_score"),
+    )
+
+
+@query(
+    "ml_cohens_d",
+    oracle=f"""
+        WITH g AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   {sql_dsum('value')} AS s1,
+                   {sql_dsum('value * value')} AS s2
+            FROM events
+            WHERE event_type IN ('purchase', 'click')
+            GROUP BY event_type
+        ),
+        w AS (
+            SELECT
+                MAX(CASE WHEN event_type = 'purchase' THEN n END) AS n1,
+                MAX(CASE WHEN event_type = 'purchase' THEN s1 END) AS a1,
+                MAX(CASE WHEN event_type = 'purchase' THEN s2 END) AS a2,
+                MAX(CASE WHEN event_type = 'click' THEN n END) AS n2,
+                MAX(CASE WHEN event_type = 'click' THEN s1 END) AS b1,
+                MAX(CASE WHEN event_type = 'click' THEN s2 END) AS b2
+            FROM g
+        ),
+        d AS (
+            SELECT n1, n2,
+                   a1 / n1 - b1 / n2 AS mean_diff,
+                   SQRT((
+                       (a2 - a1 * a1 / n1) + (b2 - b1 * b1 / n2)
+                   ) / (n1 + n2 - 2.0)) AS sd_pooled
+            FROM w
+        )
+        SELECT CAST(n1 AS BIGINT) AS n_purchase,
+               CAST(n2 AS BIGINT) AS n_click,
+               {sql_round4('mean_diff')} AS mean_diff,
+               {sql_round4('sd_pooled')} AS sd_pooled,
+               {sql_round4('mean_diff / sd_pooled')} AS cohens_d,
+               {sql_round4(
+                   '(mean_diff / sd_pooled)'
+                   ' * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0))'
+               )} AS hedges_g
+        FROM d
+    """,
+    tags=("ml", "stats", "effect-size"),
+)
+def ml_cohens_d(spark: SparkSession, sf: str) -> DataFrame:
+    """Standardized effect size between purchase and click values:
+    Cohen's d on the pooled SD plus Hedges' g small-sample correction —
+    the number a significance test (``ml_mann_whitney``, Welch) should
+    always ship with, because at 100 TB row counts EVERYTHING is
+    significant and only effect size says whether it matters. One
+    grouped aggregate collects both groups' power sums; the pivot to
+    one row is a 2-row MAX-CASE (no join), and mean-difference, pooled
+    SD, d and g are single float expressions over decimal-exact sums."""
+    e = load_table(spark, sf, "events")
+    g = (
+        e.filter(F.col("event_type").isin("purchase", "click"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            dsum(F.col("value")).alias("s1"),
+            dsum(F.col("value") * F.col("value")).alias("s2"),
+        )
+    )
+    p = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    w = g.agg(
+        F.max(F.when(p == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(p == 1, F.col("s1"))).alias("a1"),
+        F.max(F.when(p == 1, F.col("s2"))).alias("a2"),
+        F.max(F.when(p == 0, F.col("n"))).alias("n2"),
+        F.max(F.when(p == 0, F.col("s1"))).alias("b1"),
+        F.max(F.when(p == 0, F.col("s2"))).alias("b2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    mean_diff = F.col("a1") / n1 - F.col("b1") / n2
+    sd_pooled = F.sqrt(
+        (
+            (F.col("a2") - F.col("a1") * F.col("a1") / n1)
+            + (F.col("b2") - F.col("b1") * F.col("b1") / n2)
+        )
+        / (n1 + n2 - 2.0)
+    )
+    d = mean_diff / sd_pooled
+    return w.select(
+        n1.cast("bigint").alias("n_purchase"),
+        n2.cast("bigint").alias("n_click"),
+        round4(mean_diff).alias("mean_diff"),
+        round4(sd_pooled).alias("sd_pooled"),
+        round4(d).alias("cohens_d"),
+        round4(d * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0))).alias("hedges_g"),
+    )
+
+
+@query(
+    "ml_hill_tail_index",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT o_totalprice,
+                   ROW_NUMBER() OVER (ORDER BY o_totalprice DESC,
+                                      o_orderkey ASC) AS rn
+            FROM orders
+        ),
+        topk AS (SELECT o_totalprice, rn FROM ranked WHERE rn <= 101),
+        xk AS (SELECT o_totalprice AS x_k FROM topk WHERE rn = 101)
+        SELECT CAST(100 AS BIGINT) AS k,
+               {sql_round4('MIN(x.x_k)')} AS threshold,
+               {sql_round4(sql_davg('LN(t.o_totalprice / x.x_k)'))}
+                   AS mean_log_excess,
+               {sql_round4(
+                   f"1.0 / ({sql_davg('LN(t.o_totalprice / x.x_k)')})"
+               )} AS hill_alpha
+        FROM topk t CROSS JOIN xk x
+        WHERE t.rn <= 100
+    """,
+    tags=("ml", "stats", "tail"),
+)
+def ml_hill_tail_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Hill estimator of the Pareto tail index on order values: α̂ =
+    1/mean(ln(x₍ᵢ₎/x₍ₖ₊₁₎)) over the top k=100 order statistics — the
+    standard answer to 'how heavy is the spend tail' that decides
+    whether mean-based LTV math is even finite (α ≤ 1: infinite mean;
+    α ≤ 2: infinite variance — see ``ml_mean_excess_tail`` for the
+    complementary mean-excess view). Top-(k+1) comes from a rank window
+    that Spark ≥3.5 executes as a pushed-down window-group-limit (no
+    global sort materialization); the log-excess mean uses the decimal
+    sum convention. At 100 TB, k ≪ n makes this a top-k reduction, not
+    a sort."""
+    o = load_table(spark, sf, "orders")
+    ranked = o.select(
+        "o_totalprice",
+        F.row_number()
+        .over(W.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc()))
+        .alias("rn"),
+    ).filter(F.col("rn") <= 101)
+    xk = ranked.filter(F.col("rn") == 101).select(
+        F.col("o_totalprice").alias("x_k")
+    )
+    top = ranked.filter(F.col("rn") <= 100)
+    j = top.crossJoin(F.broadcast(xk))
+    log_excess = F.log(F.col("o_totalprice") / F.col("x_k"))
+    return j.agg(
+        F.lit(100).cast("bigint").alias("k"),
+        round4(F.min("x_k")).alias("threshold"),
+        round4(davg(log_excess)).alias("mean_log_excess"),
+        round4(F.lit(1.0) / davg(log_excess)).alias("hill_alpha"),
+    )
