@@ -9038,3 +9038,135 @@ def workload_dp_clipping(spark: SparkSession, sf: str) -> DataFrame:
             (dsum(F.col("contrib")) - dsum(clipped)) / dsum(F.col("contrib"))
         ).alias("mass_clipped"),
     )
+
+
+@query(
+    "sql_window_clause",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT day, event_type, n,
+               CAST(SUM(n) OVER w7 AS BIGINT) AS n_7d,
+               {sql_round4('CAST(n AS DOUBLE) / SUM(n) OVER wt')} AS day_share
+        FROM daily
+        WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+               wt AS (PARTITION BY event_type)
+    """,
+    tags=("sql", "window", "sugar"),
+)
+def sql_window_clause(spark: SparkSession, sf: str) -> DataFrame:
+    """The named ``WINDOW`` clause — one definition, many over-clauses —
+    exercised through ``spark.sql`` with two shared windows (a 7-day
+    trailing frame and a whole-partition frame) over per-type daily
+    counts. Beyond ergonomics there is a planning property worth
+    pinning: both windows share the partitioning key, so Catalyst
+    evaluates them with ONE exchange and sort (check the single Window
+    node pair in `.explain`); the day-grain input means the sequential
+    frames run on a reduced series, per this repo's windows-after-
+    reduction rule."""
+    e = load_table(spark, sf, "events")
+    e.groupBy(
+        F.col("ts").cast("date").alias("day"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n")).createOrReplaceTempView(
+        "_wc_daily"
+    )
+    return spark.sql(
+        """
+        SELECT day, event_type, n,
+               CAST(SUM(n) OVER w7 AS BIGINT) AS n_7d,
+               FLOOR(CAST(n AS DOUBLE) / SUM(n) OVER wt * 1e4 + 0.5)
+                   / 1e4 AS day_share
+        FROM _wc_daily
+        WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+               wt AS (PARTITION BY event_type)
+        """
+    )
+
+
+@query(
+    "sql_order_by_all",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders
+        GROUP BY ALL
+        ORDER BY ALL
+    """,
+    tags=("sql", "sugar", "sort"),
+)
+def sql_order_by_all(spark: SparkSession, sf: str) -> DataFrame:
+    """``ORDER BY ALL`` (sort by every select item, left to right — the
+    DuckDB-originated sugar Spark 4 adopted) paired with GROUP BY ALL:
+    a fully name-free aggregate-and-present query. Pins two things: the
+    parser surface itself, and that the resulting global sort is the
+    plan you expect (a range-partitioned exchange over the full select
+    list — on a 12-row aggregate output this is trivial, which is
+    exactly when ORDER BY ALL is legitimate; on raw 100 TB it would be
+    the bottleneck and the right call is no sort at all)."""
+    o = load_table(spark, sf, "orders")
+    o.createOrReplaceTempView("_oba_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM _oba_orders
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
+
+
+@query(
+    "agg_mad",
+    oracle=f"""
+        WITH med AS (
+            SELECT o_orderstatus,
+                   quantile_cont(o_totalprice, 0.5) AS m
+            FROM orders GROUP BY o_orderstatus
+        ),
+        dev AS (
+            SELECT o.o_orderstatus,
+                   ABS(o.o_totalprice - med.m) AS ad,
+                   med.m
+            FROM orders o JOIN med ON o.o_orderstatus = med.o_orderstatus
+        )
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               {sql_round4('MIN(m)')} AS median_price,
+               {sql_round4('quantile_cont(ad, 0.5)')} AS mad,
+               {sql_round4('quantile_cont(ad, 0.5) * 1.4826')} AS mad_sigma
+        FROM dev GROUP BY o_orderstatus
+    """,
+    tags=("agg", "stats", "robust"),
+)
+def agg_mad(spark: SparkSession, sf: str) -> DataFrame:
+    """Median absolute deviation per order status — the 50%-breakdown
+    robust scale estimate (stddev's breakdown point is a single bad
+    row; at ingest scale you WILL have bad rows), reported raw and as
+    the normal-consistent σ̂ = 1.4826·MAD. Two passes by definition
+    (median, then median of deviations) with the 3-row median table
+    broadcast back — never a re-shuffle of the fact table. The exact
+    interpolating percentile is the sf-scale tool; at 100 TB both
+    medians become fixed-error approx_percentile with the identical
+    two-pass plan, the same evolution as ``agg_percentile``."""
+    o = load_table(spark, sf, "orders")
+    med = o.groupBy("o_orderstatus").agg(
+        F.percentile(F.col("o_totalprice"), F.lit(0.5)).alias("m")
+    )
+    dev = o.join(F.broadcast(med), "o_orderstatus").select(
+        "o_orderstatus",
+        F.abs(F.col("o_totalprice") - F.col("m")).alias("ad"),
+        "m",
+    )
+    mad = F.percentile(F.col("ad"), F.lit(0.5))
+    return dev.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        round4(F.min("m")).alias("median_price"),
+        round4(mad).alias("mad"),
+        round4(mad * 1.4826).alias("mad_sigma"),
+    )
