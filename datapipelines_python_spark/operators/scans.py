@@ -911,3 +911,96 @@ def scan_xml_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         .option("rowTag", "nation")
         .load(path)
     )
+
+
+@query(
+    "sink_csv_quoting",
+    oracle="""
+        SELECT * FROM (VALUES
+            (1, 'plain', 'no specials'),
+            (2, 'comma, inside', 'a,b'),
+            (3, 'quote " inside', 'say "hi"'),
+            (4, 'newline
+inside', 'two
+lines'),
+            (5, NULL, 'null name')
+        ) t(id, name, note)
+    """,
+    tags=("scan", "sink", "connector", "robustness"),
+)
+def sink_csv_quoting(spark: SparkSession, sf: str) -> DataFrame:
+    """CSV quoting/escaping roundtrip torture row set: embedded
+    delimiters, embedded double-quotes (RFC-4180 doubled on write),
+    embedded NEWLINES (forces multiLine=true on read — the option that
+    silently truncates rows when forgotten), and NULL vs empty-string
+    disambiguation via an explicit nullValue sentinel. Written by the
+    Spark CSV sink, read back by the Spark CSV source; the oracle is
+    the literal row set, so any quoting asymmetry between writer and
+    reader fails the hash. The multiLine caveat is a scale decision:
+    multiline CSV files are NOT splittable, so 100 TB of them read one
+    file per task — keep newline-bearing exports in parquet, or accept
+    file-grain parallelism."""
+    rows = [
+        (1, "plain", "no specials"),
+        (2, "comma, inside", "a,b"),
+        (3, 'quote " inside', 'say "hi"'),
+        (4, "newline\ninside", "two\nlines"),
+        (5, None, "null name"),
+    ]
+    df = spark.createDataFrame(rows, "id int, name string, note string")
+    path = scratch_dir("csv_quoting")
+    (
+        df.coalesce(1)
+        .write.mode("overwrite")
+        .option("header", "true")
+        .option("nullValue", "\\N")
+        .csv(path)
+    )
+    return (
+        spark.read.schema("id int, name string, note string")
+        .option("header", "true")
+        .option("multiLine", "true")
+        .option("nullValue", "\\N")
+        .csv(path)
+    )
+
+
+@query(
+    "scan_csv_dateformat",
+    oracle="""
+        SELECT * FROM (VALUES
+            (1, DATE '2024-03-01', TIMESTAMP '2024-03-01 08:30:00'),
+            (2, DATE '2024-12-31', TIMESTAMP '2024-12-31 23:59:59'),
+            (3, DATE '2025-01-15', TIMESTAMP '2025-01-15 00:00:01')
+        ) t(id, d, ts)
+    """,
+    tags=("scan", "connector"),
+)
+def scan_csv_dateformat(spark: SparkSession, sf: str) -> DataFrame:
+    """Non-ISO date/timestamp parsing at the CSV source: European
+    ``dd/MM/yyyy`` dates and ``dd/MM/yyyy HH:mm:ss`` timestamps parsed
+    via the ``dateFormat``/``timestampFormat`` reader options — schema-
+    on-read doing real coercion work at the scan (NOT a post-hoc
+    to_date projection, so the parse happens once, inside the
+    datasource, and malformed values surface through the reader's mode
+    machinery like ``scan_csv_permissive``). The file is written
+    out-of-band: format drift always comes from someone else's
+    exporter. Session timezone UTC keeps the timestamp bits identical
+    on both engines."""
+    path = scratch_dir("csv_dates")
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "part-0.csv"), "w") as f:
+        f.write(
+            "id;d;ts\n"
+            "1;01/03/2024;01/03/2024 08:30:00\n"
+            "2;31/12/2024;31/12/2024 23:59:59\n"
+            "3;15/01/2025;15/01/2025 00:00:01\n"
+        )
+    return (
+        spark.read.schema("id int, d date, ts timestamp")
+        .option("header", "true")
+        .option("sep", ";")
+        .option("dateFormat", "dd/MM/yyyy")
+        .option("timestampFormat", "dd/MM/yyyy HH:mm:ss")
+        .csv(path)
+    )

@@ -9170,3 +9170,166 @@ def agg_mad(spark: SparkSession, sf: str) -> DataFrame:
         round4(mad).alias("mad"),
         round4(mad * 1.4826).alias("mad_sigma"),
     )
+
+
+@query(
+    "workload_watermark_sizing",
+    oracle=f"""
+        WITH seq AS (
+            SELECT event_id, ts,
+                   MAX(ts) OVER (ORDER BY event_id) AS high_water
+            FROM events
+        ),
+        lateness AS (
+            SELECT CAST(date_diff('millisecond', ts, high_water) AS BIGINT)
+                       AS late_ms
+            FROM seq
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN late_ms > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_out_of_order,
+               {sql_round4(
+                   'CAST(SUM(CASE WHEN late_ms > 0 THEN 1 ELSE 0 END)'
+                   ' AS DOUBLE) / COUNT(*)'
+               )} AS ooo_share,
+               {sql_round4('quantile_cont(late_ms, 0.95) / 1000.0')}
+                   AS p95_lateness_s,
+               {sql_round4('quantile_cont(late_ms, 0.99) / 1000.0')}
+                   AS p99_lateness_s,
+               {sql_round4('CAST(MAX(late_ms) AS DOUBLE) / 1000.0')}
+                   AS max_lateness_s
+        FROM lateness
+    """,
+    tags=("workload", "streaming", "audit"),
+)
+def workload_watermark_sizing(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermark-delay sizing from history — THE question to answer
+    before writing ``withWatermark``: replay events in arrival order
+    (event_id is the ingest sequence), track the event-time high-water
+    mark, and measure each event's lateness against it. The p95/p99/max
+    lateness quantiles ARE the candidate watermark delays, and
+    ooo_share says how much state a zero-delay watermark would drop.
+    The running max is a global-order window — unavoidable for a
+    global watermark and fine after noting its 100 TB form: per-
+    partition maxima + broadcast prefix maxima (two passes), or
+    per-source-partition watermarks exactly as Spark's own
+    ``EventTimeWatermarkExec`` tracks them. Lateness lands in integer
+    milliseconds before the float quantiles."""
+    e = load_table(spark, sf, "events")
+    wseq = W.orderBy("event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    seq = e.select(
+        "ts", F.max("ts").over(wseq).alias("high_water")
+    )
+    late_ms = (
+        F.col("high_water").cast("double") * 1000.0
+        - F.col("ts").cast("double") * 1000.0
+    ).cast("bigint")
+    lateness = seq.select(late_ms.alias("late_ms"))
+    return lateness.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("late_ms") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_out_of_order"),
+        round4(
+            F.sum(F.when(F.col("late_ms") > 0, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("ooo_share"),
+        round4(F.percentile(F.col("late_ms"), F.lit(0.95)) / 1000.0).alias(
+            "p95_lateness_s"
+        ),
+        round4(F.percentile(F.col("late_ms"), F.lit(0.99)) / 1000.0).alias(
+            "p99_lateness_s"
+        ),
+        round4(F.max("late_ms").cast("double") / 1000.0).alias(
+            "max_lateness_s"
+        ),
+    )
+
+
+@query(
+    "graph_bipartite_projection",
+    oracle=f"""
+        WITH ue AS (
+            SELECT DISTINCT user_id, event_type FROM events
+        ),
+        type_n AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM ue GROUP BY event_type
+        ),
+        proj AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM ue a JOIN ue b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY a.event_type, b.event_type
+        ),
+        tot AS (
+            SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n FROM ue
+        )
+        SELECT p.type_a, p.type_b, p.n_common,
+               {sql_round4(
+                   'CAST(p.n_common AS DOUBLE) * t.n'
+                   ' / (na.n_users * nb.n_users)'
+               )} AS lift,
+               {sql_round4(
+                   'CAST(p.n_common AS DOUBLE)'
+                   ' / (na.n_users + nb.n_users - p.n_common)'
+               )} AS jaccard
+        FROM proj p
+        JOIN type_n na ON p.type_a = na.event_type
+        JOIN type_n nb ON p.type_b = nb.event_type
+        CROSS JOIN tot t
+    """,
+    tags=("graph", "workload"),
+)
+def graph_bipartite_projection(spark: SparkSession, sf: str) -> DataFrame:
+    """One-mode projection of the user×event-type bipartite graph:
+    co-engagement edges between event types weighted by shared-user
+    count, with lift (vs independence) and Jaccard — the same
+    projection that turns user×item into item-item similarity for
+    co-visitation recommenders. The plan is the scalable shape: dedup
+    to the bipartite incidence list FIRST (distinct on (user, type) —
+    at 100 TB this is the shuffle that matters and it's
+    map-side-combinable), then self-join on user. Degree tables and the
+    user total are broadcast back onto the 10-edge projection. Skew
+    note: a power user touching all types contributes O(k²) pairs —
+    bounded here by k=5 types; unbounded catalogs cap per-user fan-out
+    before the self-join (the co-visit trick)."""
+    e = load_table(spark, sf, "events")
+    ue = e.select("user_id", "event_type").distinct()
+    type_n = ue.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    a = ue.select("user_id", F.col("event_type").alias("type_a"))
+    b = ue.select("user_id", F.col("event_type").alias("type_b"))
+    proj = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    tot = ue.agg(F.countDistinct("user_id").cast("bigint").alias("n"))
+    na = type_n.select(
+        F.col("event_type").alias("type_a"), F.col("n_users").alias("na")
+    )
+    nb = type_n.select(
+        F.col("event_type").alias("type_b"), F.col("n_users").alias("nb")
+    )
+    return (
+        proj.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "type_a", "type_b", "n_common",
+            round4(
+                F.col("n_common").cast("double") * F.col("n")
+                / (F.col("na") * F.col("nb"))
+            ).alias("lift"),
+            round4(
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
