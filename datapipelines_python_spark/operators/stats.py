@@ -4268,3 +4268,158 @@ def ml_hill_tail_index(spark: SparkSession, sf: str) -> DataFrame:
         round4(davg(log_excess)).alias("mean_log_excess"),
         round4(F.lit(1.0) / davg(log_excess)).alias("hill_alpha"),
     )
+
+
+@query(
+    "ml_friedman_test",
+    oracle=f"""
+        WITH cell AS (
+            SELECT CAST(ts AS DATE) AS day, event_type,
+                   CAST(FLOOR({sql_dsum('value')} * 100.0 + 0.5) AS BIGINT)
+                       AS y
+            FROM events GROUP BY 1, 2
+        ),
+        full_days AS (
+            SELECT day FROM cell GROUP BY day HAVING COUNT(*) = 5
+        ),
+        ranked AS (
+            SELECT c.day, c.event_type,
+                   RANK() OVER (PARTITION BY c.day ORDER BY c.y)
+                       + (COUNT(*) OVER (PARTITION BY c.day, c.y) - 1) / 2.0
+                       AS r
+            FROM cell c JOIN full_days f ON c.day = f.day
+        ),
+        rsum AS (
+            SELECT event_type, {sql_dsum('r')} AS rj,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM ranked GROUP BY event_type
+        )
+        SELECT CAST(MIN(n) AS BIGINT) AS n_days,
+               CAST(COUNT(*) AS BIGINT) AS k_treatments,
+               {sql_round4(
+                   f"12.0 / (MIN(n) * COUNT(*) * (COUNT(*) + 1))"
+                   f" * {sql_dsum('rj * rj')}"
+                   f" - 3.0 * MIN(n) * (COUNT(*) + 1)"
+               )} AS friedman_q
+        FROM rsum
+    """,
+    tags=("ml", "stats", "test"),
+)
+def ml_friedman_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Friedman's rank test — the repeated-measures ANOVA without
+    normality: within each day (block), rank the five event types by
+    revenue, then Q = 12/(nk(k+1))·ΣR_j² − 3n(k+1) asks whether any
+    type systematically out-earns the others across days, immune to
+    day-level scale shifts that would dominate the raw two-way layout.
+    Ranks are within-block windows (partitioned by day — fully
+    distributed, no global sort), average-tie fractional so rank sums
+    stay decimal-exact; incomplete blocks are filtered first, as the
+    test requires. χ²₍ₖ₋₁₎ reference: Q > 9.49 rejects at 5% for
+    k=5."""
+    e = load_table(spark, sf, "events")
+    cell = e.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(
+        F.floor(dsum(F.col("value")) * 100.0 + 0.5).cast("bigint").alias("y")
+    )
+    full_days = cell.groupBy("day").agg(F.count(F.lit(1)).alias("kk")).filter(
+        F.col("kk") == 5
+    ).select("day")
+    r = (
+        F.rank().over(W.partitionBy("day").orderBy("y"))
+        + (F.count(F.lit(1)).over(W.partitionBy("day", "y")) - 1) / 2.0
+    )
+    ranked = cell.join(F.broadcast(full_days), "day").select(
+        "event_type", r.alias("r")
+    )
+    rsum = ranked.groupBy("event_type").agg(
+        dsum(F.col("r")).alias("rj"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    n, k = F.min("n"), F.count(F.lit(1))
+    return rsum.agg(
+        n.cast("bigint").alias("n_days"),
+        k.cast("bigint").alias("k_treatments"),
+        round4(
+            12.0 / (n * k * (k + 1)) * dsum(F.col("rj") * F.col("rj"))
+            - 3.0 * n * (k + 1)
+        ).alias("friedman_q"),
+    )
+
+
+@query(
+    "ml_fleiss_kappa",
+    oracle=f"""
+        WITH votes AS (
+            SELECT doc_id,
+                   CAST(CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END
+                      + CASE WHEN LEN(STRING_SPLIT(text, ' ')) >= 40
+                             THEN 1 ELSE 0 END
+                      + CASE WHEN CAST(n_chars AS DOUBLE)
+                                  / LEN(STRING_SPLIT(text, ' ')) >= 6.0
+                             THEN 1 ELSE 0 END AS BIGINT) AS n_pos
+            FROM documents
+        ),
+        agree AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   {sql_dsum('(n_pos * n_pos + (3 - n_pos) * (3 - n_pos) - 3)'
+                             ' / 6.0')} AS sum_pi,
+                   {sql_dsum('n_pos')} AS tot_pos
+            FROM votes
+        )
+        SELECT n AS n_docs,
+               {sql_round4('sum_pi / n')} AS p_bar,
+               {sql_round4(
+                   'POWER(tot_pos / (3.0 * n), 2)'
+                   ' + POWER(1.0 - tot_pos / (3.0 * n), 2)'
+               )} AS p_e,
+               {sql_round4(
+                   '(sum_pi / n - (POWER(tot_pos / (3.0 * n), 2)'
+                   ' + POWER(1.0 - tot_pos / (3.0 * n), 2)))'
+                   ' / (1.0 - (POWER(tot_pos / (3.0 * n), 2)'
+                   ' + POWER(1.0 - tot_pos / (3.0 * n), 2)))'
+               )} AS fleiss_kappa
+        FROM agree
+    """,
+    tags=("ml", "stats", "agreement"),
+)
+def ml_fleiss_kappa(spark: SparkSession, sf: str) -> DataFrame:
+    """Fleiss' κ agreement among three deterministic quality 'raters'
+    (char-length, word-count, and word-length screens voting each
+    document good/bad) — the multi-rater generalization of
+    ``ml_cohens_kappa``, and the exact computation a labeling pipeline
+    runs over rater triples before trusting majority vote. Per-item
+    agreement P_i = (Σn_ij² − r)/(r(r−1)) with r=3 reduces to a
+    closed form in the positive-vote count, so the whole test is ONE
+    aggregate over per-row integer votes; chance agreement comes from
+    the pooled category shares. κ near 0 here means the three
+    heuristics measure different things — stack them, don't vote
+    them."""
+    d = load_table(spark, sf, "documents")
+    words = F.size(F.split("text", " "))
+    n_pos = (
+        F.when(F.col("n_chars") >= 250, 1).otherwise(0)
+        + F.when(words >= 40, 1).otherwise(0)
+        + F.when(F.col("n_chars").cast("double") / words >= 6.0, 1).otherwise(0)
+    ).cast("bigint")
+    votes = d.select(n_pos.alias("n_pos"))
+    pi = (
+        F.col("n_pos") * F.col("n_pos")
+        + (3 - F.col("n_pos")) * (3 - F.col("n_pos"))
+        - 3
+    ) / 6.0
+    agree = votes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum(pi).alias("sum_pi"),
+        dsum(F.col("n_pos")).alias("tot_pos"),
+    )
+    n = F.col("n")
+    p_bar = F.col("sum_pi") / n
+    share = F.col("tot_pos") / (3.0 * n)
+    p_e = F.pow(share, 2) + F.pow(1.0 - share, 2)
+    return agree.select(
+        n.alias("n_docs"),
+        round4(p_bar).alias("p_bar"),
+        round4(p_e).alias("p_e"),
+        round4((p_bar - p_e) / (1.0 - p_e)).alias("fleiss_kappa"),
+    )

@@ -9333,3 +9333,69 @@ def graph_bipartite_projection(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@query(
+    "workload_queueing_mm1",
+    oracle=f"""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS h,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_hours,
+                   {sql_davg('CAST(c AS DOUBLE)')} AS lam,
+                   CAST(MAX(c) AS DOUBLE) AS lam_peak
+            FROM hourly
+        ),
+        m AS (
+            SELECT n_hours, lam, lam_peak,
+                   1.25 * lam_peak AS mu
+            FROM s
+        )
+        SELECT n_hours,
+               {sql_round4('lam')} AS lambda_mean,
+               {sql_round4('lam_peak')} AS lambda_peak,
+               {sql_round4('mu')} AS mu_capacity,
+               {sql_round4('lam / mu')} AS rho,
+               {sql_round4('(lam / mu) * (lam / mu) / (1.0 - lam / mu)')}
+                   AS lq_queue_len,
+               {sql_round4('3600.0 * (lam / mu) / (mu - lam)')}
+                   AS wq_wait_seconds
+        FROM m
+    """,
+    tags=("workload", "capacity", "ops"),
+)
+def workload_queueing_mm1(spark: SparkSession, sf: str) -> DataFrame:
+    """M/M/1 capacity planning from observed traffic: estimate the
+    hourly arrival rate λ (mean and peak), provision service capacity
+    µ = 1.25·peak (a 25% headroom rule), and report the closed-form
+    steady-state utilization ρ, expected queue length Lq = ρ²/(1−ρ) and
+    expected wait Wq = ρ/(µ−λ) — the arithmetic behind 'how many
+    workers does this ingest queue need', joining the ops-research
+    closed forms (``workload_newsvendor``, ``workload_littlewood_yield``)
+    that turn one aggregate pass into a sizing decision. The nonlinear
+    blow-up of Lq as ρ→1 is the whole lesson: mean-rate provisioning
+    (ρ≈0.8 here) already queues; the 1/(1−ρ) wall is why."""
+    e = load_table(spark, sf, "events")
+    hourly = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    s = hourly.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        davg(F.col("c").cast("double")).alias("lam"),
+        F.max("c").cast("double").alias("lam_peak"),
+    )
+    lam, peak = F.col("lam"), F.col("lam_peak")
+    mu = 1.25 * peak
+    rho = lam / mu
+    return s.select(
+        "n_hours",
+        round4(lam).alias("lambda_mean"),
+        round4(peak).alias("lambda_peak"),
+        round4(mu).alias("mu_capacity"),
+        round4(rho).alias("rho"),
+        round4(rho * rho / (1.0 - rho)).alias("lq_queue_len"),
+        round4(3600.0 * rho / (mu - lam)).alias("wq_wait_seconds"),
+    )
