@@ -2585,3 +2585,127 @@ def llm_bleu_pairs(spark: SparkSession, sf: str) -> DataFrame:
         round4(davg(F.col("p2"))).alias("avg_p2"),
         round4(davg(bleu)).alias("avg_bleu2"),
     )
+
+
+@query(
+    "llm_embedding_isotropy",
+    oracle=f"""
+        WITH nv AS (
+            SELECT vec_id, embedding,
+                   SQRT(list_reduce(list_prepend(0.0,
+                       list_transform(list_zip(embedding, embedding),
+                                      s -> CAST(s[1] AS DOUBLE) * s[2])),
+                       (acc, x) -> acc + x)) AS norm
+            FROM embeddings
+        ),
+        ex AS (
+            SELECT GENERATE_SUBSCRIPTS(embedding, 1) AS dim,
+                   UNNEST(embedding) AS val,
+                   norm
+            FROM nv
+        ),
+        dims AS (
+            SELECT dim, {sql_dsum('CAST(val AS DOUBLE) / norm')} AS s_d
+            FROM ex GROUP BY dim
+        ),
+        tot AS (
+            SELECT {sql_dsum('s_d * s_d')} AS s2,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM nv) AS n
+            FROM dims
+        )
+        SELECT n AS n_vecs,
+               {sql_round4('s2')} AS centroid_norm_sq,
+               {sql_round4('(s2 - n) / (CAST(n AS DOUBLE) * (n - 1))')}
+                   AS mean_pairwise_cosine
+        FROM tot
+    """,
+    tags=("llm", "embedding", "audit"),
+)
+def llm_embedding_isotropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding isotropy via the sum-vector identity: for unit-
+    normalized vectors, Σᵢ Σⱼ vᵢ·vⱼ = ‖Σv‖², so the mean pairwise
+    cosine is (‖Σv‖² − n)/(n(n−1)) — computed in ONE linear pass, no
+    O(n²) pair join (contrast ``_cosine_pairs``, which this op exists
+    to avoid). High mean cosine is the anisotropy/'narrow cone'
+    pathology of contextual embeddings (Ethayarajh 2019) that tanks
+    cosine retrieval and motivates centering before ANN indexing
+    (``llm_embed_normalize``'s downstream). Per-dim sums come from a
+    posexplode + 64-group aggregate — fully distributed, and at 100 TB
+    still exactly 64 accumulators of decimal-exact partial sums."""
+    em = load_table(spark, sf, "embeddings")
+    nv = em.select(
+        "vec_id", "embedding",
+        F.sqrt(dot("embedding", "embedding")).alias("norm"),
+    )
+    n = nv.count()
+    ex = nv.select(
+        F.posexplode("embedding").alias("dim", "val"), F.col("norm")
+    ).select("dim", (F.col("val").cast("double") / F.col("norm")).alias("v"))
+    dims = ex.groupBy("dim").agg(dsum(F.col("v")).alias("s_d"))
+    tot = dims.agg(dsum(F.col("s_d") * F.col("s_d")).alias("s2"))
+    return tot.select(
+        F.lit(n).cast("bigint").alias("n_vecs"),
+        round4(F.col("s2")).alias("centroid_norm_sq"),
+        round4(
+            (F.col("s2") - F.lit(float(n)))
+            / (F.lit(float(n)) * F.lit(float(n - 1)))
+        ).alias("mean_pairwise_cosine"),
+    )
+
+
+@query(
+    "llm_embed_dim_audit",
+    oracle=f"""
+        WITH ex AS (
+            SELECT GENERATE_SUBSCRIPTS(embedding, 1) AS dim,
+                   CAST(UNNEST(embedding) AS DOUBLE) AS val
+            FROM embeddings
+        ),
+        s AS (
+            SELECT dim,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   {sql_dsum('val')} AS s1,
+                   {sql_dsum('val * val')} AS s2
+            FROM ex GROUP BY dim
+        )
+        SELECT dim,
+               {sql_round4('s1 / n')} AS dim_mean,
+               {sql_round4('(n * s2 - s1 * s1) / (n * (n - 1.0))')} AS dim_var
+        FROM s
+        ORDER BY (n * s2 - s1 * s1) / (n * (n - 1.0)) ASC, dim ASC
+        LIMIT 8
+    """,
+    tags=("llm", "embedding", "audit"),
+)
+def llm_embed_dim_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-dimension embedding audit: the 8 lowest-variance dimensions
+    with their means — dead or near-constant dims carry no retrieval
+    signal but full storage/compute cost, and are the first candidates
+    for the Matryoshka/PQ truncations (``llm_embed_matryoshka``,
+    ``llm_embed_pq``) this feeds. One posexplode + 64-group aggregate
+    of decimal-exact power sums; mean and sample variance are single
+    float expressions. The posexplode blow-up (n×64 rows) never
+    materializes — it streams straight into the hash aggregate's 64
+    accumulators, the same shape at any scale."""
+    em = load_table(spark, sf, "embeddings")
+    ex = em.select(F.posexplode("embedding").alias("dim0", "val0")).select(
+        (F.col("dim0") + 1).alias("dim"), F.col("val0").cast("double").alias("val")
+    )
+    s = ex.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum(F.col("val")).alias("s1"),
+        dsum(F.col("val") * F.col("val")).alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    var = (n * s2 - s1 * s1) / (n * (n - 1.0))
+    return (
+        s.select(
+            "dim",
+            round4(s1 / n).alias("dim_mean"),
+            round4(var).alias("dim_var"),
+            var.alias("_v"),
+        )
+        .orderBy(F.col("_v").asc(), F.col("dim").asc())
+        .limit(8)
+        .drop("_v")
+    )
