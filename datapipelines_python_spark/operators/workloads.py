@@ -9399,3 +9399,193 @@ def workload_queueing_mm1(spark: SparkSession, sf: str) -> DataFrame:
         round4(rho * rho / (1.0 - rho)).alias("lq_queue_len"),
         round4(3600.0 * rho / (mu - lam)).alias("wq_wait_seconds"),
     )
+
+
+@query(
+    "workload_price_index",
+    oracle=f"""
+        WITH yearly AS (
+            SELECT l_partkey,
+                   EXTRACT(year FROM l_shipdate) AS yr,
+                   {sql_dsum('l_quantity')} AS q,
+                   {sql_dsum('l_extendedprice')} AS v
+            FROM lineitem
+            WHERE EXTRACT(year FROM l_shipdate) IN (1995, 1998)
+            GROUP BY 1, 2
+        ),
+        base AS (SELECT l_partkey, q AS q0, v / q AS p0
+                 FROM yearly WHERE yr = 1995),
+        comp AS (SELECT l_partkey, q AS q1, v / q AS p1
+                 FROM yearly WHERE yr = 1998),
+        matched AS (
+            SELECT b.l_partkey, b.q0, b.p0, c.q1, c.p1
+            FROM base b JOIN comp c ON b.l_partkey = c.l_partkey
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+                   {sql_dsum('p1 * q0')} AS l_num,
+                   {sql_dsum('p0 * q0')} AS l_den,
+                   {sql_dsum('p1 * q1')} AS p_num,
+                   {sql_dsum('p0 * q1')} AS p_den
+            FROM matched
+        )
+        SELECT n_parts,
+               {sql_round4('l_num / l_den')} AS laspeyres,
+               {sql_round4('p_num / p_den')} AS paasche,
+               {sql_round4('SQRT((l_num / l_den) * (p_num / p_den))')}
+                   AS fisher
+        FROM s
+    """,
+    tags=("workload", "economics"),
+)
+def workload_price_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Bilateral price indices between 1995 and 1998 over the matched
+    part basket: Laspeyres (base-quantity weights — overstates
+    inflation via substitution bias), Paasche (current weights —
+    understates), and their geometric mean, Fisher's ideal index. Unit
+    prices are value/quantity per (part, year); only parts traded in
+    BOTH years enter (the matched-model rule that dodges quality
+    drift). One scan with a year-pair predicate pushed to parquet, a
+    part-grain self-match, and four weighted decimal sums — at 100 TB
+    the part-year aggregate is the only shuffle and the index itself
+    is a 4-accumulator reduce."""
+    li = load_table(spark, sf, "lineitem")
+    yearly = (
+        li.filter(F.year("l_shipdate").isin(1995, 1998))
+        .groupBy("l_partkey", F.year("l_shipdate").alias("yr"))
+        .agg(
+            dsum(F.col("l_quantity")).alias("q"),
+            dsum(F.col("l_extendedprice")).alias("v"),
+        )
+    )
+    base = yearly.filter(F.col("yr") == 1995).select(
+        "l_partkey", F.col("q").alias("q0"), (F.col("v") / F.col("q")).alias("p0")
+    )
+    comp = yearly.filter(F.col("yr") == 1998).select(
+        "l_partkey", F.col("q").alias("q1"), (F.col("v") / F.col("q")).alias("p1")
+    )
+    m = base.join(comp, "l_partkey")
+    s = m.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        dsum(F.col("p1") * F.col("q0")).alias("l_num"),
+        dsum(F.col("p0") * F.col("q0")).alias("l_den"),
+        dsum(F.col("p1") * F.col("q1")).alias("p_num"),
+        dsum(F.col("p0") * F.col("q1")).alias("p_den"),
+    )
+    lasp = F.col("l_num") / F.col("l_den")
+    paas = F.col("p_num") / F.col("p_den")
+    return s.select(
+        "n_parts",
+        round4(lasp).alias("laspeyres"),
+        round4(paas).alias("paasche"),
+        round4(F.sqrt(lasp * paas)).alias("fisher"),
+    )
+
+
+@query(
+    "workload_supplier_scorecard",
+    oracle=f"""
+        WITH per_supp AS (
+            SELECT l.l_suppkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')}
+                       AS revenue,
+                   CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                        AS DOUBLE) / COUNT(*) AS return_rate,
+                   {sql_davg(
+                       "CAST(date_diff('day', o.o_orderdate, l.l_shipdate)"
+                       " AS DOUBLE)"
+                   )} AS avg_ship_lag
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY l.l_suppkey
+        ),
+        g AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                   {sql_dsum('return_rate')} AS r1,
+                   {sql_dsum('return_rate * return_rate')} AS r2,
+                   {sql_dsum('avg_ship_lag')} AS h1,
+                   {sql_dsum('avg_ship_lag * avg_ship_lag')} AS h2
+            FROM per_supp
+        ),
+        scored AS (
+            SELECT p.l_suppkey, p.n_lines, p.revenue, p.return_rate,
+                   p.avg_ship_lag,
+                   (p.return_rate - g.r1 / g.k)
+                       / SQRT((g.k * g.r2 - g.r1 * g.r1) / (g.k * (g.k - 1.0)))
+                 + (p.avg_ship_lag - g.h1 / g.k)
+                       / SQRT((g.k * g.h2 - g.h1 * g.h1) / (g.k * (g.k - 1.0)))
+                       AS risk_score
+            FROM per_supp p CROSS JOIN g
+        )
+        SELECT l_suppkey, n_lines,
+               {sql_round4('revenue')} AS revenue,
+               {sql_round4('return_rate')} AS return_rate,
+               {sql_round4('avg_ship_lag')} AS avg_ship_lag,
+               {sql_round4('risk_score')} AS risk_score
+        FROM scored
+        ORDER BY risk_score DESC, l_suppkey ASC
+        LIMIT 10
+    """,
+    tags=("workload", "retail", "scorecard"),
+)
+def workload_supplier_scorecard(spark: SparkSession, sf: str) -> DataFrame:
+    """Supplier risk scorecard: per-supplier return rate and average
+    ship lag standardized against the supplier-peer distribution and
+    summed into a z-composite; the 10 worst suppliers surface with
+    their raw KPIs alongside (a score without its inputs is an
+    argument, not a report). The fact-side join keys on orderkey — the
+    fact table never reshuffles twice: one join, one supplier-grain
+    aggregate, then the peer stats (one row) broadcast back over the
+    supplier frame. Peer z-scores use decimal-exact power sums; the
+    composite is float but identically computed, so the top-10 cut is
+    engine-stable with the suppkey tie-break."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    per = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            (
+                F.sum(
+                    F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("return_rate"),
+            davg(
+                F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).cast(
+                    "double"
+                )
+            ).alias("avg_ship_lag"),
+        )
+    )
+    g = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        dsum(F.col("return_rate")).alias("r1"),
+        dsum(F.col("return_rate") * F.col("return_rate")).alias("r2"),
+        dsum(F.col("avg_ship_lag")).alias("h1"),
+        dsum(F.col("avg_ship_lag") * F.col("avg_ship_lag")).alias("h2"),
+    )
+    j = per.crossJoin(F.broadcast(g))
+    k = F.col("k")
+    sd_r = F.sqrt((k * F.col("r2") - F.col("r1") * F.col("r1")) / (k * (k - 1.0)))
+    sd_h = F.sqrt((k * F.col("h2") - F.col("h1") * F.col("h1")) / (k * (k - 1.0)))
+    score = (F.col("return_rate") - F.col("r1") / k) / sd_r + (
+        F.col("avg_ship_lag") - F.col("h1") / k
+    ) / sd_h
+    return (
+        j.select(
+            "l_suppkey", "n_lines",
+            round4(F.col("revenue")).alias("revenue"),
+            round4(F.col("return_rate")).alias("return_rate"),
+            round4(F.col("avg_ship_lag")).alias("avg_ship_lag"),
+            round4(score).alias("risk_score"),
+            score.alias("_s"),
+        )
+        .orderBy(F.col("_s").desc(), F.col("l_suppkey").asc())
+        .limit(10)
+        .drop("_s")
+    )
