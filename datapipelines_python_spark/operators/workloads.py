@@ -9589,3 +9589,142 @@ def workload_supplier_scorecard(spark: SparkSession, sf: str) -> DataFrame:
         .limit(10)
         .drop("_s")
     )
+
+
+@query(
+    "workload_stickiness",
+    oracle=f"""
+        WITH du AS (
+            SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+        ),
+        days AS (SELECT DISTINCT day FROM du),
+        dau AS (
+            SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY day
+        ),
+        wau AS (
+            SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+            FROM days d JOIN du u
+              ON u.day BETWEEN d.day - 6 AND d.day
+            GROUP BY d.day
+        )
+        SELECT a.day, a.dau, w.wau,
+               {sql_round4('CAST(a.dau AS DOUBLE) / w.wau')} AS stickiness
+        FROM dau a JOIN wau w ON a.day = w.day
+        WHERE a.day >= (SELECT MIN(day) FROM days) + 6
+    """,
+    tags=("workload", "product", "engagement"),
+)
+def workload_stickiness(spark: SparkSession, sf: str) -> DataFrame:
+    """DAU/WAU stickiness per day — the engagement ratio product teams
+    track (1/7 = once-a-week users, →1 = daily habit). WAU needs a
+    trailing-7-day DISTINCT user count, which no window frame computes
+    (distinct doesn't decompose over sliding frames): the exact form is
+    a day×(day,user) range join re-deduplicated per anchor day, done
+    here after reducing events to the distinct (day,user) incidence
+    list. Warm-up days without a full window are trimmed. At 100 TB
+    the exact range join is the thing you DON'T do — per-day HLL
+    sketches unioned over the trailing 7 give WAU within ~2% with a
+    7-sketch merge per day (``agg_hll_sketch`` is the building block);
+    the plan here is the exactness oracle for that approximation."""
+    e = load_table(spark, sf, "events")
+    du = e.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    days = du.select("day").distinct()
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+    anchor = days.select(F.col("day").alias("aday"))
+    wau = (
+        anchor.join(
+            du,
+            (F.col("day") >= F.date_sub(F.col("aday"), 6))
+            & (F.col("day") <= F.col("aday")),
+        )
+        .groupBy("aday")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+    )
+    min_day = days.agg(F.min("day").alias("d0"))
+    return (
+        dau.join(wau, dau["day"] == wau["aday"])
+        .crossJoin(F.broadcast(min_day))
+        .filter(F.col("day") >= F.date_add(F.col("d0"), 6))
+        .select(
+            "day", "dau", "wau",
+            round4(F.col("dau").cast("double") / F.col("wau")).alias(
+                "stickiness"
+            ),
+        )
+    )
+
+
+@query(
+    "workload_forecast_backtest",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(FLOOR({sql_dsum('value')} * 100.0 + 0.5) AS BIGINT)
+                       AS y
+            FROM events GROUP BY 1
+        ),
+        preds AS (
+            SELECT day, y,
+                   LAG(y, 1) OVER (ORDER BY day) AS naive1,
+                   LAG(y, 7) OVER (ORDER BY day) AS naive7
+            FROM daily
+        ),
+        live AS (SELECT * FROM preds WHERE naive7 IS NOT NULL)
+        SELECT 'naive_1' AS model,
+               CAST(COUNT(*) AS BIGINT) AS n_folds,
+               {sql_round4(sql_davg('ABS(CAST(y - naive1 AS DOUBLE))'))}
+                   AS mae_cents,
+               {sql_round4(sql_davg(
+                   'ABS(CAST(y - naive1 AS DOUBLE)) / y * 100.0'
+               ))} AS mape_pct,
+               {sql_round4(sql_davg('CAST(y - naive1 AS DOUBLE)'))}
+                   AS bias_cents
+        FROM live
+        UNION ALL
+        SELECT 'seasonal_naive_7',
+               CAST(COUNT(*) AS BIGINT),
+               {sql_round4(sql_davg('ABS(CAST(y - naive7 AS DOUBLE))'))},
+               {sql_round4(sql_davg(
+                   'ABS(CAST(y - naive7 AS DOUBLE)) / y * 100.0'
+               ))},
+               {sql_round4(sql_davg('CAST(y - naive7 AS DOUBLE)'))}
+        FROM live
+    """,
+    tags=("workload", "timeseries", "forecast"),
+)
+def workload_forecast_backtest(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling-origin backtest of the two benchmark forecasters every
+    model must beat — naive-1 (tomorrow = today) and seasonal-naive-7
+    (tomorrow = same weekday last week) — scored on identical folds
+    (days where both predictions exist) with MAE, MAPE and signed bias.
+    The backtest 'loop' is just lag windows on the day grain: each row
+    IS a fold, so one pass scores every origin — the pattern that keeps
+    backtesting O(series) instead of O(series × folds) at any scale. If
+    ``workload_holt_linear``'s errors don't beat seasonal-naive here,
+    ship the naive (the M-competition lesson)."""
+    e = load_table(spark, sf, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.floor(dsum(F.col("value")) * 100.0 + 0.5).cast("bigint").alias("y")
+    )
+    wd = W.orderBy("day")
+    live = daily.select(
+        "day", "y",
+        F.lag("y", 1).over(wd).alias("naive1"),
+        F.lag("y", 7).over(wd).alias("naive7"),
+    ).filter(F.col("naive7").isNotNull())
+
+    def score(pred: str, name: str) -> DataFrame:
+        err = (F.col("y") - F.col(pred)).cast("double")
+        return live.agg(
+            F.lit(name).alias("model"),
+            F.count(F.lit(1)).cast("bigint").alias("n_folds"),
+            round4(davg(F.abs(err))).alias("mae_cents"),
+            round4(davg(F.abs(err) / F.col("y") * 100.0)).alias("mape_pct"),
+            round4(davg(err)).alias("bias_cents"),
+        )
+
+    return score("naive1", "naive_1").unionAll(
+        score("naive7", "seasonal_naive_7")
+    )
