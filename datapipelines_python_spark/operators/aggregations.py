@@ -1010,3 +1010,108 @@ def agg_regr_builtins(spark: SparkSession, sf: str) -> DataFrame:
         r4(F.regr_avgx(y, x)).alias("avg_x"),
         r4(F.regr_avgy(y, x)).alias("avg_y"),
     )
+
+
+@query(
+    "agg_kll_sketch",
+    oracle=None,  # sketch estimates are implementation-specific: rows-only
+    tags=("agg", "approx", "sketch"),
+)
+def agg_kll_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable QUANTILE sketches (Apache DataSketches KLL, Spark 4
+    ``kll_sketch_agg_double``): per-event-type sketches of `value` built
+    in one pass, merged into a global sketch, and both queried for
+    p50/p95/p99 — the streaming/at-scale counterpart of the exact
+    ``F.percentile`` used across this repo. The re-aggregability story
+    mirrors ``agg_hll_sketch``: store a sketch per partition and answer
+    any future quantile query over any partition subset by binary
+    merge, never rescanning 100 TB of facts; KLL state is a few KB with
+    ~1% rank error at k=200 (provably optimal for that size).
+
+    No SQL oracle (sketch internals are engine-specific): the driver
+    records rows-only; tests/test_hll_sketch.py asserts the estimated
+    quantiles land within rank tolerance of the exact percentiles and
+    that merged-by-parts answers match built-whole."""
+    e = load_table(spark, sf, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.kll_sketch_agg_double(F.col("value"), F.lit(200)).alias("sk"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    per_type_q = per_type.select(
+        "event_type", "n_rows",
+        F.round(
+            F.kll_sketch_get_quantile_double(
+                F.col("sk"), F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99))
+            )[0],
+            2,
+        ).alias("p50_est"),
+        F.round(
+            F.kll_sketch_get_quantile_double(
+                F.col("sk"), F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99))
+            )[1],
+            2,
+        ).alias("p95_est"),
+    )
+    merged = per_type.agg(
+        F.lit("ALL").alias("event_type"),
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.round(
+            F.kll_sketch_get_quantile_double(
+                F.kll_merge_agg_double(F.col("sk")), F.array(F.lit(0.5))
+            )[0],
+            2,
+        ).alias("p50_est"),
+        F.round(
+            F.kll_sketch_get_quantile_double(
+                F.kll_merge_agg_double(F.col("sk")), F.array(F.lit(0.95))
+            )[0],
+            2,
+        ).alias("p95_est"),
+    )
+    return per_type_q.unionAll(merged)
+
+
+@query(
+    "agg_theta_sketch",
+    oracle=None,  # sketch estimates are implementation-specific: rows-only
+    tags=("agg", "approx", "sketch"),
+)
+def agg_theta_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """Theta sketches (DataSketches, Spark 4 ``theta_sketch_agg``) — the
+    sketch family that supports SET ALGEBRA, not just union: estimate
+    |purchasers|, |clickers|, |purchasers ∪ clickers| and, via
+    ``theta_intersection``, |purchasers ∩ clickers| — the audience-
+    overlap query that HLL cannot answer (HLL unions only; inclusion–
+    exclusion on HLL estimates compounds error). One pass builds both
+    audience sketches; intersection/union are constant-time binary ops
+    on ~KB state. At 100 TB this replaces the exact-but-massive
+    ``graph_bipartite_projection`` distinct-pair machinery whenever ±2%
+    is acceptable. Rows-only check (sketch internals engine-specific);
+    bounds asserted in tests/test_hll_sketch.py."""
+    e = load_table(spark, sf, "events")
+    sk = e.agg(
+        F.theta_sketch_agg(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("sk_p"),
+        F.theta_sketch_agg(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        ).alias("sk_c"),
+    )
+    return sk.select(
+        F.theta_sketch_estimate(F.col("sk_p")).cast("bigint").alias(
+            "purchasers_est"
+        ),
+        F.theta_sketch_estimate(F.col("sk_c")).cast("bigint").alias(
+            "clickers_est"
+        ),
+        F.theta_sketch_estimate(
+            F.theta_union(F.col("sk_p"), F.col("sk_c"))
+        )
+        .cast("bigint")
+        .alias("union_est"),
+        F.theta_sketch_estimate(
+            F.theta_intersection(F.col("sk_p"), F.col("sk_c"))
+        )
+        .cast("bigint")
+        .alias("overlap_est"),
+    )

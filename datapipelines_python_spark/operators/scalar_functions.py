@@ -1920,3 +1920,152 @@ def fn_multibyte_lengths(spark: SparkSession, sf: str) -> DataFrame:
         F.bit_length("mixed").alias("n_bits"),
         F.upper(F.col("mixed")).alias("upper_mixed"),
     )
+
+
+@query(
+    "fn_width_bucket",
+    oracle="""
+        SELECT CASE WHEN o_totalprice < 0 THEN 0
+                    WHEN o_totalprice >= 600000.0 THEN 13
+                    ELSE CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) + 1
+               END AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+               CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+        FROM orders
+        GROUP BY 1
+    """,
+    tags=("fn", "binning"),
+)
+def fn_width_bucket(spark: SparkSession, sf: str) -> DataFrame:
+    """Equal-width binning with the SQL-standard ``width_bucket`` (the
+    histogram primitive both engines share): order totals into 12
+    buckets over [0, 600000), plus the underflow/overflow buckets 0 and
+    13 the standard mandates — the declarative alternative to the
+    floor-divide idiom scattered through hand-rolled histograms
+    (``agg_histogram`` shows that form; this pins the builtin's edge
+    semantics match across engines, including values exactly on a bin
+    edge). Bucket ids are integers, min/max per bucket are raw doubles
+    — nothing to round. One map-side-combinable aggregate at any
+    scale."""
+    o = load_table(spark, sf, "orders")
+    return (
+        o.select(
+            F.width_bucket(
+                F.col("o_totalprice"), F.lit(0.0), F.lit(600000.0), F.lit(12)
+            ).alias("bucket"),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.min("o_totalprice").cast("double").alias("lo"),
+            F.max("o_totalprice").cast("double").alias("hi"),
+        )
+    )
+
+
+@query(
+    "fn_xpath",
+    oracle="""
+        SELECT * FROM (VALUES
+            (1, 'alpha',  CAST(10 AS BIGINT), CAST(2.5 AS DOUBLE),  true),
+            (2, 'beta',   CAST(20 AS BIGINT), CAST(7.25 AS DOUBLE), false),
+            (3, 'gamma',  CAST(30 AS BIGINT), CAST(0.5 AS DOUBLE),  true)
+        ) t(id, name, qty, price, in_stock)
+    """,
+    tags=("fn", "xml"),
+)
+def fn_xpath(spark: SparkSession, sf: str) -> DataFrame:
+    """The xpath_* scalar family — point queries INTO XML strings
+    without parsing the whole document into a struct (``fn_xml`` does
+    the from_xml struct path; real feeds often need just two fields out
+    of a deep document, and xpath is the cheap scalpel): xpath_string,
+    xpath_long, xpath_double and xpath_boolean over inline order XML,
+    including an attribute-existence predicate. DuckDB has no xpath, so
+    the oracle pins the expected literals — which is the point: these
+    assert exact extraction semantics (text() vs node, missing node →
+    null/false). Row-local and codegen'd; at 100 TB the XML stays in
+    one column and only extracted scalars shuffle."""
+    rows = [
+        (1, '<item flag="y"><name>alpha</name><qty>10</qty><price>2.5</price></item>'),
+        (2, '<item><name>beta</name><qty>20</qty><price>7.25</price></item>'),
+        (3, '<item flag="n"><name>gamma</name><qty>30</qty><price>0.5</price></item>'),
+    ]
+    df = spark.createDataFrame(rows, "id int, xml string")
+    return df.select(
+        "id",
+        F.xpath_string("xml", F.lit("/item/name")).alias("name"),
+        F.xpath_long("xml", F.lit("/item/qty")).alias("qty"),
+        F.xpath_double("xml", F.lit("/item/price")).alias("price"),
+        F.xpath_boolean("xml", F.lit("/item/@flag")).alias("in_stock"),
+    )
+
+
+@query(
+    "fn_make_datetime",
+    oracle="""
+        WITH parts AS (
+            SELECT o_orderkey,
+                   EXTRACT(year FROM o_orderdate) AS y,
+                   EXTRACT(month FROM o_orderdate) AS m,
+                   EXTRACT(day FROM o_orderdate) AS d
+            FROM orders
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CASE WHEN make_timestamp(
+                                    CAST(y AS BIGINT), CAST(m AS BIGINT),
+                                    CAST(d AS BIGINT), 12, 30, 15.0)
+                                  = o.o_orderdate
+                                    + INTERVAL 12 HOUR
+                                    + INTERVAL 30 MINUTE
+                                    + INTERVAL 15 SECOND
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip,
+               MIN(make_date(CAST(y AS BIGINT), CAST(m AS BIGINT),
+                             CAST(d AS BIGINT))) AS min_date,
+               MAX(make_timestamp(CAST(y AS BIGINT), CAST(m AS BIGINT),
+                                  CAST(d AS BIGINT), 23, 59, 59.0))
+                   AS max_eod
+        FROM parts p JOIN orders o ON p.o_orderkey = o.o_orderkey
+    """,
+    tags=("fn", "datetime"),
+)
+def fn_make_datetime(spark: SparkSession, sf: str) -> DataFrame:
+    """Datetime CONSTRUCTORS — make_date / make_timestamp from extracted
+    components, round-tripped against the source column plus interval
+    arithmetic as the invariant (decompose → reconstruct → must equal
+    original shifted by a fixed hand-built offset). This is the
+    normalization path every ingest with split y/m/d columns walks, and
+    the roundtrip count proves component extraction and construction
+    agree on every row rather than just type-checking. All integer/
+    timestamp comparisons — nothing floats. Session timezone UTC makes
+    the constructed timestamps bit-identical across engines."""
+    o = load_table(spark, sf, "orders")
+    parts = o.select(
+        "o_orderkey", "o_orderdate",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+    )
+    rebuilt = F.make_timestamp(
+        F.col("y"), F.col("m"), F.col("d"), F.lit(12), F.lit(30), F.lit(15.0)
+    )
+    shifted = (
+        F.col("o_orderdate")
+        + F.expr("INTERVAL 12 HOUR")
+        + F.expr("INTERVAL 30 MINUTE")
+        + F.expr("INTERVAL 15 SECOND")
+    )
+    return parts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.when(rebuilt == shifted, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_roundtrip"),
+        F.min(F.make_date("y", "m", "d")).alias("min_date"),
+        F.max(
+            F.make_timestamp(
+                F.col("y"), F.col("m"), F.col("d"),
+                F.lit(23), F.lit(59), F.lit(59.0),
+            )
+        ).alias("max_eod"),
+    )
