@@ -2069,3 +2069,137 @@ def fn_make_datetime(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("max_eod"),
     )
+
+
+@query(
+    "fn_map_builders",
+    oracle=f"""
+        SELECT source, lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               FLOOR(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) * 10000.0 + 0.5)
+                   / 10000.0 AS avg_chars
+        FROM documents
+        GROUP BY source, lang
+    """,
+    tags=("fn", "map", "hof"),
+)
+def fn_map_builders(spark: SparkSession, sf: str) -> DataFrame:
+    """Map construction + map-level HOFs as the computation medium:
+    per-source maps lang→doc-count and lang→char-sum built with
+    ``map_from_entries(collect_list(struct(...)))``, combined with
+    ``map_zip_with`` (per-key division = average chars) and flattened
+    back to rows via explode. The oracle is the equivalent flat GROUP
+    BY — identical results prove the map pipeline loses nothing. Maps
+    shine when the key set is small and ragged (each source carries
+    only its langs, no NULL-padded wide schema); the collect_list order
+    nondeterminism is harmless because map semantics are key-addressed
+    — the reason to prefer maps over position-addressed arrays for this
+    shape at scale."""
+    d = load_table(spark, sf, "documents")
+    per = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("n_chars").cast("bigint").alias("chars"),
+    )
+    maps = per.groupBy("source").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("lang"), F.col("n")))
+        ).alias("m_count"),
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("lang"), F.col("chars")))
+        ).alias("m_chars"),
+    )
+    combined = maps.select(
+        "source",
+        F.map_zip_with(
+            "m_count", "m_chars",
+            lambda k, a, b: F.struct(
+                a.alias("n_docs"),
+                (
+                    F.floor(b.cast("double") / a * 10000.0 + 0.5) / 10000.0
+                ).alias("avg_chars"),
+            ),
+        ).alias("m"),
+    )
+    ex = combined.select("source", F.explode("m").alias("lang", "v"))
+    return ex.select(
+        "source", "lang",
+        F.col("v.n_docs").alias("n_docs"),
+        F.col("v.avg_chars").alias("avg_chars"),
+    )
+
+
+@query(
+    "fn_string_parts",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id, lang, source,
+                   lang || '/' || source || '/' || CAST(doc_id AS VARCHAR)
+                       AS path
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id,
+                   split_part(path, '/', 2) AS mid_part,
+                   CAST(list_position(string_split('en,es,de,fr,zh', ','),
+                                      lang) AS BIGINT) AS lang_idx,
+                   CASE list_position(string_split('en,es,de,fr,zh', ','),
+                                      lang)
+                        WHEN 1 THEN 'English' WHEN 2 THEN 'Spanish'
+                        WHEN 3 THEN 'German'  WHEN 4 THEN 'French'
+                        WHEN 5 THEN 'Chinese' END AS lang_name,
+                   starts_with(path, 'en/') AS is_english_path,
+                   contains(source, '1') AS src_has_one
+            FROM base
+        )
+        SELECT lang_name, lang_idx,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN is_english_path THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_en_paths,
+               CAST(SUM(CASE WHEN src_has_one THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_src_with_one,
+               CAST(COUNT(DISTINCT mid_part) AS BIGINT) AS n_sources
+        FROM scored
+        GROUP BY lang_name, lang_idx
+    """,
+    tags=("fn", "string"),
+)
+def fn_string_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """Delimited-string surgery without regex: ``split_part`` (the
+    ETL workhorse for path/URN fields — one part, no array
+    materialization), ``find_in_set`` index into a CSV code list,
+    ``elt`` as the branch-free index→label decode, and the
+    ``startswith``/``contains`` predicate builtins. Composed over a
+    synthetic lang/source/id path and reduced to per-language counts
+    so the oracle exercises every function's NULL/miss semantics in
+    aggregate. All row-local, codegen-friendly, zero shuffle beyond
+    the final 5-group aggregate — the kind of expression chain that
+    must NEVER become a Python UDF at 100 TB."""
+    d = load_table(spark, sf, "documents")
+    base = d.select(
+        "doc_id", "lang", "source",
+        F.concat_ws("/", "lang", "source", F.col("doc_id").cast("string")).alias(
+            "path"
+        ),
+    )
+    idx = F.find_in_set(F.col("lang"), F.lit("en,es,de,fr,zh"))
+    scored = base.select(
+        "doc_id",
+        F.split_part(F.col("path"), F.lit("/"), F.lit(2)).alias("mid_part"),
+        idx.cast("bigint").alias("lang_idx"),
+        F.elt(
+            idx, F.lit("English"), F.lit("Spanish"), F.lit("German"),
+            F.lit("French"), F.lit("Chinese"),
+        ).alias("lang_name"),
+        F.startswith(F.col("path"), F.lit("en/")).alias("is_english_path"),
+        F.contains(F.col("source"), F.lit("1")).alias("src_has_one"),
+    )
+    return scored.groupBy("lang_name", "lang_idx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("is_english_path"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_en_paths"),
+        F.sum(F.when(F.col("src_has_one"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_src_with_one"),
+        F.countDistinct("mid_part").cast("bigint").alias("n_sources"),
+    )
