@@ -1115,3 +1115,49 @@ def agg_theta_sketch(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("overlap_est"),
     )
+
+
+@query(
+    "agg_listagg_builtin",
+    oracle="""
+        SELECT c_mktsegment,
+               STRING_AGG(n_name, '|' ORDER BY n_name, c_custkey)
+                   AS nations_sample,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM (
+            SELECT c.c_mktsegment, n.n_name, c.c_custkey
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE c.c_custkey < 50
+        )
+        GROUP BY c_mktsegment
+    """,
+    tags=("agg", "string"),
+)
+def agg_listagg_builtin(spark: SparkSession, sf: str) -> DataFrame:
+    """The SQL:2016 ``LISTAGG ... WITHIN GROUP (ORDER BY ...)`` native
+    aggregate (new in Spark 4) — ordered string aggregation executed
+    INSIDE the aggregate operator, vs ``agg_string_agg``'s
+    collect→sort→join composition of the same semantics. The WITHIN
+    GROUP order must be total (name + custkey) or the output string is
+    nondeterministic across partitionings — the same rule that makes
+    unordered LISTAGG a latent scale bug. Keyed to a small filtered
+    slice because unbounded string concat at 100 TB is itself the
+    anti-pattern (use arrays + explode past ~KB per group)."""
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    j = (
+        c.filter(F.col("c_custkey") < 50)
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select("c_mktsegment", "n_name", "c_custkey")
+    )
+    j.createOrReplaceTempView("_la_base")
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               listagg(n_name, '|') WITHIN GROUP (ORDER BY n_name, c_custkey)
+                   AS nations_sample,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM _la_base
+        GROUP BY c_mktsegment
+        """
+    )

@@ -2203,3 +2203,86 @@ def fn_string_parts(spark: SparkSession, sf: str) -> DataFrame:
         .alias("n_src_with_one"),
         F.countDistinct("mid_part").cast("bigint").alias("n_sources"),
     )
+
+
+@query(
+    "fn_number_roundtrip",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(COUNT(*) AS BIGINT) AS n_roundtrip,
+               CAST(0 AS BIGINT) AS n_parse_failures
+        FROM orders
+    """,
+    tags=("fn", "string", "format"),
+)
+def fn_number_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Locale-formatted number I/O: every order total rendered with
+    ``format_number`` (grouped thousands, 2 decimals — the human/report
+    surface) and parsed back through ``to_number`` with the matching
+    picture format, asserting value-exact roundtrip on all rows
+    (decimal→double cast is correctly rounded, so equality against the
+    source double is exact, not approximate). ``try_to_number`` on the
+    same strings with a deliberately narrow format counts parse
+    failures without raising — the quarantine posture for ingest. The
+    oracle pins the invariant counts; the WORK (format → parse →
+    compare per row) happens on the Spark side at full width."""
+    o = load_table(spark, sf, "orders")
+    s = o.select(
+        "o_totalprice",
+        F.format_number("o_totalprice", 2).alias("pretty"),
+    )
+    parsed = s.select(
+        "o_totalprice",
+        F.try_to_number(F.col("pretty"), F.lit("999,999,999.99")).alias("back"),
+    )
+    return parsed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(
+            F.when(F.col("back").cast("double") == F.col("o_totalprice"), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_roundtrip"),
+        F.sum(
+            F.when(F.col("back").isNull(), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_parse_failures"),
+    )
+
+
+@query(
+    "fn_try_parsers",
+    oracle="""
+        SELECT * FROM (VALUES
+            (1, DATE '2024-03-01', CAST(1234.5 AS DOUBLE), true),
+            (2, NULL,              CAST(NULL AS DOUBLE),   false),
+            (3, DATE '2025-12-31', CAST(0.25 AS DOUBLE),   true)
+        ) t(id, d, x, json_ok)
+    """,
+    tags=("fn", "robustness"),
+)
+def fn_try_parsers(spark: SparkSession, sf: str) -> DataFrame:
+    """The try_* parser family on deliberately mixed-quality input:
+    ``try_to_date`` (ISO parse, garbage → NULL instead of a task-killing
+    exception), ``try_to_number`` with a picture format, and
+    ``try_parse_json`` validity (parse → non-null VARIANT) — the
+    error-as-data posture that keeps one malformed row in 100 TB from
+    failing a 10k-task stage. The PERMISSIVE-mode cousin for files is
+    ``scan_csv_permissive``; this is the expression-level equivalent
+    for already-loaded strings. Oracle pins exact NULL placement per
+    row."""
+    rows = [
+        (1, "2024-03-01", "1,234.50", '{"k": 1}'),
+        (2, "not-a-date", "oops", '{"broken":'),
+        (3, "2025-12-31", "0.25", "[1, 2, 3]"),
+    ]
+    df = spark.createDataFrame(rows, "id int, ds string, ns string, js string")
+    return df.select(
+        "id",
+        F.try_to_date("ds").alias("d"),
+        F.try_to_number(F.col("ns"), F.lit("9,999.99"))
+        .cast("double")
+        .alias("x"),
+        F.try_parse_json(F.col("js")).isNotNull().alias("json_ok"),
+    )
