@@ -2221,11 +2221,12 @@ def fn_number_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     surface) and parsed back through ``to_number`` with the matching
     picture format, asserting value-exact roundtrip on all rows
     (decimal→double cast is correctly rounded, so equality against the
-    source double is exact, not approximate). ``try_to_number`` on the
-    same strings with a deliberately narrow format counts parse
-    failures without raising — the quarantine posture for ingest. The
-    oracle pins the invariant counts; the WORK (format → parse →
-    compare per row) happens on the Spark side at full width."""
+    source double is exact, not approximate). The error-safe
+    ``try_to_number`` variant does the parse, so a malformed string
+    counts as a failure instead of killing the stage — the quarantine
+    posture for ingest. The oracle pins the invariant counts; the WORK
+    (format → parse → compare per row) happens Spark-side at full
+    width."""
     o = load_table(spark, sf, "orders")
     s = o.select(
         "o_totalprice",

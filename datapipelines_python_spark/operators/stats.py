@@ -4423,3 +4423,307 @@ def ml_fleiss_kappa(spark: SparkSession, sf: str) -> DataFrame:
         round4(p_e).alias("p_e"),
         round4((p_bar - p_e) / (1.0 - p_e)).alias("fleiss_kappa"),
     )
+
+
+# Normal CDF via the Abramowitz–Stegun 7.1.26 erf polynomial — the SAME
+# closed-form arithmetic on both engines (neither ships erf as SQL), so
+# p-values are bit-identical by construction rather than by library luck.
+def _sql_norm_sf(z: str) -> str:
+    t = f"(1.0 / (1.0 + 0.3275911 * ({z}) / 1.4142135623730951))"
+    poly = (
+        f"({t} * (0.254829592 + {t} * (-0.284496736 + {t} * (1.421413741 "
+        f"+ {t} * (-1.453152027 + {t} * 1.061405429)))))"
+    )
+    # sf(z) = (1 - erf(z/sqrt(2))) / 2 for z >= 0
+    return f"({poly} * EXP(-(({z}) * ({z})) / 2.0) / 2.0)"
+
+
+def _norm_sf(z):
+    t = 1.0 / (1.0 + 0.3275911 * z / 1.4142135623730951)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
+    )
+    return poly * F.exp(-(z * z) / 2.0) / 2.0
+
+
+@query(
+    "ml_benjamini_hochberg",
+    oracle=f"""
+        WITH g AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   {sql_dsum('value')} AS s1,
+                   {sql_dsum('value * value')} AS s2
+            FROM events GROUP BY event_type
+        ),
+        tot AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS nt,
+                   {sql_dsum('s1')} AS t1,
+                   {sql_dsum('s2')} AS t2,
+                   CAST(COUNT(*) AS BIGINT) AS m
+            FROM g
+        ),
+        z AS (
+            SELECT g.event_type, g.n, t.m,
+                   ABS((g.s1 / g.n - t.t1 / t.nt)
+                       / SQRT(((t.nt * t.t2 - t.t1 * t.t1)
+                               / (t.nt * (t.nt - 1.0))) / g.n)) AS zabs
+            FROM g CROSS JOIN tot t
+        ),
+        p AS (
+            SELECT event_type, n, m, zabs,
+                   2.0 * {_sql_norm_sf('zabs')} AS p_value
+            FROM z
+        ),
+        ranked AS (
+            SELECT event_type, n, m, zabs, p_value,
+                   ROW_NUMBER() OVER (ORDER BY p_value, event_type) AS i
+            FROM p
+        ),
+        thresh AS (
+            SELECT MAX(CASE WHEN p_value <= 0.05 * i / m THEN i ELSE 0 END)
+                       AS k
+            FROM ranked
+        )
+        SELECT r.event_type,
+               CAST(r.i AS BIGINT) AS p_rank,
+               {sql_round4('r.zabs')} AS z_abs,
+               {sql_round4('r.p_value')} AS p_value,
+               {sql_round4('0.05 * r.i / r.m')} AS bh_threshold,
+               r.i <= t.k AS rejected
+        FROM ranked r CROSS JOIN thresh t
+    """,
+    tags=("ml", "stats", "multiple-testing"),
+)
+def ml_benjamini_hochberg(spark: SparkSession, sf: str) -> DataFrame:
+    """Benjamini–Hochberg FDR control over the family of five 'does this
+    event type's mean value differ from the corpus mean' z-tests: rank
+    p-values ascending, find the largest i with p₍ᵢ₎ ≤ (i/m)·q at
+    q=0.05, reject everything at or below it (the step-up rule — note a
+    test can be rejected with p ABOVE its own threshold if a later one
+    passes). p-values come from a shared Abramowitz–Stegun normal-CDF
+    polynomial evaluated identically on both engines — the portable
+    answer when neither SQL dialect ships erf. At 100 TB multiple
+    testing is the default condition (every dashboard is a test
+    family); the whole correction here is a 5-row window after one
+    aggregate pass."""
+    e = load_table(spark, sf, "events")
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum(F.col("value")).alias("s1"),
+        dsum(F.col("value") * F.col("value")).alias("s2"),
+    )
+    tot = g.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        dsum(F.col("s1")).alias("t1"),
+        dsum(F.col("s2")).alias("t2"),
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    var = (F.col("nt") * F.col("t2") - F.col("t1") * F.col("t1")) / (
+        F.col("nt") * (F.col("nt") - 1.0)
+    )
+    zabs = F.abs(
+        (F.col("s1") / F.col("n") - F.col("t1") / F.col("nt"))
+        / F.sqrt(var / F.col("n"))
+    )
+    p = j.select(
+        "event_type", "n", "m",
+        zabs.alias("zabs"),
+        (2.0 * _norm_sf(zabs)).alias("p_value"),
+    )
+    ranked = p.select(
+        "event_type", "m", "zabs", "p_value",
+        F.row_number().over(W.orderBy("p_value", "event_type")).alias("i"),
+    )
+    thresh = ranked.agg(
+        F.max(
+            F.when(F.col("p_value") <= 0.05 * F.col("i") / F.col("m"), F.col("i"))
+            .otherwise(0)
+        ).alias("k")
+    )
+    return ranked.crossJoin(F.broadcast(thresh)).select(
+        "event_type",
+        F.col("i").cast("bigint").alias("p_rank"),
+        round4(F.col("zabs")).alias("z_abs"),
+        round4(F.col("p_value")).alias("p_value"),
+        round4(0.05 * F.col("i") / F.col("m")).alias("bh_threshold"),
+        (F.col("i") <= F.col("k")).alias("rejected"),
+    )
+
+
+@query(
+    "ml_tost_equivalence",
+    oracle=f"""
+        WITH g AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   {sql_dsum('value')} AS s1,
+                   {sql_dsum('value * value')} AS s2
+            FROM events
+            WHERE event_type IN ('view', 'click')
+            GROUP BY event_type
+        ),
+        w AS (
+            SELECT
+                MAX(CASE WHEN event_type = 'view' THEN n END) AS n1,
+                MAX(CASE WHEN event_type = 'view' THEN s1 END) AS a1,
+                MAX(CASE WHEN event_type = 'view' THEN s2 END) AS a2,
+                MAX(CASE WHEN event_type = 'click' THEN n END) AS n2,
+                MAX(CASE WHEN event_type = 'click' THEN s1 END) AS b1,
+                MAX(CASE WHEN event_type = 'click' THEN s2 END) AS b2
+            FROM g
+        ),
+        d AS (
+            SELECT n1, n2,
+                   a1 / n1 - b1 / n2 AS diff,
+                   SQRT((n1 * a2 - a1 * a1) / (n1 * (n1 - 1.0)) / n1
+                      + (n2 * b2 - b1 * b1) / (n2 * (n2 - 1.0)) / n2) AS se
+            FROM w
+        )
+        SELECT CAST(n1 AS BIGINT) AS n_view,
+               CAST(n2 AS BIGINT) AS n_click,
+               {sql_round4('diff')} AS mean_diff,
+               {sql_round4('(diff + 2.0) / se')} AS z_lower,
+               {sql_round4('(diff - 2.0) / se')} AS z_upper,
+               (diff + 2.0) / se > 1.6448536269514722
+                   AND (diff - 2.0) / se < -1.6448536269514722 AS equivalent
+        FROM d
+    """,
+    tags=("ml", "stats", "test"),
+)
+def ml_tost_equivalence(spark: SparkSession, sf: str) -> DataFrame:
+    """TOST equivalence test (two one-sided tests): are view and click
+    mean values equivalent within ±δ=2.0 — the inferentially correct
+    way to claim 'no meaningful difference', which a non-significant
+    t-test does NOT license (absence of evidence ≠ evidence of
+    absence). Both one-sided z's must clear ±z₀.₀₅: z_lower =
+    (diff+δ)/SE > 1.645 and z_upper = (diff−δ)/SE < −1.645. Welch SE
+    from per-group power sums, one aggregate pass + a 2-row pivot; the
+    guardrail-metric pattern every launch review at scale actually
+    needs ('did we NOT hurt latency/quality by more than δ')."""
+    e = load_table(spark, sf, "events")
+    g = (
+        e.filter(F.col("event_type").isin("view", "click"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            dsum(F.col("value")).alias("s1"),
+            dsum(F.col("value") * F.col("value")).alias("s2"),
+        )
+    )
+    isv = F.when(F.col("event_type") == "view", 1).otherwise(0)
+    w = g.agg(
+        F.max(F.when(isv == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(isv == 1, F.col("s1"))).alias("a1"),
+        F.max(F.when(isv == 1, F.col("s2"))).alias("a2"),
+        F.max(F.when(isv == 0, F.col("n"))).alias("n2"),
+        F.max(F.when(isv == 0, F.col("s1"))).alias("b1"),
+        F.max(F.when(isv == 0, F.col("s2"))).alias("b2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    diff = F.col("a1") / n1 - F.col("b1") / n2
+    se = F.sqrt(
+        (n1 * F.col("a2") - F.col("a1") * F.col("a1")) / (n1 * (n1 - 1.0)) / n1
+        + (n2 * F.col("b2") - F.col("b1") * F.col("b1")) / (n2 * (n2 - 1.0)) / n2
+    )
+    zcrit = 1.6448536269514722
+    return w.select(
+        n1.cast("bigint").alias("n_view"),
+        n2.cast("bigint").alias("n_click"),
+        round4(diff).alias("mean_diff"),
+        round4((diff + 2.0) / se).alias("z_lower"),
+        round4((diff - 2.0) / se).alias("z_upper"),
+        (((diff + 2.0) / se > zcrit) & ((diff - 2.0) / se < -zcrit)).alias(
+            "equivalent"
+        ),
+    )
+
+
+@query(
+    "ml_power_sample_size",
+    oracle=f"""
+        WITH g AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   {sql_dsum('value')} AS s1,
+                   {sql_dsum('value * value')} AS s2
+            FROM events
+            WHERE event_type IN ('purchase', 'click')
+            GROUP BY event_type
+        ),
+        w AS (
+            SELECT
+                MAX(CASE WHEN event_type = 'purchase' THEN n END) AS n1,
+                MAX(CASE WHEN event_type = 'purchase' THEN s1 END) AS a1,
+                MAX(CASE WHEN event_type = 'purchase' THEN s2 END) AS a2,
+                MAX(CASE WHEN event_type = 'click' THEN n END) AS n2,
+                MAX(CASE WHEN event_type = 'click' THEN s1 END) AS b1,
+                MAX(CASE WHEN event_type = 'click' THEN s2 END) AS b2
+            FROM g
+        ),
+        d AS (
+            SELECT n1, n2,
+                   ABS(a1 / n1 - b1 / n2)
+                   / SQRT(((a2 - a1 * a1 / n1) + (b2 - b1 * b1 / n2))
+                          / (n1 + n2 - 2.0)) AS d_abs
+            FROM w
+        )
+        SELECT {sql_round4('d_abs')} AS effect_d,
+               CAST(CEIL(2.0 * POWER((1.959963984540054
+                                      + 0.8416212335729143) / d_abs, 2))
+                    AS BIGINT) AS n_required_per_arm,
+               CAST(LEAST(n1, n2) AS BIGINT) AS n_smallest_arm,
+               LEAST(n1, n2) >= CEIL(2.0 * POWER((1.959963984540054
+                                      + 0.8416212335729143) / d_abs, 2))
+                   AS adequately_powered
+        FROM d
+    """,
+    tags=("ml", "stats", "design"),
+)
+def ml_power_sample_size(spark: SparkSession, sf: str) -> DataFrame:
+    """Prospective power analysis closed form: per-arm n = 2·((z₀.₀₂₅ +
+    z₀.₂)/d)² to detect the OBSERVED standardized effect d (from
+    ``ml_cohens_d``'s pooled-SD formula) at 80% power / two-sided 5% —
+    the design arithmetic that belongs NEXT to every A/B readout
+    (``workload_ab_test``): an 'insignificant' result from an
+    underpowered arm is noise, not news. The z quantiles are fixed
+    constants so the whole op stays closed-form; one aggregate pass,
+    2-row pivot, one output row with the verdict against the smaller
+    arm."""
+    e = load_table(spark, sf, "events")
+    g = (
+        e.filter(F.col("event_type").isin("purchase", "click"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            dsum(F.col("value")).alias("s1"),
+            dsum(F.col("value") * F.col("value")).alias("s2"),
+        )
+    )
+    isp = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    w = g.agg(
+        F.max(F.when(isp == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(isp == 1, F.col("s1"))).alias("a1"),
+        F.max(F.when(isp == 1, F.col("s2"))).alias("a2"),
+        F.max(F.when(isp == 0, F.col("n"))).alias("n2"),
+        F.max(F.when(isp == 0, F.col("s1"))).alias("b1"),
+        F.max(F.when(isp == 0, F.col("s2"))).alias("b2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    d_abs = F.abs(F.col("a1") / n1 - F.col("b1") / n2) / F.sqrt(
+        (
+            (F.col("a2") - F.col("a1") * F.col("a1") / n1)
+            + (F.col("b2") - F.col("b1") * F.col("b1") / n2)
+        )
+        / (n1 + n2 - 2.0)
+    )
+    zsum = 1.959963984540054 + 0.8416212335729143
+    n_req = F.ceil(2.0 * F.pow(zsum / d_abs, 2))
+    return w.select(
+        round4(d_abs).alias("effect_d"),
+        n_req.cast("bigint").alias("n_required_per_arm"),
+        F.least(n1, n2).cast("bigint").alias("n_smallest_arm"),
+        (F.least(n1, n2) >= n_req).alias("adequately_powered"),
+    )
