@@ -4727,3 +4727,88 @@ def mm_aspect_bucketing(spark: SparkSession, sf: str) -> DataFrame:
             "avg_aspect"
         ),
     )
+
+
+@query(
+    "llm_rejection_sampling",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   CAST(n_chars AS BIGINT) // 100 AS len_bucket,
+                   CAST(n_chars AS DOUBLE)
+                       / LEN(STRING_SPLIT(text, ' ')) AS score
+            FROM documents
+        ),
+        ranked AS (
+            SELECT lang, len_bucket, score,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang, len_bucket
+                       ORDER BY score DESC, doc_id ASC) AS rn,
+                   CAST(COUNT(*) OVER (PARTITION BY lang, len_bucket)
+                        AS BIGINT) AS k
+            FROM scored
+        )
+        , sel AS (
+            SELECT lang, score, k FROM ranked WHERE rn = 1
+        ),
+        cand AS (
+            SELECT lang, CAST(CAST(SUM(CAST((score) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS s_all,
+                   CAST(COUNT(*) AS BIGINT) AS c_all
+            FROM scored GROUP BY lang
+        )
+        SELECT s.lang,
+               CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(s.k) AS BIGINT) AS n_candidates,
+               FLOOR((CAST(CAST(SUM(CAST((s.score) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) / COUNT(s.score)) * 10000.0 + 0.5) / 10000.0 AS mean_selected_score,
+               FLOOR((MIN(c.s_all) / MIN(c.c_all)) * 10000.0 + 0.5) / 10000.0 AS mean_candidate_score,
+               FLOOR((CAST(COUNT(*) AS DOUBLE) / SUM(s.k)) * 10000.0 + 0.5) / 10000.0 AS acceptance_rate
+        FROM sel s JOIN cand c ON s.lang = c.lang
+        GROUP BY s.lang, c.s_all, c.c_all
+    """,
+    tags=("llm", "training", "selection"),
+)
+def llm_rejection_sampling(spark: SparkSession, sf: str) -> DataFrame:
+    """Best-of-k rejection sampling, the data-side shape of RLHF-style
+    candidate selection: within each (lang, length-bucket) candidate
+    pool, keep only the top scorer (avg-word-length as the stand-in
+    reward), and report the score lift selection buys — mean selected
+    vs mean candidate score — plus the acceptance rate per language.
+    One partitioned rank window (Spark pushes the rn=1 filter down as
+    a window-group-limit, so the full candidate set never survives the
+    shuffle) and one aggregate. The lift column is the thing to watch
+    at scale: if selected ≈ candidate mean, the reward is noise and
+    the compute spent generating k candidates is wasted."""
+    d = load_table(spark, sf, "documents")
+    scored = d.select(
+        "doc_id", "lang",
+        F.floor(F.col("n_chars") / 100).cast("bigint").alias("len_bucket"),
+        (
+            F.col("n_chars").cast("double") / F.size(F.split("text", " "))
+        ).alias("score"),
+    )
+    wr = W.partitionBy("lang", "len_bucket").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    wk = W.partitionBy("lang", "len_bucket")
+    ranked = scored.select(
+        "lang", "score",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wk).cast("bigint").alias("k"),
+    )
+    return ranked.groupBy("lang").agg(
+        F.count(F.when(F.col("rn") == 1, 1)).cast("bigint").alias("n_groups"),
+        F.sum(F.when(F.col("rn") == 1, F.col("k"))).cast("bigint").alias(
+            "n_candidates"
+        ),
+        round4(davg(F.when(F.col("rn") == 1, F.col("score")))).alias(
+            "mean_selected_score"
+        ),
+        round4(
+            dsum(F.col("score"))
+            / F.sum(F.when(F.col("rn") == 1, F.col("k")))
+        ).alias("mean_candidate_score"),
+        round4(
+            F.count(F.when(F.col("rn") == 1, 1)).cast("double")
+            / F.sum(F.when(F.col("rn") == 1, F.col("k")))
+        ).alias("acceptance_rate"),
+    )

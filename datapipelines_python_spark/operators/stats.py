@@ -4727,3 +4727,180 @@ def ml_power_sample_size(spark: SparkSession, sf: str) -> DataFrame:
         F.least(n1, n2).cast("bigint").alias("n_smallest_arm"),
         (F.least(n1, n2) >= n_req).alias("adequately_powered"),
     )
+
+
+@query(
+    "ml_gmm_em_step",
+    oracle=f"""
+        WITH resp AS (
+            SELECT value,
+                   0.5 * EXP(-POWER(value - 20.0, 2) / (2.0 * 400.0)) / 20.0
+                       AS w1,
+                   0.5 * EXP(-POWER(value - 80.0, 2) / (2.0 * 400.0)) / 20.0
+                       AS w2
+            FROM events
+        ),
+        gamma AS (
+            SELECT value,
+                   w1 / (w1 + w2) AS g1,
+                   w2 / (w1 + w2) AS g2
+            FROM resp
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   {sql_dsum('g1')} AS n1,
+                   {sql_dsum('g2')} AS n2,
+                   {sql_dsum('g1 * value')} AS s1,
+                   {sql_dsum('g2 * value')} AS s2,
+                   {sql_dsum('g1 * value * value')} AS q1,
+                   {sql_dsum('g2 * value * value')} AS q2
+            FROM gamma
+        )
+        SELECT n AS n_rows,
+               {sql_round4('n1 / n')} AS pi1_new,
+               {sql_round4('s1 / n1')} AS mu1_new,
+               {sql_round4('SQRT(q1 / n1 - (s1 / n1) * (s1 / n1))')}
+                   AS sigma1_new,
+               {sql_round4('s2 / n2')} AS mu2_new,
+               {sql_round4('SQRT(q2 / n2 - (s2 / n2) * (s2 / n2))')}
+                   AS sigma2_new
+        FROM m
+    """,
+    tags=("ml", "clustering", "em"),
+)
+def ml_gmm_em_step(spark: SparkSession, sf: str) -> DataFrame:
+    """One exact EM step for a two-component 1-D Gaussian mixture on
+    event values, from the fixed init (π=.5/.5, µ=20/80, σ=20/20):
+    E-step responsibilities are row-local Gaussian-density arithmetic
+    (the shared constant normalizer cancels in γ, kept anyway for
+    clarity), M-step is ONE aggregate of γ-weighted power sums — the
+    same sufficient-statistics discipline as ``ml_kmeans_lloyd``'s hard
+    assignments, with soft weights. This is the induction step of the
+    full algorithm: iterating is re-running this plan with updated
+    constants, each iteration one scan + a 7-number shuffle at any
+    scale. Weighted sums ride decimals so the updated parameters are
+    partition-invariant."""
+    e = load_table(spark, sf, "events")
+    v = F.col("value")
+    w1 = 0.5 * F.exp(-F.pow(v - 20.0, 2) / (2.0 * 400.0)) / 20.0
+    w2 = 0.5 * F.exp(-F.pow(v - 80.0, 2) / (2.0 * 400.0)) / 20.0
+    gamma = e.select(
+        v.alias("value"),
+        (w1 / (w1 + w2)).alias("g1"),
+        (w2 / (w1 + w2)).alias("g2"),
+    )
+    m = gamma.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum(F.col("g1")).alias("n1"),
+        dsum(F.col("g2")).alias("n2"),
+        dsum(F.col("g1") * v).alias("s1"),
+        dsum(F.col("g2") * v).alias("s2"),
+        dsum(F.col("g1") * v * v).alias("q1"),
+        dsum(F.col("g2") * v * v).alias("q2"),
+    )
+    mu1 = F.col("s1") / F.col("n1")
+    mu2 = F.col("s2") / F.col("n2")
+    return m.select(
+        F.col("n").alias("n_rows"),
+        round4(F.col("n1") / F.col("n")).alias("pi1_new"),
+        round4(mu1).alias("mu1_new"),
+        round4(F.sqrt(F.col("q1") / F.col("n1") - mu1 * mu1)).alias(
+            "sigma1_new"
+        ),
+        round4(mu2).alias("mu2_new"),
+        round4(F.sqrt(F.col("q2") / F.col("n2") - mu2 * mu2)).alias(
+            "sigma2_new"
+        ),
+    )
+
+
+@query(
+    "ml_bayes_ab",
+    oracle=f"""
+        WITH arms AS (
+            SELECT CASE WHEN event_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS conv
+            FROM events
+        ),
+        g AS (
+            SELECT arm,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(conv) AS BIGINT) AS x
+            FROM arms GROUP BY arm
+        ),
+        w AS (
+            SELECT
+                MAX(CASE WHEN arm = 'A' THEN n END) AS na,
+                MAX(CASE WHEN arm = 'A' THEN x END) AS xa,
+                MAX(CASE WHEN arm = 'B' THEN n END) AS nb,
+                MAX(CASE WHEN arm = 'B' THEN x END) AS xb
+        FROM g
+        ),
+        post AS (
+            SELECT na, xa, nb, xb,
+                   (xa + 1.0) / (na + 2.0) AS ma,
+                   (xb + 1.0) / (nb + 2.0) AS mb,
+                   (xa + 1.0) * (na - xa + 1.0)
+                       / (POWER(na + 2.0, 2) * (na + 3.0)) AS va,
+                   (xb + 1.0) * (nb - xb + 1.0)
+                       / (POWER(nb + 2.0, 2) * (nb + 3.0)) AS vb
+            FROM w
+        )
+        SELECT CAST(na AS BIGINT) AS n_a, CAST(xa AS BIGINT) AS conv_a,
+               CAST(nb AS BIGINT) AS n_b, CAST(xb AS BIGINT) AS conv_b,
+               {sql_round4('ma')} AS posterior_mean_a,
+               {sql_round4('mb')} AS posterior_mean_b,
+               {sql_round4(
+                   'CASE WHEN ma >= mb THEN 1.0 - '
+                   + _sql_norm_sf('ABS((ma - mb) / SQRT(va + vb))')
+                   + ' ELSE ' + _sql_norm_sf('ABS((ma - mb) / SQRT(va + vb))')
+                   + ' END'
+               )} AS p_a_beats_b
+        FROM post
+    """,
+    tags=("ml", "stats", "bayesian"),
+)
+def ml_bayes_ab(spark: SparkSession, sf: str) -> DataFrame:
+    """Bayesian A/B readout with Beta(1,1) priors on the purchase-
+    conversion rate of two deterministic arms (event-id parity): exact
+    Beta posterior means/variances in closed form, and P(A>B) via the
+    normal approximation to the posterior difference (the same shared
+    erf polynomial as ``ml_benjamini_hochberg``, so both engines agree
+    bitwise; at these counts the approximation error is ≪ the decision
+    threshold). This is the always-valid-ish dashboard number product
+    teams actually read — 'probability A is better' — vs the p-value
+    machinery of ``workload_ab_test``; one pass, 2-row pivot, zero
+    iteration."""
+    e = load_table(spark, sf, "events")
+    arms = e.select(
+        F.when(F.col("event_id") % 2 == 0, "A").otherwise("B").alias("arm"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("conv"),
+    )
+    g = arms.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("conv").cast("bigint").alias("x"),
+    )
+    isa = F.when(F.col("arm") == "A", 1).otherwise(0)
+    w = g.agg(
+        F.max(F.when(isa == 1, F.col("n"))).alias("na"),
+        F.max(F.when(isa == 1, F.col("x"))).alias("xa"),
+        F.max(F.when(isa == 0, F.col("n"))).alias("nb"),
+        F.max(F.when(isa == 0, F.col("x"))).alias("xb"),
+    )
+    na, xa, nb, xb = F.col("na"), F.col("xa"), F.col("nb"), F.col("xb")
+    ma = (xa + 1.0) / (na + 2.0)
+    mb = (xb + 1.0) / (nb + 2.0)
+    va = (xa + 1.0) * (na - xa + 1.0) / (F.pow(na + 2.0, 2) * (na + 3.0))
+    vb = (xb + 1.0) * (nb - xb + 1.0) / (F.pow(nb + 2.0, 2) * (nb + 3.0))
+    zab = F.abs(ma - mb) / F.sqrt(va + vb)
+    p_ab = F.when(ma >= mb, 1.0 - _norm_sf(zab)).otherwise(_norm_sf(zab))
+    return w.select(
+        na.cast("bigint").alias("n_a"),
+        xa.cast("bigint").alias("conv_a"),
+        nb.cast("bigint").alias("n_b"),
+        xb.cast("bigint").alias("conv_b"),
+        round4(ma).alias("posterior_mean_a"),
+        round4(mb).alias("posterior_mean_b"),
+        round4(p_ab).alias("p_a_beats_b"),
+    )
