@@ -2287,3 +2287,127 @@ def fn_try_parsers(spark: SparkSession, sf: str) -> DataFrame:
         .alias("x"),
         F.try_parse_json(F.col("js")).isNotNull().alias("json_ok"),
     )
+
+
+@query(
+    "fn_array_quantifiers",
+    oracle="""
+        SELECT label,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(SUM(CASE WHEN LEN(list_filter(embedding,
+                                                  x -> x > 0.25)) > 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_any_hot,
+               CAST(SUM(CASE WHEN LEN(list_filter(embedding,
+                                                  x -> x <= -0.25)) = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_all_mild,
+               CAST(SUM(LEN(list_filter(embedding, x -> x > 0.0)))
+                    AS BIGINT) AS total_positive_dims
+        FROM embeddings
+        GROUP BY label
+    """,
+    tags=("fn", "array", "hof"),
+)
+def fn_array_quantifiers(spark: SparkSession, sf: str) -> DataFrame:
+    """The array quantifier HOFs — ``exists`` (∃ dim > 0.25), ``forall``
+    (∀ dim > −0.25) and a ``filter``-count — summarized per embedding
+    label: structure-aware predicates evaluated INSIDE the array column
+    with no explode, no shuffle amplification (the n×64 row blow-up of
+    the posexplode alternative never exists here — compare
+    ``llm_embed_dim_audit``, which NEEDS per-dim grouping). DuckDB has
+    no exists/forall, so the oracle states both through list_filter
+    cardinality — same semantics, proving the quantifiers are sugar
+    over filter. Per-row lambda arithmetic is codegen'd JVM work, the
+    array stays packed end to end."""
+    em = load_table(spark, sf, "embeddings")
+    emb = F.col("embedding")
+    flags = em.select(
+        "label",
+        F.exists(emb, lambda x: x > 0.25).alias("any_hot"),
+        F.forall(emb, lambda x: x > -0.25).alias("all_mild"),
+        F.size(F.filter(emb, lambda x: x > 0.0)).alias("n_pos"),
+    )
+    return flags.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum(F.when(F.col("any_hot"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_any_hot"),
+        F.sum(F.when(F.col("all_mild"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_all_mild"),
+        F.sum("n_pos").cast("bigint").alias("total_positive_dims"),
+    )
+
+
+@query(
+    "fn_array_mutations",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id, STRING_SPLIT(text, ' ')[1:4] AS toks
+            FROM documents
+        ),
+        mutated AS (
+            SELECT doc_id,
+                   list_prepend('BOS', list_append(toks, 'EOS')) AS framed,
+                   toks[1:1] || ['SEP'] || toks[2:4] AS inserted,
+                   LEN(list_filter(
+                       list_append(list_append(toks, NULL), NULL),
+                       x -> x IS NOT NULL)) AS compact_len
+            FROM base
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN framed[1] = 'BOS'
+                              AND framed[LEN(framed)] = 'EOS'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_framed_ok,
+               CAST(SUM(CASE WHEN inserted[2] = 'SEP'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_insert_ok,
+               CAST(SUM(compact_len) AS BIGINT) AS total_compact_len
+        FROM mutated
+    """,
+    tags=("fn", "array"),
+)
+def fn_array_mutations(spark: SparkSession, sf: str) -> DataFrame:
+    """Array mutation builtins as sequence-assembly primitives:
+    ``array_prepend``/``array_append`` framing BOS/EOS sentinels (the
+    exact shape of special-token insertion in ``llm_sft_format``),
+    ``array_insert`` splicing a SEP mid-sequence, and ``array_compact``
+    dropping injected NULLs — each verified positionally and reduced to
+    corpus counts. DuckDB lacks insert/compact, so the oracle rebuilds
+    them from slicing and list_filter: the invariants, not the builtin
+    names, are what's pinned. All array-local: the token arrays never
+    unpack to rows, which is why this family scales as O(bytes
+    scanned)."""
+    d = load_table(spark, sf, "documents")
+    base = d.select(
+        "doc_id", F.slice(F.split("text", " "), 1, 4).alias("toks")
+    )
+    mutated = base.select(
+        "doc_id",
+        F.array_prepend(F.array_append(F.col("toks"), F.lit("EOS")), F.lit("BOS")).alias(
+            "framed"
+        ),
+        F.array_insert(F.col("toks"), F.lit(2), F.lit("SEP")).alias("inserted"),
+        F.size(
+            F.array_compact(
+                F.array_append(
+                    F.array_append(F.col("toks"), F.lit(None).cast("string")),
+                    F.lit(None).cast("string"),
+                )
+            )
+        ).alias("compact_len"),
+    )
+    return mutated.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(
+            F.when(
+                (F.element_at("framed", 1) == "BOS")
+                & (F.element_at("framed", F.size("framed")) == "EOS"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_framed_ok"),
+        F.sum(F.when(F.element_at("inserted", 2) == "SEP", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_insert_ok"),
+        F.sum("compact_len").cast("bigint").alias("total_compact_len"),
+    )

@@ -9728,3 +9728,132 @@ def workload_forecast_backtest(spark: SparkSession, sf: str) -> DataFrame:
     return score("naive1", "naive_1").unionAll(
         score("naive7", "seasonal_naive_7")
     )
+
+
+@query(
+    "workload_session_gap_sweep",
+    oracle=f"""
+        WITH gaps AS (
+            SELECT user_id,
+                   date_diff('second',
+                             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts,
+                                           event_id),
+                             ts) AS gap_s
+            FROM events
+        ),
+        counts AS (
+            SELECT CAST(COUNT(*) FILTER (WHERE gap_s IS NULL) AS BIGINT)
+                       AS n_users,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CASE WHEN gap_s IS NULL OR gap_s > 300
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS s300,
+                   CAST(SUM(CASE WHEN gap_s IS NULL OR gap_s > 900
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS s900,
+                   CAST(SUM(CASE WHEN gap_s IS NULL OR gap_s > 1800
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS s1800,
+                   CAST(SUM(CASE WHEN gap_s IS NULL OR gap_s > 3600
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS s3600
+            FROM gaps
+        )
+        SELECT t.timeout_s, c.n_events,
+               CASE t.timeout_s WHEN 300 THEN c.s300 WHEN 900 THEN c.s900
+                    WHEN 1800 THEN c.s1800 ELSE c.s3600 END AS n_sessions,
+               {sql_round4(
+                   'CAST(c.n_events AS DOUBLE) / CASE t.timeout_s'
+                   ' WHEN 300 THEN c.s300 WHEN 900 THEN c.s900'
+                   ' WHEN 1800 THEN c.s1800 ELSE c.s3600 END'
+               )} AS events_per_session
+        FROM counts c
+        CROSS JOIN (VALUES (CAST(300 AS BIGINT)), (CAST(900 AS BIGINT)),
+                           (CAST(1800 AS BIGINT)), (CAST(3600 AS BIGINT)))
+             AS t(timeout_s)
+    """,
+    tags=("workload", "sessionization"),
+)
+def workload_session_gap_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """Session-timeout sensitivity sweep: session counts under gap
+    thresholds of 5/15/30/60 minutes from ONE pass — compute each
+    event's inter-arrival gap per user once (the lag window keyed by
+    user, fully distributed), then every candidate timeout is just a
+    different COUNT(gap > τ), four indicator sums sharing the same
+    shuffle. This is how you pick the timeout ``win_sessionize_batch``
+    then hardcodes: the count-vs-τ curve's knee is the natural session
+    boundary, and re-running full sessionization per candidate τ (the
+    naive sweep) costs 4 extra scans this op provably doesn't need."""
+    e = load_table(spark, sf, "events")
+    wl = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        (
+            F.col("ts").cast("double")
+            - F.lag(F.col("ts")).over(wl).cast("double")
+        ).alias("gap_s")
+    )
+    counts = gaps.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        *[
+            F.sum(
+                F.when(
+                    F.col("gap_s").isNull() | (F.col("gap_s") > tau), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"s{tau}")
+            for tau in (300, 900, 1800, 3600)
+        ],
+    )
+    taus = spark.createDataFrame(
+        [(300,), (900,), (1800,), (3600,)], "timeout_s bigint"
+    )
+    j = counts.crossJoin(taus)
+    n_sessions = (
+        F.when(F.col("timeout_s") == 300, F.col("s300"))
+        .when(F.col("timeout_s") == 900, F.col("s900"))
+        .when(F.col("timeout_s") == 1800, F.col("s1800"))
+        .otherwise(F.col("s3600"))
+    )
+    return j.select(
+        "timeout_s",
+        "n_events",
+        n_sessions.alias("n_sessions"),
+        round4(F.col("n_events").cast("double") / n_sessions).alias(
+            "events_per_session"
+        ),
+    )
+
+
+@query(
+    "workload_histogram2d",
+    oracle="""
+        SELECT CAST(FLOOR(l_quantity / 10.0) AS BIGINT) AS qty_bin,
+               CAST(FLOOR(l_discount / 0.02) AS BIGINT) AS disc_bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,8)))
+                         AS VARCHAR) AS DOUBLE) AS revenue
+        FROM lineitem
+        GROUP BY 1, 2
+    """,
+    tags=("workload", "profiling", "viz"),
+)
+def workload_histogram2d(spark: SparkSession, sf: str) -> DataFrame:
+    """2-D fixed-width histogram (quantity deciles × discount bands)
+    with a revenue measure per cell — the heatmap aggregate behind
+    price/volume scatter summaries, and the bin-then-aggregate pattern
+    that replaces shipping raw points to a plotting client (100 TB of
+    points → ≤ 30 cells; the data-viz rule is bin server-side, always).
+    Bin ids via floor division so edges are exact on both engines
+    (contrast ``fn_width_bucket``'s builtin form); counts exact, money
+    decimal-summed. Trivially map-side-combinable — the shuffle carries
+    only cells."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.groupBy(
+            F.floor(F.col("l_quantity") / 10.0).cast("bigint").alias("qty_bin"),
+            F.floor(F.col("l_discount") / 0.02).cast("bigint").alias(
+                "disc_bin"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            dsum(F.col("l_extendedprice")).alias("revenue"),
+        )
+    )
