@@ -1161,3 +1161,72 @@ def agg_listagg_builtin(spark: SparkSession, sf: str) -> DataFrame:
         GROUP BY c_mktsegment
         """
     )
+
+
+@query(
+    "agg_bitmap_algebra",
+    oracle="""
+        WITH p AS (
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'purchase'
+        ),
+        c AS (
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'click'
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS purchasers,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS clickers,
+               (SELECT CAST(COUNT(*) AS BIGINT)
+                FROM (SELECT user_id FROM p UNION SELECT user_id FROM c))
+                   AS union_exact,
+               (SELECT CAST(COUNT(*) AS BIGINT)
+                FROM p JOIN c ON p.user_id = c.user_id) AS overlap_exact
+    """,
+    tags=("agg", "distinct", "bitmap"),
+)
+def agg_bitmap_algebra(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT audience set algebra on bitmap aggregates — the precise
+    twin of ``agg_theta_sketch``: per-bucket bitmaps for purchasers and
+    clickers, OR-merged for the union, AND-merged (``bitmap_and_agg``,
+    guarded to buckets where BOTH audiences have a bitmap — AND over a
+    singleton would wrongly pass it through) for the overlap, popcounts
+    summed. Same narrow-shuffle mergeability as ``agg_bitmap_distinct``
+    but across two predicates: state is fixed-width bytes per (side,
+    bucket), so the 100 TB plan is two scans' worth of partial bitmaps
+    and a bucket-grain merge. Pick bitmaps when ids are dense ints and
+    exactness is required; theta when ±2% is fine or keys are wide."""
+    e = load_table(spark, sf, "events")
+
+    def side(event_type: str, tag: str) -> DataFrame:
+        return (
+            e.filter(F.col("event_type") == event_type)
+            .groupBy(F.bitmap_bucket_number(F.col("user_id")).alias("bucket"))
+            .agg(
+                F.bitmap_construct_agg(
+                    F.bitmap_bit_position(F.col("user_id"))
+                ).alias("bm")
+            )
+            .select(F.lit(tag).alias("side"), "bucket", "bm")
+        )
+
+    stacked = side("purchase", "p").unionAll(side("click", "c"))
+    per_bucket = stacked.groupBy("bucket").agg(
+        F.sum(F.when(F.col("side") == "p", F.bitmap_count("bm"))).alias("np"),
+        F.sum(F.when(F.col("side") == "c", F.bitmap_count("bm"))).alias("nc"),
+        F.bitmap_count(F.bitmap_or_agg("bm")).alias("n_union"),
+        F.when(
+            F.count(F.lit(1)) == 2, F.bitmap_count(F.bitmap_and_agg("bm"))
+        )
+        .otherwise(F.lit(0))
+        .alias("n_and"),
+    )
+    return per_bucket.agg(
+        F.sum(F.coalesce(F.col("np"), F.lit(0))).cast("bigint").alias(
+            "purchasers"
+        ),
+        F.sum(F.coalesce(F.col("nc"), F.lit(0))).cast("bigint").alias(
+            "clickers"
+        ),
+        F.sum("n_union").cast("bigint").alias("union_exact"),
+        F.sum("n_and").cast("bigint").alias("overlap_exact"),
+    )

@@ -9857,3 +9857,195 @@ def workload_histogram2d(spark: SparkSession, sf: str) -> DataFrame:
             dsum(F.col("l_extendedprice")).alias("revenue"),
         )
     )
+
+
+@query(
+    "workload_wilson_ranking",
+    oracle=f"""
+        WITH per_part AS (
+            SELECT l_partkey,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS kept
+            FROM lineitem GROUP BY l_partkey
+            HAVING COUNT(*) >= 20
+        ),
+        scored AS (
+            SELECT l_partkey, n, kept,
+                   CAST(kept AS DOUBLE) / n AS p_hat,
+                   (CAST(kept AS DOUBLE) / n + 3.8415888 / (2.0 * n)
+                    - 1.96 * SQRT((CAST(kept AS DOUBLE) / n)
+                                  * (1.0 - CAST(kept AS DOUBLE) / n) / n
+                                  + 3.8415888 / (4.0 * n * n)))
+                   / (1.0 + 3.8415888 / n) AS wilson_lb
+            FROM per_part
+        )
+        SELECT l_partkey, n, kept,
+               {sql_round4('p_hat')} AS kept_rate,
+               {sql_round4('wilson_lb')} AS wilson_lower
+        FROM scored
+        ORDER BY wilson_lb DESC, l_partkey ASC
+        LIMIT 10
+    """,
+    tags=("workload", "ranking", "stats"),
+)
+def workload_wilson_ranking(spark: SparkSession, sf: str) -> DataFrame:
+    """Rank parts by the Wilson score LOWER bound of their kept-rate
+    (share of lines not returned) — the 'how not to sort by average
+    rating' fix: a 20/20 part outranks a 200/210 part on raw rate but
+    not on the lower confidence bound, which prices in sample size.
+    Minimum-volume filter, then one closed-form expression per part
+    (z²=3.8415888 inlined) — no per-part inference loop, which is why
+    this ranking runs over a billion SKUs as one aggregate + one
+    expression + top-k. The top-10 cut breaks ties on partkey;
+    ``ml_bayes_ab``'s Beta posterior is the Bayesian cousin with the
+    same shape."""
+    li = load_table(spark, sf, "lineitem")
+    per = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("l_returnflag") != "R", 1).otherwise(0))
+            .cast("bigint")
+            .alias("kept"),
+        )
+        .filter(F.col("n") >= 20)
+    )
+    n = F.col("n")
+    p = F.col("kept").cast("double") / n
+    z2 = 3.8415888
+    lb = (
+        p + z2 / (2.0 * n)
+        - 1.96 * F.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))
+    ) / (1.0 + z2 / n)
+    return (
+        per.select(
+            "l_partkey", "n", "kept",
+            round4(p).alias("kept_rate"),
+            round4(lb).alias("wilson_lower"),
+            lb.alias("_lb"),
+        )
+        .orderBy(F.col("_lb").desc(), F.col("l_partkey").asc())
+        .limit(10)
+        .drop("_lb")
+    )
+
+
+@query(
+    "workload_abc_xyz",
+    oracle=f"""
+        WITH per_part AS (
+            SELECT l_partkey,
+                   {sql_dsum('l_extendedprice')} AS revenue
+            FROM lineitem GROUP BY l_partkey
+        ),
+        weekly AS (
+            SELECT l_partkey, date_trunc('week', l_shipdate) AS wk,
+                   {sql_dsum('l_quantity')} AS q
+            FROM lineitem GROUP BY 1, 2
+        ),
+        vari AS (
+            SELECT l_partkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_weeks,
+                   {sql_dsum('q')} AS s1,
+                   {sql_dsum('q * q')} AS s2
+            FROM weekly GROUP BY l_partkey
+        ),
+        xyz AS (
+            SELECT l_partkey,
+                   CASE WHEN n_weeks < 2 THEN 'Z'
+                        WHEN SQRT((n_weeks * s2 - s1 * s1)
+                                  / (n_weeks * (n_weeks - 1.0)))
+                             / (s1 / n_weeks) < 0.5 THEN 'X'
+                        WHEN SQRT((n_weeks * s2 - s1 * s1)
+                                  / (n_weeks * (n_weeks - 1.0)))
+                             / (s1 / n_weeks) < 1.0 THEN 'Y'
+                        ELSE 'Z' END AS xyz_class
+            FROM vari
+        ),
+        ranked AS (
+            SELECT p.l_partkey, p.revenue,
+                   SUM(p.revenue) OVER (ORDER BY p.revenue DESC,
+                                        p.l_partkey ASC) AS cum_rev,
+                   SUM(p.revenue) OVER () AS tot_rev
+            FROM per_part p
+        ),
+        abc AS (
+            SELECT l_partkey, revenue,
+                   CASE WHEN cum_rev / tot_rev <= 0.8 THEN 'A'
+                        WHEN cum_rev / tot_rev <= 0.95 THEN 'B'
+                        ELSE 'C' END AS abc_class
+            FROM ranked
+        )
+        SELECT a.abc_class, x.xyz_class,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               {sql_round4(f"{sql_dsum('a.revenue')} / MIN(a2.tot)")}
+                   AS revenue_share
+        FROM abc a
+        JOIN xyz x ON a.l_partkey = x.l_partkey
+        CROSS JOIN (SELECT {sql_dsum('revenue')} AS tot FROM per_part) a2
+        GROUP BY a.abc_class, x.xyz_class
+    """,
+    tags=("workload", "inventory"),
+)
+def workload_abc_xyz(spark: SparkSession, sf: str) -> DataFrame:
+    """The ABC–XYZ inventory matrix: revenue concentration classes
+    (A/B/C by cumulative-share cutoffs at 80/95%) crossed with demand-
+    variability classes (X/Y/Z by the CV of weekly demand; <2 weeks of
+    history ⇒ Z by definition) — the 9-cell grid that decides stocking
+    policy per SKU (AX: automate, CZ: make-to-order). Extends
+    ``workload_abc_classification`` with the variability axis computed
+    from the SAME fact scan's week-grain aggregate. The cumulative-share
+    window is part-grain (already reduced); CV from power sums. At
+    100 TB both classification axes are one shuffle each on partkey —
+    then the matrix is a 9-row aggregate."""
+    li = load_table(spark, sf, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        dsum(F.col("l_extendedprice")).alias("revenue")
+    )
+    weekly = li.groupBy(
+        "l_partkey", F.date_trunc("week", F.col("l_shipdate")).alias("wk")
+    ).agg(dsum(F.col("l_quantity")).alias("q"))
+    vari = weekly.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_weeks"),
+        dsum(F.col("q")).alias("s1"),
+        dsum(F.col("q") * F.col("q")).alias("s2"),
+    )
+    nw = F.col("n_weeks")
+    cv = F.sqrt(
+        (nw * F.col("s2") - F.col("s1") * F.col("s1")) / (nw * (nw - 1.0))
+    ) / (F.col("s1") / nw)
+    xyz = vari.select(
+        "l_partkey",
+        F.when(nw < 2, "Z")
+        .when(cv < 0.5, "X")
+        .when(cv < 1.0, "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+    )
+    wcum = W.orderBy(F.col("revenue").desc(), F.col("l_partkey").asc())
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    ranked = per_part.select(
+        "l_partkey", "revenue",
+        F.sum("revenue").over(wcum).alias("cum_rev"),
+        F.sum("revenue").over(wall).alias("tot_rev"),
+    )
+    abc = ranked.select(
+        "l_partkey", "revenue",
+        F.when(F.col("cum_rev") / F.col("tot_rev") <= 0.8, "A")
+        .when(F.col("cum_rev") / F.col("tot_rev") <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    tot = per_part.agg(dsum(F.col("revenue")).alias("tot"))
+    return (
+        abc.join(xyz, "l_partkey")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("abc_class", "xyz_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            round4(dsum(F.col("revenue")) / F.min("tot")).alias(
+                "revenue_share"
+            ),
+        )
+    )
