@@ -971,3 +971,57 @@ def stream_join_then_window(spark: SparkSession, sf: str) -> DataFrame:
         "max_views_per_purchase",
     )
     return drain_to_memory(out, "stream_join_then_window_sink")
+
+
+@query(
+    "stream_union_sources",
+    oracle=f"""
+        WITH unified AS (
+            SELECT 'clicks' AS pipe, CAST(ts AS TIMESTAMP) AS ts, value
+            FROM events WHERE event_type = 'click'
+            UNION ALL
+            SELECT 'purchases', CAST(ts AS TIMESTAMP), value
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS window_start,
+               pipe,
+               COUNT(*) AS n_events,
+               {sql_dsum('value')} AS sum_value
+        FROM unified
+        GROUP BY 1, 2
+    """,
+    tags=("streaming",),
+)
+def stream_union_sources(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-source stream topology: two independently-filtered streams
+    (standing in for two Kafka topics / two ingest directories) tagged
+    with a pipe id, UNIONed, then windowed per pipe — the fan-in shape
+    every real deployment hits when a second event source appears.
+    The key semantics pinned: unionByName of streaming DataFrames is
+    legal BEFORE stateful ops, the watermark of the union is the MIN of
+    the inputs' watermarks (here both inherit the same source), and
+    complete-mode snapshot equals the batch UNION ALL + GROUP BY. At
+    scale each leg scales independently — the union is a no-shuffle
+    concatenation of micro-batch partitions."""
+    clicks = (
+        events_stream(spark, sf)
+        .filter(F.col("event_type") == "click")
+        .select(F.lit("clicks").alias("pipe"), "ts", "value")
+    )
+    purchases = (
+        events_stream(spark, sf)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.lit("purchases").alias("pipe"), "ts", "value")
+    )
+    unified = clicks.unionByName(purchases)
+    agg = unified.groupBy(F.window("ts", "1 day"), "pipe").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
+    )
+    out = agg.select(
+        F.col("window.start").alias("window_start"),
+        "pipe",
+        "n_events",
+        "sum_value",
+    )
+    return drain_to_memory(out, "stream_union_sources_sink", "complete")
