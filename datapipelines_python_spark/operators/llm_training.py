@@ -4812,3 +4812,127 @@ def llm_rejection_sampling(spark: SparkSession, sf: str) -> DataFrame:
             / F.sum(F.when(F.col("rn") == 1, F.col("k")))
         ).alias("acceptance_rate"),
     )
+
+
+@query(
+    "llm_token_budget_epochs",
+    oracle=f"""
+        WITH per_source AS (
+            SELECT source,
+                   CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT)
+                       AS toks,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY source
+        ),
+        tot AS (
+            SELECT CAST(SUM(toks) AS BIGINT) AS corpus_toks FROM per_source
+        )
+        SELECT p.source, p.n_docs, p.toks,
+               {sql_round4('CAST(p.toks AS DOUBLE) / t.corpus_toks')}
+                   AS natural_share,
+               {sql_round4(
+                   '(0.05 * 4.0 * t.corpus_toks) / p.toks'
+               )} AS epochs_needed,
+               (0.05 * 4.0 * t.corpus_toks) / p.toks > 4.0 AS over_epoch_cap
+        FROM per_source p CROSS JOIN tot t
+    """,
+    tags=("llm", "training", "mixture"),
+)
+def llm_token_budget_epochs(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-constrained mixture planning (the Muennighoff et al.
+    repeated-epochs question): to serve a training budget of 4× the
+    corpus under a UNIFORM 1/20-per-source target mixture, how many
+    epochs of each source are needed — epochs = budget·weight/tokens —
+    and which sources blow the ~4-epoch cap beyond which repetition
+    stops buying loss (those need a weight cut or new collection,
+    the decision ``llm_dataset_mixture``'s weights feed into). Token
+    counts are one exploded-size sum per source; everything else is
+    broadcast scalar arithmetic. At 100 TB this plan IS the nightly
+    mixture-planning job, unchanged."""
+    d = load_table(spark, sf, "documents")
+    per_source = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("toks"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    tot = per_source.agg(F.sum("toks").cast("bigint").alias("corpus_toks"))
+    j = per_source.crossJoin(F.broadcast(tot))
+    epochs = (0.05 * 4.0 * F.col("corpus_toks")) / F.col("toks")
+    return j.select(
+        "source", "n_docs", "toks",
+        round4(F.col("toks").cast("double") / F.col("corpus_toks")).alias(
+            "natural_share"
+        ),
+        round4(epochs).alias("epochs_needed"),
+        (epochs > 4.0).alias("over_epoch_cap"),
+    )
+
+
+@query(
+    "llm_rank_aggregation_borda",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id,
+                   n_chars,
+                   LEN(STRING_SPLIT(text, ' ')) AS n_words,
+                   CAST(n_chars AS DOUBLE) / LEN(STRING_SPLIT(text, ' '))
+                       AS avg_wlen
+            FROM documents
+        ),
+        ranked AS (
+            SELECT doc_id,
+                   RANK() OVER (ORDER BY n_chars DESC, doc_id) AS r1,
+                   RANK() OVER (ORDER BY n_words DESC, doc_id) AS r2,
+                   RANK() OVER (ORDER BY avg_wlen DESC, doc_id) AS r3
+            FROM scored
+        )
+        SELECT doc_id,
+               CAST(r1 AS BIGINT) AS rank_chars,
+               CAST(r2 AS BIGINT) AS rank_words,
+               CAST(r3 AS BIGINT) AS rank_wordlen,
+               CAST(r1 + r2 + r3 AS BIGINT) AS borda_sum
+        FROM ranked
+        ORDER BY r1 + r2 + r3 ASC, doc_id ASC
+        LIMIT 10
+    """,
+    tags=("llm", "ranking"),
+)
+def llm_rank_aggregation_borda(spark: SparkSession, sf: str) -> DataFrame:
+    """Borda-count rank aggregation across three incommensurable quality
+    signals (char length, word count, mean word length): rank per
+    signal, sum the ranks, surface the consensus top-10 — the
+    scale-free way to combine signals whose raw units can't be averaged
+    (z-scoring, the alternative, is what ``workload_supplier_scorecard``
+    does; Borda is robust to a signal's heavy tail). Three rank windows
+    share one pass; deterministic via doc_id tie-breaks everywhere.
+    The global windows are the known cost: at 100 TB each becomes a
+    two-pass range-partitioned rank, or the ranks are replaced by
+    P²-quantile bucket indices with the same downstream sum."""
+    d = load_table(spark, sf, "documents")
+    scored = d.select(
+        "doc_id", "n_chars",
+        F.size(F.split("text", " ")).alias("n_words"),
+        (F.col("n_chars").cast("double") / F.size(F.split("text", " "))).alias(
+            "avg_wlen"
+        ),
+    )
+    ranked = scored.select(
+        "doc_id",
+        F.rank().over(W.orderBy(F.col("n_chars").desc(), "doc_id")).cast(
+            "bigint"
+        ).alias("rank_chars"),
+        F.rank().over(W.orderBy(F.col("n_words").desc(), "doc_id")).cast(
+            "bigint"
+        ).alias("rank_words"),
+        F.rank().over(W.orderBy(F.col("avg_wlen").desc(), "doc_id")).cast(
+            "bigint"
+        ).alias("rank_wordlen"),
+    )
+    borda = ranked.withColumn(
+        "borda_sum",
+        (F.col("rank_chars") + F.col("rank_words") + F.col("rank_wordlen")).cast(
+            "bigint"
+        ),
+    )
+    return borda.orderBy(F.col("borda_sum").asc(), F.col("doc_id").asc()).limit(
+        10
+    )

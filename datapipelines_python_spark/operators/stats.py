@@ -4904,3 +4904,87 @@ def ml_bayes_ab(spark: SparkSession, sf: str) -> DataFrame:
         round4(mb).alias("posterior_mean_b"),
         round4(p_ab).alias("p_a_beats_b"),
     )
+
+
+@query(
+    "ml_offpolicy_ips",
+    oracle=f"""
+        WITH logged AS (
+            SELECT user_id % 3 AS segment, event_type AS action, value AS r
+            FROM events
+        ),
+        prop AS (
+            SELECT segment, action,
+                   CAST(COUNT(*) AS BIGINT) AS n_sa
+            FROM logged GROUP BY segment, action
+        ),
+        seg AS (
+            SELECT segment, CAST(SUM(n_sa) AS BIGINT) AS n_s
+            FROM prop GROUP BY segment
+        ),
+        weighted AS (
+            SELECT l.segment, l.action, l.r,
+                   CASE WHEN l.action IN ('purchase', 'click')
+                        THEN 0.5 / (CAST(p.n_sa AS DOUBLE) / s.n_s)
+                        ELSE 0.0 END AS w
+            FROM logged l
+            JOIN prop p ON l.segment = p.segment AND l.action = p.action
+            JOIN seg s ON l.segment = s.segment
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_logged,
+               CAST(SUM(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_matched,
+               {sql_round4(sql_davg('r'))} AS logging_policy_value,
+               {sql_round4(f"{sql_dsum('w * r')} / COUNT(*)")}
+                   AS ips_value,
+               {sql_round4(f"{sql_dsum('w * r')} / {sql_dsum('w')}")}
+                   AS snips_value
+        FROM weighted
+    """,
+    tags=("ml", "counterfactual", "policy"),
+)
+def ml_offpolicy_ips(spark: SparkSession, sf: str) -> DataFrame:
+    """Off-policy evaluation by inverse propensity scoring: estimate
+    what a TARGET policy (uniform 50/50 over purchase/click) would have
+    earned from logs collected under the empirical logging policy —
+    weight each logged reward by π_target/π_logging, where the logging
+    propensities are the per-segment action frequencies (3 user
+    segments). Reports plain IPS (unbiased, high variance) and the
+    self-normalized SNIPS (Σwr/Σw — biased but variance-controlled; the
+    production default). Propensity table is a 15-row broadcast; the
+    estimate is one weighted pass — the counterfactual-dashboard shape
+    that lets 100 TB of logged interactions evaluate a policy change
+    without an A/B test. Off-support actions get weight 0 explicitly."""
+    e = load_table(spark, sf, "events")
+    logged = e.select(
+        (F.col("user_id") % 3).alias("segment"),
+        F.col("event_type").alias("action"),
+        F.col("value").alias("r"),
+    )
+    prop = logged.groupBy("segment", "action").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sa")
+    )
+    seg = prop.groupBy("segment").agg(
+        F.sum("n_sa").cast("bigint").alias("n_s")
+    )
+    j = logged.join(F.broadcast(prop), ["segment", "action"]).join(
+        F.broadcast(seg), "segment"
+    )
+    w = F.when(
+        F.col("action").isin("purchase", "click"),
+        0.5 / (F.col("n_sa").cast("double") / F.col("n_s")),
+    ).otherwise(0.0)
+    weighted = j.select("r", w.alias("w"))
+    return weighted.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_logged"),
+        F.sum(F.when(F.col("w") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_matched"),
+        round4(davg(F.col("r"))).alias("logging_policy_value"),
+        round4(dsum(F.col("w") * F.col("r")) / F.count(F.lit(1))).alias(
+            "ips_value"
+        ),
+        round4(dsum(F.col("w") * F.col("r")) / dsum(F.col("w"))).alias(
+            "snips_value"
+        ),
+    )
