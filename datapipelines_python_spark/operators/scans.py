@@ -1004,3 +1004,71 @@ def scan_csv_dateformat(spark: SparkSession, sf: str) -> DataFrame:
         .option("timestampFormat", "dd/MM/yyyy HH:mm:ss")
         .csv(path)
     )
+
+
+@query(
+    "sink_max_records_per_file",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / 100.0) AS BIGINT)
+                   AS n_files_expected
+        FROM nation CROSS JOIN region
+    """,
+    tags=("scan", "sink", "layout"),
+)
+def sink_max_records_per_file(spark: SparkSession, sf: str) -> DataFrame:
+    """File-size governance on write: ``maxRecordsPerFile`` caps rows
+    per output file (here 100), the writer-side knob that bounds the
+    LARGE end of file sizes the way ``sink_compact_small_files`` fixes
+    the small end — together they keep the scan-task size distribution
+    inside the sweet spot (~128 MB) that makes 100 TB reads schedule
+    evenly. The op writes a single-partition frame so the row→file math
+    is exact, then verifies the produced file count against
+    ceil(rows/cap) by listing actual part files. Layout is a CONTRACT
+    to assert, not a side effect to hope for."""
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    df = n.crossJoin(r)
+    path = scratch_dir("max_records")
+    (
+        df.coalesce(1)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 100)
+        .parquet(path)
+    )
+    n_rows = spark.read.parquet(path).count()
+    n_files = len(
+        [f for f in os.listdir(path) if f.endswith(".parquet")]
+    )
+    return spark.createDataFrame(
+        [(n_rows, n_files)], "n_rows bigint, n_files_expected bigint"
+    )
+
+
+@query(
+    "scan_ignore_corrupt_files",
+    oracle="SELECT n_nationkey, n_name FROM nation",
+    tags=("scan", "connector", "robustness"),
+)
+def scan_ignore_corrupt_files(spark: SparkSession, sf: str) -> DataFrame:
+    """Corrupt-FILE tolerance (the file-grain sibling of
+    ``scan_csv_permissive``'s row-grain handling): a directory holding
+    one valid parquet file and one truncated-garbage '.parquet' is read
+    with ``spark.sql.files.ignoreCorruptFiles`` — the corrupt member is
+    skipped wholesale, the good rows survive. On a 100 TB lake a single
+    botched upload otherwise fails the whole scan hours in; the
+    production pattern is this flag plus a reconciliation count against
+    the manifest (here: the oracle IS that reconciliation). Set via
+    conf, reset after, because it's a scan-wide blast radius you don't
+    leave on globally."""
+    n = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    path = scratch_dir("corrupt_dir")
+    n.coalesce(1).write.mode("overwrite").parquet(path)
+    with open(os.path.join(path, "upload-truncated.parquet"), "wb") as f:
+        f.write(b"PAR1 this is not really parquet data \x00\x01")
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try:
+        rows = spark.read.parquet(path).collect()  # scan under the flag
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
+    return spark.createDataFrame(rows, "n_nationkey int, n_name string")

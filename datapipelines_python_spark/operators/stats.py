@@ -4988,3 +4988,78 @@ def ml_offpolicy_ips(spark: SparkSession, sf: str) -> DataFrame:
             "snips_value"
         ),
     )
+
+
+@query(
+    "ml_tail_dependence",
+    oracle=f"""
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   {sql_dsum('o_totalprice')} AS spend
+            FROM orders GROUP BY o_custkey
+        ),
+        q AS (
+            SELECT quantile_cont(CAST(n_orders AS DOUBLE), 0.8) AS qx,
+                   quantile_cont(spend, 0.8) AS qy
+            FROM per_cust
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(CASE WHEN p.n_orders > q.qx THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_x_tail,
+               CAST(SUM(CASE WHEN p.spend > q.qy THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_y_tail,
+               CAST(SUM(CASE WHEN p.n_orders > q.qx AND p.spend > q.qy
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_joint_tail,
+               {sql_round4(
+                   'CAST(SUM(CASE WHEN p.n_orders > q.qx AND p.spend > q.qy'
+                   ' THEN 1 ELSE 0 END) AS DOUBLE)'
+                   ' / SUM(CASE WHEN p.spend > q.qy THEN 1 ELSE 0 END)'
+               )} AS upper_tail_dep,
+               {sql_round4(
+                   'CAST(SUM(CASE WHEN p.n_orders > q.qx THEN 1 ELSE 0 END)'
+                   ' AS DOUBLE) / COUNT(*)'
+               )} AS x_tail_rate
+        FROM per_cust p CROSS JOIN q
+    """,
+    tags=("ml", "stats", "risk"),
+)
+def ml_tail_dependence(spark: SparkSession, sf: str) -> DataFrame:
+    """Empirical upper-tail dependence between order frequency and total
+    spend per customer: λ̂_U = P(X > q₀.₈(X) | Y > q₀.₈(Y)) — the copula
+    question Pearson correlation cannot answer (two variables can be
+    0.5-correlated with INDEPENDENT extremes, or weakly correlated with
+    extremes that always co-occur; risk lives in the second case).
+    Compare λ̂ against the x-tail base rate (0.2 under independence):
+    the ratio is the tail lift. One customer-grain reduction, two
+    broadcast percentile thresholds, one conditional-count pass —
+    scale-free, and the natural companion to ``ml_hill_tail_index``
+    (how heavy) and ``ml_mean_excess_tail`` (how far)."""
+    o = load_table(spark, sf, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("spend"),
+    )
+    q = per.agg(
+        F.percentile(F.col("n_orders").cast("double"), F.lit(0.8)).alias("qx"),
+        F.percentile(F.col("spend"), F.lit(0.8)).alias("qy"),
+    )
+    j = per.crossJoin(F.broadcast(q))
+    in_x = F.col("n_orders") > F.col("qx")
+    in_y = F.col("spend") > F.col("qy")
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum(F.when(in_x, 1).otherwise(0)).cast("bigint").alias("n_x_tail"),
+        F.sum(F.when(in_y, 1).otherwise(0)).cast("bigint").alias("n_y_tail"),
+        F.sum(F.when(in_x & in_y, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_joint_tail"),
+        round4(
+            F.sum(F.when(in_x & in_y, 1).otherwise(0)).cast("double")
+            / F.sum(F.when(in_y, 1).otherwise(0))
+        ).alias("upper_tail_dep"),
+        round4(
+            F.sum(F.when(in_x, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("x_tail_rate"),
+    )
