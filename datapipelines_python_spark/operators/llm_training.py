@@ -4936,3 +4936,72 @@ def llm_rank_aggregation_borda(spark: SparkSession, sf: str) -> DataFrame:
     return borda.orderBy(F.col("borda_sum").asc(), F.col("doc_id").asc()).limit(
         10
     )
+
+
+@query(
+    "ml_mcc_fbeta",
+    oracle=f"""
+        WITH pred AS ({_REG3["ml_naive_bayes_lang"].oracle}),
+        cells AS (
+            SELECT
+                CAST(SUM(CASE WHEN lang_actual = 'en' AND lang_pred = 'en'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                CAST(SUM(CASE WHEN lang_actual <> 'en' AND lang_pred = 'en'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                CAST(SUM(CASE WHEN lang_actual = 'en' AND lang_pred <> 'en'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                CAST(SUM(CASE WHEN lang_actual <> 'en' AND lang_pred <> 'en'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS tn
+            FROM pred
+        )
+        SELECT tp, fp, fn, tn,
+               {sql_round4(
+                   '(CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)'
+                   ' / SQRT((CAST(tp AS DOUBLE) + fp) * (CAST(tp AS DOUBLE) + fn)'
+                   '        * (CAST(tn AS DOUBLE) + fp) * (CAST(tn AS DOUBLE) + fn))'
+               )} AS mcc,
+               {sql_round4(
+                   '5.0 * tp / (5.0 * tp + 4.0 * fn + fp)'
+               )} AS f2_score,
+               {sql_round4(
+                   '0.5 * (CAST(tp AS DOUBLE) / (tp + fn)'
+                   '       + CAST(tn AS DOUBLE) / (tn + fp))'
+               )} AS balanced_accuracy
+        FROM cells
+    """,
+    tags=("ml", "eval"),
+)
+def ml_mcc_fbeta(spark: SparkSession, sf: str) -> DataFrame:
+    """Imbalance-honest binary metrics over the registered language
+    classifier (en vs not-en from ``ml_naive_bayes_lang``, composed
+    verbatim like ``ml_confusion_matrix``): Matthews correlation — the
+    single number that stays honest when 80% of docs are not-en and
+    accuracy lies — plus F2 (recall-weighted, the retrieval/filter
+    tuning target) and balanced accuracy. All three are closed forms
+    over the four confusion cells, so the eval costs one 4-integer
+    reduce on top of scoring. MCC = ±1 perfect/inverted, 0 = no better
+    than the marginals — the guardrail for ``llm_lang_id``-style
+    routing filters at corpus scale."""
+    pred = _REG3["ml_naive_bayes_lang"].fn(spark, sf)
+    is_tp = (F.col("lang_actual") == "en") & (F.col("lang_pred") == "en")
+    is_fp = (F.col("lang_actual") != "en") & (F.col("lang_pred") == "en")
+    is_fn = (F.col("lang_actual") == "en") & (F.col("lang_pred") != "en")
+    is_tn = (F.col("lang_actual") != "en") & (F.col("lang_pred") != "en")
+    cells = pred.agg(
+        F.sum(F.when(is_tp, 1).otherwise(0)).cast("bigint").alias("tp"),
+        F.sum(F.when(is_fp, 1).otherwise(0)).cast("bigint").alias("fp"),
+        F.sum(F.when(is_fn, 1).otherwise(0)).cast("bigint").alias("fn"),
+        F.sum(F.when(is_tn, 1).otherwise(0)).cast("bigint").alias("tn"),
+    )
+    tp, fp, fn_, tn = (F.col(c).cast("double") for c in ("tp", "fp", "fn", "tn"))
+    mcc = (tp * tn - fp * fn_) / F.sqrt(
+        (tp + fp) * (tp + fn_) * (tn + fp) * (tn + fn_)
+    )
+    return cells.select(
+        "tp", "fp", "fn", "tn",
+        round4(mcc).alias("mcc"),
+        round4(5.0 * tp / (5.0 * tp + 4.0 * fn_ + fp)).alias("f2_score"),
+        round4(0.5 * (tp / (tp + fn_) + tn / (tn + fp))).alias(
+            "balanced_accuracy"
+        ),
+    )

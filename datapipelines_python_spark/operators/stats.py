@@ -5063,3 +5063,102 @@ def ml_tail_dependence(spark: SparkSession, sf: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("x_tail_rate"),
     )
+
+
+@query(
+    "ml_brier_decomposition",
+    oracle=f"""
+        WITH labeled AS (
+            SELECT user_id % 5 AS segment,
+                   event_id % 2 AS fold,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+            FROM events
+        ),
+        fc AS (
+            SELECT segment,
+                   CAST(SUM(y) AS DOUBLE) / COUNT(*) AS f_k
+            FROM labeled WHERE fold = 1 GROUP BY segment
+        ),
+        test AS (
+            SELECT l.segment, l.y, fc.f_k
+            FROM labeled l JOIN fc ON l.segment = fc.segment
+            WHERE l.fold = 0
+        ),
+        bins AS (
+            SELECT segment, f_k,
+                   CAST(COUNT(*) AS BIGINT) AS n_k,
+                   CAST(SUM(y) AS DOUBLE) / COUNT(*) AS o_k
+            FROM test GROUP BY segment, f_k
+        ),
+        tot AS (
+            SELECT CAST(SUM(n_k) AS BIGINT) AS n,
+                   {sql_dsum('n_k * o_k')} / SUM(n_k) AS o_bar
+            FROM bins
+        )
+        SELECT t.n AS n_test,
+               {sql_round4(f"{sql_dsum('b.n_k * (b.f_k - b.o_k) * (b.f_k - b.o_k)')} / MIN(t.n)")}
+                   AS reliability,
+               {sql_round4(f"{sql_dsum('b.n_k * (b.o_k - t.o_bar) * (b.o_k - t.o_bar)')} / MIN(t.n)")}
+                   AS resolution,
+               {sql_round4('MIN(t.o_bar) * (1.0 - MIN(t.o_bar))')}
+                   AS uncertainty,
+               {sql_round4(
+                   f"{sql_dsum('b.n_k * (b.f_k - b.o_k) * (b.f_k - b.o_k)')} / MIN(t.n)"
+                   f" - {sql_dsum('b.n_k * (b.o_k - t.o_bar) * (b.o_k - t.o_bar)')} / MIN(t.n)"
+                   f" + MIN(t.o_bar) * (1.0 - MIN(t.o_bar))"
+               )} AS brier_score
+        FROM bins b CROSS JOIN tot t
+        GROUP BY t.n
+    """,
+    tags=("ml", "eval", "calibration"),
+)
+def ml_brier_decomposition(spark: SparkSession, sf: str) -> DataFrame:
+    """Murphy decomposition of the Brier score — BS = REL − RES + UNC —
+    for a segment-rate forecaster of purchase probability, fit on odd
+    events and scored on even ones (the parity split keeps it honest;
+    in-sample the reliability term is identically zero and teaches
+    nothing). Reliability says how far forecast probabilities sit from
+    observed frequencies (calibration — ``ml_calibration_bins``' scalar
+    summary), resolution how much the forecasts separate outcomes
+    (sharpness), uncertainty the irreducible base-rate variance. All
+    three are weighted sums over 5 forecast bins — two aggregate
+    passes, exact-count ratios, one broadcast."""
+    e = load_table(spark, sf, "events")
+    labeled = e.select(
+        (F.col("user_id") % 5).alias("segment"),
+        (F.col("event_id") % 2).alias("fold"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    fc = (
+        labeled.filter(F.col("fold") == 1)
+        .groupBy("segment")
+        .agg((F.sum("y").cast("double") / F.count(F.lit(1))).alias("f_k"))
+    )
+    test = labeled.filter(F.col("fold") == 0).join(F.broadcast(fc), "segment")
+    bins = test.groupBy("segment", "f_k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_k"),
+        (F.sum("y").cast("double") / F.count(F.lit(1))).alias("o_k"),
+    )
+    tot = bins.agg(
+        F.sum("n_k").cast("bigint").alias("n"),
+        (dsum(F.col("n_k") * F.col("o_k")) / F.sum("n_k")).alias("o_bar"),
+    )
+    j = bins.crossJoin(F.broadcast(tot))
+    rel = dsum(
+        F.col("n_k") * (F.col("f_k") - F.col("o_k")) * (F.col("f_k") - F.col("o_k"))
+    ) / F.min("n")
+    res = dsum(
+        F.col("n_k")
+        * (F.col("o_k") - F.col("o_bar"))
+        * (F.col("o_k") - F.col("o_bar"))
+    ) / F.min("n")
+    unc = F.min("o_bar") * (1.0 - F.min("o_bar"))
+    return j.groupBy("n").agg(
+        round4(rel).alias("reliability"),
+        round4(res).alias("resolution"),
+        round4(unc).alias("uncertainty"),
+        round4(rel - res + unc).alias("brier_score"),
+    ).select(
+        F.col("n").alias("n_test"),
+        "reliability", "resolution", "uncertainty", "brier_score",
+    )
