@@ -2007,9 +2007,9 @@ def fn_xpath(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
         WITH parts AS (
             SELECT o_orderkey,
-                   EXTRACT(year FROM o_orderdate) AS y,
-                   EXTRACT(month FROM o_orderdate) AS m,
-                   EXTRACT(day FROM o_orderdate) AS d
+                   date_part('year', o_orderdate) AS y,
+                   date_part('month', o_orderdate) AS m,
+                   date_part('day', o_orderdate) AS d
             FROM orders
         )
         SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,

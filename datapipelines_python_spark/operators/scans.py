@@ -1058,17 +1058,14 @@ def scan_ignore_corrupt_files(spark: SparkSession, sf: str) -> DataFrame:
     skipped wholesale, the good rows survive. On a 100 TB lake a single
     botched upload otherwise fails the whole scan hours in; the
     production pattern is this flag plus a reconciliation count against
-    the manifest (here: the oracle IS that reconciliation). Set via
-    conf, reset after, because it's a scan-wide blast radius you don't
-    leave on globally."""
+    the manifest (here: the oracle IS that reconciliation). Set as a
+    per-read OPTION, not session conf — the blast radius of silently
+    skipping files belongs to the one scan that opted in."""
     n = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
     path = scratch_dir("corrupt_dir")
     n.coalesce(1).write.mode("overwrite").parquet(path)
     with open(os.path.join(path, "upload-truncated.parquet"), "wb") as f:
         f.write(b"PAR1 this is not really parquet data \x00\x01")
-    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
-    try:
-        rows = spark.read.parquet(path).collect()  # scan under the flag
-    finally:
-        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
-    return spark.createDataFrame(rows, "n_nationkey int, n_name string")
+    return (
+        spark.read.option("ignoreCorruptFiles", "true").parquet(path)
+    )

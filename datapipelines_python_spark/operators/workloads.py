@@ -9406,11 +9406,11 @@ def workload_queueing_mm1(spark: SparkSession, sf: str) -> DataFrame:
     oracle=f"""
         WITH yearly AS (
             SELECT l_partkey,
-                   EXTRACT(year FROM l_shipdate) AS yr,
+                   date_part('year', l_shipdate) AS yr,
                    {sql_dsum('l_quantity')} AS q,
                    {sql_dsum('l_extendedprice')} AS v
             FROM lineitem
-            WHERE EXTRACT(year FROM l_shipdate) IN (1995, 1998)
+            WHERE date_part('year', l_shipdate) IN (1995, 1998)
             GROUP BY 1, 2
         ),
         base AS (SELECT l_partkey, q AS q0, v / q AS p0

@@ -13,6 +13,8 @@ KNOWN_ROWS_ONLY = {
     "agg_approx_distinct",
     "agg_approx_percentile",  # sketch values are implementation-specific
     "agg_hll_sketch",  # DataSketches estimates; tests/test_hll_sketch.py pins semantics
+    "agg_kll_sketch",  # KLL quantile estimates; tests/test_hll_sketch.py pins semantics
+    "agg_theta_sketch",  # Theta set-algebra estimates; tests/test_hll_sketch.py pins semantics
 }
 
 
