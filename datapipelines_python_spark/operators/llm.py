@@ -2709,3 +2709,89 @@ def llm_embed_dim_audit(spark: SparkSession, sf: str) -> DataFrame:
         .limit(8)
         .drop("_v")
     )
+
+
+@query(
+    "llm_position_kl",
+    oracle=f"""
+        WITH firsts AS (
+            SELECT STRING_SPLIT(text, ' ')[1] AS tok,
+                   CAST(COUNT(*) AS BIGINT) AS n1
+            FROM documents GROUP BY 1
+        ),
+        alltok AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS na
+            FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS tok
+                  FROM documents)
+            GROUP BY tok
+        ),
+        vocab AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS v,
+                   CAST(SUM(na) AS BIGINT) AS n_all
+            FROM alltok
+        ),
+        tot1 AS (SELECT CAST(SUM(n1) AS BIGINT) AS n_first FROM firsts),
+        terms AS (
+            SELECT a.tok,
+                   (COALESCE(f.n1, 0) + 1.0) / (t1.n_first + v.v) AS p1,
+                   (a.na + 1.0) / (v.n_all + v.v) AS pa
+            FROM alltok a
+            LEFT JOIN firsts f ON a.tok = f.tok
+            CROSS JOIN vocab v CROSS JOIN tot1 t1
+        )
+        SELECT (SELECT v FROM vocab) AS vocab_size,
+               (SELECT n_first FROM tot1) AS n_docs,
+               {sql_round4(
+                   sql_dsum('p1 * LN(p1 / pa) / LN(2.0)')
+               )} AS kl_first_vs_all_bits
+        FROM terms
+    """,
+    tags=("llm", "text", "information"),
+)
+def llm_position_kl(spark: SparkSession, sf: str) -> DataFrame:
+    """Positional vocabulary divergence: KL(P_first ‖ P_all) in bits
+    between the distribution of document-OPENING tokens and the overall
+    token distribution, add-one smoothed over the shared vocabulary —
+    near 0 means openings look like body text; large means templated/
+    formulaic openings (the information-theoretic scalar behind what
+    ``llm_template_prefix`` surfaces as explicit prefixes, usable as a
+    single drift metric per crawl snapshot). Two token aggregates (one
+    explode for the body profile, a first-element extract for the
+    opening profile), a vocab-grain left join, one smoothed-sum reduce
+    — all map-side-combinable at 100 TB."""
+    d = load_table(spark, sf, "documents")
+    firsts = d.select(
+        F.split("text", " ")[0].alias("tok")
+    ).groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("n1"))
+    alltok = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("na"))
+    )
+    vocab = alltok.agg(
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+        F.sum("na").cast("bigint").alias("n_all"),
+    )
+    tot1 = firsts.agg(F.sum("n1").cast("bigint").alias("n_first"))
+    terms = (
+        alltok.join(firsts, "tok", "left")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(tot1))
+        .select(
+            (
+                (F.coalesce(F.col("n1"), F.lit(0)) + 1.0)
+                / (F.col("n_first") + F.col("v"))
+            ).alias("p1"),
+            ((F.col("na") + 1.0) / (F.col("n_all") + F.col("v"))).alias("pa"),
+            "v", "n_first",
+        )
+    )
+    return terms.groupBy("v", "n_first").agg(
+        round4(
+            dsum(F.col("p1") * F.log(F.col("p1") / F.col("pa")) / F.log(F.lit(2.0)))
+        ).alias("kl_first_vs_all_bits")
+    ).select(
+        F.col("v").alias("vocab_size"),
+        F.col("n_first").alias("n_docs"),
+        "kl_first_vs_all_bits",
+    )

@@ -5162,3 +5162,72 @@ def ml_brier_decomposition(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n").alias("n_test"),
         "reliability", "resolution", "uncertainty", "brier_score",
     )
+
+
+@query(
+    "ml_markov_entropy_rate",
+    oracle=f"""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   LEAD(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS nxt
+            FROM events
+        ),
+        trans AS (
+            SELECT event_type AS s, nxt AS t, CAST(COUNT(*) AS BIGINT) AS n
+            FROM seq WHERE nxt IS NOT NULL
+            GROUP BY event_type, nxt
+        ),
+        row_tot AS (
+            SELECT s, CAST(SUM(n) AS BIGINT) AS n_s FROM trans GROUP BY s
+        ),
+        all_tot AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS n_all FROM trans
+        )
+        SELECT CAST(MIN(a.n_all) AS BIGINT) AS n_transitions,
+               {sql_round4(
+                   "-"
+                   + sql_dsum(
+                       "(CAST(r.n_s AS DOUBLE) / a.n_all)"
+                       " * (CAST(t.n AS DOUBLE) / r.n_s)"
+                       " * LN(CAST(t.n AS DOUBLE) / r.n_s) / LN(2.0)"
+                   )
+               )} AS entropy_rate_bits,
+               {sql_round4('LN(5.0) / LN(2.0)')} AS max_entropy_bits
+        FROM trans t
+        JOIN row_tot r ON t.s = r.s
+        CROSS JOIN all_tot a
+    """,
+    tags=("ml", "stats", "markov"),
+)
+def ml_markov_entropy_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """Entropy rate of the per-user event-type Markov chain: H = −Σᵢ πᵢ
+    Σⱼ pᵢⱼ log₂ pᵢⱼ with the stationary weights taken empirically from
+    transition row masses — bits of genuine surprise per user action
+    after conditioning on the previous action. Against the log₂5
+    uniform ceiling this is the predictability budget for next-event
+    models (``workload_event_transitions`` gives the matrix, this
+    scores it; a near-ceiling rate says sequence models can't beat
+    marginal frequency). Transitions come from one lead window keyed by
+    user (distributed), then everything is a 25-cell reduction."""
+    e = load_table(spark, sf, "events")
+    wl = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(wl).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    trans = seq.groupBy(
+        F.col("event_type").alias("s"), F.col("nxt").alias("t")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    row_tot = trans.groupBy("s").agg(F.sum("n").cast("bigint").alias("n_s"))
+    all_tot = trans.agg(F.sum("n").cast("bigint").alias("n_all"))
+    j = trans.join(F.broadcast(row_tot), "s").crossJoin(F.broadcast(all_tot))
+    pij = F.col("n").cast("double") / F.col("n_s")
+    pi = F.col("n_s").cast("double") / F.col("n_all")
+    term = pi * pij * F.log(pij) / F.log(F.lit(2.0))
+    return j.agg(
+        F.min("n_all").cast("bigint").alias("n_transitions"),
+        round4(-dsum(term)).alias("entropy_rate_bits"),
+        round4(F.log(F.lit(5.0)) / F.log(F.lit(2.0))).alias(
+            "max_entropy_bits"
+        ),
+    )

@@ -10049,3 +10049,89 @@ def workload_abc_xyz(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "workload_littles_law",
+    oracle=f"""
+        WITH pts AS (
+            SELECT CAST(o_orderdate AS DATE) AS day, 1 AS d FROM orders
+            UNION ALL
+            SELECT CAST(o_orderdate AS DATE) + 30, -1 FROM orders
+        ),
+        depth AS (
+            SELECT day, CAST(SUM(SUM(d)) OVER (ORDER BY day) AS BIGINT)
+                       AS open_orders
+            FROM pts GROUP BY day
+        ),
+        horizon AS (
+            SELECT CAST(MIN(CAST(o_orderdate AS DATE)) AS DATE) AS d0,
+                   CAST(MAX(CAST(o_orderdate AS DATE)) AS DATE) AS d1,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders
+        ),
+        l_avg AS (
+            SELECT {sql_davg('CAST(dd.open_orders AS DOUBLE)')} AS big_l
+            FROM depth dd
+            JOIN horizon h ON dd.day BETWEEN h.d0 + 30 AND h.d1
+        )
+        SELECT h.n_orders,
+               {sql_round4('MIN(l.big_l)')} AS l_avg_open,
+               {sql_round4(
+                   "CAST(h.n_orders AS DOUBLE)"
+                   " / (date_diff('day', h.d0, h.d1) + 1)"
+               )} AS lambda_per_day,
+               CAST(30 AS BIGINT) AS w_days,
+               {sql_round4(
+                   "MIN(l.big_l) / (CAST(h.n_orders AS DOUBLE)"
+                   " / (date_diff('day', h.d0, h.d1) + 1) * 30.0)"
+               )} AS littles_ratio
+        FROM horizon h CROSS JOIN l_avg l
+        GROUP BY h.n_orders, h.d0, h.d1
+    """,
+    tags=("workload", "capacity", "ops"),
+)
+def workload_littles_law(spark: SparkSession, sf: str) -> DataFrame:
+    """Little's law cross-check L = λ·W on the 30-day-open order model:
+    measure average WIP (L, from the ``workload_queue_depth``
+    difference-array curve, restricted to the steady-state window past
+    the 30-day ramp), arrival rate (λ = orders per day over the
+    horizon) and the known residence time (W = 30 days) INDEPENDENTLY,
+    and report L/(λW) — a ratio near 1 validates both the depth
+    machinery and the stationarity assumption; drift from 1 localizes
+    which measurement lies (edge effects, non-stationary arrivals).
+    The law needs no distributional assumptions, which is exactly why
+    it's the first sanity invariant to assert over any queue-shaped
+    100 TB dataset."""
+    o = load_table(spark, sf, "orders")
+    day = F.col("o_orderdate").cast("date")
+    pts = o.select(day.alias("day"), F.lit(1).alias("d")).unionAll(
+        o.select(F.date_add(day, 30).alias("day"), F.lit(-1).alias("d"))
+    )
+    agg = pts.groupBy("day").agg(F.sum("d").alias("delta"))
+    wc = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    depth = agg.select(
+        "day", F.sum("delta").over(wc).cast("bigint").alias("open_orders")
+    )
+    horizon = o.agg(
+        F.min(day).alias("d0"),
+        F.max(day).alias("d1"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+    dj = depth.crossJoin(F.broadcast(horizon)).filter(
+        (F.col("day") >= F.date_add(F.col("d0"), 30))
+        & (F.col("day") <= F.col("d1"))
+    )
+    lam = F.col("n_orders").cast("double") / (
+        F.datediff(F.col("d1"), F.col("d0")) + 1
+    )
+    return dj.groupBy("n_orders", "d0", "d1").agg(
+        round4(davg(F.col("open_orders").cast("double"))).alias("l_avg_open"),
+        round4(F.min(lam)).alias("lambda_per_day"),
+        F.lit(30).cast("bigint").alias("w_days"),
+        round4(
+            davg(F.col("open_orders").cast("double")) / (F.min(lam) * 30.0)
+        ).alias("littles_ratio"),
+    ).select(
+        "n_orders", "l_avg_open", "lambda_per_day", "w_days", "littles_ratio"
+    )
