@@ -2795,3 +2795,69 @@ def llm_position_kl(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_first").alias("n_docs"),
         "kl_first_vs_all_bits",
     )
+
+
+@query(
+    "llm_domain_shift_bits",
+    oracle=f"""
+        WITH tok AS (
+            SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS t
+            FROM documents
+        ),
+        global_lm AS (
+            SELECT t, CAST(COUNT(*) AS BIGINT) AS ng FROM tok GROUP BY t
+        ),
+        gtot AS (
+            SELECT CAST(SUM(ng) AS BIGINT) AS n_all,
+                   CAST(COUNT(*) AS BIGINT) AS v
+            FROM global_lm
+        ),
+        per_source AS (
+            SELECT source, t, CAST(COUNT(*) AS BIGINT) AS ns
+            FROM tok GROUP BY source, t
+        )
+        SELECT p.source,
+               CAST(SUM(p.ns) AS BIGINT) AS n_tokens,
+               {sql_round4(
+                   "-" + sql_dsum(
+                       "p.ns * LN((g.ng + 1.0) / (t.n_all + t.v)) / LN(2.0)"
+                   ) + " / SUM(p.ns)"
+               )} AS cross_entropy_bits
+        FROM per_source p
+        JOIN global_lm g ON p.t = g.t
+        CROSS JOIN gtot t
+        GROUP BY p.source
+    """,
+    tags=("llm", "text", "information"),
+)
+def llm_domain_shift_bits(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source domain shift measured as cross-entropy (bits/token) of
+    each source's text under the CORPUS-WIDE add-one-smoothed unigram
+    LM — sources whose tokens the global model finds surprising are the
+    out-of-domain feeds (the corpus-curation complement to
+    ``llm_perplexity_filter``'s per-document gate, and the per-source
+    signal ``llm_dsir_importance`` turns into sampling weights). Two
+    token aggregates + a vocab-grain join; the per-source reduce is
+    map-side-combinable at any corpus size."""
+    d = load_table(spark, sf, "documents")
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("t"))
+    global_lm = tok.groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ng")
+    )
+    gtot = global_lm.agg(
+        F.sum("ng").cast("bigint").alias("n_all"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    per_source = tok.groupBy("source", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ns")
+    )
+    j = per_source.join(global_lm, "t").crossJoin(F.broadcast(gtot))
+    bits = (
+        F.col("ns")
+        * F.log((F.col("ng") + 1.0) / (F.col("n_all") + F.col("v")))
+        / F.log(F.lit(2.0))
+    )
+    return j.groupBy("source").agg(
+        F.sum("ns").cast("bigint").alias("n_tokens"),
+        round4(-dsum(bits) / F.sum("ns")).alias("cross_entropy_bits"),
+    )

@@ -10135,3 +10135,196 @@ def workload_littles_law(spark: SparkSession, sf: str) -> DataFrame:
     ).select(
         "n_orders", "l_avg_open", "lambda_per_day", "w_days", "littles_ratio"
     )
+
+
+@query(
+    "workload_retention_curve_fit",
+    oracle=f"""
+        WITH first_seen AS (
+            SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events
+            GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT e.user_id,
+                   date_diff('day', f.d0, CAST(e.ts AS DATE)) AS k
+            FROM events e JOIN first_seen f ON e.user_id = f.user_id
+        ),
+        cohort AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n0 FROM first_seen
+        ),
+        curve AS (
+            SELECT k,
+                   CAST(COUNT(*) AS DOUBLE) / MIN(c.n0) AS retention
+            FROM activity a CROSS JOIN cohort c
+            WHERE k >= 1
+            GROUP BY k
+        ),
+        loglog AS (
+            SELECT LN(CAST(k AS DOUBLE)) AS x, LN(retention) AS y
+            FROM curve WHERE retention > 0
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   {sql_dsum('x')} AS sx, {sql_dsum('y')} AS sy,
+                   {sql_dsum('x * x')} AS sxx, {sql_dsum('x * y')} AS sxy
+            FROM loglog
+        )
+        SELECT n AS n_points,
+               {sql_round4(
+                   '(n * sxy - sx * sy) / (n * sxx - sx * sx)'
+               )} AS power_law_slope,
+               {sql_round4(
+                   'EXP(sy / n - (n * sxy - sx * sy) / (n * sxx - sx * sx)'
+                   ' * sx / n)'
+               )} AS day1_level
+        FROM s
+    """,
+    tags=("workload", "product", "retention"),
+)
+def workload_retention_curve_fit(spark: SparkSession, sf: str) -> DataFrame:
+    """Power-law fit of the retention curve: day-k retention (share of
+    the cohort active k days after first touch) regressed as log r ~
+    log k — the shape parameter that separates a leaky product (steep
+    slope, retention → 0) from one with a plateau-forming habit (slope
+    → 0; the 'smile' every growth team hunts). Extends
+    ``workload_cohort_retention``'s triangle with a two-number summary
+    fit in closed form: distinct (user, day-offset) incidence, a ≤30-
+    row curve, then OLS on the log-log pairs via the power-sum pattern.
+    Day-1 level and slope TOGETHER forecast long-run DAU by Σ n·r(k)."""
+    e = load_table(spark, sf, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("d0")
+    )
+    activity = (
+        e.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            F.datediff(F.col("ts").cast("date"), F.col("d0")).alias("k"),
+        )
+        .distinct()
+    )
+    cohort = first_seen.agg(F.count(F.lit(1)).cast("bigint").alias("n0"))
+    curve = (
+        activity.filter(F.col("k") >= 1)
+        .crossJoin(F.broadcast(cohort))
+        .groupBy("k")
+        .agg((F.count(F.lit(1)).cast("double") / F.min("n0")).alias("retention"))
+    )
+    loglog = curve.filter(F.col("retention") > 0).select(
+        F.log(F.col("k").cast("double")).alias("x"),
+        F.log("retention").alias("y"),
+    )
+    s = loglog.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum(F.col("x")).alias("sx"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        n.alias("n_points"),
+        round4(slope).alias("power_law_slope"),
+        round4(F.exp(F.col("sy") / n - slope * F.col("sx") / n)).alias(
+            "day1_level"
+        ),
+    )
+
+
+@query(
+    "workload_adstock",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) FILTER (WHERE event_type = 'click')
+                        AS BIGINT) AS clicks,
+                   CAST(FLOOR(CAST(CAST(SUM(CAST(value AS DECIMAL(38,8)))
+                       FILTER (WHERE event_type = 'purchase') AS VARCHAR)
+                       AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS rev_cents
+            FROM events GROUP BY 1
+        ),
+        lagged AS (
+            SELECT day, rev_cents,
+                   clicks
+                   + 0.5 * COALESCE(LAG(clicks, 1) OVER (ORDER BY day), 0)
+                   + 0.25 * COALESCE(LAG(clicks, 2) OVER (ORDER BY day), 0)
+                   + 0.125 * COALESCE(LAG(clicks, 3) OVER (ORDER BY day), 0)
+                       AS adstock
+            FROM daily
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   {sql_dsum('adstock')} AS sx,
+                   {sql_dsum('CAST(rev_cents AS DOUBLE)')} AS sy,
+                   {sql_dsum('adstock * adstock')} AS sxx,
+                   {sql_dsum('CAST(rev_cents AS DOUBLE) * rev_cents')} AS syy,
+                   {sql_dsum('adstock * rev_cents')} AS sxy
+            FROM lagged
+        )
+        SELECT n AS n_days,
+               {sql_round4(
+                   '(n * sxy - sx * sy)'
+                   ' / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy))'
+               )} AS corr_adstock_revenue
+        FROM s
+    """,
+    tags=("workload", "marketing", "timeseries"),
+)
+def workload_adstock(spark: SparkSession, sf: str) -> DataFrame:
+    """Adstock (advertising carryover) transform: today's effective
+    click pressure = clicks_t + λ·clicks_{t−1} + λ²·clicks_{t−2} + …,
+    truncated at 3 lags with λ=0.5 — the geometric-decay memory that
+    marketing-mix models apply before regressing sales on spend,
+    because impressions act with a tail, not instantaneously. The
+    truncated form is deliberate: the textbook recursive a_t = x_t +
+    λa_{t−1} is path-dependent and order-serial, while fixed lags are
+    a window expression any engine parallelizes (same trade as
+    ``workload_rsi``'s SMA-for-Wilder swap). Output: correlation of
+    adstocked clicks with purchase revenue on the day grain."""
+    e = load_table(spark, sf, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.when(F.col("event_type") == "click", 1))
+        .cast("bigint")
+        .alias("clicks"),
+        F.floor(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.col("value").cast(DEC),
+                )
+            ).cast("double")
+            * 100.0
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("rev_cents"),
+    )
+    wd = W.orderBy("day")
+    adstock = (
+        F.col("clicks")
+        + 0.5 * F.coalesce(F.lag("clicks", 1).over(wd), F.lit(0))
+        + 0.25 * F.coalesce(F.lag("clicks", 2).over(wd), F.lit(0))
+        + 0.125 * F.coalesce(F.lag("clicks", 3).over(wd), F.lit(0))
+    )
+    lagged = daily.select(
+        "rev_cents", adstock.alias("adstock")
+    )
+    s = lagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum(F.col("adstock")).alias("sx"),
+        dsum(F.col("rev_cents").cast("double")).alias("sy"),
+        dsum(F.col("adstock") * F.col("adstock")).alias("sxx"),
+        dsum(F.col("rev_cents").cast("double") * F.col("rev_cents")).alias(
+            "syy"
+        ),
+        dsum(F.col("adstock") * F.col("rev_cents")).alias("sxy"),
+    )
+    n = F.col("n")
+    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(n.alias("n_days"), round4(corr).alias("corr_adstock_revenue"))
