@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datapipelines_python_spark.catalog import load_table
-from datapipelines_python_spark.operators._helpers import round4, sql_round4
+from datapipelines_python_spark.operators._helpers import davg, round4, sql_davg, sql_round4
 from datapipelines_python_spark.registry import query
 
 
@@ -2410,4 +2410,106 @@ def fn_array_mutations(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("n_insert_ok"),
         F.sum("compact_len").cast("bigint").alias("total_compact_len"),
+    )
+
+
+@query(
+    "fn_reduce_finish",
+    oracle=f"""
+        WITH stats AS (
+            SELECT vec_id, label,
+                   list_reduce(list_prepend(0.0,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE))),
+                       (acc, x) -> acc + x) / 64.0 AS dim_mean,
+                   SQRT(list_reduce(list_prepend(0.0,
+                       list_transform(embedding,
+                                      x -> CAST(x AS DOUBLE) * x)),
+                       (acc, x) -> acc + x)) AS l2_norm
+            FROM embeddings
+        )
+        SELECT label,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               {sql_round4(sql_davg('dim_mean'))} AS avg_dim_mean,
+               {sql_round4(sql_davg('l2_norm'))} AS avg_l2_norm
+        FROM stats GROUP BY label
+    """,
+    tags=("fn", "array", "hof"),
+)
+def fn_reduce_finish(spark: SparkSession, sf: str) -> DataFrame:
+    """``F.reduce`` with a STRUCT accumulator and a finish lambda — the
+    full three-argument fold (zero, merge, finish) that computes the
+    per-vector dimension mean AND L2 norm in ONE array traversal
+    (accumulate (Σx, Σx²) pairwise, finish into (Σx/64, √Σx²)),
+    where two separate ``aggregate`` calls would walk the array twice.
+    The left-to-right fold order is identical on both engines, so the
+    float sums are bit-stable without decimal casts. This is the array
+    analogue of the power-sums trick used all over this repo: carry
+    sufficient statistics, finish once — per row here, per group
+    elsewhere."""
+    em = load_table(spark, sf, "embeddings")
+    acc0 = F.struct(
+        F.lit(0.0).alias("s1"), F.lit(0.0).alias("s2")
+    )
+    stats = em.select(
+        "label",
+        F.reduce(
+            F.col("embedding"),
+            acc0,
+            lambda acc, x: F.struct(
+                (acc["s1"] + x.cast("double")).alias("s1"),
+                (acc["s2"] + x.cast("double") * x.cast("double")).alias("s2"),
+            ),
+            lambda acc: F.struct(
+                (acc["s1"] / 64.0).alias("dim_mean"),
+                F.sqrt(acc["s2"]).alias("l2_norm"),
+            ),
+        ).alias("st"),
+    )
+    return stats.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        round4(davg(F.col("st.dim_mean"))).alias("avg_dim_mean"),
+        round4(davg(F.col("st.l2_norm"))).alias("avg_l2_norm"),
+    )
+
+
+@query(
+    "fn_str_to_map",
+    oracle="""
+        SELECT lang,
+               source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM (
+            SELECT split_part(split_part(cfg, ',', 1), ':', 2) AS lang,
+                   split_part(split_part(cfg, ',', 2), ':', 2) AS source
+            FROM (
+                SELECT 'lang:' || lang || ',src:' || source AS cfg
+                FROM documents
+            )
+        )
+        GROUP BY lang, source
+    """,
+    tags=("fn", "map", "string"),
+)
+def fn_str_to_map(spark: SparkSession, sf: str) -> DataFrame:
+    """``str_to_map`` — the one-call parser for 'k1:v1,k2:v2' config/tag
+    strings (log lines, URL params, legacy CSV-in-a-column), producing
+    a map addressed by key instead of by position: the op builds such
+    strings, parses them back, and re-aggregates on the extracted keys.
+    The oracle does the same with two nested split_parts — exactly the
+    brittle position-addressed code str_to_map replaces (add a third
+    pair or reorder keys and split_part silently reads the wrong
+    field; the map form doesn't care). Row-local, codegen'd, and the
+    map never leaves the JVM."""
+    d = load_table(spark, sf, "documents")
+    cfg = F.concat(
+        F.lit("lang:"), F.col("lang"), F.lit(",src:"), F.col("source")
+    )
+    parsed = d.select(
+        F.str_to_map(cfg, F.lit(","), F.lit(":")).alias("m")
+    )
+    return parsed.select(
+        F.col("m")["lang"].alias("lang"),
+        F.col("m")["src"].alias("source"),
+    ).groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
