@@ -5231,3 +5231,64 @@ def ml_markov_entropy_rate(spark: SparkSession, sf: str) -> DataFrame:
             "max_entropy_bits"
         ),
     )
+
+
+@query(
+    "ml_pinball_loss",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(FLOOR({sql_dsum('value')} * 100.0 + 0.5) AS BIGINT)
+                       AS y
+            FROM events GROUP BY 1
+        ),
+        q AS (
+            SELECT quantile_cont(CAST(y AS DOUBLE), 0.9) AS f90,
+                   quantile_cont(CAST(y AS DOUBLE), 0.5) AS f50
+            FROM daily
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+               {sql_round4('MIN(q.f90)')} AS forecast_p90,
+               {sql_round4(sql_davg(
+                   'CASE WHEN d.y >= q.f90 THEN 0.9 * (d.y - q.f90)'
+                   ' ELSE 0.1 * (q.f90 - d.y) END'
+               ))} AS pinball_p90,
+               {sql_round4(sql_davg(
+                   'CASE WHEN d.y >= q.f50 THEN 0.5 * (d.y - q.f50)'
+                   ' ELSE 0.5 * (q.f50 - d.y) END'
+               ))} AS pinball_p50
+        FROM daily d CROSS JOIN q
+    """,
+    tags=("ml", "eval", "forecast"),
+)
+def ml_pinball_loss(spark: SparkSession, sf: str) -> DataFrame:
+    """Pinball (quantile) loss — the scoring rule under which the true
+    q-quantile is the optimal forecast, and therefore the ONLY honest
+    way to evaluate the p90 stocking levels ``workload_newsvendor`` and
+    ``workload_reorder_point`` emit (MAE silently rewards median
+    forecasts, never quantile ones): L_q(y,ŷ) = q·(y−ŷ)⁺ + (1−q)·(ŷ−y)⁺,
+    reported for constant p90 and p50 forecasters over daily revenue.
+    In-sample the empirical quantile minimizes this by construction —
+    the op is the eval harness shape; swap the broadcast scalar for any
+    model's per-day predictions and the plan is unchanged at any
+    scale."""
+    e = load_table(spark, sf, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.floor(dsum(F.col("value")) * 100.0 + 0.5).cast("bigint").alias("y")
+    )
+    q = daily.agg(
+        F.percentile(F.col("y").cast("double"), F.lit(0.9)).alias("f90"),
+        F.percentile(F.col("y").cast("double"), F.lit(0.5)).alias("f50"),
+    )
+    j = daily.crossJoin(F.broadcast(q))
+    y = F.col("y").cast("double")
+
+    def pinball(f: F.Column, qq: float) -> F.Column:
+        return F.when(y >= f, qq * (y - f)).otherwise((1.0 - qq) * (f - y))
+
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        round4(F.min("f90")).alias("forecast_p90"),
+        round4(davg(pinball(F.col("f90"), 0.9))).alias("pinball_p90"),
+        round4(davg(pinball(F.col("f50"), 0.5))).alias("pinball_p50"),
+    )

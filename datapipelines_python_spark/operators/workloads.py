@@ -10328,3 +10328,164 @@ def workload_adstock(spark: SparkSession, sf: str) -> DataFrame:
         * (n * F.col("syy") - F.col("sy") * F.col("sy"))
     )
     return s.select(n.alias("n_days"), round4(corr).alias("corr_adstock_revenue"))
+
+
+@query(
+    "workload_survivorship",
+    oracle="""
+        WITH keyed AS (
+            SELECT doc_id, n_chars,
+                   STRING_SPLIT(text, ' ')[1] || '|' ||
+                   CAST(LEN(STRING_SPLIT(text, ' ')) AS VARCHAR) || '|' ||
+                   lang AS match_key
+            FROM documents
+        ),
+        ranked AS (
+            SELECT doc_id, match_key,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY match_key
+                       ORDER BY n_chars DESC, doc_id ASC) AS rn,
+                   CAST(COUNT(*) OVER (PARTITION BY match_key) AS BIGINT)
+                       AS cluster_size
+            FROM keyed
+        )
+        SELECT cluster_size,
+               CAST(COUNT(DISTINCT match_key) AS BIGINT) AS n_clusters,
+               CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_survivors,
+               CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_retired
+        FROM ranked
+        GROUP BY cluster_size
+    """,
+    tags=("workload", "dedup", "mdm"),
+)
+def workload_survivorship(spark: SparkSession, sf: str) -> DataFrame:
+    """Survivorship (golden-record selection) — the step AFTER match/
+    dedup that MDM pipelines actually ship: within each match cluster
+    (blocking key = first token | token count | lang, standing in for
+    ``llm_dedup_clusters``' connected components), elect one canonical
+    record by an explicit rule stack (most content wins, doc_id breaks
+    ties) and retire the rest. One rank window per cluster — Spark
+    pushes the rn=1 survivor filter as a window-group-limit when only
+    survivors are kept; here both sides of the verdict are reported as
+    a cluster-size histogram (survivors + retired = corpus, your
+    conservation check). The rule stack being DECLARED in ORDER BY is
+    the point: survivorship must be deterministic and auditable."""
+    d = load_table(spark, sf, "documents")
+    toks = F.split("text", " ")
+    keyed = d.select(
+        "doc_id", "n_chars",
+        F.concat_ws(
+            "|", toks[0], F.size(toks).cast("string"), F.col("lang")
+        ).alias("match_key"),
+    )
+    wr = W.partitionBy("match_key").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    wc = W.partitionBy("match_key")
+    ranked = keyed.select(
+        "match_key",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wc).cast("bigint").alias("cluster_size"),
+    )
+    return ranked.groupBy("cluster_size").agg(
+        F.countDistinct("match_key").cast("bigint").alias("n_clusters"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_survivors"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_retired"),
+    )
+
+
+@query(
+    "workload_ledger_reconciliation",
+    oracle=f"""
+        WITH line_totals AS (
+            SELECT l_orderkey,
+                   CAST(FLOOR({sql_dsum('l_extendedprice')} * 100.0 + 0.5)
+                        AS BIGINT) AS lines_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines
+            FROM lineitem GROUP BY l_orderkey
+        ),
+        recon AS (
+            SELECT o.o_orderkey,
+                   CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT)
+                       AS header_cents,
+                   COALESCE(l.lines_cents, 0) AS lines_cents,
+                   l.l_orderkey IS NULL AS headless
+            FROM orders o LEFT JOIN line_totals l
+              ON o.o_orderkey = l.l_orderkey
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CASE WHEN headless THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_orders_without_lines,
+               CAST(SUM(CASE WHEN NOT headless
+                              AND header_cents = lines_cents
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_match,
+               CAST(SUM(CASE WHEN NOT headless
+                              AND header_cents <> lines_cents
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+               CAST(SUM(header_cents - lines_cents) AS BIGINT)
+                   AS net_drift_cents,
+               CAST(SUM(ABS(header_cents - lines_cents)) AS BIGINT)
+                   AS gross_drift_cents
+        FROM recon
+    """,
+    tags=("workload", "finance", "data-quality"),
+)
+def workload_ledger_reconciliation(spark: SparkSession, sf: str) -> DataFrame:
+    """Header-vs-detail ledger reconciliation: every order's header
+    total against the exact-cents sum of its lines, reporting exact
+    matches, mismatches, headless orders, and both NET drift (signed —
+    offsetting errors hide here) and GROSS drift (absolute — the audit
+    number; net ≈ 0 with gross ≫ 0 is the classic sign of systematic
+    compensating errors, not cleanliness). All money flows through the
+    integer-cents path so 'match' means match, not within-epsilon. One
+    fact-side aggregate + one left join keyed on orderkey — the shape
+    of every control-totals job; at 100 TB the join is the co-
+    partitioned kind bucketing makes shuffle-free
+    (``join_bucketed_colocated``)."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    line_totals = li.groupBy("l_orderkey").agg(
+        F.floor(dsum(F.col("l_extendedprice")) * 100.0 + 0.5)
+        .cast("bigint")
+        .alias("lines_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+    )
+    recon = o.join(
+        line_totals, o["o_orderkey"] == line_totals["l_orderkey"], "left"
+    ).select(
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+        .cast("bigint")
+        .alias("header_cents"),
+        F.coalesce(F.col("lines_cents"), F.lit(0)).alias("lines_cents"),
+        F.col("l_orderkey").isNull().alias("headless"),
+    )
+    match = (~F.col("headless")) & (
+        F.col("header_cents") == F.col("lines_cents")
+    )
+    mismatch = (~F.col("headless")) & (
+        F.col("header_cents") != F.col("lines_cents")
+    )
+    return recon.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.when(F.col("headless"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_orders_without_lines"),
+        F.sum(F.when(match, 1).otherwise(0)).cast("bigint").alias(
+            "n_exact_match"
+        ),
+        F.sum(F.when(mismatch, 1).otherwise(0)).cast("bigint").alias(
+            "n_mismatch"
+        ),
+        F.sum(F.col("header_cents") - F.col("lines_cents"))
+        .cast("bigint")
+        .alias("net_drift_cents"),
+        F.sum(F.abs(F.col("header_cents") - F.col("lines_cents")))
+        .cast("bigint")
+        .alias("gross_drift_cents"),
+    )
