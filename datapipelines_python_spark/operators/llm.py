@@ -2861,3 +2861,85 @@ def llm_domain_shift_bits(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("ns").cast("bigint").alias("n_tokens"),
         round4(-dsum(bits) / F.sum("ns")).alias("cross_entropy_bits"),
     )
+
+
+@query(
+    "llm_jsd_lang_pair",
+    oracle=f"""
+        WITH tok AS (
+            SELECT lang, UNNEST(STRING_SPLIT(text, ' ')) AS t
+            FROM documents WHERE lang IN ('en', 'es')
+        ),
+        counts AS (
+            SELECT t,
+                   CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS ne,
+                   CAST(SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS ns
+            FROM tok GROUP BY t
+        ),
+        tots AS (
+            SELECT CAST(SUM(ne) AS BIGINT) AS te,
+                   CAST(SUM(ns) AS BIGINT) AS ts,
+                   CAST(COUNT(*) AS BIGINT) AS v
+            FROM counts
+        ),
+        probs AS (
+            SELECT (c.ne + 1.0) / (t.te + t.v) AS p,
+                   (c.ns + 1.0) / (t.ts + t.v) AS q
+            FROM counts c CROSS JOIN tots t
+        )
+        SELECT (SELECT v FROM tots) AS vocab_size,
+               {sql_round4(
+                   "0.5 * " + sql_dsum(
+                       "p * LN(p / ((p + q) / 2.0)) / LN(2.0)"
+                   )
+                   + " + 0.5 * " + sql_dsum(
+                       "q * LN(q / ((p + q) / 2.0)) / LN(2.0)"
+                   )
+               )} AS jsd_bits
+        FROM probs
+    """,
+    tags=("llm", "text", "information"),
+)
+def llm_jsd_lang_pair(spark: SparkSession, sf: str) -> DataFrame:
+    """Jensen–Shannon divergence (bits) between the en and es token
+    distributions, add-one smoothed over the shared vocabulary — the
+    SYMMETRIC, bounded-[0,1] corpus-distance that KL is not (KL blows
+    up on disjoint support and orders its arguments;
+    ``llm_domain_shift_bits`` deliberately uses that asymmetry, this op
+    is the distance you can put in a matrix and cluster corpora by,
+    √JSD being a true metric). One pivoted token-count aggregate gives
+    both distributions in a single pass; the mixture M=(P+Q)/2 is row
+    arithmetic; two smoothed sums reduce it. Vocabulary-grain all the
+    way — scale-free."""
+    d = load_table(spark, sf, "documents")
+    tok = d.filter(F.col("lang").isin("en", "es")).select(
+        "lang", F.explode(F.split("text", " ")).alias("t")
+    )
+    counts = tok.groupBy("t").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("ne"),
+        F.sum(F.when(F.col("lang") == "es", 1).otherwise(0))
+        .cast("bigint")
+        .alias("ns"),
+    )
+    tots = counts.agg(
+        F.sum("ne").cast("bigint").alias("te"),
+        F.sum("ns").cast("bigint").alias("ts"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    probs = counts.crossJoin(F.broadcast(tots)).select(
+        ((F.col("ne") + 1.0) / (F.col("te") + F.col("v"))).alias("p"),
+        ((F.col("ns") + 1.0) / (F.col("ts") + F.col("v"))).alias("q"),
+        "v",
+    )
+    m = (F.col("p") + F.col("q")) / 2.0
+    ln2 = F.log(F.lit(2.0))
+    return probs.groupBy("v").agg(
+        round4(
+            0.5 * dsum(F.col("p") * F.log(F.col("p") / m) / ln2)
+            + 0.5 * dsum(F.col("q") * F.log(F.col("q") / m) / ln2)
+        ).alias("jsd_bits")
+    ).select(F.col("v").alias("vocab_size"), "jsd_bits")

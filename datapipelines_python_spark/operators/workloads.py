@@ -10489,3 +10489,79 @@ def workload_ledger_reconciliation(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("gross_drift_cents"),
     )
+
+
+@query(
+    "workload_seasonal_index",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(FLOOR({sql_dsum('value')} * 100.0 + 0.5) AS BIGINT)
+                       AS y
+            FROM events GROUP BY 1
+        ),
+        ma AS (
+            SELECT day, y,
+                   CASE WHEN COUNT(*) OVER w = 7
+                        THEN CAST(SUM(y) OVER w AS DOUBLE) / 7.0 END AS m7
+            FROM daily
+            WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                         AND 3 FOLLOWING)
+        ),
+        ratios AS (
+            SELECT dayofweek(day) + 1 AS dow, y / m7 AS ratio
+            FROM ma WHERE m7 IS NOT NULL
+        ),
+        raw_idx AS (
+            SELECT dow,
+                   CAST(COUNT(*) AS BIGINT) AS n_obs,
+                   {sql_davg('ratio')} AS raw_index
+            FROM ratios GROUP BY dow
+        ),
+        norm AS (
+            SELECT {sql_davg('raw_index')} AS grand FROM raw_idx
+        )
+        SELECT r.dow, r.n_obs,
+               {sql_round4('r.raw_index')} AS raw_index,
+               {sql_round4('r.raw_index / n.grand')} AS seasonal_index
+        FROM raw_idx r CROSS JOIN norm n
+    """,
+    tags=("workload", "timeseries", "seasonality"),
+)
+def workload_seasonal_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Classical ratio-to-moving-average seasonal indices: detrend each
+    day by its CENTERED 7-day moving average (full windows only — the
+    half-window edges would bias the ratio), average the ratios per
+    day-of-week, normalize so the indices mean 1. This is the textbook
+    multiplicative-decomposition step — index 1.15 reads directly as
+    'Mondays run 15% above trend' — where ``workload_seasonality_dow``
+    compares raw DOW means (confounded by any trend). The centered
+    window and the day grain keep all sequential work on the reduced
+    series; ratios and indices are single float expressions off exact
+    cents."""
+    e = load_table(spark, sf, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.floor(dsum(F.col("value")) * 100.0 + 0.5).cast("bigint").alias("y")
+    )
+    w7 = W.orderBy("day").rowsBetween(-3, 3)
+    ma = daily.select(
+        "day", "y",
+        F.when(
+            F.count(F.lit(1)).over(w7) == 7,
+            F.sum("y").over(w7).cast("double") / 7.0,
+        ).alias("m7"),
+    ).filter(F.col("m7").isNotNull())
+    ratios = ma.select(
+        F.dayofweek("day").alias("dow"),
+        (F.col("y") / F.col("m7")).alias("ratio"),
+    )
+    raw_idx = ratios.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        davg(F.col("ratio")).alias("raw_index"),
+    )
+    norm = raw_idx.agg(davg(F.col("raw_index")).alias("grand"))
+    return raw_idx.crossJoin(F.broadcast(norm)).select(
+        "dow", "n_obs",
+        round4(F.col("raw_index")).alias("raw_index"),
+        round4(F.col("raw_index") / F.col("grand")).alias("seasonal_index"),
+    )
