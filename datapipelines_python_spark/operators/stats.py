@@ -5292,3 +5292,68 @@ def ml_pinball_loss(spark: SparkSession, sf: str) -> DataFrame:
         round4(davg(pinball(F.col("f90"), 0.9))).alias("pinball_p90"),
         round4(davg(pinball(F.col("f50"), 0.5))).alias("pinball_p50"),
     )
+
+
+@query(
+    "ml_gumbel_block_maxima",
+    oracle=f"""
+        WITH maxima AS (
+            SELECT CAST(ts AS DATE) AS day, MAX(value) AS m
+            FROM events GROUP BY 1
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   {sql_dsum('m')} AS s1,
+                   {sql_dsum('m * m')} AS s2
+            FROM maxima
+        ),
+        fit AS (
+            SELECT n,
+                   SQRT((n * s2 - s1 * s1) / (n * (n - 1.0)))
+                       * 0.7796968012336761 AS beta,
+                   s1 / n - 0.5772156649015329
+                       * SQRT((n * s2 - s1 * s1) / (n * (n - 1.0)))
+                       * 0.7796968012336761 AS mu
+            FROM s
+        )
+        SELECT n AS n_blocks,
+               {sql_round4('mu')} AS gumbel_mu,
+               {sql_round4('beta')} AS gumbel_beta,
+               {sql_round4('mu - beta * LN(-LN(1.0 - 1.0 / 100.0))')}
+                   AS return_level_100
+        FROM fit
+    """,
+    tags=("ml", "stats", "extreme-value"),
+)
+def ml_gumbel_block_maxima(spark: SparkSession, sf: str) -> DataFrame:
+    """Extreme-value analysis by block maxima: daily maxima of event
+    value, Gumbel fit by method of moments (β = s·√6/π, µ = x̄ − γβ
+    with Euler's γ — both constants inlined so the arithmetic is
+    engine-identical), and the 100-block return level µ − β·ln(−ln(1 −
+    1/100)) — 'the worst single event we should expect once per 100
+    days'. The design question this answers (capacity headroom, fraud
+    ceilings, rate-limit sizing) cannot be read off quantiles of the
+    raw data: extremes need their own distribution. Complements the
+    threshold-side ``ml_hill_tail_index`` / ``ml_mean_excess_tail``;
+    one day-grain reduce plus power sums — scale-free."""
+    e = load_table(spark, sf, "events")
+    maxima = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.max("value").alias("m")
+    )
+    s = maxima.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum(F.col("m")).alias("s1"),
+        dsum(F.col("m") * F.col("m")).alias("s2"),
+    )
+    n = F.col("n")
+    sd = F.sqrt((n * F.col("s2") - F.col("s1") * F.col("s1")) / (n * (n - 1.0)))
+    beta = sd * 0.7796968012336761
+    mu = F.col("s1") / n - 0.5772156649015329 * beta
+    return s.select(
+        n.alias("n_blocks"),
+        round4(mu).alias("gumbel_mu"),
+        round4(beta).alias("gumbel_beta"),
+        round4(mu - beta * F.log(-F.log(F.lit(1.0 - 1.0 / 100.0)))).alias(
+            "return_level_100"
+        ),
+    )

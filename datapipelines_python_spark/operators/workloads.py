@@ -10565,3 +10565,43 @@ def workload_seasonal_index(spark: SparkSession, sf: str) -> DataFrame:
         round4(F.col("raw_index")).alias("raw_index"),
         round4(F.col("raw_index") / F.col("grand")).alias("seasonal_index"),
     )
+
+
+@query(
+    "sql_execute_immediate",
+    oracle=f"""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               {sql_dsum('o_totalprice')} AS revenue
+        FROM orders
+        WHERE o_orderstatus = 'O' AND o_totalprice > 100000.0
+        GROUP BY o_orderpriority
+    """,
+    tags=("sql", "dynamic"),
+)
+def sql_execute_immediate(spark: SparkSession, sf: str) -> DataFrame:
+    """Dynamic SQL done safely: ``EXECUTE IMMEDIATE ... USING`` (Spark
+    4) runs a query TEMPLATE with bound parameter markers — the
+    injection-proof form of the string-concatenation dynamic SQL every
+    BI layer eventually grows. Bound here: a status filter and a price
+    floor against a template built once. The plan compiled is identical
+    to the static query (the oracle), parameters reach Catalyst as
+    literals AFTER parse, so pushdown still sees them — dynamic
+    dispatch costs nothing at execution. Complements
+    ``sql_named_parameters`` (spark.sql kwargs) and ``sql_variables``
+    (session vars): three binding surfaces, one semantics."""
+    o = load_table(spark, sf, "orders")
+    o.createOrReplaceTempView("_ei_orders")
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT o_orderpriority,
+                  CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE)
+                      AS revenue
+           FROM _ei_orders
+           WHERE o_orderstatus = ? AND o_totalprice > ?
+           GROUP BY o_orderpriority'
+          USING 'O', 100000.0D
+        """
+    )
