@@ -1069,3 +1069,42 @@ def scan_ignore_corrupt_files(spark: SparkSession, sf: str) -> DataFrame:
     return (
         spark.read.option("ignoreCorruptFiles", "true").parquet(path)
     )
+
+
+@query(
+    "scan_text_wholetext",
+    oracle="""
+        SELECT * FROM (VALUES
+            ('alpha beta gamma', CAST(16 AS BIGINT)),
+            ('one
+two
+three', CAST(13 AS BIGINT)),
+            ('single', CAST(6 AS BIGINT))
+        ) t(value, n_chars)
+    """,
+    tags=("scan", "connector"),
+)
+def scan_text_wholetext(spark: SparkSession, sf: str) -> DataFrame:
+    """``wholetext`` mode of the text source: ONE ROW PER FILE instead
+    of one per line — the ingestion mode for document corpora where a
+    file IS the document (the line-mode twin is
+    ``scan_text_roundtrip``, which would shred the multi-line file
+    below into three records). Embedded newlines survive verbatim, as
+    the char counts pin. The scale trade is explicit: wholetext files
+    are unsplittable by definition (a document can't be half-read), so
+    parallelism = file count and the 100 TB layout wants many medium
+    files, never one giant — the same granularity rule
+    ``sink_max_records_per_file`` enforces from the writer side."""
+    path = scratch_dir("wholetext")
+    os.makedirs(path, exist_ok=True)
+    for name, body in (
+        ("a.txt", "alpha beta gamma"),
+        ("b.txt", "one\ntwo\nthree"),
+        ("c.txt", "single"),
+    ):
+        with open(os.path.join(path, name), "w") as f:
+            f.write(body)
+    docs = spark.read.text(path, wholetext=True)
+    return docs.select(
+        "value", F.length("value").cast("bigint").alias("n_chars")
+    )

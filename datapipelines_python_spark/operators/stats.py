@@ -5357,3 +5357,101 @@ def ml_gumbel_block_maxima(spark: SparkSession, sf: str) -> DataFrame:
             "return_level_100"
         ),
     )
+
+
+@query(
+    "ml_seasonal_strength",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(FLOOR({sql_dsum('value')} * 100.0 + 0.5) AS BIGINT)
+                       AS y
+            FROM events GROUP BY 1
+        ),
+        ma AS (
+            SELECT day, y,
+                   CASE WHEN COUNT(*) OVER w = 7
+                        THEN CAST(SUM(y) OVER w AS DOUBLE) / 7.0 END AS trend
+            FROM daily
+            WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                         AND 3 FOLLOWING)
+        ),
+        detr AS (
+            SELECT dayofweek(day) + 1 AS dow, y - trend AS d
+            FROM ma WHERE trend IS NOT NULL
+        ),
+        season AS (
+            SELECT dow, {sql_davg('d')} AS s FROM detr GROUP BY dow
+        ),
+        rem AS (
+            SELECT t.d, t.d - se.s AS r
+            FROM detr t JOIN season se ON t.dow = se.dow
+        ),
+        v AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   {sql_dsum('d')} AS d1, {sql_dsum('d * d')} AS d2,
+                   {sql_dsum('r')} AS r1, {sql_dsum('r * r')} AS r2
+            FROM rem
+        )
+        SELECT n AS n_days,
+               {sql_round4('(n * d2 - d1 * d1) / (n * (n - 1.0))')}
+                   AS var_detrended,
+               {sql_round4('(n * r2 - r1 * r1) / (n * (n - 1.0))')}
+                   AS var_remainder,
+               {sql_round4(
+                   'GREATEST(0.0, 1.0 - ((n * r2 - r1 * r1) / (n * (n - 1.0)))'
+                   ' / ((n * d2 - d1 * d1) / (n * (n - 1.0))))'
+               )} AS seasonal_strength
+        FROM v
+    """,
+    tags=("ml", "timeseries", "seasonality"),
+)
+def ml_seasonal_strength(spark: SparkSession, sf: str) -> DataFrame:
+    """Hyndman's seasonal-strength measure F_s = max(0, 1 −
+    Var(remainder)/Var(detrended)): detrend by the centered 7-day MA,
+    estimate the weekly component as per-DOW means of the detrended
+    series (additive decomposition — ``workload_seasonal_index`` is the
+    multiplicative twin), and ask how much detrended variance the
+    seasonal component actually explains. F_s near 0 says the 'weekly
+    pattern' on the dashboard is noise; near 1 says forecasting without
+    DOW features is malpractice (``workload_forecast_backtest``'s
+    seasonal-naive should win exactly when this is high). One window +
+    two small joins + power sums, all on the day grain."""
+    e = load_table(spark, sf, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.floor(dsum(F.col("value")) * 100.0 + 0.5).cast("bigint").alias("y")
+    )
+    w7 = W.orderBy("day").rowsBetween(-3, 3)
+    ma = daily.select(
+        "day", "y",
+        F.when(
+            F.count(F.lit(1)).over(w7) == 7,
+            F.sum("y").over(w7).cast("double") / 7.0,
+        ).alias("trend"),
+    ).filter(F.col("trend").isNotNull())
+    detr = ma.select(
+        F.dayofweek("day").alias("dow"),
+        (F.col("y") - F.col("trend")).alias("d"),
+    )
+    season = detr.groupBy("dow").agg(davg(F.col("d")).alias("s"))
+    rem = detr.join(F.broadcast(season), "dow").select(
+        "d", (F.col("d") - F.col("s")).alias("r")
+    )
+    v = rem.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum(F.col("d")).alias("d1"),
+        dsum(F.col("d") * F.col("d")).alias("d2"),
+        dsum(F.col("r")).alias("r1"),
+        dsum(F.col("r") * F.col("r")).alias("r2"),
+    )
+    n = F.col("n")
+    var_d = (n * F.col("d2") - F.col("d1") * F.col("d1")) / (n * (n - 1.0))
+    var_r = (n * F.col("r2") - F.col("r1") * F.col("r1")) / (n * (n - 1.0))
+    return v.select(
+        n.alias("n_days"),
+        round4(var_d).alias("var_detrended"),
+        round4(var_r).alias("var_remainder"),
+        round4(F.greatest(F.lit(0.0), 1.0 - var_r / var_d)).alias(
+            "seasonal_strength"
+        ),
+    )
