@@ -5455,3 +5455,74 @@ def ml_seasonal_strength(spark: SparkSession, sf: str) -> DataFrame:
             "seasonal_strength"
         ),
     )
+
+
+@query(
+    "ml_chi2_residuals",
+    oracle=f"""
+        WITH cells AS (
+            SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+            FROM documents
+            WHERE source IN ('src0', 'src1', 'src2', 'src3')
+            GROUP BY lang, source
+        ),
+        margins AS (
+            SELECT c.lang, c.source, c.o,
+                   SUM(c.o) OVER (PARTITION BY c.lang) AS row_tot,
+                   SUM(c.o) OVER (PARTITION BY c.source) AS col_tot,
+                   SUM(c.o) OVER () AS n
+            FROM cells c
+        ),
+        resid AS (
+            SELECT lang, source, o,
+                   CAST(row_tot AS DOUBLE) * col_tot / n AS expected,
+                   (o - CAST(row_tot AS DOUBLE) * col_tot / n)
+                       / SQRT(CAST(row_tot AS DOUBLE) * col_tot / n
+                              * (1.0 - CAST(row_tot AS DOUBLE) / n)
+                              * (1.0 - CAST(col_tot AS DOUBLE) / n))
+                       AS std_resid
+            FROM margins
+        )
+        SELECT lang, source, o AS observed,
+               {sql_round4('expected')} AS expected,
+               {sql_round4('std_resid')} AS std_residual,
+               ABS(std_resid) > 2.0 AS significant_cell
+        FROM resid
+    """,
+    tags=("ml", "stats", "test"),
+)
+def ml_chi2_residuals(spark: SparkSession, sf: str) -> DataFrame:
+    """Standardized (adjusted) residuals for the lang × source
+    contingency table — the follow-up ``ml_chi2_independence`` demands:
+    a significant omnibus χ² says 'dependence somewhere', the residuals
+    (O−E)/√(E(1−r/n)(1−c/n)) say WHICH cells, each ~N(0,1) under
+    independence so |resid| > 2 flags the driving cells directly. One
+    cell aggregate plus margin windows over the tiny 20-cell frame
+    (source-restricted to keep output reviewable); counts exact, one
+    float expression per cell. At 100 TB the cell table is still tiny —
+    residual analysis is free once the contingency aggregate exists."""
+    d = load_table(spark, sf, "documents")
+    cells = (
+        d.filter(F.col("source").isin("src0", "src1", "src2", "src3"))
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    )
+    margins = cells.select(
+        "lang", "source", "o",
+        F.sum("o").over(W.partitionBy("lang")).alias("row_tot"),
+        F.sum("o").over(W.partitionBy("source")).alias("col_tot"),
+        F.sum("o").over(W.partitionBy()).alias("n"),
+    )
+    expected = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("n")
+    std_resid = (F.col("o") - expected) / F.sqrt(
+        expected
+        * (1.0 - F.col("row_tot").cast("double") / F.col("n"))
+        * (1.0 - F.col("col_tot").cast("double") / F.col("n"))
+    )
+    return margins.select(
+        "lang", "source",
+        F.col("o").alias("observed"),
+        round4(expected).alias("expected"),
+        round4(std_resid).alias("std_residual"),
+        (F.abs(std_resid) > 2.0).alias("significant_cell"),
+    )

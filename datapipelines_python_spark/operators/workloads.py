@@ -10605,3 +10605,170 @@ def sql_execute_immediate(spark: SparkSession, sf: str) -> DataFrame:
           USING 'O', 100000.0D
         """
     )
+
+
+@query(
+    "workload_metric_driver_tree",
+    oracle=f"""
+        WITH halves AS (
+            SELECT CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                        THEN 'H1' ELSE 'H2' END AS half,
+                   user_id, event_id, value, event_type
+            FROM events
+        ),
+        m AS (
+            SELECT half,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users,
+                   CAST(COUNT(*) FILTER (WHERE event_type = 'purchase')
+                        AS BIGINT) AS purchases,
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(38,8)))
+                             FILTER (WHERE event_type = 'purchase')
+                             AS VARCHAR) AS DOUBLE) AS revenue
+            FROM halves GROUP BY half
+        ),
+        w AS (
+            SELECT
+                MAX(CASE WHEN half = 'H1' THEN users END) AS u1,
+                MAX(CASE WHEN half = 'H1' THEN purchases END) AS p1,
+                MAX(CASE WHEN half = 'H1' THEN revenue END) AS r1,
+                MAX(CASE WHEN half = 'H2' THEN users END) AS u2,
+                MAX(CASE WHEN half = 'H2' THEN purchases END) AS p2,
+                MAX(CASE WHEN half = 'H2' THEN revenue END) AS r2
+            FROM m
+        )
+        SELECT {sql_round4('LN(CAST(r2 AS DOUBLE) / r1)')} AS dlog_revenue,
+               {sql_round4('LN(CAST(u2 AS DOUBLE) / u1)')} AS dlog_users,
+               {sql_round4(
+                   'LN((CAST(p2 AS DOUBLE) / u2) / (CAST(p1 AS DOUBLE) / u1))'
+               )} AS dlog_freq,
+               {sql_round4(
+                   'LN((r2 / p2) / (r1 / p1))'
+               )} AS dlog_aov,
+               {sql_round4(
+                   'LN(CAST(r2 AS DOUBLE) / r1) - LN(CAST(u2 AS DOUBLE) / u1)'
+                   ' - LN((CAST(p2 AS DOUBLE) / u2) / (CAST(p1 AS DOUBLE) / u1))'
+                   ' - LN((r2 / p2) / (r1 / p1))'
+               )} AS decomposition_gap
+        FROM w
+    """,
+    tags=("workload", "product", "growth"),
+)
+def workload_metric_driver_tree(spark: SparkSession, sf: str) -> DataFrame:
+    """Multiplicative metric-driver tree: revenue ≡ users × (purchases/
+    user) × (revenue/purchase), so Δlog revenue decomposes EXACTLY into
+    Δlog users + Δlog frequency + Δlog AOV between the month's halves —
+    the growth-accounting answer to 'revenue is down 8%: acquisition,
+    engagement, or pricing?'. Log differences make the attribution
+    additive and order-free (the percent-change version leaves
+    interaction residue; here the decomposition_gap column proves the
+    identity holds to rounding). One grouped pass for the three-metric
+    pair, a 2-row pivot, five closed-form cells. This is the
+    ``workload_sales_mix_variance`` idea applied down a metric tree
+    instead of across a mix."""
+    e = load_table(spark, sf, "events")
+    halves = e.select(
+        F.when(F.col("ts").cast("date") < F.lit("2024-01-16").cast("date"), "H1")
+        .otherwise("H2")
+        .alias("half"),
+        "user_id", "value", "event_type",
+    )
+    m = halves.groupBy("half").agg(
+        F.countDistinct("user_id").cast("bigint").alias("users"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("bigint")
+        .alias("purchases"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value").cast(DEC))
+        )
+        .cast("double")
+        .alias("revenue"),
+    )
+    is1 = F.when(F.col("half") == "H1", 1).otherwise(0)
+    w = m.agg(
+        F.max(F.when(is1 == 1, F.col("users"))).alias("u1"),
+        F.max(F.when(is1 == 1, F.col("purchases"))).alias("p1"),
+        F.max(F.when(is1 == 1, F.col("revenue"))).alias("r1"),
+        F.max(F.when(is1 == 0, F.col("users"))).alias("u2"),
+        F.max(F.when(is1 == 0, F.col("purchases"))).alias("p2"),
+        F.max(F.when(is1 == 0, F.col("revenue"))).alias("r2"),
+    )
+    u1, p1, r1 = F.col("u1"), F.col("p1"), F.col("r1")
+    u2, p2, r2 = F.col("u2"), F.col("p2"), F.col("r2")
+    dlog_rev = F.log(r2 / r1)
+    dlog_users = F.log(u2.cast("double") / u1)
+    dlog_freq = F.log((p2.cast("double") / u2) / (p1.cast("double") / u1))
+    dlog_aov = F.log((r2 / p2) / (r1 / p1))
+    return w.select(
+        round4(dlog_rev).alias("dlog_revenue"),
+        round4(dlog_users).alias("dlog_users"),
+        round4(dlog_freq).alias("dlog_freq"),
+        round4(dlog_aov).alias("dlog_aov"),
+        round4(dlog_rev - dlog_users - dlog_freq - dlog_aov).alias(
+            "decomposition_gap"
+        ),
+    )
+
+
+@query(
+    "workload_lorenz_deciles",
+    oracle=f"""
+        WITH rev AS (
+            SELECT o_custkey,
+                   {sql_dsum('o_totalprice')} AS r
+            FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+            SELECT r,
+                   NTILE(10) OVER (ORDER BY r ASC, o_custkey ASC) AS decile
+            FROM rev
+        ),
+        by_dec AS (
+            SELECT decile,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   {sql_dsum('r')} AS rev
+            FROM ranked GROUP BY decile
+        )
+        SELECT decile, n_customers,
+               {sql_round4('rev')} AS decile_revenue,
+               {sql_round4(
+                   'CAST(CAST(SUM(CAST(rev AS DECIMAL(38,8))) OVER '
+                   '(ORDER BY decile) AS VARCHAR) AS DOUBLE)'
+                   ' / CAST(CAST(SUM(CAST(rev AS DECIMAL(38,8))) OVER () '
+                   'AS VARCHAR) AS DOUBLE)'
+               )} AS cum_revenue_share
+        FROM by_dec
+    """,
+    tags=("workload", "stats", "concentration"),
+)
+def workload_lorenz_deciles(spark: SparkSession, sf: str) -> DataFrame:
+    """Lorenz curve at decile resolution: customers ranked by revenue
+    into NTILE(10) buckets, cumulative revenue share per decile — the
+    table behind 'the top 10% of customers drive X% of revenue', and
+    the curve whose area doubles into ``workload_gini``'s coefficient
+    (decile 10's share minus 10% is the top-decile concentration
+    headline). NTILE's total order (revenue + custkey) keeps bucket
+    assignment engine-identical; the cumulative share is a 10-row
+    window over decimal-exact decile sums. Customer-grain reduction
+    first, as always — the ranking never touches raw orders."""
+    o = load_table(spark, sf, "orders")
+    rev = o.groupBy("o_custkey").agg(dsum(F.col("o_totalprice")).alias("r"))
+    ranked = rev.select(
+        "r",
+        F.ntile(10)
+        .over(W.orderBy(F.col("r").asc(), F.col("o_custkey").asc()))
+        .alias("decile"),
+    )
+    by_dec = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        dsum(F.col("r")).alias("rev"),
+    )
+    wc = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return by_dec.select(
+        "decile", "n_customers",
+        round4(F.col("rev")).alias("decile_revenue"),
+        round4(
+            F.sum(F.col("rev").cast(DEC)).over(wc).cast("double")
+            / F.sum(F.col("rev").cast(DEC)).over(wall).cast("double")
+        ).alias("cum_revenue_share"),
+    )
