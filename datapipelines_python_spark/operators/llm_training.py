@@ -5005,3 +5005,103 @@ def ml_mcc_fbeta(spark: SparkSession, sf: str) -> DataFrame:
             "balanced_accuracy"
         ),
     )
+
+
+@query(
+    "mm_vad_segments",
+    oracle=f"""
+        WITH frames AS (
+            SELECT doc_id, fi.i AS frame_idx,
+                   unicode(SUBSTRING(text, 1 + (fi.i - 1) * 16, 16))
+                       AS energy
+            FROM documents,
+                 LATERAL (
+                     SELECT UNNEST(generate_series(
+                         1, CAST(CEIL(n_chars / 16.0) AS BIGINT))) AS i
+                 ) fi
+        ),
+        flagged AS (
+            SELECT doc_id, frame_idx,
+                   CASE WHEN energy >= 109 THEN 1 ELSE 0 END AS voiced
+            FROM frames
+        ),
+        islands AS (
+            SELECT doc_id, voiced,
+                   frame_idx - ROW_NUMBER() OVER (
+                       PARTITION BY doc_id, voiced ORDER BY frame_idx)
+                       AS grp
+            FROM flagged
+        ),
+        segs AS (
+            SELECT doc_id, voiced, grp,
+                   CAST(COUNT(*) AS BIGINT) AS seg_len
+            FROM islands GROUP BY doc_id, voiced, grp
+        )
+        SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN voiced = 1 THEN seg_len ELSE 0 END)
+                    AS BIGINT) AS voiced_frames,
+               CAST(SUM(seg_len) AS BIGINT) AS total_frames,
+               CAST(SUM(CASE WHEN voiced = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_voiced_segments,
+               {sql_round4(sql_davg(
+                   'CASE WHEN voiced = 1 THEN CAST(seg_len AS DOUBLE) END'
+               ))} AS avg_voiced_seg_len
+        FROM segs
+    """,
+    tags=("llm", "multimodal", "audio"),
+)
+def mm_vad_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """Voice-activity-detection segmentation over framed audio payloads
+    -- the plumbing every speech pipeline runs before ASR: cut the
+    payload into fixed 16-unit frames, score each frame's 'energy'
+    (deterministic stand-in: leading codepoint of the frame; a real
+    RMS energy plugs into the same slot, cf. :func:`mm_binary_features`
+    for the decode-stub convention), threshold into voiced/unvoiced,
+    then merge consecutive voiced frames into segments with the
+    gaps-and-islands trick PARTITIONED PER DOCUMENT (the windows are
+    doc-local -- fully distributed, no global sort anywhere). Reports
+    corpus totals: voiced share, segment counts, mean voiced-segment
+    length -- the stats that size downstream ASR batch shapes."""
+    d = load_table(spark, sf, "documents")
+    n_frames = F.ceil(F.col("n_chars") / 16.0).cast("int")
+    frames = d.select(
+        "doc_id",
+        F.posexplode(F.sequence(F.lit(1), n_frames)).alias("_p", "frame_idx"),
+        F.col("text"),
+    ).select(
+        "doc_id", "frame_idx",
+        F.ascii(
+            F.substring(F.col("text"), 1 + (F.col("frame_idx") - 1) * 16, 16)
+        ).alias("energy"),
+    )
+    flagged = frames.select(
+        "doc_id", "frame_idx",
+        F.when(F.col("energy") >= 109, 1).otherwise(0).alias("voiced"),
+    )
+    islands = flagged.select(
+        "doc_id", "voiced",
+        (
+            F.col("frame_idx")
+            - F.row_number().over(
+                W.partitionBy("doc_id", "voiced").orderBy("frame_idx")
+            )
+        ).alias("grp"),
+    )
+    segs = islands.groupBy("doc_id", "voiced", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("seg_len")
+    )
+    return segs.agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("voiced") == 1, F.col("seg_len")).otherwise(0))
+        .cast("bigint")
+        .alias("voiced_frames"),
+        F.sum("seg_len").cast("bigint").alias("total_frames"),
+        F.sum(F.when(F.col("voiced") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_voiced_segments"),
+        round4(
+            davg(
+                F.when(F.col("voiced") == 1, F.col("seg_len").cast("double"))
+            )
+        ).alias("avg_voiced_seg_len"),
+    )

@@ -5526,3 +5526,89 @@ def ml_chi2_residuals(spark: SparkSession, sf: str) -> DataFrame:
         round4(std_resid).alias("std_residual"),
         (F.abs(std_resid) > 2.0).alias("significant_cell"),
     )
+
+
+@query(
+    "ml_bland_altman",
+    oracle=f"""
+        WITH pairs AS (
+            SELECT o.o_orderkey,
+                   CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT)
+                       AS m1,
+                   CAST(FLOOR({sql_dsum('l.l_extendedprice * (1 + l.l_tax)')}
+                              * 100.0 + 0.5) AS BIGINT) AS m2
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY o.o_orderkey, o.o_totalprice
+        ),
+        d AS (
+            SELECT CAST(m1 - m2 AS DOUBLE) / 100.0 AS diff FROM pairs
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   {sql_dsum('diff')} AS s1,
+                   {sql_dsum('diff * diff')} AS s2
+            FROM d
+        )
+        SELECT n AS n_pairs,
+               {sql_round4('s1 / n')} AS mean_diff,
+               {sql_round4(
+                   's1 / n - 1.96 * SQRT((n * s2 - s1 * s1)'
+                   ' / (n * (n - 1.0)))'
+               )} AS loa_lower,
+               {sql_round4(
+                   's1 / n + 1.96 * SQRT((n * s2 - s1 * s1)'
+                   ' / (n * (n - 1.0)))'
+               )} AS loa_upper
+        FROM s
+    """,
+    tags=("ml", "stats", "agreement"),
+)
+def ml_bland_altman(spark: SparkSession, sf: str) -> DataFrame:
+    """Bland–Altman agreement analysis between two 'measurements' of the
+    same quantity — the order header total vs the tax-inclusive line
+    sum: mean bias and the 95% limits of agreement (bias ± 1.96s).
+    Where ``workload_ledger_reconciliation`` counts exact mismatches,
+    Bland–Altman characterizes the DISTRIBUTION of disagreement — the
+    right tool when the two systems legitimately measure with noise
+    (currency conversion timing, rounding regimes) and the question is
+    'are they interchangeable within tolerance', not 'are they equal'.
+    Correlation is the famously wrong answer here (two methods can
+    correlate at .99 and still disagree by 10%); the LoA interval is
+    the honest one. Exact cents in, power sums, three closed forms."""
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            F.floor(
+                dsum(F.col("l_extendedprice") * (1 + F.col("l_tax"))) * 100.0
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("m2")
+        )
+        .select(
+            (
+                (
+                    F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint")
+                    - F.col("m2")
+                ).cast("double")
+                / 100.0
+            ).alias("diff")
+        )
+    )
+    s = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum(F.col("diff")).alias("s1"),
+        dsum(F.col("diff") * F.col("diff")).alias("s2"),
+    )
+    n = F.col("n")
+    mean = F.col("s1") / n
+    sd = F.sqrt((n * F.col("s2") - F.col("s1") * F.col("s1")) / (n * (n - 1.0)))
+    return s.select(
+        n.alias("n_pairs"),
+        round4(mean).alias("mean_diff"),
+        round4(mean - 1.96 * sd).alias("loa_lower"),
+        round4(mean + 1.96 * sd).alias("loa_upper"),
+    )
