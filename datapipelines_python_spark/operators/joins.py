@@ -960,3 +960,69 @@ def sql_hint_merge_join(spark: SparkSession, sf: str) -> DataFrame:
         GROUP BY n.n_name, r.r_name
         """
     )
+
+
+@query(
+    "join_star_denormalize",
+    oracle=f"""
+        SELECT n.n_name AS cust_nation,
+               r.r_name AS cust_region,
+               p.p_brand,
+               s.s_name AS supplier,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')}
+                   AS revenue
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        JOIN part p     ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE r.r_name = 'ASIA' AND p.p_brand = 'Brand#11'
+        GROUP BY n.n_name, r.r_name, p.p_brand, s.s_name
+    """,
+    tags=("join", "star", "etl"),
+)
+def join_star_denormalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Full star-schema denormalization — the silver-layer ETL staple:
+    the fact table joined through ALL six dimensions (orders → customer
+    → nation → region, plus part and supplier) in one plan, filtered
+    and re-aggregated so the oracle is checkable. The plan property
+    this pins: every dimension is broadcast (AQE sizes them under the
+    threshold at any realistic SF), so the fact table streams through
+    six BroadcastHashJoins with ZERO fact-side shuffles until the final
+    aggregate — at 100 TB this is the difference between a scan-bound
+    job and six sort-merge catastrophes. Dimension filters (region,
+    brand) reach their dimension scans and prune the broadcast before
+    the probe — check PushedFilters in `.explain`."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    p = load_table(spark, sf, "part").filter(
+        F.col("p_brand") == "Brand#11"
+    ).select("p_partkey", "p_brand")
+    s = load_table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    wide = (
+        li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+    )
+    return wide.groupBy(
+        F.col("n_name").alias("cust_nation"),
+        F.col("r_name").alias("cust_region"),
+        "p_brand",
+        F.col("s_name").alias("supplier"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        ),
+    )

@@ -5612,3 +5612,111 @@ def ml_bland_altman(spark: SparkSession, sf: str) -> DataFrame:
         round4(mean - 1.96 * sd).alias("loa_lower"),
         round4(mean + 1.96 * sd).alias("loa_upper"),
     )
+
+
+# standard normal quantiles for p = 0.05, 0.15, ..., 0.95 (decile
+# midpoints) — fixed constants so the QQ comparison is pure arithmetic on
+# both engines (no probit function needed anywhere)
+_QQ_PS = (0.05, 0.15, 0.25, 0.35, 0.45, 0.55, 0.65, 0.75, 0.85, 0.95)
+_QQ_Z = (
+    -1.6448536269514722, -1.0364333894937898, -0.6744897501960817,
+    -0.38532046640756773, -0.12566134685507402, 0.12566134685507402,
+    0.38532046640756773, 0.6744897501960817, 1.0364333894937898,
+    1.6448536269514722,
+)
+
+
+@query(
+    "ml_qq_normality",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(FLOOR({sql_dsum('value')} * 100.0 + 0.5) AS BIGINT)
+                       AS y
+            FROM events GROUP BY 1
+        ),
+        qarr AS (
+            SELECT quantile_cont(CAST(y AS DOUBLE),
+                [{", ".join(str(p) for p in _QQ_PS)}]) AS arr
+            FROM daily
+        ),
+        qs AS (
+            SELECT UNNEST(qarr.arr) AS emp_q,
+                   GENERATE_SUBSCRIPTS(qarr.arr, 1) AS i
+            FROM qarr
+        ),
+        zq AS (
+            SELECT q.emp_q,
+                   [{", ".join(str(z) for z in _QQ_Z)}][q.i] AS z
+            FROM qs q
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                   {sql_dsum('z')} AS sx, {sql_dsum('emp_q')} AS sy,
+                   {sql_dsum('z * z')} AS sxx,
+                   {sql_dsum('emp_q * emp_q')} AS syy,
+                   {sql_dsum('z * emp_q')} AS sxy
+            FROM zq
+        )
+        SELECT k AS n_quantiles,
+               {sql_round4(
+                   '(k * sxy - sx * sy)'
+                   ' / SQRT((k * sxx - sx * sx) * (k * syy - sy * sy))'
+               )} AS qq_correlation,
+               {sql_round4('(k * sxy - sx * sy) / (k * sxx - sx * sx)')}
+                   AS qq_slope_sigma,
+               {sql_round4('sy / k')} AS qq_intercept_mu
+        FROM s
+    """,
+    tags=("ml", "stats", "normality"),
+)
+def ml_qq_normality(spark: SparkSession, sf: str) -> DataFrame:
+    """QQ-correlation normality diagnostic (the Shapiro–Francia idea,
+    distributable): empirical quantiles of daily revenue at ten decile
+    midpoints regressed against the corresponding STANDARD NORMAL
+    quantiles — inlined as constants, so no probit function is needed
+    on either engine. QQ correlation near 1 passes normality; the
+    regression slope and intercept double as robust σ̂ and µ̂ estimates
+    (read straight off the QQ line, outlier-resistant unlike moment
+    estimates). This is the assumption-check that should precede every
+    z-based test in this suite (``ml_grubbs_test``, ``workload_ab_test``
+    lean on normal-ish tails). Ten quantile aggregates over the day
+    grain, then the power-sum correlation."""
+    e = load_table(spark, sf, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.floor(dsum(F.col("value")) * 100.0 + 0.5).cast("bigint").alias("y")
+    )
+    qarr = daily.agg(
+        F.percentile(
+            F.col("y").cast("double"),
+            F.array(*[F.lit(p) for p in _QQ_PS]),
+        ).alias("qs")
+    )
+    zarr = F.array(*[F.lit(z) for z in _QQ_Z])
+    qs = qarr.select(
+        F.posexplode("qs").alias("i", "emp_q")
+    ).select(
+        "emp_q", F.element_at(zarr, F.col("i") + 1).alias("z")
+    )
+    s = qs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        dsum(F.col("z")).alias("sx"),
+        dsum(F.col("emp_q")).alias("sy"),
+        dsum(F.col("z") * F.col("z")).alias("sxx"),
+        dsum(F.col("emp_q") * F.col("emp_q")).alias("syy"),
+        dsum(F.col("z") * F.col("emp_q")).alias("sxy"),
+    )
+    k = F.col("k")
+    corr = (k * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (k * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (k * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    slope = (k * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        k * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        k.alias("n_quantiles"),
+        round4(corr).alias("qq_correlation"),
+        round4(slope).alias("qq_slope_sigma"),
+        round4(F.col("sy") / k).alias("qq_intercept_mu"),
+    )
