@@ -5720,3 +5720,181 @@ def ml_qq_normality(spark: SparkSession, sf: str) -> DataFrame:
         round4(slope).alias("qq_slope_sigma"),
         round4(F.col("sy") / k).alias("qq_intercept_mu"),
     )
+
+
+@query(
+    "ml_james_stein",
+    oracle=f"""
+        WITH seg AS (
+            SELECT c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   {sql_davg('c_acctbal')} AS xbar,
+                   {sql_dsum('c_acctbal * c_acctbal')} AS s2raw,
+                   {sql_dsum('c_acctbal')} AS s1raw
+            FROM customer GROUP BY c_mktsegment
+        ),
+        grand AS (
+            SELECT {sql_dsum('s1raw')} / SUM(n) AS gbar,
+                   CAST(COUNT(*) AS BIGINT) AS k,
+                   ({sql_dsum('s2raw')} - {sql_dsum('s1raw')}
+                        * ({sql_dsum('s1raw')} / SUM(n)))
+                       / (SUM(n) - 1.0) AS pooled_var,
+                   {sql_davg('CAST(n AS DOUBLE)')} AS nbar
+            FROM seg
+        ),
+        dev AS (
+            SELECT g.k, g.gbar, g.pooled_var, g.nbar,
+                   {sql_dsum('(s.xbar - g.gbar) * (s.xbar - g.gbar)')}
+                       AS ssdev
+            FROM seg s CROSS JOIN grand g
+            GROUP BY g.k, g.gbar, g.pooled_var, g.nbar
+        ),
+        shrink AS (
+            SELECT k, gbar,
+                   GREATEST(0.0, 1.0 - (k - 3.0)
+                       * (pooled_var / nbar) / ssdev) AS b
+            FROM dev
+        )
+        SELECT s.c_mktsegment,
+               s.n,
+               {sql_round4('s.xbar')} AS raw_mean,
+               {sql_round4('sh.b')} AS shrink_factor,
+               {sql_round4('sh.gbar + sh.b * (s.xbar - sh.gbar)')}
+                   AS js_mean
+        FROM seg s CROSS JOIN shrink sh
+    """,
+    tags=("ml", "stats", "shrinkage"),
+)
+def ml_james_stein(spark: SparkSession, sf: str) -> DataFrame:
+    """James–Stein shrinkage of per-segment mean account balances toward
+    the grand mean: x̂ᵢ = x̄ + b(x̄ᵢ − x̄) with b = max(0, 1 −
+    (k−3)(σ²/n̄)/Σ(x̄ᵢ−x̄)²) — the estimator that DOMINATES the raw
+    per-group means in total squared error whenever k ≥ 4, the
+    counterintuitive fact that founded empirical Bayes (and the
+    Gaussian-mean sibling of ``ml_beta_binomial_shrinkage``'s rate
+    shrinkage). Between-group spread and pooled variance both come from
+    the same one-pass per-group power sums; the positive-part factor is
+    one broadcast scalar applied back over the 5 segment rows."""
+    c = load_table(spark, sf, "customer")
+    x = F.col("c_acctbal")
+    seg = c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        davg(x).alias("xbar"),
+        dsum(x * x).alias("s2raw"),
+        dsum(x).alias("s1raw"),
+    )
+    grand = seg.agg(
+        (dsum(F.col("s1raw")) / F.sum("n")).alias("gbar"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        (
+            (
+                dsum(F.col("s2raw"))
+                - dsum(F.col("s1raw")) * (dsum(F.col("s1raw")) / F.sum("n"))
+            )
+            / (F.sum("n") - 1.0)
+        ).alias("pooled_var"),
+        davg(F.col("n").cast("double")).alias("nbar"),
+    )
+    dev = (
+        seg.crossJoin(F.broadcast(grand))
+        .groupBy("k", "gbar", "pooled_var", "nbar")
+        .agg(
+            dsum(
+                (F.col("xbar") - F.col("gbar"))
+                * (F.col("xbar") - F.col("gbar"))
+            ).alias("ssdev")
+        )
+    )
+    shrink = dev.select(
+        "gbar",
+        F.greatest(
+            F.lit(0.0),
+            1.0
+            - (F.col("k") - 3.0)
+            * (F.col("pooled_var") / F.col("nbar"))
+            / F.col("ssdev"),
+        ).alias("b"),
+    )
+    return seg.crossJoin(F.broadcast(shrink)).select(
+        "c_mktsegment", "n",
+        round4(F.col("xbar")).alias("raw_mean"),
+        round4(F.col("b")).alias("shrink_factor"),
+        round4(F.col("gbar") + F.col("b") * (F.col("xbar") - F.col("gbar"))).alias(
+            "js_mean"
+        ),
+    )
+
+
+@query(
+    "ml_negbin_fit",
+    oracle=f"""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS h,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(c) AS BIGINT) AS s1,
+                   {sql_dsum('CAST(c AS DOUBLE) * c')} AS s2,
+                   CAST(SUM(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_zero
+            FROM hourly
+        ),
+        mv AS (
+            SELECT n, n_zero,
+                   CAST(s1 AS DOUBLE) / n AS m,
+                   (n * s2 - CAST(s1 AS DOUBLE) * s1) / (n * (n - 1.0)) AS v
+            FROM s
+        )
+        SELECT n AS n_hours,
+               {sql_round4('m')} AS mean_count,
+               {sql_round4('v')} AS var_count,
+               {sql_round4('m * m / (v - m)')} AS nb_r,
+               {sql_round4('m / v')} AS nb_p,
+               {sql_round4('EXP(-m)')} AS poisson_p_zero,
+               {sql_round4('POWER(m / v, m * m / (v - m))')} AS negbin_p_zero,
+               {sql_round4('CAST(n_zero AS DOUBLE) / n')} AS observed_p_zero
+        FROM mv
+    """,
+    tags=("ml", "stats", "fit"),
+)
+def ml_negbin_fit(spark: SparkSession, sf: str) -> DataFrame:
+    """Negative-binomial fit for overdispersed hourly arrival counts by
+    method of moments — r = m²/(v−m), p = m/v — with the model-choice
+    receipt attached: the zero-probability under Poisson (e^−m) vs
+    NB ((p)^r) vs observed. When ``ml_poisson_dispersion`` rejects
+    D = 1, this is the distribution you refit with; the zero-prob
+    triptych makes the refit's value VISIBLE (Poisson catastrophically
+    underpredicts quiet hours on bursty traffic). Same one-pass power
+    sums as the dispersion test — the two ops share a scan at 100 TB
+    if composed."""
+    e = load_table(spark, sf, "events")
+    hourly = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    s = hourly.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s1"),
+        dsum(F.col("c").cast("double") * F.col("c")).alias("s2"),
+        F.sum(F.when(F.col("c") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero"),
+    )
+    n = F.col("n")
+    m = F.col("s1").cast("double") / n
+    v = (n * F.col("s2") - F.col("s1").cast("double") * F.col("s1")) / (
+        n * (n - 1.0)
+    )
+    r = m * m / (v - m)
+    p = m / v
+    return s.select(
+        n.alias("n_hours"),
+        round4(m).alias("mean_count"),
+        round4(v).alias("var_count"),
+        round4(r).alias("nb_r"),
+        round4(p).alias("nb_p"),
+        round4(F.exp(-m)).alias("poisson_p_zero"),
+        round4(F.pow(p, r)).alias("negbin_p_zero"),
+        round4(F.col("n_zero").cast("double") / n).alias("observed_p_zero"),
+    )

@@ -10772,3 +10772,77 @@ def workload_lorenz_deciles(spark: SparkSession, sf: str) -> DataFrame:
             / F.sum(F.col("rev").cast(DEC)).over(wall).cast("double")
         ).alias("cum_revenue_share"),
     )
+
+
+@query(
+    "workload_net_revenue_retention",
+    oracle=f"""
+        WITH cohorts AS (
+            SELECT o_custkey,
+                   MIN(date_part('year', o_orderdate)) AS cohort_year
+            FROM orders GROUP BY o_custkey
+        ),
+        rev AS (
+            SELECT c.cohort_year,
+                   date_part('year', o.o_orderdate) AS rev_year,
+                   {sql_dsum('o.o_totalprice')} AS revenue
+            FROM orders o JOIN cohorts c ON o.o_custkey = c.o_custkey
+            GROUP BY 1, 2
+        ),
+        paired AS (
+            SELECT a.cohort_year,
+                   a.rev_year,
+                   a.revenue,
+                   b.revenue AS prev_revenue
+            FROM rev a JOIN rev b
+              ON a.cohort_year = b.cohort_year
+             AND a.rev_year = b.rev_year + 1
+            WHERE a.rev_year <= a.cohort_year + 3
+        )
+        SELECT CAST(cohort_year AS BIGINT) AS cohort_year,
+               CAST(rev_year AS BIGINT) AS rev_year,
+               {sql_round4('revenue')} AS revenue,
+               {sql_round4('revenue / prev_revenue')} AS nrr
+        FROM paired
+    """,
+    tags=("workload", "saas", "retention"),
+)
+def workload_net_revenue_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Net revenue retention by acquisition cohort: each cohort's
+    year-over-year revenue ratio for its first three renewal years —
+    the SaaS metric that separates 'growing by new logos' from
+    'growing inside the base' (NRR > 1 means expansion outruns churn
+    with zero acquisition). Cohort assignment is one min-aggregate,
+    cohort×year revenue one grouped pass, and NRR a self-join on
+    adjacent years of the TINY cohort-year frame — the fact table is
+    touched twice total regardless of scale. The first-3-years cap
+    keeps the output a stable parallelogram instead of a ragged
+    triangle (``workload_cohort_retention`` shows the full triangle
+    for counts)."""
+    o = load_table(spark, sf, "orders")
+    cohorts = o.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate")).alias("cohort_year")
+    )
+    rev = (
+        o.join(cohorts, "o_custkey")
+        .groupBy("cohort_year", F.year("o_orderdate").alias("rev_year"))
+        .agg(dsum(F.col("o_totalprice")).alias("revenue"))
+    )
+    a = rev.select(
+        "cohort_year", "rev_year", "revenue"
+    )
+    b = rev.select(
+        F.col("cohort_year").alias("b_cy"),
+        F.col("rev_year").alias("b_ry"),
+        F.col("revenue").alias("prev_revenue"),
+    )
+    paired = a.join(
+        b,
+        (a["cohort_year"] == b["b_cy"]) & (a["rev_year"] == b["b_ry"] + 1),
+    ).filter(F.col("rev_year") <= F.col("cohort_year") + 3)
+    return paired.select(
+        F.col("cohort_year").cast("bigint").alias("cohort_year"),
+        F.col("rev_year").cast("bigint").alias("rev_year"),
+        round4(F.col("revenue")).alias("revenue"),
+        round4(F.col("revenue") / F.col("prev_revenue")).alias("nrr"),
+    )
