@@ -32,6 +32,7 @@ from datapipelines_python_spark.operators._helpers import (
     sql_dsum,
     sql_round4,
 )
+from datapipelines_python_spark.operators.llm import sql_dot
 from datapipelines_python_spark.registry import query
 
 _DISC_PRICE = "l_extendedprice * (1 - l_discount)"
@@ -10845,4 +10846,191 @@ def workload_net_revenue_retention(spark: SparkSession, sf: str) -> DataFrame:
         F.col("rev_year").cast("bigint").alias("rev_year"),
         round4(F.col("revenue")).alias("revenue"),
         round4(F.col("revenue") / F.col("prev_revenue")).alias("nrr"),
+    )
+
+
+@query(
+    "llm_hubness",
+    oracle=f"""
+        WITH {_SQL_MUTUAL_5NN},
+        kocc AS (
+            SELECT nv.vec_id,
+                   CAST(COALESCE(t.cnt, 0) AS BIGINT) AS k_occ
+            FROM nv LEFT JOIN (
+                SELECT v, COUNT(*) AS cnt FROM topk GROUP BY v
+            ) t ON nv.vec_id = t.v
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   {sql_dsum('CAST(k_occ AS DOUBLE)')} AS s1,
+                   {sql_dsum('CAST(k_occ AS DOUBLE) * k_occ')} AS s2,
+                   {sql_dsum('CAST(k_occ AS DOUBLE) * k_occ * k_occ')} AS s3,
+                   CAST(MAX(k_occ) AS BIGINT) AS max_k_occ,
+                   CAST(SUM(CASE WHEN k_occ = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_antihubs
+            FROM kocc
+        )
+        SELECT n AS n_vecs, max_k_occ, n_antihubs,
+               {sql_round4('s1 / n')} AS mean_k_occ,
+               {sql_round4(
+                   '(s3 / n - 3.0 * (s1 / n) * (s2 / n)'
+                   ' + 2.0 * POWER(s1 / n, 3))'
+                   ' / POWER(s2 / n - POWER(s1 / n, 2), 1.5)'
+               )} AS k_occ_skewness
+        FROM s
+    """,
+    tags=("llm", "embedding", "audit", "graph"),
+)
+def llm_hubness(spark: SparkSession, sf: str) -> DataFrame:
+    """Hubness audit of the 5-NN cosine graph: the k-occurrence
+    distribution (how many points count ME among their 5 nearest) and
+    its skewness — THE high-dimensional ANN pathology (Radovanović
+    2010): as dimension grows, a few 'hub' points appear in everyone's
+    neighbor lists while 'antihubs' appear in none, silently wrecking
+    retrieval diversity and kNN classification. Mean k-occurrence is
+    exactly k=5 by conservation (a built-in sanity row); the SKEW is
+    the signal — near 0 benign, ≫1 says apply the centering this
+    corpus's ``llm_embedding_isotropy`` motivates. Directed top-k lists
+    come from the shared cached pair table; moments from power sums."""
+    p = _cosine_pairs(spark, sf)
+    w = W.partitionBy("u").orderBy(F.desc("c"), F.asc("v"))
+    topk = (
+        p.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("v")
+    )
+    em = load_table(spark, sf, "embeddings").select("vec_id")
+    cnt = topk.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
+    kocc = em.join(cnt, em["vec_id"] == cnt["v"], "left").select(
+        F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("k_occ")
+    )
+    x = F.col("k_occ").cast("double")
+    s = kocc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum(x).alias("s1"),
+        dsum(x * x).alias("s2"),
+        dsum(x * x * x).alias("s3"),
+        F.max("k_occ").cast("bigint").alias("max_k_occ"),
+        F.sum(F.when(F.col("k_occ") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_antihubs"),
+    )
+    n = F.col("n")
+    m1, m2, m3 = F.col("s1") / n, F.col("s2") / n, F.col("s3") / n
+    skew = (m3 - 3.0 * m1 * m2 + 2.0 * F.pow(m1, 3)) / F.pow(
+        m2 - F.pow(m1, 2), 1.5
+    )
+    return s.select(
+        n.alias("n_vecs"),
+        "max_k_occ",
+        "n_antihubs",
+        round4(m1).alias("mean_k_occ"),
+        round4(skew).alias("k_occ_skewness"),
+    )
+
+
+@query(
+    "llm_rocchio_centroid",
+    oracle=f"""
+        WITH ex AS (
+            SELECT vec_id, label,
+                   GENERATE_SUBSCRIPTS(embedding, 1) AS dim,
+                   CAST(UNNEST(embedding) AS DOUBLE) AS val
+            FROM embeddings
+        ),
+        cent AS (
+            SELECT label AS c_label, dim,
+                   {sql_davg('val')} AS cval
+            FROM ex GROUP BY label, dim
+        ),
+        cent_arr AS (
+            SELECT c_label, list(cval ORDER BY dim) AS centroid
+            FROM cent GROUP BY c_label
+        ),
+        scored AS (
+            SELECT e.vec_id, e.label, c.c_label,
+                   {sql_dot('e.embedding', 'c.centroid')}
+                       / SQRT({sql_dot('c.centroid', 'c.centroid')}) AS score
+            FROM embeddings e CROSS JOIN cent_arr c
+        ),
+        best AS (
+            SELECT vec_id, label, c_label,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY score DESC, c_label ASC)
+                       AS rn
+            FROM scored
+        )
+        SELECT label,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(SUM(CASE WHEN c_label = label THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_correct,
+               {sql_round4(
+                   'CAST(SUM(CASE WHEN c_label = label THEN 1 ELSE 0 END)'
+                   ' AS DOUBLE) / COUNT(*)'
+               )} AS accuracy
+        FROM best WHERE rn = 1
+        GROUP BY label
+    """,
+    tags=("llm", "embedding", "ml"),
+)
+def llm_rocchio_centroid(spark: SparkSession, sf: str) -> DataFrame:
+    """Rocchio nearest-centroid classification of the embedding corpus:
+    per-label centroids (64 per-dim means, one posexplode aggregate),
+    then every vector scored against all 10 centroids by normalized dot
+    product and assigned to the best — per-label accuracy out. The
+    centroid classifier is the 10-vector broadcast alternative to
+    ``ml_knn_classifier``'s O(n²) neighbor voting: at 100 TB the
+    centroid table is bytes while the kNN pair pass is the budget, and
+    centroid accuracy CLOSE to kNN accuracy is the green light for the
+    cheap path (this is also exactly IVF's coarse quantizer —
+    ``llm_ann_ivf`` reuses these centroids as its cell list). In-sample
+    by design; the parity-split variant is one filter away."""
+    em = load_table(spark, sf, "embeddings")
+    ex = em.select(
+        "label",
+        F.posexplode("embedding").alias("dim0", "val0"),
+    ).select(
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.col("val0").cast("double").alias("val"),
+    )
+    cent = ex.groupBy(F.col("label").alias("c_label"), "dim").agg(
+        davg(F.col("val")).alias("cval")
+    )
+    cent_arr = cent.groupBy("c_label").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dim", "cval"))),
+            lambda s: s["cval"],
+        ).alias("centroid")
+    )
+    from datapipelines_python_spark.operators.llm import dot
+
+    scored = em.crossJoin(F.broadcast(cent_arr)).select(
+        "vec_id", "label", "c_label",
+        (
+            dot("embedding", "centroid")
+            / F.sqrt(dot("centroid", "centroid"))
+        ).alias("score"),
+    )
+    best = scored.select(
+        "vec_id", "label", "c_label",
+        F.row_number()
+        .over(
+            W.partitionBy("vec_id").orderBy(
+                F.col("score").desc(), F.col("c_label").asc()
+            )
+        )
+        .alias("rn"),
+    ).filter(F.col("rn") == 1)
+    return best.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum(F.when(F.col("c_label") == F.col("label"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_correct"),
+        round4(
+            F.sum(
+                F.when(F.col("c_label") == F.col("label"), 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("accuracy"),
     )
