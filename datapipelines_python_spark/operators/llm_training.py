@@ -5105,3 +5105,92 @@ def mm_vad_segments(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("avg_voiced_seg_len"),
     )
+
+
+@query(
+    "llm_shard_mix_entropy",
+    oracle=f"""
+        WITH sized AS (
+            SELECT doc_id, lang, n_chars,
+                   CAST(SUM(n_chars) OVER (
+                       ORDER BY n_chars DESC, doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS BIGINT) AS bytes_before
+            FROM documents
+        ),
+        assigned AS (
+            SELECT lang,
+                   CAST(COALESCE(bytes_before, 0) // 16384 AS BIGINT)
+                       AS shard_id
+            FROM sized
+        ),
+        cells AS (
+            SELECT shard_id, lang, CAST(COUNT(*) AS BIGINT) AS n
+            FROM assigned GROUP BY shard_id, lang
+        ),
+        shard_tot AS (
+            SELECT shard_id, CAST(SUM(n) AS BIGINT) AS tot,
+                   CAST(COUNT(*) AS BIGINT) AS n_langs
+            FROM cells GROUP BY shard_id
+        ),
+        ent AS (
+            SELECT c.shard_id, t.n_langs, t.tot,
+                   -{sql_dsum(
+                       '(CAST(c.n AS DOUBLE) / t.tot)'
+                       ' * LN(CAST(c.n AS DOUBLE) / t.tot) / LN(2.0)'
+                   )} AS h_bits
+            FROM cells c JOIN shard_tot t ON c.shard_id = t.shard_id
+            GROUP BY c.shard_id, t.n_langs, t.tot
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_shards,
+               {sql_round4(sql_davg('h_bits'))} AS avg_mix_entropy_bits,
+               {sql_round4('MIN(h_bits)')} AS worst_shard_entropy,
+               CAST(SUM(CASE WHEN n_langs = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_single_lang_shards
+        FROM ent
+    """,
+    tags=("llm", "multimodal", "packing", "audit"),
+)
+def llm_shard_mix_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Shard-level mixture audit for the ``mm_shard_packing`` layout:
+    language entropy (bits) inside each shard — a training dataloader
+    that reads shards sequentially sees, per shard, only this much
+    diversity, so low-entropy shards turn the IO-efficient layout into
+    accidental curriculum (all-Chinese shard 17 = a Chinese-only
+    training step). Reports mean and worst shard entropy plus the
+    count of single-language shards — the signal that the packing
+    needs a shuffle-before-pack step. Same deterministic shard
+    assignment as the packing op, then a cells→entropy reduce; at
+    100 TB this audit rides the packing job's shuffle for free."""
+    d = load_table(spark, sf, "documents")
+    w = (
+        W.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    assigned = d.select(
+        "lang",
+        F.floor(F.coalesce(F.sum("n_chars").over(w), F.lit(0)) / 16384)
+        .cast("bigint")
+        .alias("shard_id"),
+    )
+    cells = assigned.groupBy("shard_id", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    shard_tot = cells.groupBy("shard_id").agg(
+        F.sum("n").cast("bigint").alias("tot"),
+        F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+    )
+    share = F.col("n").cast("double") / F.col("tot")
+    ent = (
+        cells.join(shard_tot, "shard_id")
+        .groupBy("shard_id", "n_langs", "tot")
+        .agg((-dsum(share * F.log(share) / F.log(F.lit(2.0)))).alias("h_bits"))
+    )
+    return ent.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shards"),
+        round4(davg(F.col("h_bits"))).alias("avg_mix_entropy_bits"),
+        round4(F.min("h_bits")).alias("worst_shard_entropy"),
+        F.sum(F.when(F.col("n_langs") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_single_lang_shards"),
+    )

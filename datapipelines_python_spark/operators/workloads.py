@@ -11034,3 +11034,151 @@ def llm_rocchio_centroid(spark: SparkSession, sf: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("accuracy"),
     )
+
+
+@query(
+    "workload_eoq",
+    oracle=f"""
+        WITH demand AS (
+            SELECT p.p_brand,
+                   {sql_dsum('l.l_quantity')} / 7.0 AS annual_demand,
+                   {sql_davg('p.p_retailprice')} AS avg_unit_cost
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY p.p_brand
+        )
+        SELECT p_brand,
+               {sql_round4('annual_demand')} AS annual_demand,
+               {sql_round4('avg_unit_cost')} AS avg_unit_cost,
+               {sql_round4(
+                   'SQRT(2.0 * annual_demand * 75.0'
+                   ' / (0.2 * avg_unit_cost))'
+               )} AS eoq_units,
+               {sql_round4(
+                   'annual_demand / SQRT(2.0 * annual_demand * 75.0'
+                   ' / (0.2 * avg_unit_cost))'
+               )} AS orders_per_year
+        FROM demand
+    """,
+    tags=("workload", "inventory", "ops"),
+)
+def workload_eoq(spark: SparkSession, sf: str) -> DataFrame:
+    """Economic order quantity per brand: EOQ = √(2DS/H) with annual
+    demand D from the 7-year fact history, fixed ordering cost S=$75,
+    and holding cost H = 20% of the brand's average unit price — the
+    1913 Harris square-root law that still sets batch sizes, plus the
+    implied order frequency D/EOQ. Completes the inventory closed-form
+    trio: ``workload_reorder_point`` answers WHEN to order,
+    ``workload_newsvendor`` HOW MUCH for one perishable period, EOQ how
+    much per batch under steady demand. One brand-grain aggregate off
+    the part join; everything after is scalar arithmetic."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part").select(
+        "p_partkey", "p_brand", "p_retailprice"
+    )
+    demand = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            (dsum(F.col("l_quantity")) / 7.0).alias("annual_demand"),
+            davg(F.col("p_retailprice")).alias("avg_unit_cost"),
+        )
+    )
+    eoq = F.sqrt(
+        2.0 * F.col("annual_demand") * 75.0 / (0.2 * F.col("avg_unit_cost"))
+    )
+    return demand.select(
+        "p_brand",
+        round4(F.col("annual_demand")).alias("annual_demand"),
+        round4(F.col("avg_unit_cost")).alias("avg_unit_cost"),
+        round4(eoq).alias("eoq_units"),
+        round4(F.col("annual_demand") / eoq).alias("orders_per_year"),
+    )
+
+
+@query(
+    "ml_youden_j",
+    oracle=f"""
+        WITH scored AS (
+            SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS y,
+                   value AS score
+            FROM events
+            WHERE event_type IN ('purchase', 'view')
+        ),
+        pos AS (
+            SELECT CAST(SUM(y) AS BIGINT) AS n_pos,
+                   CAST(SUM(1 - y) AS BIGINT) AS n_neg
+            FROM scored
+        ),
+        cand AS (
+            SELECT t.thr,
+                   CAST(SUM(CASE WHEN s.score >= t.thr AND s.y = 1
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                   CAST(SUM(CASE WHEN s.score >= t.thr AND s.y = 0
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS fp
+            FROM scored s
+            CROSS JOIN (VALUES (10.0), (20.0), (30.0), (40.0), (50.0),
+                               (60.0), (70.0), (80.0), (90.0)) t(thr)
+            GROUP BY t.thr
+        )
+        SELECT CAST(c.thr AS DOUBLE) AS threshold,
+               {sql_round4('CAST(c.tp AS DOUBLE) / p.n_pos')} AS tpr,
+               {sql_round4('CAST(c.fp AS DOUBLE) / p.n_neg')} AS fpr,
+               {sql_round4(
+                   'CAST(c.tp AS DOUBLE) / p.n_pos'
+                   ' - CAST(c.fp AS DOUBLE) / p.n_neg'
+               )} AS youden_j
+        FROM cand c CROSS JOIN pos p
+    """,
+    tags=("ml", "eval", "threshold"),
+)
+def ml_youden_j(spark: SparkSession, sf: str) -> DataFrame:
+    """Operating-point selection by Youden's J = TPR − FPR over nine
+    candidate thresholds of the value score (purchase vs view as the
+    label): the table a deployment review actually needs — ``ml_auc_roc``
+    summarizes the whole curve, but a shipped classifier runs at ONE
+    threshold, and J marks the one that maximizes informedness (the
+    equal-cost choice; reweight the difference for asymmetric costs).
+    All nine thresholds share a single scan: the candidate list is a
+    9-row broadcast cross join and each (tp, fp) pair is a conditional
+    count — the sweep costs one aggregate at any scale, same pattern
+    as ``workload_session_gap_sweep``."""
+    e = load_table(spark, sf, "events")
+    scored = e.filter(F.col("event_type").isin("purchase", "view")).select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        F.col("value").alias("score"),
+    )
+    pos = scored.agg(
+        F.sum("y").cast("bigint").alias("n_pos"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("n_neg"),
+    )
+    thrs = spark.createDataFrame(
+        [(float(t),) for t in range(10, 100, 10)], "thr double"
+    )
+    cand = (
+        scored.crossJoin(F.broadcast(thrs))
+        .groupBy("thr")
+        .agg(
+            F.sum(
+                F.when((F.col("score") >= F.col("thr")) & (F.col("y") == 1), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("tp"),
+            F.sum(
+                F.when((F.col("score") >= F.col("thr")) & (F.col("y") == 0), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("fp"),
+        )
+    )
+    j = cand.crossJoin(F.broadcast(pos))
+    tpr = F.col("tp").cast("double") / F.col("n_pos")
+    fpr = F.col("fp").cast("double") / F.col("n_neg")
+    return j.select(
+        F.col("thr").alias("threshold"),
+        round4(tpr).alias("tpr"),
+        round4(fpr).alias("fpr"),
+        round4(tpr - fpr).alias("youden_j"),
+    )
