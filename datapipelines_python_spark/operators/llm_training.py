@@ -5194,3 +5194,74 @@ def llm_shard_mix_entropy(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("n_single_lang_shards"),
     )
+
+
+@query(
+    "llm_source_ablation",
+    oracle=f"""
+        WITH scored AS (
+            SELECT source,
+                   CAST(n_chars AS DOUBLE)
+                       / LEN(STRING_SPLIT(text, ' ')) AS q
+            FROM documents
+        ),
+        per_source AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   {sql_dsum('q')} AS s
+            FROM scored GROUP BY source
+        ),
+        tot AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS n_all,
+                   {sql_dsum('s')} AS s_all
+            FROM per_source
+        )
+        SELECT p.source, p.n AS n_docs,
+               {sql_round4('p.s / p.n')} AS source_mean_q,
+               {sql_round4('t.s_all / t.n_all')} AS corpus_mean_q,
+               {sql_round4('(t.s_all - p.s) / (t.n_all - p.n)')}
+                   AS loo_mean_q,
+               {sql_round4(
+                   '(t.s_all - p.s) / (t.n_all - p.n) - t.s_all / t.n_all'
+               )} AS removal_lift
+        FROM per_source p CROSS JOIN tot t
+    """,
+    tags=("llm", "training", "curation"),
+)
+def llm_source_ablation(spark: SparkSession, sf: str) -> DataFrame:
+    """Leave-one-source-out quality ablation: for every source, the
+    corpus mean quality (avg word length as the stand-in scorer — swap
+    in ``llm_quality_gopher``) WITH and WITHOUT that source, in closed
+    form from per-source sums (the ``ml_jackknife_ratio`` trick at
+    source grain — no 20 re-scans). removal_lift > 0 names the sources
+    actively dragging the corpus down; sorted by it, this is the
+    data-curation kill list, the cheapest possible 'data ablation'
+    before spending GPU time on real per-source training runs. One
+    scan, a 20-row broadcast, and an arithmetic projection at ANY
+    corpus size."""
+    d = load_table(spark, sf, "documents")
+    scored = d.select(
+        "source",
+        (
+            F.col("n_chars").cast("double") / F.size(F.split("text", " "))
+        ).alias("q"),
+    )
+    per_source = scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum(F.col("q")).alias("s"),
+    )
+    tot = per_source.agg(
+        F.sum("n").cast("bigint").alias("n_all"),
+        dsum(F.col("s")).alias("s_all"),
+    )
+    j = per_source.crossJoin(F.broadcast(tot))
+    loo = (F.col("s_all") - F.col("s")) / (F.col("n_all") - F.col("n"))
+    corpus = F.col("s_all") / F.col("n_all")
+    return j.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        round4(F.col("s") / F.col("n")).alias("source_mean_q"),
+        round4(corpus).alias("corpus_mean_q"),
+        round4(loo).alias("loo_mean_q"),
+        round4(loo - corpus).alias("removal_lift"),
+    )

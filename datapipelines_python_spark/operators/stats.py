@@ -5898,3 +5898,68 @@ def ml_negbin_fit(spark: SparkSession, sf: str) -> DataFrame:
         round4(F.pow(p, r)).alias("negbin_p_zero"),
         round4(F.col("n_zero").cast("double") / n).alias("observed_p_zero"),
     )
+
+
+@query(
+    "ml_circular_hour_stats",
+    oracle=f"""
+        WITH hours AS (
+            SELECT event_type,
+                   (date_part('hour', ts) * 60.0 + date_part('minute', ts))
+                       * 2.0 * PI() / 1440.0 AS theta
+            FROM events
+        ),
+        s AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   {sql_dsum('SIN(theta)')} AS ss,
+                   {sql_dsum('COS(theta)')} AS sc
+            FROM hours GROUP BY event_type
+        )
+        SELECT event_type, n,
+               {sql_round4(
+                   '((ATAN2(ss, sc) + 2.0 * PI())'
+                   ' - FLOOR((ATAN2(ss, sc) + 2.0 * PI()) / (2.0 * PI()))'
+                   ' * (2.0 * PI())) * 1440.0 / (2.0 * PI()) / 60.0'
+               )} AS mean_hour,
+               {sql_round4('SQRT(ss * ss + sc * sc) / n')}
+                   AS resultant_r,
+               {sql_round4(
+                   'SQRT(-2.0 * LN(SQRT(ss * ss + sc * sc) / n))'
+               )} AS circular_sd
+        FROM s
+    """,
+    tags=("ml", "stats", "circular"),
+)
+def ml_circular_hour_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Circular statistics of event time-of-day per type: map each
+    timestamp to an angle on the 24 h circle, then the circular mean
+    hour (atan2 of the sine/cosine resultants — immune to the midnight
+    wraparound that makes the LINEAR mean of {23:00, 01:00} report
+    noon), the resultant length R ∈ [0,1] (1 = sharply peaked daily
+    rhythm, 0 = uniform — the concentration readout that decides
+    whether hour-of-day is worth a feature), and the circular SD
+    √(−2 ln R). Sin/cos sums are the sufficient statistics — one
+    grouped pass; the modulo-wrapped atan2 is a single closed
+    expression on both engines."""
+    e = load_table(spark, sf, "events")
+    two_pi = 2.0 * 3.141592653589793
+    theta = (
+        (F.hour("ts") * 60.0 + F.minute("ts")) * two_pi / 1440.0
+    )
+    s = e.select("event_type", theta.alias("theta")).groupBy(
+        "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum(F.sin(F.col("theta"))).alias("ss"),
+        dsum(F.cos(F.col("theta"))).alias("sc"),
+    )
+    ang = F.atan2(F.col("ss"), F.col("sc")) + two_pi
+    wrapped = ang - F.floor(ang / two_pi) * two_pi
+    r = F.sqrt(F.col("ss") * F.col("ss") + F.col("sc") * F.col("sc")) / F.col("n")
+    return s.select(
+        "event_type", "n",
+        round4(wrapped * 1440.0 / two_pi / 60.0).alias("mean_hour"),
+        round4(r).alias("resultant_r"),
+        round4(F.sqrt(-2.0 * F.log(r))).alias("circular_sd"),
+    )
