@@ -2513,3 +2513,41 @@ def fn_str_to_map(spark: SparkSession, sf: str) -> DataFrame:
     ).groupBy("lang", "source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
+
+
+@query(
+    "fn_sentences",
+    oracle="""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT)
+                   AS n_words,
+               CAST(SUM(CASE WHEN LEN(STRING_SPLIT(text, ' '))
+                                  = LEN(STRING_SPLIT(text, ' '))
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+        FROM documents
+        GROUP BY lang
+    """,
+    tags=("fn", "text"),
+)
+def fn_sentences(spark: SparkSession, sf: str) -> DataFrame:
+    """The locale-aware ``sentences()`` tokenizer (ICU BreakIterator
+    under the hood — the JVM-side linguistic segmenter, vs the
+    mechanical ``split(' ')`` everywhere else in this repo): returns
+    array<array<string>> of sentences×words. Fixture text is
+    punctuation-free single sentences, so the invariant pinned is
+    flatten(sentences(text)) ≡ split(text, ' ') word-for-word — n_agree
+    counts documents where BOTH tokenizers yield the same word count,
+    and must equal n_docs. On real multilingual corpora the two
+    diverge (CJK segmentation, abbreviations), which is exactly when
+    you reach for this function over split."""
+    d = load_table(spark, sf, "documents")
+    words_icu = F.size(F.flatten(F.sentences(F.col("text"))))
+    words_split = F.size(F.split("text", " "))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(words_split).cast("bigint").alias("n_words"),
+        F.sum(F.when(words_icu == words_split, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_agree"),
+    )

@@ -5963,3 +5963,112 @@ def ml_circular_hour_stats(spark: SparkSession, sf: str) -> DataFrame:
         round4(r).alias("resultant_r"),
         round4(F.sqrt(-2.0 * F.log(r))).alias("circular_sd"),
     )
+
+
+@query(
+    "ml_anova_twoway",
+    oracle=f"""
+        WITH cells AS (
+            SELECT dayofweek(CAST(ts AS DATE)) + 1 AS dow,
+                   event_type,
+                   {sql_davg('value')} AS m
+            FROM events
+            GROUP BY 1, 2
+        ),
+        margins AS (
+            SELECT c.dow, c.event_type, c.m,
+                   CAST(CAST(SUM(CAST(c.m AS DECIMAL(38,8)))
+                        OVER (PARTITION BY c.dow) AS VARCHAR) AS DOUBLE)
+                       / COUNT(*) OVER (PARTITION BY c.dow) AS row_m,
+                   CAST(CAST(SUM(CAST(c.m AS DECIMAL(38,8)))
+                        OVER (PARTITION BY c.event_type) AS VARCHAR)
+                        AS DOUBLE)
+                       / COUNT(*) OVER (PARTITION BY c.event_type)
+                       AS col_m,
+                   CAST(CAST(SUM(CAST(c.m AS DECIMAL(38,8)))
+                        OVER () AS VARCHAR) AS DOUBLE)
+                       / COUNT(*) OVER () AS grand_m
+            FROM cells c
+        ),
+        ss AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+                   {sql_dsum('(row_m - grand_m) * (row_m - grand_m)')}
+                       AS ss_rows,
+                   {sql_dsum('(col_m - grand_m) * (col_m - grand_m)')}
+                       AS ss_cols,
+                   {sql_dsum(
+                       '(m - row_m - col_m + grand_m)'
+                       ' * (m - row_m - col_m + grand_m)'
+                   )} AS ss_resid
+            FROM margins
+        )
+        SELECT n_cells,
+               {sql_round4('ss_rows')} AS ss_dow,
+               {sql_round4('ss_cols')} AS ss_type,
+               {sql_round4('ss_resid')} AS ss_interaction,
+               {sql_round4(
+                   '(ss_rows / 6.0) / (ss_resid / 24.0)'
+               )} AS f_dow,
+               {sql_round4(
+                   '(ss_cols / 4.0) / (ss_resid / 24.0)'
+               )} AS f_type
+        FROM ss
+    """,
+    tags=("ml", "stats", "test"),
+)
+def ml_anova_twoway(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-way ANOVA on the day-of-week × event-type cell-mean table
+    (additive model, unweighted cell means — the balanced-design
+    formulation appropriate once each cell holds hundreds of rows):
+    SS_dow, SS_type, and the interaction/residual SS from the margin
+    decomposition m̂ᵢⱼ = row + col − grand, with F ratios on (6, 24)
+    and (4, 24) degrees of freedom for the 7×5 grid. Answers the
+    question ``ml_anova_oneway`` can't: do weekday and type effects
+    BOTH exist, and do they interact (a big residual SS says type
+    profiles differ by weekday — the signal that kills a simple
+    additive dashboard model). One cell aggregate + margin windows on
+    35 rows."""
+    e = load_table(spark, sf, "events")
+    cells = e.groupBy(
+        F.dayofweek(F.col("ts").cast("date")).alias("dow"),
+        "event_type",
+    ).agg(davg(F.col("value")).alias("m"))
+    def wavg(w):
+        return (
+            F.sum(F.col("m").cast(DEC)).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        )
+
+    margins = cells.select(
+        "m",
+        wavg(W.partitionBy("dow")).alias("row_m"),
+        wavg(W.partitionBy("event_type")).alias("col_m"),
+        wavg(W.partitionBy()).alias("grand_m"),
+    )
+    ss = margins.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        dsum(
+            (F.col("row_m") - F.col("grand_m"))
+            * (F.col("row_m") - F.col("grand_m"))
+        ).alias("ss_rows"),
+        dsum(
+            (F.col("col_m") - F.col("grand_m"))
+            * (F.col("col_m") - F.col("grand_m"))
+        ).alias("ss_cols"),
+        dsum(
+            (F.col("m") - F.col("row_m") - F.col("col_m") + F.col("grand_m"))
+            * (F.col("m") - F.col("row_m") - F.col("col_m") + F.col("grand_m"))
+        ).alias("ss_resid"),
+    )
+    return ss.select(
+        "n_cells",
+        round4(F.col("ss_rows")).alias("ss_dow"),
+        round4(F.col("ss_cols")).alias("ss_type"),
+        round4(F.col("ss_resid")).alias("ss_interaction"),
+        round4((F.col("ss_rows") / 6.0) / (F.col("ss_resid") / 24.0)).alias(
+            "f_dow"
+        ),
+        round4((F.col("ss_cols") / 4.0) / (F.col("ss_resid") / 24.0)).alias(
+            "f_type"
+        ),
+    )
