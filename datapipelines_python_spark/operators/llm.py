@@ -2943,3 +2943,101 @@ def llm_jsd_lang_pair(spark: SparkSession, sf: str) -> DataFrame:
             + 0.5 * dsum(F.col("q") * F.log(F.col("q") / m) / ln2)
         ).alias("jsd_bits")
     ).select(F.col("v").alias("vocab_size"), "jsd_bits")
+
+
+@query(
+    "llm_corpus_health",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS t
+            FROM documents
+        ),
+        doc_stats AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                   CAST(COUNT(DISTINCT md5(text)) AS BIGINT)
+                       AS n_unique_texts,
+                   CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+            FROM documents
+        ),
+        tok_stats AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(DISTINCT t) AS BIGINT) AS vocab_size
+            FROM tok
+        ),
+        lang_h AS (
+            SELECT -{sql_dsum(
+                'CAST(c AS DOUBLE) / tot * LN(CAST(c AS DOUBLE) / tot)'
+                ' / LN(2.0)'
+            )} AS lang_entropy
+            FROM (
+                SELECT lang, CAST(COUNT(*) AS BIGINT) AS c,
+                       SUM(COUNT(*)) OVER () AS tot
+                FROM documents GROUP BY lang
+            )
+        )
+        SELECT d.n_docs,
+               d.n_langs,
+               t.n_tokens,
+               t.vocab_size,
+               {sql_round4('CAST(d.total_chars AS DOUBLE) / d.n_docs')}
+                   AS avg_doc_chars,
+               {sql_round4(
+                   '1.0 - CAST(d.n_unique_texts AS DOUBLE) / d.n_docs'
+               )} AS exact_dup_rate,
+               {sql_round4('CAST(t.vocab_size AS DOUBLE) / t.n_tokens')}
+                   AS type_token_ratio,
+               {sql_round4('l.lang_entropy')} AS lang_entropy_bits
+        FROM doc_stats d CROSS JOIN tok_stats t CROSS JOIN lang_h l
+    """,
+    tags=("llm", "reporting", "composite"),
+)
+def llm_corpus_health(spark: SparkSession, sf: str) -> DataFrame:
+    """The one-row corpus health card — document and language counts,
+    token count, vocabulary size, mean document length, EXACT-duplicate
+    rate (md5 distinct over text), corpus type-token ratio, and
+    language-mix entropy — the numbers a data-curation standup reads
+    before anything trains (``llm_dataset_card`` is the release-time
+    sibling; this is the monitoring-time one, cheap enough to run per
+    snapshot). Three independent aggregates (doc grain, token grain,
+    lang grain) cross-joined as 1-row frames: total cost one text scan
+    + one explode, every piece map-side-combinable, and each metric's
+    drift between snapshots is an alert wire."""
+    d = load_table(spark, sf, "documents")
+    tok = d.select("lang", F.explode(F.split("text", " ")).alias("t"))
+    doc_stats = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.countDistinct(F.md5(F.col("text").cast("binary")))
+        .cast("bigint")
+        .alias("n_unique_texts"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+    )
+    tok_stats = tok.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.countDistinct("t").cast("bigint").alias("vocab_size"),
+    )
+    lang_counts = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    lc_tot = lang_counts.agg(F.sum("c").cast("bigint").alias("tot"))
+    share = F.col("c").cast("double") / F.col("tot")
+    lang_h = (
+        lang_counts.crossJoin(F.broadcast(lc_tot))
+        .select((share * F.log(share) / F.log(F.lit(2.0))).alias("term"))
+        .agg((-dsum(F.col("term"))).alias("lang_entropy"))
+    )
+    j = doc_stats.crossJoin(tok_stats).crossJoin(lang_h)
+    return j.select(
+        "n_docs", "n_langs", "n_tokens", "vocab_size",
+        round4(
+            F.col("total_chars").cast("double") / F.col("n_docs")
+        ).alias("avg_doc_chars"),
+        round4(
+            1.0 - F.col("n_unique_texts").cast("double") / F.col("n_docs")
+        ).alias("exact_dup_rate"),
+        round4(
+            F.col("vocab_size").cast("double") / F.col("n_tokens")
+        ).alias("type_token_ratio"),
+        round4(F.col("lang_entropy")).alias("lang_entropy_bits"),
+    )

@@ -11182,3 +11182,80 @@ def ml_youden_j(spark: SparkSession, sf: str) -> DataFrame:
         round4(fpr).alias("fpr"),
         round4(tpr - fpr).alias("youden_j"),
     )
+
+
+@query(
+    "workload_daily_kpi_report",
+    oracle=f"""
+        WITH base AS (
+            SELECT CAST(ts AS DATE) AS day, user_id, event_type, value
+            FROM events
+        ),
+        first_seen AS (
+            SELECT user_id, MIN(day) AS d0 FROM base GROUP BY user_id
+        )
+        SELECT b.day,
+               CAST(COUNT(DISTINCT b.user_id) AS BIGINT) AS dau,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(FLOOR(CAST(CAST(SUM(CAST(b.value AS DECIMAL(38,8)))
+                    FILTER (WHERE b.event_type = 'purchase') AS VARCHAR)
+                    AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS revenue_cents,
+               {sql_round4(
+                   'CAST(COUNT(*) FILTER (WHERE b.event_type = '
+                   "'purchase') AS DOUBLE)"
+                   " / NULLIF(COUNT(*) FILTER (WHERE b.event_type = 'view'),"
+                   ' 0)'
+               )} AS purchase_per_view,
+               CAST(COUNT(DISTINCT CASE WHEN f.d0 = b.day
+                                        THEN b.user_id END) AS BIGINT)
+                   AS new_users,
+               CAST(COUNT(*) FILTER (WHERE b.event_type = 'error')
+                    AS BIGINT) AS n_errors
+        FROM base b JOIN first_seen f ON b.user_id = f.user_id
+        GROUP BY b.day
+    """,
+    tags=("workload", "reporting", "composite"),
+)
+def workload_daily_kpi_report(spark: SparkSession, sf: str) -> DataFrame:
+    """The executive daily KPI row — DAU, event volume, purchase
+    revenue, purchase-per-view conversion, NEW users (first-ever-seen
+    that day), and error count — produced by ONE grouped pass plus a
+    broadcast first-seen table, not six dashboard queries re-scanning
+    the facts (conditional aggregation is the whole trick: FILTER
+    clauses share the scan and the shuffle). The division guard
+    (NULLIF) pins zero-view-day semantics identically on both engines.
+    At 100 TB this exact plan, partitioned by day at the source, is
+    the nightly report job — and ``workload_incremental_rollup`` shows
+    how yesterday's rows avoid recomputation."""
+    e = load_table(spark, sf, "events")
+    base = e.select(
+        F.col("ts").cast("date").alias("day"), "user_id", "event_type", "value"
+    )
+    first_seen = base.groupBy("user_id").agg(F.min("day").alias("d0"))
+    j = base.join(F.broadcast(first_seen), "user_id")
+    is_p = F.col("event_type") == "purchase"
+    return j.groupBy("day").agg(
+        F.countDistinct("user_id").cast("bigint").alias("dau"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.floor(
+            F.sum(F.when(is_p, F.col("value").cast(DEC))).cast("double")
+            * 100.0
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("revenue_cents"),
+        round4(
+            F.count(F.when(is_p, 1)).cast("double")
+            / F.nullif(
+                F.count(F.when(F.col("event_type") == "view", 1)), F.lit(0)
+            )
+        ).alias("purchase_per_view"),
+        F.countDistinct(
+            F.when(F.col("d0") == F.col("day"), F.col("user_id"))
+        )
+        .cast("bigint")
+        .alias("new_users"),
+        F.count(F.when(F.col("event_type") == "error", 1))
+        .cast("bigint")
+        .alias("n_errors"),
+    )
