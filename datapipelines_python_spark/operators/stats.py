@@ -6072,3 +6072,83 @@ def ml_anova_twoway(spark: SparkSession, sf: str) -> DataFrame:
             "f_type"
         ),
     )
+
+
+@query(
+    "workload_ipf_raking",
+    oracle=f"""
+        WITH cells AS (
+            SELECT c_mktsegment AS seg, c_nationkey % 5 AS region_band,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM customer GROUP BY 1, 2
+        ),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_all FROM cells),
+        -- target margins: uniform 1/5 on each axis
+        rowadj AS (
+            SELECT c.seg, c.region_band,
+                   CAST(c.n AS DOUBLE)
+                       * ((t.n_all / 5.0)
+                          / SUM(c.n) OVER (PARTITION BY c.seg)) AS w1
+            FROM cells c CROSS JOIN tot t
+        ),
+        coladj AS (
+            SELECT seg, region_band,
+                   w1 * (((SELECT n_all FROM tot) / 5.0)
+                         / SUM(w1) OVER (PARTITION BY region_band)) AS w2
+            FROM rowadj
+        ),
+        check_m AS (
+            SELECT r.seg,
+                   SUM(r.w2) AS row_mass,
+                   MIN(t.n_all / 5.0) AS target
+            FROM coladj r CROSS JOIN tot t
+            GROUP BY r.seg
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               {sql_round4('MIN(target)')} AS target_margin,
+               {sql_round4(
+                   'MAX(ABS(row_mass - target) / target)'
+               )} AS max_row_margin_error
+        FROM check_m
+    """,
+    tags=("workload", "stats", "weighting"),
+)
+def workload_ipf_raking(spark: SparkSession, sf: str) -> DataFrame:
+    """One sweep of iterative proportional fitting (raking): reweight
+    the segment × nation-band contingency table so BOTH margins match
+    uniform targets — scale every cell to its row target, then to its
+    column target — and report the row-margin error the column pass
+    reintroduced (the quantity IPF drives to zero geometrically;
+    iterating is re-running this plan, same shape every sweep — the
+    ``ml_gmm_em_step`` convention for iterative algorithms). This is
+    the survey-weighting workhorse behind ``llm_post_stratification``
+    when MARGINAL targets are all you know (joint targets ⇒ direct
+    post-stratification, no iteration). Cell-grain windows only; the
+    raw table is touched once."""
+    c = load_table(spark, sf, "customer")
+    cells = c.groupBy(
+        F.col("c_mktsegment").alias("seg"),
+        (F.col("c_nationkey") % 5).alias("region_band"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = cells.agg(F.sum("n").cast("bigint").alias("n_all"))
+    j = cells.crossJoin(F.broadcast(tot))
+    target = F.col("n_all") / 5.0
+    w1 = F.col("n").cast("double") * (
+        target / F.sum("n").over(W.partitionBy("seg"))
+    )
+    rowadj = j.select("seg", "region_band", "n_all", w1.alias("w1"))
+    w2 = F.col("w1") * (
+        (F.col("n_all") / 5.0) / F.sum("w1").over(W.partitionBy("region_band"))
+    )
+    coladj = rowadj.select("seg", "n_all", w2.alias("w2"))
+    check = coladj.groupBy("seg").agg(
+        F.sum("w2").alias("row_mass"),
+        F.min(F.col("n_all") / 5.0).alias("target"),
+    )
+    return check.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        round4(F.min("target")).alias("target_margin"),
+        round4(
+            F.max(F.abs(F.col("row_mass") - F.col("target")) / F.col("target"))
+        ).alias("max_row_margin_error"),
+    )

@@ -11259,3 +11259,114 @@ def workload_daily_kpi_report(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("n_errors"),
     )
+
+
+@query(
+    "workload_growth_accounting",
+    oracle="""
+        WITH du AS (
+            SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+        ),
+        first_seen AS (
+            SELECT user_id, MIN(day) AS d0 FROM du GROUP BY user_id
+        ),
+        days AS (SELECT DISTINCT day FROM du),
+        flags AS (
+            SELECT t.day, t.user_id,
+                   f.d0 = t.day AS is_new,
+                   y.user_id IS NOT NULL AS active_yesterday
+            FROM du t
+            JOIN first_seen f ON t.user_id = f.user_id
+            LEFT JOIN du y
+              ON y.user_id = t.user_id AND y.day = t.day - 1
+        ),
+        churn AS (
+            SELECT y.day + 1 AS day,
+                   CAST(COUNT(*) AS BIGINT) AS churned
+            FROM du y
+            LEFT JOIN du t
+              ON t.user_id = y.user_id AND t.day = y.day + 1
+            WHERE t.user_id IS NULL
+            GROUP BY y.day + 1
+        )
+        SELECT f.day,
+               CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)
+                   AS new_users,
+               CAST(SUM(CASE WHEN NOT is_new AND active_yesterday
+                             THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+               CAST(SUM(CASE WHEN NOT is_new AND NOT active_yesterday
+                             THEN 1 ELSE 0 END) AS BIGINT) AS resurrected,
+               CAST(COALESCE(MIN(c.churned), 0) AS BIGINT) AS churned
+        FROM flags f LEFT JOIN churn c ON f.day = c.day
+        GROUP BY f.day
+    """,
+    tags=("workload", "product", "growth"),
+)
+def workload_growth_accounting(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily growth accounting — every active user classified as NEW
+    (first day ever), RETAINED (also active yesterday) or RESURRECTED
+    (returning after a gap), plus yesterday's actives who went silent
+    (CHURNED) — the conservation-law decomposition DAU(t) = new +
+    retained + resurrected, with ΔDAU = new + resurrected − churned
+    (the product-growth ledger; 'quick ratio' is (new+resurrected)/
+    churned read off these columns). Built from the distinct (day,
+    user) incidence with one self-join at lag-1 day and a broadcast
+    first-seen table — at 100 TB both join sides are the REDUCED
+    incidence list, co-partitioned on user."""
+    e = load_table(spark, sf, "events")
+    du = e.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    first_seen = du.groupBy("user_id").agg(F.min("day").alias("d0"))
+    y = du.select(
+        F.col("user_id").alias("y_uid"), F.col("day").alias("y_day")
+    )
+    flags = (
+        du.join(F.broadcast(first_seen), "user_id")
+        .join(
+            y,
+            (F.col("y_uid") == F.col("user_id"))
+            & (F.col("y_day") == F.date_sub(F.col("day"), 1)),
+            "left",
+        )
+        .select(
+            "day",
+            (F.col("d0") == F.col("day")).alias("is_new"),
+            F.col("y_uid").isNotNull().alias("active_yesterday"),
+        )
+    )
+    t = du.select(
+        F.col("user_id").alias("t_uid"), F.col("day").alias("t_day")
+    )
+    churn = (
+        du.join(
+            t,
+            (F.col("t_uid") == F.col("user_id"))
+            & (F.col("t_day") == F.date_add(F.col("day"), 1)),
+            "left",
+        )
+        .filter(F.col("t_uid").isNull())
+        .groupBy(F.date_add(F.col("day"), 1).alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("churned"))
+    )
+    agg = flags.groupBy("day").agg(
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("new_users"),
+        F.sum(
+            F.when(~F.col("is_new") & F.col("active_yesterday"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("retained"),
+        F.sum(
+            F.when(~F.col("is_new") & ~F.col("active_yesterday"), 1).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("resurrected"),
+    )
+    return agg.join(churn, "day", "left").select(
+        "day", "new_users", "retained", "resurrected",
+        F.coalesce(F.col("churned"), F.lit(0)).cast("bigint").alias("churned"),
+    )
