@@ -6152,3 +6152,141 @@ def workload_ipf_raking(spark: SparkSession, sf: str) -> DataFrame:
             F.max(F.abs(F.col("row_mass") - F.col("target")) / F.col("target"))
         ).alias("max_row_margin_error"),
     )
+
+
+@query(
+    "ml_logrank_test",
+    oracle=f"""
+        WITH lag AS (
+            SELECT o.o_orderkey,
+                   CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END AS grp,
+                   date_diff('day', o.o_orderdate, MIN(l.l_shipdate)) AS raw_t
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+        ),
+        obs AS (
+            SELECT grp,
+                   LEAST(raw_t, 60) AS t,
+                   CASE WHEN raw_t <= 60 THEN 1 ELSE 0 END AS ev
+            FROM lag
+        ),
+        day_grp AS (
+            SELECT t, grp,
+                   CAST(SUM(ev) AS BIGINT) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM obs GROUP BY t, grp
+        ),
+        risk AS (
+            SELECT t, grp, d,
+                   CAST(SUM(c) OVER (PARTITION BY grp ORDER BY t
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                        AS BIGINT) AS n_at_risk
+            FROM day_grp
+        ),
+        merged AS (
+            SELECT t,
+                   CAST(SUM(d) AS BIGINT) AS d_all,
+                   CAST(SUM(n_at_risk) AS BIGINT) AS n_all,
+                   CAST(SUM(CASE WHEN grp = 1 THEN d ELSE 0 END) AS BIGINT)
+                       AS d1,
+                   CAST(SUM(CASE WHEN grp = 1 THEN n_at_risk ELSE 0 END)
+                        AS BIGINT) AS n1
+            FROM risk GROUP BY t
+        ),
+        terms AS (
+            SELECT t, d1,
+                   CAST(d_all AS DOUBLE) * n1 / n_all AS e1,
+                   CASE WHEN n_all > 1 THEN
+                       d_all * (CAST(n1 AS DOUBLE) / n_all)
+                       * (1.0 - CAST(n1 AS DOUBLE) / n_all)
+                       * (n_all - d_all) / (n_all - 1.0)
+                   ELSE 0.0 END AS v1
+            FROM merged WHERE d_all > 0
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_event_times,
+               {sql_round4(sql_dsum('d1 - e1'))} AS observed_minus_expected,
+               {sql_round4(
+                   f"POWER({sql_dsum('d1 - e1')}, 2) / ({sql_dsum('v1')})"
+               )} AS logrank_chi2
+        FROM terms
+    """,
+    tags=("ml", "stats", "survival"),
+)
+def ml_logrank_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Log-rank test comparing fulfillment survival curves of urgent
+    (priority 1–2) vs normal orders — the censoring-aware answer to
+    'does priority actually ship faster' that a mean-lag t-test gets
+    wrong whenever slow orders are right-censored at the horizon (same
+    60-day censoring as ``ml_kaplan_meier``, whose curves this test
+    formally compares): at each event day, observed group-1 deaths vs
+    the hypergeometric expectation d·n₁/n, χ²₁ = (Σ(O−E))²/ΣV. At-risk
+    counts are REVERSE cumulative sums over the ≤61-day grid — the
+    entire test after the one orderkey-co-partitioned join runs on a
+    day-grain frame. χ² > 3.84 rejects equal curves at 5%."""
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    lag = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(F.min("l_shipdate").alias("first_ship"))
+        .select(
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+            )
+            .otherwise(0)
+            .alias("grp"),
+            F.datediff(F.col("first_ship"), F.col("o_orderdate")).alias(
+                "raw_t"
+            ),
+        )
+    )
+    obs = lag.select(
+        "grp",
+        F.least(F.col("raw_t"), F.lit(60)).alias("t"),
+        F.when(F.col("raw_t") <= 60, 1).otherwise(0).alias("ev"),
+    )
+    day_grp = obs.groupBy("t", "grp").agg(
+        F.sum("ev").cast("bigint").alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+    )
+    wr = (
+        W.partitionBy("grp")
+        .orderBy("t")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    risk = day_grp.select(
+        "t", "grp", "d",
+        F.sum("c").over(wr).cast("bigint").alias("n_at_risk"),
+    )
+    merged = risk.groupBy("t").agg(
+        F.sum("d").cast("bigint").alias("d_all"),
+        F.sum("n_at_risk").cast("bigint").alias("n_all"),
+        F.sum(F.when(F.col("grp") == 1, F.col("d")).otherwise(0))
+        .cast("bigint")
+        .alias("d1"),
+        F.sum(F.when(F.col("grp") == 1, F.col("n_at_risk")).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+    )
+    share = F.col("n1").cast("double") / F.col("n_all")
+    terms = merged.filter(F.col("d_all") > 0).select(
+        "d1",
+        (F.col("d_all").cast("double") * share).alias("e1"),
+        F.when(
+            F.col("n_all") > 1,
+            F.col("d_all")
+            * share
+            * (1.0 - share)
+            * (F.col("n_all") - F.col("d_all"))
+            / (F.col("n_all") - 1.0),
+        )
+        .otherwise(0.0)
+        .alias("v1"),
+    )
+    ome = dsum(F.col("d1") - F.col("e1"))
+    return terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_event_times"),
+        round4(ome).alias("observed_minus_expected"),
+        round4(F.pow(ome, 2) / dsum(F.col("v1"))).alias("logrank_chi2"),
+    )
