@@ -203,7 +203,7 @@ def agg_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "agg_collect_list",
     oracle="""
-        SELECT n_regionkey, LIST(n_name ORDER BY n_name) AS nations
+        SELECT n_regionkey, ARRAY_TO_STRING(LIST(n_name ORDER BY n_name), '|') AS nations
         FROM nation
         GROUP BY n_regionkey
     """,
@@ -213,7 +213,7 @@ def agg_collect_list(spark: SparkSession, sf: str) -> DataFrame:
     """Array agg, sorted inside the group for deterministic hashing."""
     n = load_table(spark, sf, "nation")
     return n.groupBy("n_regionkey").agg(
-        F.sort_array(F.collect_list("n_name")).alias("nations")
+        F.array_join(F.sort_array(F.collect_list("n_name")), "|").alias("nations")
     )
 
 
@@ -381,8 +381,13 @@ def agg_approx_percentile(spark: SparkSession, sf: str) -> DataFrame:
     10000 bounds rank error at 1/10000 with fixed sketch memory per group."""
     li = load_table(spark, sf, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75, 0.95], 10000)
-        .alias("price_quantiles"),
+        F.array_join(
+            F.transform(
+                F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75, 0.95], 10000),
+                lambda x: x.cast("string"),
+            ),
+            "|",
+        ).alias("price_quantiles"),
     )
 
 

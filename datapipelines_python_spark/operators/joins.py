@@ -152,16 +152,28 @@ def join_cross(spark: SparkSession, sf: str) -> DataFrame:
 def join_theta_range(spark: SparkSession, sf: str) -> DataFrame:
     """Pure inequality (range) join, probe side constrained to a 0.2% sample.
 
-    At scale this is the pattern for 'activity within a window after X':
-    keep the interval side small/broadcastable, never an unbounded BNLJ.
+    Registered plan = the bucketized equi-join (shared with
+    ``join_range_bucketed``): a naive theta join runs as a broadcast
+    nested-loop that evaluates its condition |build|x|probe| times (~18 s
+    at sf0.1 — measured in round 1, retired per VERDICT #3; the BNLJ
+    formulation is kept below as ``_join_theta_bnlj_negative_example`` for
+    the record). Bucketizing computes the identical answer in <1 s and,
+    unlike the broadcast BNLJ, needs no small side at all — the 100 TB
+    shape.
     """
+    return _range_join_bucketed(spark, sf)
+
+
+def _join_theta_bnlj_negative_example(spark: SparkSession, sf: str) -> DataFrame:
+    """NEGATIVE EXAMPLE — not registered. The broadcast nested-loop
+    formulation of ``join_theta_range``: O(|build|x|probe|) condition
+    evaluations, ~18 s at sf0.1 vs <1 s bucketized, and a hard scale
+    ceiling (the interval side must fit in a broadcast). Kept only so the
+    trade is documented in code; hoisting the date_add out of the join
+    condition (evaluated per PAIR) was still worth ~5x even here."""
     o = (
         load_table(spark, sf, "orders")
         .filter(F.col("o_orderkey") % 500 == 0)
-        # Precompute the interval bounds BEFORE the join: a BNLJ evaluates
-        # its condition once per (build, probe) PAIR, so any arithmetic in
-        # the condition multiplies by |build|×|probe| — hoisting date_add
-        # out of the condition cut this op ~5× (measured at sf0.1).
         .select(
             "o_orderkey",
             F.col("o_orderdate").alias("lo"),
@@ -206,6 +218,12 @@ def join_range_bucketed(spark: SparkSession, sf: str) -> DataFrame:
     requirement, no nested-loop join, and AQE can split hot buckets. Each
     matching line falls in exactly one bucket (its shipdate's), so no
     dedup pass is needed."""
+    return _range_join_bucketed(spark, sf)
+
+
+def _range_join_bucketed(spark: SparkSession, sf: str) -> DataFrame:
+    """Shared bucketized range-join plan for join_theta_range /
+    join_range_bucketed."""
     bucket_days = 30
     epoch = "1995-01-01"
 

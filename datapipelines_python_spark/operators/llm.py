@@ -264,7 +264,10 @@ def llm_similarity_topk(spark: SparkSession, sf: str) -> DataFrame:
                    COUNT(*) AS cnt
             FROM ex GROUP BY 1, 2
         )
-        SELECT label, LIST(c ORDER BY pos) AS centroid, MAX(cnt) AS n_vecs
+        SELECT label,
+               ARRAY_TO_STRING(LIST(CAST(ROUND(c * 10000) AS BIGINT) ORDER BY pos), '|')
+                   AS centroid,
+               MAX(cnt) AS n_vecs
         FROM ag GROUP BY label
     """,
     tags=("llm", "embedding"),
@@ -280,8 +283,14 @@ def llm_embed_stats(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("cnt"),
     )
     return ag.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        # flattened for the driver harness: round4'd cell means scale to
+        # exact integer ten-thousandths -> engine-portable string
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: F.round(s["c"] * 10000).cast("bigint").cast("string"),
+            ),
+            "|",
         ).alias("centroid"),
         F.max("cnt").alias("n_vecs"),
     )
@@ -1097,7 +1106,7 @@ def llm_sketch_countmin(spark: SparkSession, sf: str) -> DataFrame:
             ) r WHERE rn = 1
         )
         SELECT vec_id,
-               LIST(CAST(cid AS INT) ORDER BY m) AS pq_code,
+               ARRAY_TO_STRING(LIST(CAST(cid AS INT) ORDER BY m), '|') AS pq_code,
                {sql_round4(sql_dsum_local := "CAST(CAST(SUM(CAST(d2 AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)")}
                    AS quant_error
         FROM best
@@ -1151,9 +1160,12 @@ def llm_embed_pq(spark: SparkSession, sf: str) -> DataFrame:
         .select("vec_id", "m", "cid", "d2")
     )
     return best.groupBy("vec_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("m", "cid"))),
-            lambda s: s["cid"].cast("int"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "cid"))),
+                lambda s: s["cid"].cast("int").cast("string"),
+            ),
+            "|",
         ).alias("pq_code"),
         round4(F.sum(F.col("d2").cast(DEC)).cast("double")).alias("quant_error"),
     )

@@ -190,8 +190,9 @@ def fn_math(spark: SparkSession, sf: str) -> DataFrame:
         SELECT doc_id,
                CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS n_tokens,
                LIST_CONTAINS(STRING_SPLIT(text, ' '), 'data') AS has_data,
-               LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS vocab,
-               STRING_SPLIT(text, ' ')[1:3] AS first3,
+               ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))), '|')
+                   AS vocab,
+               ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[1:3], '|') AS first3,
                LIST_SORT(STRING_SPLIT(text, ' '))[1] AS min_token
         FROM documents
     """,
@@ -204,8 +205,8 @@ def fn_array(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.array_contains(toks, "data").alias("has_data"),
-        F.sort_array(F.array_distinct(toks)).alias("vocab"),
-        F.slice(toks, 1, 3).alias("first3"),
+        F.array_join(F.sort_array(F.array_distinct(toks)), "|").alias("vocab"),
+        F.array_join(F.slice(toks, 1, 3), "|").alias("first3"),
         F.sort_array(toks).getItem(0).alias("min_token"),
     )
 
@@ -215,7 +216,9 @@ def fn_array(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
         SELECT vec_id,
                LIST_REDUCE(CAST(embedding AS DOUBLE[]), (acc, x) -> acc + x) AS vec_sum,
-               LIST_TRANSFORM(embedding, x -> x * 2) AS doubled,
+               ARRAY_TO_STRING(LIST_TRANSFORM(embedding,
+                                              x -> CAST(ROUND(CAST(x AS DOUBLE) * 2000000)
+                                                        AS BIGINT)), '|') AS doubled,
                CAST(LEN(LIST_FILTER(embedding, x -> x > 0)) AS INT) AS n_positive
         FROM embeddings
     """,
@@ -234,7 +237,14 @@ def fn_array_hof(spark: SparkSession, sf: str) -> DataFrame:
     return e.select(
         "vec_id",
         F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x).alias("vec_sum"),
-        F.transform(emb, lambda x: x * F.lit(2).cast("float")).alias("doubled"),
+        # flattened for the driver harness: float32*2 is exact, widen to
+        # double, scale to integer micro-units, pipe-join -> engine-portable
+        F.array_join(
+            F.transform(
+                emb, lambda x: F.round(x.cast("double") * 2000000).cast("bigint").cast("string")
+            ),
+            "|",
+        ).alias("doubled"),
         F.size(F.filter(emb, lambda x: x > 0)).alias("n_positive"),
     )
 
@@ -243,9 +253,10 @@ def fn_array_hof(spark: SparkSession, sf: str) -> DataFrame:
     "fn_map",
     oracle="""
         SELECT event_id,
-               MAP_KEYS(MAP(['type', 'bucket'],
-                            [event_type, CAST(CAST(TRUNC(value / 10) AS INT) AS VARCHAR)]))
-                   AS meta_keys,
+               ARRAY_TO_STRING(
+                   MAP_KEYS(MAP(['type', 'bucket'],
+                                [event_type, CAST(CAST(TRUNC(value / 10) AS INT) AS VARCHAR)])),
+                   '|') AS meta_keys,
                ELEMENT_AT(MAP(['type', 'bucket'],
                               [event_type, CAST(CAST(TRUNC(value / 10) AS INT) AS VARCHAR)]),
                           'type')[1] AS meta_type
@@ -265,7 +276,7 @@ def fn_map(spark: SparkSession, sf: str) -> DataFrame:
     )
     return e.select(
         "event_id",
-        F.map_keys(m).alias("meta_keys"),
+        F.array_join(F.map_keys(m), "|").alias("meta_keys"),
         F.element_at(m, "type").alias("meta_type"),
     )
 
@@ -533,11 +544,14 @@ def fn_url(spark: SparkSession, sf: str) -> DataFrame:
             FROM documents
         )
         SELECT doc_id,
-               LIST_SORT(LIST_DISTINCT(LIST_CONCAT(a, b))) AS union_sorted,
-               LIST_SORT(LIST_FILTER(LIST_DISTINCT(a),
-                                     x -> LIST_CONTAINS(b, x))) AS intersect_sorted,
-               LIST_SORT(LIST_FILTER(LIST_DISTINCT(a),
-                                     x -> NOT LIST_CONTAINS(b, x))) AS except_sorted,
+               COALESCE(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(LIST_CONCAT(a, b))), '|'),
+                        '') AS union_sorted,
+               COALESCE(ARRAY_TO_STRING(LIST_SORT(LIST_FILTER(LIST_DISTINCT(a),
+                                     x -> LIST_CONTAINS(b, x))), '|'), '')
+                   AS intersect_sorted,
+               COALESCE(ARRAY_TO_STRING(LIST_SORT(LIST_FILTER(LIST_DISTINCT(a),
+                                     x -> NOT LIST_CONTAINS(b, x))), '|'), '')
+                   AS except_sorted,
                LEN(LIST_DISTINCT(LIST_CONCAT(a, b))) AS n_union
         FROM t
     """,
@@ -558,9 +572,9 @@ def fn_array_setops(spark: SparkSession, sf: str) -> DataFrame:
     )
     return t.select(
         "doc_id",
-        F.sort_array(F.array_union("a", "b")).alias("union_sorted"),
-        F.sort_array(F.array_intersect("a", "b")).alias("intersect_sorted"),
-        F.sort_array(F.array_except("a", "b")).alias("except_sorted"),
+        F.array_join(F.sort_array(F.array_union("a", "b")), "|").alias("union_sorted"),
+        F.array_join(F.sort_array(F.array_intersect("a", "b")), "|").alias("intersect_sorted"),
+        F.array_join(F.sort_array(F.array_except("a", "b")), "|").alias("except_sorted"),
         F.size(F.array_union("a", "b")).alias("n_union"),
     )
 
@@ -726,8 +740,8 @@ def fn_xml(spark: SparkSession, sf: str) -> DataFrame:
             FROM documents
         )
         SELECT doc_id,
-               LIST_SORT(ks) AS keys_sorted,
-               LIST_SORT(LIST_TRANSFORM(vs, v -> v * 2 + 1))
+               ARRAY_TO_STRING(LIST_SORT(ks), '|') AS keys_sorted,
+               ARRAY_TO_STRING(LIST_SORT(LIST_TRANSFORM(vs, v -> v * 2 + 1)), '|')
                    AS scaled_sorted,
                LEN(LIST_FILTER(vs, v -> v >= 5)) AS n_big
         FROM t
@@ -752,8 +766,10 @@ def fn_map_hof(spark: SparkSession, sf: str) -> DataFrame:
     big = F.map_filter(m, lambda k, v: v >= 5)
     return t.select(
         "doc_id",
-        F.sort_array(F.map_keys(m)).alias("keys_sorted"),
-        F.sort_array(F.map_values(scaled)).alias("scaled_sorted"),
+        F.array_join(F.sort_array(F.map_keys(m)), "|").alias("keys_sorted"),
+        F.array_join(
+            F.transform(F.sort_array(F.map_values(scaled)), lambda v: v.cast("string")), "|"
+        ).alias("scaled_sorted"),
         F.size(F.map_values(big)).alias("n_big"),
     )
 
@@ -762,7 +778,8 @@ def fn_map_hof(spark: SparkSession, sf: str) -> DataFrame:
     "fn_regexp_extract_all",
     oracle="""
         SELECT doc_id,
-               regexp_extract_all(LOWER(text), '(^| )([aeiou][a-z]+)', 2)
+               COALESCE(ARRAY_TO_STRING(
+                   regexp_extract_all(LOWER(text), '(^| )([aeiou][a-z]+)', 2), '|'), '')
                    AS vowel_words,
                LEN(regexp_extract_all(LOWER(text), '(^| )([aeiou][a-z]+)', 2))
                    AS n_vowel_words
@@ -781,7 +798,8 @@ def fn_regexp_extract_all(spark: SparkSession, sf: str) -> DataFrame:
     pat = "(^| )([aeiou][a-z]+)"
     return d.select(
         "doc_id",
-        F.regexp_extract_all(F.lower("text"), F.lit(pat), 2).alias("vowel_words"),
+        F.array_join(F.regexp_extract_all(F.lower("text"), F.lit(pat), 2), "|")
+            .alias("vowel_words"),
         F.size(F.regexp_extract_all(F.lower("text"), F.lit(pat), 2))
             .alias("n_vowel_words"),
     )
@@ -1388,11 +1406,12 @@ def fn_string_extra(spark: SparkSession, sf: str) -> DataFrame:
             FROM documents
         )
         SELECT doc_id,
-               flatten([toks[1:3], toks[4:5]]) AS head_flat,
+               ARRAY_TO_STRING(flatten([toks[1:3], toks[4:5]]), '|') AS head_flat,
                CAST(list_position(toks, 'data') AS INT) AS pos_data,
-               [x for x in toks if x <> 'the'] AS no_the,
-               ['pad' for i in range(3)] AS pad3,
-               [x for x in toks if x IS NOT NULL AND x <> ''] AS compacted
+               ARRAY_TO_STRING([x for x in toks if x <> 'the'], '|') AS no_the,
+               ARRAY_TO_STRING(['pad' for i in range(3)], '|') AS pad3,
+               ARRAY_TO_STRING([x for x in toks if x IS NOT NULL AND x <> ''], '|')
+                   AS compacted
         FROM t
     """,
     tags=("scalar", "array"),
@@ -1412,14 +1431,14 @@ def fn_array_extra(spark: SparkSession, sf: str) -> DataFrame:
     t = d.select("doc_id", toks.alias("toks"))
     return t.select(
         "doc_id",
-        F.flatten(
-            F.array(F.slice("toks", 1, 3), F.slice("toks", 4, 2))
+        F.array_join(
+            F.flatten(F.array(F.slice("toks", 1, 3), F.slice("toks", 4, 2))), "|"
         ).alias("head_flat"),
         F.array_position("toks", "data").cast("int").alias("pos_data"),
-        F.array_remove("toks", "the").alias("no_the"),
-        F.array_repeat(F.lit("pad"), 3).alias("pad3"),
-        F.filter(
-            "toks", lambda x: x.isNotNull() & (x != F.lit(""))
+        F.array_join(F.array_remove("toks", "the"), "|").alias("no_the"),
+        F.array_join(F.array_repeat(F.lit("pad"), 3), "|").alias("pad3"),
+        F.array_join(
+            F.filter("toks", lambda x: x.isNotNull() & (x != F.lit(""))), "|"
         ).alias("compacted"),
     )
 
@@ -1640,13 +1659,13 @@ def fn_try_overflow(spark: SparkSession, sf: str) -> DataFrame:
     "fn_sequence_zip",
     oracle="""
         SELECT p_partkey,
-               RANGE(1, LEAST(p_size, 5) + 1) AS size_seq,
-               [CAST(x AS VARCHAR) || ':' || p_brand
-                FOR x IN RANGE(1, LEAST(p_size, 5) + 1)] AS zipped,
-               LIST_TRANSFORM(
+               ARRAY_TO_STRING(RANGE(1, LEAST(p_size, 5) + 1), '|') AS size_seq,
+               ARRAY_TO_STRING([CAST(x AS VARCHAR) || ':' || p_brand
+                FOR x IN RANGE(1, LEAST(p_size, 5) + 1)], '|') AS zipped,
+               ARRAY_TO_STRING(LIST_TRANSFORM(
                    LIST_ZIP(RANGE(1, LEAST(p_size, 5) + 1),
                             RANGE(1, LEAST(p_size, 5) + 1)),
-                   s -> s[1] * s[2]) AS squares
+                   s -> s[1] * s[2]), '|') AS squares
         FROM part
     """,
     tags=("fn", "array"),
@@ -1664,15 +1683,21 @@ def fn_sequence_zip(spark: SparkSession, sf: str) -> DataFrame:
     seq = F.sequence(F.lit(1), F.least(F.col("p_size"), F.lit(5)))
     return p.select(
         "p_partkey",
-        seq.alias("size_seq"),
-        F.transform(
-            F.arrays_zip(
-                seq.alias("idx"),
-                F.transform(seq, lambda _: F.col("p_brand")).alias("brand"),
+        F.array_join(F.transform(seq, lambda x: x.cast("string")), "|").alias("size_seq"),
+        F.array_join(
+            F.transform(
+                F.arrays_zip(
+                    seq.alias("idx"),
+                    F.transform(seq, lambda _: F.col("p_brand")).alias("brand"),
+                ),
+                lambda s: F.concat(s["idx"].cast("string"), F.lit(":"), s["brand"]),
             ),
-            lambda s: F.concat(s["idx"].cast("string"), F.lit(":"), s["brand"]),
+            "|",
         ).alias("zipped"),
-        F.zip_with(seq, seq, lambda a, b: a * b).alias("squares"),
+        F.array_join(
+            F.transform(F.zip_with(seq, seq, lambda a, b: a * b), lambda x: x.cast("string")),
+            "|",
+        ).alias("squares"),
     )
 
 

@@ -29,6 +29,62 @@ def scratch_dir(name: str) -> str:
     return path
 
 
+# --------------------------------------------------------------------------
+# Driver-canonicalizer probes (VERDICT r1 "Next round" #4). Registered FIRST
+# so they land inside the driver's checked slice. Each emits ONE deliberately
+# raw risky-typed column over the 5-row region table; their r{N} rows tell us
+# definitively whether the driver's pandas hasher handles that type family,
+# so the central canonicalization in canon.py can be relaxed per family once
+# proven clean. NOT canonicalized (that's the point); interpreted in
+# BASELINE.md. All other ops go through canon.py and never emit these types.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "diag_probe_date",
+    oracle="SELECT r_regionkey, DATE '1995-01-01' + (r_regionkey * 40) AS d FROM region",
+    tags=("diagnostic",),
+    canonicalize=False,
+)
+def diag_probe_date(spark: SparkSession, sf: str) -> DataFrame:
+    """Does a computed DATE column hash clean through the driver? (r1
+    fixtures carry only timestamps, so this was never measured.)"""
+    r = load_table(spark, sf, "region")
+    return r.select(
+        "r_regionkey",
+        F.date_add(F.lit("1995-01-01").cast("date"), F.col("r_regionkey").cast("int") * 40)
+        .alias("d"),
+    )
+
+
+@query(
+    "diag_probe_decimal",
+    oracle="SELECT r_regionkey, CAST(r_regionkey * 1.5 AS DECIMAL(10,2)) AS dec_val FROM region",
+    tags=("diagnostic",),
+    canonicalize=False,
+)
+def diag_probe_decimal(spark: SparkSession, sf: str) -> DataFrame:
+    """Does a DECIMAL column hash clean? (r1 ``project_cast`` says no —
+    this isolates the type from the rest of that query.)"""
+    r = load_table(spark, sf, "region")
+    return r.select(
+        "r_regionkey", (F.col("r_regionkey") * 1.5).cast("decimal(10,2)").alias("dec_val")
+    )
+
+
+@query(
+    "diag_probe_array",
+    oracle="SELECT r_regionkey, ['a', r_name] AS arr FROM region",
+    tags=("diagnostic",),
+    canonicalize=False,
+)
+def diag_probe_array(spark: SparkSession, sf: str) -> DataFrame:
+    """Does a top-level ARRAY column survive the driver's canonicalizer?
+    (r1 ``scan_json_nested`` crashed it — this pins the minimal repro.)"""
+    r = load_table(spark, sf, "region")
+    return r.select("r_regionkey", F.array(F.lit("a"), F.col("r_name")).alias("arr"))
+
+
 @query(
     "scan_parquet",
     oracle="SELECT * FROM lineitem",
@@ -596,8 +652,8 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf: str) -> DataFrame:
                    CAST(COUNT(*) AS BIGINT) AS n_orders,
                    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,8)))
                              AS VARCHAR) AS DOUBLE) AS total_spend,
-                   (ARRAY_AGG(o_orderkey ORDER BY o_orderkey DESC))[1:3]
-                       AS recent_orders
+                   ARRAY_TO_STRING((ARRAY_AGG(o_orderkey ORDER BY o_orderkey DESC))[1:3],
+                                   '|') AS recent_orders
             FROM orders GROUP BY o_custkey
         )
         SELECT o_custkey AS custkey, n_orders, total_spend, recent_orders
@@ -634,7 +690,10 @@ def scan_json_nested(spark: SparkSession, sf: str) -> DataFrame:
         F.col("o_custkey").alias("custkey"),
         F.col("stats.n_orders").alias("n_orders"),
         F.col("stats.total_spend").alias("total_spend"),
-        "recent_orders",
+        # flattened for the driver harness (bigint keys format identically)
+        F.array_join(
+            F.transform("recent_orders", lambda x: x.cast("string")), "|"
+        ).alias("recent_orders"),
     )
 
 

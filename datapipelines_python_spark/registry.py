@@ -38,23 +38,66 @@ _OPERATOR_MODULES = (
 @dataclass
 class QuerySpec:
     name: str
-    fn: QueryFn
-    oracle: str | None = None  # DuckDB SQL; None -> driver does rows-only check
+    fn: QueryFn  # canonicalized (driver-safe output schema)
+    oracle: str | None = None  # DuckDB SQL (canon-wrapped); None -> rows-only check
     tags: tuple[str, ...] = field(default_factory=tuple)
     bench: bool = False  # include in bench.py headline set
+    raw_fn: QueryFn | None = None  # pre-canonicalization plan (for snapshot gen)
+    raw_oracle: str | None = None
+    canonicalized: bool = True  # False only for diag_probe_* canonicalizer probes
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
 _LOADED = False
 
 
-def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), bench: bool = False):
-    """Register an operator. ``oracle`` is DuckDB SQL over the fixture views."""
+def query(
+    name: str,
+    oracle: str | None = None,
+    tags: tuple[str, ...] = (),
+    bench: bool = False,
+    canonicalize: bool = True,
+):
+    """Register an operator. ``oracle`` is DuckDB SQL over the fixture views.
+
+    Both sides are canonicalized for the driver's pandas-based result
+    comparison (see ``canon.py``): the Spark plan gets DATE→string /
+    DECIMAL→double casts appended to its final select, and the oracle SQL is
+    wrapped with the matching DuckDB casts from the committed
+    ``canon_snapshot``. ``tests/test_schema_safety.py`` pins snapshot ↔
+    live-schema agreement.
+    """
 
     def deco(fn: QueryFn) -> QueryFn:
+        from datapipelines_python_spark.canon import canonicalize_df, wrap_oracle
+        from datapipelines_python_spark.canon_snapshot import CANON_COLS
+
         if name in _REGISTRY:
             raise ValueError(f"duplicate operator name {name!r}")
-        _REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, tags=tags, bench=bench)
+
+        if canonicalize:
+
+            def canon_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+                return canonicalize_df(fn(spark, sf_dir))
+
+            canon_fn.__name__ = fn.__name__
+            canon_fn.__doc__ = fn.__doc__
+            reg_fn = canon_fn
+            reg_oracle = (
+                wrap_oracle(oracle, CANON_COLS.get(name, {})) if oracle is not None else None
+            )
+        else:  # diag_probe_*: deliberately raw, to measure the driver's hasher
+            reg_fn, reg_oracle = fn, oracle
+        _REGISTRY[name] = QuerySpec(
+            name=name,
+            fn=reg_fn,
+            oracle=reg_oracle,
+            tags=tags,
+            bench=bench,
+            raw_fn=fn,
+            raw_oracle=oracle,
+            canonicalized=canonicalize,
+        )
         return fn
 
     return deco
@@ -64,9 +107,13 @@ def _ensure_loaded() -> None:
     global _LOADED
     if _LOADED:
         return
+    # flag set BEFORE the loop: each module import re-enters this function
+    # via operators/__init__.py; the guard makes those re-entries no-ops so
+    # the canonical _OPERATOR_MODULES order wins no matter which module was
+    # imported first.
+    _LOADED = True
     for mod in _OPERATOR_MODULES:
         importlib.import_module(mod)
-    _LOADED = True
 
 
 def get_registry() -> dict[str, QuerySpec]:

@@ -1,0 +1,90 @@
+"""The kNN-graph family's shared edge source (VERDICT r1 #2).
+
+Round 1's ``_cosine_pairs`` materialized and persisted all n(n-1) cosine
+pairs and every one of its 13 consumers re-windowed that n² table. It now
+builds an exact per-u top-K (K=64) table once — the n² candidate stream
+feeds a top-K window without ever being materialized — and offers a banded
+sign-LSH candidate mode (``SPARK_GRAFT_KNN_CANDIDATES=ann``) for the scale
+path where exact kNN is off the table. These tests pin:
+
+- the persisted table is K·n-bounded, not n²,
+- the K=64 margin safely covers the deepest consumer need
+  (top-3-per-cross-label in ``llm_hard_negative_mining``),
+- the ANN mode's plan is bucket-join-shaped (no cartesian / nested-loop),
+- exact-mode result identity is pinned separately by the 12 consumer
+  oracles (scripts/check_oracle.py), which replay the full n² formulation
+  in DuckDB.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from datapipelines_python_spark.catalog import load_table
+from datapipelines_python_spark.operators.workloads import (
+    _KNN_TOPK,
+    _cosine_pairs,
+    _mutual_5nn,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pairs_table_is_topk_bounded(spark):
+    n = load_table(spark, SF, "embeddings").count()
+    pairs = _cosine_pairs(spark, SF)
+    cnt = pairs.count()
+    assert cnt <= _KNN_TOPK * n, f"{cnt} rows > K*n = {_KNN_TOPK * n}"
+    assert cnt > 5 * n  # sanity: deep enough for every top-5 consumer
+    # exactly K rows per u (n > K+1 here), rank deterministic
+    per_u = pairs.groupBy("u").count().agg(F.min("count"), F.max("count")).first()
+    assert per_u[0] == per_u[1] == _KNN_TOPK
+
+
+def test_topk_margin_covers_hard_negative_mining(spark):
+    """llm_hard_negative_mining takes top-3 *cross-label* per anchor from
+    the top-K table; assert every anchor has >=10 cross-label rows in its
+    top-64 (>3x margin), so the K truncation can never clip its answer."""
+    lab = load_table(spark, SF, "embeddings").select("vec_id", "label")
+    pairs = _cosine_pairs(spark, SF)
+    cross = (
+        pairs.join(lab.select(F.col("vec_id").alias("u"), F.col("label").alias("lu")), "u")
+        .join(lab.select(F.col("vec_id").alias("v"), F.col("label").alias("lv")), "v")
+        .filter(F.col("lu") != F.col("lv"))
+        .groupBy("u")
+        .count()
+    )
+    min_cross = cross.agg(F.min("count")).first()[0]
+    n_anchors = cross.count()
+    n = lab.count()
+    assert n_anchors == n, "some anchor has zero cross-label rows in top-K"
+    assert min_cross >= 10, f"margin too thin: min cross-label depth {min_cross}"
+
+
+def test_ann_candidate_mode_is_bucket_join(spark):
+    os.environ["SPARK_GRAFT_KNN_CANDIDATES"] = "ann"
+    try:
+        pairs = _cosine_pairs(spark, SF)
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        n = load_table(spark, SF, "embeddings").count()
+        cnt = pairs.count()
+        assert cnt <= _KNN_TOPK * n
+        # ANN survivors per u are capped by bucket co-occupancy — far below
+        # the exact K=64 everywhere on isotropic fixtures
+        mean_depth = cnt / n
+        assert mean_depth < _KNN_TOPK, f"ann mode saturated top-K ({mean_depth})"
+        pairs.unpersist()
+    finally:
+        del os.environ["SPARK_GRAFT_KNN_CANDIDATES"]
+
+
+def test_mutual_edges_symmetric_undirected(spark):
+    edges = _mutual_5nn(spark, SF)
+    assert edges.filter(F.col("u") >= F.col("v")).count() == 0
+    # every edge's endpoints are real vec_ids
+    ids = load_table(spark, SF, "embeddings").select(F.col("vec_id").alias("u"))
+    assert edges.join(ids, "u", "left_anti").count() == 0

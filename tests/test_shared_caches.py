@@ -19,7 +19,7 @@ def test_cosine_pairs_cached_per_session_and_sf(spark):
     a = _cosine_pairs(spark, SF_SMOKE)
     b = _cosine_pairs(spark, SF_SMOKE)
     assert a is b  # same DataFrame object — one build
-    key = (spark.sparkContext.applicationId, SF_SMOKE)
+    key = (spark.sparkContext.applicationId, SF_SMOKE, "exact")
     assert key in _COSINE_PAIRS_CACHE
 
 
