@@ -1044,3 +1044,53 @@ def join_star_denormalize(spark: SparkSession, sf: str) -> DataFrame:
             "revenue"
         ),
     )
+
+
+@query(
+    "join_exists_correlated",
+    oracle="""
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(CASE WHEN EXISTS (
+                        SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_totalprice > 150000)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_with_big_order,
+               CAST(SUM(CASE WHEN NOT EXISTS (
+                        SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_never_ordered
+        FROM customer c
+        GROUP BY c_mktsegment
+    """,
+    tags=("join", "subquery", "sql"),
+)
+def join_exists_correlated(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS through the SQL surface. Catalyst
+    decorrelates both predicates into left-semi and left-anti hash joins
+    on o_custkey (no per-row subquery execution — check the two Join
+    nodes in `.explain`), which is exactly the rewrite a 100 TB run
+    needs: the orders side aggregates/dedups by custkey under the join,
+    and the EXISTS arm's price filter pushes below its join. The
+    DataFrame twins are ``join_left_semi`` / ``join_left_anti``; this op
+    pins the SQL-subquery route to the same plans."""
+    from datapipelines_python_spark.catalog import register_views
+
+    register_views(spark, sf, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(CASE WHEN EXISTS (
+                        SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_totalprice > 150000)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_with_big_order,
+               CAST(SUM(CASE WHEN NOT EXISTS (
+                        SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_never_ordered
+        FROM customer c
+        GROUP BY c_mktsegment
+        """
+    )

@@ -2576,3 +2576,66 @@ def fn_sentences(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("n_agree"),
     )
+
+
+@query(
+    "fn_stack",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, metric, val FROM (
+            SELECT l_orderkey, l_linenumber, 'qty' AS metric, l_quantity AS val
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'disc', l_discount FROM lineitem
+        ) t
+    """,
+    tags=("fn", "generator", "reshape"),
+)
+def fn_stack(spark: SparkSession, sf: str) -> DataFrame:
+    """The ``stack(n, k1, v1, ...)`` generator: wide→long in ONE pass over
+    the input (the oracle's three-arm UNION ALL scans the table three
+    times — stack is the single-scan way to melt at 100 TB, same family as
+    ``reshape_unpivot`` but at expression level, usable inside any
+    select). Values stay raw doubles (row-local, no aggregation)."""
+    li = load_table(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3, 'qty', l_quantity, 'price', l_extendedprice, 'disc', l_discount)"
+        ).alias("metric", "val"),
+    )
+
+
+@query(
+    "fn_exists_forall",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS toks
+            FROM documents
+        )
+        SELECT doc_id,
+               LEN(LIST_FILTER(toks, x -> x = 'data')) > 0 AS has_data,
+               LEN(LIST_FILTER(toks, x -> NOT LEN(x) BETWEEN 1 AND 12)) = 0
+                   AS all_short,
+               LEN(LIST_FILTER(toks, x -> x LIKE '%ing')) > 0 AS any_gerund
+        FROM t
+    """,
+    tags=("fn", "array", "hof"),
+)
+def fn_exists_forall(spark: SparkSession, sf: str) -> DataFrame:
+    """Array quantifiers ``exists`` / ``forall`` — the short-circuiting
+    boolean HOFs (vs. building a filtered array and measuring it, which is
+    what the oracle does and what they replace: at 100 TB the quantifier
+    stops at the first witness instead of materializing the survivor
+    list). Flat boolean outputs, array-local, zero shuffle."""
+    d = load_table(spark, sf, "documents")
+    toks = F.split(F.lower("text"), " ")
+    t = d.select("doc_id", toks.alias("toks"))
+    return t.select(
+        "doc_id",
+        F.exists("toks", lambda x: x == F.lit("data")).alias("has_data"),
+        F.forall("toks", lambda x: F.length(x).between(1, 12)).alias("all_short"),
+        F.exists("toks", lambda x: x.endswith("ing")).alias("any_gerund"),
+    )

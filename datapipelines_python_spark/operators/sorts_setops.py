@@ -207,3 +207,27 @@ def setop_union_evolved(spark: SparkSession, sf: str) -> DataFrame:
             .alias("n_comment_class"),
     )
     return old.unionByName(new, allowMissingColumns=True)
+
+
+@query(
+    "sort_limit_offset",
+    oracle="""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 50 OFFSET 100
+    """,
+    tags=("sort", "limit", "pagination"),
+)
+def sort_limit_offset(spark: SparkSession, sf: str) -> DataFrame:
+    """LIMIT/OFFSET pagination over a total order (the unique o_orderkey
+    tiebreak makes page boundaries deterministic across engines). Spark
+    plans this as one global sort with a GlobalLimit of offset+limit and a
+    skip — rows are cut on the reduce side, never collected to the driver.
+    Scale note: OFFSET-based paging re-sorts the prefix every page, so deep
+    pagination at 100 TB should switch to keyset pagination (WHERE
+    (price, key) < last_seen ORDER BY ... LIMIT n — an indexable/pushdown
+    predicate instead of a growing skip); this op pins the surface and the
+    shallow-page plan."""
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    return o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).offset(100).limit(50)

@@ -11,6 +11,7 @@ from datapipelines_python_spark.pipeline.common import (
     UnsupportedError,
 )
 from datapipelines_python_spark.pipeline.elements import (
+    CompositeDataTransformer,
     DataTransformer,
     FixtureSource,
     MemoryCache,
@@ -27,6 +28,7 @@ from datapipelines_python_spark.pipeline.queries import (
 
 __all__ = [
     "TYPE_WILDCARD",
+    "CompositeDataTransformer",
     "DataPipeline",
     "DataTransformer",
     "FixtureSource",

@@ -104,6 +104,42 @@ class DataTransformer:
         return self.fn(df)
 
 
+class CompositeDataTransformer(DataTransformer):
+    """A pre-composed transformer chain bundled as ONE edge (SURVEY.md
+    §2A A8): ``frm -> ... -> to`` applied as a single unit, with cost =
+    sum of part costs by default. Lets a pipeline register a hand-tuned
+    multi-hop conversion as an atomic alternative to whatever chain the
+    min-cost planner would discover — e.g. a fused projection that
+    Catalyst collapses into one stage, where the discovered chain would
+    materialize intermediates.
+
+    Each part's output table must feed the next part's input table;
+    construction validates the seams so a mis-ordered bundle fails fast
+    instead of producing a frame of the wrong shape mid-pipeline.
+    """
+
+    def __init__(self, parts: list[DataTransformer], cost: int | None = None) -> None:
+        if not parts:
+            raise ValueError("CompositeDataTransformer needs at least one part")
+        for a, b in zip(parts, parts[1:]):
+            if a.to != b.frm:
+                raise ValueError(
+                    f"chain seam mismatch: {a.frm}->{a.to} cannot feed {b.frm}->{b.to}"
+                )
+        super().__init__(
+            frm=parts[0].frm,
+            to=parts[-1].to,
+            fn=self._apply,
+            cost=sum(p.cost for p in parts) if cost is None else cost,
+        )
+        self.parts = list(parts)
+
+    def _apply(self, df: DataFrame) -> DataFrame:
+        for part in self.parts:
+            df = part.transform(df)
+        return df
+
+
 # ---------------------------------------------------------------------------
 # Concrete elements
 # ---------------------------------------------------------------------------

@@ -116,6 +116,40 @@ def test_transform_chain_is_min_cost(spark, scratch):
     assert calls == ["a->b", "b->c"]
 
 
+def test_composite_transformer_bundles_chain_as_one_edge(spark, scratch):
+    # SURVEY §2A A8: a pre-composed chain registered as a single cheap edge
+    # beats the planner's discovered 2-hop route
+    calls = []
+
+    def step(tag):
+        def fn(df):
+            calls.append(tag)
+            return df
+
+        return fn
+
+    from datapipelines_python_spark.pipeline import CompositeDataTransformer
+
+    parts = [
+        DataTransformer("a", "b", step("a->b"), cost=3),
+        DataTransformer("b", "c", step("b->c"), cost=3),
+    ]
+    fused = CompositeDataTransformer(parts, cost=1)
+    assert (fused.frm, fused.to) == ("a", "c")
+    ts = [*parts, fused]
+    pipe = DataPipeline([FixtureSource(SF_SMOKE)], transformers=ts, spark=spark)
+    df = pipe.get_many("region")
+    pipe.transform(df, "a", "c")
+    # the planner picks the fused edge (cost 1 < 3+3); its parts run in order
+    assert calls == ["a->b", "b->c"]
+    # default cost = sum of parts; seam mismatch fails fast
+    assert CompositeDataTransformer(parts).cost == 6
+    with pytest.raises(ValueError):
+        CompositeDataTransformer([parts[1], parts[0]])
+    with pytest.raises(ValueError):
+        CompositeDataTransformer([])
+
+
 def test_transform_unreachable_raises(spark, scratch):
     pipe = DataPipeline([FixtureSource(SF_SMOKE)], spark=spark)
     df = pipe.get_many("region")
