@@ -507,3 +507,39 @@ def test_merge_hint_forces_sort_merge_join(spark, registry):
     # below the autoBroadcast threshold.
     plan = _plan(spark, registry, "sql_hint_merge_join")
     assert "SortMergeJoin" in plan
+
+
+def test_exists_correlated_decorrelates_to_semi_anti(spark, registry):
+    plan = _plan(spark, registry, "join_exists_correlated")
+    # Catalyst must rewrite both correlated subqueries into hash joins —
+    # EXISTS under a CASE decorrelates to ExistenceJoin (the semi/anti
+    # generalization that emits a boolean); a per-row subquery execution
+    # would be a driver-side disaster at scale
+    assert plan.count("ExistenceJoin") == 2
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # the EXISTS arm's price predicate pushes to the orders scan
+    assert "GreaterThan(o_totalprice,150000.0)" in plan
+
+
+def test_limit_offset_is_global_limit_not_collect(spark, registry):
+    plan = _plan(spark, registry, "sort_limit_offset")
+    # offset+limit must run as a global-limit over the sort (executors cut
+    # rows); TakeOrderedAndProject is the fused form Spark picks here
+    assert "TakeOrderedAndProject" in plan or "GlobalLimit" in plan
+    assert "offset=100" in plan or "GlobalLimitExec" in plan or "TakeOrderedAndProject" in plan
+
+
+def test_stack_generator_is_shuffle_free(spark, registry):
+    plan = _plan(spark, registry, "fn_stack")
+    assert "Exchange" not in plan  # wide->long is a per-row generator
+
+
+def test_knn_pair_table_windows_after_single_join(spark, registry):
+    # the kNN edge source: one join (candidate stream) under one window;
+    # downstream consumers must never see an n^2-row exchange again
+    from datapipelines_python_spark.operators.workloads import _cosine_pairs
+
+    df = _cosine_pairs(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") >= 1
+    assert "CartesianProduct" not in plan  # join carries the != predicate
