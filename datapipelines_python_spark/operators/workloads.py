@@ -11437,3 +11437,139 @@ def workload_growth_accounting(spark: SparkSession, sf: str) -> DataFrame:
         "day", "new_users", "retained", "resurrected",
         F.coalesce(F.col("churned"), F.lit(0)).cast("bigint").alias("churned"),
     )
+
+
+@query(
+    "workload_backfill_planner",
+    oracle="""
+        WITH have AS (
+            SELECT DISTINCT CAST(CAST(ts AS DATE) AS VARCHAR) AS day
+            FROM events WHERE event_type <> 'error'
+        ),
+        cal AS (
+            SELECT CAST(CAST(DATE '2024-01-01' + INTERVAL (i) DAY AS DATE) AS VARCHAR)
+                       AS day
+            FROM (SELECT UNNEST(RANGE(0, 35)) AS i)
+        )
+        SELECT c.day, have.day IS NOT NULL AS present
+        FROM cal c LEFT JOIN have ON c.day = have.day
+        ORDER BY 1
+    """,
+    tags=("workload", "ops", "backfill"),
+)
+def workload_backfill_planner(spark: SparkSession, sf: str) -> DataFrame:
+    """Backfill planning: diff a target calendar (35 days from 2024-01-01)
+    against the day-partitions actually present for the non-error feed →
+    the work-list an orchestrator turns into per-partition backfill jobs.
+    The present-set is a distinct over the date-truncated event time (at
+    100 TB this reads the partition LISTING, not the data — the exact
+    shape `scan_partition_pruned` pins); the calendar is a generated
+    sequence (zero-input fan-out), and the diff is a broadcast left join
+    of a 35-row frame — nothing here scales with fact size except the
+    distinct, which is partition-metadata in a partitioned layout."""
+    e = load_table(spark, sf, "events").filter(F.col("event_type") != "error")
+    have = e.select(
+        F.col("ts").cast("date").cast("string").alias("day")
+    ).distinct()
+    cal = spark.range(35).select(
+        F.date_add(F.lit("2024-01-01").cast("date"), F.col("id").cast("int"))
+        .cast("string")
+        .alias("day")
+    )
+    return (
+        cal.join(have.withColumnRenamed("day", "have_day"),
+                 cal.day == F.col("have_day"), "left")
+        .select("day", F.col("have_day").isNotNull().alias("present"))
+    )
+
+
+@query(
+    "workload_table_checksum",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(CAST(SUM(('0x' || SUBSTRING(MD5(
+                        CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|'
+                        || CAST(o_custkey AS VARCHAR) || '|' || o_orderpriority),
+                    1, 15))::BIGINT) AS DECIMAL(38,0)) AS VARCHAR) AS content_sum,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custkeys
+        FROM orders
+    """,
+    tags=("workload", "ops", "integrity"),
+)
+def workload_table_checksum(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-independent table fingerprint: SUM of a per-row content hash
+    (md5 of a delimited key projection; the sum accumulates in
+    DECIMAL(38,0) — exact and overflow-proof at any row count, emitted as
+    a string) + row count + key cardinality. Because SUM
+    is commutative the checksum is invariant to partitioning, shuffle
+    order, and file layout — the property that lets two clusters (or a
+    migration source and target) compare 100 TB tables with one number
+    each, no sort, one map-side-combinable pass. The engine/oracle pair
+    doubles as a cross-engine md5 conformance check."""
+    o = load_table(spark, sf, "orders")
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderpriority"),
+    )
+    h = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("bigint")
+    return o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(h.cast("decimal(38,0)")).cast("string").alias("content_sum"),
+        F.count_distinct(F.col("o_custkey")).cast("bigint").alias("n_custkeys"),
+    )
+
+
+@query(
+    "workload_quarantine_split",
+    oracle="""
+        WITH flagged AS (
+            SELECT event_id, value,
+                   CASE WHEN value IS NULL OR ISNAN(value) THEN 'null_value'
+                        WHEN value < 0 THEN 'negative_value'
+                        WHEN value > 900 THEN 'outlier_value'
+                        WHEN event_type NOT IN
+                             ('click','view','purchase','signup','error')
+                            THEN 'unknown_type'
+                        ELSE 'clean' END AS reason
+            FROM events
+        )
+        SELECT reason,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(MIN(event_id) AS BIGINT) AS first_event,
+               CAST(MAX(event_id) AS BIGINT) AS last_event
+        FROM flagged
+        GROUP BY reason
+    """,
+    tags=("workload", "ops", "quality"),
+)
+def workload_quarantine_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Validation gate with quarantine routing: every row gets exactly one
+    reason code (first failing rule wins — the deterministic policy that
+    makes quarantine counts reconcilable) and the op reports per-reason
+    volume + an event-id range for triage. In production the same single
+    pass writes two sinks (clean → table, rest → quarantine with reason)
+    via partitionBy(reason) — one scan, no re-validation; the CASE chain
+    is whole-stage-codegen'd and costs nothing beyond the scan."""
+    e = load_table(spark, sf, "events")
+    reason = (
+        F.when(F.col("value").isNull() | F.isnan("value"), "null_value")
+        .when(F.col("value") < 0, "negative_value")
+        .when(F.col("value") > 900, "outlier_value")
+        .when(
+            ~F.col("event_type").isin("click", "view", "purchase", "signup", "error"),
+            "unknown_type",
+        )
+        .otherwise("clean")
+    )
+    return (
+        e.select("event_id", reason.alias("reason"))
+        .groupBy("reason")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("event_id").cast("bigint").alias("first_event"),
+            F.max("event_id").cast("bigint").alias("last_event"),
+        )
+    )
