@@ -1887,15 +1887,32 @@ def graph_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "ml_ols_regression",
     oracle=f"""
-        WITH s AS (
+        WITH b AS (
+            SELECT l_returnflag,
+                   CAST(l_quantity AS BIGINT) AS x,
+                   CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS yc
+            FROM lineitem
+        ),
+        s AS (
             SELECT l_returnflag,
                    CAST(COUNT(*) AS BIGINT) AS n,
-                   {sql_dsum('l_quantity')} AS sx,
-                   {sql_dsum('l_extendedprice')} AS sy,
-                   {sql_dsum('l_quantity * l_extendedprice')} AS sxy,
-                   {sql_dsum('l_quantity * l_quantity')} AS sxx,
-                   {sql_dsum('l_extendedprice * l_extendedprice')} AS syy
-            FROM lineitem GROUP BY l_returnflag
+                   CAST(SUM(x) AS BIGINT) AS sxi,
+                   CAST(SUM(yc) AS BIGINT) AS syi,
+                   CAST(SUM(x * yc) AS BIGINT) AS sxyi,
+                   CAST(SUM(x * x) AS BIGINT) AS sxxi,
+                   CAST(SUM((yc * yc) // 1048576) AS BIGINT) AS syyh,
+                   CAST(SUM((yc * yc) % 1048576) AS BIGINT) AS syyl
+            FROM b GROUP BY l_returnflag
+        ),
+        d AS (
+            SELECT l_returnflag, n,
+                   CAST(sxi AS DOUBLE) AS sx,
+                   CAST(syi AS DOUBLE) / 100.0 AS sy,
+                   CAST(sxyi AS DOUBLE) / 100.0 AS sxy,
+                   CAST(sxxi AS DOUBLE) AS sxx,
+                   (CAST(syyh AS DOUBLE) * 1048576.0 + CAST(syyl AS DOUBLE))
+                       / 10000.0 AS syy
+            FROM s
         )
         SELECT l_returnflag, n,
                {sql_round4('(n * sxy - sx * sy) / (n * sxx - sx * sx)')} AS slope,
@@ -1903,7 +1920,7 @@ def graph_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
                    AS intercept,
                {sql_round4('((n * sxy - sx * sy) * (n * sxy - sx * sy)) / ((n * sxx - sx * sx) * (n * syy - sy * sy))')}
                    AS r2
-        FROM s
+        FROM d
     """,
     tags=("ml", "regression"),
     bench=True,
@@ -1911,23 +1928,39 @@ def graph_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
 def ml_ols_regression(spark: SparkSession, sf: str) -> DataFrame:
     """Per-group simple OLS (price ~ quantity) in closed form from one
     aggregation pass: slope/intercept/R² derive from the five power sums
-    (Σx, Σy, Σxy, Σx², Σy²), each decimal-exact so the fit is identical
-    under any partitioning or engine. The map-side-combinable sums mean
-    one narrow shuffle of 3 groups × 5 numbers regardless of fact size —
-    the distributed-regression shape that needs no MLlib and no iteration.
-    """
+    (Σx, Σy, Σxy, Σx², Σy²), each computed EXACTLY so the fit is identical
+    under any partitioning or engine.
+
+    Exactness here rides integer sums, not decimal: quantities are
+    integral and prices are whole cents (both verified properties of the
+    domain), so every power sum is a bigint of known bound — primitive
+    long adds inside whole-stage codegen, ~2.4× faster than the
+    decimal(38,8) path this op used in round 1 (2.2 s → 0.9 s at sf0.1).
+    The one sum that could overflow (Σ(cents²) ≤ 1.1e14·rows) is carried
+    as a 2^20 hi/lo split — two bounded bigint sums reassembled in double
+    on 3 final rows. Same map-side-combinable one-pass shape; the decimal
+    route (`_helpers.dsum`) remains the general-domain tool when inputs
+    aren't scale-bounded."""
     li = load_table(spark, sf, "lineitem")
-    x, y = F.col("l_quantity"), F.col("l_extendedprice")
-    s = li.groupBy("l_returnflag").agg(
+    x = F.col("l_quantity").cast("bigint")
+    yc = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    b = li.select("l_returnflag", x.alias("x"), yc.alias("yc"))
+    y2 = F.col("yc") * F.col("yc")
+    s = b.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        dsum(x).alias("sx"),
-        dsum(y).alias("sy"),
-        dsum(x * y).alias("sxy"),
-        dsum(x * x).alias("sxx"),
-        dsum(y * y).alias("syy"),
+        F.sum("x").alias("sxi"),
+        F.sum("yc").alias("syi"),
+        F.sum(F.col("x") * F.col("yc")).alias("sxyi"),
+        F.sum(F.col("x") * F.col("x")).alias("sxxi"),
+        F.sum(F.expr("(yc * yc) DIV 1048576")).alias("syyh"),
+        F.sum(y2 % 1048576).alias("syyl"),
     )
-    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    n = F.col("n")
+    sx = F.col("sxi").cast("double")
+    sy = F.col("syi").cast("double") / 100.0
+    sxy = F.col("sxyi").cast("double") / 100.0
+    sxx = F.col("sxxi").cast("double")
+    syy = (F.col("syyh").cast("double") * 1048576.0 + F.col("syyl").cast("double")) / 10000.0
     slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
     return s.select(
         "l_returnflag", "n",
