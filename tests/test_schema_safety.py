@@ -80,3 +80,32 @@ def test_probes_are_registered_early():
     first = list(get_registry())[:10]
     for probe in ("diag_probe_date", "diag_probe_decimal", "diag_probe_array"):
         assert probe in first, f"{probe} not early enough: {first}"
+
+
+def test_wrap_oracle_sql_generation():
+    """Pure-string checks of the oracle-side canon wrapper."""
+    from datapipelines_python_spark.canon import wrap_oracle
+
+    assert wrap_oracle("SELECT 1 AS a", {}) == "SELECT 1 AS a"  # no-op
+    sql = wrap_oracle("SELECT d, x FROM t", {"d": "date", "x": "decimal"})
+    assert sql.startswith("SELECT * REPLACE (")
+    assert 'CAST("d" AS VARCHAR) AS "d"' in sql
+    assert 'CAST("x" AS DOUBLE) AS "x"' in sql
+    assert sql.rstrip().endswith("__canon")
+    # embedded quotes in column names are escaped, not injected
+    weird = wrap_oracle("SELECT 1", {'a"b': "date"})
+    assert 'CAST("a""b" AS VARCHAR) AS "a""b"' in weird
+
+
+def test_wrap_oracle_executes_in_duckdb():
+    import duckdb
+
+    from datapipelines_python_spark.canon import wrap_oracle
+
+    sql = wrap_oracle(
+        "SELECT DATE '2024-03-15' AS d, CAST(1.5 AS DECIMAL(10,2)) AS x",
+        {"d": "date", "x": "decimal"},
+    )
+    row = duckdb.sql(sql).fetchall()[0]
+    assert row == ("2024-03-15", 1.5)
+    assert isinstance(row[0], str) and isinstance(row[1], float)
