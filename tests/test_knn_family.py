@@ -88,3 +88,30 @@ def test_mutual_edges_symmetric_undirected(spark):
     # every edge's endpoints are real vec_ids
     ids = load_table(spark, SF, "embeddings").select(F.col("vec_id").alias("u"))
     assert edges.join(ids, "u", "left_anti").count() == 0
+
+
+def test_ann_mode_recall_measured(spark):
+    """Pin the documented ANN trade: banded sign-LSH candidates on these
+    ISOTROPIC fixtures recover a meaningful but partial fraction of the
+    exact top-5 (the docstring's ~1/3 claim). Deterministic, so a band is
+    assertable; a real clustered corpus would sit far higher."""
+    exact = _cosine_pairs(spark, SF)
+    w = __import__("pyspark.sql.window", fromlist=["Window"]).Window
+    top5 = lambda df: (  # noqa: E731
+        df.withColumn(
+            "rn",
+            F.row_number().over(w.partitionBy("u").orderBy(F.desc("c"), F.asc("v"))),
+        )
+        .filter(F.col("rn") <= 5)
+        .select("u", "v")
+    )
+    exact5 = top5(exact)
+    os.environ["SPARK_GRAFT_KNN_CANDIDATES"] = "ann"
+    try:
+        ann5 = top5(_cosine_pairs(spark, SF))
+    finally:
+        del os.environ["SPARK_GRAFT_KNN_CANDIDATES"]
+    n_exact = exact5.count()
+    n_hit = exact5.join(ann5, ["u", "v"]).count()
+    recall = n_hit / n_exact
+    assert 0.15 <= recall < 1.0, f"ann top-5 recall {recall:.3f} out of expected band"
