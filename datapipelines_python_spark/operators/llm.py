@@ -3053,3 +3053,103 @@ def llm_corpus_health(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("type_token_ratio"),
         round4(F.col("lang_entropy")).alias("lang_entropy_bits"),
     )
+
+
+@query(
+    "llm_rouge_pairs",
+    oracle=f"""
+        WITH docs AS (
+            SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS toks
+            FROM documents
+        ),
+        paired AS (
+            SELECT doc_id AS cand_id,
+                   LEAD(doc_id) OVER w AS ref_id,
+                   toks AS c,
+                   LEAD(toks) OVER w AS r
+            FROM docs
+            WINDOW w AS (PARTITION BY lang ORDER BY doc_id)
+        ),
+        live AS (SELECT * FROM paired WHERE ref_id IS NOT NULL),
+        big AS (
+            SELECT cand_id, ref_id,
+                   c, r,
+                   [c[i] || ' ' || c[i+1] FOR i IN RANGE(1, LEN(c))] AS c2,
+                   [r[i] || ' ' || r[i+1] FOR i IN RANGE(1, LEN(r))] AS r2
+            FROM live
+        ),
+        m AS (
+            SELECT cand_id, ref_id,
+                   CAST(LEN(c) AS BIGINT) AS len_c,
+                   CAST(LEN(r) AS BIGINT) AS len_r,
+                   CAST(LIST_SUM([LEAST(LEN(LIST_FILTER(c, x -> x = t)),
+                                        LEN(LIST_FILTER(r, x -> x = t)))
+                                  FOR t IN LIST_DISTINCT(c)]) AS BIGINT) AS m1,
+                   CAST(COALESCE(LIST_SUM(
+                        [LEAST(LEN(LIST_FILTER(c2, x -> x = t)),
+                               LEN(LIST_FILTER(r2, x -> x = t)))
+                         FOR t IN LIST_DISTINCT(c2)]), 0) AS BIGINT) AS m2
+            FROM big
+        )
+        SELECT cand_id, ref_id, len_c, len_r, m1, m2,
+               {sql_round4('CAST(m1 AS DOUBLE) / len_r')} AS rouge1_recall,
+               {sql_round4('CAST(m1 AS DOUBLE) / len_c')} AS rouge1_precision,
+               {sql_round4('CASE WHEN m2 = 0 THEN 0.0 ELSE CAST(m2 AS DOUBLE) / (len_r - 1) END')}
+                   AS rouge2_recall
+        FROM m
+    """,
+    tags=("llm", "text", "eval"),
+)
+def llm_rouge_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """ROUGE-1/2 overlap scores between adjacent same-language documents
+    (cand -> next doc as pseudo-reference, the same deterministic pairing
+    as ``llm_bleu_pairs``): clipped n-gram matches / reference length
+    (recall — ROUGE's defining direction) plus unigram precision.
+
+    Scale shape — deliberately different from BLEU's: the clipped
+    multiset intersection is computed ARRAY-LOCALLY per pair
+    (Σ_t min(cnt_c(t), cnt_r(t)) as a fold over the candidate's distinct
+    tokens), so after the one pairing window there is NO n-gram explode,
+    no n-gram join, and no shuffle at all — O(u·len) work per row with u
+    = distinct tokens. For fixture-sized docs this beats the
+    explode-join; for book-length documents the explode-join (BLEU's
+    shape) wins — the pair of ops documents the crossover."""
+    d = load_table(spark, sf, "documents")
+    docs = d.select("doc_id", "lang", F.split("text", " ").alias("toks"))
+    from pyspark.sql.window import Window as W_
+
+    w = W_.partitionBy("lang").orderBy("doc_id")
+    paired = docs.select(
+        F.col("doc_id").alias("cand_id"),
+        F.lead("doc_id").over(w).alias("ref_id"),
+        F.col("toks").alias("c"),
+        F.lead("toks").over(w).alias("r"),
+    ).filter(F.col("ref_id").isNotNull())
+    bigrams = (
+        "transform(sequence(1, size({a}) - 1), i -> {a}[i-1] || ' ' || {a}[i])"
+    )
+    big = paired.select(
+        "cand_id", "ref_id", "c", "r",
+        F.expr(bigrams.format(a="c")).alias("c2"),
+        F.expr(bigrams.format(a="r")).alias("r2"),
+    )
+    clip = (
+        "aggregate(array_distinct({c}), 0L, (acc, t) -> acc +"
+        " least(size(filter({c}, x -> x = t)), size(filter({r}, x -> x = t))))"
+    )
+    m = big.select(
+        "cand_id", "ref_id",
+        F.size("c").cast("bigint").alias("len_c"),
+        F.size("r").cast("bigint").alias("len_r"),
+        F.expr(clip.format(c="c", r="r")).cast("bigint").alias("m1"),
+        F.expr(clip.format(c="c2", r="r2")).cast("bigint").alias("m2"),
+    )
+    m1d, m2d = F.col("m1").cast("double"), F.col("m2").cast("double")
+    return m.select(
+        "cand_id", "ref_id", "len_c", "len_r", "m1", "m2",
+        round4(m1d / F.col("len_r")).alias("rouge1_recall"),
+        round4(m1d / F.col("len_c")).alias("rouge1_precision"),
+        round4(
+            F.when(F.col("m2") == 0, F.lit(0.0)).otherwise(m2d / (F.col("len_r") - 1))
+        ).alias("rouge2_recall"),
+    )
