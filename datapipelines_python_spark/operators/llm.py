@@ -3125,8 +3125,12 @@ def llm_rouge_pairs(spark: SparkSession, sf: str) -> DataFrame:
         F.col("toks").alias("c"),
         F.lead("toks").over(w).alias("r"),
     ).filter(F.col("ref_id").isNotNull())
+    # zip_with over offset slices, not sequence(1, size-1): for a
+    # single-token doc the sequence form yields a DESCENDING [1,0] and an
+    # out-of-bounds index (ANSI error); slice(_, 2, 0) is just empty
     bigrams = (
-        "transform(sequence(1, size({a}) - 1), i -> {a}[i-1] || ' ' || {a}[i])"
+        "zip_with(slice({a}, 1, size({a}) - 1), slice({a}, 2, size({a}) - 1),"
+        " (x, y) -> concat(x, ' ', y))"
     )
     big = paired.select(
         "cand_id", "ref_id", "c", "r",

@@ -43,7 +43,6 @@ class QuerySpec:
     tags: tuple[str, ...] = field(default_factory=tuple)
     bench: bool = False  # include in bench.py headline set
     raw_fn: QueryFn | None = None  # pre-canonicalization plan (for snapshot gen)
-    raw_oracle: str | None = None
     canonicalized: bool = True  # False only for diag_probe_* canonicalizer probes
 
 
@@ -95,7 +94,6 @@ def query(
             tags=tags,
             bench=bench,
             raw_fn=fn,
-            raw_oracle=oracle,
             canonicalized=canonicalize,
         )
         return fn
@@ -110,10 +108,15 @@ def _ensure_loaded() -> None:
     # flag set BEFORE the loop: each module import re-enters this function
     # via operators/__init__.py; the guard makes those re-entries no-ops so
     # the canonical _OPERATOR_MODULES order wins no matter which module was
-    # imported first.
+    # imported first. Reset on failure so a broken module import re-raises
+    # on every call instead of leaving a silently truncated registry.
     _LOADED = True
-    for mod in _OPERATOR_MODULES:
-        importlib.import_module(mod)
+    try:
+        for mod in _OPERATOR_MODULES:
+            importlib.import_module(mod)
+    except BaseException:
+        _LOADED = False
+        raise
 
 
 def get_registry() -> dict[str, QuerySpec]:

@@ -31,22 +31,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import types as T
 
 from datapipelines_python_spark import get_registry, get_spark
-
-RISKY = {
-    T.DecimalType: "decimal",
-    T.DateType: "date",
-    T.ArrayType: "array",
-    T.MapType: "map",
-    T.StructType: "struct",
-}
+from datapipelines_python_spark.canon import FORBIDDEN_TYPES
 
 
 def risky_fields(schema: T.StructType) -> list[tuple[str, str]]:
     out = []
     for f in schema.fields:
-        for cls, label in RISKY.items():
+        for cls in FORBIDDEN_TYPES:
             if isinstance(f.dataType, cls):
-                out.append((f.name, label))
+                out.append((f.name, cls.__name__.removesuffix("Type").lower()))
                 break
     return out
 

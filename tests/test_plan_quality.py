@@ -524,9 +524,11 @@ def test_exists_correlated_decorrelates_to_semi_anti(spark, registry):
 def test_limit_offset_is_global_limit_not_collect(spark, registry):
     plan = _plan(spark, registry, "sort_limit_offset")
     # offset+limit must run as a global-limit over the sort (executors cut
-    # rows); TakeOrderedAndProject is the fused form Spark picks here
+    # rows); TakeOrderedAndProject is the fused form Spark picks here, and
+    # the offset must actually be in the plan (limit=150, offset=100), not
+    # silently dropped
     assert "TakeOrderedAndProject" in plan or "GlobalLimit" in plan
-    assert "offset=100" in plan or "GlobalLimitExec" in plan or "TakeOrderedAndProject" in plan
+    assert "offset=100" in plan
 
 
 def test_stack_generator_is_shuffle_free(spark, registry):

@@ -20,12 +20,12 @@ import pytest
 from pyspark.sql import types as T
 
 from datapipelines_python_spark import get_registry
-from datapipelines_python_spark.canon import risky_cols
+from datapipelines_python_spark.canon import FORBIDDEN_TYPES, canonicalize_df, risky_cols
 from datapipelines_python_spark.canon_snapshot import CANON_COLS
 
 SF = "/root/testdata/sf0.001"
 
-FORBIDDEN = (T.DecimalType, T.DateType, T.ArrayType, T.MapType, T.StructType)
+FORBIDDEN = FORBIDDEN_TYPES  # single source of truth in canon.py
 
 
 def _registry_items():
@@ -34,10 +34,14 @@ def _registry_items():
 
 @pytest.fixture(scope="module")
 def schemas(spark):
-    """Canonicalized + raw output schema per op, built once for the module."""
+    """Canonicalized + raw output schema per op. Each plan is built ONCE
+    (spec.fn would rebuild raw_fn internally — and re-run connector ops'
+    writes); the canonical schema is derived from the raw plan."""
     out = {}
     for name, spec in _registry_items():
-        out[name] = (spec.fn(spark, SF).schema, spec.raw_fn(spark, SF).schema, spec)
+        raw = spec.raw_fn(spark, SF)
+        canon_schema = canonicalize_df(raw).schema if spec.canonicalized else raw.schema
+        out[name] = (canon_schema, raw.schema, spec)
     return out
 
 
