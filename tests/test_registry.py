@@ -61,3 +61,17 @@ def test_registry_covers_survey_categories():
 
 def test_bench_flagged_subset_exists():
     assert sum(1 for s in get_registry().values() if s.bench) >= 5
+
+
+def test_operator_index_up_to_date():
+    """OPERATORS.md is generated; its row count must match the live
+    registry (regen with scripts/gen_operator_index.py)."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "OPERATORS.md")
+    with open(path) as f:
+        rows = sum(1 for line in f if line.startswith("| `"))
+    assert rows == len(get_registry()), (
+        f"OPERATORS.md has {rows} rows vs {len(get_registry())} registered ops — "
+        "run: python scripts/gen_operator_index.py"
+    )
