@@ -5208,16 +5208,21 @@ def llm_rank_aggregation_borda(spark: SparkSession, sf: str) -> DataFrame:
         )
         SELECT tp, fp, fn, tn,
                {sql_round4(
-                   '(CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)'
+                   'CASE WHEN (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn) = 0'
+                   ' THEN 0.0 ELSE'
+                   ' (CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)'
                    ' / SQRT((CAST(tp AS DOUBLE) + fp) * (CAST(tp AS DOUBLE) + fn)'
-                   '        * (CAST(tn AS DOUBLE) + fp) * (CAST(tn AS DOUBLE) + fn))'
+                   '        * (CAST(tn AS DOUBLE) + fp) * (CAST(tn AS DOUBLE) + fn)) END'
                )} AS mcc,
                {sql_round4(
-                   '5.0 * tp / (5.0 * tp + 4.0 * fn + fp)'
+                   'CASE WHEN 5.0 * tp + 4.0 * fn + fp = 0 THEN 0.0'
+                   ' ELSE 5.0 * tp / (5.0 * tp + 4.0 * fn + fp) END'
                )} AS f2_score,
                {sql_round4(
-                   '0.5 * (CAST(tp AS DOUBLE) / (tp + fn)'
-                   '       + CAST(tn AS DOUBLE) / (tn + fp))'
+                   '0.5 * (CASE WHEN tp + fn = 0 THEN 0.0'
+                   '        ELSE CAST(tp AS DOUBLE) / (tp + fn) END'
+                   '       + CASE WHEN tn + fp = 0 THEN 0.0'
+                   '         ELSE CAST(tn AS DOUBLE) / (tn + fp) END)'
                )} AS balanced_accuracy
         FROM cells
     """,
@@ -5246,16 +5251,22 @@ def ml_mcc_fbeta(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.when(is_tn, 1).otherwise(0)).cast("bigint").alias("tn"),
     )
     tp, fp, fn_, tn = (F.col(c).cast("double") for c in ("tp", "fp", "fn", "tn"))
-    mcc = (tp * tn - fp * fn_) / F.sqrt(
-        (tp + fp) * (tp + fn_) * (tn + fp) * (tn + fn_)
+    # empty-marginal guards (standard conventions: MCC/recall terms -> 0),
+    # found by the sf0.1 sweep where a confusion marginal IS empty and
+    # ANSI mode turns the division into an error, not a NaN
+    mcc_denom = (tp + fp) * (tp + fn_) * (tn + fp) * (tn + fn_)
+    mcc = F.when(mcc_denom == 0, F.lit(0.0)).otherwise(
+        (tp * tn - fp * fn_) / F.sqrt(mcc_denom)
     )
+    f2_denom = 5.0 * tp + 4.0 * fn_ + fp
+    f2 = F.when(f2_denom == 0, F.lit(0.0)).otherwise(5.0 * tp / f2_denom)
+    tpr = F.when(tp + fn_ == 0, F.lit(0.0)).otherwise(tp / (tp + fn_))
+    tnr = F.when(tn + fp == 0, F.lit(0.0)).otherwise(tn / (tn + fp))
     return cells.select(
         "tp", "fp", "fn", "tn",
         round4(mcc).alias("mcc"),
-        round4(5.0 * tp / (5.0 * tp + 4.0 * fn_ + fp)).alias("f2_score"),
-        round4(0.5 * (tp / (tp + fn_) + tn / (tn + fp))).alias(
-            "balanced_accuracy"
-        ),
+        round4(f2).alias("f2_score"),
+        round4(0.5 * (tpr + tnr)).alias("balanced_accuracy"),
     )
 
 

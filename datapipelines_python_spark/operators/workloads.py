@@ -9883,10 +9883,13 @@ def workload_session_gap_sweep(spark: SparkSession, sf: str) -> DataFrame:
     naive sweep) costs 4 extra scans this op provably doesn't need."""
     e = load_table(spark, sf, "events")
     wl = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # whole-second gaps (timestamp -> epoch-second truncation), matching
+    # the oracle's date_diff('second', ...) boundary-count semantics — a
+    # fractional-second gap landing exactly on a threshold diverged at
+    # sf0.1 when this used cast(double)
     gaps = e.select(
         (
-            F.col("ts").cast("double")
-            - F.lag(F.col("ts")).over(wl).cast("double")
+            F.col("ts").cast("long") - F.lag(F.col("ts")).over(wl).cast("long")
         ).alias("gap_s")
     )
     counts = gaps.agg(
