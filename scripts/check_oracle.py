@@ -116,12 +116,21 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
     ap.add_argument("--only", default=None)
+    ap.add_argument(
+        "--sample", type=int, default=None,
+        help="check a random sample of N operators (seeded; see --seed)",
+    )
+    ap.add_argument("--seed", type=int, default=0, help="sample seed")
     args = ap.parse_args()
 
     registry = get_registry()
     names = list(registry)
     if args.only:
         names = [n for n in args.only.split(",") if n]
+    if args.sample is not None:
+        import random
+
+        names = sorted(random.Random(args.seed).sample(names, min(args.sample, len(names))))
 
     spark = get_spark("oracle-check")
     con = duck_connect(args.sf)
