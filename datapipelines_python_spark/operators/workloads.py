@@ -11609,3 +11609,74 @@ def workload_quarantine_split(spark: SparkSession, sf: str) -> DataFrame:
             F.max("event_id").cast("bigint").alias("last_event"),
         )
     )
+
+
+@query(
+    "workload_sequence_pattern",
+    oracle=f"""
+        WITH seq AS (
+            SELECT user_id,
+                   STRING_AGG(CASE event_type WHEN 'view' THEN 'v'
+                                   WHEN 'click' THEN 'c'
+                                   WHEN 'purchase' THEN 'p'
+                                   WHEN 'signup' THEN 's'
+                                   ELSE 'e' END, ''
+                              ORDER BY ts, event_id) AS s
+            FROM events
+            GROUP BY user_id
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(CASE WHEN regexp_matches(s, 'v.*c.*p') THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_view_click_purchase,
+               CAST(SUM(CASE WHEN regexp_matches(s, 'vc*p') THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_strict_funnel,
+               CAST(SUM(CASE WHEN regexp_matches(s, 'p.*e') THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_purchase_then_error,
+               CAST(SUM(CASE WHEN NOT regexp_matches(s, 'p') THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_never_purchased,
+               {sql_round4("CAST(SUM(CASE WHEN regexp_matches(s, 'v.*c.*p') THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)")}
+                   AS vcp_rate
+        FROM seq
+    """,
+    tags=("workload", "sequence", "pattern"),
+)
+def workload_sequence_pattern(spark: SparkSession, sf: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequential pattern detection, relationally:
+    each user's ordered event history is collapsed to a one-char-per-event
+    symbol string (collect_list over a (ts, event_id)-ordered window →
+    deterministic), and row-pattern queries become plain REGEXES on that
+    string — subsequence funnels (``v.*c.*p``), strict adjacency
+    (``vc*p``), negative patterns (never purchased). This is the standard
+    Spark answer to SQL:2016 row-pattern matching (which Spark lacks):
+    one shuffle by user, then per-user strings scanned by the JVM regex
+    engine — no iterative joins, no UDAF state machine. At 100 TB the
+    symbol string is bounded by events-per-user (cap with slice() for
+    pathological actors); patterns stay POSIX-portable so the oracle
+    replays them verbatim."""
+    e = load_table(spark, sf, "events")
+    sym = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("e")
+    )
+    wl = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # collect_list over the ordered window (rows unbounded-to-current at
+    # the last row == full ordered history); max() keeps the longest
+    seq = (
+        e.select("user_id", "ts", "event_id", sym.alias("sym"))
+        .withColumn("s_run", F.concat_ws("", F.collect_list("sym").over(wl)))
+        .groupBy("user_id")
+        .agg(F.max("s_run").alias("s"))
+    )
+    hit = lambda pat: F.sum(F.when(F.col("s").rlike(pat), 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return seq.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        hit("v.*c.*p").alias("n_view_click_purchase"),
+        hit("vc*p").alias("n_strict_funnel"),
+        hit("p.*e").alias("n_purchase_then_error"),
+        F.sum(F.when(~F.col("s").rlike("p"), 1).otherwise(0)).cast("bigint")
+        .alias("n_never_purchased"),
+        round4(hit("v.*c.*p").cast("double") / F.count(F.lit(1))).alias("vcp_rate"),
+    )
