@@ -5208,7 +5208,8 @@ def llm_rank_aggregation_borda(spark: SparkSession, sf: str) -> DataFrame:
         )
         SELECT tp, fp, fn, tn,
                {sql_round4(
-                   'CASE WHEN (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn) = 0'
+                   'CASE WHEN (CAST(tp AS DOUBLE) + fp) * (CAST(tp AS DOUBLE) + fn)'
+                   '      * (CAST(tn AS DOUBLE) + fp) * (CAST(tn AS DOUBLE) + fn) = 0'
                    ' THEN 0.0 ELSE'
                    ' (CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)'
                    ' / SQRT((CAST(tp AS DOUBLE) + fp) * (CAST(tp AS DOUBLE) + fn)'

@@ -11661,14 +11661,18 @@ def workload_sequence_pattern(spark: SparkSession, sf: str) -> DataFrame:
         .when(F.col("event_type") == "signup", "s")
         .otherwise("e")
     )
-    wl = W.partitionBy("user_id").orderBy("ts", "event_id")
-    # collect_list over the ordered window (rows unbounded-to-current at
-    # the last row == full ordered history); max() keeps the longest
+    # one ordered string per user in O(k): collect (ts, event_id, sym)
+    # structs, sort array-locally, project the symbols — the repo's
+    # standard ordered-collect shape (a cumulative window would carry
+    # O(k²) prefix strings through the shuffle)
     seq = (
-        e.select("user_id", "ts", "event_id", sym.alias("sym"))
-        .withColumn("s_run", F.concat_ws("", F.collect_list("sym").over(wl)))
+        e.select("user_id", F.struct("ts", "event_id", sym.alias("sym")).alias("ev"))
         .groupBy("user_id")
-        .agg(F.max("s_run").alias("s"))
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("ev")), lambda x: x["sym"]), ""
+            ).alias("s")
+        )
     )
     hit = lambda pat: F.sum(F.when(F.col("s").rlike(pat), 1).otherwise(0)).cast("bigint")  # noqa: E731
     return seq.agg(

@@ -68,10 +68,17 @@ def test_operator_index_up_to_date():
     registry (regen with scripts/gen_operator_index.py)."""
     import os
 
+    import re
+
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "OPERATORS.md")
     with open(path) as f:
-        rows = sum(1 for line in f if line.startswith("| `"))
-    assert rows == len(get_registry()), (
-        f"OPERATORS.md has {rows} rows vs {len(get_registry())} registered ops — "
-        "run: python scripts/gen_operator_index.py"
+        indexed = {
+            m.group(1)
+            for line in f
+            if line.startswith("| `") and (m := re.match(r"\| `([a-z0-9_]+)` \|", line))
+        }
+    live = set(get_registry())
+    assert indexed == live, (
+        f"OPERATORS.md out of date (missing={sorted(live - indexed)[:5]}, "
+        f"stale={sorted(indexed - live)[:5]}) — run: python scripts/gen_operator_index.py"
     )
