@@ -545,3 +545,29 @@ def test_knn_pair_table_windows_after_single_join(spark, registry):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Window") >= 1
     assert "CartesianProduct" not in plan  # join carries the != predicate
+
+
+def test_table_checksum_is_partial_aggregated_single_pass(spark, registry):
+    plan = _plan(spark, registry, "workload_table_checksum")
+    # map-side combine before the singleton exchange: the fingerprint must
+    # reduce on executors, or the "compare two 100 TB tables with one
+    # number" claim dies in a single-reducer sum
+    assert "partial_" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sequence_pattern_collects_once_per_user(spark, registry):
+    plan = _plan(spark, registry, "workload_sequence_pattern")
+    # one user-keyed aggregation (ObjectHashAggregate for collect_list) +
+    # one final singleton agg - no window, which would carry O(k^2)
+    # cumulative prefix strings through the shuffle
+    assert "Window" not in plan
+    assert plan.count("Exchange") <= 2
+
+
+def test_mm_decode_is_shuffle_free_arrow_batch(spark, registry):
+    for name in ("mm_decode_image_ppm", "mm_decode_audio_wav"):
+        plan = _plan(spark, registry, name)
+        # encode->Arrow->decode is a pure per-partition map
+        assert "MapInPandas" in plan, name
+        assert "Exchange" not in plan, name
