@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from datapipelines_python_spark.catalog import load_table
-from datapipelines_python_spark.operators._helpers import dsum, sql_dsum
+from datapipelines_python_spark.operators._helpers import dsum, round4, sql_dsum, sql_round4
 from datapipelines_python_spark.registry import query
 
 
@@ -1117,4 +1117,130 @@ def join_exists_correlated(spark: SparkSession, sf: str) -> DataFrame:
         FROM customer c
         GROUP BY c_mktsegment
         """
+    )
+
+
+@query(
+    "join_geo_bucketed",
+    oracle=f"""
+        WITH pts AS (
+            SELECT c_custkey,
+                   ('0x' || SUBSTRING(MD5(CAST(c_custkey AS VARCHAR) || ':lat'), 1, 8))::BIGINT
+                       % 120000 / 1000.0 - 60.0 AS lat,
+                   ('0x' || SUBSTRING(MD5(CAST(c_custkey AS VARCHAR) || ':lon'), 1, 8))::BIGINT
+                       % 360000 / 1000.0 - 180.0 AS lon
+            FROM customer
+        ),
+        stores AS (SELECT * FROM pts WHERE c_custkey % 100 = 0),
+        pairs AS (
+            SELECT s.c_custkey AS store_id,
+                   6371.0 * 2 * ASIN(SQRT(
+                       POW(SIN(RADIANS(u.lat - s.lat) / 2), 2)
+                       + COS(RADIANS(s.lat)) * COS(RADIANS(u.lat))
+                         * POW(SIN(RADIANS(u.lon - s.lon) / 2), 2)
+                   )) AS d_km
+            FROM stores s JOIN pts u ON u.c_custkey <> s.c_custkey
+        )
+        SELECT store_id,
+               CAST(COUNT(CASE WHEN d_km <= 50.0 THEN 1 END) AS BIGINT)
+                   AS n_within_50km,
+               {sql_round4('MIN(d_km)')} AS nearest_km
+        FROM pairs
+        GROUP BY store_id
+    """,
+    tags=("join", "geo", "spatial"),
+)
+def join_geo_bucketed(spark: SparkSession, sf: str) -> DataFrame:
+    """Geo radius join via LOSSLESS grid blocking — the canonical spatial
+    join at scale. Points are derived deterministically from customer keys
+    (md5 → lat ∈ [-60, 60), lon ∈ [-180, 180), same hash both engines);
+    each store explodes into its 3×3 neighborhood of 1° grid cells and the
+    user side joins on its own cell — 1° latitude ≈ 111 km and 1°
+    longitude ≥ 55 km at |lat| ≤ 60°, both > the 50 km radius, so every
+    true neighbor shares one of the 9 cells (no recall loss), and the
+    equi-join on cell replaces the all-pairs product. Exact haversine
+    re-scores candidates; nearest_km is computed over ALL pairs (not just
+    in-radius) so the oracle replays the unblocked formulation and any
+    blocking recall loss in the candidate set would *also* surface as a
+    wrong nearest distance... except nearest-overall needs the full pair
+    set, so that column alone rides a separate per-store top-1 over the
+    unblocked broadcast join of the tiny store table — the two-track shape
+    (blocked candidates for the radius count, broadcast for the global
+    argmin) documents where each tool applies."""
+    c = load_table(spark, sf, "customer").select("c_custkey")
+
+    def coord(salt: str, span: int, shift: float):
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.col("c_custkey").cast("string"), F.lit(salt))), 1, 8),
+            16, 10,
+        ).cast("bigint")
+        return (h % span) / 1000.0 - shift
+
+    pts = c.select(
+        "c_custkey",
+        coord(":lat", 120000, 60.0).alias("lat"),
+        coord(":lon", 360000, 180.0).alias("lon"),
+    )
+    stores = pts.filter(F.col("c_custkey") % 100 == 0)
+
+    def hav(slat, slon, ulat, ulon):
+        dlat = F.radians(ulat - slat) / 2
+        dlon = F.radians(ulon - slon) / 2
+        a = F.sin(dlat) ** 2 + F.cos(F.radians(slat)) * F.cos(F.radians(ulat)) * F.sin(dlon) ** 2
+        return 6371.0 * 2 * F.asin(F.sqrt(a))
+
+    # blocked track: 3x3 cell neighborhood on the store side, cell equi-join
+    cell = lambda col: F.floor(col).cast("int")  # noqa: E731
+    s_cells = stores.select(
+        F.col("c_custkey").alias("store_id"),
+        F.col("lat").alias("slat"),
+        F.col("lon").alias("slon"),
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(-1, 1), dy ->"
+                " transform(sequence(-1, 1), dx ->"
+                " struct(CAST(floor(lat) + dy AS INT) AS cy,"
+                "        CAST(floor(lon) + dx AS INT) AS cx))))"
+            )
+        ).alias("cell"),
+    ).select("store_id", "slat", "slon", F.col("cell.cy").alias("cy"), F.col("cell.cx").alias("cx"))
+    u_cells = pts.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("lat").alias("ulat"),
+        F.col("lon").alias("ulon"),
+        cell(F.col("lat")).alias("cy"),
+        cell(F.col("lon")).alias("cx"),
+    )
+    within = (
+        s_cells.join(u_cells, ["cy", "cx"])
+        .filter(F.col("user_id") != F.col("store_id"))
+        .select(
+            "store_id",
+            hav(F.col("slat"), F.col("slon"), F.col("ulat"), F.col("ulon")).alias("d_km"),
+        )
+        .filter(F.col("d_km") <= 50.0)
+        .groupBy("store_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_within_50km"))
+    )
+    # global-argmin track: tiny store table broadcast against all points
+    nearest = (
+        pts.join(F.broadcast(stores.select(
+            F.col("c_custkey").alias("store_id"),
+            F.col("lat").alias("slat"),
+            F.col("lon").alias("slon"),
+        )), F.col("c_custkey") != F.col("store_id"))
+        .select(
+            "store_id",
+            hav(F.col("slat"), F.col("slon"), F.col("lat"), F.col("lon")).alias("d_km"),
+        )
+        .groupBy("store_id")
+        .agg(round4(F.min("d_km")).alias("nearest_km"))
+    )
+    return (
+        nearest.join(within, "store_id", "left")
+        .select(
+            "store_id",
+            F.coalesce(F.col("n_within_50km"), F.lit(0).cast("bigint")).alias("n_within_50km"),
+            "nearest_km",
+        )
     )
