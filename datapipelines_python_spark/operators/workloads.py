@@ -11684,3 +11684,80 @@ def workload_sequence_pattern(spark: SparkSession, sf: str) -> DataFrame:
         .alias("n_never_purchased"),
         round4(hit("v.*c.*p").cast("double") / F.count(F.lit(1))).alias("vcp_rate"),
     )
+
+
+@query(
+    "workload_ip_cidr_rollup",
+    oracle="""
+        WITH ips AS (
+            SELECT event_id,
+                   ('0x' || SUBSTRING(MD5(CAST(user_id AS VARCHAR) || ':ip'), 1, 8))::BIGINT
+                       % 4294967296 AS ip,
+                   value
+            FROM events
+        ),
+        tagged AS (
+            SELECT event_id, ip, value,
+                   ip // 16777216 AS oct1,
+                   ip // 65536 AS net16,
+                   CASE WHEN ip // 16777216 = 10 THEN 'private_10'
+                        WHEN ip // 16777216 = 127 THEN 'loopback'
+                        WHEN ip // 4194304 = 43 THEN 'private_172_16'
+                        WHEN ip // 65536 = 49320 THEN 'private_192_168'
+                        ELSE 'public' END AS ip_class
+            FROM ips
+        )
+        SELECT ip_class,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT ip) AS BIGINT) AS n_ips,
+               CAST(COUNT(DISTINCT net16) AS BIGINT) AS n_slash16,
+               CAST(MIN(oct1) AS BIGINT) AS min_oct1,
+               CAST(MAX(oct1) AS BIGINT) AS max_oct1
+        FROM tagged
+        GROUP BY ip_class
+    """,
+    tags=("workload", "network"),
+)
+def workload_ip_cidr_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Network-telemetry rollup: synthetic IPv4 addresses (md5-derived
+    32-bit ints per user, replayed by the oracle) are classified into
+    CIDR ranges with pure integer division — /8, /12 and /16 prefixes are
+    ``ip div 2^(32-prefix)`` (10.0.0.0/8 → oct1=10; 172.16.0.0/12 →
+    ip div 2^22 = 43; 192.168.0.0/16 → ip div 2^16 = 49320) — then
+    aggregated per class with event and distinct-prefix counts. All
+    integer-exact, zero string parsing in the hot path (the classic trap
+    is regex-splitting dotted quads per row); the prefix arithmetic is
+    what lets 100 TB of flow logs group by network with plain
+    map-side-combinable aggregates."""
+    e = load_table(spark, sf, "events")
+    ip = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":ip"))), 1, 8),
+            16, 10,
+        ).cast("bigint")
+        % F.lit(4294967296)
+    )
+    t = e.select("event_id", ip.alias("ip"), "value").select(
+        "event_id", "ip", "value",
+        (F.col("ip") / 16777216).cast("bigint").alias("oct1"),
+        (F.col("ip") / 65536).cast("bigint").alias("net16"),
+        (F.col("ip") / 4194304).cast("bigint").alias("slash12"),
+    )
+    ip_class = (
+        F.when(F.col("oct1") == 10, "private_10")
+        .when(F.col("oct1") == 127, "loopback")
+        .when(F.col("slash12") == 43, "private_172_16")
+        .when(F.col("net16") == 49320, "private_192_168")
+        .otherwise("public")
+    )
+    return (
+        t.select("event_id", "ip", "oct1", "net16", ip_class.alias("ip_class"))
+        .groupBy("ip_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.count_distinct("ip").cast("bigint").alias("n_ips"),
+            F.count_distinct("net16").cast("bigint").alias("n_slash16"),
+            F.min("oct1").cast("bigint").alias("min_oct1"),
+            F.max("oct1").cast("bigint").alias("max_oct1"),
+        )
+    )
