@@ -11761,3 +11761,152 @@ def workload_ip_cidr_rollup(spark: SparkSession, sf: str) -> DataFrame:
             F.max("oct1").cast("bigint").alias("max_oct1"),
         )
     )
+
+
+@query(
+    "workload_macd_signal",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)
+                       AS close
+            FROM events GROUP BY 1
+        ),
+        idx AS (
+            SELECT day, close,
+                   CAST(ROW_NUMBER() OVER (ORDER BY day) - 1 AS BIGINT) AS i
+            FROM daily
+        ),
+        ema AS (
+            SELECT day, i, close,
+                   SUM(close * POW(11.0/13.0, -i)) OVER w * POW(11.0/13.0, i)
+                     / (SUM(POW(11.0/13.0, -i)) OVER w * POW(11.0/13.0, i)) AS ema12,
+                   SUM(close * POW(25.0/27.0, -i)) OVER w * POW(25.0/27.0, i)
+                     / (SUM(POW(25.0/27.0, -i)) OVER w * POW(25.0/27.0, i)) AS ema26
+            FROM idx
+            WINDOW w AS (ORDER BY i ROWS UNBOUNDED PRECEDING)
+        ),
+        macd AS (SELECT day, i, ema12 - ema26 AS macd FROM ema),
+        sig AS (
+            SELECT day, i, macd,
+                   SUM(macd * POW(0.8, -i)) OVER w * POW(0.8, i)
+                     / (SUM(POW(0.8, -i)) OVER w * POW(0.8, i)) AS signal
+            FROM macd
+            WINDOW w AS (ORDER BY i ROWS UNBOUNDED PRECEDING)
+        )
+        SELECT day,
+               {sql_round4('macd')} AS macd,
+               {sql_round4('signal')} AS signal,
+               {sql_round4('macd - signal')} AS histogram,
+               macd > signal AS bullish
+        FROM sig
+    """,
+    tags=("workload", "timeseries", "finance"),
+)
+def workload_macd_signal(spark: SparkSession, sf: str) -> DataFrame:
+    """MACD (EMA12 − EMA26) + EMA9 signal line + histogram over the daily
+    revenue series — the adjust=True EMA computed EXACTLY in closed form:
+    EMA_i = Σ_j x_j·r^(i-j) / Σ_j r^(i-j) rewritten as cumulative sums of
+    x_j·r^(−j) rescaled by r^i, so one ordered window produces the whole
+    recursive series with no recursion and no UDF. The r^(−j) rescaling is
+    numerically safe at day grain (r^(−35) ≈ 2e2); for year-long series
+    chunk the index or switch to the truncated-lag form
+    (``workload_ewma_smoothing``). Day-grain input means the global window
+    rides a ~30-row frame — the windows-after-aggregation discipline."""
+    e = load_table(spark, sf, "events")
+    daily = e.groupBy(F.col("ts").cast("date").cast("string").alias("day")).agg(
+        dsum(F.col("value")).alias("close")
+    )
+    from pyspark.sql.window import Window as W_
+
+    idx = daily.withColumn(
+        "i", (F.row_number().over(W_.orderBy("day")) - 1).cast("bigint")
+    )
+    wcum = W_.orderBy("i").rowsBetween(W_.unboundedPreceding, W_.currentRow)
+
+    def ema(col, r):
+        num = F.sum(col * F.pow(F.lit(r), -F.col("i"))).over(wcum) * F.pow(F.lit(r), F.col("i"))
+        den = F.sum(F.pow(F.lit(r), -F.col("i"))).over(wcum) * F.pow(F.lit(r), F.col("i"))
+        return num / den
+
+    macd_df = idx.select(
+        "day", "i", (ema(F.col("close"), 11.0 / 13.0) - ema(F.col("close"), 25.0 / 27.0)).alias("macd")
+    )
+    sig = macd_df.select(
+        "day", "macd", ema(F.col("macd"), 0.8).alias("signal")
+    )
+    return sig.select(
+        "day",
+        round4(F.col("macd")).alias("macd"),
+        round4(F.col("signal")).alias("signal"),
+        round4(F.col("macd") - F.col("signal")).alias("histogram"),
+        (F.col("macd") > F.col("signal")).alias("bullish"),
+    )
+
+
+@query(
+    "workload_sharpe_sortino",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)
+                       AS close
+            FROM events GROUP BY 1
+        ),
+        rets AS (
+            SELECT close / LAG(close) OVER (ORDER BY day) - 1.0 AS r
+            FROM daily
+        ),
+        s AS (
+            SELECT CAST(COUNT(r) AS BIGINT) AS n,
+                   AVG(r) AS mu,
+                   STDDEV_SAMP(r) AS sd,
+                   SQRT(AVG(POW(LEAST(r, 0.0), 2))) AS downside
+            FROM rets WHERE r IS NOT NULL
+        )
+        SELECT n,
+               {sql_round4('mu')} AS mean_daily_return,
+               {sql_round4('sd')} AS sd_daily,
+               {sql_round4('downside')} AS downside_dev,
+               {sql_round4('mu / sd * SQRT(365.0)')} AS sharpe_annual,
+               {sql_round4('CASE WHEN downside = 0 THEN 0.0 ELSE mu / downside * SQRT(365.0) END')}
+                   AS sortino_annual
+        FROM s
+    """,
+    tags=("workload", "finance", "risk"),
+)
+def workload_sharpe_sortino(spark: SparkSession, sf: str) -> DataFrame:
+    """Annualized Sharpe and Sortino ratios of the daily revenue-return
+    series: one day-grain aggregation, one lag for simple returns, then
+    four scalar aggregates (mean, sample SD, downside deviation = RMS of
+    negative returns, n). Sortino guards the zero-downside case (a
+    monotone series) to 0 rather than a division error — the same
+    empty-marginal discipline as ``ml_mcc_fbeta``. Everything after the
+    first aggregation runs on ~30 rows; the risk surface of a 100 TB
+    event store costs exactly one scan."""
+    e = load_table(spark, sf, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        dsum(F.col("value")).alias("close")
+    )
+    from pyspark.sql.window import Window as W_
+
+    rets = daily.select(
+        (F.col("close") / F.lag("close").over(W_.orderBy("day")) - 1.0).alias("r")
+    ).filter(F.col("r").isNotNull())
+    s = rets.agg(
+        F.count("r").cast("bigint").alias("n"),
+        F.avg("r").alias("mu"),
+        F.stddev_samp("r").alias("sd"),
+        F.sqrt(F.avg(F.pow(F.least(F.col("r"), F.lit(0.0)), 2))).alias("downside"),
+    )
+    mu, sd, dn = F.col("mu"), F.col("sd"), F.col("downside")
+    return s.select(
+        "n",
+        round4(mu).alias("mean_daily_return"),
+        round4(sd).alias("sd_daily"),
+        round4(dn).alias("downside_dev"),
+        round4(mu / sd * F.sqrt(F.lit(365.0))).alias("sharpe_annual"),
+        round4(
+            F.when(dn == 0, F.lit(0.0)).otherwise(mu / dn * F.sqrt(F.lit(365.0)))
+        ).alias("sortino_annual"),
+    )
