@@ -2639,3 +2639,99 @@ def fn_exists_forall(spark: SparkSession, sf: str) -> DataFrame:
         F.forall("toks", lambda x: F.length(x).between(1, 12)).alias("all_short"),
         F.exists("toks", lambda x: x.endswith("ing")).alias("any_gerund"),
     )
+
+
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+@query(
+    "fn_geohash_encode",
+    oracle=f"""
+        WITH pts AS (
+            SELECT c_custkey,
+                   ('0x' || SUBSTRING(MD5(CAST(c_custkey AS VARCHAR) || ':lat'), 1, 8))::BIGINT
+                       % 120000 / 1000.0 - 60.0 AS lat,
+                   ('0x' || SUBSTRING(MD5(CAST(c_custkey AS VARCHAR) || ':lon'), 1, 8))::BIGINT
+                       % 360000 / 1000.0 - 180.0 AS lon
+            FROM customer
+        ),
+        bits AS (
+            SELECT c_custkey, lat, lon,
+                   CAST(FLOOR((lat + 90.0) / 180.0 * 32768.0) AS BIGINT) AS latb,
+                   CAST(FLOOR((lon + 180.0) / 360.0 * 32768.0) AS BIGINT) AS lonb
+            FROM pts
+        ),
+        inter AS (
+            SELECT c_custkey, lat, lon,
+                   LIST_SUM([((lonb >> k) & 1) * POW(2, 2*k + 1)::BIGINT
+                             + ((latb >> k) & 1) * POW(2, 2*k)::BIGINT
+                             FOR k IN RANGE(0, 15)]) AS v
+            FROM bits
+        )
+        SELECT c_custkey,
+               FLOOR(lat * 10000.0 + 0.5) / 10000.0 AS lat,
+               FLOOR(lon * 10000.0 + 0.5) / 10000.0 AS lon,
+               ARRAY_TO_STRING([SUBSTRING('{_GEOHASH32}',
+                                CAST(((CAST(v AS BIGINT) >> (5 * (5 - j))) & 31) + 1 AS INT), 1)
+                                FOR j IN RANGE(0, 6)], '') AS geohash6,
+               ARRAY_TO_STRING([SUBSTRING('{_GEOHASH32}',
+                                CAST(((CAST(v AS BIGINT) >> (5 * (5 - j))) & 31) + 1 AS INT), 1)
+                                FOR j IN RANGE(0, 3)], '') AS geohash3
+        FROM inter
+    """,
+    tags=("fn", "geo"),
+)
+def fn_geohash_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """Real geohash encoding (6 chars = 30 bits) from first principles:
+    quantize lat/lon to 15 bisection bits each, interleave (lon bit takes
+    the even-from-MSB position, per the geohash spec), then emit base-32
+    chars from the standard alphabet — ALL pure integer bit math
+    (shift/and/multiply), no UDF, no library, bit-identical across
+    engines. Geohash prefixes are the textbook spatial bucketing key
+    (equal prefix ⇒ nearby, modulo the boundary caveat ``join_geo_
+    bucketed``'s 3×3 neighborhood solves properly): groupBy(geohash3) is
+    a ~150 km-cell rollup of a 100 TB point table with a plain string
+    key. Coordinates derive from the same md5 scheme as the geo join, so
+    the oracle replays everything."""
+    c = load_table(spark, sf, "customer").select("c_custkey")
+
+    def coord(salt: str, span: int, shift: float):
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.col("c_custkey").cast("string"), F.lit(salt))), 1, 8),
+            16, 10,
+        ).cast("bigint")
+        return (h % span) / 1000.0 - shift
+
+    pts = c.select(
+        "c_custkey",
+        coord(":lat", 120000, 60.0).alias("lat"),
+        coord(":lon", 360000, 180.0).alias("lon"),
+    )
+    bits = pts.select(
+        "c_custkey", "lat", "lon",
+        F.floor((F.col("lat") + 90.0) / 180.0 * 32768.0).cast("bigint").alias("latb"),
+        F.floor((F.col("lon") + 180.0) / 360.0 * 32768.0).cast("bigint").alias("lonb"),
+    )
+    inter = bits.withColumn(
+        "v",
+        F.expr(
+            "aggregate(sequence(0, 14), 0L, (acc, k) -> acc"
+            " + shiftleft(shiftright(lonb, k) & 1, 2*k + 1)"
+            " + shiftleft(shiftright(latb, k) & 1, 2*k))"
+        ),
+    )
+
+    def gh(n_chars: int):
+        return F.expr(
+            "array_join(transform(sequence(0, {n} - 1), j -> "
+            "substring('{a}', CAST((shiftright(v, 5 * (5 - j)) & 31) + 1 AS INT), 1)), '')"
+            .format(n=n_chars, a=_GEOHASH32)
+        )
+
+    return inter.select(
+        "c_custkey",
+        round4(F.col("lat")).alias("lat"),
+        round4(F.col("lon")).alias("lon"),
+        gh(6).alias("geohash6"),
+        gh(3).alias("geohash3"),
+    )
