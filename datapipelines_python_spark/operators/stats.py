@@ -6290,3 +6290,72 @@ def ml_logrank_test(spark: SparkSession, sf: str) -> DataFrame:
         round4(ome).alias("observed_minus_expected"),
         round4(F.pow(ome, 2) / dsum(F.col("v1"))).alias("logrank_chi2"),
     )
+
+
+@query(
+    "ml_boxcox_profile",
+    oracle=f"""
+        WITH x AS (
+            SELECT CAST(value AS DOUBLE) AS v FROM events
+            WHERE value > 0 AND NOT ISNAN(value)
+        ),
+        grid AS (SELECT CAST(UNNEST([-1.0, -0.5, 0.0, 0.5, 1.0, 2.0]) AS DOUBLE) AS lam),
+        t AS (
+            SELECT g.lam,
+                   CASE WHEN g.lam = 0.0 THEN LN(x.v)
+                        ELSE (POW(x.v, g.lam) - 1.0) / g.lam END AS y,
+                   LN(x.v) AS lnv
+            FROM x CROSS JOIN grid g
+        ),
+        s AS (
+            SELECT lam,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(CAST(SUM(CAST(y AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sy,
+                   CAST(CAST(SUM(CAST(y * y AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)
+                       AS syy,
+                   CAST(CAST(SUM(CAST(lnv AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)
+                       AS slnv
+            FROM t GROUP BY lam
+        )
+        SELECT lam, n,
+               {sql_round4('-0.5 * n * LN((syy - sy * sy / n) / n) + (lam - 1.0) * slnv')}
+                   AS profile_loglik,
+               {sql_round4('(syy - sy * sy / n) / n')} AS var_transformed
+        FROM s
+    """,
+    tags=("ml", "transform", "stats"),
+)
+def ml_boxcox_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Box-Cox λ selection by profile log-likelihood over a fixed grid —
+    the feature-engineering pass that picks the variance-stabilizing power
+    transform before regression/anomaly models: ℓ(λ) = −n/2·ln σ̂²_λ +
+    (λ−1)·Σln x, with y_λ = (x^λ−1)/λ (ln x at λ=0). One broadcast
+    grid fan-out (6 rows) over one corpus scan; per-λ variance comes from
+    decimal-exact power sums, so the whole profile is a single grouped
+    aggregation — cost is the scan, not the grid, and the argmax row is
+    read off the 6-row result. Positive-value gate mirrors the
+    transform's domain."""
+    e = load_table(spark, sf, "events")
+    x = e.filter((F.col("value") > 0) & ~F.isnan("value")).select(
+        F.col("value").cast("double").alias("v")
+    )
+    grid = spark.createDataFrame([(l,) for l in (-1.0, -0.5, 0.0, 0.5, 1.0, 2.0)], "lam double")
+    y = F.when(F.col("lam") == 0.0, F.log(F.col("v"))).otherwise(
+        (F.pow(F.col("v"), F.col("lam")) - 1.0) / F.col("lam")
+    )
+    t = x.crossJoin(F.broadcast(grid)).select(
+        "lam", y.alias("y"), F.log(F.col("v")).alias("lnv")
+    )
+    s = t.groupBy("lam").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+        dsum(F.col("lnv")).alias("slnv"),
+    )
+    n, sy, syy, slnv = (F.col(c) for c in ("n", "sy", "syy", "slnv"))
+    var_t = (syy - sy * sy / n) / n
+    return s.select(
+        "lam", "n",
+        round4(-0.5 * n * F.log(var_t) + (F.col("lam") - 1.0) * slnv).alias("profile_loglik"),
+        round4(var_t).alias("var_transformed"),
+    )
