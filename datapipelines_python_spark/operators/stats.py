@@ -6359,3 +6359,156 @@ def ml_boxcox_profile(spark: SparkSession, sf: str) -> DataFrame:
         round4(-0.5 * n * F.log(var_t) + (F.col("lam") - 1.0) * slnv).alias("profile_loglik"),
         round4(var_t).alias("var_transformed"),
     )
+
+
+@query(
+    "ml_ljung_box",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)
+                       AS v
+            FROM events GROUP BY 1
+        ),
+        c AS (
+            SELECT day, v, AVG(v) OVER () AS mu,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS n,
+                   ROW_NUMBER() OVER (ORDER BY day) AS i
+            FROM daily
+        ),
+        lagged AS (
+            SELECT k.k, c.n,
+                   (a.v - a.mu) * (c.v - c.mu) AS num_term,
+                   (c.v - c.mu) * (c.v - c.mu) AS den_term
+            FROM c
+            CROSS JOIN (SELECT UNNEST(RANGE(1, 8)) AS k) k
+            LEFT JOIN c a ON a.i = c.i - k.k
+        ),
+        rho AS (
+            SELECT k, MAX(n) AS n,
+                   SUM(num_term) / SUM(den_term) AS r
+            FROM lagged GROUP BY k
+        ),
+        q AS (
+            SELECT k, n, r,
+                   SUM(n * (n + 2.0) * r * r / (n - k))
+                       OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS q_stat
+            FROM rho
+        )
+        SELECT CAST(k AS INT) AS lag, n,
+               {sql_round4('r')} AS rho,
+               {sql_round4('q_stat')} AS q_cumulative
+        FROM q
+    """,
+    tags=("ml", "timeseries", "test"),
+)
+def ml_ljung_box(spark: SparkSession, sf: str) -> DataFrame:
+    """Ljung-Box portmanteau autocorrelation test on the daily revenue
+    series: ρ̂_k for lags 1..7 (self-join on shifted day index — at day
+    grain this is a ~30-row frame, so the lag fan-out is free) and the
+    cumulative Q_h = n(n+2)·Σ ρ̂²_k/(n−k), the statistic compared to
+    χ²_h to reject 'residuals are white noise'. The standard diagnostic
+    AFTER a forecast fit (``workload_forecast_backtest``): significant Q
+    says the model left structure on the table. Q is emitted per lag so
+    the caller reads any h without re-running."""
+    e = load_table(spark, sf, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        dsum(F.col("value")).alias("v")
+    )
+    wall = W.partitionBy()
+    c = daily.select(
+        "day", "v",
+        F.avg("v").over(wall).alias("mu"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n"),
+        F.row_number().over(W.orderBy("day")).alias("i"),
+    )
+    ks = spark.range(1, 8).select(F.col("id").cast("bigint").alias("k"))
+    a = c.select(F.col("i").alias("ai"), (F.col("v") - F.col("mu")).alias("ad"))
+    lagged = (
+        c.crossJoin(F.broadcast(ks))
+        .join(a, F.col("ai") == F.col("i") - F.col("k"), "left")
+        .select(
+            "k", "n",
+            (F.col("ad") * (F.col("v") - F.col("mu"))).alias("num_term"),
+            ((F.col("v") - F.col("mu")) * (F.col("v") - F.col("mu"))).alias("den_term"),
+        )
+    )
+    rho = lagged.groupBy("k").agg(
+        F.max("n").alias("n"), (F.sum("num_term") / F.sum("den_term")).alias("r")
+    )
+    wq = W.orderBy("k").rowsBetween(W.unboundedPreceding, W.currentRow)
+    q = rho.withColumn(
+        "q_stat",
+        F.sum(F.col("n") * (F.col("n") + 2.0) * F.col("r") * F.col("r") / (F.col("n") - F.col("k"))).over(wq),
+    )
+    return q.select(
+        F.col("k").cast("int").alias("lag"), "n",
+        round4(F.col("r")).alias("rho"),
+        round4(F.col("q_stat")).alias("q_cumulative"),
+    )
+
+
+@query(
+    "workload_sax_paa",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)
+                       AS v
+            FROM events GROUP BY 1
+        ),
+        z AS (
+            SELECT day, v,
+                   (v - AVG(v) OVER ()) / STDDEV_SAMP(v) OVER () AS zv,
+                   NTILE(8) OVER (ORDER BY day) AS seg
+            FROM daily
+        ),
+        paa AS (
+            SELECT seg,
+                   CAST(COUNT(*) AS BIGINT) AS n_days,
+                   AVG(zv) AS paa
+            FROM z GROUP BY seg
+        )
+        SELECT CAST(seg AS INT) AS seg, n_days,
+               {sql_round4('paa')} AS paa_z,
+               CASE WHEN paa < -0.6745 THEN 'a'
+                    WHEN paa < 0.0 THEN 'b'
+                    WHEN paa < 0.6745 THEN 'c'
+                    ELSE 'd' END AS symbol
+        FROM paa
+    """,
+    tags=("workload", "timeseries", "mining"),
+)
+def workload_sax_paa(spark: SparkSession, sf: str) -> DataFrame:
+    """SAX (Symbolic Aggregate approXimation): z-normalize the daily
+    series, Piecewise-Aggregate into 8 equal-count segments (ntile over
+    the day order — deterministic on both engines), then map each segment
+    mean to a 4-letter alphabet at the N(0,1) quartile breakpoints
+    (±0.6745, 0). The output word ('bdca…') is the classic low-cost
+    time-series index: motif discovery, anomaly grep, and whole-series
+    similarity all become STRING operations downstream. Day-grain input →
+    the global windows ride ~30 rows; the one scan is the cost."""
+    e = load_table(spark, sf, "events")
+    daily = e.groupBy(F.col("ts").cast("date").cast("string").alias("day")).agg(
+        dsum(F.col("value")).alias("v")
+    )
+    wall = W.partitionBy()
+    z = daily.select(
+        "day",
+        ((F.col("v") - F.avg("v").over(wall)) / F.stddev_samp("v").over(wall)).alias("zv"),
+        F.ntile(8).over(W.orderBy("day")).alias("seg"),
+    )
+    paa = z.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"), F.avg("zv").alias("paa")
+    )
+    symbol = (
+        F.when(F.col("paa") < -0.6745, "a")
+        .when(F.col("paa") < 0.0, "b")
+        .when(F.col("paa") < 0.6745, "c")
+        .otherwise("d")
+    )
+    return paa.select(
+        F.col("seg").cast("int").alias("seg"), "n_days",
+        round4(F.col("paa")).alias("paa_z"),
+        symbol.alias("symbol"),
+    )
