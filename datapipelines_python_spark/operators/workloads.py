@@ -11910,3 +11910,86 @@ def workload_sharpe_sortino(spark: SparkSession, sf: str) -> DataFrame:
             F.when(dn == 0, F.lit(0.0)).otherwise(mu / dn * F.sqrt(F.lit(365.0)))
         ).alias("sortino_annual"),
     )
+
+
+@query(
+    "workload_cross_correlation",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(CAST(SUM(CASE WHEN event_type = 'view'
+                                      THEN CAST(value AS DECIMAL(38,8))
+                                      ELSE CAST(0 AS DECIMAL(38,8)) END)
+                        AS VARCHAR) AS DOUBLE) AS x,
+                   CAST(CAST(SUM(CASE WHEN event_type = 'purchase'
+                                      THEN CAST(value AS DECIMAL(38,8))
+                                      ELSE CAST(0 AS DECIMAL(38,8)) END)
+                        AS VARCHAR) AS DOUBLE) AS y
+            FROM events GROUP BY 1
+        ),
+        c AS (
+            SELECT x, y,
+                   AVG(x) OVER () AS mx, AVG(y) OVER () AS my,
+                   ROW_NUMBER() OVER (ORDER BY day) AS i
+            FROM daily
+        ),
+        lagged AS (
+            SELECT k.k,
+                   (a.x - a.mx) * (c.y - c.my) AS num_term,
+                   (a.x - a.mx) * (a.x - a.mx) AS denx_term,
+                   (c.y - c.my) * (c.y - c.my) AS deny_term
+            FROM c
+            CROSS JOIN (SELECT UNNEST(RANGE(-7, 8)) AS k) k
+            JOIN c a ON a.i = c.i - k.k
+        )
+        SELECT CAST(k AS INT) AS lag_days,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               {sql_round4('SUM(num_term) / SQRT(SUM(denx_term) * SUM(deny_term))')}
+                   AS xcorr
+        FROM lagged
+        GROUP BY k
+    """,
+    tags=("workload", "timeseries", "causal"),
+)
+def workload_cross_correlation(spark: SparkSession, sf: str) -> DataFrame:
+    """Lead-lag cross-correlation between the daily view-value and
+    purchase-value series at lags −7..+7: positive-lag peaks say views
+    LEAD purchases by that many days — the first causal-direction probe
+    before anything heavier (Granger, adstock fitting: its sibling
+    ``workload_adstock`` assumes the lag this op measures). Shape: one
+    scan → two-column day grain, then a broadcast 15-row lag fan-out
+    joined on shifted day index — all windows and joins ride ~30-row
+    frames. Per-lag normalization uses only the overlapping pairs, so
+    edge lags aren't biased toward zero."""
+    e = load_table(spark, sf, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        dsum(F.when(F.col("event_type") == "view", F.col("value")).otherwise(F.lit(0.0))).alias("x"),
+        dsum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(F.lit(0.0))).alias("y"),
+    )
+    wall = W.partitionBy()
+    c = daily.select(
+        "x", "y",
+        F.avg("x").over(wall).alias("mx"),
+        F.avg("y").over(wall).alias("my"),
+        F.row_number().over(W.orderBy("day")).alias("i"),
+    )
+    ks = spark.range(-7, 8).select(F.col("id").cast("bigint").alias("k"))
+    a = c.select(
+        F.col("i").alias("ai"), (F.col("x") - F.col("mx")).alias("ax")
+    )
+    lagged = (
+        c.crossJoin(F.broadcast(ks))
+        .join(a, F.col("ai") == F.col("i") - F.col("k"))
+        .select(
+            "k",
+            (F.col("ax") * (F.col("y") - F.col("my"))).alias("num_term"),
+            (F.col("ax") * F.col("ax")).alias("denx_term"),
+            ((F.col("y") - F.col("my")) * (F.col("y") - F.col("my"))).alias("deny_term"),
+        )
+    )
+    return lagged.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        round4(
+            F.sum("num_term") / F.sqrt(F.sum("denx_term") * F.sum("deny_term"))
+        ).alias("xcorr"),
+    ).select(F.col("k").cast("int").alias("lag_days"), "n_pairs", "xcorr")
