@@ -6512,3 +6512,97 @@ def workload_sax_paa(spark: SparkSession, sf: str) -> DataFrame:
         round4(F.col("paa")).alias("paa_z"),
         symbol.alias("symbol"),
     )
+
+
+@query(
+    "ml_hurst_rs",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)
+                       AS v
+            FROM events GROUP BY 1
+        ),
+        idx AS (
+            SELECT v, ROW_NUMBER() OVER (ORDER BY day) - 1 AS i FROM daily
+        ),
+        blocks AS (
+            SELECT n.n, i // n.n AS b, i, v
+            FROM idx CROSS JOIN (SELECT UNNEST([8, 16]) AS n) n
+        ),
+        stats AS (
+            SELECT n, b, i, v,
+                   AVG(v) OVER (PARTITION BY n, b) AS mu,
+                   STDDEV_POP(v) OVER (PARTITION BY n, b) AS sd,
+                   CAST(COUNT(*) OVER (PARTITION BY n, b) AS BIGINT) AS bn
+            FROM blocks
+        ),
+        cum AS (
+            SELECT n, b, sd, bn,
+                   SUM(v - mu) OVER (PARTITION BY n, b ORDER BY i
+                                     ROWS UNBOUNDED PRECEDING) AS c
+            FROM stats
+        ),
+        rs AS (
+            SELECT n, b,
+                   (MAX(c) - MIN(c)) / MAX(sd) AS rs_val
+            FROM cum
+            WHERE bn = n AND sd > 0
+            GROUP BY n, b, sd
+        ),
+        agg AS (
+            SELECT n, AVG(rs_val) AS mean_rs, CAST(COUNT(*) AS BIGINT) AS n_blocks
+            FROM rs GROUP BY n
+        )
+        SELECT CAST(n AS INT) AS window_n, n_blocks,
+               {sql_round4('mean_rs')} AS mean_rs,
+               {sql_round4('LN(mean_rs) / LN(CAST(n AS DOUBLE))')} AS h_point
+        FROM agg
+    """,
+    tags=("ml", "timeseries", "fractal"),
+)
+def ml_hurst_rs(spark: SparkSession, sf: str) -> DataFrame:
+    """Hurst exponent ingredients by rescaled-range (R/S) analysis of the
+    daily series: split into complete blocks of n ∈ {8, 16} days, per
+    block take range(cumulative deviations)/σ, average per n, and emit
+    ln(R/S)/ln(n) — H ≈ 0.5 is a random walk, > 0.5 persistent
+    (trending), < 0.5 mean-reverting; the two-point slope
+    (ln RS₁₆ − ln RS₈)/ln 2 is the classical H estimate, left to the
+    caller so each n's diagnostics stay visible. Everything is windows
+    over (n, block) partitions on the ~30-row day grain — the fan-out is
+    the 2-row n grid, not the data."""
+    e = load_table(spark, sf, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        dsum(F.col("value")).alias("v")
+    )
+    idx = daily.select(
+        "v", (F.row_number().over(W.orderBy("day")) - 1).alias("i")
+    )
+    ns = spark.createDataFrame([(8,), (16,)], "n long")
+    blocks = idx.crossJoin(F.broadcast(ns)).select(
+        "n", (F.col("i") / F.col("n")).cast("bigint").alias("b"), "i", "v"
+    )
+    wb = W.partitionBy("n", "b")
+    stats = blocks.select(
+        "n", "b", "i", "v",
+        F.avg("v").over(wb).alias("mu"),
+        F.stddev_pop("v").over(wb).alias("sd"),
+        F.count(F.lit(1)).over(wb).cast("bigint").alias("bn"),
+    )
+    wcum = W.partitionBy("n", "b").orderBy("i").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = stats.select(
+        "n", "b", "sd", "bn", F.sum(F.col("v") - F.col("mu")).over(wcum).alias("c")
+    )
+    rs = (
+        cum.filter((F.col("bn") == F.col("n")) & (F.col("sd") > 0))
+        .groupBy("n", "b", "sd")
+        .agg(((F.max("c") - F.min("c")) / F.max("sd")).alias("rs_val"))
+    )
+    agg = rs.groupBy("n").agg(
+        F.avg("rs_val").alias("mean_rs"), F.count(F.lit(1)).cast("bigint").alias("n_blocks")
+    )
+    return agg.select(
+        F.col("n").cast("int").alias("window_n"), "n_blocks",
+        round4(F.col("mean_rs")).alias("mean_rs"),
+        round4(F.log(F.col("mean_rs")) / F.log(F.col("n").cast("double"))).alias("h_point"),
+    )
