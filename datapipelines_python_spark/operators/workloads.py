@@ -11993,3 +11993,107 @@ def workload_cross_correlation(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("num_term") / F.sqrt(F.sum("denx_term") * F.sum("deny_term"))
         ).alias("xcorr"),
     ).select(F.col("k").cast("int").alias("lag_days"), "n_pairs", "xcorr")
+
+
+@query(
+    "workload_granger_causality",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(CAST(SUM(CASE WHEN event_type = 'view'
+                                      THEN CAST(value AS DECIMAL(38,8))
+                                      ELSE CAST(0 AS DECIMAL(38,8)) END)
+                        AS VARCHAR) AS DOUBLE) AS x,
+                   CAST(CAST(SUM(CASE WHEN event_type = 'purchase'
+                                      THEN CAST(value AS DECIMAL(38,8))
+                                      ELSE CAST(0 AS DECIMAL(38,8)) END)
+                        AS VARCHAR) AS DOUBLE) AS y
+            FROM events GROUP BY 1
+        ),
+        l AS (
+            SELECT y AS z,
+                   LAG(y) OVER (ORDER BY day) AS a,
+                   LAG(x) OVER (ORDER BY day) AS b
+            FROM daily
+        ),
+        o AS (SELECT * FROM l WHERE a IS NOT NULL AND b IS NOT NULL),
+        cen AS (
+            SELECT z - AVG(z) OVER () AS cz,
+                   a - AVG(a) OVER () AS ca,
+                   b - AVG(b) OVER () AS cb,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS n
+            FROM o
+        ),
+        s AS (
+            SELECT MAX(n) AS n,
+                   SUM(ca * ca) AS saa, SUM(cb * cb) AS sbb, SUM(ca * cb) AS sab,
+                   SUM(cz * ca) AS sza, SUM(cz * cb) AS szb, SUM(cz * cz) AS szz
+            FROM cen
+        ),
+        fit AS (
+            SELECT n, szz - sza * sza / saa AS ssr_r,
+                   szz - ((sza * sbb - szb * sab) / (saa * sbb - sab * sab)) * sza
+                       - ((szb * saa - sza * sab) / (saa * sbb - sab * sab)) * szb
+                       AS ssr_u
+            FROM s
+        )
+        SELECT n,
+               {sql_round4('ssr_r')} AS ssr_restricted,
+               {sql_round4('ssr_u')} AS ssr_unrestricted,
+               {sql_round4('(ssr_r - ssr_u) * (n - 3) / ssr_u')} AS f_stat,
+               (ssr_r - ssr_u) * (n - 3) / ssr_u > 4.2 AS x_granger_causes_y
+        FROM fit
+    """,
+    tags=("workload", "timeseries", "causal"),
+)
+def workload_granger_causality(spark: SparkSession, sf: str) -> DataFrame:
+    """Granger causality (1 lag) of daily view-value → purchase-value,
+    fully closed-form: restricted model y_t ~ y_{t−1} vs unrestricted
+    y_t ~ y_{t−1} + x_{t−1}, both solved from six centered second-moment
+    sums (2×2 normal equations by Cramer's rule — no solver, no
+    iteration), F = (SSR_r − SSR_u)(n−3)/SSR_u with the F(1, n−3) ≈ 4.2
+    5% critical value inlined as the verdict bit. The follow-up to
+    ``workload_cross_correlation``'s lead-lag scan: correlation at
+    positive lag suggests, Granger's nested-model F formalizes. One scan
+    to day grain; all regression algebra runs on one 6-number row."""
+    e = load_table(spark, sf, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        dsum(F.when(F.col("event_type") == "view", F.col("value")).otherwise(F.lit(0.0))).alias("x"),
+        dsum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(F.lit(0.0))).alias("y"),
+    )
+    wd = W.orderBy("day")
+    o = daily.select(
+        F.col("y").alias("z"), F.lag("y").over(wd).alias("a"), F.lag("x").over(wd).alias("b")
+    ).filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+    wall = W.partitionBy()
+    cen = o.select(
+        (F.col("z") - F.avg("z").over(wall)).alias("cz"),
+        (F.col("a") - F.avg("a").over(wall)).alias("ca"),
+        (F.col("b") - F.avg("b").over(wall)).alias("cb"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n"),
+    )
+    s = cen.agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("ca") * F.col("ca")).alias("saa"),
+        F.sum(F.col("cb") * F.col("cb")).alias("sbb"),
+        F.sum(F.col("ca") * F.col("cb")).alias("sab"),
+        F.sum(F.col("cz") * F.col("ca")).alias("sza"),
+        F.sum(F.col("cz") * F.col("cb")).alias("szb"),
+        F.sum(F.col("cz") * F.col("cz")).alias("szz"),
+    )
+    n = F.col("n")
+    saa, sbb, sab = F.col("saa"), F.col("sbb"), F.col("sab")
+    sza, szb, szz = F.col("sza"), F.col("szb"), F.col("szz")
+    det = saa * sbb - sab * sab
+    b1 = (sza * sbb - szb * sab) / det
+    b2 = (szb * saa - sza * sab) / det
+    ssr_r = szz - sza * sza / saa
+    ssr_u = szz - b1 * sza - b2 * szb
+    f_stat = (ssr_r - ssr_u) * (n - 3) / ssr_u
+    return s.select(
+        "n",
+        round4(ssr_r).alias("ssr_restricted"),
+        round4(ssr_u).alias("ssr_unrestricted"),
+        round4(f_stat).alias("f_stat"),
+        (f_stat > 4.2).alias("x_granger_causes_y"),
+    )
