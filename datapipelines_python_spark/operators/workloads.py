@@ -12097,3 +12097,54 @@ def workload_granger_causality(spark: SparkSession, sf: str) -> DataFrame:
         round4(f_stat).alias("f_stat"),
         (f_stat > 4.2).alias("x_granger_causes_y"),
     )
+
+
+_MANIFEST_KEYS = (
+    ("region", "r_regionkey"), ("nation", "n_nationkey"),
+    ("customer", "c_custkey"), ("supplier", "s_suppkey"),
+    ("part", "p_partkey"), ("orders", "o_orderkey"),
+    ("lineitem", "l_orderkey"), ("events", "event_id"),
+    ("documents", "doc_id"), ("embeddings", "vec_id"),
+)
+
+
+@query(
+    "workload_warehouse_manifest",
+    oracle="""
+        {}
+    """.format(
+        "\nUNION ALL\n".join(
+            f"SELECT '{t}' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,"
+            f" CAST(COUNT(DISTINCT {k}) AS BIGINT) AS n_distinct_key,"
+            f" CAST(MIN({k}) AS BIGINT) AS key_min,"
+            f" CAST(MAX({k}) AS BIGINT) AS key_max FROM {t}"
+            for t, k in _MANIFEST_KEYS
+        )
+    ),
+    tags=("workload", "ops", "integrity"),
+)
+def workload_warehouse_manifest(spark: SparkSession, sf: str) -> DataFrame:
+    """One-row-per-table warehouse manifest: rowcount, key cardinality and
+    key range for every fixture table in a single frame — the snapshot a
+    migration or replication job compares source-vs-target before anything
+    value-level (``workload_table_checksum`` is the next, deeper gear).
+    Ten independent scans union into one result; each is a
+    map-side-combinable aggregate, so the whole manifest of a 100 TB
+    warehouse is one pass over each table with no shuffle beyond ten
+    singleton reductions — and Spark runs the ten scans CONCURRENTLY
+    under one action since the union is one plan."""
+    frames = []
+    for t, k in _MANIFEST_KEYS:
+        df = load_table(spark, sf, t)
+        frames.append(
+            df.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.count_distinct(F.col(k)).cast("bigint").alias("n_distinct_key"),
+                F.min(k).cast("bigint").alias("key_min"),
+                F.max(k).cast("bigint").alias("key_max"),
+            ).select(F.lit(t).alias("table_name"), "*")
+        )
+    out = frames[0]
+    for f_ in frames[1:]:
+        out = out.unionByName(f_)
+    return out
