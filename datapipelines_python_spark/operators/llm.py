@@ -3157,3 +3157,109 @@ def llm_rouge_pairs(spark: SparkSession, sf: str) -> DataFrame:
             F.when(F.col("m2") == 0, F.lit(0.0)).otherwise(m2d / (F.col("len_r") - 1))
         ).alias("rouge2_recall"),
     )
+
+
+_RAKE_STOPWORDS = "('the','a','an','and','or','of','in','on','to','is','are','was','for','with','as','by','at','it','this','that')"
+
+
+@query(
+    "llm_keyword_rake",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   GENERATE_SUBSCRIPTS(STRING_SPLIT(LOWER(text), ' '), 1) AS pos,
+                   UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS w
+            FROM documents
+        ),
+        marked AS (
+            SELECT doc_id, pos, w,
+                   CASE WHEN w IN {_RAKE_STOPWORDS} THEN 1 ELSE 0 END AS is_stop
+            FROM tok
+        ),
+        numbered AS (
+            SELECT doc_id, pos, w, is_stop,
+                   SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+                                      ROWS UNBOUNDED PRECEDING) AS phrase_id
+            FROM marked
+        ),
+        phrased AS (
+            SELECT doc_id, pos, w, phrase_id FROM numbered WHERE is_stop = 0
+        ),
+        plen AS (
+            SELECT doc_id, phrase_id,
+                   CAST(COUNT(*) AS BIGINT) AS phrase_len
+            FROM phrased GROUP BY doc_id, phrase_id
+        ),
+        scored AS (
+            SELECT p.doc_id, p.w,
+                   CAST(COUNT(*) AS BIGINT) AS freq,
+                   CAST(SUM(l.phrase_len) AS BIGINT) AS degree
+            FROM phrased p
+            JOIN plen l ON p.doc_id = l.doc_id AND p.phrase_id = l.phrase_id
+            GROUP BY p.doc_id, p.w
+        )
+        SELECT doc_id, w AS keyword, freq, degree,
+               FLOOR(CAST(degree AS DOUBLE) / freq * 10000.0 + 0.5) / 10000.0
+                   AS rake_score,
+               CAST(rnk AS INT) AS rnk
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY doc_id
+                ORDER BY CAST(degree AS DOUBLE) / freq DESC, w) AS rnk
+            FROM scored
+        ) r WHERE rnk <= 3
+    """,
+    tags=("llm", "text", "keywords"),
+)
+def llm_keyword_rake(spark: SparkSession, sf: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al.), relationally: stopwords
+    split each document into candidate phrases (the phrase id is a
+    running count of stopword boundaries — one ordered window per doc),
+    every content word scores degree(w)/freq(w) where degree sums the
+    lengths of phrases containing w, and the top-3 words per doc emerge
+    from a rank window. Two doc-keyed aggregations + two windows, all
+    partitioned by doc_id — embarrassingly parallel at corpus scale, no
+    vocabulary table, no IDF pass (that trade is ``llm_tfidf``'s side:
+    RAKE is corpus-free, TF-IDF is corpus-calibrated)."""
+    from pyspark.sql.window import Window as W
+
+    d = load_table(spark, sf, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "w")
+    )
+    stops = [s.strip("'") for s in _RAKE_STOPWORDS.strip("()").split(",")]
+    marked = tok.select(
+        "doc_id", "pos", "w",
+        F.when(F.col("w").isin(stops), 1).otherwise(0).alias("is_stop"),
+    )
+    wseq = W.partitionBy("doc_id").orderBy("pos").rowsBetween(W.unboundedPreceding, W.currentRow)
+    phrased = (
+        marked.withColumn("phrase_id", F.sum("is_stop").over(wseq))
+        .filter(F.col("is_stop") == 0)
+        .select("doc_id", "pos", "w", "phrase_id")
+    )
+    plen = phrased.groupBy("doc_id", "phrase_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("phrase_len")
+    )
+    scored = (
+        phrased.join(plen, ["doc_id", "phrase_id"])
+        .groupBy("doc_id", "w")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            F.sum("phrase_len").cast("bigint").alias("degree"),
+        )
+    )
+    score = F.col("degree").cast("double") / F.col("freq")
+    wr = W.partitionBy("doc_id").orderBy(F.desc(score), F.asc("w"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "doc_id",
+            F.col("w").alias("keyword"),
+            "freq",
+            "degree",
+            round4(score).alias("rake_score"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
