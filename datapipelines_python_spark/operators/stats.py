@@ -6606,3 +6606,4 @@ def ml_hurst_rs(spark: SparkSession, sf: str) -> DataFrame:
         round4(F.col("mean_rs")).alias("mean_rs"),
         round4(F.log(F.col("mean_rs")) / F.log(F.col("n").cast("double"))).alias("h_point"),
     )
+

@@ -12148,3 +12148,57 @@ def workload_warehouse_manifest(spark: SparkSession, sf: str) -> DataFrame:
     for f_ in frames[1:]:
         out = out.unionByName(f_)
     return out
+
+
+@query(
+    "workload_l_diversity",
+    oracle="""
+        WITH sens AS (
+            SELECT c_mktsegment, c_nationkey,
+                   CASE WHEN c_acctbal < 0 THEN 'debt'
+                        WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS s
+            FROM customer
+        ),
+        groups AS (
+            SELECT c_mktsegment, c_nationkey,
+                   CAST(COUNT(*) AS BIGINT) AS group_size,
+                   CAST(COUNT(DISTINCT s) AS BIGINT) AS l
+            FROM sens GROUP BY 1, 2
+        )
+        SELECT l,
+               CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(MIN(group_size) AS BIGINT) AS min_group,
+               CAST(MAX(group_size) AS BIGINT) AS max_group
+        FROM groups
+        GROUP BY l
+    """,
+    tags=("workload", "privacy"),
+)
+def workload_l_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """ℓ-diversity audit — the attribute-disclosure companion to
+    ``workload_k_anonymity``: within each quasi-identifier group
+    (segment × nation), count DISTINCT sensitive values (account-balance
+    class). k-anonymity alone leaves a group of 50 identical-sensitive
+    rows fully disclosed; any group with l = 1 here is exactly that leak.
+    Output is the l histogram with group-size bounds — the release gate
+    reads 'no l = 1 rows' before publishing. Two grouped aggregates,
+    map-side-combinable, one scan."""
+    c = load_table(spark, sf, "customer")
+    s = (
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+    )
+    groups = (
+        c.select("c_mktsegment", "c_nationkey", s.alias("s"))
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("group_size"),
+            F.count_distinct("s").cast("bigint").alias("l"),
+        )
+    )
+    return groups.groupBy("l").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.min("group_size").cast("bigint").alias("min_group"),
+        F.max("group_size").cast("bigint").alias("max_group"),
+    )
