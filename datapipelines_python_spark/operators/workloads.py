@@ -12202,3 +12202,168 @@ def workload_l_diversity(spark: SparkSession, sf: str) -> DataFrame:
         F.min("group_size").cast("bigint").alias("min_group"),
         F.max("group_size").cast("bigint").alias("max_group"),
     )
+
+
+@query(
+    "workload_item_item_cf",
+    oracle=f"""
+        WITH inter AS (
+            SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_partkey % 5 = 0
+        ),
+        freq AS (
+            SELECT i, CAST(COUNT(*) AS BIGINT) AS n FROM inter GROUP BY i
+        ),
+        co AS (
+            SELECT a.i AS i, b.i AS j, CAST(COUNT(*) AS BIGINT) AS c
+            FROM inter a JOIN inter b ON a.u = b.u AND a.i <> b.i
+            GROUP BY a.i, b.i
+        ),
+        scored AS (
+            SELECT co.i, co.j, co.c,
+                   co.c / SQRT(CAST(fi.n AS DOUBLE) * fj.n) AS sim
+            FROM co
+            JOIN freq fi ON fi.i = co.i
+            JOIN freq fj ON fj.i = co.j
+        )
+        SELECT i, j, c AS n_co,
+               {sql_round4('sim')} AS cosine_sim,
+               CAST(rnk AS INT) AS rnk
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY i ORDER BY sim DESC, j) AS rnk
+            FROM scored
+        ) r WHERE rnk <= 3
+    """,
+    tags=("workload", "recsys"),
+)
+def workload_item_item_cf(spark: SparkSession, sf: str) -> DataFrame:
+    """Item-item collaborative filtering on REAL purchase baskets
+    (customer × part interactions from orders ⋈ lineitem, 20% catalog
+    shard): co-occurrence counts normalized to cosine
+    c_ij/√(n_i·n_j), top-3 neighbors per item — the precompute behind
+    'customers also bought'. The pair stage self-joins on customer
+    (Σ basket² work, the same block economics as
+    ``workload_basket_affinity``'s order-level lift — different unit,
+    different normalization: lift finds surprising pairs, cosine finds
+    substitutable/co-preferred ones). At 100 TB the standard mitigations
+    apply verbatim: cap basket size (a 10k-item account is a bot, not a
+    signal) and shard the catalog exactly as the %5 predicate does."""
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_partkey") % 5 == 0)
+    o = load_table(spark, sf, "orders")
+    inter = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
+        .distinct()
+    )
+    freq = inter.groupBy("i").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    co = (
+        inter.alias("a")
+        .join(inter.alias("b"), (F.col("a.u") == F.col("b.u")) & (F.col("a.i") != F.col("b.i")))
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    scored = (
+        co.join(freq.select(F.col("i"), F.col("n").alias("ni")), "i")
+        .join(freq.select(F.col("i").alias("j"), F.col("n").alias("nj")), "j")
+        .select(
+            "i", "j", "c",
+            (F.col("c") / F.sqrt(F.col("ni").cast("double") * F.col("nj"))).alias("sim"),
+        )
+    )
+    wr = W.partitionBy("i").orderBy(F.desc("sim"), F.asc("j"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 3)
+        .select("i", "j", F.col("c").alias("n_co"), round4(F.col("sim")).alias("cosine_sim"),
+                F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+@query(
+    "workload_diff_in_diff",
+    oracle=f"""
+        WITH cells AS (
+            SELECT CAST(('0x' || SUBSTRING(MD5(CAST(user_id AS VARCHAR) || ':did'), 1, 8))::BIGINT
+                        % 2 AS INT) AS treated,
+                   CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END
+                       AS post,
+                   CAST(value AS DOUBLE) AS v
+            FROM events WHERE NOT ISNAN(value)
+        ),
+        s AS (
+            SELECT treated, post,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(CAST(SUM(CAST(v AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)
+                       / COUNT(*) AS mu,
+                   VAR_SAMP(v) AS s2
+            FROM cells GROUP BY treated, post
+        ),
+        wide AS (
+            SELECT
+                MAX(CASE WHEN treated = 1 AND post = 1 THEN mu END) AS t1,
+                MAX(CASE WHEN treated = 1 AND post = 0 THEN mu END) AS t0,
+                MAX(CASE WHEN treated = 0 AND post = 1 THEN mu END) AS c1,
+                MAX(CASE WHEN treated = 0 AND post = 0 THEN mu END) AS c0,
+                MAX(CASE WHEN treated = 1 AND post = 1 THEN s2 / n END) AS v11,
+                MAX(CASE WHEN treated = 1 AND post = 0 THEN s2 / n END) AS v10,
+                MAX(CASE WHEN treated = 0 AND post = 1 THEN s2 / n END) AS v01,
+                MAX(CASE WHEN treated = 0 AND post = 0 THEN s2 / n END) AS v00,
+                CAST(SUM(n) AS BIGINT) AS n_total
+            FROM s
+        )
+        SELECT n_total,
+               {sql_round4('t1 - t0')} AS delta_treated,
+               {sql_round4('c1 - c0')} AS delta_control,
+               {sql_round4('(t1 - t0) - (c1 - c0)')} AS did_estimate,
+               {sql_round4('SQRT(v11 + v10 + v01 + v00)')} AS did_se,
+               ABS((t1 - t0) - (c1 - c0)) > 1.96 * SQRT(v11 + v10 + v01 + v00)
+                   AS significant_95
+        FROM wide
+    """,
+    tags=("workload", "experimentation", "causal"),
+)
+def workload_diff_in_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Difference-in-differences: hash-assigned treatment (deterministic
+    md5 bucket — same discipline as ``workload_ab_test``) × pre/post
+    2024-01-16 split → four cell means, DiD = (T_post−T_pre) −
+    (C_post−C_pre), with the four-cell variance sum as its standard
+    error and the 1.96 verdict bit. The panel-data answer to 'the
+    treatment launched mid-window and seasonality moved everyone': the
+    control delta absorbs the common time shock the single-period A/B
+    test can't see. One scan → four cells; everything after is algebra
+    on one row (cell means decimal-exact, variances engine-replayed)."""
+    e = load_table(spark, sf, "events").filter(~F.isnan("value"))
+    treated = (
+        F.conv(F.substring(F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":did"))), 1, 8), 16, 10)
+        .cast("bigint") % 2
+    ).cast("int")
+    post = (F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp")).cast("int")
+    cells = e.select(treated.alias("treated"), post.alias("post"), F.col("value").cast("double").alias("v"))
+    s = cells.groupBy("treated", "post").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        davg(F.col("v")).alias("mu"),
+        F.var_samp("v").alias("s2"),
+    )
+    def cell(t, p, col):
+        return F.max(F.when((F.col("treated") == t) & (F.col("post") == p), F.col(col)))
+    wide = s.agg(
+        cell(1, 1, "mu").alias("t1"), cell(1, 0, "mu").alias("t0"),
+        cell(0, 1, "mu").alias("c1"), cell(0, 0, "mu").alias("c0"),
+        F.max(F.when((F.col("treated") == 1) & (F.col("post") == 1), F.col("s2") / F.col("n"))).alias("v11"),
+        F.max(F.when((F.col("treated") == 1) & (F.col("post") == 0), F.col("s2") / F.col("n"))).alias("v10"),
+        F.max(F.when((F.col("treated") == 0) & (F.col("post") == 1), F.col("s2") / F.col("n"))).alias("v01"),
+        F.max(F.when((F.col("treated") == 0) & (F.col("post") == 0), F.col("s2") / F.col("n"))).alias("v00"),
+        F.sum("n").cast("bigint").alias("n_total"),
+    )
+    did = (F.col("t1") - F.col("t0")) - (F.col("c1") - F.col("c0"))
+    se = F.sqrt(F.col("v11") + F.col("v10") + F.col("v01") + F.col("v00"))
+    return wide.select(
+        "n_total",
+        round4(F.col("t1") - F.col("t0")).alias("delta_treated"),
+        round4(F.col("c1") - F.col("c0")).alias("delta_control"),
+        round4(did).alias("did_estimate"),
+        round4(se).alias("did_se"),
+        (F.abs(did) > 1.96 * se).alias("significant_95"),
+    )
