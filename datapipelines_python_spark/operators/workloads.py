@@ -12367,3 +12367,56 @@ def workload_diff_in_diff(spark: SparkSession, sf: str) -> DataFrame:
         round4(se).alias("did_se"),
         (F.abs(did) > 1.96 * se).alias("significant_95"),
     )
+
+
+@query(
+    "sample_neyman_allocation",
+    oracle=f"""
+        WITH strata AS (
+            SELECT c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS n_pop,
+                   STDDEV_SAMP(c_acctbal) AS sd
+            FROM customer GROUP BY c_mktsegment
+        ),
+        tot AS (
+            SELECT SUM(n_pop * sd) AS t, CAST(SUM(n_pop) AS BIGINT) AS n_all
+            FROM strata
+        )
+        SELECT s.c_mktsegment, s.n_pop,
+               {sql_round4('s.sd')} AS sd_acctbal,
+               {sql_round4('s.n_pop * s.sd / t.t')} AS neyman_share,
+               CAST(FLOOR(1000.0 * s.n_pop * s.sd / t.t + 0.5) AS BIGINT)
+                   AS n_neyman,
+               CAST(FLOOR(1000.0 * s.n_pop / t.n_all + 0.5) AS BIGINT)
+                   AS n_proportional
+        FROM strata s CROSS JOIN tot t
+    """,
+    tags=("workload", "sampling", "design"),
+)
+def sample_neyman_allocation(spark: SparkSession, sf: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation for a 1000-unit budget:
+    n_h ∝ N_h·σ_h (big AND noisy strata get more), beside the
+    proportional allocation it dominates — the survey-design pass that
+    turns ``sample_stratified``'s mechanism into a variance-minimizing
+    plan. One grouped aggregate for per-stratum (N_h, σ_h), one broadcast
+    scalar for the normalizer; allocations round deterministically with
+    the floor(+0.5) trick. At 100 TB the σ_h inputs come from the same
+    scan a profiling pass already runs — allocation is free."""
+    c = load_table(spark, sf, "customer")
+    strata = c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pop"),
+        F.stddev_samp("c_acctbal").alias("sd"),
+    )
+    tot = strata.agg(
+        F.sum(F.col("n_pop") * F.col("sd")).alias("t"),
+        F.sum("n_pop").cast("bigint").alias("n_all"),
+    )
+    share = F.col("n_pop") * F.col("sd") / F.col("t")
+    return strata.crossJoin(F.broadcast(tot)).select(
+        "c_mktsegment", "n_pop",
+        round4(F.col("sd")).alias("sd_acctbal"),
+        round4(share).alias("neyman_share"),
+        F.floor(1000.0 * share + 0.5).cast("bigint").alias("n_neyman"),
+        F.floor(1000.0 * F.col("n_pop") / F.col("n_all") + 0.5).cast("bigint")
+        .alias("n_proportional"),
+    )
