@@ -12420,3 +12420,86 @@ def sample_neyman_allocation(spark: SparkSession, sf: str) -> DataFrame:
         F.floor(1000.0 * F.col("n_pop") / F.col("n_all") + 0.5).cast("bigint")
         .alias("n_proportional"),
     )
+
+
+@query(
+    "workload_mix_shift_decompose",
+    oracle=f"""
+        WITH halves AS (
+            SELECT event_type,
+                   CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                        THEN 2 ELSE 1 END AS period,
+                   CAST(value AS DOUBLE) AS v
+            FROM events WHERE NOT ISNAN(value)
+        ),
+        seg AS (
+            SELECT event_type, period,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(CAST(SUM(CAST(v AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)
+                       / COUNT(*) AS m
+            FROM halves GROUP BY event_type, period
+        ),
+        tot AS (
+            SELECT period, CAST(SUM(n) AS BIGINT) AS n_tot
+            FROM seg GROUP BY period
+        ),
+        w AS (
+            SELECT s.event_type,
+                   MAX(CASE WHEN s.period = 1 THEN CAST(s.n AS DOUBLE) / t.n_tot END) AS w1,
+                   MAX(CASE WHEN s.period = 2 THEN CAST(s.n AS DOUBLE) / t.n_tot END) AS w2,
+                   MAX(CASE WHEN s.period = 1 THEN s.m END) AS m1,
+                   MAX(CASE WHEN s.period = 2 THEN s.m END) AS m2
+            FROM seg s JOIN tot t ON s.period = t.period
+            GROUP BY s.event_type
+        )
+        SELECT event_type,
+               {sql_round4('w1')} AS share_pre,
+               {sql_round4('w2')} AS share_post,
+               {sql_round4('m1')} AS mean_pre,
+               {sql_round4('m2')} AS mean_post,
+               {sql_round4('(w1 + w2) / 2 * (m2 - m1)')} AS within_effect,
+               {sql_round4('(w2 - w1) * (m1 + m2) / 2')} AS mix_effect,
+               {sql_round4('w2 * m2 - w1 * m1')} AS total_contribution
+        FROM w
+    """,
+    tags=("workload", "decomposition", "bi"),
+)
+def workload_mix_shift_decompose(spark: SparkSession, sf: str) -> DataFrame:
+    """Kitagawa mix-shift decomposition of the overall mean value between
+    the two halves of the month: per segment (event type),
+    Δcontribution = w̄·Δm (WITHIN effect: the segment's own rate moved) +
+    Δw·m̄ (MIX effect: traffic shifted toward/away from the segment),
+    using the symmetric midpoint weighting so the two effects sum exactly
+    to w₂m₂ − w₁m₁ with no interaction residual. THE answer to 'the
+    average moved — did behavior change or did the mix?', and the
+    additive sibling of ``workload_metric_driver_tree``'s multiplicative
+    Δlog decomposition. One scan → (segment × period) cells; algebra on
+    a 5-row frame."""
+    e = load_table(spark, sf, "events").filter(~F.isnan("value"))
+    period = F.when(
+        F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp"), 2
+    ).otherwise(1)
+    seg = (
+        e.select("event_type", period.alias("period"), F.col("value").cast("double").alias("v"))
+        .groupBy("event_type", "period")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"), davg(F.col("v")).alias("m"))
+    )
+    tot = seg.groupBy("period").agg(F.sum("n").cast("bigint").alias("n_tot"))
+    j = seg.join(tot, "period")
+    w = j.groupBy("event_type").agg(
+        F.max(F.when(F.col("period") == 1, F.col("n").cast("double") / F.col("n_tot"))).alias("w1"),
+        F.max(F.when(F.col("period") == 2, F.col("n").cast("double") / F.col("n_tot"))).alias("w2"),
+        F.max(F.when(F.col("period") == 1, F.col("m"))).alias("m1"),
+        F.max(F.when(F.col("period") == 2, F.col("m"))).alias("m2"),
+    )
+    w1, w2, m1, m2 = (F.col(c) for c in ("w1", "w2", "m1", "m2"))
+    return w.select(
+        "event_type",
+        round4(w1).alias("share_pre"),
+        round4(w2).alias("share_post"),
+        round4(m1).alias("mean_pre"),
+        round4(m2).alias("mean_post"),
+        round4((w1 + w2) / 2 * (m2 - m1)).alias("within_effect"),
+        round4((w2 - w1) * (m1 + m2) / 2).alias("mix_effect"),
+        round4(w2 * m2 - w1 * m1).alias("total_contribution"),
+    )
