@@ -12503,3 +12503,82 @@ def workload_mix_shift_decompose(spark: SparkSession, sf: str) -> DataFrame:
         round4((w2 - w1) * (m1 + m2) / 2).alias("mix_effect"),
         round4(w2 * m2 - w1 * m1).alias("total_contribution"),
     )
+
+
+@query(
+    "workload_frequent_triples",
+    oracle=f"""
+        WITH basket AS (
+            SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ),
+        n_orders AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n FROM basket),
+        triples AS (
+            SELECT a.b AS b1, c.b AS b2, d.b AS b3,
+                   CAST(COUNT(*) AS BIGINT) AS support
+            FROM basket a
+            JOIN basket c ON a.o = c.o AND a.b < c.b
+            JOIN basket d ON a.o = d.o AND c.b < d.b
+            GROUP BY a.b, c.b, d.b
+        ),
+        pairs AS (
+            SELECT a.b AS b1, c.b AS b2, CAST(COUNT(*) AS BIGINT) AS pair_support
+            FROM basket a JOIN basket c ON a.o = c.o AND a.b < c.b
+            GROUP BY a.b, c.b
+        )
+        SELECT t.b1, t.b2, t.b3, t.support,
+               {sql_round4('CAST(t.support AS DOUBLE) / n_orders.n')} AS support_frac,
+               {sql_round4('CAST(t.support AS DOUBLE) / p.pair_support')}
+                   AS conf_b1b2_to_b3,
+               CAST(rnk AS INT) AS rnk
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (ORDER BY support DESC, b1, b2, b3) AS rnk
+            FROM triples
+        ) t
+        JOIN pairs p ON p.b1 = t.b1 AND p.b2 = t.b2
+        CROSS JOIN n_orders
+        WHERE rnk <= 20
+    """,
+    tags=("workload", "mining", "association"),
+)
+def workload_frequent_triples(spark: SparkSession, sf: str) -> DataFrame:
+    """Frequent 3-itemsets over order baskets at brand granularity, with
+    the {b1,b2}→b3 rule confidence — association mining one level past
+    ``workload_basket_affinity``'s pairs. The shape is a-priori's:
+    baskets self-join under the b1<b2<b3 total order (each triple counted
+    once, no permutation blowup), the combinatorics bounded by per-order
+    basket size (Σ C(k,3) — cap k at scale, same bot-guard as the CF op).
+    Brand granularity keeps the lattice dense enough to rank; the top-20
+    by support + deterministic tiebreak is the reportable rule set."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part")
+    basket = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    n_orders = basket.select(F.count_distinct("o").cast("bigint").alias("n"))
+    a, c, d = basket.alias("a"), basket.alias("c"), basket.alias("d")
+    triples = (
+        a.join(c, (F.col("a.o") == F.col("c.o")) & (F.col("a.b") < F.col("c.b")))
+        .join(d, (F.col("a.o") == F.col("d.o")) & (F.col("c.b") < F.col("d.b")))
+        .groupBy(F.col("a.b").alias("b1"), F.col("c.b").alias("b2"), F.col("d.b").alias("b3"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+    )
+    pairs = (
+        a.join(c, (F.col("a.o") == F.col("c.o")) & (F.col("a.b") < F.col("c.b")))
+        .groupBy(F.col("a.b").alias("b1"), F.col("c.b").alias("b2"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_support"))
+    )
+    wr = W.orderBy(F.desc("support"), "b1", "b2", "b3")
+    ranked = triples.withColumn("rnk", F.row_number().over(wr)).filter(F.col("rnk") <= 20)
+    return (
+        ranked.join(pairs, ["b1", "b2"])
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "b1", "b2", "b3", "support",
+            round4(F.col("support").cast("double") / F.col("n")).alias("support_frac"),
+            round4(F.col("support").cast("double") / F.col("pair_support")).alias("conf_b1b2_to_b3"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
