@@ -1025,3 +1025,58 @@ def stream_union_sources(spark: SparkSession, sf: str) -> DataFrame:
         "sum_value",
     )
     return drain_to_memory(out, "stream_union_sources_sink", "complete")
+
+
+@query(
+    "stream_tumbling_topk",
+    oracle=f"""
+        WITH counts AS (
+            SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+                   event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   {sql_dsum('value')} AS sum_value
+            FROM events
+            GROUP BY 1, 2
+        )
+        SELECT window_start, event_type, n_events, sum_value,
+               CAST(rnk AS INT) AS rnk
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY window_start
+                ORDER BY n_events DESC, event_type) AS rnk
+            FROM counts
+        ) r WHERE rnk <= 3
+    """,
+    tags=("streaming", "topk"),
+)
+def stream_tumbling_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming 'trending now': top-3 event types per 1-hour tumbling
+    window. Structured Streaming cannot put a rank window inside the
+    stream (non-monotonic across micro-batches), so the op pins the
+    correct two-stage architecture: the STREAM maintains the windowed
+    counts (bounded state, watermark-evictable), and the rank runs on the
+    complete-mode snapshot as a BATCH window — which is exactly how a
+    dashboard sink consumes it. Deterministic tiebreak; equals the batch
+    formulation the oracle replays."""
+    from pyspark.sql.window import Window as W
+
+    s = events_stream(spark, sf)
+    agg = s.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
+    )
+    snap = drain_to_memory(
+        agg.select(
+            F.col("window.start").alias("window_start"),
+            "event_type", "n_events", "sum_value",
+        ),
+        "stream_tumbling_topk_sink",
+        "complete",
+    )
+    w = W.partitionBy("window_start").orderBy(F.desc("n_events"), F.asc("event_type"))
+    return (
+        snap.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("window_start", "event_type", "n_events", "sum_value",
+                F.col("rnk").cast("int").alias("rnk"))
+    )
