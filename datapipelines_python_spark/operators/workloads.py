@@ -12582,3 +12582,85 @@ def workload_frequent_triples(spark: SparkSession, sf: str) -> DataFrame:
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+@query(
+    "ml_lof_outliers",
+    oracle=f"""
+        WITH nv AS MATERIALIZED (
+            SELECT vec_id, embedding,
+                   SQRT(list_reduce(list_prepend(0.0, list_transform(list_zip(embedding, embedding), s -> CAST(s[1] AS DOUBLE) * s[2])), (acc, x) -> acc + x)) AS norm
+            FROM embeddings
+        ),
+        p AS (
+            SELECT a.vec_id AS u, b.vec_id AS v,
+                   FLOOR((list_reduce(list_prepend(0.0, list_transform(list_zip(a.embedding, b.embedding), s -> CAST(s[1] AS DOUBLE) * s[2])), (acc, x) -> acc + x) / (a.norm * b.norm)) * 10000.0 + 0.5) / 10000.0 AS c
+            FROM nv a JOIN nv b ON a.vec_id <> b.vec_id
+        ),
+        t5 AS (
+            SELECT u, v, 1.0 - c AS d FROM (
+                SELECT u, v, c,
+                       ROW_NUMBER() OVER (PARTITION BY u ORDER BY c DESC, v) AS rn
+                FROM p
+            ) r WHERE rn <= 5
+        ),
+        kd AS (SELECT u, MAX(d) AS kdist FROM t5 GROUP BY u),
+        reach AS (
+            SELECT t5.u, t5.v, GREATEST(kd.kdist, t5.d) AS rd
+            FROM t5 JOIN kd ON kd.u = t5.v
+        ),
+        lrd AS (
+            SELECT u, 1.0 / (SUM(rd) / 5.0) AS lrd FROM reach GROUP BY u
+        ),
+        lof AS (
+            SELECT t5.u,
+                   (SUM(ln.lrd) / 5.0) / lu.lrd AS lof
+            FROM t5
+            JOIN lrd ln ON ln.u = t5.v
+            JOIN lrd lu ON lu.u = t5.u
+            GROUP BY t5.u, lu.lrd
+        )
+        SELECT lof.u AS vec_id,
+               {sql_round4('kd.kdist')} AS kdist,
+               {sql_round4('lof.lof')} AS lof,
+               lof.lof > 1.5 AS is_outlier
+        FROM lof JOIN kd ON kd.u = lof.u
+    """,
+    tags=("ml", "outlier", "density"),
+)
+def ml_lof_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Local Outlier Factor (k=5) over the embedding corpus — density-
+    based outlier detection that the global z-score/IQR family cannot do
+    (a point can be normal globally but isolated from ITS OWN
+    neighborhood): k-distance → reachability distance (max(kdist(v),
+    d(u,v)) — the smoothing that makes LOF stable inside clusters) →
+    local reachability density → LOF = mean neighbor-lrd / own lrd,
+    > 1.5 flagged. The 14th consumer of the shared exact top-K edge
+    table (``_cosine_pairs``): every stage is a narrow join/agg on the
+    5n edge set, so LOF at 100 TB costs whatever the ANN candidate pass
+    costs, plus noise. Distance = 1 − round4(cosine), matching the edge
+    table's portable grid."""
+    pairs = _cosine_pairs(spark, sf)
+    w5 = W.partitionBy("u").orderBy(F.desc("c"), F.asc("v"))
+    t5 = (
+        pairs.withColumn("rn", F.row_number().over(w5))
+        .filter(F.col("rn") <= 5)
+        .select("u", "v", (1.0 - F.col("c")).alias("d"))
+    )
+    kd = t5.groupBy("u").agg(F.max("d").alias("kdist"))
+    reach = t5.join(
+        kd.select(F.col("u").alias("v"), F.col("kdist").alias("kdist_v")), "v"
+    ).select("u", "v", F.greatest(F.col("kdist_v"), F.col("d")).alias("rd"))
+    lrd = reach.groupBy("u").agg((1.0 / (F.sum("rd") / 5.0)).alias("lrd"))
+    lof = (
+        t5.join(lrd.select(F.col("u").alias("v"), F.col("lrd").alias("lrd_v")), "v")
+        .join(lrd, "u")
+        .groupBy("u", "lrd")
+        .agg(((F.sum("lrd_v") / 5.0) / F.first("lrd")).alias("lof"))
+    )
+    return lof.join(kd, "u").select(
+        F.col("u").alias("vec_id"),
+        round4(F.col("kdist")).alias("kdist"),
+        round4(F.col("lof")).alias("lof"),
+        (F.col("lof") > 1.5).alias("is_outlier"),
+    )
