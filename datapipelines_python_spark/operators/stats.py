@@ -6607,3 +6607,80 @@ def ml_hurst_rs(spark: SparkSession, sf: str) -> DataFrame:
         round4(F.log(F.col("mean_rs")) / F.log(F.col("n").cast("double"))).alias("h_point"),
     )
 
+
+
+@query(
+    "ml_mahalanobis_t2",
+    oracle=f"""
+        WITH s AS (
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   AVG(l_quantity) AS mx, AVG(l_extendedprice) AS my,
+                   VAR_SAMP(l_quantity) AS sxx,
+                   VAR_SAMP(l_extendedprice) AS syy,
+                   COVAR_SAMP(l_quantity, l_extendedprice) AS sxy
+            FROM lineitem GROUP BY l_returnflag
+        ),
+        g AS (
+            SELECT AVG(l_quantity) AS gx, AVG(l_extendedprice) AS gy
+            FROM lineitem
+        ),
+        t AS (
+            SELECT s.l_returnflag, s.n,
+                   (s.mx - g.gx) AS dx, (s.my - g.gy) AS dy,
+                   s.sxx, s.syy, s.sxy,
+                   s.sxx * s.syy - s.sxy * s.sxy AS det
+            FROM s CROSS JOIN g
+        )
+        SELECT l_returnflag, n,
+               {sql_round4('dx')} AS delta_qty,
+               {sql_round4('dy / 1000.0')} AS delta_price_k,
+               {sql_round4('n * (dx * (syy * dx - sxy * dy) + dy * (sxx * dy - sxy * dx)) / det')}
+                   AS hotelling_t2,
+               n * (dx * (syy * dx - sxy * dy) + dy * (sxx * dy - sxy * dx)) / det
+                   > 13.8 AS sig_001
+        FROM t
+    """,
+    tags=("ml", "multivariate", "test"),
+)
+def ml_mahalanobis_t2(spark: SparkSession, sf: str) -> DataFrame:
+    """Hotelling T² per return-flag group: the squared Mahalanobis
+    distance of the group's (quantity, price) mean vector from the global
+    mean, scaled by n — the multivariate 'is this segment different'
+    test that two separate t-tests get wrong when the features correlate
+    (the 2×2 covariance inverse is inlined by Cramer's rule, no linear
+    algebra library). χ²₂ 0.1% critical value (13.8) inlined as the
+    verdict. One pass for the five per-group moments + one for the global
+    mean; all algebra on a 3-row frame. The per-ROW Mahalanobis outlier
+    variant reuses the same inverse against each row's deviation —
+    omitted here because the per-group test is the decision-grade
+    output."""
+    li = load_table(spark, sf, "lineitem")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.avg("l_quantity").alias("mx"),
+        F.avg("l_extendedprice").alias("my"),
+        F.var_samp("l_quantity").alias("sxx"),
+        F.var_samp("l_extendedprice").alias("syy"),
+        F.covar_samp("l_quantity", "l_extendedprice").alias("sxy"),
+    )
+    g = li.agg(
+        F.avg("l_quantity").alias("gx"), F.avg("l_extendedprice").alias("gy")
+    )
+    t = s.crossJoin(F.broadcast(g)).select(
+        "l_returnflag", "n",
+        (F.col("mx") - F.col("gx")).alias("dx"),
+        (F.col("my") - F.col("gy")).alias("dy"),
+        "sxx", "syy", "sxy",
+        (F.col("sxx") * F.col("syy") - F.col("sxy") * F.col("sxy")).alias("det"),
+    )
+    dx, dy = F.col("dx"), F.col("dy")
+    sxx, syy, sxy, det, n = (F.col(c) for c in ("sxx", "syy", "sxy", "det", "n"))
+    t2 = n * (dx * (syy * dx - sxy * dy) + dy * (sxx * dy - sxy * dx)) / det
+    return t.select(
+        "l_returnflag", "n",
+        round4(dx).alias("delta_qty"),
+        round4(dy / 1000.0).alias("delta_price_k"),
+        round4(t2).alias("hotelling_t2"),
+        (t2 > 13.8).alias("sig_001"),
+    )
