@@ -6684,3 +6684,81 @@ def ml_mahalanobis_t2(spark: SparkSession, sf: str) -> DataFrame:
         round4(t2).alias("hotelling_t2"),
         (t2 > 13.8).alias("sig_001"),
     )
+
+
+@query(
+    "ml_fisher_lda",
+    oracle=f"""
+        WITH feat AS (
+            SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS cls,
+                   CAST(n_chars AS DOUBLE) AS f1,
+                   CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) AS f2
+            FROM documents
+        ),
+        s AS (
+            SELECT cls, CAST(COUNT(*) AS BIGINT) AS n,
+                   AVG(f1) AS m1, AVG(f2) AS m2,
+                   VAR_SAMP(f1) AS v11, VAR_SAMP(f2) AS v22,
+                   COVAR_SAMP(f1, f2) AS v12
+            FROM feat GROUP BY cls
+        ),
+        w AS (
+            SELECT
+                MAX(CASE WHEN cls = 1 THEN m1 END) - MAX(CASE WHEN cls = 0 THEN m1 END) AS d1,
+                MAX(CASE WHEN cls = 1 THEN m2 END) - MAX(CASE WHEN cls = 0 THEN m2 END) AS d2,
+                (SUM((n - 1) * v11)) / (SUM(n) - 2) AS p11,
+                (SUM((n - 1) * v22)) / (SUM(n) - 2) AS p22,
+                (SUM((n - 1) * v12)) / (SUM(n) - 2) AS p12,
+                CAST(SUM(n) AS BIGINT) AS n_total
+            FROM s
+        )
+        SELECT n_total,
+               {sql_round4('(p22 * d1 - p12 * d2) / (p11 * p22 - p12 * p12)')} AS w1,
+               {sql_round4('(p11 * d2 - p12 * d1) / (p11 * p22 - p12 * p12)')} AS w2,
+               {sql_round4('(d1 * (p22 * d1 - p12 * d2) + d2 * (p11 * d2 - p12 * d1)) / (p11 * p22 - p12 * p12)')}
+                   AS fisher_separation
+        FROM w
+    """,
+    tags=("ml", "classification", "multivariate"),
+)
+def ml_fisher_lda(spark: SparkSession, sf: str) -> DataFrame:
+    """Fisher linear discriminant, closed form: the direction w = S_w⁻¹
+    (μ₁ − μ₀) that maximally separates English vs non-English documents
+    in the (chars, tokens) feature plane, with the pooled within-class
+    covariance inverted by Cramer's rule and the Mahalanobis separation
+    Δᵀ S_w⁻¹ Δ (= the discriminability the classifier can achieve) as the
+    quality scalar. Two grouped aggregates → six numbers → algebra on one
+    row; the projection w·x then scores 100 TB of rows as one fused
+    expression — train-free, iteration-free, the LDA complement of the
+    per-class Naive Bayes op."""
+    d = load_table(spark, sf, "documents")
+    feat = d.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("cls"),
+        F.col("n_chars").cast("double").alias("f1"),
+        F.size(F.split("text", " ")).cast("double").alias("f2"),
+    )
+    s = feat.groupBy("cls").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.avg("f1").alias("m1"), F.avg("f2").alias("m2"),
+        F.var_samp("f1").alias("v11"), F.var_samp("f2").alias("v22"),
+        F.covar_samp("f1", "f2").alias("v12"),
+    )
+    w = s.agg(
+        (F.max(F.when(F.col("cls") == 1, F.col("m1"))) - F.max(F.when(F.col("cls") == 0, F.col("m1")))).alias("d1"),
+        (F.max(F.when(F.col("cls") == 1, F.col("m2"))) - F.max(F.when(F.col("cls") == 0, F.col("m2")))).alias("d2"),
+        (F.sum((F.col("n") - 1) * F.col("v11")) / (F.sum("n") - 2)).alias("p11"),
+        (F.sum((F.col("n") - 1) * F.col("v22")) / (F.sum("n") - 2)).alias("p22"),
+        (F.sum((F.col("n") - 1) * F.col("v12")) / (F.sum("n") - 2)).alias("p12"),
+        F.sum("n").cast("bigint").alias("n_total"),
+    )
+    d1, d2 = F.col("d1"), F.col("d2")
+    p11, p22, p12 = F.col("p11"), F.col("p22"), F.col("p12")
+    det = p11 * p22 - p12 * p12
+    w1 = (p22 * d1 - p12 * d2) / det
+    w2 = (p11 * d2 - p12 * d1) / det
+    return w.select(
+        "n_total",
+        round4(w1).alias("w1"),
+        round4(w2).alias("w2"),
+        round4(d1 * w1 + d2 * w2).alias("fisher_separation"),
+    )
