@@ -6762,3 +6762,4 @@ def ml_fisher_lda(spark: SparkSession, sf: str) -> DataFrame:
         round4(w2).alias("w2"),
         round4(d1 * w1 + d2 * w2).alias("fisher_separation"),
     )
+
