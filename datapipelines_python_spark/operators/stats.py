@@ -6763,3 +6763,87 @@ def ml_fisher_lda(spark: SparkSession, sf: str) -> DataFrame:
         round4(d1 * w1 + d2 * w2).alias("fisher_separation"),
     )
 
+
+
+@query(
+    "ml_weibull_fit",
+    oracle=f"""
+        WITH gaps AS (
+            SELECT CAST(epoch_us(ts) AS DOUBLE) / 1000000.0
+                   - CAST(epoch_us(LAG(ts) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id))
+                          AS DOUBLE) / 1000000.0 AS t
+            FROM events WHERE event_type = 'purchase'
+        ),
+        pos AS (
+            SELECT t,
+                   ROW_NUMBER() OVER (ORDER BY t) AS i,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS n
+            FROM gaps WHERE t IS NOT NULL AND t > 0
+        ),
+        lin AS (
+            SELECT LN(t) AS x,
+                   LN(-LN(1.0 - (i - 0.3) / (n + 0.4))) AS y,
+                   n
+            FROM pos
+        ),
+        s AS (
+            SELECT MAX(n) AS n, COUNT(*) AS m,
+                   SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+                   SUM(x * x) AS sxx, SUM(y * y) AS syy
+            FROM lin
+        )
+        SELECT n,
+               {sql_round4('(m * sxy - sx * sy) / (m * sxx - sx * sx)')} AS shape_beta,
+               {sql_round4('EXP(-((sy - ((m * sxy - sx * sy) / (m * sxx - sx * sx)) * sx) / m) / ((m * sxy - sx * sy) / (m * sxx - sx * sx))) / 3600.0')}
+                   AS scale_eta_hours,
+               {sql_round4('((m * sxy - sx * sy) * (m * sxy - sx * sy)) / ((m * sxx - sx * sx) * (m * syy - sy * sy))')}
+                   AS r2
+        FROM s
+    """,
+    tags=("ml", "reliability", "survival"),
+)
+def ml_weibull_fit(spark: SparkSession, sf: str) -> DataFrame:
+    """Weibull fit of inter-purchase times by median-rank regression:
+    sort the gaps, Bernard's approximation F_i = (i−0.3)/(n+0.4) for the
+    plotting positions, then ln(−ln(1−F)) = β·ln t − β·ln η is a straight
+    line whose OLS slope IS the shape β and intercept yields the scale η
+    (reported in hours). β < 1 says bursty/clustered repeat purchasing
+    (the 'infant mortality' analogue), β ≈ 1 memoryless, β > 1 a regular
+    cadence — the reliability-engineering read of customer rhythm,
+    complementing ``ml_kaplan_meier``'s nonparametric curve with a
+    2-parameter model. One lag window + one global rank + closed-form
+    OLS; the float sums ride ln-transformed values whose magnitudes are
+    tame, so plain double sums replay exactly."""
+    e = load_table(spark, sf, "events").filter(F.col("event_type") == "purchase")
+    wl = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        (F.col("ts").cast("double") - F.lag("ts").over(wl).cast("double")).alias("t")
+    ).filter(F.col("t").isNotNull() & (F.col("t") > 0))
+    wall = W.partitionBy()
+    pos = gaps.select(
+        "t",
+        F.row_number().over(W.orderBy("t")).alias("i"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n"),
+    )
+    lin = pos.select(
+        F.log("t").alias("x"),
+        F.log(-F.log(1.0 - (F.col("i") - 0.3) / (F.col("n") + 0.4))).alias("y"),
+        "n",
+    )
+    s = lin.agg(
+        F.max("n").alias("n"), F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"), F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"), F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    m, sx, sy = F.col("m"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    beta = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    eta = F.exp(-((sy - beta * sx) / m) / beta) / 3600.0
+    r2 = ((m * sxy - sx * sy) * (m * sxy - sx * sy)) / ((m * sxx - sx * sx) * (m * syy - sy * sy))
+    return s.select(
+        "n",
+        round4(beta).alias("shape_beta"),
+        round4(eta).alias("scale_eta_hours"),
+        round4(r2).alias("r2"),
+    )
