@@ -12664,3 +12664,74 @@ def ml_lof_outliers(spark: SparkSession, sf: str) -> DataFrame:
         round4(F.col("lof")).alias("lof"),
         (F.col("lof") > 1.5).alias("is_outlier"),
     )
+
+
+@query(
+    "workload_srm_check",
+    oracle=f"""
+        WITH assign AS (
+            SELECT DISTINCT user_id,
+                   CASE WHEN ('0x' || SUBSTRING(MD5(CAST(user_id AS VARCHAR) || ':srm'), 1, 8))::BIGINT
+                             % 100 < 50 THEN 'A'
+                        WHEN ('0x' || SUBSTRING(MD5(CAST(user_id AS VARCHAR) || ':srm'), 1, 8))::BIGINT
+                             % 100 < 75 THEN 'B'
+                        ELSE 'C' END AS variant
+            FROM events
+        ),
+        counts AS (
+            SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_obs
+            FROM assign GROUP BY variant
+        ),
+        tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM counts),
+        cells AS (
+            SELECT c.variant, c.n_obs,
+                   t.n * CASE c.variant WHEN 'A' THEN 0.50
+                                        WHEN 'B' THEN 0.25 ELSE 0.25 END AS n_exp
+            FROM counts c CROSS JOIN tot t
+        )
+        SELECT variant, n_obs,
+               {sql_round4('n_exp')} AS n_expected,
+               {sql_round4('(n_obs - n_exp) * (n_obs - n_exp) / n_exp')}
+                   AS chi2_term,
+               {sql_round4('SUM((n_obs - n_exp) * (n_obs - n_exp) / n_exp) OVER ()')}
+                   AS chi2_total,
+               SUM((n_obs - n_exp) * (n_obs - n_exp) / n_exp) OVER () > 13.8
+                   AS srm_detected
+        FROM cells
+    """,
+    tags=("workload", "experimentation", "guardrail"),
+)
+def workload_srm_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail for a 50/25/25 experiment: χ² of
+    observed vs intended assignment counts over DISTINCT users, flagged
+    at the χ²₂ 0.1% critical value — the pre-metric sanity every real
+    A/B pipeline runs first, because a biased assignment (bot filtering,
+    logging loss, redirect asymmetry) silently poisons every downstream
+    metric no matter how careful the analysis. Assignment replays the
+    deterministic md5 bucket; one distinct + one tiny agg; the χ² total
+    is broadcast back onto the 3 variant rows by a frame-less window
+    over the 3-row frame."""
+    e = load_table(spark, sf, "events")
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":srm"))), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    variant = (
+        F.when(bucket < 50, "A").when(bucket < 75, "B").otherwise("C")
+    )
+    assign = e.select("user_id", variant.alias("variant")).distinct()
+    counts = assign.groupBy("variant").agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    tot = counts.agg(F.sum("n_obs").cast("bigint").alias("n"))
+    exp_w = F.when(F.col("variant") == "A", 0.50).otherwise(0.25)
+    cells = counts.crossJoin(F.broadcast(tot)).select(
+        "variant", "n_obs", (F.col("n") * exp_w).alias("n_exp")
+    )
+    term = (F.col("n_obs") - F.col("n_exp")) * (F.col("n_obs") - F.col("n_exp")) / F.col("n_exp")
+    wall = W.partitionBy()
+    return cells.select(
+        "variant", "n_obs",
+        round4(F.col("n_exp")).alias("n_expected"),
+        round4(term).alias("chi2_term"),
+        round4(F.sum(term).over(wall)).alias("chi2_total"),
+        (F.sum(term).over(wall) > 13.8).alias("srm_detected"),
+    )
