@@ -12735,3 +12735,64 @@ def workload_srm_check(spark: SparkSession, sf: str) -> DataFrame:
         round4(F.sum(term).over(wall)).alias("chi2_total"),
         (F.sum(term).over(wall) > 13.8).alias("srm_detected"),
     )
+
+
+@query(
+    "workload_winback_cohorts",
+    oracle=f"""
+        WITH acts AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ),
+        gaps AS (
+            SELECT user_id,
+                   DATE_DIFF('day',
+                             LAG(day) OVER (PARTITION BY user_id ORDER BY day),
+                             day) AS gap_days
+            FROM acts
+        ),
+        marks AS (
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN gap_days > 7 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_winbacks,
+                   CAST(MAX(gap_days) AS BIGINT) AS longest_dormancy,
+                   CAST(COUNT(*) AS BIGINT) AS n_active_days
+            FROM gaps GROUP BY user_id
+        )
+        SELECT n_winbacks,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(MIN(n_active_days) AS BIGINT) AS min_active_days,
+               CAST(MAX(longest_dormancy) AS BIGINT) AS max_dormancy_days,
+               {sql_round4('AVG(CAST(longest_dormancy AS DOUBLE))')}
+                   AS avg_longest_dormancy
+        FROM marks
+        GROUP BY n_winbacks
+    """,
+    tags=("workload", "lifecycle"),
+)
+def workload_winback_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    """Win-back analysis: a user 'reactivates' when an active day follows
+    a dormancy gap > 7 days; users cohort by how many such returns they
+    made in the window, with dormancy depth per cohort. The lifecycle
+    lens ``workload_new_vs_returning`` (binary per day) and
+    ``workload_growth_accounting`` (period ledger) don't give: repeated
+    resurrection is a different behavior class than steady retention, and
+    the 1-winback cohort is THE win-back campaign target. One distinct,
+    one user-keyed lag window on day grain, two aggregates — fully
+    distributed by user."""
+    e = load_table(spark, sf, "events")
+    acts = e.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    wl = W.partitionBy("user_id").orderBy("day")
+    gaps = acts.select(
+        "user_id", F.datediff(F.col("day"), F.lag("day").over(wl)).alias("gap_days")
+    )
+    marks = gaps.groupBy("user_id").agg(
+        F.sum(F.when(F.col("gap_days") > 7, 1).otherwise(0)).cast("bigint").alias("n_winbacks"),
+        F.max("gap_days").cast("bigint").alias("longest_dormancy"),
+        F.count(F.lit(1)).cast("bigint").alias("n_active_days"),
+    )
+    return marks.groupBy("n_winbacks").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.min("n_active_days").cast("bigint").alias("min_active_days"),
+        F.max("longest_dormancy").cast("bigint").alias("max_dormancy_days"),
+        round4(F.avg(F.col("longest_dormancy").cast("double"))).alias("avg_longest_dormancy"),
+    )
