@@ -12796,3 +12796,62 @@ def workload_winback_cohorts(spark: SparkSession, sf: str) -> DataFrame:
         F.max("longest_dormancy").cast("bigint").alias("max_dormancy_days"),
         round4(F.avg(F.col("longest_dormancy").cast("double"))).alias("avg_longest_dormancy"),
     )
+
+
+@query(
+    "workload_outage_windows",
+    oracle=f"""
+        WITH minutes AS (
+            SELECT DATE_TRUNC('minute', CAST(ts AS TIMESTAMP)) AS m,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        ),
+        gaps AS (
+            SELECT m,
+                   DATE_DIFF('minute', LAG(m) OVER (ORDER BY m), m) AS gap_min
+            FROM minutes
+        )
+        SELECT CAST(gap_min AS BIGINT) AS gap_minutes,
+               CAST(COUNT(*) AS BIGINT) AS n_gaps,
+               CAST(MIN(CAST(m AS VARCHAR)) AS VARCHAR) AS first_resume,
+               CAST(MAX(CAST(m AS VARCHAR)) AS VARCHAR) AS last_resume
+        FROM gaps
+        WHERE gap_min > 1
+        GROUP BY gap_min
+    """,
+    tags=("workload", "sre", "availability"),
+)
+def workload_outage_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Ingestion-silence detection: collapse the stream to minute-grain
+    counts, lag over the minute axis, and every gap > 1 minute is a
+    window with NO data at all — the outage signature per-metric
+    monitors miss (they alert on values, not on absence). Grouped by
+    gap length with the resume timestamps bounding each outage class.
+    The global ordered window is SAFE here because it runs on the
+    minute axis, whose cardinality is bounded by wall-clock time (43k
+    rows/month) regardless of event volume — reduce-then-window, the
+    same discipline as every day-grain op; the reduction is the only
+    thing that touches the 100 TB."""
+    e = load_table(spark, sf, "events")
+    minutes = e.groupBy(F.date_trunc("minute", F.col("ts")).alias("m")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wl = W.orderBy("m")
+    gaps = minutes.select(
+        "m",
+        (
+            (F.col("m").cast("long") - F.lag("m").over(wl).cast("long")) / 60
+        ).cast("bigint").alias("gap_min"),
+    )
+    return (
+        gaps.filter(F.col("gap_min") > 1)
+        .groupBy("gap_min")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            F.min(F.col("m").cast("string")).alias("first_resume"),
+            F.max(F.col("m").cast("string")).alias("last_resume"),
+        )
+        .select(
+            F.col("gap_min").alias("gap_minutes"), "n_gaps", "first_resume", "last_resume"
+        )
+    )
