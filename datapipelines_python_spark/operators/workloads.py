@@ -12855,3 +12855,60 @@ def workload_outage_windows(spark: SparkSession, sf: str) -> DataFrame:
             F.col("gap_min").alias("gap_minutes"), "n_gaps", "first_resume", "last_resume"
         )
     )
+
+
+@query(
+    "workload_burstiness_fano",
+    oracle=f"""
+        WITH mins AS (
+            SELECT event_type, DATE_TRUNC('minute', CAST(ts AS TIMESTAMP)) AS m,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        s AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_minutes,
+                   AVG(CAST(n AS DOUBLE)) AS mu,
+                   VAR_SAMP(CAST(n AS DOUBLE)) AS v,
+                   STDDEV_SAMP(CAST(n AS DOUBLE)) AS sd
+            FROM mins GROUP BY event_type
+        )
+        SELECT event_type, n_minutes,
+               {sql_round4('mu')} AS mean_per_min,
+               {sql_round4('v / mu')} AS fano_factor,
+               {sql_round4('(sd - mu) / (sd + mu)')} AS burstiness_b,
+               v / mu > 1.5 AS overdispersed
+        FROM s
+    """,
+    tags=("workload", "timeseries", "dispersion"),
+)
+def workload_burstiness_fano(spark: SparkSession, sf: str) -> DataFrame:
+    """Burstiness diagnostics per event type over minute-grain counts:
+    the Fano factor (variance/mean — 1 for a Poisson process, > 1
+    overdispersed/bursty, < 1 regular) and the Goh-Barabási burstiness
+    B = (σ−μ)/(σ+μ) ∈ [−1, 1]. The question behind capacity planning
+    and anomaly thresholds — 'is this stream Poisson-like or does it
+    clump?' — answered before ``workload_queueing_mm1``'s M/M/1 math
+    (which ASSUMES Poisson arrivals; a Fano ≫ 1 here says those wait
+    estimates are lower bounds). Counts-per-minute is active only for
+    minutes WITH events: the zero-minute correction matters for sparse
+    types and is documented rather than hidden (both engines see the
+    same active-minute universe)."""
+    e = load_table(spark, sf, "events")
+    mins = e.groupBy(
+        "event_type", F.date_trunc("minute", F.col("ts")).alias("m")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    s = mins.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_minutes"),
+        F.avg(F.col("n").cast("double")).alias("mu"),
+        F.var_samp(F.col("n").cast("double")).alias("v"),
+        F.stddev_samp(F.col("n").cast("double")).alias("sd"),
+    )
+    mu, v, sd = F.col("mu"), F.col("v"), F.col("sd")
+    return s.select(
+        "event_type", "n_minutes",
+        round4(mu).alias("mean_per_min"),
+        round4(v / mu).alias("fano_factor"),
+        round4((sd - mu) / (sd + mu)).alias("burstiness_b"),
+        (v / mu > 1.5).alias("overdispersed"),
+    )
