@@ -6847,3 +6847,73 @@ def ml_weibull_fit(spark: SparkSession, sf: str) -> DataFrame:
         round4(eta).alias("scale_eta_hours"),
         round4(r2).alias("r2"),
     )
+
+
+@query(
+    "ml_tukey_hsd",
+    oracle=f"""
+        WITH g AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)
+                       / COUNT(*) AS m,
+                   VAR_SAMP(CAST(value AS DOUBLE)) AS v
+            FROM events WHERE NOT ISNAN(value)
+            GROUP BY event_type
+        ),
+        mse AS (
+            SELECT SUM((n - 1) * v) / SUM(n - 1) AS mse FROM g
+        ),
+        pairs AS (
+            SELECT a.event_type AS g1, b.event_type AS g2,
+                   a.m - b.m AS diff,
+                   SQRT(mse.mse / 2.0 * (1.0 / a.n + 1.0 / b.n)) AS se_q
+            FROM g a JOIN g b ON a.event_type < b.event_type
+            CROSS JOIN mse
+        )
+        SELECT g1, g2,
+               {sql_round4('diff')} AS mean_diff,
+               {sql_round4('se_q')} AS se_q,
+               {sql_round4('ABS(diff) / se_q')} AS q_stat,
+               ABS(diff) / se_q > 3.86 AS significant
+        FROM pairs
+    """,
+    tags=("ml", "test", "posthoc"),
+)
+def ml_tukey_hsd(spark: SparkSession, sf: str) -> DataFrame:
+    """Tukey HSD post-hoc pairwise comparisons across event types — the
+    step AFTER ``ml_anova_oneway``'s omnibus F says 'some mean differs':
+    every pair's studentized range statistic q = |Δmean| / √(MSE/2·
+    (1/n_i + 1/n_j)) against the k=5, df=∞ 5% critical value 3.86,
+    controlling family-wise error where 10 naive t-tests would inflate
+    it. MSE pools the per-group variances from ONE grouped aggregate;
+    the 10 pairs come from a self-join of the 5-row group frame —
+    post-hoc inference is algebra, never a rescan."""
+    e = load_table(spark, sf, "events").filter(~F.isnan("value"))
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        davg(F.col("value").cast("double")).alias("m"),
+        F.var_samp(F.col("value").cast("double")).alias("v"),
+    )
+    mse = g.agg(
+        (F.sum((F.col("n") - 1) * F.col("v")) / F.sum(F.col("n") - 1)).alias("mse")
+    )
+    a = g.select(F.col("event_type").alias("g1"), F.col("n").alias("n1"), F.col("m").alias("m1"))
+    b = g.select(F.col("event_type").alias("g2"), F.col("n").alias("n2"), F.col("m").alias("m2"))
+    pairs = (
+        a.join(b, F.col("g1") < F.col("g2"))
+        .crossJoin(F.broadcast(mse))
+        .select(
+            "g1", "g2",
+            (F.col("m1") - F.col("m2")).alias("diff"),
+            F.sqrt(F.col("mse") / 2.0 * (1.0 / F.col("n1") + 1.0 / F.col("n2"))).alias("se_q"),
+        )
+    )
+    q = F.abs(F.col("diff")) / F.col("se_q")
+    return pairs.select(
+        "g1", "g2",
+        round4(F.col("diff")).alias("mean_diff"),
+        round4(F.col("se_q")).alias("se_q"),
+        round4(q).alias("q_stat"),
+        (q > 3.86).alias("significant"),
+    )
