@@ -58,3 +58,22 @@ def davg(col: Column) -> Column:
 
 def sql_davg(expr: str) -> str:
     return f"{sql_dsum(expr)} / COUNT({expr})"
+
+
+def md5_coord(key, salt: str, span: int, shift: float) -> Column:
+    """Deterministic synthetic coordinate from an integer key: md5 bucket
+    scaled into [−shift, span/1000 − shift). Shared by the geo operators
+    (``join_geo_bucketed``, ``fn_geohash_encode``) so the point scheme and
+    both oracles can never drift apart."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 8), 16, 10
+    ).cast("bigint")
+    return (h % span) / 1000.0 - shift
+
+
+def sql_md5_coord(key_expr: str, salt: str, span: int, shift: float) -> str:
+    """DuckDB twin of :func:`md5_coord`."""
+    return (
+        f"('0x' || SUBSTRING(MD5(CAST({key_expr} AS VARCHAR) || '{salt}'), 1, 8))::BIGINT"
+        f" % {span} / 1000.0 - {shift}"
+    )

@@ -21,7 +21,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from datapipelines_python_spark.catalog import load_table
-from datapipelines_python_spark.operators._helpers import dsum, round4, sql_dsum, sql_round4
+from datapipelines_python_spark.operators._helpers import (
+    dsum,
+    md5_coord,
+    round4,
+    sql_dsum,
+    sql_md5_coord,
+    sql_round4,
+)
 from datapipelines_python_spark.registry import query
 
 
@@ -1125,10 +1132,8 @@ def join_exists_correlated(spark: SparkSession, sf: str) -> DataFrame:
     oracle=f"""
         WITH pts AS (
             SELECT c_custkey,
-                   ('0x' || SUBSTRING(MD5(CAST(c_custkey AS VARCHAR) || ':lat'), 1, 8))::BIGINT
-                       % 120000 / 1000.0 - 60.0 AS lat,
-                   ('0x' || SUBSTRING(MD5(CAST(c_custkey AS VARCHAR) || ':lon'), 1, 8))::BIGINT
-                       % 360000 / 1000.0 - 180.0 AS lon
+                   {sql_md5_coord("c_custkey", ":lat", 120000, 60.0)} AS lat,
+                   {sql_md5_coord("c_custkey", ":lon", 360000, 180.0)} AS lon
             FROM customer
         ),
         stores AS (SELECT * FROM pts WHERE c_custkey % 100 = 0),
@@ -1154,8 +1159,10 @@ def join_geo_bucketed(spark: SparkSession, sf: str) -> DataFrame:
     """Geo radius join via LOSSLESS grid blocking — the canonical spatial
     join at scale. Points are derived deterministically from customer keys
     (md5 → lat ∈ [-60, 60), lon ∈ [-180, 180), same hash both engines);
-    each store explodes into its 3×3 neighborhood of 1° grid cells and the
-    user side joins on its own cell — 1° latitude ≈ 111 km and 1°
+    each store explodes into its 3×3 neighborhood of 1° grid cells
+    (longitude cells WRAP at ±180 — haversine is periodic in Δlon, so an
+    unwrapped grid would silently drop cross-antimeridian neighbors) and
+    the user side joins on its own cell — 1° latitude ≈ 111 km and 1°
     longitude ≥ 55 km at |lat| ≤ 60°, both > the 50 km radius, so every
     true neighbor shares one of the 9 cells (no recall loss), and the
     equi-join on cell replaces the all-pairs product. Exact haversine
@@ -1168,18 +1175,10 @@ def join_geo_bucketed(spark: SparkSession, sf: str) -> DataFrame:
     (blocked candidates for the radius count, broadcast for the global
     argmin) documents where each tool applies."""
     c = load_table(spark, sf, "customer").select("c_custkey")
-
-    def coord(salt: str, span: int, shift: float):
-        h = F.conv(
-            F.substring(F.md5(F.concat(F.col("c_custkey").cast("string"), F.lit(salt))), 1, 8),
-            16, 10,
-        ).cast("bigint")
-        return (h % span) / 1000.0 - shift
-
     pts = c.select(
         "c_custkey",
-        coord(":lat", 120000, 60.0).alias("lat"),
-        coord(":lon", 360000, 180.0).alias("lon"),
+        md5_coord(F.col("c_custkey"), ":lat", 120000, 60.0).alias("lat"),
+        md5_coord(F.col("c_custkey"), ":lon", 360000, 180.0).alias("lon"),
     )
     stores = pts.filter(F.col("c_custkey") % 100 == 0)
 
@@ -1200,7 +1199,7 @@ def join_geo_bucketed(spark: SparkSession, sf: str) -> DataFrame:
                 "flatten(transform(sequence(-1, 1), dy ->"
                 " transform(sequence(-1, 1), dx ->"
                 " struct(CAST(floor(lat) + dy AS INT) AS cy,"
-                "        CAST(floor(lon) + dx AS INT) AS cx))))"
+                "        CAST(pmod(floor(lon) + dx + 180, 360) - 180 AS INT) AS cx))))"
             )
         ).alias("cell"),
     ).select("store_id", "slat", "slon", F.col("cell.cy").alias("cy"), F.col("cell.cx").alias("cx"))

@@ -13,7 +13,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datapipelines_python_spark.catalog import load_table
-from datapipelines_python_spark.operators._helpers import davg, round4, sql_davg, sql_round4
+from datapipelines_python_spark.operators._helpers import (
+    davg,
+    md5_coord,
+    round4,
+    sql_davg,
+    sql_md5_coord,
+    sql_round4,
+)
 from datapipelines_python_spark.registry import query
 
 
@@ -2649,10 +2656,8 @@ _GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
     oracle=f"""
         WITH pts AS (
             SELECT c_custkey,
-                   ('0x' || SUBSTRING(MD5(CAST(c_custkey AS VARCHAR) || ':lat'), 1, 8))::BIGINT
-                       % 120000 / 1000.0 - 60.0 AS lat,
-                   ('0x' || SUBSTRING(MD5(CAST(c_custkey AS VARCHAR) || ':lon'), 1, 8))::BIGINT
-                       % 360000 / 1000.0 - 180.0 AS lon
+                   {sql_md5_coord("c_custkey", ":lat", 120000, 60.0)} AS lat,
+                   {sql_md5_coord("c_custkey", ":lon", 360000, 180.0)} AS lon
             FROM customer
         ),
         bits AS (
@@ -2694,18 +2699,10 @@ def fn_geohash_encode(spark: SparkSession, sf: str) -> DataFrame:
     key. Coordinates derive from the same md5 scheme as the geo join, so
     the oracle replays everything."""
     c = load_table(spark, sf, "customer").select("c_custkey")
-
-    def coord(salt: str, span: int, shift: float):
-        h = F.conv(
-            F.substring(F.md5(F.concat(F.col("c_custkey").cast("string"), F.lit(salt))), 1, 8),
-            16, 10,
-        ).cast("bigint")
-        return (h % span) / 1000.0 - shift
-
     pts = c.select(
         "c_custkey",
-        coord(":lat", 120000, 60.0).alias("lat"),
-        coord(":lon", 360000, 180.0).alias("lon"),
+        md5_coord(F.col("c_custkey"), ":lat", 120000, 60.0).alias("lat"),
+        md5_coord(F.col("c_custkey"), ":lon", 360000, 180.0).alias("lon"),
     )
     bits = pts.select(
         "c_custkey", "lat", "lon",

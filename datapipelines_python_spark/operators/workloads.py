@@ -11702,7 +11702,7 @@ def workload_sequence_pattern(spark: SparkSession, sf: str) -> DataFrame:
                    ip // 65536 AS net16,
                    CASE WHEN ip // 16777216 = 10 THEN 'private_10'
                         WHEN ip // 16777216 = 127 THEN 'loopback'
-                        WHEN ip // 4194304 = 43 THEN 'private_172_16'
+                        WHEN ip // 1048576 = 2753 THEN 'private_172_16'
                         WHEN ip // 65536 = 49320 THEN 'private_192_168'
                         ELSE 'public' END AS ip_class
             FROM ips
@@ -11723,7 +11723,7 @@ def workload_ip_cidr_rollup(spark: SparkSession, sf: str) -> DataFrame:
     32-bit ints per user, replayed by the oracle) are classified into
     CIDR ranges with pure integer division — /8, /12 and /16 prefixes are
     ``ip div 2^(32-prefix)`` (10.0.0.0/8 → oct1=10; 172.16.0.0/12 →
-    ip div 2^22 = 43; 192.168.0.0/16 → ip div 2^16 = 49320) — then
+    ip div 2^20 = 2753; 192.168.0.0/16 → ip div 2^16 = 49320) — then
     aggregated per class with event and distinct-prefix counts. All
     integer-exact, zero string parsing in the hot path (the classic trap
     is regex-splitting dotted quads per row); the prefix arithmetic is
@@ -11741,12 +11741,13 @@ def workload_ip_cidr_rollup(spark: SparkSession, sf: str) -> DataFrame:
         "event_id", "ip", "value",
         (F.col("ip") / 16777216).cast("bigint").alias("oct1"),
         (F.col("ip") / 65536).cast("bigint").alias("net16"),
-        (F.col("ip") / 4194304).cast("bigint").alias("slash12"),
+        # /12 prefix = ip div 2^(32-12) = 2^20; 172.16.0.0 -> 2753
+        (F.col("ip") / 1048576).cast("bigint").alias("slash12"),
     )
     ip_class = (
         F.when(F.col("oct1") == 10, "private_10")
         .when(F.col("oct1") == 127, "loopback")
-        .when(F.col("slash12") == 43, "private_172_16")
+        .when(F.col("slash12") == 2753, "private_172_16")
         .when(F.col("net16") == 49320, "private_192_168")
         .otherwise("public")
     )
@@ -11817,12 +11818,10 @@ def workload_macd_signal(spark: SparkSession, sf: str) -> DataFrame:
     daily = e.groupBy(F.col("ts").cast("date").cast("string").alias("day")).agg(
         dsum(F.col("value")).alias("close")
     )
-    from pyspark.sql.window import Window as W_
-
     idx = daily.withColumn(
-        "i", (F.row_number().over(W_.orderBy("day")) - 1).cast("bigint")
+        "i", (F.row_number().over(W.orderBy("day")) - 1).cast("bigint")
     )
-    wcum = W_.orderBy("i").rowsBetween(W_.unboundedPreceding, W_.currentRow)
+    wcum = W.orderBy("i").rowsBetween(W.unboundedPreceding, W.currentRow)
 
     def ema(col, r):
         num = F.sum(col * F.pow(F.lit(r), -F.col("i"))).over(wcum) * F.pow(F.lit(r), F.col("i"))
@@ -11888,10 +11887,8 @@ def workload_sharpe_sortino(spark: SparkSession, sf: str) -> DataFrame:
     daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
         dsum(F.col("value")).alias("close")
     )
-    from pyspark.sql.window import Window as W_
-
     rets = daily.select(
-        (F.col("close") / F.lag("close").over(W_.orderBy("day")) - 1.0).alias("r")
+        (F.col("close") / F.lag("close").over(W.orderBy("day")) - 1.0).alias("r")
     ).filter(F.col("r").isNotNull())
     s = rets.agg(
         F.count("r").cast("bigint").alias("n"),
