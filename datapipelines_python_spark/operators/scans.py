@@ -29,60 +29,11 @@ def scratch_dir(name: str) -> str:
     return path
 
 
-# --------------------------------------------------------------------------
-# Driver-canonicalizer probes (VERDICT r1 "Next round" #4). Registered FIRST
-# so they land inside the driver's checked slice. Each emits ONE deliberately
-# raw risky-typed column over the 5-row region table; their r{N} rows tell us
-# definitively whether the driver's pandas hasher handles that type family,
-# so the central canonicalization in canon.py can be relaxed per family once
-# proven clean. NOT canonicalized (that's the point); interpreted in
-# BASELINE.md. All other ops go through canon.py and never emit these types.
-# --------------------------------------------------------------------------
-
-
-@query(
-    "diag_probe_date",
-    oracle="SELECT r_regionkey, DATE '1995-01-01' + (r_regionkey * 40) AS d FROM region",
-    tags=("diagnostic",),
-    canonicalize=False,
-)
-def diag_probe_date(spark: SparkSession, sf: str) -> DataFrame:
-    """Does a computed DATE column hash clean through the driver? (r1
-    fixtures carry only timestamps, so this was never measured.)"""
-    r = load_table(spark, sf, "region")
-    return r.select(
-        "r_regionkey",
-        F.date_add(F.lit("1995-01-01").cast("date"), F.col("r_regionkey").cast("int") * 40)
-        .alias("d"),
-    )
-
-
-@query(
-    "diag_probe_decimal",
-    oracle="SELECT r_regionkey, CAST(r_regionkey * 1.5 AS DECIMAL(10,2)) AS dec_val FROM region",
-    tags=("diagnostic",),
-    canonicalize=False,
-)
-def diag_probe_decimal(spark: SparkSession, sf: str) -> DataFrame:
-    """Does a DECIMAL column hash clean? (r1 ``project_cast`` says no —
-    this isolates the type from the rest of that query.)"""
-    r = load_table(spark, sf, "region")
-    return r.select(
-        "r_regionkey", (F.col("r_regionkey") * 1.5).cast("decimal(10,2)").alias("dec_val")
-    )
-
-
-@query(
-    "diag_probe_array",
-    oracle="SELECT r_regionkey, ['a', r_name] AS arr FROM region",
-    tags=("diagnostic",),
-    canonicalize=False,
-)
-def diag_probe_array(spark: SparkSession, sf: str) -> DataFrame:
-    """Does a top-level ARRAY column survive the driver's canonicalizer?
-    (r1 ``scan_json_nested`` crashed it — this pins the minimal repro.)"""
-    r = load_table(spark, sf, "region")
-    return r.select("r_regionkey", F.array(F.lit("a"), F.col("r_name")).alias("arr"))
+# The round-2 diag_probe_{date,decimal,array} canonicalizer probes lived
+# here; they answered their question (DATE hashes clean through the driver,
+# DECIMAL must stay cast, ARRAY must stay flattened — CORRECTNESS_r02.json)
+# and were retired per VERDICT r2 "What's wrong" #1 so the driver slice
+# spends all 50 slots on real operators. Findings live on in canon.py.
 
 
 @query(

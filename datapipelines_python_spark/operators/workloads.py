@@ -4937,6 +4937,251 @@ def _ann_candidates(nv: DataFrame) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Registered ANN-candidate twins (VERDICT r2 "Next round" #2): the banded
+# sign-LSH candidate path above used to be reachable only through the
+# SPARK_GRAFT_KNN_CANDIDATES=ann env override, so the 100 TB-shaped plan
+# never produced a CORRECTNESS row. These ops register it directly, with
+# DuckDB oracles that replay the band/bucket assignment bit-for-bit, and
+# sit inside the driver's first-50 slice (registry.DRIVER_SLICE).
+# tests/test_knn_family.py gates the plans: no CartesianProduct / BNLJ —
+# candidate cost is Σ bucket-occupancy², never n².
+# --------------------------------------------------------------------------
+
+# DuckDB replay of _ann_candidates' banding: band b in 0..7, bucket =
+# big-endian fold of the 6 sign bits of embedding[b*6+1 .. b*6+6]
+# (1-based), exactly matching the Spark aggregate's acc*2 + (x >= 0).
+_SQL_ANN_BUCKET = " + ".join(
+    f"CASE WHEN embedding[band * {_ANN_BITS} + {k}] >= 0 "
+    f"THEN {1 << (_ANN_BITS - k)} ELSE 0 END"
+    for k in range(1, _ANN_BITS + 1)
+)
+
+_SQL_ANN_SCORED = f"""
+        ann_nv AS MATERIALIZED (
+            SELECT vec_id, embedding,
+                   SQRT({sql_dot('embedding', 'embedding')}) AS norm
+            FROM embeddings
+        ),
+        ann_banded AS MATERIALIZED (
+            SELECT vec_id, band, {_SQL_ANN_BUCKET} AS bucket
+            FROM embeddings,
+                 (SELECT UNNEST(RANGE(0, {_ANN_BANDS})) AS band)
+        ),
+        ann_cand AS MATERIALIZED (
+            SELECT DISTINCT x.vec_id AS cu, y.vec_id AS cv
+            FROM ann_banded x JOIN ann_banded y
+              ON x.band = y.band AND x.bucket = y.bucket
+             AND x.vec_id <> y.vec_id
+        ),
+        ann_scored AS MATERIALIZED (
+            SELECT t.cu AS u, t.cv AS v,
+                   {sql_round4(sql_dot('a.embedding', 'b.embedding')
+                               + ' / (a.norm * b.norm)')} AS c
+            FROM ann_cand t
+            JOIN ann_nv a ON t.cu = a.vec_id
+            JOIN ann_nv b ON t.cv = b.vec_id
+        )
+"""
+
+
+def _ann_scored_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Cosine-scored banded sign-LSH candidate pairs (u, v, round4 c) —
+    the registered production candidate stream: one explode (8 rows/vec),
+    one (band, bucket) equi-self-join, one distinct, exact rescoring of
+    candidates only. Work is Σ bucket-occupancy² per band, never n²."""
+    from datapipelines_python_spark.operators.llm import dot
+
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    nv = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(dot("embedding", "embedding")).alias("norm"),
+    )
+    return _ann_candidates(nv).select(
+        F.col("a.vec_id").alias("u"),
+        F.col("b.vec_id").alias("v"),
+        round4(
+            dot(F.col("a.embedding"), F.col("b.embedding"))
+            / (F.col("a.norm") * F.col("b.norm"))
+        ).alias("c"),
+    )
+
+
+_ANN_EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _ann_edge_table_df(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-u top-5 ANN edge table (u, v, c, rank), persisted once per
+    (session, sf) — the scale-path twin of ``_mutual_5nn``'s exact input."""
+    key = (spark.sparkContext.applicationId, sf)
+    cached = _ANN_EDGE_CACHE.get(key)
+    if cached is not None:
+        if not cached.storageLevel.useMemory:  # re-pin after clearCache()
+            cached.persist()
+        return cached
+    w = W.partitionBy("u").orderBy(F.desc("c"), F.asc("v"))
+    edges = (
+        _ann_scored_pairs(spark, sf)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("u", "v", "c", F.col("rank").cast("int").alias("rank"))
+        .persist()
+    )
+    _ANN_EDGE_CACHE[key] = edges
+    return edges
+
+
+@query(
+    "graph_ann_edge_table",
+    oracle=f"""
+        WITH {_SQL_ANN_SCORED}
+        SELECT u, v, c AS cosine, CAST(rn AS INT) AS rank
+        FROM (
+            SELECT u, v, c,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY u ORDER BY c DESC, v) AS rn
+            FROM ann_scored
+        ) r WHERE rn <= 5
+    """,
+    tags=("workload", "graph", "similarity", "ann"),
+)
+def graph_ann_edge_table(spark: SparkSession, sf: str) -> DataFrame:
+    """The 100 TB kNN candidate path, registered and oracle-checked: banded
+    sign-LSH (8 bands x 6 sign bits) candidate generation -> exact cosine
+    on candidates only -> per-u top-5. This is the edge table every
+    kNN-graph consumer rides at scale (the exact ``_cosine_pairs`` default
+    is the fixture-scale formulation; see its docstring for the recall
+    trade on these isotropic fixtures). Candidate compute is
+    Σ bucket-occupancy² — at 1000 executors the (band, bucket) equi-join
+    shuffles each vector 8 times and never builds the n² product."""
+    return _ann_edge_table_df(spark, sf).select(
+        "u", "v", F.col("c").alias("cosine"), "rank"
+    )
+
+
+@query(
+    "graph_triangle_count_ann",
+    oracle=f"""
+        WITH {_SQL_ANN_SCORED},
+        topk AS MATERIALIZED (
+            SELECT u, v FROM (
+                SELECT u, v,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY u ORDER BY c DESC, v) AS rn
+                FROM ann_scored
+            ) r WHERE rn <= 5
+        ),
+        mutual AS MATERIALIZED (
+            SELECT x.u, x.v
+            FROM topk x JOIN topk y ON x.u = y.v AND x.v = y.u
+            WHERE x.u < x.v
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ann_nv) AS n_nodes,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM mutual) AS n_edges,
+               (SELECT CAST(COUNT(*) AS BIGINT)
+                FROM mutual e1
+                JOIN mutual e2 ON e1.v = e2.u
+                JOIN mutual e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles
+    """,
+    tags=("workload", "graph", "similarity", "ann"),
+)
+def graph_triangle_count_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """``graph_triangle_count`` with its edge list built from the banded
+    sign-LSH candidate path instead of the exact n² pass — the plan shape
+    that actually runs at 100 TB. Same oriented three-way self-join over
+    mutual-5NN edges; only the candidate generator differs, and the oracle
+    replays the banding bit-for-bit so the ANN path itself is what gets
+    hash-checked."""
+    edges = _ann_edge_table_df(spark, sf).select("u", "v")
+    mutual = (
+        edges.alias("x")
+        .join(
+            edges.alias("y"),
+            (F.col("x.u") == F.col("y.v")) & (F.col("x.v") == F.col("y.u")),
+        )
+        .filter(F.col("x.u") < F.col("x.v"))
+        .select(F.col("x.u").alias("u"), F.col("x.v").alias("v"))
+    )
+    nv = load_table(spark, sf, "embeddings").select("vec_id")
+    n_nodes = nv.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    n_edges = mutual.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    tri = (
+        mutual.alias("e1")
+        .join(mutual.alias("e2"), F.col("e1.v") == F.col("e2.u"))
+        .join(
+            mutual.alias("e3"),
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    return n_nodes.crossJoin(n_edges).crossJoin(tri)
+
+
+@query(
+    "llm_hard_negative_mining_ann",
+    oracle=f"""
+        WITH {_SQL_ANN_SCORED},
+        lab AS (SELECT vec_id, label FROM embeddings),
+        p AS (
+            SELECT s.u AS anchor_id, la.label AS anchor_label,
+                   s.v AS negative_id, s.c AS cos_sim
+            FROM ann_scored s
+            JOIN lab la ON s.u = la.vec_id
+            JOIN lab lb ON s.v = lb.vec_id
+            WHERE la.label <> lb.label
+        )
+        SELECT anchor_id, CAST(anchor_label AS INT) AS anchor_label,
+               negative_id, cos_sim, CAST(rn AS INT) AS neg_rank
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                         ORDER BY cos_sim DESC,
+                                                  negative_id) AS rn
+            FROM p
+        ) r WHERE rn <= 3
+    """,
+    tags=("llm", "similarity", "training", "ann"),
+)
+def llm_hard_negative_mining_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """``llm_hard_negative_mining`` on the banded sign-LSH candidate
+    stream: per anchor, the 3 most-similar DIFFERENT-label vectors among
+    its LSH-bucket candidates. This is the between-epochs mining pass as
+    it runs at 100 TB — candidates from the bucket join (never n²), the
+    label-mismatch filter and rank-and-take-3 unchanged. Label lookups
+    broadcast (the label table is two thin columns)."""
+    lab = load_table(spark, sf, "embeddings").select("vec_id", "label")
+    p = (
+        _ann_scored_pairs(spark, sf)
+        .join(
+            F.broadcast(
+                lab.select(F.col("vec_id").alias("u"), F.col("label").alias("la"))
+            ),
+            "u",
+        )
+        .join(
+            F.broadcast(
+                lab.select(F.col("vec_id").alias("v"), F.col("label").alias("lb"))
+            ),
+            "v",
+        )
+        .filter(F.col("la") != F.col("lb"))
+        .select(
+            F.col("u").alias("anchor_id"),
+            F.col("la").cast("int").alias("anchor_label"),
+            F.col("v").alias("negative_id"),
+            F.col("c").alias("cos_sim"),
+        )
+    )
+    rn = F.row_number().over(
+        W.partitionBy("anchor_id").orderBy(F.desc("cos_sim"), F.asc("negative_id"))
+    )
+    return (
+        p.withColumn("neg_rank", rn)
+        .filter(F.col("neg_rank") <= 3)
+        .withColumn("neg_rank", F.col("neg_rank").cast("int"))
+    )
+
+
 _MUTUAL_5NN_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 

@@ -17,6 +17,76 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+# Driver-slice rotation (VERDICT r2 "Next round" #1): the driver's
+# CORRECTNESS check covers the FIRST 50 registered names only. Rounds 1–2
+# spent that slice on scans/filters/joins (green twice); round 3 rotates in
+# 50 ops with zero driver-green history — the flagship agg family, windows,
+# sort/setops, scalar-function families, UDF surfaces, the LLM dedup/
+# similarity headliners, streaming, and the newly registered ANN-candidate
+# twins (VERDICT #2). After every module loads, _ensure_loaded reorders the
+# registry so these names come first; everything else keeps its original
+# registration order behind them. tests/test_registry.py pins the slice.
+DRIVER_SLICE: tuple[str, ...] = (
+    # §2B.4 aggregates (13) — incl. the never-driver-checked flagship
+    "agg_groupby",
+    "agg_global",
+    "agg_having",
+    "agg_count_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_collect_list",
+    "agg_stats",
+    "agg_percentile",
+    "agg_min_max_by",
+    "agg_first_last",
+    "agg_partial_final",
+    # §2B.5 windows (8)
+    "win_row_number",
+    "win_rank_dense",
+    "win_lag_lead",
+    "win_running_sum",
+    "win_moving_avg",
+    "win_range_frame",
+    "win_first_last_value",
+    "topk_per_group",
+    # §2B.6 sorts / set ops (6)
+    "sort_multi",
+    "limit_topk_global",
+    "setop_union_all",
+    "setop_union_distinct",
+    "setop_intersect",
+    "setop_except",
+    # §2B.7 scalar function families (9)
+    "fn_string",
+    "fn_regexp",
+    "fn_date",
+    "fn_timestamp",
+    "fn_math",
+    "fn_array",
+    "fn_array_hof",
+    "fn_map",
+    "fn_json",
+    # §2B.8 UDF surfaces (4)
+    "udf_python_scalar",
+    "udf_pandas_scalar",
+    "udf_grouped_map",
+    "udaf_pandas_agg",
+    # LLM-pipeline headliners (4)
+    "llm_dedup_exact",
+    "llm_dedup_near",
+    "llm_similarity_topk",
+    "llm_tfidf",
+    # §2B.9 streaming (3) — first-ever driver-checked streaming rows
+    "stream_tumbling_agg",
+    "stream_session_window",
+    "stream_dedup",
+    # ANN-candidate twins (3, new this round — VERDICT r2 #2)
+    "graph_ann_edge_table",
+    "graph_triangle_count_ann",
+    "llm_hard_negative_mining_ann",
+)
+
 # Modules that register operators on import.
 _OPERATOR_MODULES = (
     "datapipelines_python_spark.operators.scans",
@@ -60,11 +130,10 @@ def query(
     """Register an operator. ``oracle`` is DuckDB SQL over the fixture views.
 
     Both sides are canonicalized for the driver's pandas-based result
-    comparison (see ``canon.py``): the Spark plan gets DATE→string /
-    DECIMAL→double casts appended to its final select, and the oracle SQL is
-    wrapped with the matching DuckDB casts from the committed
-    ``canon_snapshot``. ``tests/test_schema_safety.py`` pins snapshot ↔
-    live-schema agreement.
+    comparison (see ``canon.py``): the Spark plan gets DECIMAL→double casts
+    appended to its final select, and the oracle SQL is wrapped with the
+    matching DuckDB casts from the committed ``canon_snapshot``.
+    ``tests/test_schema_safety.py`` pins snapshot ↔ live-schema agreement.
     """
 
     def deco(fn: QueryFn) -> QueryFn:
@@ -117,6 +186,17 @@ def _ensure_loaded() -> None:
     except BaseException:
         _LOADED = False
         raise
+    # Rotate the driver's first-50 correctness slice to DRIVER_SLICE order
+    # (dict insertion order is the registration order the driver sees).
+    ordered: dict[str, QuerySpec] = {}
+    for name in DRIVER_SLICE:
+        spec = _REGISTRY.get(name)
+        if spec is not None:
+            ordered[name] = spec
+    for name, spec in _REGISTRY.items():
+        ordered.setdefault(name, spec)
+    _REGISTRY.clear()
+    _REGISTRY.update(ordered)
 
 
 def get_registry() -> dict[str, QuerySpec]:

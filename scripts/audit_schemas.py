@@ -8,12 +8,12 @@ round-1 evidence (CORRECTNESS_r01.json):
   'list'`` on ``scan_json_nested``),
 - DECIMAL columns hash-mismatch (``decimal.Decimal`` objects vs DuckDB
   float64 on ``project_cast``),
-- DATE columns are unproven (fixtures carry only timestamps, which DO hash
-  clean per the 48 green scans/joins).
+- DATE columns hash clean (round-2 ``diag_probe_date``, so DateType was
+  dropped from FORBIDDEN_TYPES in round 3).
 
 This script builds each op's plan at sf0.001 (analysis only — nothing is
 executed unless the op itself executes work) and reports ops whose final
-schema contains DecimalType / DateType / ArrayType / MapType / StructType.
+schema contains DecimalType / ArrayType / MapType / StructType.
 
 Usage: python scripts/audit_schemas.py [--only a,b] [--skip-streaming]
 """

@@ -82,6 +82,57 @@ def test_ann_candidate_mode_is_bucket_join(spark):
         del os.environ["SPARK_GRAFT_KNN_CANDIDATES"]
 
 
+def test_registered_ann_twins_plan_gate(spark):
+    """VERDICT r2 #2: the ANN candidate path is now *registered* (not an
+    env-var override). Gate the plans: the candidate stream must be the
+    (band, bucket) equi-self-join — no CartesianProduct, no
+    BroadcastNestedLoopJoin — so the driver-checked plan is the Σ bucket²
+    one, not n². ``graph_triangle_count_ann`` is allowed its final
+    three-single-row-aggregate crossJoin (the repo-wide sanctioned scalar
+    assembly pattern) but nothing else nested-loop-shaped."""
+    from datapipelines_python_spark.operators.workloads import _ann_scored_pairs
+    from datapipelines_python_spark.registry import get_registry
+
+    cand_plan = (
+        _ann_scored_pairs(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in cand_plan
+    assert "BroadcastNestedLoopJoin" not in cand_plan
+
+    reg = get_registry()
+    for name in (
+        "graph_ann_edge_table",
+        "graph_triangle_count_ann",
+        "llm_hard_negative_mining_ann",
+    ):
+        df = reg[name].fn(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        bnlj = plan.count("BroadcastNestedLoopJoin")
+        if name == "graph_triangle_count_ann":
+            # exactly the two scalar crossJoins gluing (n_nodes, n_edges,
+            # n_triangles) into one row — each side a 1-row aggregate
+            assert bnlj <= 2 and plan.count("BuildRight, Cross") == bnlj, name
+        else:
+            assert bnlj == 0, name
+
+
+def test_ann_edge_table_shape(spark):
+    """The registered ANN edge table is per-u top-<=5, rank-dense from 1,
+    and never pairs a vector with itself."""
+    from datapipelines_python_spark.operators.workloads import _ann_edge_table_df
+
+    edges = _ann_edge_table_df(spark, SF)
+    assert edges.filter(F.col("u") == F.col("v")).count() == 0
+    per_u = edges.groupBy("u").agg(
+        F.count(F.lit(1)).alias("n"), F.max("rank").alias("mx"), F.min("rank").alias("mn")
+    )
+    bad = per_u.filter(
+        (F.col("n") > 5) | (F.col("mn") != 1) | (F.col("mx") != F.col("n"))
+    ).count()
+    assert bad == 0
+
+
 def test_mutual_edges_symmetric_undirected(spark):
     edges = _mutual_5nn(spark, SF)
     assert edges.filter(F.col("u") >= F.col("v")).count() == 0
