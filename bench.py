@@ -7,8 +7,14 @@ Each bench-flagged operator from the registry is executed to completion
 through a hash-sink (sum of xxhash64 over every output column — forces the
 full plan INCLUDING projection-only columns, which a bare count() would
 prune away; no driver materialization of rows) after one warm-up of the
-flagship to amortize JVM/session startup. Per-query times are wall-clock
-seconds for the *second* (warm) run; `value` is their sum.
+flagship to amortize JVM/session startup. Per-query times are the MINIMUM
+wall-clock seconds over three warm runs (one untimed warm-up amortizes
+codegen/JIT for that plan, then three timed runs); `value` is the sum of
+the minima. Min-of-3 was adopted in round 3 (VERDICT r2 #4): single warm
+runs showed ±40% drift under concurrent machine load (tpch_q5 read 1.56×
+of lock in the r2 driver run but 1.0× in clean same-day runs), and the
+minimum is the statistic least sensitive to external interference while
+still charging every cost the plan actually pays.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32).
@@ -52,9 +58,12 @@ def main() -> None:
     times: dict[str, float] = {}
     for name, spec in bench_ops.items():
         consume(spec.fn(spark, sf_dir))  # warm: codegen/JIT for THIS plan
-        t0 = time.perf_counter()
-        consume(spec.fn(spark, sf_dir))
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            consume(spec.fn(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
