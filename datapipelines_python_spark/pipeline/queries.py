@@ -99,7 +99,19 @@ class QueryValidator:
                         + (f" (or {cl.alternatives})" if cl.alternatives else "")
                     )
                 if cl.has_default:
-                    out[cl.key] = cl.default
+                    default = cl.default
+                    # coerce the default through the declared type as well,
+                    # so validate() is idempotent even when a clause was
+                    # declared with e.g. .as_(str).with_default(0)
+                    if cl.type_ is not None and not isinstance(default, cl.type_):
+                        try:
+                            default = cl.type_(default)
+                        except (TypeError, ValueError) as exc:
+                            raise QueryValidationError(
+                                f"key {cl.key!r}: default {cl.default!r} cannot "
+                                f"coerce to {cl.type_.__name__}"
+                            ) from exc
+                    out[cl.key] = default
                 continue
             key = present[0]
             value = query[key]
