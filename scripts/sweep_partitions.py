@@ -77,6 +77,7 @@ def main() -> int:
         return int(row["n"]), (int(row["h"]) if row["h"] is not None else None)
 
     results: dict[str, dict[int, tuple[int, int | None]]] = {}
+    op_times: dict[str, dict[int, float]] = {}
     errors: dict[str, str] = {}
     walls: dict[int, float] = {}
     for p in settings:
@@ -88,7 +89,9 @@ def main() -> int:
             if spec is None:
                 continue
             try:
+                t_op = time.time()
                 n, h = fingerprint(spec.fn(spark, args.sf))
+                op_times.setdefault(name, {})[p] = round(time.time() - t_op, 2)
                 # rows-only ops (oracle=None: sketch estimates whose VALUES
                 # are legitimately merge-order-dependent, e.g. KLL
                 # compaction) are held to count-invariance only — the same
@@ -113,6 +116,7 @@ def main() -> int:
         "wall_s": walls,
         "divergent": divergent,
         "errors": errors,
+        "op_times": {k: {str(p): t for p, t in v.items()} for k, v in op_times.items()},
     }
     if args.out:
         with open(args.out, "w") as f:
