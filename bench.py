@@ -4,7 +4,7 @@ Prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each bench-flagged operator from the registry is executed to completion
-through a hash-sink (sum of xxhash64 over every output column — forces the
+through a hash-sink (bit_xor of xxhash64 over every output column — forces the
 full plan INCLUDING projection-only columns, which a bare count() would
 prune away; no driver materialization of rows) after one warm-up of the
 flagship to amortize JVM/session startup. Per-query times are the MINIMUM

@@ -26,6 +26,7 @@ driver-side row filtering (SURVEY.md §4.2).
 from __future__ import annotations
 
 import heapq
+import itertools
 from collections.abc import Callable, Mapping
 from typing import Any
 
@@ -82,10 +83,14 @@ class DataPipeline:
         if frm == to:
             return []
         edges = self._edges()
-        heap: list[tuple[int, str, list[DataTransformer]]] = [(0, frm, [])]
+        # the monotonic counter breaks cost ties so heapq never falls
+        # through to comparing the (unorderable) DataTransformer lists —
+        # two equal-cost parallel edges used to raise TypeError here
+        tie = itertools.count()
+        heap: list[tuple[int, int, str, list[DataTransformer]]] = [(0, next(tie), frm, [])]
         seen: set[str] = set()
         while heap:
-            cost, node, path = heapq.heappop(heap)
+            cost, _, node, path = heapq.heappop(heap)
             if node == to:
                 return path
             if node in seen:
@@ -93,7 +98,7 @@ class DataPipeline:
             seen.add(node)
             for ecost, nxt, t in edges.get(node, []):
                 if nxt not in seen:
-                    heapq.heappush(heap, (cost + ecost, nxt, path + [t]))
+                    heapq.heappush(heap, (cost + ecost, next(tie), nxt, path + [t]))
         return None
 
     def _apply_chain(self, df: DataFrame, chain: list[DataTransformer]) -> DataFrame:

@@ -67,6 +67,17 @@ class QueryValidator:
 
     def with_default(self, value: Any) -> "QueryValidator":
         cl = self._current
+        # coerce at declaration time when the type is already known, so a
+        # mis-declared default (.as_(int).with_default('oops')) fails at
+        # build time, not on the first query that happens to omit the key
+        if cl.type_ is not None and not isinstance(value, cl.type_):
+            try:
+                value = cl.type_(value)
+            except (TypeError, ValueError) as exc:
+                raise QueryValidationError(
+                    f"key {cl.key!r}: default {value!r} cannot coerce to "
+                    f"{cl.type_.__name__}"
+                ) from exc
         cl.default = value
         cl.has_default = True
         return self
@@ -100,9 +111,9 @@ class QueryValidator:
                     )
                 if cl.has_default:
                     default = cl.default
-                    # coerce the default through the declared type as well,
-                    # so validate() is idempotent even when a clause was
-                    # declared with e.g. .as_(str).with_default(0)
+                    # backstop for the .with_default(v).as_(T) declaration
+                    # order (with_default coerces eagerly when the type is
+                    # already declared); keeps validate() idempotent
                     if cl.type_ is not None and not isinstance(default, cl.type_):
                         try:
                             default = cl.type_(default)

@@ -9,9 +9,11 @@ registered batch operator at a given scale factor under several
 one session sweeps all of them) and compares, per operator and setting:
 
 - row count, and
-- an order-insensitive content hash: ``bit_xor(xxhash64(all columns))``
-  (commutative/associative, so row order and partition merge order cannot
-  affect it — only the multiset of rows can).
+- an order-insensitive content hash: ``sum(CAST(xxhash64(all columns) AS
+  decimal(38,0)))`` — commutative/associative so row order and partition
+  merge order cannot affect it, decimal-width so it cannot overflow, and
+  (unlike a bit_xor fold) duplicate-sensitive: identical rows do NOT
+  cancel pairwise, so only the exact multiset of rows fingerprints equal.
 
 Between settings every cache is dropped (``spark.catalog.clearCache()``
 plus the module-level kNN/ANN edge-table dict caches), so each sweep
@@ -66,13 +68,19 @@ def main() -> int:
     spark = get_spark(app_name="partition-sweep")
     registry = get_registry()
     names = [n.strip() for n in args.only.split(",") if n.strip()] or list(registry)
+    unknown = [n for n in names if n not in registry]
+    if unknown:  # fail loud: a typo'd --only must never report a false green
+        print(f"unknown operators: {unknown}", file=sys.stderr)
+        return 1
 
     from pyspark.sql import functions as F
 
     def fingerprint(df):
         row = df.agg(
             F.count(F.lit(1)).alias("n"),
-            F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns])).alias("h"),
+            F.sum(
+                F.xxhash64(*[F.col(c) for c in df.columns]).cast("decimal(38,0)")
+            ).alias("h"),
         ).first()
         return int(row["n"]), (int(row["h"]) if row["h"] is not None else None)
 
