@@ -2612,27 +2612,39 @@ def ml_pca_power(spark: SparkSession, sf: str) -> DataFrame:
     over locally-generated (i,j) pairs (decimal-exact sums → the matrix
     is partition-invariant), and each matvec is a broadcast join of the
     4096-row matrix against a 64-row vector. The corpus-sized work is ONE
-    pass to build covariance; iteration cost is independent of n — the
-    right split at 100 TB, where d²=4096 numbers summarize 100 TB of
-    vectors and the eigensolve is effectively free. Direction is
-    normalized (loading = v/||v||); ||v||/||w|| estimates λ₁ after one
+    shuffle-free map pass to build covariance — each vector's d² outer
+    products are emitted by two chained generators inside the scan stage
+    and map-side-combined down to 4096 keys before the only shuffle (the
+    oracle writes the same multiset of products as an exact-equivalent
+    self-join on vec_id; the engine never pays that join's n·d-row
+    shuffle). Iteration cost is independent of n — the right split at
+    100 TB, where d²=4096 numbers summarize 100 TB of vectors and the
+    eigensolve is effectively free. Direction is normalized
+    (loading = v/||v||); ||v||/||w|| estimates λ₁ after one
     ratio step. Deterministic with no randomized init: start vector is
     all-ones, fine unless the top component is exactly orthogonal to 1."""
     emb = load_table(spark, sf, "embeddings")
     ex = emb.select(
-        "vec_id", F.posexplode("embedding").alias("p", "xf")
+        F.posexplode("embedding").alias("p", "xf")
     ).select(
-        "vec_id",
         (F.col("p") + 1).cast("int").alias("i"),
         F.col("xf").cast("double").alias("x"),
     )
     mu = ex.groupBy("i").agg(davg(F.col("x")).alias("mu"))
     pair = (
-        ex.alias("a")
-        .join(ex.alias("b"), F.col("a.vec_id") == F.col("b.vec_id"))
+        emb.select(
+            F.posexplode("embedding").alias("p", "xi"),
+            F.col("embedding").alias("e"),
+        )
         .select(
-            F.col("a.i").alias("i"), F.col("b.i").alias("j"),
-            (F.col("a.x") * F.col("b.x")).alias("xy"),
+            (F.col("p") + 1).cast("int").alias("i"),
+            F.col("xi").cast("double").alias("x_i"),
+            F.posexplode("e").alias("q", "xj"),
+        )
+        .select(
+            "i",
+            (F.col("q") + 1).cast("int").alias("j"),
+            (F.col("x_i") * F.col("xj").cast("double")).alias("xy"),
         )
     )
     sxx = pair.groupBy("i", "j").agg(

@@ -571,3 +571,16 @@ def test_mm_decode_is_shuffle_free_arrow_batch(spark, registry):
         # encode->Arrow->decode is a pure per-partition map
         assert "MapInPandas" in plan, name
         assert "Exchange" not in plan, name
+
+
+def test_pca_covariance_pairs_are_map_side(spark, registry):
+    # The d^2 outer products per vector are emitted by chained Generates
+    # inside the scan stage (never a self-join on vec_id): the corpus is
+    # scanned once reading ONLY the embedding column, no sort-merge or
+    # shuffled-hash join exists anywhere (the only joins are broadcasts
+    # of the 64-row mu/w vectors), and vec_id never enters the plan.
+    plan = _plan(spark, registry, "ml_pca_power")
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "vec_id" not in plan
