@@ -5290,7 +5290,17 @@ def graph_kcore(spark: SparkSession, sf: str) -> DataFrame:
     textbook distributed k-core step, and at 100 TB the edge list comes
     from the bucketed ANN path, never the O(n²) pair product the
     fixture-scale oracle replays. Peeling to a FIXED round count (not
-    convergence) keeps the plan static and oracle-replayable."""
+    convergence) keeps the plan static and oracle-replayable.
+
+    Each round's keep-set and induced edge list is referenced 3× by the
+    next round + its own report row, and Catalyst inlines a fresh copy of
+    the subtree per reference (SCALE.md §5) — unchecked, this plan held
+    302 Exchanges and recomputed round 1 ~8×. Lazy ``localCheckpoint``
+    on the per-round frames truncates the lineage exactly where the
+    oracle's MATERIALIZED CTEs do: each round computes once, every
+    reference rides the materialized result (32 Exchanges executed; the
+    *unexecuted* plan still prints the inlined lineage — the checkpoint
+    cuts compute, not the pre-materialization toString)."""
     mutual = _mutual_5nn(spark, sf)
     nv = load_table(spark, sf, "embeddings").select("vec_id")
 
@@ -5302,13 +5312,20 @@ def graph_kcore(spark: SparkSession, sf: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("d"))
         )
 
-    keep1 = degrees(mutual).filter(F.col("d") >= 2).select("node")
+    keep1 = (
+        degrees(mutual).filter(F.col("d") >= 2).select("node")
+        .localCheckpoint(eager=False)
+    )
     e1 = (
         mutual.join(keep1.withColumnRenamed("node", "u"), "u", "left_semi")
         .join(keep1.withColumnRenamed("node", "v"), "v", "left_semi")
         .select("u", "v")
+        .localCheckpoint(eager=False)
     )
-    keep2 = degrees(e1).filter(F.col("d") >= 2).select("node")
+    keep2 = (
+        degrees(e1).filter(F.col("d") >= 2).select("node")
+        .localCheckpoint(eager=False)
+    )
     e2 = (
         e1.join(keep2.withColumnRenamed("node", "u"), "u", "left_semi")
         .join(keep2.withColumnRenamed("node", "v"), "v", "left_semi")
