@@ -79,3 +79,43 @@ def test_aqe_coalesces_post_shuffle_partitions(spark):
         plan = _final_plan(df)
         assert "isFinalPlan=true" in plan
         assert "AQEShuffleRead coalesced" in plan
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    # The third AQE behavior the 100 TB story leans on: a hot join key
+    # (here half of one side collapses onto key 0) produces one oversized
+    # shuffle partition; with skewJoin enabled AQE splits it into
+    # multiple tasks at runtime instead of letting one straggler carry
+    # the join. Two preconditions this test documents because each
+    # silently suppressed the split while writing it:
+    #  - the skewed side needs MULTIPLE map tasks (16 here): a skewed
+    #    reduce partition is split along mapper boundaries, so a
+    #    single-file/single-mapper input has nothing to split;
+    #  - nothing with a required distribution may sit between the
+    #    shuffle and the join (a distinct/final-agg on a join input, or
+    #    a groupBy on the join key above it, makes AQE decline the split
+    #    to avoid introducing a new shuffle).
+    # Thresholds are lowered so fixture-scale data walks the same code
+    # path a hot customer/shingle would at 100 TB.
+    with _conf(
+        spark,
+        spark__sql__adaptive__enabled="true",
+        spark__sql__adaptive__skewJoin__enabled="true",
+        spark__sql__adaptive__skewJoin__skewedPartitionFactor="2",
+        spark__sql__adaptive__skewJoin__skewedPartitionThresholdInBytes="16KB",
+        spark__sql__adaptive__advisoryPartitionSizeInBytes="8KB",
+        spark__sql__autoBroadcastJoinThreshold="-1",
+        spark__sql__adaptive__autoBroadcastJoinThreshold="-1",
+    ):
+        skewed = spark.range(0, 60_000, 1, 16).select(
+            F.when(F.col("id") % 2 == 0, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            (F.col("id") * 1.0).alias("val"),
+        )
+        dim = spark.range(0, 60_000, 1, 4).select(F.col("id").alias("k"))
+        df = skewed.join(dim, "k").agg(F.sum("val").alias("s"))
+        plan = _final_plan(df)
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, "AQE skew split did not fire"
+        assert "skewed" in plan  # the AQEShuffleRead marker
