@@ -1,0 +1,62 @@
+"""Propose the next driver-slice rotation.
+
+The driver's CORRECTNESS check only ever sees the first 50 registered
+names, so each round the registration order should rotate in 50 ops with
+no driver-green history (VERDICT r2 #1). This reads every committed
+CORRECTNESS_r*.json, collects the names that have ever produced a green
+row (rows+schema+hash all true, or rows-true for rows-only ops), and
+prints the first 50 never-checked exact-oracle ops in current registry
+order — the suggested `registry.DRIVER_SLICE` for next round, plus a
+coverage summary.
+
+Run at the START of a round, BEFORE the driver's check, never after the
+current slice has been locally verified mid-round.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from datapipelines_python_spark import all_oracles, all_queries
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def driver_green_names() -> set[str]:
+    green: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        with open(path) as f:
+            data = json.load(f)
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("rows_match") and (
+                row.get("hash_match") or row.get("hash_match") is None
+            ):
+                green.add(name)
+    return green
+
+
+def main() -> int:
+    order = list(all_queries())
+    oracles = all_oracles()
+    green = driver_green_names()
+    never = [n for n in order if n not in green]
+    never_exact = [n for n in never if oracles.get(n)]
+    print(f"registry: {len(order)} ops; driver-green ever: "
+          f"{len(green & set(order))}; never checked: {len(never)} "
+          f"({len(never_exact)} with exact oracles)")
+    print("\nsuggested next DRIVER_SLICE (first 50 never-checked, "
+          "current registry order):")
+    for i, n in enumerate(never_exact[:50]):
+        print(f"  {i + 1:2d}. {n}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
