@@ -5298,9 +5298,10 @@ def graph_kcore(spark: SparkSession, sf: str) -> DataFrame:
     302 Exchanges and recomputed round 1 ~8×. Lazy ``localCheckpoint``
     on the per-round frames truncates the lineage exactly where the
     oracle's MATERIALIZED CTEs do: each round computes once, every
-    reference rides the materialized result (32 Exchanges executed; the
-    *unexecuted* plan still prints the inlined lineage — the checkpoint
-    cuts compute, not the pre-materialization toString)."""
+    reference rides the materialized result (32 Exchanges executed).
+    Even ``eager=False`` truncates the logical plan immediately — only
+    the materialization job is deferred — so plan audits see the same
+    truncated shape that executes."""
     mutual = _mutual_5nn(spark, sf)
     nv = load_table(spark, sf, "embeddings").select("vec_id")
 

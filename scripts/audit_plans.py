@@ -18,6 +18,12 @@ matter at 100 TB:
 Writes PLAN_AUDIT.json; tests/test_plan_audit.py pins the repo-wide
 invariants against the same walk so the artifact can't go stale silently.
 
+Note on checkpointed loops: ``localCheckpoint`` — even with
+``eager=False`` — replaces the logical plan with a LogicalRDD scan
+immediately (only the materialization job is deferred), so ops like
+``graph_kcore`` are audited at their truncated post-checkpoint shape,
+matching what executes.
+
 Usage: python scripts/audit_plans.py [--sf /root/testdata/sf0.001]
 """
 
@@ -39,7 +45,10 @@ CARTESIAN_OK = {"join_cross"}
 ROW_PYTHON_OK = {"udf_python_scalar", "sql_scalar_udf"}
 
 _COUNTERS = {
-    "exchange": re.compile(r"\bExchange (hash|range|SinglePartition|rebalance)", re.I),
+    # every shuffle exchange prints "Exchange <Partitioning>" (hash, range,
+    # SinglePartition, RoundRobinPartitioning from repartition(n)/REBALANCE);
+    # BroadcastExchange is one word, so \b excludes it
+    "exchange": re.compile(r"\bExchange \w+"),
     "bhj": re.compile(r"\bBroadcastHashJoin\b"),
     "smj": re.compile(r"\bSortMergeJoin\b"),
     "shj": re.compile(r"\bShuffledHashJoin\b"),

@@ -27,7 +27,11 @@ from datapipelines_python_spark import all_oracles, all_queries
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def driver_green_names() -> set[str]:
+def driver_green_names(rows_only: set[str]) -> set[str]:
+    """Names with a fully-green driver row on record: exact-oracle ops
+    need rows+schema+hash all true; rows-only ops (no oracle — the driver
+    records hash_match=False for them) are as green as they can get once
+    rows+schema match."""
     green: set[str] = set()
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         with open(path) as f:
@@ -35,9 +39,10 @@ def driver_green_names() -> set[str]:
         for name, row in data.items():
             if not isinstance(row, dict):
                 continue
-            if row.get("rows_match") and (
-                row.get("hash_match") or row.get("hash_match") is None
-            ):
+            ok = bool(row.get("rows_match")) and bool(row.get("schema_match"))
+            if name not in rows_only:
+                ok = ok and bool(row.get("hash_match"))
+            if ok:
                 green.add(name)
     return green
 
@@ -45,7 +50,8 @@ def driver_green_names() -> set[str]:
 def main() -> int:
     order = list(all_queries())
     oracles = all_oracles()
-    green = driver_green_names()
+    rows_only = {n for n in order if not oracles.get(n)}
+    green = driver_green_names(rows_only)
     never = [n for n in order if n not in green]
     never_exact = [n for n in never if oracles.get(n)]
     print(f"registry: {len(order)} ops; driver-green ever: "

@@ -23,3 +23,24 @@ def spark():
 @pytest.fixture()
 def scratch(tmp_path):
     return str(tmp_path)
+
+
+@pytest.fixture(scope="session")
+def duck():
+    """Shared DuckDB connection with every differential's fixture tables
+    registered as views (one definition — the per-file copies drifted)."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("orders", "customer"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMOKE}/{t}.parquet'")
+    return con
+
+
+def norm_rows(rows):
+    """Order- and type-insensitive multiset normal form for engine
+    comparisons: stringify values, sort rows with NULLs last."""
+    return sorted(
+        (tuple(str(v) if v is not None else None for v in r) for r in rows),
+        key=lambda t: tuple((x is None, x or "") for x in t),
+    )

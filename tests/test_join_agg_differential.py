@@ -17,28 +17,19 @@ Integer measures only, so agreement is exact.
 
 from __future__ import annotations
 
-import duckdb
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from datapipelines_python_spark.catalog import load_table
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_SMOKE, norm_rows
 
 _SETTINGS = dict(
     max_examples=20,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-
-
-@pytest.fixture(scope="module")
-def duck():
-    con = duckdb.connect()
-    for t in ("orders", "customer"):
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMOKE}/{t}.parquet'")
-    return con
 
 
 # atomic predicates on the orders (right/nullable) side: (Column, SQL)
@@ -135,11 +126,5 @@ def test_rollup_cube_superaggregates_match_duckdb(spark, duck, keys, mode, pred)
         f"WHERE {cond_sql} GROUP BY {mode.upper()} ({key_sql})"
     ).fetchall()
 
-    def norm(rows):
-        return sorted(
-            (tuple(str(v) if v is not None else None for v in r) for r in rows),
-            key=lambda t: tuple((x is None, x or "") for x in t),
-        )
-
-    got = norm(tuple(r) for r in got_df.collect())
-    assert got == norm(want), f"{mode} over {keys} where {cond_sql}"
+    got = norm_rows(tuple(r) for r in got_df.collect())
+    assert got == norm_rows(want), f"{mode} over {keys} where {cond_sql}"

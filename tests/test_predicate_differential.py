@@ -22,18 +22,6 @@ _STATUSES = ["F", "P", "O"]
 _PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 
 
-@pytest.fixture(scope="module")
-def duck():
-    con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW orders AS SELECT * FROM '{SF_SMOKE}/orders.parquet'"
-    )
-    con.execute(
-        f"CREATE VIEW customer AS SELECT * FROM '{SF_SMOKE}/customer.parquet'"
-    )
-    return con
-
-
 # one atomic predicate: (spark Column builder, duckdb SQL string)
 def _atoms():
     return st.one_of(

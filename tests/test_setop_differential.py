@@ -13,26 +13,18 @@ multiset match DuckDB exactly.
 
 from __future__ import annotations
 
-import duckdb
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from datapipelines_python_spark.catalog import load_table
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_SMOKE, norm_rows
 
 _SETTINGS = dict(
     max_examples=25,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-
-
-@pytest.fixture(scope="module")
-def duck():
-    con = duckdb.connect()
-    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{SF_SMOKE}/orders.parquet'")
-    return con
 
 
 # Low-cardinality projections so multiplicities are large; one variant
@@ -83,14 +75,8 @@ def test_setop_multiset_matches_duckdb(spark, duck, proj, p1, p2, op):
     else:
         got_df = getattr(lhs, method)(rhs)
 
-    def norm(rows):
-        return sorted(
-            (tuple(str(v) if v is not None else None for v in r) for r in rows),
-            key=lambda t: tuple((x is None, x or "") for x in t),
-        )
-
-    got = norm(tuple(r) for r in got_df.collect())
-    want = norm(duck.execute(sql).fetchall())
+    got = norm_rows(tuple(r) for r in got_df.collect())
+    want = norm_rows(duck.execute(sql).fetchall())
     assert got == want, f"{sql_op}: {sql}"
 
 

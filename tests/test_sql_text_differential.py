@@ -13,26 +13,18 @@ and HAVING. Integer-valued measures only, so agreement is exact.
 
 from __future__ import annotations
 
-import duckdb
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from datapipelines_python_spark.catalog import register_views
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_SMOKE, norm_rows
 
 _SETTINGS = dict(
     max_examples=25,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-
-
-@pytest.fixture(scope="module")
-def duck():
-    con = duckdb.connect()
-    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{SF_SMOKE}/orders.parquet'")
-    return con
 
 
 @pytest.fixture(scope="module")
@@ -95,13 +87,8 @@ def test_grouping_id_same_sql(spark_views, duck, g, pred, mode, m):
         f"COUNT(*) AS n, SUM(o_orderkey % {m}) AS chk "
         f"FROM orders WHERE {pred} GROUP BY {mode} ({g})"
     )
-    def norm(rows):
-        return sorted(
-            (tuple(str(v) if v is not None else None for v in r) for r in rows),
-            key=lambda t: tuple((x is None, x or "") for x in t),
-        )
-    got = norm(tuple(r) for r in spark_views.sql(sql).collect())
-    want = norm(duck.execute(sql).fetchall())
+    got = norm_rows(tuple(r) for r in spark_views.sql(sql).collect())
+    want = norm_rows(duck.execute(sql).fetchall())
     assert got == want, sql
 
 
@@ -119,8 +106,11 @@ def test_correlated_subquery_same_sql(spark_views, duck, pred, neg, scalar):
     yields NULL and the comparison drops the row."""
     ex = "NOT EXISTS" if neg else "EXISTS"
     if scalar:
+        # integer MIN keeps the comparison exact on both engines (an AVG
+        # here would pit Spark's decimal average against DuckDB's double
+        # average and flip boundary rows)
         inner = (
-            f"o1.o_totalprice > 2 * (SELECT AVG(o2.o_totalprice) FROM orders o2 "
+            f"o1.o_orderkey % 89 > (SELECT MIN(o2.o_orderkey % 89) FROM orders o2 "
             f"WHERE o2.o_custkey = o1.o_custkey AND {pred.replace('o_', 'o2.o_')})"
         )
     else:

@@ -35,13 +35,6 @@ _SETTINGS = dict(
 _PARTITION_KEYS = ["o_orderstatus", "o_orderpriority", "o_custkey % 7"]
 
 
-@pytest.fixture(scope="module")
-def duck():
-    con = duckdb.connect()
-    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{SF_SMOKE}/orders.parquet'")
-    return con
-
-
 # (label, spark window-function builder, duckdb SQL fragment builder);
 # builders receive the frame clause where relevant
 _FUNCS = {
