@@ -69,8 +69,10 @@ class QueryValidator:
         cl = self._current
         # coerce at declaration time when the type is already known, so a
         # mis-declared default (.as_(int).with_default('oops')) fails at
-        # build time, not on the first query that happens to omit the key
-        if cl.type_ is not None and not isinstance(value, cl.type_):
+        # build time, not on the first query that happens to omit the key.
+        # None is exempt: it means "absent" and must pass through as-is —
+        # str(None) would silently store the string 'None' (ADVICE r3).
+        if value is not None and cl.type_ is not None and not isinstance(value, cl.type_):
             try:
                 value = cl.type_(value)
             except (TypeError, ValueError) as exc:
@@ -113,8 +115,9 @@ class QueryValidator:
                     default = cl.default
                     # backstop for the .with_default(v).as_(T) declaration
                     # order (with_default coerces eagerly when the type is
-                    # already declared); keeps validate() idempotent
-                    if cl.type_ is not None and not isinstance(default, cl.type_):
+                    # already declared); keeps validate() idempotent. None
+                    # means "absent" and is never coerced (ADVICE r3).
+                    if default is not None and cl.type_ is not None and not isinstance(default, cl.type_):
                         try:
                             default = cl.type_(default)
                         except (TypeError, ValueError) as exc:

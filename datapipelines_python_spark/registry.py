@@ -19,72 +19,73 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Driver-slice rotation (VERDICT r2 "Next round" #1): the driver's
 # CORRECTNESS check covers the FIRST 50 registered names only. Rounds 1–2
-# spent that slice on scans/filters/joins (green twice); round 3 rotates in
-# 50 ops with zero driver-green history — the flagship agg family, windows,
-# sort/setops, scalar-function families, UDF surfaces, the LLM dedup/
-# similarity headliners, streaming, and the newly registered ANN-candidate
-# twins (VERDICT #2). After every module loads, _ensure_loaded reorders the
-# registry so these names come first; everything else keeps its original
-# registration order behind them. tests/test_registry.py pins the slice.
+# spent that slice on scans/filters/joins; round 3 on the agg/window/setop/
+# fn/UDF/LLM/streaming headliners + ANN twins (all green, CORRECTNESS_r03).
+# Round 4 rotates in the next 50 ops with zero driver-green history — the
+# full join long tail (asof/interval/skew/bucketed/fuzzy/correlated/geo),
+# the advanced aggregate family, the remaining window surfaces, the ALL/
+# DISTINCT set-op variants, and fn_try_safe (swapped in per ADVICE r3: its
+# all-NULL DATE column drives the uncast-DATE path through the driver's
+# hasher). After every module loads, _ensure_loaded reorders the registry
+# so these names come first; everything else keeps its original
+# registration order behind them. tests/test_registry.py pins the slice;
+# scripts/next_rotation.py proposed it from CORRECTNESS_r*.json history.
 DRIVER_SLICE: tuple[str, ...] = (
-    # §2B.4 aggregates (13) — incl. the never-driver-checked flagship
-    "agg_groupby",
-    "agg_global",
-    "agg_having",
-    "agg_count_distinct",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_collect_list",
-    "agg_stats",
-    "agg_percentile",
-    "agg_min_max_by",
-    "agg_first_last",
-    "agg_partial_final",
-    # §2B.5 windows (8)
-    "win_row_number",
-    "win_rank_dense",
-    "win_lag_lead",
-    "win_running_sum",
-    "win_moving_avg",
-    "win_range_frame",
-    "win_first_last_value",
-    "topk_per_group",
-    # §2B.6 sorts / set ops (6)
-    "sort_multi",
-    "limit_topk_global",
-    "setop_union_all",
-    "setop_union_distinct",
-    "setop_intersect",
-    "setop_except",
-    # §2B.7 scalar function families (9)
-    "fn_string",
-    "fn_regexp",
-    "fn_date",
-    "fn_timestamp",
-    "fn_math",
-    "fn_array",
-    "fn_array_hof",
-    "fn_map",
-    "fn_json",
-    # §2B.8 UDF surfaces (4)
-    "udf_python_scalar",
-    "udf_pandas_scalar",
-    "udf_grouped_map",
-    "udaf_pandas_agg",
-    # LLM-pipeline headliners (4)
-    "llm_dedup_exact",
-    "llm_dedup_near",
-    "llm_similarity_topk",
-    "llm_tfidf",
-    # §2B.9 streaming (3) — first-ever driver-checked streaming rows
-    "stream_tumbling_agg",
-    "stream_session_window",
-    "stream_dedup",
-    # ANN-candidate twins (3, new this round — VERDICT r2 #2)
-    "graph_ann_edge_table",
-    "graph_triangle_count_ann",
-    "llm_hard_negative_mining_ann",
+    # §2B.3 join long tail (22)
+    "join_cross",
+    "join_theta_range",
+    "join_range_bucketed",
+    "join_multi_key",
+    "join_broadcast",
+    "join_self",
+    "join_asof",
+    "join_interval",
+    "join_skew_salted",
+    "join_bucketed_colocated",
+    "join_lateral_topk",
+    "join_null_safe_eq",
+    "join_asof_nearest",
+    "join_asof_tolerance",
+    "join_fuzzy_blocked",
+    "join_null_aware_anti",
+    "join_correlated_scalar",
+    "join_tuple_in_subquery",
+    "sql_hint_merge_join",
+    "join_star_denormalize",
+    "join_exists_correlated",
+    "join_geo_bucketed",
+    # §2B.4 advanced aggregates (17)
+    "agg_bool_bitwise",
+    "agg_salted_two_phase",
+    "agg_multi_distinct",
+    "agg_histogram",
+    "agg_mode",
+    "agg_string_agg",
+    "agg_moments",
+    "agg_weighted_avg",
+    "agg_bitmap_distinct",
+    "agg_filter_clause",
+    "agg_corr_matrix",
+    "agg_percentile_family",
+    "agg_geometric_mean",
+    "agg_grouping_id",
+    "agg_regr_builtins",
+    "agg_listagg_builtin",
+    "agg_bitmap_algebra",
+    # §2B.5 window long tail (8)
+    "win_sessionize_batch",
+    "win_range_interval",
+    "win_running_distinct",
+    "win_share_of_total",
+    "win_following_frame",
+    "win_nth_value",
+    "win_forward_fill",
+    "win_rank_fractions",
+    # §2B.6 set-op variants (2)
+    "setop_except_distinct",
+    "setop_intersect_all",
+    # ADVICE r3 (medium): all-NULL DATE column through the driver hasher
+    "fn_try_safe",
 )
 
 # Modules that register operators on import.

@@ -72,6 +72,10 @@ _COUNTERS = {
 
 def audit(spark, sf: str, only=None) -> dict:
     reg = get_registry()
+    if only:
+        unknown = set(only) - set(reg)
+        if unknown:  # a typo'd --only must not exit 0 on zero ops audited
+            raise SystemExit(f"unknown operator name(s) in --only: {sorted(unknown)}")
     out, errors = {}, {}
     for name, spec in reg.items():
         if only and name not in only:

@@ -46,6 +46,12 @@ def test_optional_without_default_absent():
     assert v.validate({}) == {}
 
 
+def test_none_default_preserved_not_stringified():
+    # ADVICE r3: .as_(str).with_default(None) must keep None, not 'None'
+    v = Query.can_have("name").as_(str).with_default(None)
+    assert v.validate({}) == {"name": None}
+
+
 def test_or_alternative_key_normalized():
     v = Query.can_have("limit").as_(int).or_("max_rows")
     assert v.validate({"max_rows": "7"}) == {"limit": 7}

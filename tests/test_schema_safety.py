@@ -92,6 +92,10 @@ def test_wrap_oracle_sql_generation():
     # embedded quotes in column names are escaped, not injected
     weird = wrap_oracle("SELECT 1", {'a"b': "decimal"})
     assert 'CAST("a""b" AS DOUBLE) AS "a""b"' in weird
+    # ADVICE r3: unknown snapshot kinds must fail loudly at registration,
+    # not silently cast to DOUBLE (e.g. a resurrected 'date' kind)
+    with pytest.raises(ValueError, match="unknown kind"):
+        wrap_oracle("SELECT 1 AS d", {"d": "date"})
 
 
 def test_wrap_oracle_executes_in_duckdb():
