@@ -151,6 +151,11 @@ def agg_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
         SELECT n_regionkey, n_name, CAST(COUNT(*) AS BIGINT) AS n
         FROM nation
         GROUP BY ROLLUP (n_regionkey, n_name)
+        -- pins Spark's empty-input semantics: Spark emits NO grand-total
+        -- row for rollup/cube over 0 rows, DuckDB (SQL standard) emits one;
+        -- every group on nonempty input has COUNT(*) >= 1, so this is a
+        -- no-op except on empty input
+        HAVING COUNT(*) > 0
     """,
     tags=("agg", "rollup"),
 )
@@ -167,6 +172,7 @@ def agg_rollup(spark: SparkSession, sf: str) -> DataFrame:
                {sql_dsum('o_totalprice')} AS total
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        HAVING COUNT(*) > 0  -- pin Spark's no-grand-total-row-on-empty (cf. agg_rollup)
     """,
     tags=("agg", "cube"),
 )
@@ -235,7 +241,16 @@ def agg_stats(spark: SparkSession, sf: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         round4(F.stddev_samp("l_quantity")).alias("sd_qty"),
         round4(F.var_samp("l_quantity")).alias("var_qty"),
-        round4(F.corr("l_quantity", "l_extendedprice")).alias("corr_qty_price"),
+        # covar/(sd*sd) rather than F.corr: Spark's Corr divides by the
+        # co-moment product internally and raises under ANSI when a group
+        # has zero variance (total key-skew shape); DuckDB's CORR yields
+        # NULL there, as try_divide does here. Same value otherwise.
+        round4(
+            F.try_divide(
+                F.covar_samp("l_quantity", "l_extendedprice"),
+                F.stddev_samp("l_quantity") * F.stddev_samp("l_extendedprice"),
+            )
+        ).alias("corr_qty_price"),
         round4(F.covar_samp("l_quantity", "l_extendedprice")).alias("covar_qty_price"),
     )
 
@@ -604,7 +619,7 @@ def agg_moments(spark: SparkSession, sf: str) -> DataFrame:
         "l_returnflag",
         n.cast("bigint").alias("n"),
         round4(mean).alias("mean_qty"),
-        round4(m3 / F.pow(m2, 1.5)).alias("skew_qty"),
+        round4(F.try_divide(m3, F.pow(m2, 1.5))).alias("skew_qty"),
     )
 
 
@@ -784,17 +799,17 @@ _CORR_COLS = ['l_quantity', 'l_extendedprice', 'l_discount', 'l_tax']
            CAST(CAST(SUM(CAST(l_discount * l_tax AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sx_l_discount_l_tax
     FROM lineitem
 )
-SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, FLOOR(((n * sx_l_quantity_l_extendedprice - s_l_quantity * s_l_extendedprice) / (SQRT(n * ss_l_quantity - s_l_quantity * s_l_quantity) * SQRT(n * ss_l_extendedprice - s_l_extendedprice * s_l_extendedprice))) * 10000.0 + 0.5) / 10000.0 AS corr FROM s
+SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, FLOOR(((n * sx_l_quantity_l_extendedprice - s_l_quantity * s_l_extendedprice) / (SQRT(GREATEST(n * ss_l_quantity - s_l_quantity * s_l_quantity, 0.0)) * SQRT(GREATEST(n * ss_l_extendedprice - s_l_extendedprice * s_l_extendedprice, 0.0)))) * 10000.0 + 0.5) / 10000.0 AS corr FROM s
 UNION ALL
-SELECT 'l_quantity' AS col_a, 'l_discount' AS col_b, FLOOR(((n * sx_l_quantity_l_discount - s_l_quantity * s_l_discount) / (SQRT(n * ss_l_quantity - s_l_quantity * s_l_quantity) * SQRT(n * ss_l_discount - s_l_discount * s_l_discount))) * 10000.0 + 0.5) / 10000.0 AS corr FROM s
+SELECT 'l_quantity' AS col_a, 'l_discount' AS col_b, FLOOR(((n * sx_l_quantity_l_discount - s_l_quantity * s_l_discount) / (SQRT(GREATEST(n * ss_l_quantity - s_l_quantity * s_l_quantity, 0.0)) * SQRT(GREATEST(n * ss_l_discount - s_l_discount * s_l_discount, 0.0)))) * 10000.0 + 0.5) / 10000.0 AS corr FROM s
 UNION ALL
-SELECT 'l_quantity' AS col_a, 'l_tax' AS col_b, FLOOR(((n * sx_l_quantity_l_tax - s_l_quantity * s_l_tax) / (SQRT(n * ss_l_quantity - s_l_quantity * s_l_quantity) * SQRT(n * ss_l_tax - s_l_tax * s_l_tax))) * 10000.0 + 0.5) / 10000.0 AS corr FROM s
+SELECT 'l_quantity' AS col_a, 'l_tax' AS col_b, FLOOR(((n * sx_l_quantity_l_tax - s_l_quantity * s_l_tax) / (SQRT(GREATEST(n * ss_l_quantity - s_l_quantity * s_l_quantity, 0.0)) * SQRT(GREATEST(n * ss_l_tax - s_l_tax * s_l_tax, 0.0)))) * 10000.0 + 0.5) / 10000.0 AS corr FROM s
 UNION ALL
-SELECT 'l_extendedprice' AS col_a, 'l_discount' AS col_b, FLOOR(((n * sx_l_extendedprice_l_discount - s_l_extendedprice * s_l_discount) / (SQRT(n * ss_l_extendedprice - s_l_extendedprice * s_l_extendedprice) * SQRT(n * ss_l_discount - s_l_discount * s_l_discount))) * 10000.0 + 0.5) / 10000.0 AS corr FROM s
+SELECT 'l_extendedprice' AS col_a, 'l_discount' AS col_b, FLOOR(((n * sx_l_extendedprice_l_discount - s_l_extendedprice * s_l_discount) / (SQRT(GREATEST(n * ss_l_extendedprice - s_l_extendedprice * s_l_extendedprice, 0.0)) * SQRT(GREATEST(n * ss_l_discount - s_l_discount * s_l_discount, 0.0)))) * 10000.0 + 0.5) / 10000.0 AS corr FROM s
 UNION ALL
-SELECT 'l_extendedprice' AS col_a, 'l_tax' AS col_b, FLOOR(((n * sx_l_extendedprice_l_tax - s_l_extendedprice * s_l_tax) / (SQRT(n * ss_l_extendedprice - s_l_extendedprice * s_l_extendedprice) * SQRT(n * ss_l_tax - s_l_tax * s_l_tax))) * 10000.0 + 0.5) / 10000.0 AS corr FROM s
+SELECT 'l_extendedprice' AS col_a, 'l_tax' AS col_b, FLOOR(((n * sx_l_extendedprice_l_tax - s_l_extendedprice * s_l_tax) / (SQRT(GREATEST(n * ss_l_extendedprice - s_l_extendedprice * s_l_extendedprice, 0.0)) * SQRT(GREATEST(n * ss_l_tax - s_l_tax * s_l_tax, 0.0)))) * 10000.0 + 0.5) / 10000.0 AS corr FROM s
 UNION ALL
-SELECT 'l_discount' AS col_a, 'l_tax' AS col_b, FLOOR(((n * sx_l_discount_l_tax - s_l_discount * s_l_tax) / (SQRT(n * ss_l_discount - s_l_discount * s_l_discount) * SQRT(n * ss_l_tax - s_l_tax * s_l_tax))) * 10000.0 + 0.5) / 10000.0 AS corr FROM s""",
+SELECT 'l_discount' AS col_a, 'l_tax' AS col_b, FLOOR(((n * sx_l_discount_l_tax - s_l_discount * s_l_tax) / (SQRT(GREATEST(n * ss_l_discount - s_l_discount * s_l_discount, 0.0)) * SQRT(GREATEST(n * ss_l_tax - s_l_tax * s_l_tax, 0.0)))) * 10000.0 + 0.5) / 10000.0 AS corr FROM s""",
     tags=("agg", "stats", "ml"),
 )
 def agg_corr_matrix(spark: SparkSession, sf: str) -> DataFrame:
@@ -823,9 +838,19 @@ def agg_corr_matrix(spark: SparkSession, sf: str) -> DataFrame:
 
     def corr(a: str, b: str) -> F.Column:
         num = n * F.col(f"sx_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
-        da = F.sqrt(n * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
-        db = F.sqrt(n * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
-        return F.floor(num / (da * db) * 10000.0 + 0.5) / 10000.0
+        da = F.sqrt(
+            F.greatest(
+                n * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"),
+                F.lit(0.0),
+            )
+        )
+        db = F.sqrt(
+            F.greatest(
+                n * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"),
+                F.lit(0.0),
+            )
+        )
+        return F.floor(F.try_divide(num, da * db) * 10000.0 + 0.5) / 10000.0
 
     rows = s.select(
         F.explode(
@@ -943,6 +968,7 @@ def agg_geometric_mean(spark: SparkSession, sf: str) -> DataFrame:
                CAST(COUNT(*) AS BIGINT) AS n
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        HAVING COUNT(*) > 0  -- pin Spark's no-grand-total-row-on-empty (cf. agg_rollup)
     """,
     tags=("agg", "cube", "grouping"),
 )
@@ -1225,13 +1251,15 @@ def agg_bitmap_algebra(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("n_and"),
     )
+    # outer COALESCE(SUM(..), 0): the oracle's COUNT(*) subqueries give 0
+    # over an empty events table, SUM over zero buckets gives NULL
     return per_bucket.agg(
-        F.sum(F.coalesce(F.col("np"), F.lit(0))).cast("bigint").alias(
-            "purchasers"
-        ),
-        F.sum(F.coalesce(F.col("nc"), F.lit(0))).cast("bigint").alias(
-            "clickers"
-        ),
-        F.sum("n_union").cast("bigint").alias("union_exact"),
-        F.sum("n_and").cast("bigint").alias("overlap_exact"),
+        F.coalesce(F.sum(F.coalesce(F.col("np"), F.lit(0))), F.lit(0))
+        .cast("bigint")
+        .alias("purchasers"),
+        F.coalesce(F.sum(F.coalesce(F.col("nc"), F.lit(0))), F.lit(0))
+        .cast("bigint")
+        .alias("clickers"),
+        F.coalesce(F.sum("n_union"), F.lit(0)).cast("bigint").alias("union_exact"),
+        F.coalesce(F.sum("n_and"), F.lit(0)).cast("bigint").alias("overlap_exact"),
     )

@@ -421,20 +421,16 @@ def llm_tfidf(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "llm_ngrams",
     oracle="""
-        WITH ex AS (
-            SELECT doc_id,
-                   GENERATE_SUBSCRIPTS(STRING_SPLIT(text, ' '), 1) AS pos,
-                   UNNEST(STRING_SPLIT(text, ' ')) AS tok
-            FROM documents
-        ),
-        bg AS (
-            SELECT doc_id,
-                   LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos)
-                       || ' ' || tok AS bigram
-            FROM ex
+        -- row-local bigram build (list comprehension), mirroring Spark's
+        -- zip_with: a LAG window partitioned by doc_id would interleave
+        -- copies whenever doc_id is not unique (max-skew fixture)
+        WITH bg AS (
+            SELECT UNNEST([toks[i] || ' ' || toks[i+1]
+                           FOR i IN RANGE(1, LEN(toks))]) AS bigram
+            FROM (SELECT STRING_SPLIT(text, ' ') AS toks FROM documents)
         )
         SELECT bigram, COUNT(*) AS n
-        FROM bg WHERE bigram IS NOT NULL
+        FROM bg
         GROUP BY bigram
     """,
     tags=("llm", "text"),
@@ -734,13 +730,18 @@ def llm_quality_gopher(spark: SparkSession, sf: str) -> DataFrame:
         ),
         n_uni AS (SELECT SUM(c) AS n FROM uni),
         bg AS (
-            SELECT w1, w2, COUNT(*) AS c_xy FROM (
-                SELECT doc_id,
-                       LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
-                       tok AS w2
-                FROM ex
-            ) p WHERE w1 IS NOT NULL
-            GROUP BY w1, w2
+            -- row-local build, cf. llm_ngrams: LAG over doc_id interleaves
+            -- duplicate-keyed copies
+            SELECT SPLIT_PART(bigram, ' ', 1) AS w1,
+                   SPLIT_PART(bigram, ' ', 2) AS w2,
+                   COUNT(*) AS c_xy
+            FROM (
+                SELECT UNNEST([toks[i] || ' ' || toks[i+1]
+                               FOR i IN RANGE(1, LEN(toks))]) AS bigram
+                FROM (SELECT STRING_SPLIT(LOWER(text), ' ') AS toks
+                      FROM documents)
+            )
+            GROUP BY 1, 2
         ),
         n_bg AS (SELECT SUM(c_xy) AS n FROM bg)
         SELECT b.w1, b.w2,
@@ -2431,9 +2432,12 @@ def llm_template_prefix(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "llm_bleu_pairs",
     oracle=f"""
+        -- doc_id is the document identity: physical duplicates collapse
+        -- before pairing (LEAD windows and per-doc n-gram grains all
+        -- assume the id is a key; matches the Spark side's distinct())
         WITH docs AS (
             SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS toks
-            FROM documents
+            FROM (SELECT DISTINCT doc_id, lang, text FROM documents)
         ),
         pairs AS (
             SELECT doc_id AS cand_id,
@@ -2521,7 +2525,13 @@ def llm_bleu_pairs(spark: SparkSession, sf: str) -> DataFrame:
     that needs n-gram profiles. Zero-overlap pairs survive via left
     joins; the smoothed score is 0 there by convention."""
     d = load_table(spark, sf, "documents")
-    docs = d.select("doc_id", "lang", F.split("text", " ").alias("toks"))
+    # distinct first: doc_id is the document identity and every grain
+    # below (pairing window, per-doc n-gram tables) assumes it is a key
+    docs = (
+        d.select("doc_id", "lang", "text")
+        .distinct()
+        .select("doc_id", "lang", F.split("text", " ").alias("toks"))
+    )
     from pyspark.sql.window import Window as W
 
     wl = W.partitionBy("lang").orderBy("doc_id")
@@ -2795,14 +2805,18 @@ def llm_position_kl(spark: SparkSession, sf: str) -> DataFrame:
                 / (F.col("n_first") + F.col("v"))
             ).alias("p1"),
             ((F.col("na") + 1.0) / (F.col("n_all") + F.col("v"))).alias("pa"),
-            "v", "n_first",
         )
     )
-    return terms.groupBy("v", "n_first").agg(
+    # global agg (not groupBy(v, n_first)): v/n_first are constants, so the
+    # result is identical on nonempty input — but a global agg still emits
+    # its one NULL row over 0 rows, matching the oracle's scalar-subquery
+    # shape on an empty corpus (groupBy over 0 rows would emit 0 groups)
+    kl = terms.agg(
         round4(
             dsum(F.col("p1") * F.log(F.col("p1") / F.col("pa")) / F.log(F.lit(2.0)))
         ).alias("kl_first_vs_all_bits")
-    ).select(
+    )
+    return vocab.crossJoin(F.broadcast(tot1)).crossJoin(F.broadcast(kl)).select(
         F.col("v").alias("vocab_size"),
         F.col("n_first").alias("n_docs"),
         "kl_first_vs_all_bits",
@@ -2945,16 +2959,21 @@ def llm_jsd_lang_pair(spark: SparkSession, sf: str) -> DataFrame:
     probs = counts.crossJoin(F.broadcast(tots)).select(
         ((F.col("ne") + 1.0) / (F.col("te") + F.col("v"))).alias("p"),
         ((F.col("ns") + 1.0) / (F.col("ts") + F.col("v"))).alias("q"),
-        "v",
     )
     m = (F.col("p") + F.col("q")) / 2.0
     ln2 = F.log(F.lit(2.0))
-    return probs.groupBy("v").agg(
+    # global agg + crossJoin of the 1-row tots frame (not groupBy("v")):
+    # same single row on nonempty input, and still one row over an empty
+    # corpus, matching the oracle's scalar-subquery shape (cf. llm_position_kl)
+    jsd = probs.agg(
         round4(
             0.5 * dsum(F.col("p") * F.log(F.col("p") / m) / ln2)
             + 0.5 * dsum(F.col("q") * F.log(F.col("q") / m) / ln2)
         ).alias("jsd_bits")
-    ).select(F.col("v").alias("vocab_size"), "jsd_bits")
+    )
+    return tots.crossJoin(F.broadcast(jsd)).select(
+        F.col("v").alias("vocab_size"), "jsd_bits"
+    )
 
 
 @query(
@@ -3042,14 +3061,18 @@ def llm_corpus_health(spark: SparkSession, sf: str) -> DataFrame:
     j = doc_stats.crossJoin(tok_stats).crossJoin(lang_h)
     return j.select(
         "n_docs", "n_langs", "n_tokens", "vocab_size",
+        # try_divide: n_docs/n_tokens are 0 on empty input; DuckDB's x/0 is
+        # NULL, ANSI Spark's raises — try_divide restores the NULL agreement
         round4(
-            F.col("total_chars").cast("double") / F.col("n_docs")
+            F.try_divide(F.col("total_chars").cast("double"), F.col("n_docs"))
         ).alias("avg_doc_chars"),
         round4(
-            1.0 - F.col("n_unique_texts").cast("double") / F.col("n_docs")
+            1.0 - F.try_divide(
+                F.col("n_unique_texts").cast("double"), F.col("n_docs")
+            )
         ).alias("exact_dup_rate"),
         round4(
-            F.col("vocab_size").cast("double") / F.col("n_tokens")
+            F.try_divide(F.col("vocab_size").cast("double"), F.col("n_tokens"))
         ).alias("type_token_ratio"),
         round4(F.col("lang_entropy")).alias("lang_entropy_bits"),
     )
@@ -3058,9 +3081,12 @@ def llm_corpus_health(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "llm_rouge_pairs",
     oracle=f"""
+        -- doc_id is the document identity: physical duplicates collapse
+        -- before pairing (LEAD windows and per-doc n-gram grains all
+        -- assume the id is a key; matches the Spark side's distinct())
         WITH docs AS (
             SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS toks
-            FROM documents
+            FROM (SELECT DISTINCT doc_id, lang, text FROM documents)
         ),
         paired AS (
             SELECT doc_id AS cand_id,
@@ -3115,7 +3141,13 @@ def llm_rouge_pairs(spark: SparkSession, sf: str) -> DataFrame:
     explode-join; for book-length documents the explode-join (BLEU's
     shape) wins — the pair of ops documents the crossover."""
     d = load_table(spark, sf, "documents")
-    docs = d.select("doc_id", "lang", F.split("text", " ").alias("toks"))
+    # distinct first: doc_id is the document identity and every grain
+    # below (pairing window, per-doc n-gram tables) assumes it is a key
+    docs = (
+        d.select("doc_id", "lang", "text")
+        .distinct()
+        .select("doc_id", "lang", F.split("text", " ").alias("toks"))
+    )
     from pyspark.sql.window import Window as W_
 
     w = W_.partitionBy("lang").orderBy("doc_id")

@@ -79,7 +79,7 @@ def llm_fingerprint_rolling(spark: SparkSession, sf: str) -> DataFrame:
             SELECT doc_id,
                    [{_SQL_STRHASH.format(s='t')}
                     FOR t IN STRING_SPLIT(text, ' ')] AS hashes
-            FROM documents
+            FROM (SELECT DISTINCT doc_id, text FROM documents)
         )
         SELECT doc_id,
                CAST(LIST_SUM(
@@ -4480,7 +4480,9 @@ def llm_length_bias_audit(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
         longer.cast("bigint").alias("chosen_longer"),
         shorter.cast("bigint").alias("chosen_shorter"),
-        round4(longer.cast("double") / F.count(F.lit(1))).alias("longer_rate"),
+        round4(F.try_divide(longer.cast("double"), F.count(F.lit(1)))).alias(
+            "longer_rate"
+        ),
         round4(
             (longer - decided / 2.0)
             / F.nullif(F.sqrt(decided / 4.0), F.lit(0))
@@ -5519,7 +5521,7 @@ def llm_source_ablation(spark: SparkSession, sf: str) -> DataFrame:
         dsum(F.col("s")).alias("s_all"),
     )
     j = per_source.crossJoin(F.broadcast(tot))
-    loo = (F.col("s_all") - F.col("s")) / (F.col("n_all") - F.col("n"))
+    loo = F.try_divide(F.col("s_all") - F.col("s"), F.col("n_all") - F.col("n"))
     corpus = F.col("s_all") / F.col("n_all")
     return j.select(
         "source",

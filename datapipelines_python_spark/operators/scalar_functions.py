@@ -2037,8 +2037,11 @@ def fn_xpath(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "fn_make_datetime",
     oracle="""
+        -- no self-join back to orders: o_orderdate rides the CTE row, so
+        -- the check stays row-local (a key-join here silently fans out
+        -- when o_orderkey duplicates — the max-skew fixture caught it)
         WITH parts AS (
-            SELECT o_orderkey,
+            SELECT o_orderdate,
                    date_part('year', o_orderdate) AS y,
                    date_part('month', o_orderdate) AS m,
                    date_part('day', o_orderdate) AS d
@@ -2048,7 +2051,7 @@ def fn_xpath(spark: SparkSession, sf: str) -> DataFrame:
                CAST(SUM(CASE WHEN make_timestamp(
                                     CAST(y AS BIGINT), CAST(m AS BIGINT),
                                     CAST(d AS BIGINT), 12, 30, 15.0)
-                                  = o.o_orderdate
+                                  = o_orderdate
                                     + INTERVAL 12 HOUR
                                     + INTERVAL 30 MINUTE
                                     + INTERVAL 15 SECOND
@@ -2058,7 +2061,7 @@ def fn_xpath(spark: SparkSession, sf: str) -> DataFrame:
                MAX(make_timestamp(CAST(y AS BIGINT), CAST(m AS BIGINT),
                                   CAST(d AS BIGINT), 23, 59, 59.0))
                    AS max_eod
-        FROM parts p JOIN orders o ON p.o_orderkey = o.o_orderkey
+        FROM parts
     """,
     tags=("fn", "datetime"),
 )
@@ -2268,16 +2271,21 @@ def fn_number_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         "o_totalprice",
         F.try_to_number(F.col("pretty"), F.lit("999,999,999.99")).alias("back"),
     )
+    # COALESCE(SUM,0): SUM over 0 rows is NULL, the oracle's counts are 0
     return parsed.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-        F.sum(
-            F.when(F.col("back").cast("double") == F.col("o_totalprice"), 1)
-            .otherwise(0)
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("back").cast("double") == F.col("o_totalprice"), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
         )
         .cast("bigint")
         .alias("n_roundtrip"),
-        F.sum(
-            F.when(F.col("back").isNull(), 1).otherwise(0)
+        F.coalesce(
+            F.sum(F.when(F.col("back").isNull(), 1).otherwise(0)), F.lit(0)
         )
         .cast("bigint")
         .alias("n_parse_failures"),

@@ -99,9 +99,11 @@ def sink_parquet_partitioned(spark: SparkSession, sf: str) -> DataFrame:
     df = load_table(spark, sf, "lineitem")
     path = scratch_dir("parquet_lineitem_part")
     df.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
-    back = spark.read.parquet(path)
-    # Partition column round-trips via directory names as string; reorder to
-    # source column order (driver compare sorts by name anyway).
+    # Explicit schema on read-back: a zero-row partitionBy write emits no
+    # data files, and schema inference over an empty layout fails outright
+    # (the empty-ingest-day shape at scale). Production reads resolve the
+    # schema from a catalog, never by inference.
+    back = spark.read.schema(df.schema).parquet(path)
     return back.select(*df.columns)
 
 
@@ -164,7 +166,8 @@ def scan_partition_pruned(spark: SparkSession, sf: str) -> DataFrame:
     )
     path = scratch_dir("parquet_lineitem_pruned")
     df.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
-    back = spark.read.parquet(path)
+    # catalog-style explicit schema: survives a zero-partition layout
+    back = spark.read.schema(df.schema).parquet(path)
     return back.filter(
         (F.col("l_returnflag") == "R") & (F.col("l_quantity") > 40)
     ).select(*df.columns)
@@ -402,7 +405,9 @@ def scan_python_stream_source(spark: SparkSession, sf: str) -> DataFrame:
         SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.bin' AS filename,
                CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS length,
                MD5(text) AS content_md5
-        FROM documents WHERE doc_id < 8
+        -- file-grain: the op writes ONE doc_<id>.bin per doc_id, so
+        -- duplicated rows collapse to a single file
+        FROM (SELECT DISTINCT doc_id, text FROM documents WHERE doc_id < 8)
     """,
     tags=("scan", "connector", "multimodal"),
 )
@@ -461,7 +466,8 @@ def scan_dynamic_partition_pruning(spark: SparkSession, sf: str) -> DataFrame:
     )
     path = scratch_dir("parquet_lineitem_dpp")
     df.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
-    fact = spark.read.parquet(path)
+    # catalog-style explicit schema: survives a zero-partition layout
+    fact = spark.read.schema(df.schema).parquet(path)
     # the dim must carry a SELECTIVE filter for the DPP heuristic to fire
     # (an unfiltered dim can't prune anything)
     flags = spark.createDataFrame(
@@ -590,7 +596,7 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf: str) -> DataFrame:
         .partitionBy("o_orderstatus")
         .parquet(path)
     )
-    return spark.read.parquet(path).select(
+    return spark.read.schema(o.schema).parquet(path).select(
         "o_orderkey", "o_totalprice", F.col("o_orderstatus").cast("string").alias("o_orderstatus")
     )
 
@@ -720,8 +726,14 @@ def scan_json_corrupt_column(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "sink_compact_small_files",
     oracle="""
-        SELECT CAST(64 AS BIGINT) AS n_files_before,
-               CAST(4 AS BIGINT) AS n_files_after,
+        -- file-count model: round-robin repartition(64) writes one file
+        -- per NON-EMPTY partition (= min(rows, 64)); coalesce(4) likewise
+        -- min(rows, 4); a zero-row write still emits exactly ONE
+        -- schema-preserving empty part file
+        SELECT GREATEST(LEAST((SELECT COUNT(*) FROM orders), 64), 1)
+                   AS n_files_before,
+               GREATEST(LEAST((SELECT COUNT(*) FROM orders), 4), 1)
+                   AS n_files_after,
                (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_rows
     """,
     tags=("sink", "connector", "maintenance"),
@@ -1020,8 +1032,10 @@ def scan_csv_dateformat(spark: SparkSession, sf: str) -> DataFrame:
     "sink_max_records_per_file",
     oracle="""
         SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-               CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / 100.0) AS BIGINT)
-                   AS n_files_expected
+               -- GREATEST(.., 1): a zero-row write still emits one
+               -- schema-preserving empty part file
+               CAST(GREATEST(CEIL(CAST(COUNT(*) AS DOUBLE) / 100.0), 1)
+                    AS BIGINT) AS n_files_expected
         FROM nation CROSS JOIN region
     """,
     tags=("scan", "sink", "layout"),

@@ -155,7 +155,9 @@ def workload_gini(spark: SparkSession, sf: str) -> DataFrame:
             FROM rows_ r CROSS JOIN cols_ c CROSS JOIN n_
             LEFT JOIN obs o ON o.lang = r.lang AND o.source = c.source
         )
-        SELECT CAST(MAX(n) AS BIGINT) AS n_docs,
+        -- scalar-subquery n, not MAX(n) over cells: on an empty corpus the
+        -- cells frame is empty and MAX would be NULL, but n_docs is 0
+        SELECT CAST((SELECT n FROM n_) AS BIGINT) AS n_docs,
                CAST((COUNT(DISTINCT lang) - 1) * (COUNT(DISTINCT source) - 1) AS BIGINT) AS dof,
                {sql_round4(
                    "SUM(POWER(o - CAST(rt AS DOUBLE) * ct / n, 2)"
@@ -1152,7 +1154,7 @@ def ml_mutual_info(spark: SparkSession, sf: str) -> DataFrame:
         round4(F.col("mi")).alias("mutual_info_nats"),
         round4(F.col("h_lang")).alias("h_lang"),
         round4(F.col("h_source")).alias("h_source"),
-        round4(F.col("mi") / F.sqrt(F.col("h_lang") * F.col("h_source"))).alias("nmi"),
+        round4(F.try_divide(F.col("mi"), F.sqrt(F.col("h_lang") * F.col("h_source")))).alias("nmi"),
     )
 
 
@@ -1644,7 +1646,7 @@ def ml_precision_recall(spark: SparkSession, sf: str) -> DataFrame:
         round4(
             F.col("tp").cast("double") / F.nullif(F.col("tp") + F.col("fp"), F.lit(0))
         ).alias("precision"),
-        round4(F.col("tp").cast("double") / F.col("p_total")).alias("recall"),
+        round4(F.try_divide(F.col("tp").cast("double"), F.col("p_total"))).alias("recall"),
         round4(
             (2 * F.col("tp")).cast("double")
             / F.nullif(2 * F.col("tp") + F.col("fp") + fn_, F.lit(0))
@@ -1735,10 +1737,14 @@ def ml_lift_gains(spark: SparkSession, sf: str) -> DataFrame:
         "decile",
         F.col("n").cast("bigint").alias("n"),
         F.col("pos").cast("bigint").alias("pos"),
-        round4(F.col("cum_pos").cast("double") / F.col("total_pos")).alias("gains"),
-        round4((F.col("pos").cast("double") / F.col("n")) / rate_all).alias("lift"),
+        round4(F.try_divide(F.col("cum_pos").cast("double"), F.col("total_pos"))).alias("gains"),
         round4(
-            (F.col("cum_pos").cast("double") / F.col("cum_n")) / rate_all
+            F.try_divide(F.col("pos").cast("double") / F.col("n"), rate_all)
+        ).alias("lift"),
+        round4(
+            F.try_divide(
+                F.col("cum_pos").cast("double") / F.col("cum_n"), rate_all
+            )
         ).alias("cum_lift"),
     )
 
@@ -2057,7 +2063,7 @@ def ml_ab_cuped(spark: SparkSession, sf: str) -> DataFrame:
     out = arms.crossJoin(F.broadcast(g))
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
-    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    theta = F.try_divide(n * sxy - sx * sy, n * sxx - sx * sx)
     return out.select(
         "arm", "n_users",
         round4(F.col("a_sy") / F.col("n_users")).alias("raw_mean"),
@@ -2066,8 +2072,10 @@ def ml_ab_cuped(spark: SparkSession, sf: str) -> DataFrame:
             - theta * (F.col("a_sx") / F.col("n_users") - sx / n)
         ).alias("cuped_mean"),
         round4(
-            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
-            / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+            F.try_divide(
+                (n * sxy - sx * sy) * (n * sxy - sx * sy),
+                (n * sxx - sx * sx) * (n * syy - sy * sy),
+            )
         ).alias("variance_reduction"),
     )
 
@@ -2294,8 +2302,10 @@ def ml_woe_iv(spark: SparkSession, sf: str) -> DataFrame:
     )
     out = cells.crossJoin(F.broadcast(tot))
     woe = F.log(
-        (F.col("n_good").cast("double") * F.col("tb"))
-        / (F.col("n_bad").cast("double") * F.col("tg"))
+        F.try_divide(
+            F.col("n_good").cast("double") * F.col("tb"),
+            F.col("n_bad").cast("double") * F.col("tg"),
+        )
     )
     return out.select(
         "bin",
@@ -2304,8 +2314,8 @@ def ml_woe_iv(spark: SparkSession, sf: str) -> DataFrame:
         round4(woe).alias("woe"),
         round4(
             (
-                F.col("n_good").cast("double") / F.col("tg")
-                - F.col("n_bad").cast("double") / F.col("tb")
+                F.try_divide(F.col("n_good").cast("double"), F.col("tg"))
+                - F.try_divide(F.col("n_bad").cast("double"), F.col("tb"))
             )
             * woe
         ).alias("iv_contrib"),
@@ -2452,7 +2462,7 @@ def ml_conformal_interval(spark: SparkSession, sf: str) -> DataFrame:
     scored = obs.crossJoin(F.broadcast(fit))
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxy, sxx = F.col("sxy"), F.col("sxx")
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    slope = F.try_divide(n * sxy - sx * sy, n * sxx - sx * sx)
     intercept = (sy - slope * sx) / n
     scored = scored.select(
         "side", F.abs(y - (slope * x + intercept)).alias("abs_resid")
@@ -2550,7 +2560,10 @@ def ml_ts_feature_pack(spark: SparkSession, sf: str) -> DataFrame:
         round4(F.sum(y).cast("double") / n).alias("mean_y"),
         round4(
             F.sqrt(
-                (F.sum(y * y) - F.sum(y).cast("double") * F.sum(y) / n) / (n - 1)
+                F.try_divide(
+                    F.sum(y * y) - F.sum(y).cast("double") * F.sum(y) / n,
+                    n - 1,
+                )
             )
         ).alias("sd_y"),
         F.min(y).cast("bigint").alias("min_y"),
@@ -2562,8 +2575,10 @@ def ml_ts_feature_pack(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("acf1_slope"),
         round4(
-            (n * F.sum(t * y) - F.sum(t) * F.sum(y))
-            / (n * F.sum(t * t) - F.sum(t) * F.sum(t))
+            F.try_divide(
+                n * F.sum(t * y) - F.sum(t) * F.sum(y),
+                n * F.sum(t * t) - F.sum(t) * F.sum(t),
+            )
         ).alias("trend_slope"),
     )
 
@@ -3003,9 +3018,10 @@ def ml_uplift_two_model(spark: SparkSession, sf: str) -> DataFrame:
             FROM cells GROUP BY feature
         ),
         prior AS (
-            SELECT -(CAST(pos AS DOUBLE)/n) * LN(CAST(pos AS DOUBLE)/n)
+            SELECT CASE WHEN pos IN (0, n) THEN 0.0 ELSE
+                   -(CAST(pos AS DOUBLE)/n) * LN(CAST(pos AS DOUBLE)/n)
                    - (1.0 - CAST(pos AS DOUBLE)/n)
-                   * LN(1.0 - CAST(pos AS DOUBLE)/n) AS h0
+                   * LN(1.0 - CAST(pos AS DOUBLE)/n) END AS h0
             FROM base
         )
         SELECT feature, n_values,
@@ -3068,7 +3084,9 @@ def ml_info_gain_rank(spark: SparkSession, sf: str) -> DataFrame:
     )
     p0 = F.col("pos").cast("double") / F.col("n")
     prior = base.select(
-        (-(p0) * F.log(p0) - (1.0 - p0) * F.log(1.0 - p0)).alias("h0")
+        F.when((F.col("pos") == 0) | (F.col("pos") == F.col("n")), F.lit(0.0))
+        .otherwise(-(p0) * F.log(p0) - (1.0 - p0) * F.log(1.0 - p0))
+        .alias("h0")
     )
     out = cond.crossJoin(F.broadcast(prior))
     gain = F.col("h0") - F.col("h_cond")
@@ -3153,7 +3171,10 @@ def ml_anova_oneway(spark: SparkSession, sf: str) -> DataFrame:
         round4(ss_between).alias("ss_between"),
         round4(ss_within).alias("ss_within"),
         round4(
-            (ss_between / (F.col("k") - 1)) / (ss_within / (F.col("n_tot") - F.col("k")))
+            F.try_divide(
+                ss_between / (F.col("k") - 1),
+                ss_within / (F.col("n_tot") - F.col("k")),
+            )
         ).alias("f_stat"),
     )
 
@@ -3380,8 +3401,10 @@ def ml_spearman(spark: SparkSession, sf: str) -> DataFrame:
     return s.select(
         n.alias("n_days"),
         round4(
-            (n * F.col("sxy") - sx * sy)
-            / F.sqrt((n * F.col("sxx") - sx * sx) * (n * F.col("syy") - sy * sy))
+            F.try_divide(
+                n * F.col("sxy") - sx * sy,
+                F.sqrt((n * F.col("sxx") - sx * sx) * (n * F.col("syy") - sy * sy)),
+            )
         ).alias("spearman_rho"),
     )
 
@@ -3549,8 +3572,10 @@ def ml_levene_test(spark: SparkSession, sf: str) -> DataFrame:
         F.col("k").alias("n_groups"),
         F.col("n_tot").alias("n_docs"),
         round4(
-            (ss_between / (F.col("k") - 1))
-            / (ss_within / (F.col("n_tot") - F.col("k")))
+            F.try_divide(
+                ss_between / (F.col("k") - 1),
+                ss_within / (F.col("n_tot") - F.col("k")),
+            )
         ).alias("levene_w"),
     )
 
@@ -3611,8 +3636,9 @@ def ml_grubbs_test(spark: SparkSession, sf: str) -> DataFrame:
         ),
     )
     n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
-    g = F.abs(F.col("rev_cents") - s1 / n) / F.sqrt(
-        (n * s2 - s1 * s1) / (n * (n - 1.0))
+    g = F.try_divide(
+        F.abs(F.col("rev_cents") - s1 / n),
+        F.sqrt(F.try_divide(n * s2 - s1 * s1, n * (n - 1.0))),
     )
     return (
         daily.crossJoin(F.broadcast(s))
@@ -3777,8 +3803,9 @@ def ml_durbin_watson(spark: SparkSession, sf: str) -> DataFrame:
         dsum(F.col("i").cast("double") * F.col("y")).alias("siy"),
     )
     n = F.col("n")
-    b = (n * F.col("siy") - F.col("si") * F.col("sy")) / (
-        n * F.col("sii") - F.col("si") * F.col("si")
+    b = F.try_divide(
+        n * F.col("siy") - F.col("si") * F.col("sy"),
+        n * F.col("sii") - F.col("si") * F.col("si"),
     )
     fit = s.select("n", b.alias("b"), (F.col("sy") / n - b * F.col("si") / n).alias("a"))
     resid = idx.crossJoin(F.broadcast(fit)).select(
@@ -3855,7 +3882,7 @@ def ml_jackknife_ratio(spark: SparkSession, sf: str) -> DataFrame:
     )
     loo = daily.crossJoin(F.broadcast(tot)).select(
         "n", "sx", "sy",
-        ((F.col("sy") - F.col("y")).cast("double") / (F.col("sx") - F.col("x"))).alias("r_i"),
+        F.try_divide((F.col("sy") - F.col("y")).cast("double"), F.col("sx") - F.col("x")).alias("r_i"),
     )
     s = loo.groupBy("n", "sx", "sy").agg(
         dsum(F.col("r_i")).alias("s1"),
@@ -3940,17 +3967,26 @@ def ml_ridge_path(spark: SparkSession, sf: str) -> DataFrame:
         dsum(y * y).alias("syy"),
     )
     n = F.col("n")
-    r12 = (n * F.col("sx1x2") - F.col("sx1") * F.col("sx2")) / F.sqrt(
-        (n * F.col("sx1x1") - F.col("sx1") * F.col("sx1"))
-        * (n * F.col("sx2x2") - F.col("sx2") * F.col("sx2"))
+    r12 = F.try_divide(
+        n * F.col("sx1x2") - F.col("sx1") * F.col("sx2"),
+        F.sqrt(
+            (n * F.col("sx1x1") - F.col("sx1") * F.col("sx1"))
+            * (n * F.col("sx2x2") - F.col("sx2") * F.col("sx2"))
+        ),
     )
-    r1y = (n * F.col("sx1y") - F.col("sx1") * F.col("sy")) / F.sqrt(
-        (n * F.col("sx1x1") - F.col("sx1") * F.col("sx1"))
-        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    r1y = F.try_divide(
+        n * F.col("sx1y") - F.col("sx1") * F.col("sy"),
+        F.sqrt(
+            (n * F.col("sx1x1") - F.col("sx1") * F.col("sx1"))
+            * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+        ),
     )
-    r2y = (n * F.col("sx2y") - F.col("sx2") * F.col("sy")) / F.sqrt(
-        (n * F.col("sx2x2") - F.col("sx2") * F.col("sx2"))
-        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    r2y = F.try_divide(
+        n * F.col("sx2y") - F.col("sx2") * F.col("sy"),
+        F.sqrt(
+            (n * F.col("sx2x2") - F.col("sx2") * F.col("sx2"))
+            * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+        ),
     )
     r = s.select("n", r12.alias("r12"), r1y.alias("r1y"), r2y.alias("r2y"))
     lams = spark.createDataFrame([(0.0,), (0.1,), (1.0,), (10.0,)], "lam double")
@@ -3992,7 +4028,7 @@ def ml_ridge_path(spark: SparkSession, sf: str) -> DataFrame:
                {sql_round4(
                    '(((n * s2 - CAST(s1 AS DOUBLE) * s1) / (n * (n - 1.0)))'
                    ' / (CAST(s1 AS DOUBLE) / n) - 1.0)'
-                   ' * SQRT((n - 1.0) / 2.0)'
+                   ' * SQRT(GREATEST((n - 1.0) / 2.0, 0.0))'
                )} AS z_score
         FROM s
     """,
@@ -4018,14 +4054,20 @@ def ml_poisson_dispersion(spark: SparkSession, sf: str) -> DataFrame:
         dsum(F.col("c").cast("double") * F.col("c")).alias("s2"),
     )
     n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
-    mean = s1.cast("double") / n
-    var = (n * s2 - s1.cast("double") * s1) / (n * (n - 1.0))
+    # try_divide everywhere a count can hit 0 (empty) or 1 (total-skew
+    # collapses all events to one hour): DuckDB's x/0 is already NULL.
+    # Duck guards its SQRT with GREATEST; Spark's sqrt(-x)=NaN is absorbed
+    # by the NULL numerator in the same degenerate cases.
+    mean = F.try_divide(s1.cast("double"), n)
+    var = F.try_divide(n * s2 - s1.cast("double") * s1, n * (n - 1.0))
     return s.select(
         n.alias("n_hours"),
         round4(mean).alias("mean_count"),
         round4(var).alias("var_count"),
-        round4(var / mean).alias("dispersion_index"),
-        round4((var / mean - 1.0) * F.sqrt((n - 1.0) / 2.0)).alias("z_score"),
+        round4(F.try_divide(var, mean)).alias("dispersion_index"),
+        round4(
+            (F.try_divide(var, mean) - 1.0) * F.sqrt((n - 1.0) / 2.0)
+        ).alias("z_score"),
     )
 
 
@@ -4114,13 +4156,15 @@ def ml_runs_test(spark: SparkSession, sf: str) -> DataFrame:
     r, n1, n2 = F.col("r"), F.col("n1"), F.col("n2")
     n = n1 + n2
     er = 2.0 * n1 * n2 / n + 1.0
-    vr = 2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2) / (n * n * (n - 1.0))
+    vr = F.try_divide(
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2), n * n * (n - 1.0)
+    )
     return s.select(
         n1.alias("n_above"),
         n2.alias("n_below"),
         r.alias("n_runs"),
         round4(er).alias("expected_runs"),
-        round4((r - er) / F.sqrt(vr)).alias("z_score"),
+        round4(F.try_divide(r - er, F.sqrt(vr))).alias("z_score"),
     )
 
 
@@ -4421,7 +4465,7 @@ def ml_fleiss_kappa(spark: SparkSession, sf: str) -> DataFrame:
         n.alias("n_docs"),
         round4(p_bar).alias("p_bar"),
         round4(p_e).alias("p_e"),
-        round4((p_bar - p_e) / (1.0 - p_e)).alias("fleiss_kappa"),
+        round4(F.try_divide(p_bar - p_e, 1.0 - p_e)).alias("fleiss_kappa"),
     )
 
 
@@ -4525,8 +4569,10 @@ def ml_benjamini_hochberg(spark: SparkSession, sf: str) -> DataFrame:
         F.col("nt") * (F.col("nt") - 1.0)
     )
     zabs = F.abs(
-        (F.col("s1") / F.col("n") - F.col("t1") / F.col("nt"))
-        / F.sqrt(var / F.col("n"))
+        F.try_divide(
+            F.col("s1") / F.col("n") - F.col("t1") / F.col("nt"),
+            F.sqrt(var / F.col("n")),
+        )
     )
     p = j.select(
         "event_type", "n", "m",
@@ -4798,19 +4844,19 @@ def ml_gmm_em_step(spark: SparkSession, sf: str) -> DataFrame:
         dsum(F.col("g1") * v * v).alias("q1"),
         dsum(F.col("g2") * v * v).alias("q2"),
     )
-    mu1 = F.col("s1") / F.col("n1")
-    mu2 = F.col("s2") / F.col("n2")
+    mu1 = F.try_divide(F.col("s1"), F.col("n1"))
+    mu2 = F.try_divide(F.col("s2"), F.col("n2"))
     return m.select(
         F.col("n").alias("n_rows"),
         round4(F.col("n1") / F.col("n")).alias("pi1_new"),
         round4(mu1).alias("mu1_new"),
-        round4(F.sqrt(F.col("q1") / F.col("n1") - mu1 * mu1)).alias(
-            "sigma1_new"
-        ),
+        round4(
+            F.sqrt(F.try_divide(F.col("q1"), F.col("n1")) - mu1 * mu1)
+        ).alias("sigma1_new"),
         round4(mu2).alias("mu2_new"),
-        round4(F.sqrt(F.col("q2") / F.col("n2") - mu2 * mu2)).alias(
-            "sigma2_new"
-        ),
+        round4(
+            F.sqrt(F.try_divide(F.col("q2"), F.col("n2")) - mu2 * mu2)
+        ).alias("sigma2_new"),
     )
 
 
@@ -4984,7 +5030,7 @@ def ml_offpolicy_ips(spark: SparkSession, sf: str) -> DataFrame:
         round4(dsum(F.col("w") * F.col("r")) / F.count(F.lit(1))).alias(
             "ips_value"
         ),
-        round4(dsum(F.col("w") * F.col("r")) / dsum(F.col("w"))).alias(
+        round4(F.try_divide(dsum(F.col("w") * F.col("r")), dsum(F.col("w")))).alias(
             "snips_value"
         ),
     )
@@ -5055,8 +5101,10 @@ def ml_tail_dependence(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("n_joint_tail"),
         round4(
-            F.sum(F.when(in_x & in_y, 1).otherwise(0)).cast("double")
-            / F.sum(F.when(in_y, 1).otherwise(0))
+            F.try_divide(
+                F.sum(F.when(in_x & in_y, 1).otherwise(0)).cast("double"),
+                F.sum(F.when(in_y, 1).otherwise(0)),
+            )
         ).alias("upper_tail_dep"),
         round4(
             F.sum(F.when(in_x, 1).otherwise(0)).cast("double")
@@ -5346,7 +5394,9 @@ def ml_gumbel_block_maxima(spark: SparkSession, sf: str) -> DataFrame:
         dsum(F.col("m") * F.col("m")).alias("s2"),
     )
     n = F.col("n")
-    sd = F.sqrt((n * F.col("s2") - F.col("s1") * F.col("s1")) / (n * (n - 1.0)))
+    sd = F.sqrt(
+        F.try_divide(n * F.col("s2") - F.col("s1") * F.col("s1"), n * (n - 1.0))
+    )
     beta = sd * 0.7796968012336761
     mu = F.col("s1") / n - 0.5772156649015329 * beta
     return s.select(
@@ -5514,10 +5564,13 @@ def ml_chi2_residuals(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("o").over(W.partitionBy()).alias("n"),
     )
     expected = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("n")
-    std_resid = (F.col("o") - expected) / F.sqrt(
+    std_resid = F.try_divide(
+        F.col("o") - expected,
+        F.sqrt(
         expected
         * (1.0 - F.col("row_tot").cast("double") / F.col("n"))
         * (1.0 - F.col("col_tot").cast("double") / F.col("n"))
+        )
     )
     return margins.select(
         "lang", "source",
@@ -5707,9 +5760,12 @@ def ml_qq_normality(spark: SparkSession, sf: str) -> DataFrame:
         dsum(F.col("z") * F.col("emp_q")).alias("sxy"),
     )
     k = F.col("k")
-    corr = (k * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+    corr = F.try_divide(
+        k * F.col("sxy") - F.col("sx") * F.col("sy"),
+        F.sqrt(
         (k * F.col("sxx") - F.col("sx") * F.col("sx"))
         * (k * F.col("syy") - F.col("sy") * F.col("sy"))
+        )
     )
     slope = (k * F.col("sxy") - F.col("sx") * F.col("sy")) / (
         k * F.col("sxx") - F.col("sx") * F.col("sx")
@@ -5810,9 +5866,10 @@ def ml_james_stein(spark: SparkSession, sf: str) -> DataFrame:
         F.greatest(
             F.lit(0.0),
             1.0
-            - (F.col("k") - 3.0)
-            * (F.col("pooled_var") / F.col("nbar"))
-            / F.col("ssdev"),
+            - F.try_divide(
+                (F.col("k") - 3.0) * (F.col("pooled_var") / F.col("nbar")),
+                F.col("ssdev"),
+            ),
         ).alias("b"),
     )
     return seg.crossJoin(F.broadcast(shrink)).select(
@@ -5883,11 +5940,12 @@ def ml_negbin_fit(spark: SparkSession, sf: str) -> DataFrame:
     )
     n = F.col("n")
     m = F.col("s1").cast("double") / n
-    v = (n * F.col("s2") - F.col("s1").cast("double") * F.col("s1")) / (
-        n * (n - 1.0)
+    v = F.try_divide(
+        n * F.col("s2") - F.col("s1").cast("double") * F.col("s1"),
+        n * (n - 1.0),
     )
-    r = m * m / (v - m)
-    p = m / v
+    r = F.try_divide(m * m, v - m)
+    p = F.try_divide(m, v)
     return s.select(
         n.alias("n_hours"),
         round4(m).alias("mean_count"),
@@ -5925,7 +5983,7 @@ def ml_negbin_fit(spark: SparkSession, sf: str) -> DataFrame:
                {sql_round4('SQRT(ss * ss + sc * sc) / n')}
                    AS resultant_r,
                {sql_round4(
-                   'SQRT(-2.0 * LN(SQRT(ss * ss + sc * sc) / n))'
+                   'SQRT(-2.0 * LN(LEAST(SQRT(ss * ss + sc * sc) / n, 1.0)))'
                )} AS circular_sd
         FROM s
     """,
@@ -5961,7 +6019,7 @@ def ml_circular_hour_stats(spark: SparkSession, sf: str) -> DataFrame:
         "event_type", "n",
         round4(wrapped * 1440.0 / two_pi / 60.0).alias("mean_hour"),
         round4(r).alias("resultant_r"),
-        round4(F.sqrt(-2.0 * F.log(r))).alias("circular_sd"),
+        round4(F.sqrt(-2.0 * F.log(F.least(r, F.lit(1.0))))).alias("circular_sd"),
     )
 
 
@@ -6065,12 +6123,12 @@ def ml_anova_twoway(spark: SparkSession, sf: str) -> DataFrame:
         round4(F.col("ss_rows")).alias("ss_dow"),
         round4(F.col("ss_cols")).alias("ss_type"),
         round4(F.col("ss_resid")).alias("ss_interaction"),
-        round4((F.col("ss_rows") / 6.0) / (F.col("ss_resid") / 24.0)).alias(
-            "f_dow"
-        ),
-        round4((F.col("ss_cols") / 4.0) / (F.col("ss_resid") / 24.0)).alias(
-            "f_type"
-        ),
+        round4(
+            F.try_divide(F.col("ss_rows") / 6.0, F.col("ss_resid") / 24.0)
+        ).alias("f_dow"),
+        round4(
+            F.try_divide(F.col("ss_cols") / 4.0, F.col("ss_resid") / 24.0)
+        ).alias("f_type"),
     )
 
 
@@ -6318,7 +6376,11 @@ def ml_logrank_test(spark: SparkSession, sf: str) -> DataFrame:
             FROM t GROUP BY lam
         )
         SELECT lam, n,
-               {sql_round4('-0.5 * n * LN((syy - sy * sy / n) / n) + (lam - 1.0) * slnv')}
+               {sql_round4(
+                   'CASE WHEN (syy - sy * sy / n) / n <= 0 THEN NULL ELSE '
+                   '-0.5 * n * LN((syy - sy * sy / n) / n)'
+                   ' + (lam - 1.0) * slnv END'
+               )}
                    AS profile_loglik,
                {sql_round4('(syy - sy * sy / n) / n')} AS var_transformed
         FROM s
@@ -6676,7 +6738,9 @@ def ml_mahalanobis_t2(spark: SparkSession, sf: str) -> DataFrame:
     )
     dx, dy = F.col("dx"), F.col("dy")
     sxx, syy, sxy, det, n = (F.col(c) for c in ("sxx", "syy", "sxy", "det", "n"))
-    t2 = n * (dx * (syy * dx - sxy * dy) + dy * (sxx * dy - sxy * dx)) / det
+    t2 = F.try_divide(
+        n * (dx * (syy * dx - sxy * dy) + dy * (sxx * dy - sxy * dx)), det
+    )
     return t.select(
         "l_returnflag", "n",
         round4(dx).alias("delta_qty"),

@@ -89,13 +89,20 @@ def udf_grouped_map(spark: SparkSession, sf: str) -> DataFrame:
     import math
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
-        mean = pdf["value"].mean()
-        std = pdf["value"].std(ddof=1)  # matches STDDEV_SAMP
-        z = (pdf["value"] - mean) / std
-        # round4 floor-trick, mirrored from _helpers (pandas side)
         import numpy as np
 
-        z = np.floor(z * 10000.0 + 0.5) / 10000.0
+        # Constant group: pandas' sum/n mean carries rounding error, so
+        # (v - mean)/std fabricates a finite z out of 1e-14 noise where
+        # SQL's Welford-based STDDEV_SAMP is exactly 0 → NULL. Detect the
+        # constant case exactly and emit NULL, matching the x/0 oracle.
+        if pdf["value"].nunique(dropna=False) <= 1:
+            z = pd.array([None] * len(pdf), dtype="Float64")
+        else:
+            mean = pdf["value"].mean()
+            std = pdf["value"].std(ddof=1)  # matches STDDEV_SAMP
+            z = (pdf["value"] - mean) / std
+            # round4 floor-trick, mirrored from _helpers (pandas side)
+            z = np.floor(z * 10000.0 + 0.5) / 10000.0
         return pd.DataFrame(
             {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "zscore": z}
         )

@@ -1262,7 +1262,7 @@ def workload_anomaly_zscore(spark: SparkSession, sf: str) -> DataFrame:
         "event_type", mean_v.alias("mean_v"),
         F.sqrt(F.col("s2") / F.col("n") - mean_v * mean_v).alias("sd"),
     )
-    z = (F.col("value") - F.col("mean_v")) / F.col("sd")
+    z = F.try_divide(F.col("value") - F.col("mean_v"), F.col("sd"))
     return e.join(F.broadcast(stats), "event_type").select(
         "event_id", "event_type",
         (F.floor(z * 10000.0 + 0.5) / 10000.0).alias("z"),
@@ -1392,9 +1392,12 @@ def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     n_nodes = nat.count()  # scalar; node-count of the dimension graph
+    # max(n,1): on an empty graph every downstream frame is empty anyway,
+    # but the literal 1/n must not raise on the driver (empty-input safety)
+    n_nodes_safe = max(n_nodes, 1)
     ranks = nat.select(
         F.col("n_nationkey").alias("node"),
-        F.lit(1.0 / n_nodes).alias("r"),
+        F.lit(1.0 / n_nodes_safe).alias("r"),
     )
 
     def step(r, final=False):
@@ -1412,7 +1415,7 @@ def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
         out = r.select("node").join(contrib, "node", "left").select(
             "node",
             (
-                F.lit(0.15 / n_nodes)
+                F.lit(0.15 / n_nodes_safe)
                 + 0.85 * F.coalesce(F.col("inflow"), F.lit(0.0))
             ).alias("r"),
         )
@@ -1961,14 +1964,16 @@ def ml_ols_regression(spark: SparkSession, sf: str) -> DataFrame:
     sxy = F.col("sxyi").cast("double") / 100.0
     sxx = F.col("sxxi").cast("double")
     syy = (F.col("syyh").cast("double") * 1048576.0 + F.col("syyl").cast("double")) / 10000.0
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    slope = F.try_divide(n * sxy - sx * sy, n * sxx - sx * sx)
     return s.select(
         "l_returnflag", "n",
         round4(slope).alias("slope"),
         round4((sy - slope * sx) / n).alias("intercept"),
         round4(
-            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
-            / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+            F.try_divide(
+                (n * sxy - sx * sy) * (n * sxy - sx * sy),
+                (n * sxx - sx * sx) * (n * syy - sy * sy),
+            )
         ).alias("r2"),
     )
 
@@ -2037,11 +2042,11 @@ def workload_ab_test(spark: SparkSession, sf: str) -> DataFrame:
     )
     n_a, s1_a, s2_a = F.col("n_a"), F.col("s1_a"), F.col("s2_a")
     n_b, s1_b, s2_b = F.col("n_b"), F.col("s1_b"), F.col("s2_b")
-    m_a = s1_a.cast("double") / n_a
-    m_b = s1_b.cast("double") / n_b
-    var_a = (s2_a.cast("double") - m_a * s1_a) / (n_a - 1)
-    var_b = (s2_b.cast("double") - m_b * s1_b) / (n_b - 1)
-    z = (m_a - m_b) / F.sqrt(var_a / n_a + var_b / n_b)
+    m_a = F.try_divide(s1_a.cast("double"), n_a)
+    m_b = F.try_divide(s1_b.cast("double"), n_b)
+    var_a = F.try_divide(s2_a.cast("double") - m_a * s1_a, n_a - 1)
+    var_b = F.try_divide(s2_b.cast("double") - m_b * s1_b, n_b - 1)
+    z = F.try_divide(m_a - m_b, F.sqrt(var_a / n_a + var_b / n_b))
     return v.select(
         "n_a", "n_b",
         round4(m_a).alias("mean_a"),
@@ -2468,8 +2473,12 @@ def ml_linreg_multi(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("sy") / n).alias("my"),
     )
     det = F.col("a11") * F.col("a22") - F.col("a12") * F.col("a12")
-    beta1 = (F.col("a22") * F.col("b1") - F.col("a12") * F.col("b2")) / det
-    beta2 = (F.col("a11") * F.col("b2") - F.col("a12") * F.col("b1")) / det
+    beta1 = F.try_divide(
+        F.col("a22") * F.col("b1") - F.col("a12") * F.col("b2"), det
+    )
+    beta2 = F.try_divide(
+        F.col("a11") * F.col("b2") - F.col("a12") * F.col("b1"), det
+    )
     return c.select(
         "n",
         round4(beta1).alias("beta_qty"),
@@ -2678,8 +2687,8 @@ def ml_pca_power(spark: SparkSession, sf: str) -> DataFrame:
         .crossJoin(F.broadcast(nv))
         .select(
             F.col("i").alias("dim"),
-            round4(F.col("v") / F.col("nv")).alias("loading"),
-            round4(F.col("nv") / F.col("nw")).alias("lambda_ratio"),
+            round4(F.try_divide(F.col("v"), F.col("nv"))).alias("loading"),
+            round4(F.try_divide(F.col("nv"), F.col("nw"))).alias("lambda_ratio"),
         )
     )
 
@@ -2952,8 +2961,12 @@ def workload_data_quality(spark: SparkSession, sf: str) -> DataFrame:
     n_orders = o.count()
     n_li = li.count()
 
+    # COALESCE(SUM,0) on the conditional counts: the oracle's COUNT(*)
+    # subqueries are 0 over empty tables, SUM over 0 rows is NULL
     r1 = o.agg(
-        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        F.coalesce(
+            F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)), F.lit(0)
+        )
         .cast("bigint")
         .alias("n_violations")
     ).select(
@@ -2962,9 +2975,13 @@ def workload_data_quality(spark: SparkSession, sf: str) -> DataFrame:
         "n_violations",
     )
     r2 = li.agg(
-        F.sum(
-            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1)
-            .otherwise(0)
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
         )
         .cast("bigint")
         .alias("n_violations")
@@ -2985,7 +3002,14 @@ def workload_data_quality(spark: SparkSession, sf: str) -> DataFrame:
     r4 = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .agg(
-            F.sum(F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1).otherwise(0))
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("l_shipdate") < F.col("o_orderdate"), 1
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
             .cast("bigint")
             .alias("n_violations")
         )
@@ -4222,7 +4246,8 @@ def ml_auc_roc(spark: SparkSession, sf: str) -> DataFrame:
         nn_.cast("bigint").alias("n_neg"),
         (
             F.floor(
-                (rp - np_ * (np_ + 1) / 2) / (np_ * nn_) * 10000.0 + 0.5
+                F.try_divide(rp - np_ * (np_ + 1) / 2, np_ * nn_) * 10000.0
+                + 0.5
             )
             / 10000.0
         ).alias("auc"),
@@ -4340,6 +4365,9 @@ def sql_pipe_syntax(spark: SparkSession, sf: str) -> DataFrame:
                CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey,
                CAST(MAX(l_orderkey) AS BIGINT) AS max_orderkey
         FROM lineitem
+        -- a 0-row file yields no per-file groups on the Spark side; drop
+        -- the oracle's synthetic global row in that case (no-op otherwise)
+        HAVING COUNT(*) > 0
     """,
     tags=("scan", "connector", "metadata"),
 )
@@ -9170,9 +9198,9 @@ def workload_key_discovery(spark: SparkSession, sf: str) -> DataFrame:
             F.countDistinct(col).cast("bigint").alias("n_distinct"),
         ).select(
             "candidate", "n_rows", "n_distinct",
-            round4(F.col("n_distinct").cast("double") / F.col("n_rows")).alias(
-                "uniqueness"
-            ),
+            round4(
+                F.try_divide(F.col("n_distinct").cast("double"), F.col("n_rows"))
+            ).alias("uniqueness"),
             (F.col("n_distinct") == F.col("n_rows")).alias("is_key"),
         )
 
@@ -10504,15 +10532,17 @@ def workload_littles_law(spark: SparkSession, sf: str) -> DataFrame:
     lam = F.col("n_orders").cast("double") / (
         F.datediff(F.col("d1"), F.col("d0")) + 1
     )
-    return dj.groupBy("n_orders", "d0", "d1").agg(
-        round4(davg(F.col("open_orders").cast("double"))).alias("l_avg_open"),
-        round4(F.min(lam)).alias("lambda_per_day"),
+    # global agg for L, then crossJoin the 1-row horizon (not groupBy over
+    # the joined frame): identical on nonempty input, and still emits the
+    # single stats row when orders is empty, matching the oracle's
+    # horizon-driven shape (lam's NULL datediff propagates NULL, no /0)
+    l_avg = dj.agg(davg(F.col("open_orders").cast("double")).alias("big_l"))
+    return horizon.crossJoin(F.broadcast(l_avg)).select(
+        "n_orders",
+        round4(F.col("big_l")).alias("l_avg_open"),
+        round4(lam).alias("lambda_per_day"),
         F.lit(30).cast("bigint").alias("w_days"),
-        round4(
-            davg(F.col("open_orders").cast("double")) / (F.min(lam) * 30.0)
-        ).alias("littles_ratio"),
-    ).select(
-        "n_orders", "l_avg_open", "lambda_per_day", "w_days", "littles_ratio"
+        round4(F.col("big_l") / (lam * 30.0)).alias("littles_ratio"),
     )
 
 
@@ -11295,8 +11325,9 @@ def llm_hubness(spark: SparkSession, sf: str) -> DataFrame:
     )
     n = F.col("n")
     m1, m2, m3 = F.col("s1") / n, F.col("s2") / n, F.col("s3") / n
-    skew = (m3 - 3.0 * m1 * m2 + 2.0 * F.pow(m1, 3)) / F.pow(
-        m2 - F.pow(m1, 2), 1.5
+    skew = F.try_divide(
+        m3 - 3.0 * m1 * m2 + 2.0 * F.pow(m1, 3),
+        F.pow(m2 - F.pow(m1, 2), 1.5),
     )
     return s.select(
         n.alias("n_vecs"),
@@ -12262,7 +12293,10 @@ def workload_cross_correlation(spark: SparkSession, sf: str) -> DataFrame:
     return lagged.groupBy("k").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
         round4(
-            F.sum("num_term") / F.sqrt(F.sum("denx_term") * F.sum("deny_term"))
+            F.try_divide(
+                F.sum("num_term"),
+                F.sqrt(F.sum("denx_term") * F.sum("deny_term")),
+            )
         ).alias("xcorr"),
     ).select(F.col("k").cast("int").alias("lag_days"), "n_pairs", "xcorr")
 
@@ -12683,7 +12717,7 @@ def sample_neyman_allocation(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.col("n_pop") * F.col("sd")).alias("t"),
         F.sum("n_pop").cast("bigint").alias("n_all"),
     )
-    share = F.col("n_pop") * F.col("sd") / F.col("t")
+    share = F.try_divide(F.col("n_pop") * F.col("sd"), F.col("t"))
     return strata.crossJoin(F.broadcast(tot)).select(
         "c_mktsegment", "n_pop",
         round4(F.col("sd")).alias("sd_acctbal"),

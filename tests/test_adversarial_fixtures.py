@@ -1,0 +1,128 @@
+"""Adversarial-fixture differentials: empty and maximally-skewed inputs.
+
+Round-4 robustness program. Two degenerate input shapes every 100 TB
+pipeline eventually meets, which the sf fixtures never exercise:
+
+- ``empty``  — every table with its exact schema and 0 rows (the shape of
+  a fully-pruned partition or an empty ingest day). An operator that
+  throws here fails a real production stage.
+- ``dup``    — every table is its first row repeated 50x (maximal key
+  skew: every join key collides, every group collapses, every variance
+  is zero). Crashes here are ANSI divide-by-zero / domain-error bugs;
+  divergences are tie-breaking or key-uniqueness assumptions.
+
+The full-registry sweeps run out-of-band (scripts/check_oracle.py against
+scripts/gen_adversarial_fixtures.py output; both recorded in SCALE.md).
+This test pins the SENTINEL SET — every operator fixed during the round-4
+triage (22 empty-input failures + 51 skew failures) — so the bug classes
+cannot silently return. Fixtures are generated fresh from sf0.001 into a
+session tmp dir; the compare logic is the same one the driver mimics
+(scripts.check_oracle.compare).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _load_script(name: str):
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(REPO, "scripts", f"{name}.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules.setdefault(name, mod)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+check_oracle = _load_script("check_oracle")
+gen_adv = _load_script("gen_adversarial_fixtures")
+
+
+# Ops fixed in the round-4 empty-input triage (crash or divergence on 0
+# rows before the fix). Kept verbatim as the regression sentinel set.
+EMPTY_FIXED = [
+    "agg_grouping_id", "agg_bitmap_algebra", "sink_parquet_partitioned",
+    "scan_partition_pruned", "scan_dynamic_partition_pruning",
+    "sink_dynamic_partition_overwrite", "sink_compact_small_files",
+    "sink_max_records_per_file", "agg_rollup", "agg_cube",
+    "fn_number_roundtrip", "llm_position_kl", "llm_jsd_lang_pair",
+    "llm_corpus_health", "llm_length_bias_audit", "graph_pagerank",
+    "workload_data_quality", "scan_file_metadata", "workload_key_discovery",
+    "workload_littles_law", "ml_chi2_independence", "ml_poisson_dispersion",
+]
+
+# Ops fixed in the round-4 max-skew triage (ANSI divide-by-zero on zero
+# variance, domain errors, LAG-window interleaving on duplicate doc_ids,
+# oracle self-join fan-out, pandas mean() noise).
+DUP_FIXED = [
+    "agg_moments", "agg_corr_matrix", "scan_binary_files",
+    "sink_compact_small_files", "agg_stats", "fn_make_datetime",
+    "udf_grouped_map", "llm_ngrams", "llm_pmi_collocations",
+    "llm_bleu_pairs", "llm_simhash", "llm_rouge_pairs",
+    "llm_source_ablation", "workload_anomaly_zscore", "ml_ols_regression",
+    "workload_ab_test", "ml_linreg_multi", "ml_pca_power", "ml_auc_roc",
+    "llm_hubness", "workload_cross_correlation", "sample_neyman_allocation",
+    "ml_mutual_info", "ml_precision_recall", "ml_lift_gains", "ml_ab_cuped",
+    "ml_woe_iv", "ml_conformal_interval", "ml_ts_feature_pack",
+    "ml_info_gain_rank", "ml_anova_oneway", "ml_spearman", "ml_levene_test",
+    "ml_grubbs_test", "ml_durbin_watson", "ml_jackknife_ratio",
+    "ml_ridge_path", "ml_runs_test", "ml_fleiss_kappa",
+    "ml_benjamini_hochberg", "ml_gmm_em_step", "ml_offpolicy_ips",
+    "ml_tail_dependence", "ml_gumbel_block_maxima", "ml_chi2_residuals",
+    "ml_qq_normality", "ml_james_stein", "ml_negbin_fit",
+    "ml_circular_hour_stats", "ml_anova_twoway", "ml_boxcox_profile",
+    "ml_mahalanobis_t2",
+]
+
+
+@pytest.fixture(scope="session")
+def adv_dirs(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("advfixtures"))
+    gen_adv.generate(SF_SMOKE, out, dup_rows=50)
+    return {
+        "empty": os.path.join(out, "empty"),
+        "dup": os.path.join(out, "dup"),
+    }
+
+
+def _run(spark, sf_dir: str, names: list[str]):
+    from datapipelines_python_spark import get_registry
+
+    registry = get_registry()
+    con = check_oracle.duck_connect(sf_dir)
+    failures = []
+    for name in names:
+        spec = registry[name]
+        try:
+            df = spec.fn(spark, sf_dir)
+            if spec.oracle is None:
+                df.count()  # rows-only ops must at least not throw
+                continue
+            ok, msg = check_oracle.compare(name, df, con.sql(spec.oracle))
+        except Exception as exc:  # crash = the bug class under test
+            ok, msg = False, f"{type(exc).__name__}: {exc}"
+        if not ok:
+            failures.append(f"{name}: {msg}")
+    con.close()
+    assert not failures, (
+        f"{len(failures)} op(s) regressed on {os.path.basename(sf_dir)} "
+        f"input:\n" + "\n".join(failures[:10])
+    )
+
+
+def test_empty_input_sentinels(spark, adv_dirs):
+    """Every op fixed for empty input stays green on a 0-row fixture."""
+    _run(spark, adv_dirs["empty"], EMPTY_FIXED)
+
+
+def test_max_skew_sentinels(spark, adv_dirs):
+    """Every op fixed for total key-skew stays green on the dup fixture."""
+    _run(spark, adv_dirs["dup"], DUP_FIXED)
