@@ -2037,9 +2037,10 @@ def fn_xpath(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "fn_make_datetime",
     oracle="""
-        -- no self-join back to orders: o_orderdate rides the CTE row, so
-        -- the check stays row-local (a key-join here silently fans out
-        -- when o_orderkey duplicates — the max-skew fixture caught it)
+        -- no second read of orders: o_orderdate rides the CTE row, so
+        -- the check stays row-local (re-keying on o_orderkey silently
+        -- fans out when the key duplicates — the max-skew fixture
+        -- caught it)
         WITH parts AS (
             SELECT o_orderdate,
                    date_part('year', o_orderdate) AS y,
