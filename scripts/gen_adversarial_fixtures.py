@@ -35,11 +35,22 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 
+# Identity-ish columns kept intact in the null-flood variant: keys keep
+# joins/groupings structurally alive while every payload goes missing —
+# the failed-enrichment / half-written-ingest shape.
+_KEYISH = ("key", "_id", "doc_id", "vec_id")
+
+
+def _is_keyish(col: str) -> bool:
+    c = col.lower()
+    return c.endswith("key") or c.endswith("_id") or c in ("id",)
+
+
 def generate(src: str, out: str, dup_rows: int) -> None:
     tables = sorted(glob.glob(os.path.join(src, "*.parquet")))
     if not tables:
         raise SystemExit(f"no parquet tables under {src}")
-    for variant in ("empty", "dup"):
+    for variant in ("empty", "dup", "nullpay"):
         os.makedirs(os.path.join(out, variant), exist_ok=True)
     for path in tables:
         name = os.path.basename(path)
@@ -49,7 +60,23 @@ def generate(src: str, out: str, dup_rows: int) -> None:
         first = t.slice(0, 1)
         dup = pa.concat_tables([first] * dup_rows)
         pq.write_table(dup, os.path.join(out, "dup", name))
-        print(f"  {name}: empty=0 rows, dup={dup.num_rows} rows")
+        # null-flood: every nullable non-key column becomes all-NULL,
+        # schema (incl. nullability flags) preserved bit-for-bit
+        n = t.num_rows
+        cols = []
+        for field, col in zip(t.schema, t.columns):
+            if field.nullable and not _is_keyish(field.name):
+                cols.append(pa.nulls(n, type=field.type))
+            else:
+                cols.append(col)
+        nullpay = pa.Table.from_arrays(cols, schema=t.schema)
+        pq.write_table(nullpay, os.path.join(out, "nullpay", name))
+        nulled = [f.name for f in t.schema
+                  if f.nullable and not _is_keyish(f.name)]
+        print(
+            f"  {name}: empty=0 rows, dup={dup.num_rows} rows, "
+            f"nullpay={n} rows ({len(nulled)} cols nulled)"
+        )
 
 
 def main() -> int:
