@@ -209,7 +209,11 @@ def agg_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "agg_collect_list",
     oracle="""
-        SELECT n_regionkey, ARRAY_TO_STRING(LIST(n_name ORDER BY n_name), '|') AS nations
+        SELECT n_regionkey,
+               -- COALESCE: all-NULL group -> '' (Spark collect_list skips
+               -- NULLs, then array_join of [] is '')
+               COALESCE(ARRAY_TO_STRING(LIST(n_name ORDER BY n_name), '|'), '')
+                   AS nations
         FROM nation
         GROUP BY n_regionkey
     """,
@@ -555,7 +559,10 @@ def agg_mode(spark: SparkSession, sf: str) -> DataFrame:
     "agg_string_agg",
     oracle="""
         SELECT r_name,
-               STRING_AGG(n_name, ',' ORDER BY n_name) AS nations,
+               -- COALESCE: the collect-sort-concat path emits '' for a
+               -- group with no non-NULL values, SQL STRING_AGG emits NULL
+               COALESCE(STRING_AGG(n_name, ',' ORDER BY n_name), '')
+                   AS nations,
                CAST(COUNT(*) AS BIGINT) AS n
         FROM nation JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name

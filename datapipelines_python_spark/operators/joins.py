@@ -243,7 +243,13 @@ def _range_join_bucketed(spark: SparkSession, sf: str) -> DataFrame:
         "o_orderkey",
         "o_orderdate",
         end.alias("o_end"),
-        F.explode(F.sequence(bkt(F.col("o_orderdate")), bkt(end))).alias("bkt"),
+        # explode_outer, not explode: a NULL o_orderdate yields a NULL
+        # bucket sequence, and a plain explode would silently DROP the
+        # left row — breaking the rewrite's left-join contract (the
+        # NULL-bucket row simply matches nothing, like the naive plan)
+        F.explode_outer(
+            F.sequence(bkt(F.col("o_orderdate")), bkt(end))
+        ).alias("bkt"),
     )
     li = load_table(spark, sf, "lineitem").withColumn("bkt", bkt(F.col("l_shipdate")))
     cond = (

@@ -50,10 +50,16 @@ def dot(a: Column | str, b: Column | str) -> Column:
 
 def sql_dot(a: str, b: str) -> str:
     """DuckDB twin of :func:`dot` — same element order, same fold, same
-    double promotion, hence bit-identical results."""
+    double promotion, hence bit-identical results.
+
+    The NULL gate matters: DuckDB's ``list_prepend(0.0, NULL)``
+    resurrects ``[0.0]`` and folds to 0.0, silently minting a zero dot
+    product for a missing vector, while Spark's ``aggregate`` over a
+    NULL array is NULL — the honest answer."""
     return (
+        f"CASE WHEN {a} IS NULL OR {b} IS NULL THEN NULL ELSE "
         f"list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}), "
-        f"s -> CAST(s[1] AS DOUBLE) * s[2])), (acc, x) -> acc + x)"
+        f"s -> CAST(s[1] AS DOUBLE) * s[2])), (acc, x) -> acc + x) END"
     )
 
 
@@ -865,11 +871,14 @@ def llm_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
 
 def _sql_d2(a: str, b: str) -> str:
     """DuckDB twin of the squared-L2 fold used by k-means (same element
-    order, same double promotion → bit-identical)."""
+    order, same double promotion → bit-identical). NULL-gated like
+    :func:`sql_dot`: a missing vector must yield a NULL distance, not a
+    resurrected 0.0."""
     return (
+        f"CASE WHEN {a} IS NULL OR {b} IS NULL THEN NULL ELSE "
         f"list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}), "
         f"s -> (CAST(s[1] AS DOUBLE) - s[2]) * (CAST(s[1] AS DOUBLE) - s[2]))), "
-        f"(acc, x) -> acc + x)"
+        f"(acc, x) -> acc + x) END"
     )
 
 
@@ -2199,12 +2208,15 @@ _SENTIMENT_CASE_SQL = (
     "llm_sentiment_lexicon",
     oracle=f"""
         WITH scored AS (
+            -- text IS NULL gate: DuckDB's list_prepend(0, NULL)
+            -- resurrects [0] and folds to 0; Spark's aggregate is NULL
             SELECT doc_id,
                    LEN(STRING_SPLIT(LOWER(text), ' ')) AS n_tokens,
+                   CASE WHEN text IS NULL THEN NULL ELSE
                    list_reduce(list_prepend(CAST(0 AS BIGINT),
                        list_transform(STRING_SPLIT(LOWER(text), ' '),
                                       c -> CAST({_SENTIMENT_CASE_SQL.format(c='c')} AS BIGINT))),
-                       (a, b) -> a + b) AS sentiment_sum
+                       (a, b) -> a + b) END AS sentiment_sum
             FROM documents
         )
         SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
@@ -2382,9 +2394,11 @@ def llm_word_burstiness(spark: SparkSession, sf: str) -> DataFrame:
     "llm_template_prefix",
     oracle="""
         WITH pref AS (
+            -- COALESCE to '': Spark's concat_ws never returns NULL, so
+            -- NULL-text docs group under the empty prefix
             SELECT doc_id, lang,
-                   ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[1:2], ' ')
-                       AS prefix2
+                   COALESCE(ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[1:2], ' '),
+                            '') AS prefix2
             FROM documents
         ),
         grp AS (
@@ -3111,10 +3125,14 @@ def llm_corpus_health(spark: SparkSession, sf: str) -> DataFrame:
                    CAST(LIST_SUM([LEAST(LEN(LIST_FILTER(c, x -> x = t)),
                                         LEN(LIST_FILTER(r, x -> x = t)))
                                   FOR t IN LIST_DISTINCT(c)]) AS BIGINT) AS m1,
-                   CAST(COALESCE(LIST_SUM(
+                   -- COALESCE only covers the EMPTY-bigram case (one-token
+                   -- docs): a NULL token array must stay NULL, matching
+                   -- Spark's NULL-propagating fold
+                   CAST(CASE WHEN c2 IS NULL OR r2 IS NULL THEN NULL
+                        ELSE COALESCE(LIST_SUM(
                         [LEAST(LEN(LIST_FILTER(c2, x -> x = t)),
                                LEN(LIST_FILTER(r2, x -> x = t)))
-                         FOR t IN LIST_DISTINCT(c2)]), 0) AS BIGINT) AS m2
+                         FOR t IN LIST_DISTINCT(c2)]), 0) END AS BIGINT) AS m2
             FROM big
         )
         SELECT cand_id, ref_id, len_c, len_r, m1, m2,

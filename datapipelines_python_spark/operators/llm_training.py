@@ -41,10 +41,13 @@ MOD = 1_000_000_007
 _SPARK_STRHASH = (
     "aggregate(split({s}, ''), 0L, (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)"
 )
+# NULL-gated: DuckDB's list_prepend(0, NULL) resurrects [0] and "hashes"
+# a missing string to 0; Spark's aggregate over NULL is NULL.
 _SQL_STRHASH = (
+    "CASE WHEN {s} IS NULL THEN NULL ELSE "
     "list_reduce(list_prepend(CAST(0 AS BIGINT), "
     "list_transform(string_split({s}, ''), c -> CAST(ascii(c) AS BIGINT))), "
-    "(a, b) -> (a * 31 + b) % 1000000007)"
+    "(a, b) -> (a * 31 + b) % 1000000007) END"
 )
 
 
@@ -79,7 +82,10 @@ def llm_fingerprint_rolling(spark: SparkSession, sf: str) -> DataFrame:
             SELECT doc_id,
                    [{_SQL_STRHASH.format(s='t')}
                     FOR t IN STRING_SPLIT(text, ' ')] AS hashes
-            FROM (SELECT DISTINCT doc_id, text FROM documents)
+            -- text IS NOT NULL: a NULL doc has no tokens, so the Spark
+            -- side's explode emits nothing and the doc has no signature
+            FROM (SELECT DISTINCT doc_id, text FROM documents
+                  WHERE text IS NOT NULL)
         )
         SELECT doc_id,
                CAST(LIST_SUM(
@@ -961,12 +967,20 @@ def mm_binary_features(spark: SparkSession, sf: str) -> DataFrame:
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
+            # nullable Int32: a NULL payload keeps its row with NULL
+            # features, matching the oracle's LENGTH/ASCII(NULL) = NULL
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": payloads.map(len).astype("int32"),
-                    "first_byte": payloads.map(lambda b: b[0]).astype("int32"),
-                    "n_spaces": payloads.map(lambda b: b.count(b" ")).astype("int32"),
+                    "n_bytes": payloads.map(
+                        lambda b: len(b) if b is not None else None
+                    ).astype("Int32"),
+                    "first_byte": payloads.map(
+                        lambda b: b[0] if b is not None and len(b) else None
+                    ).astype("Int32"),
+                    "n_spaces": payloads.map(
+                        lambda b: b.count(b" ") if b is not None else None
+                    ).astype("Int32"),
                 }
             )
 
@@ -1266,11 +1280,19 @@ def mm_image_resize(spark: SparkSession, sf: str) -> DataFrame:
     def resize_geometry(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
-            src_w = (64 + payloads.map(len) % 960).astype("int32")
-            src_h = (64 + payloads.map(lambda b: b[0] * 7) % 960).astype("int32")
+            # nullable Int32/Int64: NULL payload -> NULL geometry row,
+            # matching the oracle's NULL-propagating dims
+            lens = payloads.map(
+                lambda b: len(b) if b is not None else None
+            ).astype("Int32")
+            first = payloads.map(
+                lambda b: b[0] if b is not None and len(b) else None
+            ).astype("Int32")
+            src_w = (64 + lens % 960).astype("Int32")
+            src_h = (64 + first * 7 % 960).astype("Int32")
             long_side = pd.concat([src_w, src_h], axis=1).max(axis=1)
-            out_w = (src_w * 224 // long_side).astype("int32")
-            out_h = (src_h * 224 // long_side).astype("int32")
+            out_w = (src_w * 224 // long_side).astype("Int32")
+            out_h = (src_h * 224 // long_side).astype("Int32")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -1278,7 +1300,7 @@ def mm_image_resize(spark: SparkSession, sf: str) -> DataFrame:
                     "src_h": src_h,
                     "out_w": out_w,
                     "out_h": out_h,
-                    "out_pixels": (out_w * out_h).astype("int64"),
+                    "out_pixels": (out_w * out_h).astype("Int64"),
                 }
             )
 
@@ -1335,7 +1357,11 @@ def mm_audio_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
 
     def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            n_samples = pdf["payload"].map(len).astype("int32")
+            n_samples = pdf["payload"].map(
+                lambda b: len(b) if b is not None else 0
+            ).astype("int32")
+            # NULL payload == zero samples -> zero frames (the oracle's
+            # CASE WHEN NULL >= 256 falls through to ELSE 0)
             n_frames = np.maximum((n_samples - 256) // 128 + 1, 0)
             doc_ids = pdf["doc_id"].to_numpy().repeat(n_frames)
             ns_rep = n_samples.to_numpy().repeat(n_frames)
@@ -1484,7 +1510,12 @@ def mm_video_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
 
     def sample_keyframes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            n_frames = (pdf["payload"].map(len) // 64).astype("int32").to_numpy()
+            # NULL payload -> zero frames (oracle: UNNEST(range(0, NULL))
+            # emits no rows)
+            n_frames = (
+                pdf["payload"].map(lambda b: len(b) if b is not None else 0)
+                // 64
+            ).astype("int32").to_numpy()
             doc_ids = pdf["doc_id"].to_numpy().repeat(n_frames)
             nf_rep = n_frames.repeat(n_frames)
             frame_idx = (
@@ -2629,8 +2660,12 @@ def llm_sft_format(spark: SparkSession, sf: str) -> DataFrame:
     n_tokens = F.size(F.split("text", " ")).cast("bigint")
     return d.select(
         "doc_id",
+        # ignoreNullFields=false: Spark's default silently drops null
+        # fields from the rendered JSONL (changing the training-line
+        # schema row by row); explicit nulls match json_object
         F.to_json(
-            F.struct(msg.alias("messages"), meta.alias("meta"))
+            F.struct(msg.alias("messages"), meta.alias("meta")),
+            {"ignoreNullFields": "false"},
         ).alias("jsonl"),
         n_tokens.alias("n_tokens"),
         (n_tokens <= 512).alias("fits_context"),
@@ -3883,9 +3918,11 @@ def llm_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
     "llm_prefix_cache_stats",
     oracle=f"""
         WITH pfx AS (
+            -- COALESCE to '': Spark's concat_ws renders a NULL doc as
+            -- the empty prefix (one md5('') key), never a NULL key
             SELECT source,
-                   MD5(ARRAY_TO_STRING(
-                       STRING_SPLIT(text, ' ')[1:16], ' ')) AS prefix_key
+                   MD5(COALESCE(ARRAY_TO_STRING(
+                       STRING_SPLIT(text, ' ')[1:16], ' '), '')) AS prefix_key
             FROM documents
         )
         SELECT source,
@@ -5016,7 +5053,9 @@ def mm_aspect_bucketing(spark: SparkSession, sf: str) -> DataFrame:
                FLOOR((CAST(CAST(SUM(CAST((s.score) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) / COUNT(s.score)) * 10000.0 + 0.5) / 10000.0 AS mean_selected_score,
                FLOOR((MIN(c.s_all) / MIN(c.c_all)) * 10000.0 + 0.5) / 10000.0 AS mean_candidate_score,
                FLOOR((CAST(COUNT(*) AS DOUBLE) / SUM(s.k)) * 10000.0 + 0.5) / 10000.0 AS acceptance_rate
-        FROM sel s JOIN cand c ON s.lang = c.lang
+        -- IS NOT DISTINCT FROM: groupBy puts NULL langs in one group,
+        -- so the lang-keyed re-match must accept the NULL key too
+        FROM sel s JOIN cand c ON s.lang IS NOT DISTINCT FROM c.lang
         GROUP BY s.lang, c.s_all, c.c_all
     """,
     tags=("llm", "training", "selection"),

@@ -30,9 +30,11 @@ from datapipelines_python_spark.registry import query
         SELECT p_partkey,
                UPPER(p_name) AS name_upper,
                LOWER(p_brand) AS brand_lower,
-               TRIM(CONCAT('  ', p_name, '  ')) AS name_trimmed,
+               -- '||' not CONCAT: Spark's concat() propagates NULL,
+               -- DuckDB's CONCAT skips NULLs; '||' propagates on both
+               TRIM('  ' || p_name || '  ') AS name_trimmed,
                SUBSTRING(p_type, 1, 6) AS type_prefix,
-               CONCAT(p_brand, ':', p_type) AS brand_type,
+               p_brand || ':' || p_type AS brand_type,
                CAST(LENGTH(p_name) AS INT) AS name_len,
                LPAD(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
                REPLACE(p_type, ' ', '_') AS type_snake,
@@ -343,7 +345,8 @@ def fn_struct(spark: SparkSession, sf: str) -> DataFrame:
         SELECT doc_id,
                MD5(text) AS text_md5,
                SHA256(text) AS text_sha256,
-               MD5(CONCAT(lang, ':', source)) AS meta_md5
+               -- '||' not CONCAT: NULL-propagating on both engines
+               MD5(lang || ':' || source) AS meta_md5
         FROM documents
     """,
     tags=("function", "hash"),
@@ -365,7 +368,11 @@ def fn_hash(spark: SparkSession, sf: str) -> DataFrame:
         SELECT l_orderkey, l_linenumber,
                IF(l_quantity > 25, 'high', 'low') AS qty_class,
                COALESCE(NULLIF(l_returnflag, 'N'), 'NONE') AS flag_or_none,
-               CASE WHEN ISNAN(CAST('nan' AS DOUBLE) * l_quantity)
+               -- NULL guard first: nanvl(NULL, NULL) is NULL, and
+               -- NaN*NULL is NULL (not NaN), so the ISNAN branch must
+               -- not swallow the NULL case into the ELSE
+               CASE WHEN CAST('nan' AS DOUBLE) * l_quantity IS NULL THEN NULL
+                    WHEN ISNAN(CAST('nan' AS DOUBLE) * l_quantity)
                     THEN l_quantity ELSE -1.0 END AS nan_guard
         FROM lineitem
     """,
@@ -550,15 +557,23 @@ def fn_url(spark: SparkSession, sf: str) -> DataFrame:
                    STRING_SPLIT(LOWER(text), ' ')[5:12] AS b
             FROM documents
         )
+        -- two-level NULL handling: a NULL source array yields NULL
+        -- (Spark's array ops propagate), but an EMPTY result list must
+        -- still render as '' — DuckDB's ARRAY_TO_STRING returns NULL for
+        -- BOTH, so gate on the input and coalesce the empty case
         SELECT doc_id,
-               COALESCE(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(LIST_CONCAT(a, b))), '|'),
-                        '') AS union_sorted,
+               CASE WHEN a IS NULL OR b IS NULL THEN NULL ELSE
+               COALESCE(ARRAY_TO_STRING(
+                   LIST_SORT(LIST_DISTINCT(LIST_CONCAT(a, b))), '|'), '')
+               END AS union_sorted,
+               CASE WHEN a IS NULL OR b IS NULL THEN NULL ELSE
                COALESCE(ARRAY_TO_STRING(LIST_SORT(LIST_FILTER(LIST_DISTINCT(a),
                                      x -> LIST_CONTAINS(b, x))), '|'), '')
-                   AS intersect_sorted,
+               END AS intersect_sorted,
+               CASE WHEN a IS NULL OR b IS NULL THEN NULL ELSE
                COALESCE(ARRAY_TO_STRING(LIST_SORT(LIST_FILTER(LIST_DISTINCT(a),
                                      x -> NOT LIST_CONTAINS(b, x))), '|'), '')
-                   AS except_sorted,
+               END AS except_sorted,
                LEN(LIST_DISTINCT(LIST_CONCAT(a, b))) AS n_union
         FROM t
     """,
@@ -746,11 +761,18 @@ def fn_xml(spark: SparkSession, sf: str) -> DataFrame:
                        AS vs
             FROM documents
         )
+        -- ks IS NULL guards: with a NULL key array the Spark side's map
+        -- itself is NULL, so every map-derived output is NULL — the
+        -- oracle computes over the raw lists and must gate the same way
         SELECT doc_id,
-               ARRAY_TO_STRING(LIST_SORT(ks), '|') AS keys_sorted,
-               ARRAY_TO_STRING(LIST_SORT(LIST_TRANSFORM(vs, v -> v * 2 + 1)), '|')
-                   AS scaled_sorted,
-               LEN(LIST_FILTER(vs, v -> v >= 5)) AS n_big
+               CASE WHEN ks IS NULL THEN NULL
+                    ELSE ARRAY_TO_STRING(LIST_SORT(ks), '|') END AS keys_sorted,
+               CASE WHEN ks IS NULL THEN NULL
+                    ELSE ARRAY_TO_STRING(
+                        LIST_SORT(LIST_TRANSFORM(vs, v -> v * 2 + 1)), '|')
+               END AS scaled_sorted,
+               CASE WHEN ks IS NULL THEN NULL
+                    ELSE LEN(LIST_FILTER(vs, v -> v >= 5)) END AS n_big
         FROM t
     """,
     tags=("function", "map"),
@@ -784,9 +806,14 @@ def fn_map_hof(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "fn_regexp_extract_all",
     oracle="""
+        -- NULL text yields NULL (Spark's chain propagates), but an
+        -- EMPTY match list joins to '' — DuckDB's ARRAY_TO_STRING
+        -- NULLs both, so gate + coalesce
         SELECT doc_id,
+               CASE WHEN text IS NULL THEN NULL ELSE
                COALESCE(ARRAY_TO_STRING(
-                   regexp_extract_all(LOWER(text), '(^| )([aeiou][a-z]+)', 2), '|'), '')
+                   regexp_extract_all(LOWER(text), '(^| )([aeiou][a-z]+)', 2),
+                   '|'), '') END
                    AS vowel_words,
                LEN(regexp_extract_all(LOWER(text), '(^| )([aeiou][a-z]+)', 2))
                    AS n_vowel_words
@@ -884,18 +911,32 @@ def fn_format_string(spark: SparkSession, sf: str) -> DataFrame:
     Java's %.2f rounds half-up, C's rounds half-even, so fractional
     values are pre-converted to integers with FLOOR on both engines."""
     li = load_table(spark, sf, "lineitem")
-    return li.filter(F.col("l_orderkey") % 100 == 0).select(
-        "l_orderkey",
-        "l_linenumber",
+    # NULL-guard the format inputs: Java's Formatter renders a NULL arg
+    # as the four characters "null" while SQL printf (and DuckDB's)
+    # yields NULL — the guard pins the SQL contract so a half-written
+    # row can't mint plausible-looking composite ids
+    uid = F.when(
+        F.col("l_orderkey").isNotNull() & F.col("l_linenumber").isNotNull(),
         F.format_string(
             "ORD-%08d/L%d", F.col("l_orderkey"), F.col("l_linenumber")
-        ).alias("line_uid"),
+        ),
+    )
+    summary = F.when(
+        F.col("l_returnflag").isNotNull()
+        & F.col("l_linestatus").isNotNull()
+        & F.col("l_discount").isNotNull(),
         F.format_string(
             "%s|%s|%5d cents",
             F.col("l_returnflag"),
             F.col("l_linestatus"),
             F.floor(F.col("l_discount") * 1000.0).cast("bigint"),
-        ).alias("flag_summary"),
+        ),
+    )
+    return li.filter(F.col("l_orderkey") % 100 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        uid.alias("line_uid"),
+        summary.alias("flag_summary"),
     )
 
 
@@ -1454,8 +1495,12 @@ def fn_array_extra(spark: SparkSession, sf: str) -> DataFrame:
     "fn_string_index",
     oracle="""
         SELECT c_custkey,
-               SPLIT_PART(c_name, '#', 1) AS name_head,
-               SPLIT_PART(c_name, '#', 2) AS id_digits,
+               -- SPLIT_PART(NULL) is '' in DuckDB but substring_index
+               -- propagates NULL in Spark; gate explicitly
+               CASE WHEN c_name IS NULL THEN NULL
+                    ELSE SPLIT_PART(c_name, '#', 1) END AS name_head,
+               CASE WHEN c_name IS NULL THEN NULL
+                    ELSE SPLIT_PART(c_name, '#', 2) END AS id_digits,
                SUBSTR(c_name, 1, 4) || '***' || SUBSTR(c_name, 8) AS name_masked,
                CAST(STRPOS(c_name, '#') AS INT) AS hash_pos,
                CASE CAST(c_custkey % 3 AS INT) + 1
@@ -1667,8 +1712,11 @@ def fn_try_overflow(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
         SELECT p_partkey,
                ARRAY_TO_STRING(RANGE(1, LEAST(p_size, 5) + 1), '|') AS size_seq,
-               ARRAY_TO_STRING([CAST(x AS VARCHAR) || ':' || p_brand
-                FOR x IN RANGE(1, LEAST(p_size, 5) + 1)], '|') AS zipped,
+               -- COALESCE: DuckDB's ARRAY_TO_STRING of an ALL-NULL list
+               -- is NULL, Spark's array_join is '' (both skip nulls when
+               -- at least one element survives)
+               COALESCE(ARRAY_TO_STRING([CAST(x AS VARCHAR) || ':' || p_brand
+                FOR x IN RANGE(1, LEAST(p_size, 5) + 1)], '|'), '') AS zipped,
                ARRAY_TO_STRING(LIST_TRANSFORM(
                    LIST_ZIP(RANGE(1, LEAST(p_size, 5) + 1),
                             RANGE(1, LEAST(p_size, 5) + 1)),
@@ -1788,20 +1836,21 @@ def fn_timestamp_parse(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "fn_row_fingerprint",
     oracle="""
+        WITH canon AS (
+            SELECT o_orderkey,
+                   COALESCE(CAST(o_orderkey AS VARCHAR), '<null>') || '|' ||
+                   COALESCE(CAST(o_custkey AS VARCHAR), '<null>') || '|' ||
+                   COALESCE(o_orderstatus, '<null>') || '|' ||
+                   COALESCE(CAST(CAST(FLOOR(o_totalprice * 100.0 + 0.5)
+                                      AS BIGINT) AS VARCHAR), '<null>')
+                   || '|' ||
+                   COALESCE(o_orderpriority, '<null>') AS s
+            FROM orders
+        )
         SELECT o_orderkey,
-               MD5(CAST(o_orderkey AS VARCHAR) || '|' ||
-                   CAST(o_custkey AS VARCHAR) || '|' ||
-                   o_orderstatus || '|' ||
-                   CAST(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)
-                        AS VARCHAR) || '|' ||
-                   o_orderpriority) AS row_hash,
-               SUBSTRING(MD5(CAST(o_orderkey AS VARCHAR) || '|' ||
-                   CAST(o_custkey AS VARCHAR) || '|' ||
-                   o_orderstatus || '|' ||
-                   CAST(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)
-                        AS VARCHAR) || '|' ||
-                   o_orderpriority), 1, 8) AS short_hash
-        FROM orders
+               MD5(s) AS row_hash,
+               SUBSTRING(MD5(s), 1, 8) AS short_hash
+        FROM canon
     """,
     tags=("fn", "cdc", "hash"),
 )
@@ -1816,13 +1865,19 @@ def fn_row_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     two snapshots compare without shipping the rows: exchange only
     (key, hash) pairs."""
     o = load_table(spark, sf, "orders")
+    # '<null>' sentinel per field: concat_ws would silently SKIP null
+    # fields (making (NULL,'x') collide with ('x',NULL) shapes); the
+    # sentinel keeps half-written rows fingerprintable and distinct
+    def _c(col: F.Column) -> F.Column:
+        return F.coalesce(col.cast("string"), F.lit("<null>"))
+
     canonical = F.concat_ws(
         "|",
-        F.col("o_orderkey").cast("string"),
-        F.col("o_custkey").cast("string"),
-        F.col("o_orderstatus"),
-        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint").cast("string"),
-        F.col("o_orderpriority"),
+        _c(F.col("o_orderkey")),
+        _c(F.col("o_custkey")),
+        _c(F.col("o_orderstatus")),
+        _c(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint")),
+        _c(F.col("o_orderpriority")),
     )
     return o.select(
         "o_orderkey",
@@ -1854,6 +1909,9 @@ def fn_to_json(spark: SparkSession, sf: str) -> DataFrame:
     render differently ("750.5" vs "750.50") between engines; integer-
     normalizing before serialization is the portable-JSON discipline."""
     c = load_table(spark, sf, "customer")
+    # ignoreNullFields=false: Spark's default DROPS null fields from the
+    # serialized object, silently changing the payload schema row-by-row;
+    # explicit nulls keep the contract stable (and match the oracle)
     payload = F.to_json(
         F.struct(
             F.col("c_name").alias("name"),
@@ -1862,7 +1920,8 @@ def fn_to_json(spark: SparkSession, sf: str) -> DataFrame:
             F.floor(F.col("c_acctbal") * 100.0 + 0.5)
             .cast("bigint")
             .alias("balance_cents"),
-        )
+        ),
+        {"ignoreNullFields": "false"},
     )
     return c.select("c_custkey", payload.alias("payload"))
 
@@ -1870,16 +1929,22 @@ def fn_to_json(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "fn_from_csv",
     oracle="""
+        -- CONCAT_WS (not ||): both engines skip NULL fields, so a row
+        -- with a NULL name yields the same SHORT line on each side; the
+        -- missing trailing field then parses as NULL via TRY_CAST
+        -- (Spark's from_csv pads missing fields with NULL)
         WITH lines AS (
             SELECT n_nationkey,
-                   CAST(n_nationkey AS VARCHAR) || ';' || n_name || ';'
-                       || CAST(n_regionkey AS VARCHAR) AS csv_line
+                   CONCAT_WS(';', CAST(n_nationkey AS VARCHAR), n_name,
+                             CAST(n_regionkey AS VARCHAR)) AS csv_line
             FROM nation
         )
         SELECT n_nationkey, csv_line,
-               CAST(SPLIT_PART(csv_line, ';', 1) AS INT) AS parsed_key,
-               SPLIT_PART(csv_line, ';', 2) AS parsed_name,
-               CAST(SPLIT_PART(csv_line, ';', 3) AS INT) AS parsed_region
+               TRY_CAST(SPLIT_PART(csv_line, ';', 1) AS INT) AS parsed_key,
+               CASE WHEN SPLIT_PART(csv_line, ';', 2) = ''
+                    THEN NULL ELSE SPLIT_PART(csv_line, ';', 2) END
+                   AS parsed_name,
+               TRY_CAST(SPLIT_PART(csv_line, ';', 3) AS INT) AS parsed_region
         FROM lines
     """,
     tags=("fn", "csv"),
@@ -2110,12 +2175,15 @@ def fn_make_datetime(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "fn_map_builders",
     oracle=f"""
-        SELECT source, lang,
+        -- NULL langs bucket under '<none>': Spark map keys cannot be
+        -- NULL (NULL_MAP_KEY), so the op coalesces the key before the
+        -- map build and the oracle mirrors it
+        SELECT source, COALESCE(lang, '<none>') AS lang,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
                FLOOR(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) * 10000.0 + 0.5)
                    / 10000.0 AS avg_chars
         FROM documents
-        GROUP BY source, lang
+        GROUP BY source, COALESCE(lang, '<none>')
     """,
     tags=("fn", "map", "hof"),
 )
@@ -2132,7 +2200,11 @@ def fn_map_builders(spark: SparkSession, sf: str) -> DataFrame:
     — the reason to prefer maps over position-addressed arrays for this
     shape at scale."""
     d = load_table(spark, sf, "documents")
-    per = d.groupBy("source", "lang").agg(
+    # coalesce BEFORE grouping: a NULL lang would later become a NULL
+    # map key, which Spark rejects outright (NULL_MAP_KEY)
+    per = d.groupBy(
+        "source", F.coalesce(F.col("lang"), F.lit("<none>")).alias("lang")
+    ).agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("n_chars").cast("bigint").alias("chars"),
     )
@@ -2244,9 +2316,12 @@ def fn_string_parts(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "fn_number_roundtrip",
     oracle="""
+        -- a NULL price formats to NULL and parses back to NULL: the op
+        -- counts it as a parse failure, not a roundtrip
         SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
-               CAST(COUNT(*) AS BIGINT) AS n_roundtrip,
-               CAST(0 AS BIGINT) AS n_parse_failures
+               CAST(COUNT(o_totalprice) AS BIGINT) AS n_roundtrip,
+               CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT)
+                   AS n_parse_failures
         FROM orders
     """,
     tags=("fn", "string", "format"),
@@ -2387,12 +2462,20 @@ def fn_array_quantifiers(spark: SparkSession, sf: str) -> DataFrame:
             FROM documents
         ),
         mutated AS (
+            -- toks IS NULL gates: Spark's array mutators propagate a NULL
+            -- array, while DuckDB's list_append(NULL, x) resurrects [x]
             SELECT doc_id,
-                   list_prepend('BOS', list_append(toks, 'EOS')) AS framed,
-                   toks[1:1] || ['SEP'] || toks[2:4] AS inserted,
-                   LEN(list_filter(
-                       list_append(list_append(toks, NULL), NULL),
-                       x -> x IS NOT NULL)) AS compact_len
+                   CASE WHEN toks IS NULL THEN NULL
+                        ELSE list_prepend('BOS', list_append(toks, 'EOS'))
+                   END AS framed,
+                   CASE WHEN toks IS NULL THEN NULL
+                        ELSE toks[1:1] || ['SEP'] || toks[2:4]
+                   END AS inserted,
+                   CASE WHEN toks IS NULL THEN NULL
+                        ELSE LEN(list_filter(
+                            list_append(list_append(toks, NULL), NULL),
+                            x -> x IS NOT NULL))
+                   END AS compact_len
             FROM base
         )
         SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -2458,14 +2541,19 @@ def fn_array_mutations(spark: SparkSession, sf: str) -> DataFrame:
     "fn_reduce_finish",
     oracle=f"""
         WITH stats AS (
+            -- embedding IS NULL gates: DuckDB's list_prepend(0.0, NULL)
+            -- resurrects [0.0] and folds to 0.0; Spark's reduce over a
+            -- NULL array is NULL
             SELECT vec_id, label,
+                   CASE WHEN embedding IS NULL THEN NULL ELSE
                    list_reduce(list_prepend(0.0,
                        list_transform(embedding, x -> CAST(x AS DOUBLE))),
-                       (acc, x) -> acc + x) / 64.0 AS dim_mean,
+                       (acc, x) -> acc + x) / 64.0 END AS dim_mean,
+                   CASE WHEN embedding IS NULL THEN NULL ELSE
                    SQRT(list_reduce(list_prepend(0.0,
                        list_transform(embedding,
                                       x -> CAST(x AS DOUBLE) * x)),
-                       (acc, x) -> acc + x)) AS l2_norm
+                       (acc, x) -> acc + x)) END AS l2_norm
             FROM embeddings
         )
         SELECT label,
@@ -2520,8 +2608,14 @@ def fn_reduce_finish(spark: SparkSession, sf: str) -> DataFrame:
                source,
                CAST(COUNT(*) AS BIGINT) AS n_docs
         FROM (
-            SELECT split_part(split_part(cfg, ',', 1), ':', 2) AS lang,
-                   split_part(split_part(cfg, ',', 2), ':', 2) AS source
+            -- cfg IS NULL gates: DuckDB's split_part yields '' on NULL
+            -- input where Spark's str_to_map(NULL) lookup yields NULL
+            SELECT CASE WHEN cfg IS NULL THEN NULL
+                        ELSE split_part(split_part(cfg, ',', 1), ':', 2)
+                   END AS lang,
+                   CASE WHEN cfg IS NULL THEN NULL
+                        ELSE split_part(split_part(cfg, ',', 2), ':', 2)
+                   END AS source
             FROM (
                 SELECT 'lang:' || lang || ',src:' || source AS cfg
                 FROM documents

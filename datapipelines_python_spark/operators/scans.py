@@ -253,7 +253,9 @@ def scan_python_datasource(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "scan_text_roundtrip",
-    oracle="SELECT text AS value FROM documents",
+    # COALESCE: the line-oriented text sink has no NULL representation —
+    # a NULL document writes as an empty line and reads back as ''
+    oracle="SELECT COALESCE(text, '') AS value FROM documents",
     tags=("scan", "connector"),
 )
 def scan_text_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
@@ -407,7 +409,8 @@ def scan_python_stream_source(spark: SparkSession, sf: str) -> DataFrame:
                MD5(text) AS content_md5
         -- file-grain: the op writes ONE doc_<id>.bin per doc_id, so
         -- duplicated rows collapse to a single file
-        FROM (SELECT DISTINCT doc_id, text FROM documents WHERE doc_id < 8)
+        FROM (SELECT DISTINCT doc_id, text FROM documents
+              WHERE doc_id < 8 AND text IS NOT NULL)
     """,
     tags=("scan", "connector", "multimodal"),
 )
@@ -430,7 +433,9 @@ def scan_binary_files(spark: SparkSession, sf: str) -> DataFrame:
         f"{sf.rstrip('/')}/documents.parquet", columns=["doc_id", "text"]
     )
     for doc_id, text in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
-        if doc_id < 8:
+        # NULL text == nothing to ingest: no file is written (the oracle
+        # filters the same rows out)
+        if doc_id < 8 and text is not None:
             with open(os.path.join(path, f"doc_{doc_id}.bin"), "wb") as f:
                 f.write(text.encode("utf-8"))
     b = spark.read.format("binaryFile").load(path)
@@ -567,8 +572,11 @@ def scan_parquet_merge_schema(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "sink_dynamic_partition_overwrite",
     oracle="""
+        -- IS DISTINCT FROM: NULL-status rows land in the Hive default
+        -- partition, survive the dynamic overwrite of the 'O' partition,
+        -- and read back as NULL — '<> ''O''' would silently exclude them
         SELECT o_orderkey, o_totalprice, o_orderstatus
-        FROM orders WHERE o_orderstatus <> 'O'
+        FROM orders WHERE o_orderstatus IS DISTINCT FROM 'O'
         UNION ALL
         SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, o_orderstatus
         FROM orders WHERE o_orderstatus = 'O'
@@ -681,7 +689,10 @@ def scan_csv_compressed(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "scan_json_corrupt_column",
     oracle="""
-        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nation) AS n_good,
+        -- COUNT(n_name), not COUNT(*): the JSON writer omits NULL
+        -- fields, so a NULL-name row reads back with n_name NULL and the
+        -- op's COUNT("n_name") does not see it
+        SELECT (SELECT CAST(COUNT(n_name) AS BIGINT) FROM nation) AS n_good,
                CAST(2 AS BIGINT) AS n_bad
     """,
     tags=("scan", "connector", "quality"),

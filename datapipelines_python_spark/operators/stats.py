@@ -2747,7 +2747,7 @@ def ml_iv_wald(spark: SparkSession, sf: str) -> DataFrame:
         round4(F.col("y1") - F.col("y0")).alias("itt_effect"),
         round4(F.col("x1") - F.col("x0")).alias("first_stage"),
         round4(
-            (F.col("y1") - F.col("y0")) / (F.col("x1") - F.col("x0"))
+            F.try_divide(F.col("y1") - F.col("y0"), F.col("x1") - F.col("x0"))
         ).alias("late_wald"),
     )
 
@@ -6922,7 +6922,10 @@ def ml_weibull_fit(spark: SparkSession, sf: str) -> DataFrame:
                    CAST(CAST(SUM(CAST(value AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)
                        / COUNT(*) AS m,
                    VAR_SAMP(CAST(value AS DOUBLE)) AS v
-            FROM events WHERE NOT ISNAN(value)
+            FROM events
+            -- Spark's isnan(NULL) is FALSE (NULL rows survive
+            -- ~isnan); DuckDB's ISNAN(NULL) is NULL — keep NULLs
+            WHERE value IS NULL OR NOT ISNAN(value)
             GROUP BY event_type
         ),
         mse AS (

@@ -37,7 +37,9 @@ def udf_python_scalar(spark: SparkSession, sf: str) -> DataFrame:
 
     @udf(returnType=T.StringType())
     def doc_tag(lang: str, text: str) -> str:
-        return f"{lang.upper()}/{text[:10]}"
+        # NULL-safe: the oracle's CONCAT skips NULL args (DuckDB/ANSI
+        # CONCAT semantics), so missing fields render as empty strings
+        return f"{(lang or '').upper()}/{(text or '')[:10]}"
 
     d = load_table(spark, sf, "documents")
     return d.select("doc_id", doc_tag("lang", "text").alias("doc_tag"))
@@ -169,6 +171,8 @@ def udtf_surface(spark: SparkSession, sf: str) -> DataFrame:
     @udtf(returnType="doc_id bigint, word_idx int, word string")
     class LeadingWords:
         def eval(self, doc_id: int, text: str):
+            if text is None:  # no tokens to emit — mirrors the oracle's
+                return        # WHERE i <= LEN(NULL) being false
             for i, w in enumerate(text.split(" ")[:5], start=1):
                 yield doc_id, i, w
 
@@ -306,11 +310,11 @@ def udf_arrow_scalar(spark: SparkSession, sf: str) -> DataFrame:
 
     @udf("long", useArrow=True)
     def ntok(text: str) -> int:
-        return len(text.split(" "))
+        return len(text.split(" ")) if text is not None else None
 
     @udf("long", useArrow=True)
     def nchar(text: str) -> int:
-        return len(text.replace(" ", ""))
+        return len(text.replace(" ", "")) if text is not None else None
 
     d = load_table(spark, sf, "documents")
     return d.select(
@@ -368,9 +372,9 @@ def udtf_analyze_polymorphic(spark: SparkSession, sf: str) -> DataFrame:
             row = [doc_id]
             for m in metrics.split(","):
                 if m == "tokens":
-                    row.append(len(text.split(" ")))
+                    row.append(len(text.split(" ")) if text is not None else None)
                 elif m == "chars":
-                    row.append(len(text))
+                    row.append(len(text) if text is not None else None)
                 elif m == "lang":
                     row.append(lang)
             yield tuple(row)
@@ -498,7 +502,10 @@ def udf_pandas_iter(spark: SparkSession, sf: str) -> DataFrame:
 
         splitter = re.compile(r" ")
         for s in batches:
-            yield s.map(lambda t: len(splitter.split(t))).astype("int64")
+            # nullable Int64: None -> <NA> -> SQL NULL (LENGTH(NULL))
+            yield s.map(
+                lambda t: len(splitter.split(t)) if t is not None else None
+            ).astype("Int64")
 
     d = load_table(spark, sf, "documents")
     return d.select("doc_id", tok_count("text").alias("n_tokens_iter"))
@@ -535,12 +542,16 @@ def udf_pandas_struct(spark: SparkSession, sf: str) -> DataFrame:
 
     @pandas_udf(out_t)
     def _tok_stats(texts: pd.Series) -> pd.DataFrame:
-        n_tok = texts.str.count(" ").astype("int32") + 1
+        # pandas .str accessors propagate NaN for None inputs; nullable
+        # Int32/Float64 dtypes turn those into SQL NULLs instead of
+        # crashing the int cast (or smuggling NaN where the oracle
+        # has NULL)
+        n_tok_f = texts.str.count(" ") + 1
         n_nonspace = texts.str.replace(" ", "", regex=False).str.len()
         return pd.DataFrame(
             {
-                "n_tokens": n_tok,
-                "mean_token_len": n_nonspace.astype("float64") / n_tok,
+                "n_tokens": n_tok_f.astype("Int32"),
+                "mean_token_len": (n_nonspace / n_tok_f).astype("Float64"),
             }
         )
 

@@ -3745,12 +3745,17 @@ def workload_path_3step(spark: SparkSession, sf: str) -> DataFrame:
     sequence order via the (ts, event_id) tie-break."""
     e = load_table(spark, sf, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # window-end detection via a lead-of-constant marker, NOT e3's
+    # NULL-ness: a NULL event TYPE two steps ahead is still a step (the
+    # oracle's rn-arithmetic joins count it), only running off the end
+    # of the partition isn't
     tri = e.select(
         "user_id",
         F.col("event_type").alias("e1"),
         F.lead("event_type", 1).over(w).alias("e2"),
         F.lead("event_type", 2).over(w).alias("e3"),
-    ).filter(F.col("e3").isNotNull())
+        F.lead(F.lit(1), 2).over(w).alias("_has3"),
+    ).filter(F.col("_has3").isNotNull()).drop("_has3")
     return tri.groupBy("e1", "e2", "e3").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_paths"),
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
@@ -4160,8 +4165,10 @@ def graph_assortativity(spark: SparkSession, sf: str) -> DataFrame:
         m.cast("bigint").alias("n_directed_edges"),
         (
             F.floor(
-                (m * sxy - sx * sy)
-                / (F.sqrt(m * sxx - sx * sx) * F.sqrt(m * syy - sy * sy))
+                F.try_divide(
+                    m * sxy - sx * sy,
+                    F.sqrt(m * sxx - sx * sx) * F.sqrt(m * syy - sy * sy),
+                )
                 * 10000.0
                 + 0.5
             )
@@ -5004,9 +5011,13 @@ _SQL_ANN_SCORED = f"""
             FROM embeddings
         ),
         ann_banded AS MATERIALIZED (
+            -- embedding IS NOT NULL: the sign-bit CASEs would fall to
+            -- ELSE 0 and dump every NULL vector into bucket 0 (an n²
+            -- candidate blob); Spark's NULL bucket simply never joins
             SELECT vec_id, band, {_SQL_ANN_BUCKET} AS bucket
             FROM embeddings,
                  (SELECT UNNEST(RANGE(0, {_ANN_BANDS})) AS band)
+            WHERE embedding IS NOT NULL
         ),
         ann_cand AS MATERIALIZED (
             SELECT DISTINCT x.vec_id AS cu, y.vec_id AS cv
@@ -5617,9 +5628,12 @@ def graph_modularity(spark: SparkSession, sf: str) -> DataFrame:
     "workload_skyline_pareto_front",
     oracle="""
         WITH pts AS (
+            -- rows with a NULL dimension are incomparable under
+            -- dominance and are excluded off the front on both sides
             SELECT o_orderkey, o_totalprice,
                    CAST(o_orderdate AS DATE) AS od
             FROM orders
+            WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
         ),
         ranked AS (
             SELECT o_orderkey, o_totalprice, od,
@@ -5656,7 +5670,12 @@ def workload_skyline_pareto_front(spark: SparkSession, sf: str) -> DataFrame:
     shrinks the global window's input from the corpus to the candidate
     sliver, which is what makes a 100 TB skyline runnable."""
     o = load_table(spark, sf, "orders")
-    pts = o.select(
+    # NULL-dimension rows are incomparable under dominance: exclude them
+    # explicitly (the month-prefilter join would otherwise drop them
+    # silently via its NULL join key — same result, wrong reason)
+    pts = o.filter(
+        F.col("o_totalprice").isNotNull() & F.col("o_orderdate").isNotNull()
+    ).select(
         "o_orderkey", "o_totalprice", F.col("o_orderdate").cast("date").alias("od")
     )
     month = F.date_trunc("month", F.col("od")).cast("date")
@@ -9975,11 +9994,15 @@ def workload_supplier_scorecard(spark: SparkSession, sf: str) -> DataFrame:
     )
     j = per.crossJoin(F.broadcast(g))
     k = F.col("k")
-    sd_r = F.sqrt((k * F.col("r2") - F.col("r1") * F.col("r1")) / (k * (k - 1.0)))
-    sd_h = F.sqrt((k * F.col("h2") - F.col("h1") * F.col("h1")) / (k * (k - 1.0)))
-    score = (F.col("return_rate") - F.col("r1") / k) / sd_r + (
-        F.col("avg_ship_lag") - F.col("h1") / k
-    ) / sd_h
+    sd_r = F.sqrt(
+        F.try_divide(k * F.col("r2") - F.col("r1") * F.col("r1"), k * (k - 1.0))
+    )
+    sd_h = F.sqrt(
+        F.try_divide(k * F.col("h2") - F.col("h1") * F.col("h1"), k * (k - 1.0))
+    )
+    score = F.try_divide(F.col("return_rate") - F.col("r1") / k, sd_r) + (
+        F.try_divide(F.col("avg_ship_lag") - F.col("h1") / k, sd_h)
+    )
     return (
         j.select(
             "l_suppkey", "n_lines",
@@ -10743,10 +10766,13 @@ def workload_adstock(spark: SparkSession, sf: str) -> DataFrame:
     "workload_survivorship",
     oracle="""
         WITH keyed AS (
+            -- CONCAT_WS, not '||': the Spark side's concat_ws skips NULL
+            -- parts, so half-missing rows still get a (degenerate)
+            -- blocking key instead of a NULL one
             SELECT doc_id, n_chars,
-                   STRING_SPLIT(text, ' ')[1] || '|' ||
-                   CAST(LEN(STRING_SPLIT(text, ' ')) AS VARCHAR) || '|' ||
-                   lang AS match_key
+                   CONCAT_WS('|', STRING_SPLIT(text, ' ')[1],
+                             CAST(LEN(STRING_SPLIT(text, ' ')) AS VARCHAR),
+                             lang) AS match_key
             FROM documents
         ),
         ranked AS (
@@ -11829,9 +11855,12 @@ def workload_backfill_planner(spark: SparkSession, sf: str) -> DataFrame:
     "workload_table_checksum",
     oracle="""
         SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-               CAST(CAST(SUM(('0x' || SUBSTRING(MD5(
-                        CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|'
-                        || CAST(o_custkey AS VARCHAR) || '|' || o_orderpriority),
+               -- CONCAT_WS mirrors Spark's concat_ws (skips NULL parts):
+               -- half-written rows still checksum instead of NULLing the
+               -- whole table fingerprint
+               CAST(CAST(SUM(('0x' || SUBSTRING(MD5(CONCAT_WS('|',
+                        CAST(o_orderkey AS VARCHAR), o_orderstatus,
+                        CAST(o_custkey AS VARCHAR), o_orderpriority)),
                     1, 15))::BIGINT) AS DECIMAL(38,0)) AS VARCHAR) AS content_sum,
                CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custkeys
         FROM orders
@@ -12596,7 +12625,10 @@ def workload_item_item_cf(spark: SparkSession, sf: str) -> DataFrame:
                    CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END
                        AS post,
                    CAST(value AS DOUBLE) AS v
-            FROM events WHERE NOT ISNAN(value)
+            FROM events
+            -- Spark's isnan(NULL) is FALSE (NULL rows survive
+            -- ~isnan); DuckDB's ISNAN(NULL) is NULL — keep NULLs
+            WHERE value IS NULL OR NOT ISNAN(value)
         ),
         s AS (
             SELECT treated, post,
@@ -12736,7 +12768,10 @@ def sample_neyman_allocation(spark: SparkSession, sf: str) -> DataFrame:
                    CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
                         THEN 2 ELSE 1 END AS period,
                    CAST(value AS DOUBLE) AS v
-            FROM events WHERE NOT ISNAN(value)
+            FROM events
+            -- Spark's isnan(NULL) is FALSE (NULL rows survive
+            -- ~isnan); DuckDB's ISNAN(NULL) is NULL — keep NULLs
+            WHERE value IS NULL OR NOT ISNAN(value)
         ),
         seg AS (
             SELECT event_type, period,

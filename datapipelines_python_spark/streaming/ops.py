@@ -77,6 +77,8 @@ def drain_to_memory(
                COUNT(*) AS n_events,
                {sql_dsum('value')} AS sum_value
         FROM events
+        -- Spark's window() drops NULL event times; mirror it
+        WHERE ts IS NOT NULL
         GROUP BY 1, 2
     """,
     tags=("streaming",),
@@ -107,6 +109,8 @@ def stream_tumbling_agg(spark: SparkSession, sf: str) -> DataFrame:
                    event_type, value
             FROM events,
                  (SELECT UNNEST(RANGE(0, 4)) AS o) off
+            -- Spark's window() drops NULL event times; mirror it
+            WHERE ts IS NOT NULL
         )
         SELECT window_start, event_type,
                COUNT(*) AS n_events,
@@ -145,6 +149,8 @@ def stream_sliding_agg(spark: SparkSession, sf: str) -> DataFrame:
                          OR LAG(ts) OVER w IS NULL
                         THEN 1 ELSE 0 END AS new_session
             FROM events
+            -- Spark's session_window() drops NULL event times; mirror it
+            WHERE ts IS NOT NULL
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ),
         sessions AS (
@@ -258,19 +264,31 @@ def stream_stateful_count(spark: SparkSession, sf: str) -> DataFrame:
     def update(
         key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
     ) -> Iterator["pd.DataFrame"]:
-        n, sk = state.get if state.exists else (0, 0)
+        # nk counts non-NULL props: SQL SUM over an all-NULL group is
+        # NULL, not 0, so the state must remember whether it ever saw a
+        # value (NULL props otherwise crash json.loads — the
+        # failed-enrichment shape)
+        n, sk, nk = state.get if state.exists else (0, 0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            sk += int(
-                sum(int(json.loads(p)["k"]) for p in pdf["props"])
-            )
-        state.update((n, sk))
-        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_k": [sk]})
+            vals = [
+                int(json.loads(p)["k"]) for p in pdf["props"] if p is not None
+            ]
+            sk += int(sum(vals))
+            nk += len(vals)
+        state.update((n, sk, nk))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_k": [sk if nk else None],
+            }
+        )
 
     out = s.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType="user_id long, n_events long, sum_k long",
-        stateStructType="n long, sk long",
+        stateStructType="n long, sk long, nk long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -402,6 +420,8 @@ def stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
                         THEN INTERVAL '60 minutes'
                         ELSE INTERVAL '15 minutes' END AS w_end
             FROM events
+            -- Spark's session_window() drops NULL event times; mirror it
+            WHERE ts IS NOT NULL
         ),
         flagged AS (
             SELECT user_id, event_id, ts, value, w_end,
@@ -1036,6 +1056,8 @@ def stream_union_sources(spark: SparkSession, sf: str) -> DataFrame:
                    CAST(COUNT(*) AS BIGINT) AS n_events,
                    {sql_dsum('value')} AS sum_value
             FROM events
+            -- Spark's window() drops NULL event times; mirror it
+            WHERE ts IS NOT NULL
             GROUP BY 1, 2
         )
         SELECT window_start, event_type, n_events, sum_value,

@@ -10,14 +10,19 @@ pipeline eventually meets, which the sf fixtures never exercise:
   skew: every join key collides, every group collapses, every variance
   is zero). Crashes here are ANSI divide-by-zero / domain-error bugs;
   divergences are tie-breaking or key-uniqueness assumptions.
+- ``nullpay`` — keys intact, every nullable payload column all-NULL (the
+  failed-enrichment / half-written-ingest shape). Crashes here are
+  NULL-unsafe Python UDFs and NULL map keys; divergences are the
+  engine-semantics minefield (Spark concat vs DuckDB CONCAT, isnan(NULL),
+  list_prepend resurrection, to_json null dropping, ...).
 
 The full-registry sweeps run out-of-band (scripts/check_oracle.py against
 scripts/gen_adversarial_fixtures.py output; both recorded in SCALE.md).
 This test pins the SENTINEL SET — every operator fixed during the round-4
-triage (22 empty-input failures + 51 skew failures) — so the bug classes
-cannot silently return. Fixtures are generated fresh from sf0.001 into a
-session tmp dir; the compare logic is the same one the driver mimics
-(scripts.check_oracle.compare).
+triage (22 empty-input + 51 skew + 64 null-flood failures) — so the bug
+classes cannot silently return. Fixtures are generated fresh from sf0.001
+into a session tmp dir; the compare logic is the same one the driver
+mimics (scripts.check_oracle.compare).
 """
 
 from __future__ import annotations
@@ -83,6 +88,37 @@ DUP_FIXED = [
 ]
 
 
+# Ops fixed in the round-4 null-flood triage (NULL-unsafe UDF/UDTF bodies,
+# NULL map keys, engine NULL-semantics divergences in oracles, NULL event
+# times in streaming, left-join rows dropped by explode-of-NULL-sequence).
+NULLPAY_FIXED = [
+    "join_theta_range", "join_range_bucketed", "agg_string_agg",
+    "scan_text_roundtrip", "scan_binary_files",
+    "sink_dynamic_partition_overwrite", "scan_json_corrupt_column",
+    "agg_collect_list", "fn_string", "fn_hash", "fn_conditional",
+    "fn_array_setops", "fn_map_hof", "fn_regexp_extract_all",
+    "fn_format_string", "fn_string_index", "fn_sequence_zip",
+    "fn_row_fingerprint", "fn_to_json", "fn_from_csv", "fn_map_builders",
+    "fn_number_roundtrip", "fn_array_mutations", "fn_reduce_finish",
+    "fn_str_to_map", "udf_python_scalar", "udtf_surface",
+    "udf_arrow_scalar", "udtf_analyze_polymorphic", "udf_pandas_iter",
+    "udf_pandas_struct", "llm_multimodal_join", "llm_embed_pq",
+    "llm_ann_pq_adc", "llm_sentiment_lexicon", "llm_template_prefix",
+    "llm_rouge_pairs", "llm_fingerprint_rolling", "llm_simhash",
+    "llm_embed_normalize", "mm_binary_features", "mm_image_resize",
+    "mm_audio_frame_sample", "mm_video_frame_sample", "llm_sft_format",
+    "llm_prefix_cache_stats", "llm_rejection_sampling",
+    "workload_path_3step", "graph_assortativity", "graph_ann_edge_table",
+    "graph_triangle_count_ann", "workload_skyline_pareto_front",
+    "workload_supplier_scorecard", "workload_survivorship",
+    "workload_table_checksum", "workload_diff_in_diff",
+    "workload_mix_shift_decompose", "ml_iv_wald", "ml_tukey_hsd",
+    "stream_tumbling_agg", "stream_sliding_agg", "stream_session_window",
+    "stream_stateful_count", "stream_session_dynamic_gap",
+    "stream_tumbling_topk",
+]
+
+
 @pytest.fixture(scope="session")
 def adv_dirs(tmp_path_factory):
     out = str(tmp_path_factory.mktemp("advfixtures"))
@@ -90,6 +126,7 @@ def adv_dirs(tmp_path_factory):
     return {
         "empty": os.path.join(out, "empty"),
         "dup": os.path.join(out, "dup"),
+        "nullpay": os.path.join(out, "nullpay"),
     }
 
 
@@ -126,3 +163,8 @@ def test_empty_input_sentinels(spark, adv_dirs):
 def test_max_skew_sentinels(spark, adv_dirs):
     """Every op fixed for total key-skew stays green on the dup fixture."""
     _run(spark, adv_dirs["dup"], DUP_FIXED)
+
+
+def test_null_flood_sentinels(spark, adv_dirs):
+    """Every op fixed for all-NULL payloads stays green on nullpay."""
+    _run(spark, adv_dirs["nullpay"], NULLPAY_FIXED)
