@@ -104,7 +104,11 @@ def udf_grouped_map(spark: SparkSession, sf: str) -> DataFrame:
             std = pdf["value"].std(ddof=1)  # matches STDDEV_SAMP
             z = (pdf["value"] - mean) / std
             # round4 floor-trick, mirrored from _helpers (pandas side)
-            z = np.floor(z * 10000.0 + 0.5) / 10000.0
+            z = pd.array(np.floor(z * 10000.0 + 0.5) / 10000.0, dtype="Float64")
+            # Mixed group (some NULL, some not): pandas arithmetic emits NaN
+            # for the NULL rows where the SQL oracle yields NULL — mask the
+            # NULL-input rows so NULL round-trips as SQL NULL, not NaN.
+            z[pdf["value"].isna().to_numpy()] = None
         return pd.DataFrame(
             {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "zscore": z}
         )

@@ -1,6 +1,6 @@
 """Generate adversarial fixture variants for robustness differentials.
 
-Two degenerate shapes every 100 TB pipeline hits in the wild and the
+Degenerate shapes every 100 TB pipeline hits in the wild and the
 sf fixtures never exercise:
 
 - ``empty``: every table with its exact parquet schema and 0 rows — the
@@ -12,6 +12,10 @@ sf fixtures never exercise:
   skew (every join key collides, every group collapses to one, every
   window is one giant tied partition). Crashes or cross-engine
   divergences here are skew bugs, not fixture quirks.
+- ``nullpay``: every nullable non-key column all-NULL — the
+  failed-enrichment / half-written-ingest shape.
+- ``dupnull``: ``dup`` × ``nullpay`` composed — one hot key whose
+  payloads are all missing; skew and null handling probed together.
 
 Schemas are copied bit-for-bit with pyarrow (no engine round-trip), so
 physical types (timestamp[us], list<float>) survive exactly.
@@ -23,6 +27,8 @@ Usage:
 Then run the standard differential against each variant:
     python scripts/check_oracle.py --sf /tmp/advfixtures/empty
     python scripts/check_oracle.py --sf /tmp/advfixtures/dup
+    python scripts/check_oracle.py --sf /tmp/advfixtures/nullpay
+    python scripts/check_oracle.py --sf /tmp/advfixtures/dupnull
 """
 
 from __future__ import annotations
@@ -35,13 +41,10 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 
-# Identity-ish columns kept intact in the null-flood variant: keys keep
-# joins/groupings structurally alive while every payload goes missing —
-# the failed-enrichment / half-written-ingest shape.
-_KEYISH = ("key", "_id", "doc_id", "vec_id")
-
-
 def _is_keyish(col: str) -> bool:
+    """Identity-ish columns kept intact in the null-flood variants: keys keep
+    joins/groupings structurally alive while every payload goes missing —
+    the failed-enrichment / half-written-ingest shape."""
     c = col.lower()
     return c.endswith("key") or c.endswith("_id") or c in ("id",)
 
@@ -50,8 +53,20 @@ def generate(src: str, out: str, dup_rows: int) -> None:
     tables = sorted(glob.glob(os.path.join(src, "*.parquet")))
     if not tables:
         raise SystemExit(f"no parquet tables under {src}")
-    for variant in ("empty", "dup", "nullpay"):
+    for variant in ("empty", "dup", "nullpay", "dupnull"):
         os.makedirs(os.path.join(out, variant), exist_ok=True)
+
+    def null_flood(src_t: pa.Table) -> pa.Table:
+        # every nullable non-key column becomes all-NULL, schema (incl.
+        # nullability flags) preserved bit-for-bit
+        cols = []
+        for field, col in zip(src_t.schema, src_t.columns):
+            if field.nullable and not _is_keyish(field.name):
+                cols.append(pa.nulls(src_t.num_rows, type=field.type))
+            else:
+                cols.append(col)
+        return pa.Table.from_arrays(cols, schema=src_t.schema)
+
     for path in tables:
         name = os.path.basename(path)
         t = pq.read_table(path)
@@ -60,22 +75,17 @@ def generate(src: str, out: str, dup_rows: int) -> None:
         first = t.slice(0, 1)
         dup = pa.concat_tables([first] * dup_rows)
         pq.write_table(dup, os.path.join(out, "dup", name))
-        # null-flood: every nullable non-key column becomes all-NULL,
-        # schema (incl. nullability flags) preserved bit-for-bit
-        n = t.num_rows
-        cols = []
-        for field, col in zip(t.schema, t.columns):
-            if field.nullable and not _is_keyish(field.name):
-                cols.append(pa.nulls(n, type=field.type))
-            else:
-                cols.append(col)
-        nullpay = pa.Table.from_arrays(cols, schema=t.schema)
-        pq.write_table(nullpay, os.path.join(out, "nullpay", name))
+        pq.write_table(null_flood(t), os.path.join(out, "nullpay", name))
+        # composed shape: one hot key AND all payloads missing at once —
+        # the failed-enrichment-on-the-hot-tenant case (skew bugs and
+        # null bugs can mask each other when probed one axis at a time)
+        pq.write_table(null_flood(dup), os.path.join(out, "dupnull", name))
         nulled = [f.name for f in t.schema
                   if f.nullable and not _is_keyish(f.name)]
         print(
             f"  {name}: empty=0 rows, dup={dup.num_rows} rows, "
-            f"nullpay={n} rows ({len(nulled)} cols nulled)"
+            f"nullpay={t.num_rows} rows ({len(nulled)} cols nulled), "
+            f"dupnull={dup.num_rows} rows"
         )
 
 
@@ -86,7 +96,10 @@ def main() -> int:
     ap.add_argument("--dup-rows", type=int, default=50)
     args = ap.parse_args()
     generate(args.src, args.out, args.dup_rows)
-    print(f"wrote {args.out}/empty and {args.out}/dup")
+    print(
+        f"wrote {args.out}/{{empty,dup,nullpay,dupnull}} "
+        f"({args.dup_rows} rows per dup variant)"
+    )
     return 0
 
 
