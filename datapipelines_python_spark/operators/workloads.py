@@ -5233,6 +5233,343 @@ def llm_hard_negative_mining_ann(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Shared DuckDB fragments for the ANN-twin family (VERDICT r4 #3): directed
+# per-u top-5 over the banded candidates, and the mutual (undirected) edge
+# list derived from it. Appended after _SQL_ANN_SCORED in each twin's WITH.
+_SQL_ANN_T5 = """
+        ann_topk AS MATERIALIZED (
+            SELECT u, v, c FROM (
+                SELECT u, v, c,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY u ORDER BY c DESC, v) AS rn
+                FROM ann_scored
+            ) r WHERE rn <= 5
+        )
+"""
+
+_SQL_ANN_MUTUAL = """
+        ann_mutual AS MATERIALIZED (
+            SELECT x.u, x.v
+            FROM ann_topk x JOIN ann_topk y ON x.u = y.v AND x.v = y.u
+            WHERE x.u < x.v
+        )
+"""
+
+
+def _ann_mutual_df(spark: SparkSession, sf: str) -> DataFrame:
+    """Undirected (u < v) mutual edges of the ANN top-5 graph — derived
+    from the persisted ``_ann_edge_table_df``, so the bucket-join candidate
+    pass runs once per (session, sf) and this is a 5n-row self-join."""
+    topk = _ann_edge_table_df(spark, sf).select("u", "v")
+    return (
+        topk.alias("x")
+        .join(
+            topk.alias("y"),
+            (F.col("x.u") == F.col("y.v")) & (F.col("x.v") == F.col("y.u")),
+        )
+        .filter(F.col("x.u") < F.col("x.v"))
+        .select(F.col("x.u").alias("u"), F.col("x.v").alias("v"))
+    )
+
+
+@query(
+    "ml_knn_classifier_ann",
+    oracle=f"""
+        WITH {_SQL_ANN_SCORED},
+        {_SQL_ANN_T5},
+        lab AS (SELECT vec_id, label FROM embeddings),
+        knn AS MATERIALIZED (
+            SELECT t.u AS q, la.label AS label_actual, lb.label AS label_n
+            FROM ann_topk t
+            JOIN lab la ON t.u = la.vec_id
+            JOIN lab lb ON t.v = lb.vec_id
+        ),
+        votes AS (
+            SELECT q, label_actual, label_n,
+                   CAST(COUNT(*) AS BIGINT) AS n_votes
+            FROM knn GROUP BY q, label_actual, label_n
+        ),
+        pred AS (
+            SELECT q, label_actual, label_n AS label_pred FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY q
+                                             ORDER BY n_votes DESC,
+                                                      label_n) AS rn
+                FROM votes
+            ) r WHERE rn = 1
+        )
+        SELECT CAST(label_actual AS INT) AS label_actual,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN label_pred = label_actual
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+               FLOOR(SUM(CASE WHEN label_pred = label_actual
+                              THEN 1 ELSE 0 END)
+                     / CAST(COUNT(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+                   AS accuracy
+        FROM pred GROUP BY label_actual
+    """,
+    tags=("ml", "similarity", "eval", "ann"),
+)
+def ml_knn_classifier_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """``ml_knn_classifier`` with neighbor lists from the banded sign-LSH
+    candidate path — the classification pass as it runs at 100 TB: the
+    vote and score stages consume the persisted ANN top-5 edge table
+    unchanged, so classification cost is the Σ bucket² candidate cost.
+    Anchors whose buckets yield no candidates simply have no vote rows on
+    either engine (the honest ANN behaviour; recall trade documented at
+    ``_cosine_pairs``)."""
+    lab = load_table(spark, sf, "embeddings").select("vec_id", "label")
+    knn = (
+        _ann_edge_table_df(spark, sf)
+        .select("u", "v")
+        .join(
+            F.broadcast(
+                lab.select(F.col("vec_id").alias("u"),
+                           F.col("label").alias("label_actual"))
+            ),
+            "u",
+        )
+        .join(
+            F.broadcast(
+                lab.select(F.col("vec_id").alias("v"),
+                           F.col("label").alias("label_n"))
+            ),
+            "v",
+        )
+        .select(F.col("u").alias("q"), "label_actual", "label_n")
+    )
+    votes = knn.groupBy("q", "label_actual", "label_n").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_votes")
+    )
+    pred = (
+        votes.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("q").orderBy(F.desc("n_votes"), F.asc("label_n"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("q", "label_actual", F.col("label_n").alias("label_pred"))
+    )
+    correct = F.when(F.col("label_pred") == F.col("label_actual"), 1).otherwise(0)
+    return pred.groupBy(
+        F.col("label_actual").cast("int").alias("label_actual")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(correct).cast("bigint").alias("n_correct"),
+        (
+            F.floor(
+                F.sum(correct) / F.count(F.lit(1)).cast("double") * 10000.0 + 0.5
+            )
+            / 10000.0
+        ).alias("accuracy"),
+    )
+
+
+@query(
+    "ml_lof_outliers_ann",
+    oracle=f"""
+        WITH {_SQL_ANN_SCORED},
+        {_SQL_ANN_T5},
+        t5 AS (SELECT u, v, 1.0 - c AS d FROM ann_topk),
+        kd AS (SELECT u, MAX(d) AS kdist FROM t5 GROUP BY u),
+        reach AS (
+            SELECT t5.u, t5.v, GREATEST(kd.kdist, t5.d) AS rd
+            FROM t5 JOIN kd ON kd.u = t5.v
+        ),
+        lrd AS (
+            SELECT u, 1.0 / (SUM(rd) / 5.0) AS lrd FROM reach GROUP BY u
+        ),
+        lof AS (
+            SELECT t5.u,
+                   (SUM(ln.lrd) / 5.0) / lu.lrd AS lof
+            FROM t5
+            JOIN lrd ln ON ln.u = t5.v
+            JOIN lrd lu ON lu.u = t5.u
+            GROUP BY t5.u, lu.lrd
+        )
+        SELECT lof.u AS vec_id,
+               {sql_round4('kd.kdist')} AS kdist,
+               {sql_round4('lof.lof')} AS lof,
+               lof.lof > 1.5 AS is_outlier
+        FROM lof JOIN kd ON kd.u = lof.u
+    """,
+    tags=("ml", "outlier", "density", "ann"),
+)
+def ml_lof_outliers_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """``ml_lof_outliers`` over the ANN top-5 edge table — LOF as it runs
+    at 100 TB: k-distance → reachability → lrd → LOF are all narrow
+    joins/aggs on the 5n ANN edge set, so outlier detection costs the
+    Σ bucket² candidate pass plus noise. Same deterministic grid
+    (d = 1 − round4 cosine) and the same fixed k=5 denominators as the
+    exact op, replayed identically by the oracle."""
+    t5 = _ann_edge_table_df(spark, sf).select(
+        "u", "v", (1.0 - F.col("c")).alias("d")
+    )
+    kd = t5.groupBy("u").agg(F.max("d").alias("kdist"))
+    reach = t5.join(
+        kd.select(F.col("u").alias("v"), F.col("kdist").alias("kdist_v")), "v"
+    ).select("u", "v", F.greatest(F.col("kdist_v"), F.col("d")).alias("rd"))
+    lrd = reach.groupBy("u").agg((1.0 / (F.sum("rd") / 5.0)).alias("lrd"))
+    lof = (
+        t5.join(lrd.select(F.col("u").alias("v"), F.col("lrd").alias("lrd_v")), "v")
+        .join(lrd, "u")
+        .groupBy("u", "lrd")
+        .agg(((F.sum("lrd_v") / 5.0) / F.first("lrd")).alias("lof"))
+    )
+    return lof.join(kd, "u").select(
+        F.col("u").alias("vec_id"),
+        round4(F.col("kdist")).alias("kdist"),
+        round4(F.col("lof")).alias("lof"),
+        (F.col("lof") > 1.5).alias("is_outlier"),
+    )
+
+
+@query(
+    "llm_hubness_ann",
+    oracle=f"""
+        WITH {_SQL_ANN_SCORED},
+        {_SQL_ANN_T5},
+        kocc AS (
+            SELECT nv.vec_id,
+                   CAST(COALESCE(t.cnt, 0) AS BIGINT) AS k_occ
+            FROM ann_nv nv LEFT JOIN (
+                SELECT v, COUNT(*) AS cnt FROM ann_topk GROUP BY v
+            ) t ON nv.vec_id = t.v
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   {sql_dsum('CAST(k_occ AS DOUBLE)')} AS s1,
+                   {sql_dsum('CAST(k_occ AS DOUBLE) * k_occ')} AS s2,
+                   {sql_dsum('CAST(k_occ AS DOUBLE) * k_occ * k_occ')} AS s3,
+                   CAST(MAX(k_occ) AS BIGINT) AS max_k_occ,
+                   CAST(SUM(CASE WHEN k_occ = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_antihubs
+            FROM kocc
+        )
+        SELECT n AS n_vecs, max_k_occ, n_antihubs,
+               {sql_round4('s1 / n')} AS mean_k_occ,
+               {sql_round4(
+                   '(s3 / n - 3.0 * (s1 / n) * (s2 / n)'
+                   ' + 2.0 * POWER(s1 / n, 3))'
+                   ' / POWER(s2 / n - POWER(s1 / n, 2), 1.5)'
+               )} AS k_occ_skewness
+        FROM s
+    """,
+    tags=("llm", "embedding", "audit", "graph", "ann"),
+)
+def llm_hubness_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """``llm_hubness`` over the ANN top-5 graph — the hubness audit a real
+    retrieval deployment actually runs (the production neighbor lists ARE
+    the ANN lists; hub pathology in the served graph is what wrecks
+    retrieval, whatever the exact graph looks like). k-occurrence counts
+    ride the persisted Σ bucket² edge table; mean k-occ < 5 here (unlike
+    the exact graph's conservation) because bucket-starved anchors have
+    short lists — the oracle replays that too."""
+    topk = _ann_edge_table_df(spark, sf).select("v")
+    em = load_table(spark, sf, "embeddings").select("vec_id")
+    cnt = topk.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
+    kocc = em.join(cnt, em["vec_id"] == cnt["v"], "left").select(
+        F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("k_occ")
+    )
+    x = F.col("k_occ").cast("double")
+    s = kocc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum(x).alias("s1"),
+        dsum(x * x).alias("s2"),
+        dsum(x * x * x).alias("s3"),
+        F.max("k_occ").cast("bigint").alias("max_k_occ"),
+        F.sum(F.when(F.col("k_occ") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_antihubs"),
+    )
+    n = F.col("n")
+    m1, m2, m3 = F.col("s1") / n, F.col("s2") / n, F.col("s3") / n
+    skew = F.try_divide(
+        m3 - 3.0 * m1 * m2 + 2.0 * F.pow(m1, 3),
+        F.pow(m2 - F.pow(m1, 2), 1.5),
+    )
+    return s.select(
+        n.alias("n_vecs"),
+        "max_k_occ",
+        "n_antihubs",
+        round4(m1).alias("mean_k_occ"),
+        round4(skew).alias("k_occ_skewness"),
+    )
+
+
+@query(
+    "graph_local_clustering_ann",
+    oracle=f"""
+        WITH {_SQL_ANN_SCORED},
+        {_SQL_ANN_T5},
+        {_SQL_ANN_MUTUAL},
+        adj AS (
+            SELECT u AS v, v AS nb FROM ann_mutual
+            UNION ALL
+            SELECT v AS v, u AS nb FROM ann_mutual
+        ),
+        deg AS (
+            SELECT v, COUNT(*) AS d FROM adj GROUP BY v
+        ),
+        wedges AS (
+            SELECT a.v, a.nb AS x, b.nb AS y
+            FROM adj a JOIN adj b ON a.v = b.v AND a.nb < b.nb
+        ),
+        closed AS (
+            SELECT w.v, COUNT(*) AS n_closed
+            FROM wedges w JOIN ann_mutual m ON w.x = m.u AND w.y = m.v
+            GROUP BY w.v
+        )
+        SELECT deg.v AS vec_id,
+               CAST(deg.d AS BIGINT) AS degree,
+               CAST(COALESCE(closed.n_closed, 0) AS BIGINT) AS closed_wedges,
+               {sql_round4(
+                   'CAST(COALESCE(closed.n_closed, 0) AS DOUBLE)'
+                   ' / (deg.d * (deg.d - 1) / 2)'
+               )} AS local_cc
+        FROM deg LEFT JOIN closed ON deg.v = closed.v
+        WHERE deg.d >= 2
+    """,
+    tags=("graph", "ann"),
+)
+def graph_local_clustering_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """``graph_local_clustering`` on the mutual ANN edge list — per-node
+    clustering texture of the graph that exists in production. Degree is
+    still ≤ 5, so the wedge fan-out stays ≤ C(5,2) = 10 per node and the
+    whole analysis is edges × 10 regardless of corpus size; only the edge
+    source changed (Σ bucket² candidates, replayed by the oracle)."""
+    edges = _ann_mutual_df(spark, sf)
+    adj = edges.select(F.col("u").alias("v"), F.col("v").alias("nb")).unionByName(
+        edges.select(F.col("v").alias("v"), F.col("u").alias("nb"))
+    )
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    a = adj.select("v", F.col("nb").alias("x"))
+    b = adj.select(F.col("v").alias("v2"), F.col("nb").alias("y"))
+    wedges = a.join(
+        b, (F.col("v") == F.col("v2")) & (F.col("x") < F.col("y"))
+    ).select("v", "x", "y")
+    e2 = edges.select(F.col("u").alias("eu"), F.col("v").alias("ev"))
+    closed = (
+        wedges.join(
+            e2, (F.col("x") == F.col("eu")) & (F.col("y") == F.col("ev")),
+        )
+        .groupBy(F.col("v").alias("node"))
+        .agg(F.count(F.lit(1)).alias("n_closed"))
+    )
+    out = deg.filter(F.col("d") >= 2).join(
+        closed, deg.v == closed.node, "left"
+    )
+    nc = F.coalesce(F.col("n_closed"), F.lit(0))
+    return out.select(
+        deg.v.alias("vec_id"),
+        F.col("d").cast("bigint").alias("degree"),
+        nc.cast("bigint").alias("closed_wedges"),
+        round4(
+            nc.cast("double") / (F.col("d") * (F.col("d") - 1) / 2)
+        ).alias("local_cc"),
+    )
+
+
 _MUTUAL_5NN_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 

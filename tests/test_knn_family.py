@@ -104,6 +104,10 @@ def test_registered_ann_twins_plan_gate(spark):
         "graph_ann_edge_table",
         "graph_triangle_count_ann",
         "llm_hard_negative_mining_ann",
+        "ml_knn_classifier_ann",
+        "ml_lof_outliers_ann",
+        "llm_hubness_ann",
+        "graph_local_clustering_ann",
     ):
         df = reg[name].fn(spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
