@@ -20,72 +20,74 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # Driver-slice rotation (VERDICT r2 "Next round" #1): the driver's
 # CORRECTNESS check covers the FIRST 50 registered names only. Rounds 1–2
 # spent that slice on scans/filters/joins; round 3 on the agg/window/setop/
-# fn/UDF/LLM/streaming headliners + ANN twins (all green, CORRECTNESS_r03).
-# Round 4 rotates in the next 50 ops with zero driver-green history — the
-# full join long tail (asof/interval/skew/bucketed/fuzzy/correlated/geo),
-# the advanced aggregate family, the remaining window surfaces, the ALL/
-# DISTINCT set-op variants, and fn_try_safe (swapped in per ADVICE r3: its
-# all-NULL DATE column drives the uncast-DATE path through the driver's
-# hasher). After every module loads, _ensure_loaded reorders the registry
-# so these names come first; everything else keeps its original
-# registration order behind them. tests/test_registry.py pins the slice;
-# scripts/next_rotation.py proposed it from CORRECTNESS_r*.json history.
+# fn/UDF/LLM/streaming headliners + ANN twins; round 4 on the join/agg/
+# window long tail (all green, CORRECTNESS_r01–r04). Round 5 compresses
+# the remaining evidence gap (VERDICT r4 #2): 16 digest_<family> ops, each
+# hash-certifying ~28–44 never-driver-checked sibling operators at once
+# (see operators/digests.py), plus every §2B base op with no driver
+# history, the remaining streaming ops, the four rows-only sketch
+# aggregates, and the four new ANN twins (VERDICT r4 #3). After every
+# module loads, _ensure_loaded reorders the registry so these names come
+# first; everything else keeps its original registration order behind
+# them. tests/test_registry.py pins the slice; scripts/next_rotation.py
+# proposed the fill from CORRECTNESS_r*.json history.
 DRIVER_SLICE: tuple[str, ...] = (
-    # §2B.3 join long tail (22)
-    "join_cross",
-    "join_theta_range",
-    "join_range_bucketed",
-    "join_multi_key",
-    "join_broadcast",
-    "join_self",
-    "join_asof",
-    "join_interval",
-    "join_skew_salted",
-    "join_bucketed_colocated",
-    "join_lateral_topk",
-    "join_null_safe_eq",
-    "join_asof_nearest",
-    "join_asof_tolerance",
-    "join_fuzzy_blocked",
-    "join_null_aware_anti",
-    "join_correlated_scalar",
-    "join_tuple_in_subquery",
-    "sql_hint_merge_join",
-    "join_star_denormalize",
-    "join_exists_correlated",
-    "join_geo_bucketed",
-    # §2B.4 advanced aggregates (17)
-    "agg_bool_bitwise",
-    "agg_salted_two_phase",
-    "agg_multi_distinct",
-    "agg_histogram",
-    "agg_mode",
-    "agg_string_agg",
-    "agg_moments",
-    "agg_weighted_avg",
-    "agg_bitmap_distinct",
-    "agg_filter_clause",
-    "agg_corr_matrix",
-    "agg_percentile_family",
-    "agg_geometric_mean",
-    "agg_grouping_id",
-    "agg_regr_builtins",
-    "agg_listagg_builtin",
-    "agg_bitmap_algebra",
-    # §2B.5 window long tail (8)
-    "win_sessionize_batch",
-    "win_range_interval",
-    "win_running_distinct",
-    "win_share_of_total",
-    "win_following_frame",
-    "win_nth_value",
-    "win_forward_fill",
-    "win_rank_fractions",
-    # §2B.6 set-op variants (2)
-    "setop_except_distinct",
-    "setop_intersect_all",
-    # ADVICE r3 (medium): all-NULL DATE column through the driver hasher
-    "fn_try_safe",
+    # family digests — 451 never-driver-green ops certified in 16 rows
+    "digest_fn_1",
+    "digest_fn_2",
+    "digest_graph",
+    "digest_llm_1",
+    "digest_llm_2",
+    "digest_llm_3",
+    "digest_misc",
+    "digest_ml_1",
+    "digest_ml_2",
+    "digest_ml_3",
+    "digest_mm",
+    "digest_sql",
+    "digest_tpch",
+    "digest_workload_1",
+    "digest_workload_2",
+    "digest_workload_3",
+    # §2B base ops with no driver-green history (VERDICT r4 #2)
+    "fn_struct",
+    "fn_hash",
+    "fn_conditional",
+    "udtf_surface",
+    "stream_sliding_agg",
+    "stream_watermark_late",
+    "stream_stateful_count",
+    "stream_foreach_sink",
+    "llm_embed_stats",
+    "llm_text_tokenize",
+    "llm_text_stats",
+    "llm_ngrams",
+    "llm_lang_distribution",
+    "llm_multimodal_join",
+    "agg_approx_distinct",  # rows-only by design (HLL)
+    # remaining never-checked streaming ops (excluded from digests: each
+    # call executes a real streaming query)
+    "stream_static_join",
+    "stream_stream_join",
+    "stream_session_dynamic_gap",
+    "stream_append_mode_windows",
+    "stream_dedup_within_watermark",
+    "stream_chained_window_aggs",
+    "stream_stream_left_outer",
+    "stream_stream_full_outer",
+    "stream_join_then_window",
+    "stream_union_sources",
+    "stream_tumbling_topk",
+    # rows-only sketch aggregates (semantics pinned tests/test_hll_sketch.py)
+    "agg_approx_percentile",
+    "agg_hll_sketch",
+    "agg_kll_sketch",
+    "agg_theta_sketch",
+    # ANN twins registered this round (VERDICT r4 #3)
+    "ml_knn_classifier_ann",
+    "ml_lof_outliers_ann",
+    "llm_hubness_ann",
+    "graph_local_clustering_ann",
 )
 
 # Modules that register operators on import.
@@ -103,6 +105,9 @@ _OPERATOR_MODULES = (
     "datapipelines_python_spark.operators.workloads",
     "datapipelines_python_spark.operators.stats",
     "datapipelines_python_spark.streaming.ops",
+    # digests compose the registered specs of every other module, so they
+    # must load LAST (operators/digests.py reads _REGISTRY at import)
+    "datapipelines_python_spark.operators.digests",
 )
 
 

@@ -67,16 +67,21 @@ def test_registry_covers_survey_categories():
 
 def test_driver_slice_rotation():
     """VERDICT r2 #1: the driver checks the FIRST 50 registered names.
-    Round 3 rotates that slice to 50 ops with zero driver-green history
-    (flagship aggs, windows, setops, scalar fns, UDFs, LLM headliners,
-    streaming, ANN twins). Pin that the registry's insertion order starts
-    with exactly DRIVER_SLICE and every one carries an exact oracle."""
+    Round 5 rotates that slice to the 16 family digests + every remaining
+    never-driver-checked op (base §2B ops, streaming, the rows-only sketch
+    aggregates — deliberately included so they finally get a driver row,
+    weak as it is — and the new ANN twins). Pin that the registry's
+    insertion order starts with exactly DRIVER_SLICE and that everything
+    except the known rows-only sketches carries an exact oracle."""
     from datapipelines_python_spark.registry import DRIVER_SLICE
 
     reg = get_registry()
     assert len(DRIVER_SLICE) == 50
     assert list(reg)[: len(DRIVER_SLICE)] == list(DRIVER_SLICE)
-    no_oracle = [n for n in DRIVER_SLICE if reg[n].oracle is None]
+    no_oracle = [
+        n for n in DRIVER_SLICE
+        if reg[n].oracle is None and n not in KNOWN_ROWS_ONLY
+    ]
     assert not no_oracle, f"driver-slice ops without exact oracle: {no_oracle}"
     # retired diagnostics must stay retired
     assert not [n for n in reg if n.startswith("diag_probe")]
