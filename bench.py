@@ -16,6 +16,15 @@ of lock in the r2 driver run but 1.0× in clean same-day runs), and the
 minimum is the statistic least sensitive to external interference while
 still charging every cost the plan actually pays.
 
+Round 5 (VERDICT r4 #4) adds per-family walls: a pinned two-op
+representative set per operator family (the heaviest non-headline ops per
+family from PROFILE_SF01.json), each timed as the minimum of two warm runs
+and summed per family into the ``families`` key. The headline 20 stay the
+primary lock; the family walls make regressions outside the headline set
+visible round over round (locked values in BASELINE.md, gate ≤1.2×; the
+min-of-2 is noisier than the headliners' min-of-3, so family breaches get
+a confirm-rerun before they count).
+
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32).
 """
@@ -31,6 +40,29 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from datapipelines_python_spark import get_registry
 from datapipelines_python_spark.session import get_spark
+
+# Per-family representative sets (VERDICT r4 #4): the heaviest
+# non-headline ops per family in PROFILE_SF01.json — where a plan-shape
+# regression would cost the most wall. llm_hard_negative_mining (41 s, the
+# known O(n²)-candidate exact-kNN ceiling) is deliberately excluded: its
+# cost IS the documented scale-trade and would drown the family signal;
+# its ANN twin's family (graph) carries graph_ann_edge_table instead.
+FAMILY_BENCH: dict[str, tuple[str, ...]] = {
+    "join": ("join_geo_bucketed", "join_fuzzy_blocked"),
+    "agg": ("agg_corr_matrix", "agg_percentile_family"),
+    "win": ("win_range_frame", "win_rank_dense"),
+    "setop": ("setop_intersect_all", "sort_multi"),
+    "fn": ("fn_try_overflow", "fn_string"),
+    "udf": ("udf_grouped_map", "udaf_pandas_window"),
+    "scan": ("scan_python_datasource", "sink_csv_quoting"),
+    "llm": ("llm_dedup_clusters", "llm_rouge_pairs"),
+    "ml": ("ml_pca_power", "ml_ridge_path"),
+    "workload": ("workload_basket_affinity", "workload_frequent_triples"),
+    "graph": ("graph_kcore", "graph_ann_edge_table"),
+    "stream": ("stream_join_then_window", "stream_tumbling_agg"),
+    "sql": ("sql_recursive_hierarchy", "tpch_q16_parts_supplier_relationship"),
+    "mm": ("mm_vad_segments", "mm_decode_image_ppm"),
+}
 
 
 def main() -> None:
@@ -65,6 +97,24 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 3)
 
+    families: dict[str, float] = {}
+    family_queries: dict[str, float] = {}
+    for fam, members in FAMILY_BENCH.items():
+        wall = 0.0
+        for name in members:
+            spec = registry.get(name)
+            if spec is None:  # pinned name drifted — visible as a 0 family
+                continue
+            consume(spec.fn(spark, sf_dir))  # warm: codegen/JIT
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                consume(spec.fn(spark, sf_dir))
+                best = min(best, time.perf_counter() - t0)
+            family_queries[name] = round(best, 3)
+            wall += best
+        families[fam] = round(wall, 3)
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_num: float | str = float(sf)
@@ -77,6 +127,8 @@ def main() -> None:
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
+                "families": families,
+                "family_queries": family_queries,
                 "sf": sf_num,
             }
         )

@@ -397,7 +397,13 @@ def udtf_analyze_polymorphic(spark: SparkSession, sf: str) -> DataFrame:
     "udtf_table_arg",
     oracle="""
         WITH e AS (
+            -- ts IS NOT NULL: unstamped events cannot be sessionized.
+            -- Without the filter, all-NULL ts + fully tied rows diverge:
+            -- the running SUM's RANGE frame counts all peers at once while
+            -- the sequential UDTF opens a session per NULL gap (found by
+            -- the composed dupnull fixture, round 5).
             SELECT user_id, EPOCH_US(ts) AS us, event_id FROM events
+            WHERE ts IS NOT NULL
         ),
         g AS (
             SELECT user_id,
@@ -467,8 +473,12 @@ def udtf_table_arg(spark: SparkSession, sf: str) -> DataFrame:
                 yield (self._user, self._sessions, self._max)
 
     spark.udtf.register("session_summary", SessionSummary)
-    e = load_table(spark, sf, "events").select(
-        "user_id", F.unix_micros("ts").alias("us"), "event_id"
+    # ts IS NOT NULL mirrors the oracle: unstamped events are dropped, not
+    # sessionized (NULL gaps would open a session per row)
+    e = (
+        load_table(spark, sf, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", F.unix_micros("ts").alias("us"), "event_id")
     )
     e.createOrReplaceTempView("_udtf_sessions_in")
     return spark.sql(

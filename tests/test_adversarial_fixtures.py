@@ -15,6 +15,9 @@ pipeline eventually meets, which the sf fixtures never exercise:
   NULL-unsafe Python UDFs and NULL map keys; divergences are the
   engine-semantics minefield (Spark concat vs DuckDB CONCAT, isnan(NULL),
   list_prepend resurrection, to_json null dropping, ...).
+- ``dupnull`` — dup × nullpay composed (round 5): one hot key whose
+  payloads are all missing. Catches interactions the single-axis shapes
+  mask (full-tie window frames over NULL order keys).
 
 The full-registry sweeps run out-of-band (scripts/check_oracle.py against
 scripts/gen_adversarial_fixtures.py output; both recorded in SCALE.md).
@@ -118,6 +121,17 @@ NULLPAY_FIXED = [
     "stream_tumbling_topk",
 ]
 
+# Ops fixed in the round-5 composed skew×null triage (``dupnull``: one hot
+# key AND all payloads NULL at once — the failed-enrichment-on-the-hot-
+# tenant shape). The full-registry dupnull sweep found exactly one root
+# cause: udtf_table_arg's sessionizer on all-NULL-ts fully-tied rows (the
+# oracle's running-SUM RANGE frame counts all peers at once while the
+# sequential UDTF opens a session per NULL gap). Fixed by dropping
+# unstamped events on both sides.
+DUPNULL_FIXED = [
+    "udtf_table_arg",
+]
+
 
 @pytest.fixture(scope="session")
 def adv_dirs(tmp_path_factory):
@@ -127,6 +141,7 @@ def adv_dirs(tmp_path_factory):
         "empty": os.path.join(out, "empty"),
         "dup": os.path.join(out, "dup"),
         "nullpay": os.path.join(out, "nullpay"),
+        "dupnull": os.path.join(out, "dupnull"),
     }
 
 
@@ -168,3 +183,10 @@ def test_max_skew_sentinels(spark, adv_dirs):
 def test_null_flood_sentinels(spark, adv_dirs):
     """Every op fixed for all-NULL payloads stays green on nullpay."""
     _run(spark, adv_dirs["nullpay"], NULLPAY_FIXED)
+
+
+def test_skew_null_composed_sentinels(spark, adv_dirs):
+    """Every op fixed for the composed hot-key × all-NULL shape stays
+    green on dupnull (single-axis fixtures provably missed this class:
+    udtf_table_arg passed empty/dup/nullpay and failed only here)."""
+    _run(spark, adv_dirs["dupnull"], DUPNULL_FIXED)
