@@ -5570,6 +5570,548 @@ def graph_local_clustering_ann(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "graph_khop_reach_ann",
+    oracle=f"""
+        WITH {_SQL_ANN_SCORED},
+        {_SQL_ANN_T5},
+        {_SQL_ANN_MUTUAL},
+        adj AS MATERIALIZED (
+            SELECT u AS src, v AS dst FROM ann_mutual
+            UNION ALL
+            SELECT v AS src, u AS dst FROM ann_mutual
+        ),
+        seeds AS (SELECT vec_id AS seed FROM ann_nv WHERE vec_id % 97 = 0),
+        h1 AS (
+            SELECT DISTINCT s.seed, a.dst
+            FROM seeds s JOIN adj a ON a.src = s.seed
+        ),
+        reach AS (
+            SELECT seed, dst FROM h1
+            UNION
+            SELECT h1.seed, a2.dst
+            FROM h1 JOIN adj a2 ON a2.src = h1.dst
+        )
+        SELECT s.seed,
+               CAST(COALESCE(c1.n, 0) AS BIGINT) AS n_hop1,
+               CAST(COALESCE(c2.n, 0) AS BIGINT) AS n_reach2
+        FROM seeds s
+        LEFT JOIN (SELECT seed, COUNT(*) AS n FROM h1 GROUP BY seed) c1
+               ON c1.seed = s.seed
+        LEFT JOIN (SELECT seed, COUNT(*) AS n
+                   FROM reach WHERE dst <> seed GROUP BY seed) c2
+               ON c2.seed = s.seed
+    """,
+    tags=("workload", "graph", "similarity", "ann"),
+)
+def graph_khop_reach_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """``graph_khop_reach`` on the mutual ANN edge list — navigability of
+    the graph a 100 TB deployment actually builds. BFS stages unchanged
+    (two adjacency self-joins, frontier dedup, fan-out ≤ k per hop); only
+    the edge source differs (Σ bucket² candidates, oracle-replayed)."""
+    mutual = _ann_mutual_df(spark, sf)
+    nv = load_table(spark, sf, "embeddings").select("vec_id")
+    adj = mutual.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        mutual.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    seeds = nv.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("seed")
+    )
+    h1 = (
+        seeds.join(adj, adj["src"] == seeds["seed"])
+        .select("seed", "dst")
+        .distinct()
+    )
+    a2 = adj.select(F.col("src").alias("src2"), F.col("dst").alias("dst2"))
+    reach = h1.select("seed", "dst").union(
+        h1.join(a2, a2["src2"] == h1["dst"]).select("seed", F.col("dst2").alias("dst"))
+    ).distinct()
+    c1 = h1.groupBy("seed").agg(F.count(F.lit(1)).alias("n"))
+    c2 = (
+        reach.filter(F.col("dst") != F.col("seed"))
+        .groupBy("seed")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        seeds.join(c1.withColumnRenamed("n", "n1"), "seed", "left")
+        .join(c2.withColumnRenamed("n", "n2"), "seed", "left")
+        .select(
+            "seed",
+            F.coalesce(F.col("n1"), F.lit(0)).cast("bigint").alias("n_hop1"),
+            F.coalesce(F.col("n2"), F.lit(0)).cast("bigint").alias("n_reach2"),
+        )
+    )
+
+
+@query(
+    "graph_link_prediction_ann",
+    oracle=f"""
+        WITH {_SQL_ANN_SCORED},
+        {_SQL_ANN_T5},
+        {_SQL_ANN_MUTUAL},
+        adj AS MATERIALIZED (
+            SELECT u, v FROM ann_mutual UNION ALL SELECT v, u FROM ann_mutual
+        ),
+        deg AS (
+            SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY u
+        ),
+        wedge AS (
+            SELECT a1.u AS u, a2.u AS v, CAST(COUNT(*) AS BIGINT) AS cn
+            FROM adj a1 JOIN adj a2
+              ON a1.v = a2.v AND a1.u < a2.u
+            GROUP BY 1, 2
+        ),
+        cand AS (
+            SELECT w.u, w.v, w.cn,
+                   FLOOR(w.cn / CAST(du.d + dv.d - w.cn AS DOUBLE)
+                         * 10000.0 + 0.5) / 10000.0 AS jaccard
+            FROM wedge w
+            JOIN deg du ON du.u = w.u
+            JOIN deg dv ON dv.u = w.v
+            LEFT JOIN ann_mutual m ON m.u = w.u AND m.v = w.v
+            WHERE m.u IS NULL
+        )
+        SELECT u, v, cn, jaccard,
+               CAST(rnk AS INT) AS rnk
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (ORDER BY jaccard DESC, u, v) AS rnk
+            FROM cand
+        ) WHERE rnk <= 20
+    """,
+    tags=("workload", "graph", "similarity", "ann"),
+)
+def graph_link_prediction_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """``graph_link_prediction`` on the mutual ANN edge list: wedge-join
+    candidates (distance exactly 2, Σ deg² ≤ n·k² work), Jaccard scoring
+    and anti-join of existing edges unchanged; candidate generation is
+    the Σ bucket² ANN pass the oracle replays bit-for-bit."""
+    mutual = _ann_mutual_df(spark, sf)
+    adj = mutual.unionAll(mutual.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    wedge = (
+        adj.alias("a1")
+        .join(
+            adj.alias("a2"),
+            (F.col("a1.v") == F.col("a2.v")) & (F.col("a1.u") < F.col("a2.u")),
+        )
+        .groupBy(F.col("a1.u").alias("u"), F.col("a2.u").alias("v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cn"))
+    )
+    cand = (
+        wedge.join(deg.alias("du"), wedge.u == F.col("du.u"))
+        .join(deg.alias("dv"), wedge.v == F.col("dv.u"))
+        .join(
+            mutual.alias("m"),
+            (wedge.u == F.col("m.u")) & (wedge.v == F.col("m.v")),
+            "left_anti",
+        )
+        .select(
+            wedge.u,
+            wedge.v,
+            "cn",
+            (
+                F.floor(
+                    F.col("cn")
+                    / (F.col("du.d") + F.col("dv.d") - F.col("cn")).cast("double")
+                    * 10000.0
+                    + 0.5
+                )
+                / 10000.0
+            ).alias("jaccard"),
+        )
+    )
+    rnk = F.row_number().over(
+        W.orderBy(F.desc("jaccard"), F.asc("u"), F.asc("v"))
+    )
+    return (
+        cand.withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= 20)
+        .withColumn("rnk", F.col("rnk").cast("int"))
+    )
+
+
+@query(
+    "graph_assortativity_ann",
+    oracle=f"""
+        WITH {_SQL_ANN_SCORED},
+        {_SQL_ANN_T5},
+        {_SQL_ANN_MUTUAL},
+        adj AS MATERIALIZED (
+            SELECT u, v FROM ann_mutual UNION ALL SELECT v, u FROM ann_mutual
+        ),
+        deg AS (
+            SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY u
+        ),
+        ed AS (
+            SELECT du.d AS x, dv.d AS y
+            FROM adj JOIN deg du ON adj.u = du.u
+                     JOIN deg dv ON adj.v = dv.u
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS m,
+                   CAST(SUM(x) AS DOUBLE) AS sx,
+                   CAST(SUM(y) AS DOUBLE) AS sy,
+                   CAST(SUM(x * y) AS DOUBLE) AS sxy,
+                   CAST(SUM(x * x) AS DOUBLE) AS sxx,
+                   CAST(SUM(y * y) AS DOUBLE) AS syy
+            FROM ed
+        )
+        SELECT CAST(m AS BIGINT) AS n_directed_edges,
+               FLOOR((m * sxy - sx * sy)
+                     / (SQRT(m * sxx - sx * sx) * SQRT(m * syy - sy * sy))
+                     * 10000.0 + 0.5) / 10000.0 AS assortativity
+        FROM s
+    """,
+    tags=("workload", "graph", "ann"),
+)
+def graph_assortativity_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """``graph_assortativity`` on the mutual ANN edge list — the hubs-to-
+    hubs diagnostic of the served neighbor graph (hub pathology in the
+    ANN index is exactly what this op exists to flag). Five integer
+    power sums, one closed-form expression, identical on both engines."""
+    mutual = _ann_mutual_df(spark, sf)
+    adj = mutual.unionAll(
+        mutual.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    ed = (
+        adj.alias("e")
+        .join(deg.alias("du"), F.col("e.u") == F.col("du.u"))
+        .join(deg.alias("dv"), F.col("e.v") == F.col("dv.u"))
+        .select(F.col("du.d").alias("x"), F.col("dv.d").alias("y"))
+    )
+    s = ed.agg(
+        F.count(F.lit(1)).cast("double").alias("m"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    m, sx, sy = F.col("m"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return s.select(
+        m.cast("bigint").alias("n_directed_edges"),
+        (
+            F.floor(
+                F.try_divide(
+                    m * sxy - sx * sy,
+                    F.sqrt(m * sxx - sx * sx) * F.sqrt(m * syy - sy * sy),
+                )
+                * 10000.0
+                + 0.5
+            )
+            / 10000.0
+        ).alias("assortativity"),
+    )
+
+
+@query(
+    "graph_kcore_ann",
+    oracle=f"""
+        WITH {_SQL_ANN_SCORED},
+        {_SQL_ANN_T5},
+        {_SQL_ANN_MUTUAL},
+        deg1 AS (
+            SELECT node, COUNT(*) AS d FROM (
+                SELECT u AS node FROM ann_mutual
+                UNION ALL SELECT v FROM ann_mutual
+            ) GROUP BY node
+        ),
+        keep1 AS MATERIALIZED (SELECT node FROM deg1 WHERE d >= 2),
+        e1 AS MATERIALIZED (
+            SELECT m.u, m.v FROM ann_mutual m
+            JOIN keep1 a ON m.u = a.node
+            JOIN keep1 b ON m.v = b.node
+        ),
+        deg2 AS (
+            SELECT node, COUNT(*) AS d FROM (
+                SELECT u AS node FROM e1
+                UNION ALL SELECT v FROM e1
+            ) GROUP BY node
+        ),
+        keep2 AS MATERIALIZED (SELECT node FROM deg2 WHERE d >= 2),
+        e2 AS (
+            SELECT e.u, e.v FROM e1 e
+            JOIN keep2 a ON e.u = a.node
+            JOIN keep2 b ON e.v = b.node
+        )
+        SELECT CAST(0 AS BIGINT) AS peel_round,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM ann_nv) AS n_nodes,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM ann_mutual) AS n_edges
+        UNION ALL
+        SELECT CAST(1 AS BIGINT),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM keep1),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM e1)
+        UNION ALL
+        SELECT CAST(2 AS BIGINT),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM keep2),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM e2)
+    """,
+    tags=("workload", "graph", "similarity", "ann"),
+)
+def graph_kcore_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """``graph_kcore`` on the mutual ANN edge list: two unrolled 2-core
+    peel rounds, each a degree count + two semi-joins — O(|E|) per round.
+    Same lazy ``localCheckpoint`` per round (the lineage-truncation that
+    keeps iterative DataFrame loops from exponential re-expansion,
+    SCALE.md §5); only the edge source changed."""
+    mutual = _ann_mutual_df(spark, sf)
+    nv = load_table(spark, sf, "embeddings").select("vec_id")
+
+    def degrees(edges: DataFrame) -> DataFrame:
+        return (
+            edges.select(F.col("u").alias("node"))
+            .unionAll(edges.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+
+    keep1 = (
+        degrees(mutual).filter(F.col("d") >= 2).select("node")
+        .localCheckpoint(eager=False)
+    )
+    e1 = (
+        mutual.join(keep1.withColumnRenamed("node", "u"), "u", "left_semi")
+        .join(keep1.withColumnRenamed("node", "v"), "v", "left_semi")
+        .select("u", "v")
+        .localCheckpoint(eager=False)
+    )
+    keep2 = (
+        degrees(e1).filter(F.col("d") >= 2).select("node")
+        .localCheckpoint(eager=False)
+    )
+    e2 = (
+        e1.join(keep2.withColumnRenamed("node", "u"), "u", "left_semi")
+        .join(keep2.withColumnRenamed("node", "v"), "v", "left_semi")
+        .select("u", "v")
+    )
+
+    def row(r: int, nodes: DataFrame, edges: DataFrame) -> DataFrame:
+        n = nodes.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        e = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+        return n.crossJoin(e).select(
+            F.lit(r).cast("bigint").alias("peel_round"), "n_nodes", "n_edges"
+        )
+
+    return row(0, nv, mutual).unionByName(row(1, keep1, e1)).unionByName(
+        row(2, keep2, e2)
+    )
+
+
+@query(
+    "graph_modularity_ann",
+    oracle=f"""
+        WITH {_SQL_ANN_SCORED},
+        {_SQL_ANN_T5},
+        {_SQL_ANN_MUTUAL},
+        lab AS (SELECT vec_id, label FROM embeddings),
+        el AS (
+            SELECT m.u, m.v, la.label AS lu, lb.label AS lv
+            FROM ann_mutual m
+            JOIN lab la ON m.u = la.vec_id
+            JOIN lab lb ON m.v = lb.vec_id
+        ),
+        mm AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM el),
+        ew AS (
+            SELECT lu AS label, COUNT(*) AS e_within
+            FROM el WHERE lu = lv GROUP BY lu
+        ),
+        dg AS (
+            SELECT label, COUNT(*) AS d_sum FROM (
+                SELECT lu AS label FROM el
+                UNION ALL SELECT lv FROM el
+            ) GROUP BY label
+        )
+        SELECT CAST(dg.label AS INT) AS label,
+               CAST(COALESCE(ew.e_within, 0) AS BIGINT) AS e_within,
+               CAST(dg.d_sum AS BIGINT) AS degree_sum,
+               {sql_round4(
+                   'COALESCE(ew.e_within, 0) / mm.m'
+                   ' - (dg.d_sum / (2.0 * mm.m)) * (dg.d_sum / (2.0 * mm.m))')}
+                   AS q_contrib
+        FROM dg LEFT JOIN ew ON dg.label = ew.label
+        CROSS JOIN mm
+    """,
+    tags=("workload", "graph", "similarity", "ann"),
+)
+def graph_modularity_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """``graph_modularity`` on the mutual ANN edge list: do the labels
+    line up with the geometry of the graph retrieval will actually use?
+    Two label hash-joins + two alphabet-bounded aggregates on top of the
+    Σ bucket² candidate pass."""
+    mutual = _ann_mutual_df(spark, sf)
+    lab = load_table(spark, sf, "embeddings").select("vec_id", "label")
+    el = (
+        mutual.join(
+            lab.withColumnRenamed("vec_id", "u").withColumnRenamed("label", "lu"),
+            "u",
+        )
+        .join(
+            lab.withColumnRenamed("vec_id", "v").withColumnRenamed("label", "lv"),
+            "v",
+        )
+        .select("u", "v", "lu", "lv")
+    )
+    mm = el.agg(F.count(F.lit(1)).cast("double").alias("m"))
+    ew = (
+        el.filter(F.col("lu") == F.col("lv"))
+        .groupBy(F.col("lu").alias("label"))
+        .agg(F.count(F.lit(1)).alias("e_within"))
+    )
+    dg = (
+        el.select(F.col("lu").alias("label"))
+        .unionAll(el.select(F.col("lv").alias("label")))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("d_sum"))
+    )
+    ewc = F.coalesce(F.col("e_within"), F.lit(0))
+    return (
+        dg.join(ew, "label", "left")
+        .crossJoin(F.broadcast(mm))
+        .select(
+            F.col("label").cast("int").alias("label"),
+            ewc.cast("bigint").alias("e_within"),
+            F.col("d_sum").cast("bigint").alias("degree_sum"),
+            round4(
+                F.try_divide(ewc, F.col("m"))
+                - (F.col("d_sum") / (2.0 * F.col("m")))
+                * (F.col("d_sum") / (2.0 * F.col("m")))
+            ).alias("q_contrib"),
+        )
+    )
+
+
+@query(
+    "graph_degree_distribution_ann",
+    oracle=f"""
+        WITH {_SQL_ANN_SCORED},
+        {_SQL_ANN_T5},
+        {_SQL_ANN_MUTUAL},
+        deg AS (
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+                SELECT u AS node FROM ann_mutual
+                UNION ALL SELECT v FROM ann_mutual
+            ) GROUP BY node
+        )
+        SELECT d AS degree,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               {sql_round4(
+                   'CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM deg)'
+               )} AS share,
+               {sql_round4(
+                   'CAST(SUM(COUNT(*)) OVER (ORDER BY d DESC) AS DOUBLE)'
+                   ' / (SELECT COUNT(*) FROM deg)'
+               )} AS ccdf
+        FROM deg GROUP BY d
+    """,
+    tags=("graph", "stats", "ann"),
+)
+def graph_degree_distribution_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """``graph_degree_distribution`` of the mutual ANN edge list — the
+    shuffle-skew forecast for every downstream graph op at 100 TB is the
+    degree tail of THIS graph, not the exact one. Degree count + tiny
+    histogram + CCDF window, all on the Σ bucket² edge set."""
+    mutual = _ann_mutual_df(spark, sf)
+    deg = (
+        mutual.select(F.col("u").alias("node"))
+        .unionAll(mutual.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    n_nodes_total = deg.count()
+    wc = W.orderBy(F.desc("degree")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    hist = deg.groupBy(F.col("d").alias("degree")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
+    return hist.select(
+        "degree",
+        "n_nodes",
+        round4(F.col("n_nodes").cast("double") / F.lit(float(n_nodes_total))).alias(
+            "share"
+        ),
+        round4(
+            F.sum("n_nodes").over(wc).cast("double") / F.lit(float(n_nodes_total))
+        ).alias("ccdf"),
+    )
+
+
+@query(
+    "ml_oversample_interpolate_ann",
+    oracle=f"""
+        WITH {_SQL_ANN_SCORED},
+        {_SQL_ANN_T5},
+        {_SQL_ANN_MUTUAL},
+        labeled AS (
+            SELECT m.u, m.v, ea.label,
+                   list_transform(list_zip(ea.embedding, eb.embedding),
+                                  s -> (CAST(s[1] AS DOUBLE) + s[2]) / 2.0)
+                       AS mid
+            FROM ann_mutual m
+            JOIN embeddings ea ON m.u = ea.vec_id
+            JOIN embeddings eb ON m.v = eb.vec_id
+            WHERE ea.label = eb.label
+        ),
+        normed AS (
+            SELECT label,
+                   SQRT(list_reduce(list_prepend(0.0,
+                       list_transform(list_zip(mid, mid),
+                                      s -> s[1] * s[2])),
+                       (acc, x) -> acc + x)) AS mid_norm
+            FROM labeled
+        )
+        SELECT label,
+               CAST(COUNT(*) AS BIGINT) AS n_synthetic,
+               {sql_round4(sql_davg('mid_norm'))} AS mean_mid_norm
+        FROM normed
+        GROUP BY label
+    """,
+    tags=("ml", "sampling", "embedding", "ann"),
+)
+def ml_oversample_interpolate_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """``ml_oversample_interpolate`` (SMOTE midpoints) over the mutual
+    ANN edge list — synthetic minority samples interpolated between
+    actual ANN neighbors, which is how SMOTE runs when the neighbor
+    search itself must be approximate. Midpoint + norm stay array-local
+    zip/fold projections; neighbor search cost is the Σ bucket² pass."""
+    from datapipelines_python_spark.operators.llm import dot
+
+    edges = _ann_mutual_df(spark, sf)
+    emb = load_table(spark, sf, "embeddings")
+    ea = emb.select(
+        F.col("vec_id").alias("u"),
+        F.col("embedding").alias("emb_a"),
+        F.col("label").alias("label_a"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("v"),
+        F.col("embedding").alias("emb_b"),
+        F.col("label").alias("label_b"),
+    )
+    labeled = (
+        edges.join(ea, "u")
+        .join(eb, "v")
+        .filter(F.col("label_a") == F.col("label_b"))
+        .select(
+            F.col("label_a").alias("label"),
+            F.zip_with(
+                F.col("emb_a").cast("array<double>"),
+                F.col("emb_b").cast("array<double>"),
+                lambda x, y: (x + y) / 2.0,
+            ).alias("mid"),
+        )
+    )
+    normed = labeled.select(
+        "label", F.sqrt(dot("mid", "mid")).alias("mid_norm")
+    )
+    return normed.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_synthetic"),
+        round4(davg(F.col("mid_norm"))).alias("mean_mid_norm"),
+    )
+
+
 _MUTUAL_5NN_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 

@@ -52,12 +52,28 @@ def main() -> int:
     oracles = all_oracles()
     rows_only = {n for n in order if not oracles.get(n)}
     green = driver_green_names(rows_only)
-    never = [n for n in order if n not in green]
+
+    # digest certification (round 5+): a green digest_<family> row
+    # hash-certifies every member's values, so members count as covered
+    # even without an individual driver row
+    digest_covered: set[str] = set()
+    try:
+        from datapipelines_python_spark.digest_snapshot import DIGEST_FAMILIES
+
+        for fam, members in DIGEST_FAMILIES.items():
+            if f"digest_{fam}" in green:
+                digest_covered |= set(members)
+    except ImportError:
+        pass
+
+    covered = green | digest_covered
+    never = [n for n in order if n not in covered]
     never_exact = [n for n in never if oracles.get(n)]
     print(f"registry: {len(order)} ops; driver-green ever: "
-          f"{len(green & set(order))}; never checked: {len(never)} "
+          f"{len(green & set(order))}; digest-certified: "
+          f"{len(digest_covered - green)}; uncovered: {len(never)} "
           f"({len(never_exact)} with exact oracles)")
-    print("\nsuggested next DRIVER_SLICE (first 50 never-checked, "
+    print("\nsuggested next DRIVER_SLICE (first 50 uncovered, "
           "current registry order):")
     for i, n in enumerate(never_exact[:50]):
         print(f"  {i + 1:2d}. {n}")

@@ -100,6 +100,13 @@ def test_registered_ann_twins_plan_gate(spark):
     assert "BroadcastNestedLoopJoin" not in cand_plan
 
     reg = get_registry()
+    # ops whose only nested loops are the sanctioned broadcast-scalar
+    # assembly (1-row aggregates crossJoined into a report row)
+    scalar_assembly = {
+        "graph_triangle_count_ann": 2,  # (n_nodes, n_edges, n_triangles)
+        "graph_kcore_ann": 6,  # 3 peel rounds × (n_nodes × n_edges)
+        "graph_modularity_ann": 1,  # 1-row edge-total mm broadcast
+    }
     for name in (
         "graph_ann_edge_table",
         "graph_triangle_count_ann",
@@ -108,15 +115,21 @@ def test_registered_ann_twins_plan_gate(spark):
         "ml_lof_outliers_ann",
         "llm_hubness_ann",
         "graph_local_clustering_ann",
+        "graph_khop_reach_ann",
+        "graph_link_prediction_ann",
+        "graph_assortativity_ann",
+        "graph_kcore_ann",
+        "graph_modularity_ann",
+        "graph_degree_distribution_ann",
+        "ml_oversample_interpolate_ann",
     ):
         df = reg[name].fn(spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, name
         bnlj = plan.count("BroadcastNestedLoopJoin")
-        if name == "graph_triangle_count_ann":
-            # exactly the two scalar crossJoins gluing (n_nodes, n_edges,
-            # n_triangles) into one row — each side a 1-row aggregate
-            assert bnlj <= 2 and plan.count("BuildRight, Cross") == bnlj, name
+        cap = scalar_assembly.get(name, 0)
+        if cap:
+            assert bnlj <= cap and plan.count("Cross") == bnlj, name
         else:
             assert bnlj == 0, name
 

@@ -100,5 +100,5 @@ def test_theta_bnlj_set_is_pinned(plan_audit):
 def test_whole_registry_plans_buildable(plan_audit):
     # every registered op must at least PLAN at smoke scale
     assert plan_audit["errors"] == {}, plan_audit["errors"]
-    # 617 frozen + 4 ANN twins + 16 family digests (VERDICT r4 #2/#3)
-    assert plan_audit["n_ops"] == 637
+    # 617 frozen + 11 ANN twins + 16 family digests (VERDICT r4 #2/#3)
+    assert plan_audit["n_ops"] == 644
