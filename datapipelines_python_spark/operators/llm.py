@@ -2506,8 +2506,10 @@ def llm_template_prefix(spark: SparkSession, sf: str) -> DataFrame:
                    COALESCE(c2.clipped, 0) AS k2,
                    p.len_c, p.len_r,
                    CAST(COALESCE(c1.clipped, 0) AS DOUBLE) / p.len_c AS p1,
-                   CAST(COALESCE(c2.clipped, 0) AS DOUBLE) / (p.len_c - 1)
-                       AS p2,
+                   -- NULLIF: a single-token candidate has no bigram slots;
+                   -- its p2 is undefined (NULL), not a zero-division
+                   CAST(COALESCE(c2.clipped, 0) AS DOUBLE)
+                       / NULLIF(p.len_c - 1, 0) AS p2,
                    CASE WHEN p.len_c >= p.len_r THEN 1.0
                         ELSE EXP(1.0 - CAST(p.len_r AS DOUBLE) / p.len_c)
                    END AS bp
@@ -2606,7 +2608,9 @@ def llm_bleu_pairs(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "k1", "k2",
             (F.col("k1").cast("double") / F.col("len_c")).alias("p1"),
-            (F.col("k2").cast("double") / (F.col("len_c") - 1)).alias("p2"),
+            # try_divide: single-token candidates have zero bigram slots —
+            # p2 is NULL (skipped by the avg), matching the oracle's NULLIF
+            F.try_divide(F.col("k2").cast("double"), F.col("len_c") - 1).alias("p2"),
             F.when(F.col("len_c") >= F.col("len_r"), F.lit(1.0))
             .otherwise(F.exp(1.0 - F.col("len_r").cast("double") / F.col("len_c")))
             .alias("bp"),

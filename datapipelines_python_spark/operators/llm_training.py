@@ -4117,9 +4117,16 @@ def mm_block_manifest_cas(spark: SparkSession, sf: str) -> DataFrame:
     plan broadcast back onto the per-doc manifest."""
     d = load_table(spark, sf, "documents")
     n_blocks = ((F.length("text") + 99) / 100).cast("bigint")
+    # n_blocks > 0 gate: a zero-length payload has NO blocks — without it
+    # Spark's sequence(0, -1) silently yields the DESCENDING [0, -1] and
+    # manufactures phantom blocks for empty documents (found by the unistr
+    # hazard fixture); explode of the NULL branch drops the row, matching
+    # DuckDB's empty RANGE(0, 0)
     blocks = d.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), n_blocks - 1)).alias("b"),
+        F.explode(
+            F.when(n_blocks > 0, F.sequence(F.lit(0), n_blocks - 1))
+        ).alias("b"),
         F.col("text"),
     ).select(
         "doc_id",
@@ -4163,8 +4170,10 @@ def mm_block_manifest_cas(spark: SparkSession, sf: str) -> DataFrame:
         )
         SELECT doc_id,
                CAST(224 + (h % 33) AS INT) AS crop_size,
-               CAST((h // 33) % LEAST(n_bytes, 64) AS INT) AS crop_x,
-               CAST((h // 2112) % LEAST(n_bytes, 64) AS INT) AS crop_y,
+               CAST((h // 33) % GREATEST(LEAST(n_bytes, 64), 1) AS INT)
+                   AS crop_x,
+               CAST((h // 2112) % GREATEST(LEAST(n_bytes, 64), 1) AS INT)
+                   AS crop_y,
                CAST(h % 2 = 0 AS BOOLEAN) AS hflip,
                CAST(((h // 7) % 21) - 10 AS INT) AS rotate_deg,
                CAST(90 + (h // 11) % 10 AS INT) AS jpeg_quality
@@ -4191,7 +4200,9 @@ def mm_augment_params(spark: SparkSession, sf: str) -> DataFrame:
         16, 10,
     ).cast("bigint")
     n_bytes = F.length("text")
-    dim = F.least(n_bytes, F.lit(64))
+    # GREATEST(..., 1): a zero-byte payload must not turn the crop-offset
+    # modulus into ANSI REMAINDER_BY_ZERO (unistr hazard fixture)
+    dim = F.greatest(F.least(n_bytes, F.lit(64)), F.lit(1))
     return d.select(
         "doc_id",
         (224 + h % 33).cast("int").alias("crop_size"),
@@ -4299,8 +4310,10 @@ def llm_cloze_generation(spark: SparkSession, sf: str) -> DataFrame:
                CAST(n_a AS BIGINT) AS n_a,
                CAST(n_b AS BIGINT) AS n_b,
                CAST(n_common AS BIGINT) AS n_common,
+               -- NULLIF: two bigram-free docs (single-token texts) have
+               -- an undefined Jaccard — NULL, not a zero-division
                {sql_round4(
-                   'CAST(n_common AS DOUBLE) / (n_a + n_b - n_common)'
+                   'CAST(n_common AS DOUBLE) / NULLIF(n_a + n_b - n_common, 0)'
                )} AS bigram_jaccard
         FROM paired
     """,
@@ -4319,13 +4332,23 @@ def llm_self_similarity_sample(spark: SparkSession, sf: str) -> DataFrame:
     of globally and the audit stays one pass."""
     d = load_table(spark, sf, "documents")
     toks = F.split("text", " ")
-    bigrams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat(
-                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
-            ),
-        )
+    # size >= 2 gate: Spark's sequence(1, 0) silently yields the DESCENDING
+    # [1, 0], so a single-token doc would probe element_at(toks, 2) and die
+    # with INVALID_ARRAY_INDEX (unistr hazard fixture). One token -> empty
+    # bigram set; NULL text stays NULL (matching the oracle's comprehension
+    # over RANGE(1, LEN) and NULL propagation).
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat(
+                    F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+                ),
+            )
+        ),
+    ).otherwise(
+        F.when(toks.isNotNull(), F.array().cast("array<string>"))
     )
     w = W.orderBy("doc_id")
     w_all = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
@@ -4361,7 +4384,8 @@ def llm_self_similarity_sample(spark: SparkSession, sf: str) -> DataFrame:
         n_b.cast("bigint").alias("n_b"),
         n_common.cast("bigint").alias("n_common"),
         round4(
-            n_common.cast("double") / (n_a + n_b - n_common)
+            # try_divide: Jaccard of two empty bigram sets is undefined
+            F.try_divide(n_common.cast("double"), n_a + n_b - n_common)
         ).alias("bigram_jaccard"),
     )
 
@@ -4646,7 +4670,17 @@ def llm_skipgram_negative_sampling(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", toks.alias("toks"))
         .select(
             "doc_id",
-            F.explode(F.sequence(F.lit(1), F.size("toks") - 1)).alias("i"),
+            # size >= 2 gate: sequence(1, 0) is the DESCENDING [1, 0] in
+            # Spark, which would probe element_at(toks, 2) on one-token
+            # docs (ANSI INVALID_ARRAY_INDEX — unistr hazard fixture);
+            # explode of the NULL branch drops the row like DuckDB's
+            # empty RANGE(1, 1)
+            F.explode(
+                F.when(
+                    F.size("toks") >= 2,
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                )
+            ).alias("i"),
             F.col("toks"),
         )
         .select(

@@ -294,9 +294,16 @@ def fn_map(spark: SparkSession, sf: str) -> DataFrame:
     "fn_json",
     oracle="""
         SELECT event_id,
-               JSON_EXTRACT_STRING(props, '$.k') AS k_str,
-               CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT) AS k_int,
-               CAST(JSON_EXTRACT_STRING(props, '$.missing') AS VARCHAR) AS missing_key
+               -- json_valid guard: Spark's get_json_object returns NULL on
+               -- malformed JSON where DuckDB's json functions THROW
+               CASE WHEN json_valid(props)
+                    THEN JSON_EXTRACT_STRING(props, '$.k') END AS k_str,
+               CAST(CASE WHEN json_valid(props)
+                         THEN JSON_EXTRACT_STRING(props, '$.k') END AS INT)
+                   AS k_int,
+               CASE WHEN json_valid(props)
+                    THEN CAST(JSON_EXTRACT_STRING(props, '$.missing') AS VARCHAR)
+                    END AS missing_key
         FROM events
     """,
     tags=("function", "json"),
@@ -486,22 +493,27 @@ def fn_trig(spark: SparkSession, sf: str) -> DataFrame:
     "fn_variant",
     oracle="""
         SELECT event_id,
-               CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT) AS k_int,
-               CAST(JSON_EXTRACT_STRING(props, '$.k') AS DOUBLE) / 3.0 AS k_scaled,
+               CAST(CASE WHEN JSON_VALID(props)
+                    THEN JSON_EXTRACT_STRING(props, '$.k') END AS INT) AS k_int,
+               CAST(CASE WHEN JSON_VALID(props)
+                    THEN JSON_EXTRACT_STRING(props, '$.k') END AS DOUBLE) / 3.0
+                   AS k_scaled,
                CASE WHEN JSON_VALID(props) THEN 'OBJECT' ELSE NULL END AS top_type
         FROM events
     """,
     tags=("function", "json", "variant"),
 )
 def fn_variant(spark: SparkSession, sf: str) -> DataFrame:
-    """Semi-structured access via Spark 4 VARIANT: ``parse_json`` parses
-    once into a binary-encoded variant, then ``variant_get`` extracts typed
-    paths without re-parsing — the scale answer to repeated
-    ``get_json_object`` calls, which re-parse the JSON string per call. At
-    100 TB, parse-once-store-variant (or shred to columns) is the difference
+    """Semi-structured access via Spark 4 VARIANT: ``try_parse_json`` parses
+    once into a binary-encoded variant (NULL on malformed input — raw
+    ``parse_json`` THROWS, and a corpus-scale props column always contains
+    garbage somewhere), then ``variant_get`` extracts typed paths without
+    re-parsing — the scale answer to repeated ``get_json_object`` calls,
+    which re-parse the JSON string per call. At 100 TB,
+    parse-once-store-variant (or shred to columns) is the difference
     between one decode pass and one per extracted field."""
     e = load_table(spark, sf, "events")
-    v = F.parse_json("props")
+    v = F.try_parse_json("props")
     return e.select(
         "event_id",
         F.variant_get(v, "$.k", "int").alias("k_int"),
@@ -521,8 +533,11 @@ def fn_variant(spark: SparkSession, sf: str) -> DataFrame:
                REGEXP_EXTRACT(url, '[?&]lang=([^&]*)', 1) AS lang_param
         FROM (
             SELECT doc_id,
-                   'https://' || source || '.example.com/docs/' ||
-                   CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url
+                   'https://s' ||
+                   REGEXP_REPLACE(source, '[^A-Za-z0-9]', '', 'g') ||
+                   '.example.com/docs/' ||
+                   CAST(doc_id AS VARCHAR) || '?lang=' ||
+                   REGEXP_REPLACE(lang, '[^A-Za-z0-9.~-]', '-', 'g') AS url
             FROM documents
         ) u
     """,
@@ -531,11 +546,27 @@ def fn_variant(spark: SparkSession, sf: str) -> DataFrame:
 def fn_url(spark: SparkSession, sf: str) -> DataFrame:
     """URL decomposition with ``parse_url`` (host / path / query / single
     query-param extraction) — the crawl-processing primitive for grouping
-    training documents by site. JVM-side parser, no UDF."""
+    training documents by site. JVM-side parser, no UDF.
+
+    URL components are sanitized to hostname-safe characters first
+    (identity on the clean fixtures): unescaped spaces/Unicode in a host
+    make Spark's ANSI parse_url THROW INVALID_URL (found by the unistr
+    hazard fixture), and a URL assembled from raw user text is malformed
+    by construction — encode-or-sanitize at the seam, not try/null after
+    the fact, so host grouping keys stay non-NULL."""
     d = load_table(spark, sf, "documents")
+    # Host label: constant prefix + alnum-only — Java's URI parser (behind
+    # parse_url) NULLs the host on underscores and on labels that start or
+    # end with a hyphen, so the sanitizer must guarantee a well-formed DNS
+    # label, not merely strip reserved characters. Query values only need
+    # the reserved/space class removed.
+    host_label = F.concat(
+        F.lit("s"), F.regexp_replace(F.col("source"), "[^A-Za-z0-9]", "")
+    )
+    qsafe = F.regexp_replace(F.col("lang"), "[^A-Za-z0-9.~-]", "-")
     url = F.concat(
-        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
-        F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+        F.lit("https://"), host_label, F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"), F.lit("?lang="), qsafe,
     )
     u = d.select("doc_id", url.alias("url"))
     return u.select(
@@ -756,7 +787,9 @@ def fn_xml(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
         WITH t AS (
             SELECT doc_id,
-                   STRING_SPLIT(lang, '')[1:2] AS ks,
+                   CASE WHEN lang IS NULL THEN NULL ELSE
+                       ['k0_' || SUBSTRING(lang, 1, 1),
+                        'k1_' || SUBSTRING(lang, 2, 1)] END AS ks,
                    [CAST(doc_id % 7 AS BIGINT), CAST(doc_id % 11 AS BIGINT)]
                        AS vs
             FROM documents
@@ -783,9 +816,22 @@ def fn_map_hof(spark: SparkSession, sf: str) -> DataFrame:
     sorted key/value arrays, because map iteration order is unspecified
     in BOTH engines (and across Spark shuffles): any hash or comparison
     of a raw map is a nondeterminism bug. The sorted-projection is the
-    portable boundary; DuckDB's oracle works on the underlying lists."""
+    portable boundary; DuckDB's oracle works on the underlying lists.
+
+    Keys are position-prefixed (``k0_<c1>``, ``k1_<c2>``) so they are
+    unique BY CONSTRUCTION: Spark's ANSI map policy throws
+    DUPLICATED_MAP_KEY the moment two key-array entries collide (e.g. a
+    language tag with a repeated first letter pair — found by the unistr
+    hazard fixture), and dedup-by-accident is exactly the
+    nondeterminism maps must never carry at 100 TB."""
     d = load_table(spark, sf, "documents")
-    ks = F.slice(F.split("lang", ""), 1, 2)
+    ks = F.when(
+        F.col("lang").isNotNull(),
+        F.array(
+            F.concat(F.lit("k0_"), F.substring("lang", 1, 1)),
+            F.concat(F.lit("k1_"), F.substring("lang", 2, 1)),
+        ),
+    )
     vs = F.array(
         (F.col("doc_id") % 7).cast("long"), (F.col("doc_id") % 11).cast("long")
     )
@@ -2294,9 +2340,15 @@ def fn_string_parts(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         F.split_part(F.col("path"), F.lit("/"), F.lit(2)).alias("mid_part"),
         idx.cast("bigint").alias("lang_idx"),
-        F.elt(
-            idx, F.lit("English"), F.lit("Spanish"), F.lit("German"),
-            F.lit("French"), F.lit("Chinese"),
+        # idx > 0 gate: find_in_set returns 0 on a miss and ANSI elt(0, ...)
+        # throws INVALID_ARRAY_INDEX — an unknown language must decode to
+        # NULL, not kill the stage (found by the unistr hazard fixture)
+        F.when(
+            idx > 0,
+            F.elt(
+                idx, F.lit("English"), F.lit("Spanish"), F.lit("German"),
+                F.lit("French"), F.lit("Chinese"),
+            ),
         ).alias("lang_name"),
         F.startswith(F.col("path"), F.lit("en/")).alias("is_english_path"),
         F.contains(F.col("source"), F.lit("1")).alias("src_has_one"),

@@ -1472,7 +1472,9 @@ def ml_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
         WITH feats AS (
             SELECT o_orderkey, o_orderpriority,
                    o_totalprice / 50000.0 AS x1,
-                   CAST(CAST(SUBSTRING(o_orderpriority, 1, 1) AS INTEGER)
+                   -- TRY_CAST: a non-numeric priority prefix is a NULL
+                   -- feature, not a crashed stage (unistr hazard fixture)
+                   CAST(TRY_CAST(SUBSTRING(o_orderpriority, 1, 1) AS INTEGER)
                         AS DOUBLE) AS x2
             FROM orders
         ),
@@ -1523,7 +1525,10 @@ def ml_shapley_closed_form(spark: SparkSession, sf: str) -> DataFrame:
     feats = o.select(
         "o_orderpriority",
         (F.col("o_totalprice") / 50000.0).alias("x1"),
-        F.substring("o_orderpriority", 1, 1).cast("integer").cast("double").alias("x2"),
+        F.substring("o_orderpriority", 1, 1)
+        .try_cast("integer")
+        .cast("double")
+        .alias("x2"),
     )
     mu = feats.agg(
         round4(davg(F.col("x1"))).alias("m1"),
@@ -6265,7 +6270,8 @@ def workload_ipf_raking(spark: SparkSession, sf: str) -> DataFrame:
         SELECT CAST(COUNT(*) AS BIGINT) AS n_event_times,
                {sql_round4(sql_dsum('d1 - e1'))} AS observed_minus_expected,
                {sql_round4(
-                   f"POWER({sql_dsum('d1 - e1')}, 2) / ({sql_dsum('v1')})"
+                   f"POWER({sql_dsum('d1 - e1')}, 2)"
+                   f" / NULLIF({sql_dsum('v1')}, 0)"
                )} AS logrank_chi2
         FROM terms
     """,
@@ -6346,7 +6352,10 @@ def ml_logrank_test(spark: SparkSession, sf: str) -> DataFrame:
     return terms.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_event_times"),
         round4(ome).alias("observed_minus_expected"),
-        round4(F.pow(ome, 2) / dsum(F.col("v1"))).alias("logrank_chi2"),
+        # try_divide: a single-group degenerate cohort has zero variance —
+        # the test statistic is undefined (NULL), not a zero-division
+        # (unistr hazard fixture rotated every priority out of group 1)
+        round4(F.try_divide(F.pow(ome, 2), dsum(F.col("v1")))).alias("logrank_chi2"),
     )
 
 

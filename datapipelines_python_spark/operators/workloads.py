@@ -6671,7 +6671,8 @@ def sql_variables(spark: SparkSession, sf: str) -> DataFrame:
         ),
         silver AS (
             SELECT event_id, ts, user_id, event_type, value,
-                   json_extract_string(props, '$.device') AS device
+                   CASE WHEN json_valid(props) THEN
+                       json_extract_string(props, '$.device') END AS device
             FROM (
                 SELECT *, ROW_NUMBER() OVER (
                     PARTITION BY event_id ORDER BY ts, user_id) AS rn
@@ -7206,7 +7207,8 @@ def workload_rate_limit_replay(spark: SparkSession, sf: str) -> DataFrame:
             SELECT event_type,
                    DATE_TRUNC('day', ts) AS day,
                    ts, event_id, value,
-                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS qty
+                   CAST(CASE WHEN json_valid(props) THEN
+                        json_extract_string(props, '$.k') END AS BIGINT) AS qty
             FROM events
         ),
         seq AS (
@@ -7733,7 +7735,8 @@ def workload_late_arriving_facts(spark: SparkSession, sf: str) -> DataFrame:
                    value,
                    LPAD(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
                        || LPAD(CAST(event_id AS VARCHAR), 12, '0') AS ordkey,
-                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS qty
+                   CAST(CASE WHEN json_valid(props) THEN
+                        json_extract_string(props, '$.k') END AS BIGINT) AS qty
             FROM events
         )
         SELECT event_type,
@@ -12008,10 +12011,19 @@ def workload_metric_driver_tree(spark: SparkSession, sf: str) -> DataFrame:
     )
     u1, p1, r1 = F.col("u1"), F.col("p1"), F.col("r1")
     u2, p2, r2 = F.col("u2"), F.col("p2"), F.col("r2")
-    dlog_rev = F.log(r2 / r1)
-    dlog_users = F.log(u2.cast("double") / u1)
-    dlog_freq = F.log((p2.cast("double") / u2) / (p1.cast("double") / u1))
-    dlog_aov = F.log((r2 / p2) / (r1 / p1))
+    # try_divide throughout: a half with zero purchases makes the freq/AOV
+    # ratios 0/0 — the decomposition is undefined there (NULL), matching
+    # DuckDB's NULL-on-zero-division (unistr hazard fixture rotated every
+    # event_type away from 'purchase')
+    dlog_rev = F.log(F.try_divide(r2, r1))
+    dlog_users = F.log(F.try_divide(u2.cast("double"), u1))
+    dlog_freq = F.log(
+        F.try_divide(
+            F.try_divide(p2.cast("double"), u2),
+            F.try_divide(p1.cast("double"), u1),
+        )
+    )
+    dlog_aov = F.log(F.try_divide(F.try_divide(r2, p2), F.try_divide(r1, p1)))
     return w.select(
         round4(dlog_rev).alias("dlog_revenue"),
         round4(dlog_users).alias("dlog_users"),
@@ -13299,11 +13311,15 @@ def workload_granger_causality(spark: SparkSession, sf: str) -> DataFrame:
     saa, sbb, sab = F.col("saa"), F.col("sbb"), F.col("sab")
     sza, szb, szz = F.col("sza"), F.col("szb"), F.col("szz")
     det = saa * sbb - sab * sab
-    b1 = (sza * sbb - szb * sab) / det
-    b2 = (szb * saa - sza * sab) / det
-    ssr_r = szz - sza * sza / saa
+    # try_divide: a constant regressor (e.g. every event_type rotated off
+    # 'view'/'purchase' — unistr hazard fixture) makes the normal-equation
+    # determinant 0; the fit is undefined (NULL), matching DuckDB's
+    # NULL-on-zero-division
+    b1 = F.try_divide(sza * sbb - szb * sab, det)
+    b2 = F.try_divide(szb * saa - sza * sab, det)
+    ssr_r = szz - F.try_divide(sza * sza, saa)
     ssr_u = szz - b1 * sza - b2 * szb
-    f_stat = (ssr_r - ssr_u) * (n - 3) / ssr_u
+    f_stat = F.try_divide((ssr_r - ssr_u) * (n - 3), ssr_u)
     return s.select(
         "n",
         round4(ssr_r).alias("ssr_restricted"),

@@ -241,9 +241,17 @@ def stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "stream_stateful_count",
     oracle="""
+        -- json_valid + integer-regex gate: malformed props (or a non-
+        -- integer k) contribute nothing — Spark's stateful updater skips
+        -- them the same way (raw json functions THROW in DuckDB, and
+        -- json.loads THROWS in the Python state fn — unistr hazard fixture)
         SELECT user_id,
                COUNT(*) AS n_events,
-               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+               SUM(CASE WHEN json_valid(props) AND regexp_matches(
+                            COALESCE(json_extract_string(props, '$.k'), ''),
+                            '^-?[0-9]+$')
+                        THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                   END) AS sum_k
         FROM events
         GROUP BY user_id
     """,
@@ -255,25 +263,43 @@ def stream_stateful_count(spark: SparkSession, sf: str) -> DataFrame:
     carried across micro-batches. Integer state ⇒ no float-order issues;
     final state equals the batch GROUP BY."""
     import json
+    import re
 
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     s = events_stream(spark, sf).select("user_id", "props")
 
+    def k_int(p) -> int | None:
+        """Strict-integer k extraction mirroring the oracle's gate:
+        malformed JSON, a missing/NULL k, or a non-integer k all yield
+        None (skipped). Raw json.loads on corpus text crashes the state
+        function — the unistr hazard fixture's find."""
+        if p is None:
+            return None
+        try:
+            obj = json.loads(p)
+        except (ValueError, TypeError):
+            return None
+        if not isinstance(obj, dict) or "k" not in obj:
+            return None
+        v = obj["k"]
+        if isinstance(v, bool):
+            return None
+        if isinstance(v, int):
+            return v
+        return int(v) if re.fullmatch(r"-?[0-9]+", str(v)) else None
+
     def update(
         key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
     ) -> Iterator["pd.DataFrame"]:
-        # nk counts non-NULL props: SQL SUM over an all-NULL group is
-        # NULL, not 0, so the state must remember whether it ever saw a
-        # value (NULL props otherwise crash json.loads — the
-        # failed-enrichment shape)
+        # nk counts contributing rows: SQL SUM over an all-skipped group
+        # is NULL, not 0, so the state must remember whether it ever saw
+        # a usable value (the failed-enrichment shape)
         n, sk, nk = state.get if state.exists else (0, 0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            vals = [
-                int(json.loads(p)["k"]) for p in pdf["props"] if p is not None
-            ]
+            vals = [v for v in (k_int(p) for p in pdf["props"]) if v is not None]
             sk += int(sum(vals))
             nk += len(vals)
         state.update((n, sk, nk))

@@ -16,6 +16,13 @@ sf fixtures never exercise:
   failed-enrichment / half-written-ingest shape.
 - ``dupnull``: ``dup`` × ``nullpay`` composed — one hot key whose
   payloads are all missing; skew and null handling probed together.
+- ``unistr``: every string payload column rotated through a Unicode
+  hazard set (CJK, emoji incl. astral-plane, RTL Arabic, combining
+  accents, ß casing, tabs/newlines, SQL-metacharacters, a 5 kB blob,
+  empty and whitespace-only strings) — the shape of a real multilingual
+  LLM corpus. Probes the Java-regex vs RE2 seam, codepoint-vs-byte
+  length assumptions, and tokenizer/casing/normalization divergence
+  between engines.
 
 Schemas are copied bit-for-bit with pyarrow (no engine round-trip), so
 physical types (timestamp[us], list<float>) survive exactly.
@@ -53,8 +60,41 @@ def generate(src: str, out: str, dup_rows: int) -> None:
     tables = sorted(glob.glob(os.path.join(src, "*.parquet")))
     if not tables:
         raise SystemExit(f"no parquet tables under {src}")
-    for variant in ("empty", "dup", "nullpay", "dupnull"):
+    for variant in ("empty", "dup", "nullpay", "dupnull", "unistr"):
         os.makedirs(os.path.join(out, variant), exist_ok=True)
+
+    # Deterministic Unicode hazard rotation (row i gets HAZARDS[i % len]):
+    # multilingual scripts, astral-plane emoji, RTL, combining marks,
+    # casing traps, control whitespace, metacharacters, a long blob,
+    # empty/whitespace-only. Join keys/ids stay intact so plans keep their
+    # shape; only payload TEXT changes.
+    _HAZARDS = (
+        "héllo wörld",
+        "日本語のテキストです。これは長めの文で、句読点も含みます。",
+        "🚀🔥 emoji soup 🎉🐍 \U0001F9E0\U0001F680",
+        "مرحبا بالعالم هذا نص عربي",
+        "a\tb\nc\rd",
+        "straße STRASSE ß SS",
+        "café vs café",
+        "\U0001D518\U0001D52B\U0001D526 astral \U0001D520\U0001D52C\U0001D521\U0001D522",
+        "'; DROP TABLE x; -- $^.*+?()[]{}|\\",
+        "x" * 5000,
+        "",
+        "  leading and trailing  ",
+        "ЗДРАВСТВУЙ мир падежи",
+        "한국어 텍스트 조각",
+    )
+
+    def uni_rotate(src_t: pa.Table) -> pa.Table:
+        cols = []
+        n = src_t.num_rows
+        for field, col in zip(src_t.schema, src_t.columns):
+            if pa.types.is_string(field.type) and not _is_keyish(field.name):
+                vals = [_HAZARDS[i % len(_HAZARDS)] for i in range(n)]
+                cols.append(pa.array(vals, type=field.type))
+            else:
+                cols.append(col)
+        return pa.Table.from_arrays(cols, schema=src_t.schema)
 
     def null_flood(src_t: pa.Table) -> pa.Table:
         # every nullable non-key column becomes all-NULL, schema (incl.
@@ -80,12 +120,16 @@ def generate(src: str, out: str, dup_rows: int) -> None:
         # the failed-enrichment-on-the-hot-tenant case (skew bugs and
         # null bugs can mask each other when probed one axis at a time)
         pq.write_table(null_flood(dup), os.path.join(out, "dupnull", name))
+        pq.write_table(uni_rotate(t), os.path.join(out, "unistr", name))
         nulled = [f.name for f in t.schema
                   if f.nullable and not _is_keyish(f.name)]
+        rotated = [f.name for f in t.schema
+                   if pa.types.is_string(f.type) and not _is_keyish(f.name)]
         print(
             f"  {name}: empty=0 rows, dup={dup.num_rows} rows, "
             f"nullpay={t.num_rows} rows ({len(nulled)} cols nulled), "
-            f"dupnull={dup.num_rows} rows"
+            f"dupnull={dup.num_rows} rows, "
+            f"unistr={t.num_rows} rows ({len(rotated)} text cols rotated)"
         )
 
 
@@ -97,7 +141,7 @@ def main() -> int:
     args = ap.parse_args()
     generate(args.src, args.out, args.dup_rows)
     print(
-        f"wrote {args.out}/{{empty,dup,nullpay,dupnull}} "
+        f"wrote {args.out}/{{empty,dup,nullpay,dupnull,unistr}} "
         f"({args.dup_rows} rows per dup variant)"
     )
     return 0
