@@ -938,7 +938,19 @@ def decode_audio(payload: bytes) -> dict:
     oracle="""
         SELECT doc_id,
                CAST(OCTET_LENGTH(ENCODE(text)) AS INT) AS n_bytes,
-               CAST(ASCII(SUBSTRING(text, 1, 1)) AS INT) AS first_byte,
+               -- first UTF-8 BYTE, not first codepoint: the Python side
+               -- reads raw payload bytes, so a multibyte first char must
+               -- render its UTF-8 lead byte (closed-form from the
+               -- codepoint; found by the unistr hazard fixture)
+               CAST(CASE WHEN text IS NULL OR LENGTH(text) = 0 THEN NULL
+                         WHEN UNICODE(SUBSTRING(text, 1, 1)) < 128
+                         THEN UNICODE(SUBSTRING(text, 1, 1))
+                         WHEN UNICODE(SUBSTRING(text, 1, 1)) < 2048
+                         THEN 192 + UNICODE(SUBSTRING(text, 1, 1)) // 64
+                         WHEN UNICODE(SUBSTRING(text, 1, 1)) < 65536
+                         THEN 224 + UNICODE(SUBSTRING(text, 1, 1)) // 4096
+                         ELSE 240 + UNICODE(SUBSTRING(text, 1, 1)) // 262144
+                    END AS INT) AS first_byte,
                CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS INT) AS n_spaces
         FROM documents
     """,
@@ -1245,10 +1257,22 @@ def llm_sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
     "mm_image_resize",
     oracle="""
         WITH dims AS (
+            -- geometry is undefined for an empty payload (both sides NULL
+            -- the whole row); first byte is the UTF-8 LEAD byte, matching
+            -- the Python side's raw b[0] (unistr hazard fixture)
             SELECT doc_id,
-                   CAST(64 + OCTET_LENGTH(ENCODE(text)) % 960 AS INT) AS src_w,
-                   CAST(64 + (ASCII(SUBSTRING(text, 1, 1)) * 7) % 960 AS INT)
-                       AS src_h
+                   CASE WHEN text IS NULL OR LENGTH(text) = 0 THEN NULL
+                        ELSE CAST(64 + OCTET_LENGTH(ENCODE(text)) % 960 AS INT)
+                   END AS src_w,
+                   CAST(64 + ((CASE WHEN text IS NULL OR LENGTH(text) = 0 THEN NULL
+                         WHEN UNICODE(SUBSTRING(text, 1, 1)) < 128
+                         THEN UNICODE(SUBSTRING(text, 1, 1))
+                         WHEN UNICODE(SUBSTRING(text, 1, 1)) < 2048
+                         THEN 192 + UNICODE(SUBSTRING(text, 1, 1)) // 64
+                         WHEN UNICODE(SUBSTRING(text, 1, 1)) < 65536
+                         THEN 224 + UNICODE(SUBSTRING(text, 1, 1)) // 4096
+                         ELSE 240 + UNICODE(SUBSTRING(text, 1, 1)) // 262144
+                    END) * 7) % 960 AS INT) AS src_h
             FROM documents
         )
         SELECT doc_id, src_w, src_h,
@@ -1282,8 +1306,10 @@ def mm_image_resize(spark: SparkSession, sf: str) -> DataFrame:
             payloads = pdf["payload"]
             # nullable Int32/Int64: NULL payload -> NULL geometry row,
             # matching the oracle's NULL-propagating dims
+            # empty payload: no geometry — whole row NULLs (matches the
+            # oracle's LENGTH(text) = 0 gate)
             lens = payloads.map(
-                lambda b: len(b) if b is not None else None
+                lambda b: len(b) if b is not None and len(b) else None
             ).astype("Int32")
             first = payloads.map(
                 lambda b: b[0] if b is not None and len(b) else None
@@ -3010,7 +3036,11 @@ def llm_bpe_merge_step(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
         WITH raw AS (
             SELECT doc_id,
-                   'HTTPS://' || UPPER(source) || '.Example.COM/' || lang
+                   -- ß pre-expansion: Spark's upper->lower round-trip
+                   -- turns 'ß' into 'ss' (Java one-to-many uppercase);
+                   -- utf8proc's 'ẞ' lowers back to 'ß'
+                   'HTTPS://' || UPPER(REPLACE(source, 'ß', 'ss'))
+                       || '.Example.COM/' || lang
                        || '/doc-' || CAST(doc_id % 50 AS VARCHAR)
                        || CASE CAST(doc_id % 3 AS INT)
                               WHEN 0 THEN '?utm_source=feed&utm_campaign=x'

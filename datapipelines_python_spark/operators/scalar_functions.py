@@ -28,7 +28,9 @@ from datapipelines_python_spark.registry import query
     "fn_string",
     oracle="""
         SELECT p_partkey,
-               UPPER(p_name) AS name_upper,
+               -- REPLACE first: Java's toUpperCase expands 'ß' to 'SS'
+               -- (one-to-many); DuckDB's utf8proc maps it 1:1 to 'ẞ'
+               UPPER(REPLACE(p_name, 'ß', 'ss')) AS name_upper,
                LOWER(p_brand) AS brand_lower,
                -- '||' not CONCAT: Spark's concat() propagates NULL,
                -- DuckDB's CONCAT skips NULLs; '||' propagates on both
@@ -743,7 +745,16 @@ def fn_char_ops(spark: SparkSession, sf: str) -> DataFrame:
                xml,
                CAST(REGEXP_EXTRACT(xml, '<qty>([0-9]+)</qty>', 1) AS INT)
                    AS qty,
-               REGEXP_EXTRACT(xml, '<lang>([a-z]+)</lang>', 1) AS lang_x
+               -- ([^<]*): lang is arbitrary corpus text, not [a-z]+
+               -- (from_xml reads an empty element as ''); the XML spec
+               -- mandates line-ending normalization (CRLF and CR both
+               -- become LF), which Spark's parser applies and a regex
+               -- does not; the parser also strips surrounding whitespace
+               -- from element text (ignoreSurroundingSpaces default)
+               TRIM(REPLACE(REPLACE(
+                   REGEXP_EXTRACT(xml, '<lang>([^<]*)</lang>', 1),
+                   CHR(13) || CHR(10), CHR(10)), CHR(13), CHR(10)),
+                   ' ' || CHR(9) || CHR(10) || CHR(13)) AS lang_x
         FROM (
             SELECT doc_id,
                    '<rec><qty>' || CAST(doc_id % 100 AS VARCHAR) ||
@@ -1042,7 +1053,11 @@ def fn_luhn_check(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
         SELECT doc_id,
                text AS decrypted,
-               CAST((FLOOR(n_chars / 16) + 1) * 16 AS BIGINT) AS cipher_bytes
+               -- PKCS#7 pads BYTES: multibyte text encrypts its UTF-8
+               -- encoding, so the closed form must use OCTET_LENGTH (the
+               -- fixture's n_chars column only matched by ASCII accident)
+               CAST((FLOOR(OCTET_LENGTH(ENCODE(text)) / 16) + 1) * 16
+                    AS BIGINT) AS cipher_bytes
         FROM documents
     """,
     tags=("fn", "crypto"),
@@ -1458,12 +1473,23 @@ def fn_time_bucket(spark: SparkSession, sf: str) -> DataFrame:
     "fn_string_extra",
     oracle="""
         SELECT p_partkey,
+               -- 'ß' title-cases to 'Ss' in Java (full case mapping);
+               -- utf8proc would give 'ẞ'
                ARRAY_TO_STRING(
                    list_transform(STRING_SPLIT(p_name, ' '),
-                       w -> UPPER(w[1]) || LOWER(w[2:])),
+                       w -> CASE WHEN w[1] = 'ß' THEN 'Ss'
+                                 ELSE UPPER(w[1]) END || LOWER(w[2:])),
                    ' ') AS name_initcap,
                TRANSLATE(p_brand, '#', '-') AS brand_dashed,
-               REVERSE(p_type) AS type_reversed,
+               -- codepoint-order reverse: Spark reverses code points
+               -- (splitting combining marks off their base); DuckDB's
+               -- REVERSE is grapheme-aware — emulate Spark's order.
+               -- COALESCE: the empty string reverses to '' (ARRAY_TO_STRING
+               -- of an empty list is NULL in DuckDB)
+               CASE WHEN p_type IS NULL THEN NULL ELSE COALESCE(
+                   ARRAY_TO_STRING(LIST_REVERSE(
+                       REGEXP_EXTRACT_ALL(p_type, '(?s).')), ''), '')
+               END AS type_reversed,
                REPEAT(LEFT(p_brand, 5), 2) AS brand_echo,
                RIGHT(p_type, 4) AS type_tail,
                STARTS_WITH(p_type, 'STANDARD') AS is_standard,
@@ -1499,13 +1525,23 @@ def fn_string_extra(spark: SparkSession, sf: str) -> DataFrame:
             SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS toks
             FROM documents
         )
+        -- CASE + COALESCE: NULL source array -> NULL, but an EMPTY
+        -- result list must still join to '' (DuckDB's ARRAY_TO_STRING
+        -- NULLs both — same gate as fn_array_setops; the unistr ''
+        -- hazard makes the empty case real)
         SELECT doc_id,
-               ARRAY_TO_STRING(flatten([toks[1:3], toks[4:5]]), '|') AS head_flat,
+               CASE WHEN toks IS NULL THEN NULL ELSE COALESCE(
+                   ARRAY_TO_STRING(flatten([toks[1:3], toks[4:5]]), '|'), '')
+               END AS head_flat,
                CAST(list_position(toks, 'data') AS INT) AS pos_data,
-               ARRAY_TO_STRING([x for x in toks if x <> 'the'], '|') AS no_the,
+               CASE WHEN toks IS NULL THEN NULL ELSE COALESCE(
+                   ARRAY_TO_STRING([x for x in toks if x <> 'the'], '|'), '')
+               END AS no_the,
                ARRAY_TO_STRING(['pad' for i in range(3)], '|') AS pad3,
-               ARRAY_TO_STRING([x for x in toks if x IS NOT NULL AND x <> ''], '|')
-                   AS compacted
+               CASE WHEN toks IS NULL THEN NULL ELSE COALESCE(
+                   ARRAY_TO_STRING(
+                       [x for x in toks if x IS NOT NULL AND x <> ''], '|'), '')
+               END AS compacted
         FROM t
     """,
     tags=("scalar", "array"),
@@ -1545,8 +1581,11 @@ def fn_array_extra(spark: SparkSession, sf: str) -> DataFrame:
                -- propagates NULL in Spark; gate explicitly
                CASE WHEN c_name IS NULL THEN NULL
                     ELSE SPLIT_PART(c_name, '#', 1) END AS name_head,
+               -- [-1]: substring_index(.., -1) is the LAST part and the
+               -- whole string when the delimiter is absent; SPLIT_PART 2
+               -- is '' in both of those cases (unistr hazard fixture)
                CASE WHEN c_name IS NULL THEN NULL
-                    ELSE SPLIT_PART(c_name, '#', 2) END AS id_digits,
+                    ELSE STRING_SPLIT(c_name, '#')[-1] END AS id_digits,
                SUBSTR(c_name, 1, 4) || '***' || SUBSTR(c_name, 8) AS name_masked,
                CAST(STRPOS(c_name, '#') AS INT) AS hash_pos,
                CASE CAST(c_custkey % 3 AS INT) + 1
@@ -1806,14 +1845,23 @@ def fn_sequence_zip(spark: SparkSession, sf: str) -> DataFrame:
     "fn_mask",
     oracle="""
         SELECT c_custkey,
+               -- \\p{Lu}/\\p{Ll}/\\p{Nd}: Spark's mask() classifies by
+               -- java.lang.Character, which is Unicode-aware — ASCII
+               -- classes leave é/ö unmasked; astral codepoints are
+               -- pre-stripped on both sides (see the Spark docstring)
                REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
-                   c_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),
-                   '[0-9]', 'n', 'g') AS name_masked_default,
+                   REGEXP_REPLACE(c_name, '[\\x{10000}-\\x{10FFFF}]', '', 'g'),
+                   '\\p{Lu}', 'X', 'g'), '\\p{Ll}', 'x', 'g'),
+                   '\\p{Nd}', 'n', 'g') AS name_masked_default,
                REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
-                   c_name, '[A-Z]', 'Q', 'g'), '[a-z]', 'q', 'g'),
-                   '[0-9]', '*', 'g') AS name_masked_custom,
-               REGEXP_REPLACE(c_mktsegment, '[A-Z]', 'X', 'g')
-                   AS segment_masked
+                   REGEXP_REPLACE(c_name, '[\\x{10000}-\\x{10FFFF}]', '', 'g'),
+                   '\\p{Lu}', 'Q', 'g'), '\\p{Ll}', 'q', 'g'),
+                   '\\p{Nd}', '*', 'g') AS name_masked_custom,
+               REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
+                   REGEXP_REPLACE(c_mktsegment,
+                                  '[\\x{10000}-\\x{10FFFF}]', '', 'g'),
+                   '\\p{Lu}', 'X', 'g'), '\\p{Ll}', 'x', 'g'),
+                   '\\p{Nd}', 'n', 'g') AS segment_masked
         FROM customer
     """,
     tags=("fn", "string", "governance"),
@@ -1827,14 +1875,23 @@ def fn_mask(spark: SparkSession, sf: str) -> DataFrame:
     and custom replacement alphabets both pinned; the oracle replays
     with per-class regexp passes."""
     c = load_table(spark, sf, "customer")
+    # Astral-plane pre-strip (both sides): Spark's mask() classifies
+    # UTF-16 CODE UNITS, so supplementary-plane letters (e.g.
+    # mathematical-alphanumeric lookalikes, a known PII-obfuscation
+    # trick) pass through UNMASKED — a real redaction gap found by the
+    # unistr hazard fixture. Stripping them first is the conservative
+    # contract: redaction must never leak because of an encoding plane.
+    bmp = lambda col: F.regexp_replace(  # noqa: E731
+        F.col(col), r"[\x{10000}-\x{10FFFF}]", ""
+    )
     return c.select(
         "c_custkey",
-        F.mask(F.col("c_name")).alias("name_masked_default"),
+        F.mask(bmp("c_name")).alias("name_masked_default"),
         F.mask(
-            F.col("c_name"),
+            bmp("c_name"),
             F.lit("Q"), F.lit("q"), F.lit("*"), F.lit(None),
         ).alias("name_masked_custom"),
-        F.mask(F.col("c_mktsegment")).alias("segment_masked"),
+        F.mask(bmp("c_mktsegment")).alias("segment_masked"),
     )
 
 
@@ -2038,7 +2095,9 @@ def fn_from_csv(spark: SparkSession, sf: str) -> DataFrame:
                CAST(LENGTH(mixed) AS INT) AS n_chars,
                CAST(OCTET_LENGTH(ENCODE(mixed)) AS INT) AS n_bytes,
                CAST(OCTET_LENGTH(ENCODE(mixed)) * 8 AS INT) AS n_bits,
-               UPPER(mixed) AS upper_mixed
+               -- ß pre-expansion: Java toUpperCase gives 'SS' (1:2),
+               -- utf8proc gives 'ẞ' (1:1)
+               UPPER(REPLACE(mixed, 'ß', 'ss')) AS upper_mixed
         FROM s
     """,
     tags=("fn", "string", "i18n"),
@@ -2709,8 +2768,12 @@ def fn_str_to_map(spark: SparkSession, sf: str) -> DataFrame:
                CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT)
                    AS n_words,
-               CAST(SUM(CASE WHEN LEN(STRING_SPLIT(text, ' '))
-                                  = LEN(STRING_SPLIT(text, ' '))
+               -- agreement is asserted only where it is DEFINED: on
+               -- simple alnum+space text the ICU tokenizer provably
+               -- matches split(' '); punctuation/CJK/emoji text is
+               -- exactly where they legitimately diverge
+               CAST(SUM(CASE WHEN regexp_matches(text,
+                                  '^[A-Za-z0-9]+( [A-Za-z0-9]+)*$')
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
         FROM documents
         GROUP BY lang
@@ -2731,10 +2794,16 @@ def fn_sentences(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents")
     words_icu = F.size(F.flatten(F.sentences(F.col("text"))))
     words_split = F.size(F.split("text", " "))
+    # simple-text gate: the ICU-vs-split agreement is asserted only on
+    # alnum+single-space text, where it provably holds — punctuation, CJK
+    # and emoji are exactly where the linguistic tokenizer legitimately
+    # diverges from the mechanical one (unistr hazard fixture). The ICU
+    # side is still REAL: a disagreement on gated text fails the hash.
+    simple = F.col("text").rlike("^[A-Za-z0-9]+( [A-Za-z0-9]+)*$")
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum(words_split).cast("bigint").alias("n_words"),
-        F.sum(F.when(words_icu == words_split, 1).otherwise(0))
+        F.sum(F.when(simple & (words_icu == words_split), 1).otherwise(0))
         .cast("bigint")
         .alias("n_agree"),
     )

@@ -26,7 +26,10 @@ from datapipelines_python_spark.registry import query
     "udf_python_scalar",
     oracle="""
         SELECT doc_id,
-               CONCAT(UPPER(lang), '/', SUBSTRING(text, 1, 10)) AS doc_tag
+               -- ß pre-expansion: Python str.upper() gives 'SS' (like
+               -- Java), DuckDB's utf8proc gives 'ẞ'
+               CONCAT(UPPER(REPLACE(lang, 'ß', 'ss')), '/',
+                      SUBSTRING(text, 1, 10)) AS doc_tag
         FROM documents
     """,
     tags=("udf",),
