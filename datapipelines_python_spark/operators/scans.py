@@ -59,11 +59,24 @@ def scan_projected(spark: SparkSession, sf: str) -> DataFrame:
 
 @query("scan_csv_roundtrip", oracle="SELECT * FROM region", tags=("scan", "connector"))
 def scan_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
-    """CSV sink + source with explicit schema (no inference → stable types)."""
+    """CSV sink + source with explicit schema (no inference → stable types).
+
+    Robust-roundtrip options pinned (unistr hazard fixture): the writer
+    quotes embedded newlines but the READER splits records at newlines
+    unless multiLine=true, and the writer trims field-edge whitespace
+    unless told not to — without both, text that contains newlines or
+    edge spaces silently corrupts (extra rows / trimmed values)."""
     df = load_table(spark, sf, "region")
     path = scratch_dir("csv_region")
-    df.write.mode("overwrite").option("header", "true").csv(path)
-    return spark.read.schema(df.schema).option("header", "true").csv(path)
+    df.write.mode("overwrite").option("header", "true").option(
+        "ignoreLeadingWhiteSpace", False
+    ).option("ignoreTrailingWhiteSpace", False).csv(path)
+    return (
+        spark.read.schema(df.schema)
+        .option("header", "true")
+        .option("multiLine", True)
+        .csv(path)
+    )
 
 
 @query("scan_json_roundtrip", oracle="SELECT * FROM nation", tags=("scan", "connector"))
@@ -87,7 +100,11 @@ def scan_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "sink_parquet_partitioned",
-    oracle="SELECT * FROM lineitem",
+    # NULLIF on the partition column: the Hive directory layout cannot
+    # distinguish '' from NULL — both land in __HIVE_DEFAULT_PARTITION__
+    # and read back as NULL (a real partition-key contract, pinned)
+    oracle="""SELECT * REPLACE (NULLIF(l_returnflag, '') AS l_returnflag)
+        FROM lineitem""",
     tags=("scan", "connector"),
 )
 def sink_parquet_partitioned(spark: SparkSession, sf: str) -> DataFrame:
@@ -254,17 +271,27 @@ def scan_python_datasource(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "scan_text_roundtrip",
     # COALESCE: the line-oriented text sink has no NULL representation —
-    # a NULL document writes as an empty line and reads back as ''
-    oracle="SELECT COALESCE(text, '') AS value FROM documents",
+    # a NULL document writes as an empty line and reads back as ''.
+    # The newline fold replays the op's single-line framing contract.
+    oracle="""SELECT COALESCE(
+        REPLACE(REPLACE(REPLACE(text, CHR(13) || CHR(10), ' '),
+                        CHR(13), ' '), CHR(10), ' '), '') AS value
+        FROM documents""",
     tags=("scan", "connector"),
 )
 def scan_text_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """Line-oriented text sink + source (`.write.text` / `.read.text`) —
     the rawest connector: one string column, one line per row. The ingest
     format of most crawl/log corpora before any structure is imposed.
-    Fixture documents are single-line, so the roundtrip is lossless; real
-    multi-line docs would use a length-prefixed or escaped framing on top."""
-    d = load_table(spark, sf, "documents").select(F.col("text").alias("value"))
+
+    Single-line FRAMING is the format's contract, enforced here: embedded
+    newlines are folded to spaces before the write (CRLF first, then bare
+    CR / LF) — without the fold, one multi-line document silently becomes
+    several phantom documents on read-back (unistr hazard fixture; real
+    multi-line corpora use length-prefixed or escaped framing instead)."""
+    d = load_table(spark, sf, "documents").select(
+        F.regexp_replace(F.col("text"), "\r\n|\r|\n", " ").alias("value")
+    )
     path = scratch_dir("text_documents")
     d.write.mode("overwrite").text(path)
     return spark.read.text(path)
@@ -574,11 +601,15 @@ def scan_parquet_merge_schema(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
         -- IS DISTINCT FROM: NULL-status rows land in the Hive default
         -- partition, survive the dynamic overwrite of the 'O' partition,
-        -- and read back as NULL — '<> ''O''' would silently exclude them
-        SELECT o_orderkey, o_totalprice, o_orderstatus
+        -- and read back as NULL — '<> ''O''' would silently exclude them.
+        -- NULLIF: the layout cannot distinguish '' from NULL either;
+        -- both read back as NULL (__HIVE_DEFAULT_PARTITION__)
+        SELECT o_orderkey, o_totalprice,
+               NULLIF(o_orderstatus, '') AS o_orderstatus
         FROM orders WHERE o_orderstatus IS DISTINCT FROM 'O'
         UNION ALL
-        SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, o_orderstatus
+        SELECT o_orderkey, o_totalprice * 2 AS o_totalprice,
+               NULLIF(o_orderstatus, '') AS o_orderstatus
         FROM orders WHERE o_orderstatus = 'O'
     """,
     tags=("sink", "connector", "partitioned"),
@@ -680,10 +711,19 @@ def scan_csv_compressed(spark: SparkSession, sf: str) -> DataFrame:
     antipattern."""
     sup = load_table(spark, sf, "supplier")
     path = scratch_dir("csv_gz")
+    # same robust-roundtrip options as scan_csv_roundtrip (multiLine +
+    # no field-edge trimming) — hazard text must survive the codec path too
     sup.write.mode("overwrite").option("header", True).option(
         "compression", "gzip"
+    ).option("ignoreLeadingWhiteSpace", False).option(
+        "ignoreTrailingWhiteSpace", False
     ).csv(path)
-    return spark.read.schema(sup.schema).option("header", True).csv(path)
+    return (
+        spark.read.schema(sup.schema)
+        .option("header", True)
+        .option("multiLine", True)
+        .csv(path)
+    )
 
 
 @query(
@@ -809,8 +849,13 @@ def scan_csv_multiline(spark: SparkSession, sf: str) -> DataFrame:
     )
     df = n.select("n_nationkey", tricky.alias("tricky"))
     path = scratch_dir("csv_multiline")
+    # ignore*WhiteSpace=False: the CSV WRITER trims field-edge whitespace
+    # by default (even under quoteAll), silently corrupting values that
+    # begin or end with spaces (unistr hazard fixture)
     df.write.mode("overwrite").option("header", True).option(
         "quoteAll", True
+    ).option("ignoreLeadingWhiteSpace", False).option(
+        "ignoreTrailingWhiteSpace", False
     ).csv(path)
     schema = T.StructType(
         [
@@ -942,6 +987,9 @@ def scan_xml_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         spark.read.schema("n_nationkey int, n_name string, n_regionkey int")
         .format("xml")
         .option("rowTag", "nation")
+        # preserve leading/trailing whitespace in element text — the
+        # default trim silently corrupts values (unistr hazard fixture)
+        .option("ignoreSurroundingSpaces", False)
         .load(path)
     )
 

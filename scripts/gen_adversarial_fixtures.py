@@ -85,12 +85,22 @@ def generate(src: str, out: str, dup_rows: int) -> None:
         "한국어 텍스트 조각",
     )
 
+    # Partition-layout key columns (partitionBy targets in the scan/sink
+    # ops): hazardous but LENGTH-BOUNDED. A partition VALUE becomes a
+    # filesystem path component, and path components are capped at 255
+    # bytes on every mainstream filesystem — an unbounded-text partition
+    # key is a data-modeling error (the layout ops document it), not an
+    # engine bug the fixture should manufacture. Same principle as
+    # keeping join keys intact in the null-flood variants.
+    _PARTITION_KEY_COLS = {"l_returnflag", "o_orderstatus"}
+
     def uni_rotate(src_t: pa.Table) -> pa.Table:
         cols = []
         n = src_t.num_rows
         for field, col in zip(src_t.schema, src_t.columns):
             if pa.types.is_string(field.type) and not _is_keyish(field.name):
-                vals = [_HAZARDS[i % len(_HAZARDS)] for i in range(n)]
+                clip = 24 if field.name in _PARTITION_KEY_COLS else None
+                vals = [_HAZARDS[i % len(_HAZARDS)][:clip] for i in range(n)]
                 cols.append(pa.array(vals, type=field.type))
             else:
                 cols.append(col)

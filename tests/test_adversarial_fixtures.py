@@ -18,6 +18,10 @@ pipeline eventually meets, which the sf fixtures never exercise:
 - ``dupnull`` — dup × nullpay composed (round 5): one hot key whose
   payloads are all missing. Catches interactions the single-axis shapes
   mask (full-tie window frames over NULL order keys).
+- ``unistr`` — Unicode-hazard text rotation (round 5): the multilingual-
+  corpus shape. Catches ANSI crashes on degenerate token structures,
+  Java-vs-RE2/utf8proc semantic seams, UTF-16/UTF-8 boundary bugs, and
+  connector framing contracts.
 
 The full-registry sweeps run out-of-band (scripts/check_oracle.py against
 scripts/gen_adversarial_fixtures.py output; both recorded in SCALE.md).
@@ -132,6 +136,33 @@ DUPNULL_FIXED = [
     "udtf_table_arg",
 ]
 
+# Ops fixed in the round-5 Unicode-hazard triage (``unistr``: every text
+# payload rotated through CJK / emoji / RTL / combining marks / ß casing /
+# control whitespace / metacharacters / long blobs / empty strings — the
+# shape of a real multilingual corpus). 38 root causes across five
+# classes: ANSI crashes on degenerate token structures (descending
+# sequence(), elt(0), 0/0, CAST of text), DuckDB-json-THROWS-where-Spark-
+# NULLs, Java-vs-utf8proc case mapping (ß→SS vs ẞ), UTF-16/UTF-8 seam bugs
+# (mask() code units, byte-vs-codepoint features), and connector framing
+# contracts (CSV writer trimming, multiLine reads, text-sink newline
+# folding, Hive ''≡NULL partition values, XML whitespace).
+UNISTR_FIXED = [
+    "fn_json", "workload_medallion", "workload_twap_vwap",
+    "workload_ohlc_bars", "fn_string_parts", "fn_map_hof", "fn_url",
+    "fn_variant", "llm_bleu_pairs", "mm_block_manifest_cas",
+    "mm_augment_params", "llm_self_similarity_sample",
+    "llm_skipgram_negative_sampling", "ml_shapley_closed_form",
+    "ml_logrank_test", "workload_metric_driver_tree",
+    "workload_granger_causality", "stream_stateful_count", "fn_string",
+    "fn_string_extra", "fn_mask", "fn_string_index", "fn_sentences",
+    "fn_array_extra", "fn_multibyte_lengths", "udf_python_scalar",
+    "llm_url_canonicalize", "fn_xml", "fn_aes_roundtrip",
+    "mm_binary_features", "mm_image_resize", "scan_csv_multiline",
+    "scan_xml_roundtrip", "scan_csv_roundtrip", "scan_csv_compressed",
+    "scan_text_roundtrip", "sink_parquet_partitioned",
+    "sink_dynamic_partition_overwrite",
+]
+
 
 @pytest.fixture(scope="session")
 def adv_dirs(tmp_path_factory):
@@ -142,6 +173,7 @@ def adv_dirs(tmp_path_factory):
         "dup": os.path.join(out, "dup"),
         "nullpay": os.path.join(out, "nullpay"),
         "dupnull": os.path.join(out, "dupnull"),
+        "unistr": os.path.join(out, "unistr"),
     }
 
 
@@ -190,3 +222,10 @@ def test_skew_null_composed_sentinels(spark, adv_dirs):
     green on dupnull (single-axis fixtures provably missed this class:
     udtf_table_arg passed empty/dup/nullpay and failed only here)."""
     _run(spark, adv_dirs["dupnull"], DUPNULL_FIXED)
+
+
+def test_unicode_hazard_sentinels(spark, adv_dirs):
+    """Every op fixed in the Unicode-hazard triage stays green on the
+    unistr fixture — the multilingual-corpus shape (CJK/emoji/RTL/ß/
+    combining/control/metacharacter/blob/empty text)."""
+    _run(spark, adv_dirs["unistr"], UNISTR_FIXED)
