@@ -35,5 +35,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracle SQL per query; omitted keys get a rows-only check."""
+    """DuckDB oracle SQL per query. Omitted keys produce NO driver check
+    at all (CORRECTNESS records ``err: no_oracle`` — observed r5); as of
+    round 6 every registered operator carries an exact oracle."""
     return all_oracles()

@@ -97,14 +97,23 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 3)
 
-    families: dict[str, float] = {}
+    families: dict[str, float | None] = {}
     family_queries: dict[str, float] = {}
     for fam, members in FAMILY_BENCH.items():
+        # A drifted pinned name must fail LOUDLY as a null family wall —
+        # silently summing the remaining member reads as a speedup
+        # (ADVICE r5): with one of two members missing the wall halves.
+        missing = [n for n in members if n not in registry]
+        if missing:
+            print(
+                f"bench: FAMILY_BENCH[{fam!r}] pins unknown op(s) {missing}",
+                file=sys.stderr,
+            )
+            families[fam] = None
+            continue
         wall = 0.0
         for name in members:
-            spec = registry.get(name)
-            if spec is None:  # pinned name drifted — visible as a 0 family
-                continue
+            spec = registry[name]
             consume(spec.fn(spark, sf_dir))  # warm: codegen/JIT
             best = float("inf")
             for _ in range(2):

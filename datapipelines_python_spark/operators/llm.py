@@ -337,13 +337,14 @@ def llm_text_tokenize(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "llm_text_stats",
-    oracle=f"""
+    oracle="""
         SELECT lang,
                COUNT(*) AS n_docs,
-               {sql_round4(sql_davg('CAST(n_chars AS DOUBLE)'))} AS avg_chars,
+               CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars,
                MIN(n_chars) AS min_chars,
                MAX(n_chars) AS max_chars,
-               SUM(CASE WHEN n_chars = LENGTH(text) THEN 1 ELSE 0 END) AS n_valid
+               CAST(SUM(CASE WHEN n_chars = LENGTH(text) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_valid
         FROM documents
         GROUP BY lang
     """,
@@ -351,11 +352,16 @@ def llm_text_tokenize(spark: SparkSession, sf: str) -> DataFrame:
 )
 def llm_text_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Per-language doc stats, including the n_chars == length(text)
-    integrity check the fixture encodes."""
+    integrity check the fixture encodes. The mean is carried as the exact
+    integer pair (sum_chars, n_docs) rather than a raw double: r5's
+    driver run hash-mismatched a floor-gridded double average while the
+    same values were digest-certified green in the same session — raw
+    doubles through a per-op value hasher are a last-ulp hazard, exact
+    BIGINTs are not (VERDICT r5 #2)."""
     d = load_table(spark, sf, "documents")
     return d.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
-        round4(davg(F.col("n_chars").cast("double"))).alias("avg_chars"),
+        F.sum(F.col("n_chars").cast("bigint")).cast("bigint").alias("sum_chars"),
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
         F.sum(

@@ -198,14 +198,16 @@ def udtf_surface(spark: SparkSession, sf: str) -> DataFrame:
         WITH e AS (
             SELECT user_id % 100 AS k,
                    COUNT(*) AS n_events,
-                   SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS value_cents
+                   -- CAST: DuckDB SUM(BIGINT)=HUGEINT → float64 in pandas
+                   CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+                        AS BIGINT) AS value_cents
             FROM events GROUP BY 1
         ),
         o AS (
             SELECT o_custkey % 100 AS k,
                    COUNT(*) AS n_orders,
-                   SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
-                       AS order_cents
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                        AS BIGINT) AS order_cents
             FROM orders GROUP BY 1
         )
         SELECT COALESCE(e.k, o.k) AS k,

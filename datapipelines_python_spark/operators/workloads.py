@@ -6761,7 +6761,10 @@ def workload_medallion(spark: SparkSession, sf: str) -> DataFrame:
         SELECT g.user_id,
                CAST(g.grant_seq AS BIGINT) AS grant_seq,
                CAST(c.cons_seq AS BIGINT) AS cons_seq,
-               LEAST(g.hi, c.hi) - GREATEST(g.lo, c.lo) AS matched_cents
+               -- CAST: the SUM() OVER running totals are HUGEINT in DuckDB,
+               -- so their difference is too → float64 via pandas fetchdf()
+               CAST(LEAST(g.hi, c.hi) - GREATEST(g.lo, c.lo) AS BIGINT)
+                   AS matched_cents
         FROM g JOIN c
           ON g.user_id = c.user_id AND g.lo < c.hi AND c.lo < g.hi
     """,

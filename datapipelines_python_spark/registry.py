@@ -21,18 +21,21 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # CORRECTNESS check covers the FIRST 50 registered names only. Rounds 1–2
 # spent that slice on scans/filters/joins; round 3 on the agg/window/setop/
 # fn/UDF/LLM/streaming headliners + ANN twins; round 4 on the join/agg/
-# window long tail (all green, CORRECTNESS_r01–r04). Round 5 compresses
-# the remaining evidence gap (VERDICT r4 #2): 16 digest_<family> ops, each
-# hash-certifying ~28–44 never-driver-checked sibling operators at once
-# (see operators/digests.py), plus every §2B base op with no driver
-# history, the remaining streaming ops, the four rows-only sketch
-# aggregates, and the four new ANN twins (VERDICT r4 #3). After every
-# module loads, _ensure_loaded reorders the registry so these names come
-# first; everything else keeps its original registration order behind
-# them. tests/test_registry.py pins the slice; scripts/next_rotation.py
-# proposed the fill from CORRECTNESS_r*.json history.
+# window long tail; round 5 on 16 family digests + the §2B base/streaming
+# long tail (42/50 green — the 8 non-green adjudicated in VERDICT r5).
+# Round 6 (VERDICT r5 "Next round" #8): the 17 digests (now including
+# digest_stream — membership regenerated, 468 ops re-certified every
+# round), the 3 fixed r5 reds (root cause: DuckDB HUGEINT→float64 through
+# the driver's pandas fetchdf — see scripts/driver_hash_parity.py), the 5
+# sketch aggregates rewritten with exact-oracle tolerance decisions, the 7
+# ANN twins never individually checked, and 18 double-bearing digest-only
+# ops (digest certification of doubles is grid-exact, weaker than an
+# individual driver hash — ADVICE r5) spread across tpch/fn/graph/llm/ml/
+# workload/sql. After every module loads, _ensure_loaded reorders the
+# registry so these names come first; everything else keeps its original
+# registration order behind them. tests/test_registry.py pins the slice.
 DRIVER_SLICE: tuple[str, ...] = (
-    # family digests — 451 never-driver-green ops certified in 16 rows
+    # family digests — 468 ops value-certified in 17 rows, every round
     "digest_fn_1",
     "digest_fn_2",
     "digest_graph",
@@ -45,49 +48,50 @@ DRIVER_SLICE: tuple[str, ...] = (
     "digest_ml_3",
     "digest_mm",
     "digest_sql",
+    "digest_stream",
     "digest_tpch",
     "digest_workload_1",
     "digest_workload_2",
     "digest_workload_3",
-    # §2B base ops with no driver-green history (VERDICT r4 #2)
-    "fn_struct",
-    "fn_hash",
-    "fn_conditional",
-    "udtf_surface",
-    "stream_sliding_agg",
-    "stream_watermark_late",
+    # the three r5 driver-reds, fixed (max_by finalization; ts-ordered
+    # split-invariant staging; HUGEINT oracle casts; integer-sum schema)
     "stream_stateful_count",
-    "stream_foreach_sink",
-    "llm_embed_stats",
-    "llm_text_tokenize",
-    "llm_text_stats",
-    "llm_ngrams",
-    "llm_lang_distribution",
-    "llm_multimodal_join",
-    "agg_approx_distinct",  # rows-only by design (HLL)
-    # remaining never-checked streaming ops (excluded from digests: each
-    # call executes a real streaming query)
-    "stream_static_join",
-    "stream_stream_join",
-    "stream_session_dynamic_gap",
-    "stream_append_mode_windows",
-    "stream_dedup_within_watermark",
     "stream_chained_window_aggs",
-    "stream_stream_left_outer",
-    "stream_stream_full_outer",
-    "stream_join_then_window",
-    "stream_union_sources",
-    "stream_tumbling_topk",
-    # rows-only sketch aggregates (semantics pinned tests/test_hll_sketch.py)
+    "llm_text_stats",
+    # sketch aggregates, rewritten as exact-oracle tolerance decisions
+    "agg_approx_distinct",
     "agg_approx_percentile",
     "agg_hll_sketch",
     "agg_kll_sketch",
     "agg_theta_sketch",
-    # ANN twins registered this round (VERDICT r4 #3)
-    "ml_knn_classifier_ann",
-    "ml_lof_outliers_ann",
-    "llm_hubness_ann",
-    "graph_local_clustering_ann",
+    # ANN twins with no individual driver row yet (digest-certified r5)
+    "graph_assortativity_ann",
+    "graph_degree_distribution_ann",
+    "graph_kcore_ann",
+    "graph_khop_reach_ann",
+    "graph_link_prediction_ann",
+    "graph_modularity_ann",
+    "ml_oversample_interpolate_ann",
+    # double-bearing ops with digest-only evidence: individual raw-double
+    # hash rows are strictly stronger than the digest's floor-grid
+    "tpch_q3_shipping_priority",
+    "tpch_q6_revenue_forecast",
+    "tpch_q9_product_type_profit",
+    "tpch_q18_large_volume_customer",
+    "fn_trig",
+    "fn_haversine",
+    "graph_pagerank",
+    "graph_bipartite_projection",
+    "llm_bm25",
+    "llm_dedup_minhash_lsh",
+    "llm_quality_gopher",
+    "llm_perplexity_filter",
+    "ml_auc_roc",
+    "ml_kmeans_lloyd",
+    "workload_anomaly_zscore",
+    "workload_gini",
+    "sql_group_by_all",
+    "sql_pivot_unpivot_clause",
 )
 
 # Modules that register operators on import.

@@ -7,13 +7,18 @@ unverified operators end to end. Excluded by design:
 
 - rows-only ops (no oracle: nothing to compose),
 - non-canonicalized diag probes,
-- ``stream_*`` ops (each call executes a real streaming query; a digest
-  bundling 15 of them would be the slowest op in the registry — the four
-  never-checked streaming base ops ride the driver slice individually
-  instead, and the rest rotate as singles),
 - ops whose canonical output schema contains a kind the fingerprint
   cannot render portably (none today; the generator hard-fails so a new
   one can't slip in silently).
+
+``stream_*`` ops get their own ``digest_stream`` family with a DIFFERENT
+membership rule (VERDICT r5 missing #1): ALL registered streaming ops,
+including driver-green ones — streaming emission is environment-
+sensitive (micro-batch splits), so the family re-earns value
+certification every round rather than relying on a past green under a
+possibly different batching. It is the slowest digest (each member runs
+a real streaming query, ~60–90 s total at sf0.01) — an accepted
+evidence-only cost, cf. digest_graph.
 
 For every member the script records the canonical output columns sorted
 by name with their digest kinds — the shared render order — then chunks
@@ -74,6 +79,8 @@ def driver_green_names(rows_only: set[str]) -> set[str]:
 
 def family_of(name: str) -> str:
     p = name.split("_")[0]
+    if p == "stream":
+        return "stream"
     if p in _BIG:
         return p
     return _MERGE.get(p, "misc")
@@ -96,8 +103,22 @@ def main() -> int:
         and not n.startswith(("digest_", "diag_probe_", "stream_"))
         and n not in green
     ]
+    # stream family: ALL streaming ops, green or not (emission is
+    # micro-batch-split-sensitive; re-certify values every round).
+    # stream_transform_with_state is protobuf-gated: only registered where
+    # the package exists, so it is naturally absent from membership when
+    # generated in this container — and must stay out even if present,
+    # or the pinned snapshot would crash environments without protobuf.
+    members += [
+        n
+        for n, s in reg.items()
+        if n.startswith("stream_")
+        and s.oracle is not None
+        and s.canonicalized
+        and n != "stream_transform_with_state"
+    ]
     members.sort()
-    print(f"{len(members)} never-driver-green exact-oracle ops to digest")
+    print(f"{len(members)} exact-oracle ops to digest")
 
     spark = get_spark("digest-snapshot")
     cols: dict[str, tuple] = {}
