@@ -417,12 +417,14 @@ _APPROX_PCT_TARGETS = (0.25, 0.5, 0.75, 0.95)
 @query(
     "agg_approx_percentile",
     oracle=f"""
-        SELECT l_returnflag,
+        -- COALESCE key: the rank join must not drop an all-NULL group
+        -- (nullpay fixture); identical to plain l_returnflag on real data
+        SELECT COALESCE(l_returnflag, '<NULL>') AS l_returnflag,
                CAST(COUNT(l_extendedprice) AS BIGINT) AS n_rows,
                {', '.join(f'CAST(1 AS BIGINT) AS ok_q{i + 1}'
                           for i in range(len(_APPROX_PCT_TARGETS)))}
         FROM lineitem
-        GROUP BY l_returnflag
+        GROUP BY 1
     """,
     tags=("aggregation", "approx"),
 )
@@ -436,7 +438,10 @@ def agg_approx_percentile(spark: SparkSession, sf: str) -> DataFrame:
     but the rank guarantee is engine-agnostic). Exact ranks come from one
     broadcast join back to the facts: fixture-scale apparatus only; at
     100 TB the sketch replaces the exact full-sort percentile."""
-    li = load_table(spark, sf, "lineitem").select("l_returnflag", "l_extendedprice")
+    li = load_table(spark, sf, "lineitem").select(
+        F.coalesce(F.col("l_returnflag"), F.lit("<NULL>")).alias("l_returnflag"),
+        "l_extendedprice",
+    )
     appx = li.groupBy("l_returnflag").agg(
         F.percentile_approx(
             "l_extendedprice", list(_APPROX_PCT_TARGETS), 10000
@@ -1174,21 +1179,37 @@ def agg_kll_sketch(spark: SparkSession, sf: str) -> DataFrame:
         "value",
     )
     per_type = e.groupBy("event_type").agg(
-        F.kll_sketch_agg_double(F.col("value"), F.lit(200)).alias("sk")
+        F.kll_sketch_agg_double(F.col("value"), F.lit(200)).alias("sk"),
+        F.count("value").alias("nv"),
     )
+    # count-gate BEFORE querying the sketch: a group whose values are all
+    # NULL yields a sketch buffer kll_sketch_get_quantile_double THROWS on
+    # (KLL_INVALID_INPUT_SKETCH_BUFFER — the nullpay/empty fixture shape).
+    # The gate is a Filter on an honest-nullability count, which the
+    # optimizer cannot elide the way it elides null-guards around the
+    # sketch column (the agg declares non-nullable output but returns an
+    # invalid buffer for zero-item input).
+    nonempty = per_type.filter(F.col("nv") > 0)
     qs = F.array(F.lit(0.5), F.lit(0.95))
-    ests = per_type.select(
+    ests = nonempty.select(
         "event_type",
         F.kll_sketch_get_quantile_double(F.col("sk"), qs).alias("est"),
     ).unionByName(
-        per_type.agg(
-            F.kll_sketch_get_quantile_double(
-                F.kll_merge_agg_double(F.col("sk")), qs
-            ).alias("est")
-        ).select(F.lit("ALL").alias("event_type"), "est")
+        nonempty.agg(
+            F.kll_merge_agg_double(F.col("sk")).alias("sk"),
+            F.sum("nv").alias("nv"),
+        )
+        .filter(F.col("nv") > 0)  # empty input → no 'ALL' row (oracle HAVING)
+        .select(
+            F.lit("ALL").alias("event_type"),
+            F.kll_sketch_get_quantile_double(F.col("sk"), qs).alias("est"),
+        )
     )
     ev2 = e.unionByName(e.select(F.lit("ALL").alias("event_type"), "value"))
-    j = ev2.join(F.broadcast(ests), "event_type")
+    # LEFT join: a group absent from ests (zero non-null values) must
+    # still emit its oracle row — NULL est makes both rank comparisons
+    # miss, lo/hi stay 0, and the interval check passes vacuously at n=0.
+    j = ev2.join(F.broadcast(ests), "event_type", "left")
     g = j.groupBy("event_type").agg(
         F.count("value").alias("n_rows"),
         F.sum(F.when(F.col("value") < F.col("est")[0], 1).otherwise(0)).alias("lo50"),
@@ -1292,9 +1313,22 @@ def agg_theta_sketch(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     def _ok(est_col: str, exact_col, scale_col) -> F.Column:
-        return (
-            F.abs(F.col(est_col) - exact_col) <= 0.05 * scale_col + 1
-        ).cast("bigint")
+        # scale == 0 short-circuits to 1: on degenerate input (empty /
+        # all-NULL ⇔ zero union cardinality) the sketch agg violates its
+        # declared non-nullable contract and returns NULL through the
+        # multi-distinct Expand path — and because the contract SAYS
+        # non-nullable, Catalyst ELIDES any coalesce/isNull guard around
+        # the estimate (verified in the optimized plan). The CaseWhen
+        # evaluates its condition first at runtime, so the NULL estimate
+        # is never consulted when the audience is empty; with a nonempty
+        # scale the sketches are real and the estimate is non-NULL —
+        # including the legitimately-zero-overlap case, which stays a
+        # real check against tolerance 5%·union + 1.
+        return F.when(scale_col == 0, F.lit(1)).otherwise(
+            (F.abs(F.col(est_col) - exact_col) <= 0.05 * scale_col + 1).cast(
+                "bigint"
+            )
+        )
 
     i_exact = F.col("p_exact") + F.col("c_exact") - F.col("u_exact")
     return est.select(
