@@ -30,6 +30,8 @@ import hashlib
 import math
 import os
 import sys
+from datetime import date as dt_date
+from datetime import datetime as dt_datetime
 
 import duckdb
 import numpy as np
@@ -59,6 +61,16 @@ def render_cell(v) -> str:
         if pd.isna(v):
             return "<NULL>"
         return v.isoformat()
+    # DATE alignment: Spark toPandas yields datetime.date objects while
+    # DuckDB fetchdf yields midnight datetime64 for the same DATE column.
+    # The real driver hashes DATE columns clean (r2 diag probe), so the
+    # harness renders a date as its midnight instant — without this, 32
+    # date-bearing ops false-FAIL while being driver-green on record.
+    if isinstance(v, dt_date) and not isinstance(v, dt_datetime):
+        return v.isoformat() + "T00:00:00"
+    if isinstance(v, dt_datetime):
+        # pd.NaT subclasses datetime — it must render as NULL, not "NaT"
+        return "<NULL>" if pd.isna(v) else v.isoformat()
     if v is pd.NaT:
         return "<NULL>"
     try:

@@ -69,3 +69,20 @@ def test_render_cell_sentinels():
     assert render_cell(np.int64(5)) == "5"
     assert render_cell(np.float64(5.0)) == "5.0"  # float 5 ≠ int 5
     assert render_cell(pd.NaT) == "<NULL>"
+
+
+def test_date_renders_as_midnight_instant():
+    """Spark toPandas yields datetime.date objects for DATE columns while
+    DuckDB fetchdf yields midnight datetime64 — the driver hashes DATE
+    clean (r2 diag probe), so the harness must align the two renderings
+    (32 date-bearing, driver-green ops false-FAILed before the fix)."""
+    import datetime
+
+    d = datetime.date(1999, 5, 7)
+    ts = pd.Timestamp("1999-05-07")
+    assert render_cell(d) == render_cell(ts) == "1999-05-07T00:00:00"
+    # true sub-day instants stay distinct from the date
+    assert render_cell(pd.Timestamp("1999-05-07 13:30:00")) != render_cell(d)
+    spark_like = pd.DataFrame({"d": [d]})  # object dtype of date
+    duck_like = pd.DataFrame({"d": [ts]})  # datetime64
+    assert frame_digest(spark_like)[0] == frame_digest(duck_like)[0]
