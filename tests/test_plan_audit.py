@@ -100,5 +100,6 @@ def test_theta_bnlj_set_is_pinned(plan_audit):
 def test_whole_registry_plans_buildable(plan_audit):
     # every registered op must at least PLAN at smoke scale
     assert plan_audit["errors"] == {}, plan_audit["errors"]
-    # 617 frozen + 11 ANN twins + 16 family digests (VERDICT r4 #2/#3)
-    assert plan_audit["n_ops"] == 644
+    # 617 frozen + 11 ANN twins + 17 family digests (16 from r5 +
+    # digest_stream, VERDICT r5 missing #1)
+    assert plan_audit["n_ops"] == 645
