@@ -183,3 +183,54 @@ def test_ann_mode_recall_measured(spark):
     n_hit = exact5.join(ann5, ["u", "v"]).count()
     recall = n_hit / n_exact
     assert 0.15 <= recall < 1.0, f"ann top-5 recall {recall:.3f} out of expected band"
+
+
+def test_blocked_numpy_fold_is_bit_exact_with_jvm(spark):
+    """_exact_pairs_blocked accumulates the similarity block one dimension
+    at a time so its IEEE addition sequence matches llm.dot's JVM fold
+    (and DuckDB's list_reduce) bit-for-bit. Pin that equivalence on real
+    fixture vectors — a future 'optimization' to a BLAS matmul would pass
+    every tolerance check while flipping round4 at grid boundaries."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from datapipelines_python_spark.operators._helpers import round4
+    from datapipelines_python_spark.operators.llm import dot
+
+    emb = (
+        load_table(spark, SF, "embeddings")
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(25)
+    )
+    rows = emb.collect()
+    M = np.array([r["embedding"] for r in rows], dtype=np.float32).astype(
+        np.float64
+    )
+    n, d = M.shape
+    sims = np.zeros((n, n))
+    for i in range(d):
+        sims += np.outer(M[:, i], M[:, i])
+    nrm = np.zeros(n)
+    for i in range(d):
+        nrm += M[:, i] * M[:, i]
+    nrm = np.sqrt(nrm)
+    c_np = np.floor(sims / np.outer(nrm, nrm) * 10000.0 + 0.5) / 10000.0
+
+    a = emb.select(F.col("vec_id").alias("u"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("v"), F.col("embedding").alias("eb"))
+    jvm = a.join(b).select(
+        "u",
+        "v",
+        dot("ea", "eb").alias("dp"),
+        round4(
+            dot("ea", "eb")
+            / (F.sqrt(dot("ea", "ea")) * F.sqrt(dot("eb", "eb")))
+        ).alias("c"),
+    )
+    idx = {r["vec_id"]: i for i, r in enumerate(rows)}
+    for r in jvm.collect():
+        i, j = idx[r["u"]], idx[r["v"]]
+        assert sims[i, j] == r["dp"], (r["u"], r["v"], sims[i, j], r["dp"])
+        assert c_np[i, j] == r["c"], (r["u"], r["v"], c_np[i, j], r["c"])
