@@ -23,17 +23,18 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # fn/UDF/LLM/streaming headliners + ANN twins; round 4 on the join/agg/
 # window long tail; round 5 on 16 family digests + the §2B base/streaming
 # long tail (42/50 green — the 8 non-green adjudicated in VERDICT r5).
-# Round 6 (VERDICT r5 "Next round" #8): the 17 digests (now including
-# digest_stream — membership regenerated, 468 ops re-certified every
-# round), the 3 fixed r5 reds (root cause: DuckDB HUGEINT→float64 through
-# the driver's pandas fetchdf — see scripts/driver_hash_parity.py), the 5
-# sketch aggregates rewritten with exact-oracle tolerance decisions, the 7
-# ANN twins never individually checked, and 18 double-bearing digest-only
-# ops (digest certification of doubles is grid-exact, weaker than an
-# individual driver hash — ADVICE r5) spread across tpch/fn/graph/llm/ml/
-# workload/sql. After every module loads, _ensure_loaded reorders the
-# registry so these names come first; everything else keeps its original
-# registration order behind them. tests/test_registry.py pins the slice.
+# Round 6 spent the slice on the 17 digests + the 3 fixed r5 reds + the 5
+# rewritten sketch aggregates + 7 ANN twins + 18 double-bearing fills
+# (50/50 green, CORRECTNESS_r06.json). Round 7 (VERDICT r6 "Next round"
+# #2): keep the 17 digests (they re-certify 468 members every round for 17
+# slots) and rotate in the next 33 double-bearing ops that have digest
+# evidence only — an individual driver hash row over raw doubles is
+# strictly stronger than the digest's floor-grid certification. The 33 are
+# round-robin across all 14 families in registry order (agg/fn/graph/llm/
+# merge/ml/mm/sample/sort/sql/tpch/udf/udaf/workload). After every module
+# loads, _ensure_loaded reorders the registry so these names come first;
+# everything else keeps its original registration order behind them.
+# tests/test_registry.py pins the slice.
 DRIVER_SLICE: tuple[str, ...] = (
     # family digests — 468 ops value-certified in 17 rows, every round
     "digest_fn_1",
@@ -53,45 +54,41 @@ DRIVER_SLICE: tuple[str, ...] = (
     "digest_workload_1",
     "digest_workload_2",
     "digest_workload_3",
-    # the three r5 driver-reds, fixed (max_by finalization; ts-ordered
-    # split-invariant staging; HUGEINT oracle casts; integer-sum schema)
-    "stream_stateful_count",
-    "stream_chained_window_aggs",
-    "llm_text_stats",
-    # sketch aggregates, rewritten as exact-oracle tolerance decisions
-    "agg_approx_distinct",
-    "agg_approx_percentile",
-    "agg_hll_sketch",
-    "agg_kll_sketch",
-    "agg_theta_sketch",
-    # ANN twins with no individual driver row yet (digest-certified r5)
-    "graph_assortativity_ann",
-    "graph_degree_distribution_ann",
-    "graph_kcore_ann",
-    "graph_khop_reach_ann",
-    "graph_link_prediction_ann",
-    "graph_modularity_ann",
-    "ml_oversample_interpolate_ann",
-    # double-bearing ops with digest-only evidence: individual raw-double
-    # hash rows are strictly stronger than the digest's floor-grid
-    "tpch_q3_shipping_priority",
-    "tpch_q6_revenue_forecast",
-    "tpch_q9_product_type_profit",
-    "tpch_q18_large_volume_customer",
-    "fn_trig",
-    "fn_haversine",
-    "graph_pagerank",
-    "graph_bipartite_projection",
-    "llm_bm25",
-    "llm_dedup_minhash_lsh",
-    "llm_quality_gopher",
-    "llm_perplexity_filter",
-    "ml_auc_roc",
-    "ml_kmeans_lloyd",
-    "workload_anomaly_zscore",
-    "workload_gini",
-    "sql_group_by_all",
-    "sql_pivot_unpivot_clause",
+    # double-bearing ops with digest-only evidence, round-robin across
+    # families (VERDICT r6 #2a): raw-double driver hash > digest grid
+    "agg_mad",
+    "fn_variant",
+    "graph_link_prediction",
+    "llm_ann_ivf",
+    "merge_upsert_emulated",
+    "ml_silhouette",
+    "mm_block_manifest_cas",
+    "sample_neyman_allocation",
+    "sort_limit_offset",
+    "sql_pipe_syntax",
+    "tpch_q5_local_supplier_volume",
+    "udaf_pandas_window",
+    "udf_map_in_arrow",
+    "workload_hypertable_rollup",
+    "fn_time_bucket",
+    "graph_assortativity",
+    "llm_pmi_collocations",
+    "ml_ranking_metrics",
+    "mm_shard_packing",
+    "sql_named_parameters",
+    "tpch_q10_returned_items",
+    "udf_pandas_struct",
+    "workload_basket_affinity",
+    "fn_generators",
+    "graph_modularity",
+    "llm_ann_recall",
+    "ml_naive_bayes_lang",
+    "mm_aspect_bucketing",
+    "sql_variables",
+    "tpch_q14_promo_effect",
+    "workload_incremental_rollup",
+    "fn_bround_conv",
+    "graph_local_clustering",
 )
 
 # Modules that register operators on import.
