@@ -1174,8 +1174,26 @@ def agg_kll_sketch(spark: SparkSession, sf: str) -> DataFrame:
     emitted as 0/1 flags the oracle pins to literal 1 alongside exact
     row counts. The 'ALL' row certifies the MERGED sketch, so a green
     row is evidence for merge correctness, not just single-level build."""
+    # Sentinel-collision guard (ADVICE r6): a REAL event_type equal to the
+    # synthetic 'ALL' global row or the '<NULL>' placeholder would merge
+    # with the synthetic row under Spark's groupBy while the oracle's
+    # UNION ALL keeps two rows — silently red. Fail loudly instead. The
+    # guard lives inside the grouping expression itself (a when-branch on
+    # the hot column), so column pruning can never elide it the way it
+    # would a projected-then-dropped assert_true column.
     e = load_table(spark, sf, "events").select(
-        F.coalesce(F.col("event_type"), F.lit("<NULL>")).alias("event_type"),
+        F.when(
+            F.col("event_type").isin("ALL", "<NULL>"),
+            F.raise_error(
+                F.concat(
+                    F.lit("agg_kll_sketch sentinel collision: real "
+                          "event_type equals reserved "),
+                    F.col("event_type"),
+                )
+            ),
+        )
+        .otherwise(F.coalesce(F.col("event_type"), F.lit("<NULL>")))
+        .alias("event_type"),
         "value",
     )
     per_type = e.groupBy("event_type").agg(

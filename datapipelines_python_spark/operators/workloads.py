@@ -4979,6 +4979,24 @@ def _exact_pairs_blocked(spark: SparkSession, emb: DataFrame) -> DataFrame:
     ⇒ zero pairs), and ordering is (c DESC [NaN greatest, NULLs last],
     v ASC) — Spark's exact window order.
 
+    KNOWN DIVERGENCES from the legacy theta join, both unreachable on the
+    project fixtures (ADVICE r6):
+    - Arrow conflates a NULL element with a float NaN on the query side,
+      so a query embedding containing a GENUINE NaN is classified invalid
+      here (NULL c, ranked last) where the theta join / DuckDB fold would
+      propagate a NaN cosine ranked FIRST under c DESC. Build-side NaN
+      embeddings still propagate NaN. FIXTURES.md's generators emit no
+      NaN embeddings (NULL elements and ragged lengths are the degenerate
+      shapes they probe), so the asymmetry is latent; pre-filtering NaN
+      at the loader seam was rejected because it would also rewrite the
+      legacy/oracle semantics this kernel is pinned against.
+    - Validity is pinned to the single modal dimension d: two ragged
+      vectors sharing a non-modal length get NULL c here but a real
+      cosine from the legacy join. FIXTURES.md fixes dim=64 for every
+      embedding fixture, so mixed-dimension corpora never arise; the
+      tie-break when two lengths share the modal count is deterministic
+      (max count, then smallest d).
+
     At 100 TB the build side no longer fits one broadcast: shard M into
     broadcast-sized column blocks and take a top-K-of-top-Ks union —
     same per-block kernel, one extra merge agg. The ANN candidate path
@@ -4997,7 +5015,12 @@ def _exact_pairs_blocked(spark: SparkSession, emb: DataFrame) -> DataFrame:
         e = r["embedding"]
         if e is not None and all(x is not None for x in e):
             d_counts[len(e)] = d_counts.get(len(e), 0) + 1
-    d = max(d_counts, key=lambda k: d_counts[k]) if d_counts else 0
+    # Deterministic tie-break (ADVICE r6): max count, then SMALLEST d —
+    # a bare max() over the dict would break ties by collect() insertion
+    # order, which can vary with partition layout across environments.
+    d = (
+        max(d_counts, key=lambda k: (d_counts[k], -k)) if d_counts else 0
+    )
 
     valid_ids, valid_rows = [], []
     invalid_ids = []
@@ -5111,7 +5134,8 @@ def _exact_pairs_blocked(spark: SparkSession, emb: DataFrame) -> DataFrame:
     # Pooled re-window over the K·n output: a no-op for unique vec_ids
     # (already ≤K per u in window order), but under duplicate ids it pools
     # the duplicates' candidate streams exactly like the legacy theta-join
-    # window did — identical output in every degenerate shape.
+    # window did — identical output on every fixture degenerate shape
+    # (NaN-element and mixed-dimension corpora diverge; see docstring).
     w = W.partitionBy("u").orderBy(F.desc("c"), F.asc("v"))
     return (
         per_row.withColumn("rn", F.row_number().over(w))

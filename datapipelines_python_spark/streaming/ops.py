@@ -85,9 +85,20 @@ def events_stream(spark: SparkSession, sf: str) -> DataFrame:
         # pid-scoped staging dir: two concurrent processes sharing one
         # .scratch must never rmtree a staged copy the other is streaming
         # from (scratch_dir wipes its target; observed as a FileIndex
-        # 'basePath not found' crash under concurrent harness runs)
+        # 'basePath not found' crash under concurrent harness runs).
+        # The dir name also hashes the FULL sf path, not just its
+        # basename (ADVICE r6): the cache keys on the full path, so two
+        # distinct roots with the same basename (e.g. /a/sf0.01 and
+        # /b/sf0.01) in one process would otherwise share a staging dir —
+        # the second rmtrees and overwrites the first's files while the
+        # first cache entry still points there, silently streaming the
+        # wrong table.
+        import hashlib
+
+        path_tag = hashlib.sha1(key[0].encode()).hexdigest()[:10]
         staged = scratch_dir(
-            f"events_staged_{os.path.basename(key[0])}_{n_files}_p{os.getpid()}"
+            f"events_staged_{os.path.basename(key[0])}_{path_tag}"
+            f"_{n_files}_p{os.getpid()}"
         )
         if n_files == 1:
             batch = batch.coalesce(1)
