@@ -234,3 +234,31 @@ def test_blocked_numpy_fold_is_bit_exact_with_jvm(spark):
         i, j = idx[r["u"]], idx[r["v"]]
         assert sims[i, j] == r["dp"], (r["u"], r["v"], sims[i, j], r["dp"])
         assert c_np[i, j] == r["c"], (r["u"], r["v"], c_np[i, j], r["c"])
+
+
+def test_build_shard_invariance(spark):
+    """VERDICT r6 #4: the broadcast-shard path (SPARK_GRAFT_KNN_BUILD_
+    SHARDS) is the executable form of the 100 TB plan — S contiguous
+    build-row blocks, one kernel pass per block, pooled re-window merges
+    the per-block top-Ks. It must be BIT-exact with the S=1 single-
+    broadcast kernel: same (u, v) membership and identical round4
+    cosines, because per-pair folds don't depend on block membership and
+    a globally-ranked row always survives its own block's top-K."""
+    os.environ.pop("SPARK_GRAFT_KNN_CANDIDATES", None)
+    base = _cosine_pairs(spark, SF)  # S=1 default
+    rows1 = sorted(
+        ((r["u"], r["v"], r["c"]) for r in base.collect()),
+        key=lambda t: (t[0], t[1]),
+    )
+    os.environ["SPARK_GRAFT_KNN_BUILD_SHARDS"] = "4"
+    try:
+        sharded = _cosine_pairs(spark, SF)
+        rows4 = sorted(
+            ((r["u"], r["v"], r["c"]) for r in sharded.collect()),
+            key=lambda t: (t[0], t[1]),
+        )
+        sharded.unpersist()
+    finally:
+        del os.environ["SPARK_GRAFT_KNN_BUILD_SHARDS"]
+    assert len(rows1) == len(rows4)
+    assert rows1 == rows4
