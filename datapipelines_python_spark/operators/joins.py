@@ -1186,6 +1186,24 @@ def join_geo_bucketed(spark: SparkSession, sf: str) -> DataFrame:
         md5_coord(F.col("c_custkey"), ":lat", 120000, 60.0).alias("lat"),
         md5_coord(F.col("c_custkey"), ":lon", 360000, 180.0).alias("lon"),
     )
+    # Materialize the derived coordinates ONCE, behind a shuffle barrier
+    # (round-7 sf1-decade finding): without it, CollapseProject inlines
+    # the md5 derivation into the argmin track's broadcast nested-loop
+    # join, so lat/lon are re-derived PER PAIR — |pts|·|stores| md5 calls
+    # instead of |pts| (at sf1: ~9e8 vs 3e5 — measured as the entire op's
+    # wall) — and the single-file customer scan gives that pair loop
+    # exactly ONE task. The key-hash shuffle (150k skinny rows, trivial)
+    # materializes the projection and fans the pair loop out to every
+    # core; at 100 TB it is the difference between a one-task quadratic
+    # straggler and an embarrassingly parallel broadcast scan. The
+    # partition count is EXPLICIT: a bare repartition(col) is a shuffle
+    # whose tiny byte size (150k skinny rows ≈ 5 MB) AQE coalesces
+    # straight back to one partition — bytes are the wrong split driver
+    # for a CPU-bound pair loop (measured at sf1: 377 s unpartitioned,
+    # 55 s AQE-coalesced, ~8 s at defaultParallelism).
+    pts = pts.repartition(
+        spark.sparkContext.defaultParallelism, F.col("c_custkey")
+    )
     stores = pts.filter(F.col("c_custkey") % 100 == 0)
 
     def hav(slat, slon, ulat, ulon):

@@ -171,6 +171,17 @@ def llm_dedup_near(spark: SparkSession, sf: str) -> DataFrame:
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
+            # A Jaccard length filter (0.7·max(|A|,|B|) ≤ min) as two
+            # extra join-condition compares was tried in round 7 and
+            # REJECTED by measurement: it prunes 47% of pair-rows at sf1
+            # (136M → 72M into the aggregate) yet DOUBLES the op's wall
+            # (A/B in one session: 24-36 s → 72 s) — evaluating a wider
+            # residual inside the hash-join's match loop costs more than
+            # letting the map-side partial hashAgg absorb the extra rows.
+            # The candidate count stays Σ DF² over shingles, intrinsic to
+            # EXACT Jaccard on a hot-shingle corpus; the sub-linear scale
+            # path is llm_dedup_minhash_lsh (2.4×/decade measured), with
+            # this op as its fixture-scale exact twin.
         )
         # 2-key groupBy with max() for the per-doc constants: grouping on
         # (doc_a, doc_b, na, nb) directly measures ~3× slower — wider keys

@@ -2633,6 +2633,19 @@ def ml_pca_power(spark: SparkSession, sf: str) -> DataFrame:
     ratio step. Deterministic with no randomized init: start vector is
     all-ones, fine unless the top component is exactly orthogonal to 1."""
     emb = load_table(spark, sf, "embeddings")
+    # Fan the d² outer-product generation out BEFORE it happens (round-7
+    # sf1-decade finding): the corpus fits one small parquet file, so the
+    # scan stage — which generates n·d² rows from n input rows — got ONE
+    # task regardless of cores (115 s at sf1, ~2 decimal-summed rows/µs
+    # on a single core). The vec_id-hash shuffle moves only the n skinny
+    # input rows (~5 MB at sf1); the 82M-row generator then runs on every
+    # core and map-side-combines to 4096 keys as before. Explicit count:
+    # AQE would coalesce a bare repartition(col) of 5 MB back to one
+    # partition — bytes are the wrong split driver for a row-generating
+    # stage. At 100 TB the scan arrives pre-split across thousands of
+    # files and this shuffle is a no-op by comparison; at fixture scale
+    # it is the difference between serial and parallel covariance.
+    emb = emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
     ex = emb.select(
         F.posexplode("embedding").alias("p", "xf")
     ).select(
@@ -13986,7 +13999,12 @@ def workload_mix_shift_decompose(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "workload_frequent_triples",
     oracle=f"""
-        WITH basket AS (
+        -- MATERIALIZED is load-bearing (round 7): inlined, DuckDB
+        -- re-plans the distinct-basket scan into each of the three
+        -- self-join arms and the composed plan runs 513 s at sf0.1;
+        -- materialized once it runs 0.8 s, value-identical. This single
+        -- member was the entire "~45-minute workload digest oracle".
+        WITH basket AS MATERIALIZED (
             SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         ),

@@ -10,6 +10,7 @@ casts, and rounding are written once, together.
 from __future__ import annotations
 
 import importlib
+import sys
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -186,13 +187,37 @@ def _ensure_loaded() -> None:
     # the canonical _OPERATOR_MODULES order wins no matter which module was
     # imported first. Reset on failure so a broken module import re-raises
     # on every call instead of leaving a silently truncated registry.
+    #
+    # In-flight-module trap (round 7): `streaming.ops` lives OUTSIDE the
+    # operators package but imports helpers from inside it, so a DIRECT
+    # `import datapipelines_python_spark.streaming.ops` triggers this
+    # eager load while that module is still mid-body — the loop's own
+    # import of it returns the partial sys.modules entry (none of its ops
+    # registered yet) and `digests`, which composes over the COMPLETE
+    # registry at import, blows up on the missing members. Detect any
+    # in-flight canonical module (its importlib spec still has
+    # `_initializing` set), skip `digests` for this pass, and leave
+    # _LOADED False so the next get_registry() — necessarily called after
+    # every import has finished — re-runs the loop (no-op re-imports),
+    # loads digests over the now-complete registry, and rotates the slice.
     _LOADED = True
+    in_flight = [
+        m
+        for m in _OPERATOR_MODULES
+        if (mm := sys.modules.get(m)) is not None
+        and getattr(getattr(mm, "__spec__", None), "_initializing", False)
+    ]
     try:
         for mod in _OPERATOR_MODULES:
+            if in_flight and mod.rsplit(".", 1)[-1] == "digests":
+                continue
             importlib.import_module(mod)
     except BaseException:
         _LOADED = False
         raise
+    if in_flight:
+        _LOADED = False
+        return
     # Rotate the driver's first-50 correctness slice to DRIVER_SLICE order
     # (dict insertion order is the registration order the driver sees).
     ordered: dict[str, QuerySpec] = {}

@@ -39,6 +39,21 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Scan-split granularity (round-7 sf1-decade finding): the
+        # fixtures are single parquet files, and even sf1's 6M-row
+        # lineitem compresses under the 128 MB default split — so every
+        # scan-rooted stage runs ONE task regardless of cores, and
+        # CPU-heavy-per-byte plans (combination explodes, regex fields)
+        # serialize entirely. Bytes are the wrong split driver when
+        # CPU/byte is high; production tunes maxPartitionBytes to match
+        # per-byte CPU cost. SPARK_GRAFT_MAX_PARTITION_BYTES pins it per
+        # run (the sf1 scaling battery uses 4m); the 128 MB default is
+        # unchanged for correctness runs, where plans not wall-clocks are
+        # under test.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m"),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -744,6 +744,100 @@ if _HAS_PROTOBUF:
 
 
 @query(
+    "stream_tws_fallback",
+    oracle="""
+        -- finite-gate mirrors the Spark plan: NaN/±Inf cents are skipped
+        -- on both engines (DuckDB CAST(NaN AS BIGINT) THROWS; Spark ANSI
+        -- cast likewise) — the null-flood adversarial fixture shape
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_purchases,
+               MAX(CASE WHEN isfinite(value)
+                        THEN CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+                   END) AS max_cents
+        FROM events
+        GROUP BY user_id
+    """,
+    tags=("streaming", "stateful"),
+)
+def stream_tws_fallback(spark: SparkSession, sf: str) -> DataFrame:
+    """Protobuf-free twin of `stream_transform_with_state` (VERDICT r6
+    "Next round" #8): identical per-user running state — (event count,
+    purchase count, max value in integer cents) — carried across
+    micro-batches, but via ``applyInPandasWithState``, which needs no
+    Python state-server worker and therefore registers in EVERY
+    environment. ``transformWithStateInPandas`` spawns a protobuf-backed
+    state server, so in sandboxes without `protobuf` the primary op
+    cannot register; this twin keeps the semantics registered and
+    oracle-checked there. Differences from the primary are deliberate
+    hardening, not semantics: cents are NULL-gated to finite values
+    JVM-side (ANSI cast of NaN/Inf to BIGINT throws on a single
+    degenerate row — the null-flood fixture shape), and max state starts
+    as None so an all-NULL key yields SQL MAX's NULL. State is one
+    4-tuple per user — at scale, bounded by active-user cardinality,
+    same as `stream_stateful_count`."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    s = events_stream(spark, sf).select(
+        "user_id",
+        "event_type",
+        F.when(
+            F.isnan("value") | (F.abs(F.col("value")) == F.lit(float("inf"))),
+            F.lit(None),
+        )
+        .otherwise(F.floor(F.col("value") * 100.0 + 0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        # has_mx distinguishes "never saw a finite value" (SQL MAX = NULL)
+        # from a genuine max of 0 — the failed-enrichment shape again
+        n, p, mx, has_mx = state.get if state.exists else (0, 0, 0, False)
+        for pdf in pdfs:
+            n += len(pdf)
+            p += int((pdf["event_type"] == "purchase").sum())
+            cents = pdf["cents"].dropna()
+            if len(cents):
+                batch_mx = int(cents.max())
+                mx = batch_mx if not has_mx else max(mx, batch_mx)
+                has_mx = True
+        state.update((n, p, mx, has_mx))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "n_purchases": [p],
+                "max_cents": [mx if has_mx else None],
+            }
+        )
+
+    out = s.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, n_events long, n_purchases long, max_cents long"
+        ),
+        stateStructType="n long, p long, mx long, has_mx boolean",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    # update mode re-emits per batch; n_events is strictly monotone per
+    # key, and p/mx are monotone too (counts and a max) — but take them
+    # from the terminal row via max_by anyway, the proven finalization
+    # shape (VERDICT r5 #1)
+    drained = drain_to_memory(out, "stream_tws_fallback_sink", "update")
+    return drained.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("n_purchases", "n_events").alias("n_purchases"),
+        F.max_by("max_cents", "n_events").alias("max_cents"),
+    )
+
+
+@query(
     "stream_dedup_within_watermark",
     oracle="""
         SELECT event_id, MIN(event_type) AS event_type

@@ -7,6 +7,17 @@ values normalized). Reports PASS/FAIL per query with the first differing row.
 
 Usage:
     python scripts/check_oracle.py [--sf /root/testdata/sf0.001] [--only name1,name2]
+
+``--split-digests`` (VERDICT r6 "Next round" #5): run a digest op's
+DuckDB oracle one MEMBER at a time instead of as the single composed
+40-member UNION ALL. The member SQL is rebuilt with the same
+``oracle_member_sql`` helper that built the composed oracle, so the
+concatenated rows are value-identical to the composed query by
+construction — but each DuckDB plan stays member-sized (the composed
+workload digests inline ~40 multi-CTE oracles into one statement, which
+DuckDB plans/executes far slower than the sum of its parts at sf0.1),
+and the harness reports a per-member oracle wall so the hot member is
+visible instead of a 45-minute opaque query.
 """
 
 from __future__ import annotations
@@ -112,6 +123,46 @@ def compare(name: str, spark_df, duck_rel) -> tuple[bool, str]:
     return True, "exact" if exact else "approx (float tolerance — tighten rounding!)"
 
 
+def compare_digest_split(name, spark_df, con, registry) -> tuple[bool, str]:
+    """Digest differential with the oracle run per member.
+
+    Rebuilds each member's fingerprint SQL via the SAME helper the digest
+    op used to build its composed oracle, executes them one at a time
+    (bounded plans), times each, and compares the concatenated rows
+    against the digest's Spark output through the standard comparator."""
+    from datapipelines_python_spark.digest import oracle_member_sql
+    from datapipelines_python_spark.digest_snapshot import DIGEST_FAMILIES, DIGEST_COLS
+
+    fam = name[len("digest_"):]
+    members = DIGEST_FAMILIES[fam]
+    d_rows: list[tuple] = []
+    d_cols: list[str] | None = None
+    walls: list[tuple[float, str]] = []
+    for m in members:
+        sql = oracle_member_sql(m, registry[m].oracle, DIGEST_COLS[m])
+        t0 = time.time()
+        rel = con.sql(sql)
+        d_cols = list(rel.columns)
+        d_rows.extend(rel.fetchall())
+        walls.append((time.time() - t0, m))
+    walls.sort(reverse=True)
+    hot = ", ".join(f"{m}={w:.1f}s" for w, m in walls[:3])
+    total = sum(w for w, _ in walls)
+
+    s_cols = list(spark_df.columns)
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    if len(s_rows) != len(d_rows):
+        return False, f"rowcount spark={len(s_rows)} duck={len(d_rows)}"
+    sc, sr = normalize_result(s_cols, s_rows)
+    dc, dr = normalize_result(d_cols, d_rows)
+    if [c.lower() for c in sc] != [c.lower() for c in dc]:
+        return False, f"columns spark={sc} duck={dc}"
+    for i, (a, b) in enumerate(zip(sr, dr)):
+        if a != b and not rows_equal(a, b):
+            return False, f"row {i} differs:\n  spark={a}\n  duck ={b}"
+    return True, f"oracle {total:.1f}s split over {len(members)} members; hottest: {hot}"
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
@@ -121,6 +172,11 @@ def main() -> int:
         help="check a random sample of N operators (seeded; see --seed)",
     )
     ap.add_argument("--seed", type=int, default=0, help="sample seed")
+    ap.add_argument(
+        "--split-digests", action="store_true",
+        help="run digest oracles one member at a time (value-identical; "
+        "bounded per-query plans + per-member walls)",
+    )
     args = ap.parse_args()
 
     registry = get_registry()
@@ -147,8 +203,11 @@ def main() -> int:
                 n_rows_only += 1
                 print(f"  ROWS-ONLY {name}: {cnt} rows ({time.time()-t0:.1f}s)")
                 continue
-            rel = con.sql(spec.oracle)
-            ok, msg = compare(name, df, rel)
+            if args.split_digests and name.startswith("digest_"):
+                ok, msg = compare_digest_split(name, df, con, registry)
+            else:
+                rel = con.sql(spec.oracle)
+                ok, msg = compare(name, df, rel)
         except Exception:
             ok, msg = False, traceback.format_exc(limit=10)
         took = time.time() - t0

@@ -29,6 +29,15 @@ Construction — 10 replicas of every fact table, replica 0 the identity:
   would report a fake super-linearity that no real corpus decade causes
   (within-replica near-dup structure, which IS realistic, is preserved).
   n_chars is recomputed (= len(text), the sf0.1 invariant).
+- **part.p_name is prefixed with the replica digit** (replica 0
+  untouched): the fuzzy self-join blocks on the 3-char name prefix, so
+  verbatim replication makes every block 10× denser on both sides and
+  adds ~100× genuine cross-replica matches (identical names at edit
+  distance 0) — the sf1 curve would then measure the fixture's
+  duplication, not the plan (measured: 5 s → 61 s). A digit prefix keeps
+  every replica's block structure and match set identical to sf0.1's
+  while cross-replica pairs never share a block. Bench ops only match
+  p_name infix ('%red%'), which a prefix cannot disturb.
 - **embeddings are rotated** by r positions per replica (np.roll):
   norm- and distribution-preserving but makes replicas distinct vectors,
   so kNN neighbor sets are not degenerate 10-way exact ties.
@@ -124,6 +133,11 @@ def main() -> None:
                 if stride is not None and r > 0:
                     col = pc.add(col, pa.scalar(r * stride, type=col.type))
                 cols[name] = col
+            if t == "part" and r > 0:
+                names = pc.binary_join_element_wise(
+                    pa.scalar(str(r % 10)), base["p_name"].combine_chunks(), ""
+                )
+                cols["p_name"] = pa.chunked_array([names])
             if t == "documents" and r > 0:
                 texts = [_salt_text(x.as_py(), r) for x in base["text"]]
                 cols["text"] = pa.chunked_array([pa.array(texts, type=pa.string())])

@@ -583,12 +583,22 @@ def test_mm_decode_is_shuffle_free_arrow_batch(spark, registry):
 
 def test_pca_covariance_pairs_are_map_side(spark, registry):
     # The d^2 outer products per vector are emitted by chained Generates
-    # inside the scan stage (never a self-join on vec_id): the corpus is
-    # scanned once reading ONLY the embedding column, no sort-merge or
-    # shuffled-hash join exists anywhere (the only joins are broadcasts
-    # of the 64-row mu/w vectors), and vec_id never enters the plan.
+    # (never a self-join on vec_id): no sort-merge or shuffled-hash join
+    # exists anywhere (the only joins are broadcasts of the 64-row mu/w
+    # vectors). Round 7 adds ONE deliberate vec_id-hash repartition of
+    # the n skinny input rows BELOW the Generates so the row-generating
+    # stage runs on every core (the single-file fixture scan otherwise
+    # serializes the whole n·d² fan-out — 115 s at sf1); vec_id may
+    # appear in that Exchange but never as a join key.
     plan = _plan(spark, registry, "ml_pca_power")
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
     assert "CartesianProduct" not in plan
-    assert "vec_id" not in plan
+    assert "hashpartitioning(vec_id" in plan  # the deliberate fan-out shuffle
+    # the fan-out shuffle must sit BELOW the generators: every Generate
+    # runs post-exchange, so no generated (n·d²-row) stream is shuffled
+    gen = plan.find("Generate")
+    assert gen != -1 and plan.find("hashpartitioning(vec_id") > gen, (
+        "vec_id exchange must be below (after, in bottom-up print order) "
+        "the Generates"
+    )

@@ -33,6 +33,7 @@ from tests.conftest import SF_SMOKE, norm_rows
 
 OPS = (
     "stream_stateful_count",
+    "stream_tws_fallback",
     "stream_chained_window_aggs",
     "stream_append_mode_windows",
     "stream_watermark_late",
