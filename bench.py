@@ -18,12 +18,15 @@ still charging every cost the plan actually pays.
 
 Round 5 (VERDICT r4 #4) adds per-family walls: a pinned two-op
 representative set per operator family (the heaviest non-headline ops per
-family from PROFILE_SF01.json), each timed as the minimum of two warm runs
-and summed per family into the ``families`` key. The headline 20 stay the
-primary lock; the family walls make regressions outside the headline set
-visible round over round (locked values in BASELINE.md, gate ≤1.2×; the
-min-of-2 is noisier than the headliners' min-of-3, so family breaches get
-a confirm-rerun before they count).
+family from PROFILE_SF01.json), summed per family into the ``families``
+key. The headline 20 stay the primary lock; the family walls make
+regressions outside the headline set visible round over round (locked
+values in BASELINE.md, gate ≤1.2×). Round 8 (VERDICT r7 #5) promotes the
+family reps to the headliners' exact treatment — in the untimed warm lap
+since r7, now also min-of-THREE timed runs (was 2: stream family medians
+ranged 29.9/24.8/24.0 across clean runs with zero plan changes, too noisy
+to gate without manual adjudication) — and BASELINE.md's family locks are
+re-taken under the new method.
 
 Round 7 (VERDICT r6 #1): execution order is FROZEN. bench used to time
 ops in registry iteration order, but the registry reorders itself so the
@@ -179,7 +182,7 @@ def main() -> None:
             spec = registry[name]
             consume(spec.fn(spark, sf_dir))  # warm: codegen/JIT
             best = float("inf")
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.perf_counter()
                 consume(spec.fn(spark, sf_dir))
                 best = min(best, time.perf_counter() - t0)

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -19,7 +20,49 @@ from pyspark.sql import types as T
 from datapipelines_python_spark.catalog import load_table
 from datapipelines_python_spark.registry import query
 
-_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch")
+_SCRATCH_BASE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch"
+)
+# Per-process scratch root (VERDICT r7 "What's wrong" #1): scratch_dir()
+# rmtrees its target, so a FIXED path under a SHARED root let two
+# concurrent engine processes (e.g. pytest + an oracle sweep) destroy each
+# other's in-flight sink/checkpoint dirs — observed as a silently WRONG
+# digest_stream hash (2038 vs 1981 rows: one process's foreachBatch
+# appended into a dir the other had half-rebuilt). Baking a pid+start-time
+# token into the root itself gives every scratch_dir() caller isolation by
+# construction; no caller needs to remember to ask for it.
+_PROC_TAG = "proc_p%d_t%d" % (os.getpid(), time.time_ns() % 10**12)
+_SCRATCH = os.path.join(_SCRATCH_BASE, _PROC_TAG)
+
+
+def _sweep_stale_scratch() -> None:
+    """Best-effort GC of per-process scratch roots whose owner died.
+
+    Liveness is pid-probed (signal 0); a recycled pid keeps a stale dir
+    alive until the next sweep — acceptable for a cache dir, and strictly
+    safer than the old shared-root rmtree which deleted LIVE state."""
+    try:
+        entries = os.listdir(_SCRATCH_BASE)
+    except OSError:
+        return
+    for entry in entries:
+        if not entry.startswith("proc_p"):
+            continue  # pre-isolation leftovers are swept manually
+        try:
+            pid = int(entry.split("_")[1][1:])
+        except (IndexError, ValueError):
+            continue
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(_SCRATCH_BASE, entry), ignore_errors=True)
+        except OSError:
+            pass
+
+
+_sweep_stale_scratch()
 
 
 def scratch_dir(name: str) -> str:

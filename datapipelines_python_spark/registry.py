@@ -216,6 +216,21 @@ def _ensure_loaded() -> None:
         _LOADED = False
         raise
     if in_flight:
+        # Partial pass: digests skipped, the in-flight module's later ops
+        # not yet registered. Warn so a caller that snapshots the registry
+        # during this window (e.g. module-level code in the directly-
+        # imported module) is detectable instead of silently incomplete
+        # (ADVICE r7 #2); the next get_registry() after imports settle
+        # re-runs the loop and completes the registry.
+        import warnings
+
+        warnings.warn(
+            "get_registry(): returning a PARTIAL registry — module(s) "
+            f"{[m.rsplit('.', 1)[-1] for m in in_flight]} are mid-import, "
+            "digests skipped; re-call after imports finish for the full set",
+            RuntimeWarning,
+            stacklevel=3,
+        )
         _LOADED = False
         return
     # Rotate the driver's first-50 correctness slice to DRIVER_SLICE order

@@ -127,6 +127,46 @@ def events_stream(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def stream_state_partitions(spark: SparkSession) -> int:
+    """Shuffle-partition count for streaming state, sized deliberately.
+
+    Unlike batch, this value is BAKED into the checkpoint at the first
+    micro-batch — Spark cannot resize streaming state later — so it is a
+    real capacity decision, not a tuning default. At fixture scale the
+    batch default (32) meant every stateful micro-batch scheduled 32
+    state-store tasks over a few thousand rows; 18 digest members × 4
+    micro-batches made that the single largest line in the sf0.1 profile
+    (digest_stream 130 s, VERDICT r7 "Next round" #4). 8 partitions carry
+    identical values (same keys, same aggregation) at a quarter of the
+    state-store commits. A 100 TB deployment sizes this once, up front,
+    to key cardinality × throughput — which is exactly the knob
+    ``SPARK_GRAFT_STREAM_STATE_PARTITIONS`` exposes."""
+    v = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
+    if v:
+        return max(1, int(v))
+    cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return min(cur, 8)
+
+
+class _state_sized:
+    """Context manager: pin spark.sql.shuffle.partitions to the streaming
+    state size for the duration of one streaming query, restore after.
+    Safe because availableNow drains every micro-batch inside
+    awaitTermination and the engine runs one query per session thread."""
+
+    def __init__(self, spark: SparkSession) -> None:
+        self.spark = spark
+
+    def __enter__(self) -> None:
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set(
+            "spark.sql.shuffle.partitions", str(stream_state_partitions(self.spark))
+        )
+
+    def __exit__(self, *exc) -> None:
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+
+
 def drain_to_memory(
     df: DataFrame, name: str, output_mode: str = "append"
 ) -> DataFrame:
@@ -134,14 +174,15 @@ def drain_to_memory(
     sink and return the result as a batch DataFrame."""
     spark = df.sparkSession
     spark.catalog.dropTempView(name)  # stale table from a prior run, if any
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_sized(spark):
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -435,13 +476,14 @@ def stream_foreach_sink(spark: SparkSession, sf: str) -> DataFrame:
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("append").parquet(out_dir)
 
-    q = (
-        s.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_sized(spark):
+        q = (
+            s.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(out_dir)
 
 

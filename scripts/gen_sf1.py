@@ -60,12 +60,21 @@ ROW_GROUP = 256 * 1024  # ~10-25 MB groups -> plenty of Spark input splits
 
 # key family -> [(table, column), ...]; stride shared per family
 KEY_FAMILIES = {
-    "custkey": [("customer", "c_custkey"), ("orders", "o_custkey")],
+    # events.user_id FK-joins customer.c_custkey (stream_static_join et
+    # al.), so it must ride the custkey stride (ADVICE r8 #1): as its own
+    # family it strode by 10,000 (max 1,499) while custkey strode by
+    # 100,000 — replica-1 events matched replica-0 customers and replicas
+    # 2-9 events matched nothing, understating every user_id=c_custkey
+    # join's sf1 work by ~80%.
+    "custkey": [
+        ("customer", "c_custkey"),
+        ("orders", "o_custkey"),
+        ("events", "user_id"),
+    ],
     "orderkey": [("orders", "o_orderkey"), ("lineitem", "l_orderkey")],
     "partkey": [("part", "p_partkey"), ("lineitem", "l_partkey")],
     "suppkey": [("supplier", "s_suppkey"), ("lineitem", "l_suppkey")],
     "event_id": [("events", "event_id")],
-    "user_id": [("events", "user_id")],
     "doc_id": [("documents", "doc_id")],
     "vec_id": [("embeddings", "vec_id")],
 }

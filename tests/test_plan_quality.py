@@ -597,8 +597,40 @@ def test_pca_covariance_pairs_are_map_side(spark, registry):
     assert "hashpartitioning(vec_id" in plan  # the deliberate fan-out shuffle
     # the fan-out shuffle must sit BELOW the generators: every Generate
     # runs post-exchange, so no generated (n·d²-row) stream is shuffled
-    gen = plan.find("Generate")
-    assert gen != -1 and plan.find("hashpartitioning(vec_id") > gen, (
-        "vec_id exchange must be below (after, in bottom-up print order) "
-        "the Generates"
+    # Per-branch structural check (ADVICE r7 #3 follow-through): the old
+    # find()-offset compare only proved the exchange printed below the
+    # TOPMOST Generate, and the suggested rfind() is wrong too — the plan
+    # unrolls the power iteration into 15 embeddings-scan branches, each
+    # with its own Generates and its own repartition, so global text
+    # offsets don't map to tree order across branches. The invariant that
+    # actually matters: every vec_id exchange's SUBTREE must be
+    # Generate-free (the shuffle moves only skinny pre-fan-out scan rows,
+    # never a fanned-out n·d or n·d² stream — not even sandwiched between
+    # two chained Generates), and every scan branch must carry exactly one
+    # such repartition.
+    lines = plan.split("\n")
+
+    def marker_pos(line: str) -> int:
+        p = [line.find(m) for m in ("+- ", ":- ")]
+        hits = [x for x in p if x != -1]
+        return min(hits) if hits else -1
+
+    n_exchanges = 0
+    for i, line in enumerate(lines):
+        if "Exchange hashpartitioning(vec_id" not in line:
+            continue
+        n_exchanges += 1
+        indent = marker_pos(line)
+        for below in lines[i + 1 :]:
+            d = marker_pos(below)
+            if d == -1:
+                continue
+            if d <= indent:
+                break  # left this exchange's subtree
+            assert "Generate" not in below, (
+                "vec_id exchange shuffles a fanned-out stream:\n" + below
+            )
+    assert n_exchanges == plan.count("Scan parquet") >= 1, (
+        "every embeddings-scan branch needs its own pre-Generate "
+        f"repartition (got {n_exchanges} exchanges)"
     )
