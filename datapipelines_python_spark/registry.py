@@ -26,70 +26,71 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # long tail (42/50 green — the 8 non-green adjudicated in VERDICT r5).
 # Round 6 spent the slice on the 17 digests + the 3 fixed r5 reds + the 5
 # rewritten sketch aggregates + 7 ANN twins + 18 double-bearing fills
-# (50/50 green, CORRECTNESS_r06.json). Round 7 (VERDICT r6 "Next round"
-# #2): keep the 17 digests (they re-certify 468 members every round for 17
-# slots) and rotate in the next 33 double-bearing ops that have digest
-# evidence only — an individual driver hash row over raw doubles is
-# strictly stronger than the digest's floor-grid certification. The 33 are
-# round-robin across all 14 families in registry order (agg/fn/graph/llm/
-# merge/ml/mm/sample/sort/sql/tpch/udf/udaf/workload). After every module
-# loads, _ensure_loaded reorders the registry so these names come first;
-# everything else keeps its original registration order behind them.
-# tests/test_registry.py pins the slice.
+# (50/50 green, CORRECTNESS_r06.json). Round 7 kept the 17 digests + 33
+# digest-only rotations (50/50 green, CORRECTNESS_r07.json). Round 8
+# (VERDICT r7 "Next round" #2): the digest lane is COMPRESSED 17 → 8 —
+# coarser family pools (llm+mm, workload+tpch, ml, fn+graph+sql+misc,
+# stream) with 70-member chunks, regenerated over the post-r7 evidence gap
+# (405 members: the 243 individually-green ops left the membership) — and
+# the 9 freed slots widen the individual-rotation lane to 42 fresh
+# never-individually-checked ops, round-robin across family prefixes in
+# registry order. After every module loads, _ensure_loaded reorders the
+# registry so these names come first; everything else keeps its original
+# registration order behind them. tests/test_registry.py pins the slice.
 DRIVER_SLICE: tuple[str, ...] = (
-    # family digests — 468 ops value-certified in 17 rows, every round
-    "digest_fn_1",
-    "digest_fn_2",
-    "digest_graph",
+    # family digests — 405 ops value-certified in 8 rows, every round
+    "digest_fx",
     "digest_llm_1",
     "digest_llm_2",
-    "digest_llm_3",
-    "digest_misc",
     "digest_ml_1",
     "digest_ml_2",
-    "digest_ml_3",
-    "digest_mm",
-    "digest_sql",
     "digest_stream",
-    "digest_tpch",
-    "digest_workload_1",
-    "digest_workload_2",
-    "digest_workload_3",
-    # double-bearing ops with digest-only evidence, round-robin across
-    # families (VERDICT r6 #2a): raw-double driver hash > digest grid
-    "agg_mad",
-    "fn_variant",
-    "graph_link_prediction",
-    "llm_ann_ivf",
-    "merge_upsert_emulated",
-    "ml_silhouette",
-    "mm_block_manifest_cas",
-    "sample_neyman_allocation",
-    "sort_limit_offset",
-    "sql_pipe_syntax",
-    "tpch_q5_local_supplier_volume",
-    "udaf_pandas_window",
-    "udf_map_in_arrow",
-    "workload_hypertable_rollup",
-    "fn_time_bucket",
-    "graph_assortativity",
-    "llm_pmi_collocations",
-    "ml_ranking_metrics",
-    "mm_shard_packing",
-    "sql_named_parameters",
-    "tpch_q10_returned_items",
-    "udf_pandas_struct",
-    "workload_basket_affinity",
-    "fn_generators",
-    "graph_modularity",
-    "llm_ann_recall",
-    "ml_naive_bayes_lang",
-    "mm_aspect_bucketing",
-    "sql_variables",
-    "tpch_q14_promo_effect",
-    "workload_incremental_rollup",
-    "fn_bround_conv",
-    "graph_local_clustering",
+    "digest_wl_1",
+    "digest_wl_2",
+    # digest-only ops rotated in for individual raw-double hash rows
+    # (strictly stronger than the digest's floor-grid certification)
+    "fn_levenshtein",
+    "graph_triangle_count",
+    "join_temporal_dim",
+    "llm_sketch_countmin",
+    "ml_confusion_matrix",
+    "mm_binary_features",
+    "sample_stratified",
+    "scan_file_metadata",
+    "setop_union_evolved",
+    "sql_recursive_hierarchy",
+    "tpch_q4_order_priority",
+    "udf_cogrouped_map",
+    "udtf_analyze_polymorphic",
+    "workload_funnel",
+    "fn_bitwise",
+    "graph_khop_reach",
+    "llm_embed_pq",
+    "ml_cohens_kappa",
+    "mm_decode_image_ppm",
+    "sql_scalar_udf",
+    "tpch_q13_customer_distribution",
+    "udf_arrow_scalar",
+    "udtf_table_arg",
+    "workload_cohort_retention",
+    "fn_url",
+    "graph_kcore",
+    "llm_readability",
+    "ml_feature_hashing",
+    "mm_decode_audio_wav",
+    "sql_table_udf",
+    "tpch_q19_discounted_revenue",
+    "udf_pandas_iter",
+    "workload_scd2",
+    "fn_array_setops",
+    "graph_degree_distribution",
+    "llm_sketch_linear_count",
+    "ml_mcc_fbeta",
+    "mm_image_resize",
+    "sql_values_table",
+    "tpch_q22_sales_opportunity",
+    "workload_event_transitions",
+    "fn_interval_arith",
 )
 
 # Modules that register operators on import.

@@ -99,7 +99,8 @@ def test_theta_bnlj_set_is_pinned(plan_audit):
 def test_whole_registry_plans_buildable(plan_audit):
     # every registered op must at least PLAN at smoke scale
     assert plan_audit["errors"] == {}, plan_audit["errors"]
-    # 617 frozen + 11 ANN twins + 17 family digests (16 from r5 +
-    # digest_stream, VERDICT r5 missing #1) + stream_tws_fallback (the
-    # protobuf-free applyInPandasWithState twin, VERDICT r6 #8, round 7)
-    assert plan_audit["n_ops"] == 646
+    # 617 frozen + 11 ANN twins + stream_tws_fallback (the protobuf-free
+    # applyInPandasWithState twin, round 7) + 8 family digests (round 8
+    # compressed the digest lane 17 → 8, VERDICT r7 #2 — same members,
+    # coarser pools, bigger chunks)
+    assert plan_audit["n_ops"] == 637
