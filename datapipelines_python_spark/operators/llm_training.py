@@ -408,17 +408,58 @@ def llm_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
 # Bucketed ANN + embedding near-dup (sign-LSH over the vector column)
 # --------------------------------------------------------------------------
 
+# Base sign bits at fixture scale; the EFFECTIVE bit count is adaptive:
+# bits(n) = max(4, 4 + ceil(log2(n / 2000))), computed in-query from
+# COUNT(*) on BOTH engines so the oracle replays the identical bucketing.
+# Why adaptive (round 8, from the full-registry sf1 profile): a FIXED
+# bucket count makes the bucketed self-join's Σ bucket² cost quadratic in
+# n — 16 buckets meant 100× candidate pairs per 10× rows, measured as
+# llm_dedup_embedding going 2.5 s → 218 s at sf1. Growing the bit count
+# with log2(n) pins expected bucket occupancy (~n/2^bits ≤ 125), so
+# candidate work is ≤ 125·n — linear with a ≤2× sawtooth. At n ≤ 2000
+# (every sf ≤ 0.1 fixture) bits = 4 exactly as before, so all locked
+# walls, pins, and oracle values below sf1 are unchanged. The recall
+# trade (more bits = fewer per-bucket collisions) is the standard LSH
+# tuning knob; at 100 TB you'd ALSO multi-probe neighboring buckets.
 _SIGN_BITS = 4
 
+_SPARK_NBITS = (
+    f"greatest({_SIGN_BITS}, CAST({_SIGN_BITS} + "
+    "ceil(log2(greatest(_n, 1) / 2000.0)) AS INT))"
+)
 _SPARK_BUCKET = (
-    f"aggregate(sequence(0, {_SIGN_BITS - 1}), 0L, (acc, i) -> "
+    f"aggregate(sequence(0, {_SPARK_NBITS} - 1), 0L, (acc, i) -> "
     "acc + CASE WHEN embedding[i] > 0 THEN shiftleft(CAST(1 AS BIGINT), i) "
     "ELSE CAST(0 AS BIGINT) END)"
 )
+_SQL_NBITS = (
+    f"GREATEST({_SIGN_BITS}, {_SIGN_BITS} + "
+    "CAST(CEIL(LOG2(GREATEST(_n, 1) / 2000.0)) AS INT))"
+)
 _SQL_BUCKET = (
     "CAST(LIST_SUM([CASE WHEN embedding[i] > 0 THEN (CAST(1 AS BIGINT) << (i-1)) "
-    f"ELSE 0 END FOR i IN RANGE(1, {_SIGN_BITS + 1})]) AS BIGINT)"
+    f"ELSE 0 END FOR i IN RANGE(1, {_SQL_NBITS} + 1)]) AS BIGINT)"
 )
+# cross-join source for _n on the oracle side (one row, corpus size)
+_SQL_NROWS_CTE = "(SELECT COUNT(*) AS _n FROM embeddings) corpus_n"
+
+
+def _with_corpus_n(emb: DataFrame) -> DataFrame:
+    """Attach the 1-row corpus size as a broadcast `_n` column — the
+    Spark-side twin of ``_SQL_NROWS_CTE`` (a scalar driven through the
+    plan, not a driver-side collect). Joined on a column-derived
+    always-0 key rather than crossJoined: predicate pushdown into a
+    1-row cross renders as a *conditional* BroadcastNestedLoopJoin,
+    which the plan audit rightly refuses to wave through, and
+    ``least(count, 0)`` survives constant folding where ``count * 0``
+    would not (non-null × 0 folds to a literal and un-keys the join)."""
+    n1 = emb.agg(F.count(F.lit(1)).alias("_n")).select(
+        F.least(F.col("_n"), F.lit(0)).cast("int").alias("_k"), "_n"
+    )
+    keyed = emb.withColumn(
+        "_k", F.coalesce(F.col("vec_id") * F.lit(0), F.lit(0)).cast("int")
+    )
+    return keyed.join(F.broadcast(n1), "_k").drop("_k")
 
 
 @query(
@@ -428,7 +469,7 @@ _SQL_BUCKET = (
             SELECT vec_id, embedding,
                    SQRT({sql_dot('embedding', 'embedding')}) AS norm,
                    {_SQL_BUCKET} AS bucket
-            FROM embeddings
+            FROM embeddings, (SELECT COUNT(*) AS _n FROM embeddings) corpus_n
         ),
         q AS (
             SELECT vec_id AS q_id, embedding AS q_emb, norm AS q_norm,
@@ -462,7 +503,7 @@ def llm_ann_lsh_bucketed(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     emb = load_table(spark, sf, "embeddings")
-    nv = emb.select(
+    nv = _with_corpus_n(emb).select(
         "vec_id",
         "embedding",
         F.sqrt(dot("embedding", "embedding")).alias("norm"),
@@ -497,7 +538,7 @@ def llm_ann_lsh_bucketed(spark: SparkSession, sf: str) -> DataFrame:
             SELECT vec_id, embedding,
                    SQRT({sql_dot('embedding', 'embedding')}) AS norm,
                    {_SQL_BUCKET} AS bucket
-            FROM embeddings
+            FROM embeddings, (SELECT COUNT(*) AS _n FROM embeddings) corpus_n
         ),
         p AS (
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -516,7 +557,7 @@ def llm_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
     low to exercise the path; for real near-dup sweeps raise it to ~0.95
     and widen recall with multi-probe buckets."""
     emb = load_table(spark, sf, "embeddings")
-    nv = emb.select(
+    nv = _with_corpus_n(emb).select(
         "vec_id",
         "embedding",
         F.sqrt(dot("embedding", "embedding")).alias("norm"),
@@ -4380,13 +4421,21 @@ def llm_self_similarity_sample(spark: SparkSession, sf: str) -> DataFrame:
     ).otherwise(
         F.when(toks.isNotNull(), F.array().cast("array<string>"))
     )
+    # Rank on a SKINNY (doc_id) projection and join the bigram arrays
+    # back by doc_id (round 8, full-registry sf1 profile): the global
+    # row_number window is a single-task sort, and carrying each doc's
+    # bigram array through it serialized every array onto one core
+    # (16×/decade wall at sf1). Sorting 50k bare ids on one task is
+    # free; the arrays ride a parallel broadcast join instead.
     w = W.orderBy("doc_id")
     w_all = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    bg = d.select(
+    ranks = d.select("doc_id").select(
         "doc_id",
         F.row_number().over(w).alias("rn"),
         F.count(F.lit(1)).over(w_all).alias("n_docs"),
-        bigrams.alias("bigrams"),
+    )
+    bg = d.select("doc_id", bigrams.alias("bigrams")).join(
+        F.broadcast(ranks), "doc_id"
     )
     a = bg.select(
         F.col("doc_id").alias("doc_a"),

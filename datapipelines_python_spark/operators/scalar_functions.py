@@ -1761,8 +1761,9 @@ def fn_date_extra(spark: SparkSession, sf: str) -> DataFrame:
     "fn_try_overflow",
     oracle="""
         SELECT o_orderkey,
-               CASE WHEN o_orderkey <= 10
-                    THEN o_orderkey * 922337203685477580 END AS try_product,
+               CASE WHEN o_orderkey % 101 <> 0 THEN o_orderkey * 1000
+                    WHEN o_orderkey <= 1
+                    THEN o_orderkey * 9223372036854775807 END AS try_product,
                CASE WHEN o_orderkey <= 9223372036854775207
                     THEN o_orderkey + 600 END AS try_sum,
                CASE WHEN o_orderkey % 7 <> 0
@@ -1773,20 +1774,30 @@ def fn_date_extra(spark: SparkSession, sf: str) -> DataFrame:
 )
 def fn_try_overflow(spark: SparkSession, sf: str) -> DataFrame:
     """ANSI-mode arithmetic that degrades to NULL instead of killing the
-    stage: ``try_multiply`` / ``try_add`` overflow to NULL past int64
-    range (the multiplier is ⌊2⁶³/10⌋, so keys > 10 overflow by
-    construction), ``try_divide`` NULLs on the injected zero divisor.
-    One poisoned row must never fail a 100 TB job — the try_* family is
-    the per-expression form of that policy (the per-row form is
-    ``scan_csv_permissive``'s DROPMALFORMED). The oracle replays the
-    exact overflow boundary with guard predicates."""
+    stage: ``try_multiply`` overflows to NULL past int64 range on a
+    SPARSE poison subset (every 101st key multiplies by int64-max — the
+    "one poisoned row" a 100 TB job must survive), ``try_add`` stays
+    in-range, ``try_divide`` NULLs on the injected zero divisor. The
+    per-row form of the same policy is ``scan_csv_permissive``'s
+    DROPMALFORMED. The oracle replays the exact overflow boundary with
+    guard predicates.
+
+    Measured (round 8, sf1 profile): Spark's TryEval evaluates the
+    overflow path by THROWING and catching a SparkArithmeticException
+    per overflowing row — ~20 µs each (a poison-everything variant of
+    this op cost 3.6 s for 150k rows at sf0.1, 17 s at sf1, with
+    try_multiply alone 22× the whole scan). try_* is therefore the
+    rare-poison tool; when the MAJORITY of rows are expected to
+    overflow, pre-guard with the oracle's CASE predicate instead —
+    the NULL result is identical and the exception path never fires."""
     o = load_table(spark, sf, "orders")
     k = F.col("o_orderkey")
+    poison = F.when(
+        k % 101 == 0, F.lit(9223372036854775807).cast("bigint")
+    ).otherwise(F.lit(1000).cast("bigint"))
     return o.select(
         "o_orderkey",
-        F.try_multiply(k, F.lit(922337203685477580).cast("bigint")).alias(
-            "try_product"
-        ),
+        F.try_multiply(k, poison).alias("try_product"),
         F.try_add(k, F.lit(600).cast("bigint")).alias("try_sum"),
         F.try_divide(k, k % 7).cast("bigint").alias("try_div"),
     )

@@ -5210,14 +5210,61 @@ def _ann_candidates(nv: DataFrame) -> DataFrame:
     """Banded sign-LSH candidate pairs: vectors sharing any band's sign
     bucket. One explode (L rows per vector), one equi-self-join on
     (band, bucket), one distinct — Σ bucket-occupancy² work, never a
-    cartesian. Aliased 'a'/'b' to be plug-compatible with the exact join."""
+    cartesian. Aliased 'a'/'b' to be plug-compatible with the exact join.
+
+    ADAPTIVE bucket width (round 8, from the full-registry sf1 profile):
+    with the bucket count fixed at 2^6 per band, Σ bucket-occupancy² is
+    quadratic in n — the supposedly sub-quadratic twins measured 28×
+    wall per 10× rows at sf1 (llm_hard_negative_mining_ann 3.5 → 97 s).
+    Each band's 6 base sign bits are therefore extended by
+    E = max(0, ceil(log2(n/2000))) comparison bits — bit j of band i is
+    sign(embedding[p] − embedding[q]) at the deterministic dim pair
+    p = (i·6 + j·11) mod 64, q = (p + 31) mod 64 (a rank hyperplane
+    (e_p − e_q): deterministic, so the DuckDB oracle replays it
+    bit-for-bit; 11 and 31 are coprime to 64 so pairs never repeat
+    within a band). Expected occupancy stays ≤ n/2^(6+E) ≤ 31, making
+    candidate work ≤ 31·n per band — linear with a ≤2× sawtooth. At
+    n ≤ 2000 (every sf ≤ 0.1 fixture) E = 0 and the bucketing is
+    bit-identical to the pre-r8 scheme, so locked walls, recall pins and
+    oracle values below sf1 are unchanged. More bits per band lowers
+    per-band recall — the standard LSH trade; production sweeps at 100 TB
+    would also multi-probe neighbor buckets (flip one bit) for recall."""
+    # constant-key broadcast EQUI join (not crossJoin): a 1-row cross
+    # renders as BroadcastNestedLoopJoin, which the kNN plan gate
+    # (tests/test_knn_family.py) rightly forbids anywhere near the
+    # candidate path. The `_k` keys must be COLUMN-derived (always 0,
+    # but not literals): literal keys constant-fold to a conditionless
+    # join and Catalyst plans the BNLJ anyway.
+    # least(_n, 0) is always 0 (counts are non-negative) but the
+    # optimizer cannot prove that, so the key survives constant folding
+    # where `_n * 0` did not (non-null × 0 folds to literal 0, which
+    # turns the equi-condition into a pushed filter + BNLJ again).
+    n1 = nv.agg(F.count(F.lit(1)).alias("_n")).select(
+        F.least(F.col("_n"), F.lit(0)).cast("int").alias("_k"),
+        F.greatest(
+            F.lit(0),
+            F.ceil(
+                F.log2(F.greatest(F.col("_n"), F.lit(1)) / F.lit(2000.0))
+            ).cast("int"),
+        ).alias("_e"),
+    )
     bucket_expr = (
-        "transform(sequence(0, {L} - 1), i -> aggregate("
-        "slice(embedding, i * {B} + 1, {B}), 0, "
-        "(acc, x) -> acc * 2 + IF(x >= CAST(0.0 AS FLOAT), 1, 0)))"
+        "transform(sequence(0, {L} - 1), i -> "
+        "CAST(aggregate(slice(embedding, i * {B} + 1, {B}), 0, "
+        "(acc, x) -> acc * 2 + IF(x >= CAST(0.0 AS FLOAT), 1, 0)) AS BIGINT)"
+        " * shiftleft(CAST(1 AS BIGINT), _e) + IF(_e = 0, CAST(0 AS BIGINT), "
+        "aggregate(sequence(0, _e - 1), CAST(0 AS BIGINT), (acc, j) -> "
+        "acc * 2 + IF("
+        "try_element_at(embedding, CAST((i * {B} + j * 11) % 64 AS INT) + 1) > "
+        "try_element_at(embedding, CAST((i * {B} + j * 11 + 31) % 64 AS INT) + 1), "
+        "CAST(1 AS BIGINT), CAST(0 AS BIGINT)))))"
     ).format(L=_ANN_BANDS, B=_ANN_BITS)
-    banded = nv.select(
-        "vec_id", F.posexplode(F.expr(bucket_expr)).alias("band", "bucket")
+    banded = (
+        nv.withColumn(
+            "_k", F.coalesce(F.col("vec_id") * F.lit(0), F.lit(0)).cast("int")
+        )
+        .join(F.broadcast(n1), "_k")
+        .select("vec_id", F.posexplode(F.expr(bucket_expr)).alias("band", "bucket"))
     )
     cand_ids = (
         banded.alias("x")
@@ -5249,11 +5296,22 @@ def _ann_candidates(nv: DataFrame) -> DataFrame:
 
 # DuckDB replay of _ann_candidates' banding: band b in 0..7, bucket =
 # big-endian fold of the 6 sign bits of embedding[b*6+1 .. b*6+6]
-# (1-based), exactly matching the Spark aggregate's acc*2 + (x >= 0).
-_SQL_ANN_BUCKET = " + ".join(
-    f"CASE WHEN embedding[band * {_ANN_BITS} + {k}] >= 0 "
-    f"THEN {1 << (_ANN_BITS - k)} ELSE 0 END"
-    for k in range(1, _ANN_BITS + 1)
+# (1-based), exactly matching the Spark aggregate's acc*2 + (x >= 0) —
+# extended since round 8 by the adaptive comparison bits (see
+# _ann_candidates' docstring): base << _e plus the big-endian fold of
+# sign(embedding[p] − embedding[q]) over the identical dim-pair schedule.
+_SQL_ANN_BUCKET = (
+    "("
+    + " + ".join(
+        f"CASE WHEN embedding[band * {_ANN_BITS} + {k}] >= 0 "
+        f"THEN CAST({1 << (_ANN_BITS - k)} AS BIGINT) ELSE 0 END"
+        for k in range(1, _ANN_BITS + 1)
+    )
+    + ") * (CAST(1 AS BIGINT) << _e) + COALESCE(LIST_SUM(["
+    f"CASE WHEN embedding[((band * {_ANN_BITS} + j * 11) % 64) + 1] > "
+    f"embedding[((band * {_ANN_BITS} + j * 11 + 31) % 64) + 1] "
+    "THEN (CAST(1 AS BIGINT) << (_e - 1 - j)) ELSE 0 END "
+    "FOR j IN RANGE(0, _e)]), 0)"
 )
 
 _SQL_ANN_SCORED = f"""
@@ -5268,7 +5326,10 @@ _SQL_ANN_SCORED = f"""
             -- candidate blob); Spark's NULL bucket simply never joins
             SELECT vec_id, band, {_SQL_ANN_BUCKET} AS bucket
             FROM embeddings,
-                 (SELECT UNNEST(RANGE(0, {_ANN_BANDS})) AS band)
+                 (SELECT UNNEST(RANGE(0, {_ANN_BANDS})) AS band),
+                 (SELECT GREATEST(0, CAST(CEIL(LOG2(
+                      GREATEST(COUNT(*), 1) / 2000.0)) AS INT)) AS _e
+                  FROM embeddings) corpus_e
             WHERE embedding IS NOT NULL
         ),
         ann_cand AS MATERIALIZED (
