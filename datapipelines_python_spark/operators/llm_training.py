@@ -4403,19 +4403,25 @@ def llm_self_similarity_sample(spark: SparkSession, sf: str) -> DataFrame:
     of globally and the audit stays one pass."""
     d = load_table(spark, sf, "documents")
     toks = F.split("text", " ")
-    # size >= 2 gate: Spark's sequence(1, 0) silently yields the DESCENDING
-    # [1, 0], so a single-token doc would probe element_at(toks, 2) and die
-    # with INVALID_ARRAY_INDEX (unistr hazard fixture). One token -> empty
-    # bigram set; NULL text stays NULL (matching the oracle's comprehension
-    # over RANGE(1, LEN) and NULL propagation).
+    # size >= 2 gate: a single-token doc gets an empty bigram set; NULL
+    # text stays NULL (matching the oracle's comprehension over
+    # RANGE(1, LEN) and NULL propagation).
+    #
+    # zip_with over two SLICES, not transform(sequence, i ->
+    # element_at(toks, i)) (round 8, SCALE.md §4's lambda-inlining trap
+    # measured again): `toks` is a used-once alias, so CollapseProject
+    # inlines split(text) INTO the lambda and every element_at
+    # re-tokenizes the whole document — O(tokens²) per doc, 39.8 s just
+    # to build bigrams for 50k sf1 docs. The slices evaluate split()
+    # once each outside any lambda, and zip_with walks the two
+    # materialized arrays — O(tokens) per doc, same values.
     bigrams = F.when(
         F.size(toks) >= 2,
         F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 1),
-                lambda i: F.concat(
-                    F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
-                ),
+            F.zip_with(
+                F.slice(toks, 1, F.size(toks) - 1),
+                F.slice(toks, 2, F.size(toks) - 1),
+                lambda x, y: F.concat(x, F.lit(" "), y),
             )
         ),
     ).otherwise(
