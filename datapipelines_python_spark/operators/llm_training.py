@@ -409,8 +409,13 @@ def llm_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 # Base sign bits at fixture scale; the EFFECTIVE bit count is adaptive:
-# bits(n) = max(4, 4 + ceil(log2(n / 2000))), computed in-query from
+# bits(n) = 4 + bit_length((n-1) div 2000), computed in-query from
 # COUNT(*) on BOTH engines so the oracle replays the identical bucketing.
+# bit_length((n-1) div 2000) == ceil(log2(n/2000)) for all n > 2000 and
+# 0 below — but derived with INTEGER arithmetic (length(bin(m))) on both
+# engines, so there is no float-log2 1-ulp seam at corpus sizes exactly
+# 2000·2^k where Spark's StrictMath.log and DuckDB's std::log2 could
+# round ceil differently and re-bucket one engine only (ADVICE r8).
 # Why adaptive (round 8, from the full-registry sf1 profile): a FIXED
 # bucket count makes the bucketed self-join's Σ bucket² cost quadratic in
 # n — 16 buckets meant 100× candidate pairs per 10× rows, measured as
@@ -423,9 +428,12 @@ def llm_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
 # tuning knob; at 100 TB you'd ALSO multi-probe neighboring buckets.
 _SIGN_BITS = 4
 
+# integer bit_length of m = (n-1) div 2000; CASE because bin(0) = '0'
+# (length 1, not 0). greatest(_n, 1) keeps m >= 0 on an empty corpus so
+# Spark's truncating div and DuckDB's floor // can never disagree.
 _SPARK_NBITS = (
-    f"greatest({_SIGN_BITS}, CAST({_SIGN_BITS} + "
-    "ceil(log2(greatest(_n, 1) / 2000.0)) AS INT))"
+    f"({_SIGN_BITS} + CASE WHEN (greatest(_n, 1) - 1) div 2000 <= 0 THEN 0 "
+    "ELSE length(bin((greatest(_n, 1) - 1) div 2000)) END)"
 )
 _SPARK_BUCKET = (
     f"aggregate(sequence(0, {_SPARK_NBITS} - 1), 0L, (acc, i) -> "
@@ -433,8 +441,8 @@ _SPARK_BUCKET = (
     "ELSE CAST(0 AS BIGINT) END)"
 )
 _SQL_NBITS = (
-    f"GREATEST({_SIGN_BITS}, {_SIGN_BITS} + "
-    "CAST(CEIL(LOG2(GREATEST(_n, 1) / 2000.0)) AS INT))"
+    f"({_SIGN_BITS} + CASE WHEN (GREATEST(_n, 1) - 1) // 2000 <= 0 THEN 0 "
+    "ELSE LENGTH(BIN((GREATEST(_n, 1) - 1) // 2000)) END)"
 )
 _SQL_BUCKET = (
     "CAST(LIST_SUM([CASE WHEN embedding[i] > 0 THEN (CAST(1 AS BIGINT) << (i-1)) "
@@ -4440,8 +4448,21 @@ def llm_self_similarity_sample(spark: SparkSession, sf: str) -> DataFrame:
         F.row_number().over(w).alias("rn"),
         F.count(F.lit(1)).over(w_all).alias("n_docs"),
     )
-    bg = d.select("doc_id", bigrams.alias("bigrams")).join(
-        F.broadcast(ranks), "doc_id"
+    # eqNullSafe, not on="doc_id" (ADVICE r8): the oracle's ROW_NUMBER
+    # runs over ALL rows, so a NULL doc_id is ranked and counted in
+    # n_docs there — a null-unsafe inner join would silently drop it
+    # from both pair sides here and diverge. Null-safe equality keeps a
+    # NULL singleton in lockstep (<=> is a valid BHJ key). Uniqueness of
+    # doc_id remains the contract on BOTH engines — duplicates break the
+    # rank join-back and the oracle's ROW_NUMBER identically.
+    bg = (
+        d.select("doc_id", bigrams.alias("bigrams"))
+        .alias("dv")
+        .join(
+            F.broadcast(ranks.alias("rk")),
+            F.col("dv.doc_id").eqNullSafe(F.col("rk.doc_id")),
+        )
+        .select("dv.doc_id", "dv.bigrams", "rk.rn", "rk.n_docs")
     )
     a = bg.select(
         F.col("doc_id").alias("doc_a"),

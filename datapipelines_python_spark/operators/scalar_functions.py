@@ -1761,9 +1761,16 @@ def fn_date_extra(spark: SparkSession, sf: str) -> DataFrame:
     "fn_try_overflow",
     oracle="""
         SELECT o_orderkey,
+               -- poisoned keys are {0, 101, 202, ...}; every poisoned
+               -- key >= 101 overflows int64-max and falls to the
+               -- implicit NULL (= Spark's try_multiply). Key 0 is the
+               -- ONE poisoned key that does not overflow (0 x max = 0),
+               -- so the boundary branch is written as exactly that key
+               -- (the old '<= 1' guard implied a boundary no data could
+               -- reach on the positive side — ADVICE r8)
                CASE WHEN o_orderkey % 101 <> 0 THEN o_orderkey * 1000
-                    WHEN o_orderkey <= 1
-                    THEN o_orderkey * 9223372036854775807 END AS try_product,
+                    WHEN o_orderkey = 0 THEN CAST(0 AS BIGINT)
+               END AS try_product,
                CASE WHEN o_orderkey <= 9223372036854775207
                     THEN o_orderkey + 600 END AS try_sum,
                CASE WHEN o_orderkey % 7 <> 0

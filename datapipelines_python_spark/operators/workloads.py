@@ -5217,7 +5217,9 @@ def _ann_candidates(nv: DataFrame) -> DataFrame:
     quadratic in n — the supposedly sub-quadratic twins measured 28×
     wall per 10× rows at sf1 (llm_hard_negative_mining_ann 3.5 → 97 s).
     Each band's 6 base sign bits are therefore extended by
-    E = max(0, ceil(log2(n/2000))) comparison bits — bit j of band i is
+    E = bit_length((n-1) div 2000) comparison bits (== ceil(log2(n/2000))
+    for n > 2000, 0 below, but computed with INTEGER arithmetic on both
+    engines so no float-log2 ulp seam at n = 2000·2^k) — bit j of band i is
     sign(embedding[p] − embedding[q]) at the deterministic dim pair
     p = (i·6 + j·11) mod 64, q = (p + 31) mod 64 (a rank hyperplane
     (e_p − e_q): deterministic, so the DuckDB oracle replays it
@@ -5241,11 +5243,9 @@ def _ann_candidates(nv: DataFrame) -> DataFrame:
     # turns the equi-condition into a pushed filter + BNLJ again).
     n1 = nv.agg(F.count(F.lit(1)).alias("_n")).select(
         F.least(F.col("_n"), F.lit(0)).cast("int").alias("_k"),
-        F.greatest(
-            F.lit(0),
-            F.ceil(
-                F.log2(F.greatest(F.col("_n"), F.lit(1)) / F.lit(2000.0))
-            ).cast("int"),
+        F.expr(
+            "CASE WHEN (greatest(_n, 1) - 1) div 2000 <= 0 THEN 0 "
+            "ELSE length(bin((greatest(_n, 1) - 1) div 2000)) END"
         ).alias("_e"),
     )
     bucket_expr = (
@@ -5327,8 +5327,9 @@ _SQL_ANN_SCORED = f"""
             SELECT vec_id, band, {_SQL_ANN_BUCKET} AS bucket
             FROM embeddings,
                  (SELECT UNNEST(RANGE(0, {_ANN_BANDS})) AS band),
-                 (SELECT GREATEST(0, CAST(CEIL(LOG2(
-                      GREATEST(COUNT(*), 1) / 2000.0)) AS INT)) AS _e
+                 (SELECT CASE WHEN (GREATEST(COUNT(*), 1) - 1) // 2000 <= 0
+                         THEN 0 ELSE LENGTH(BIN(
+                              (GREATEST(COUNT(*), 1) - 1) // 2000)) END AS _e
                   FROM embeddings) corpus_e
             WHERE embedding IS NOT NULL
         ),

@@ -48,49 +48,51 @@ DRIVER_SLICE: tuple[str, ...] = (
     "digest_wl_1",
     "digest_wl_2",
     # digest-only ops rotated in for individual raw-double hash rows
-    # (strictly stronger than the digest's floor-grid certification)
-    "fn_levenshtein",
-    "graph_triangle_count",
-    "join_temporal_dim",
-    "llm_sketch_countmin",
-    "ml_confusion_matrix",
-    "mm_binary_features",
-    "sample_stratified",
-    "scan_file_metadata",
-    "setop_union_evolved",
-    "sql_recursive_hierarchy",
-    "tpch_q4_order_priority",
-    "udf_cogrouped_map",
-    "udtf_analyze_polymorphic",
-    "workload_funnel",
-    "fn_bitwise",
-    "graph_khop_reach",
-    "llm_embed_pq",
-    "ml_cohens_kappa",
-    "mm_decode_image_ppm",
-    "sql_scalar_udf",
-    "tpch_q13_customer_distribution",
-    "udf_arrow_scalar",
-    "udtf_table_arg",
-    "workload_cohort_retention",
-    "fn_url",
-    "graph_kcore",
-    "llm_readability",
-    "ml_feature_hashing",
-    "mm_decode_audio_wav",
-    "sql_table_udf",
-    "tpch_q19_discounted_revenue",
-    "udf_pandas_iter",
-    "workload_scd2",
-    "fn_array_setops",
-    "graph_degree_distribution",
-    "llm_sketch_linear_count",
-    "ml_mcc_fbeta",
-    "mm_image_resize",
-    "sql_values_table",
-    "tpch_q22_sales_opportunity",
-    "workload_event_transitions",
-    "fn_interval_arith",
+    # (strictly stronger than the digest's floor-grid certification).
+    # Round 9 rotation: next 42 never-individually-checked ops,
+    # round-robin across family prefixes (scripts/next_rotation.py).
+    "fn_char_ops",
+    "llm_winnowing",
+    "ml_ols_regression",
+    "mm_audio_frame_sample",
+    "sql_distribute_cluster_by",
+    "stream_tws_fallback",
+    "tpch_q7_volume_shipping",
+    "workload_profile_table",
+    "fn_xml",
+    "llm_entropy_score",
+    "ml_linreg_multi",
+    "mm_video_frame_sample",
+    "sql_hint_rebalance",
+    "tpch_q8_national_market_share",
+    "workload_rfm_segmentation",
+    "fn_map_hof",
+    "llm_quality_composite",
+    "ml_pca_power",
+    "mm_image_patch_grid",
+    "sql_identifier_clause",
+    "tpch_q11_important_stock",
+    "workload_gap_fill_calendar",
+    "fn_regexp_extract_all",
+    "llm_zipf_fit",
+    "ml_decision_stump",
+    "mm_av_sync_check",
+    "sql_window_clause",
+    "tpch_q12_late_lines_priority",
+    "workload_ab_test",
+    "fn_collation",
+    "llm_dedup_paragraph",
+    "ml_tree_depth2",
+    "mm_augment_params",
+    "sql_order_by_all",
+    "tpch_q15_top_supplier",
+    "workload_dau_rolling",
+    "fn_format_string",
+    "llm_repetition_ngram",
+    "ml_knn_classifier",
+    "mm_vad_segments",
+    "sql_execute_immediate",
+    "tpch_q16_parts_supplier_relationship",
 )
 
 # Modules that register operators on import.

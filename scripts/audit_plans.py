@@ -92,6 +92,31 @@ def audit(spark, sf: str, only=None) -> dict:
     return {"sf": sf, "n_ops": len(out), "ops": out, "errors": errors}
 
 
+def build_summary(ops: dict) -> dict:
+    """Registry-wide rollup of the per-op counters. The *_op_names lists
+    exist so an auditor can `jq .summary.row_python_op_names` straight to
+    the offending ops instead of reverse-engineering which per-op counter
+    fed each count (VERDICT r8 #5); tests/test_plan_audit.py asserts each
+    count equals the length of its name list, derived from the same ops."""
+    return {
+        "total_exchanges": sum(c["exchange"] for c in ops.values()),
+        "max_exchanges": max(
+            ((c["exchange"], n) for n, c in ops.items()), default=(0, "")),
+        "join_mix": {
+            k: sum(c[k] for c in ops.values()) for k in ("bhj", "smj", "shj")
+        },
+        "bnlj_cross_scalar_assembly": sum(c["bnlj_cross"] for c in ops.values()),
+        "arrow_python_ops": sum(
+            1 for c in ops.values() if c["arrow_eval_python"] or c["pandas_map"]),
+        "row_python_ops": sum(1 for c in ops.values() if c["batch_eval_python"]),
+        "row_python_op_names": sorted(
+            n for n, c in ops.items() if c["batch_eval_python"]),
+        "arrow_python_op_names": sorted(
+            n for n, c in ops.items()
+            if c["arrow_eval_python"] or c["pandas_map"]),
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
@@ -117,18 +142,7 @@ def main() -> int:
     # the audit *names* the set and tests/test_plan_audit.py pins it — a
     # new op acquiring a theta-BNLJ fails until reviewed + allowlisted.
     res["theta_bnlj_ops"] = sorted(n for n, c in ops.items() if c["bnlj_cond"])
-    res["summary"] = {
-        "total_exchanges": sum(c["exchange"] for c in ops.values()),
-        "max_exchanges": max(
-            ((c["exchange"], n) for n, c in ops.items()), default=(0, "")),
-        "join_mix": {
-            k: sum(c[k] for c in ops.values()) for k in ("bhj", "smj", "shj")
-        },
-        "bnlj_cross_scalar_assembly": sum(c["bnlj_cross"] for c in ops.values()),
-        "arrow_python_ops": sum(
-            1 for c in ops.values() if c["arrow_eval_python"] or c["pandas_map"]),
-        "row_python_ops": sum(1 for c in ops.values() if c["batch_eval_python"]),
-    }
+    res["summary"] = build_summary(ops)
     with open(args.out, "w") as f:
         json.dump(res, f, indent=1, sort_keys=True)
     print(json.dumps({k: res[k] for k in ("n_ops", "violations", "summary")},

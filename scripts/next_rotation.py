@@ -73,9 +73,37 @@ def main() -> int:
           f"{len(green & set(order))}; digest-certified: "
           f"{len(digest_covered - green)}; uncovered: {len(never)} "
           f"({len(never_exact)} with exact oracles)")
-    print("\nsuggested next DRIVER_SLICE (first 50 uncovered, "
-          "current registry order):")
-    for i, n in enumerate(never_exact[:50]):
+    if never_exact:
+        print("\nsuggested next DRIVER_SLICE (first 50 uncovered, "
+              "current registry order):")
+        for i, n in enumerate(never_exact[:50]):
+            print(f"  {i + 1:2d}. {n}")
+        return 0
+
+    # Everything is covered by green ∪ digest. The remaining rotation
+    # target (VERDICT r8 #2) is the digest-only tail: ops certified via a
+    # family digest but never INDIVIDUALLY raw-hash green. Rotate the next
+    # 42 of those in round-robin across family prefixes (matching the r8
+    # slice style) so each round's slice samples every family.
+    digest_only = [n for n in order if n in digest_covered and n not in green]
+    by_family: dict[str, list[str]] = {}
+    for n in digest_only:
+        by_family.setdefault(n.split("_", 1)[0], []).append(n)
+    rr: list[str] = []
+    fams = sorted(by_family)
+    idx = {f: 0 for f in fams}
+    while len(rr) < min(42, len(digest_only)):
+        progressed = False
+        for f in fams:
+            if idx[f] < len(by_family[f]) and len(rr) < 42:
+                rr.append(by_family[f][idx[f]])
+                idx[f] += 1
+                progressed = True
+        if not progressed:
+            break
+    print(f"\ndigest-only individual tail: {len(digest_only)} ops; "
+          "suggested next 42 rotation slots (8 digests stay):")
+    for i, n in enumerate(rr):
         print(f"  {i + 1:2d}. {n}")
     return 0
 

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import pytest
 
-from scripts.audit_plans import CARTESIAN_OK, ROW_PYTHON_OK, audit
+from scripts.audit_plans import CARTESIAN_OK, ROW_PYTHON_OK, audit, build_summary
 from tests.conftest import SF_SMOKE
 
 # Reviewed theta-BNLJ allowlist (bounded broadcast side for each):
@@ -93,6 +93,22 @@ def test_theta_bnlj_set_is_pinned(plan_audit):
     )
     assert not gone, (
         f"allowlist entries no longer theta-BNLJ (stale — prune): {sorted(gone)}"
+    )
+
+
+def test_summary_name_lists_agree_with_counts(plan_audit):
+    """VERDICT r8 #5: the summary's row/arrow-Python counts must be
+    derivable from — and name-listed alongside — the per-op records, so
+    an auditor can jq straight to the offending op names."""
+    ops = plan_audit["ops"]
+    s = build_summary(ops)
+    assert s["row_python_ops"] == len(s["row_python_op_names"])
+    assert s["arrow_python_ops"] == len(s["arrow_python_op_names"])
+    assert s["row_python_op_names"] == sorted(
+        n for n, c in ops.items() if c["batch_eval_python"]
+    )
+    assert s["arrow_python_op_names"] == sorted(
+        n for n, c in ops.items() if c["arrow_eval_python"] or c["pandas_map"]
     )
 
 

@@ -45,7 +45,6 @@ def test_stale_scratch_sweep_removes_dead_pid_dirs(tmp_path):
     from datapipelines_python_spark.operators import scans
 
     # a pid that is certainly dead: spawn-and-wait a trivial child
-    proc = subprocess.run([sys.executable, "-c", "pass"], check=True)
     dead = subprocess.Popen([sys.executable, "-c", "pass"])
     dead.wait()
     stale = os.path.join(scans._SCRATCH_BASE, f"proc_p{dead.pid}_t0")
@@ -55,7 +54,6 @@ def test_stale_scratch_sweep_removes_dead_pid_dirs(tmp_path):
     scans._sweep_stale_scratch()
     assert not os.path.exists(stale), "dead-pid scratch root must be GC'd"
     assert os.path.exists(live), "own scratch root must survive the sweep"
-    del proc
 
 
 def test_two_processes_run_foreach_sink_concurrently():
