@@ -444,6 +444,38 @@ _SQL_NBITS = (
     f"({_SIGN_BITS} + CASE WHEN (GREATEST(_n, 1) - 1) // 2000 <= 0 THEN 0 "
     "ELSE LENGTH(BIN((GREATEST(_n, 1) - 1) // 2000)) END)"
 )
+
+# Margin-ranked multi-probe masks (round 9, VERDICT r8 #3): growing the
+# bit count keeps candidate work linear but costs recall — measured
+# dedup pair-recall vs exact numpy ground truth fell 0.143 (sf0.1,
+# 4 bits) → 0.021 (sf1, 8 bits) probing the home bucket only. Each
+# vector therefore also probes the E = nbits−4 buckets reached by
+# flipping the E smallest-|embedding[k]| sign bits (the hyperplanes the
+# vector sits closest to — the bits most likely to disagree with a true
+# near-duplicate; ties break on bit position). Measured back to 0.114 at
+# sf1 for (1+E)× candidate work (scripts/recall_sf1.py) — the remaining
+# gap to the sf0.1 level is the single-table structure itself; the
+# 8-band generator in workloads._ann_candidates is the kNN-grade twin
+# and recovers its full recall under the same probe rule. E = 0 at every
+# n ≤ 2000 fixture, so the probe set degenerates to {home} and all
+# sub-sf1 values, walls and oracle pins are unchanged; both engines
+# derive the identical probe set (same doubles, same tie-break), so the
+# oracle replays it bit-for-bit.
+_SPARK_PROBE_MASKS = (
+    "concat(array(CAST(0 AS BIGINT)), transform(slice(array_sort("
+    f"transform(sequence(0, {_SPARK_NBITS} - 1), k -> named_struct("
+    "'m', abs(CAST(try_element_at(embedding, k + 1) AS DOUBLE)), 'p', k))), "
+    f"1, {_SPARK_NBITS} - {_SIGN_BITS}), "
+    "s -> shiftleft(CAST(1 AS BIGINT), s.p)))"
+)
+# referenced in a select AFTER `bucket` exists as a column
+_SPARK_PROBE_BUCKETS = f"transform({_SPARK_PROBE_MASKS}, m -> bucket ^ m)"
+_SQL_PROBE_BUCKETS = (
+    "[xor(bucket, m) FOR m IN list_concat([CAST(0 AS BIGINT)], "
+    "[CAST(1 AS BIGINT) << s['p'] FOR s IN list_sort("
+    f"[{{'m': ABS(CAST(embedding[k + 1] AS DOUBLE)), 'p': k}} "
+    f"FOR k IN RANGE(0, {_SQL_NBITS})])[: {_SQL_NBITS} - {_SIGN_BITS}]])]"
+)
 _SQL_BUCKET = (
     "CAST(LIST_SUM([CASE WHEN embedding[i] > 0 THEN (CAST(1 AS BIGINT) << (i-1)) "
     f"ELSE 0 END FOR i IN RANGE(1, {_SQL_NBITS} + 1)]) AS BIGINT)"
@@ -474,15 +506,16 @@ def _with_corpus_n(emb: DataFrame) -> DataFrame:
     "llm_ann_lsh_bucketed",
     oracle=f"""
         WITH nv AS (
-            SELECT vec_id, embedding,
+            SELECT vec_id, embedding, _n,
                    SQRT({sql_dot('embedding', 'embedding')}) AS norm,
                    {_SQL_BUCKET} AS bucket
             FROM embeddings, (SELECT COUNT(*) AS _n FROM embeddings) corpus_n
         ),
         q AS (
-            SELECT vec_id AS q_id, embedding AS q_emb, norm AS q_norm,
-                   bucket AS q_bucket
-            FROM nv WHERE vec_id < 5
+            SELECT q_id, q_emb, q_norm, UNNEST(q_probes) AS q_bucket
+            FROM (SELECT vec_id AS q_id, embedding AS q_emb, norm AS q_norm,
+                         {_SQL_PROBE_BUCKETS} AS q_probes
+                  FROM nv WHERE vec_id < 5) t
         ),
         pairs AS (
             SELECT q.q_id, c.vec_id AS neighbor_id,
@@ -506,22 +539,28 @@ def llm_ann_lsh_bucketed(spark: SparkSession, sf: str) -> DataFrame:
     buckets (here: sign bits of the first dims — deterministic, so the
     oracle replays it). The equi-join on bucket replaces
     ``llm_similarity_topk``'s query×corpus product: at 100 TB each query
-    only meets its bucket's candidates (~1/2^bits of the corpus; add
-    multi-probe neighbors of the bucket for recall)."""
+    only meets its bucket's candidates (~1/2^bits of the corpus). Each
+    query probes its home bucket plus the E margin-ranked one-bit-flip
+    neighbors (multi-probe — see ``_SPARK_PROBE_MASKS``; a no-op below
+    n = 2000, where E = 0)."""
     from pyspark.sql.window import Window
 
     emb = load_table(spark, sf, "embeddings")
     nv = _with_corpus_n(emb).select(
         "vec_id",
         "embedding",
+        "_n",
         F.sqrt(dot("embedding", "embedding")).alias("norm"),
         F.expr(_SPARK_BUCKET).alias("bucket"),
     )
-    q = nv.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("norm").alias("q_norm"),
-        F.col("bucket").alias("q_bucket"),
+    q = (
+        nv.filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("norm").alias("q_norm"),
+            F.explode(F.expr(_SPARK_PROBE_BUCKETS)).alias("q_bucket"),
+        )
     )
     pairs = nv.join(
         F.broadcast(q),
@@ -543,15 +582,27 @@ def llm_ann_lsh_bucketed(spark: SparkSession, sf: str) -> DataFrame:
     "llm_dedup_embedding",
     oracle=f"""
         WITH nv AS (
-            SELECT vec_id, embedding,
+            SELECT vec_id, embedding, _n,
                    SQRT({sql_dot('embedding', 'embedding')}) AS norm,
                    {_SQL_BUCKET} AS bucket
             FROM embeddings, (SELECT COUNT(*) AS _n FROM embeddings) corpus_n
         ),
+        probe AS (
+            SELECT vec_id, UNNEST({_SQL_PROBE_BUCKETS}) AS pbucket
+            FROM nv
+        ),
+        cand AS (
+            SELECT DISTINCT LEAST(x.vec_id, y.vec_id) AS vec_a,
+                            GREATEST(x.vec_id, y.vec_id) AS vec_b
+            FROM probe x JOIN nv y
+              ON x.pbucket = y.bucket AND x.vec_id <> y.vec_id
+        ),
         p AS (
-            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+            SELECT t.vec_a, t.vec_b,
                    {sql_dot('a.embedding', 'b.embedding')} / (a.norm * b.norm) AS cos
-            FROM nv a JOIN nv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            FROM cand t
+            JOIN nv a ON t.vec_a = a.vec_id
+            JOIN nv b ON t.vec_b = b.vec_id
         )
         SELECT vec_a, vec_b, {sql_round4('cos')} AS cosine
         FROM p WHERE cos >= 0.35
@@ -559,36 +610,61 @@ def llm_ann_lsh_bucketed(spark: SparkSession, sf: str) -> DataFrame:
     tags=("llm", "dedup", "similarity"),
 )
 def llm_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, bucketed: same sign-bucket
-    self-join → exact cosine on candidates only. The fixture plants no
-    vector dups (max same-bucket cosine ≈ 0.43), so the threshold is set
-    low to exercise the path; for real near-dup sweeps raise it to ~0.95
-    and widen recall with multi-probe buckets."""
+    """Embedding-cosine near-dup pairs, bucketed: sign-bucket candidate
+    join → exact cosine on candidates only. Each vector probes its home
+    bucket plus the E margin-ranked one-bit-flip neighbor buckets
+    (multi-probe — see ``_SPARK_PROBE_MASKS``), which at n ≤ 2000
+    (E = 0) degenerates to exactly the old same-bucket self-join. The
+    fixture plants no vector dups (max same-bucket cosine ≈ 0.43), so
+    the threshold is set low to exercise the path; for real near-dup
+    sweeps raise it to ~0.95. Candidates ride a skinny (vec_a, vec_b)
+    distinct; embeddings join back by id for the exact rescore."""
     emb = load_table(spark, sf, "embeddings")
     nv = _with_corpus_n(emb).select(
         "vec_id",
         "embedding",
+        "_n",
         F.sqrt(dot("embedding", "embedding")).alias("norm"),
         F.expr(_SPARK_BUCKET).alias("bucket"),
     )
-    a = nv.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("emb_a"),
-        F.col("norm").alias("norm_a"),
-        F.col("bucket").alias("bucket_a"),
+    probe = nv.select(
+        "vec_id", F.explode(F.expr(_SPARK_PROBE_BUCKETS)).alias("pbucket")
     )
-    b = nv.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("emb_b"),
-        F.col("norm").alias("norm_b"),
-        F.col("bucket").alias("bucket_b"),
+    cand = (
+        probe.alias("x")
+        .join(
+            nv.select("vec_id", "bucket").alias("y"),
+            (F.col("x.pbucket") == F.col("y.bucket"))
+            & (F.col("x.vec_id") != F.col("y.vec_id")),
+        )
+        .select(
+            F.least(F.col("x.vec_id"), F.col("y.vec_id")).alias("vec_a"),
+            F.greatest(F.col("x.vec_id"), F.col("y.vec_id")).alias("vec_b"),
+        )
+        .distinct()
     )
-    pairs = a.join(
-        b, (F.col("bucket_a") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b"))
-    ).select(
-        "vec_a",
-        "vec_b",
-        (dot("emb_a", "emb_b") / (F.col("norm_a") * F.col("norm_b"))).alias("cos"),
+    pairs = (
+        cand.join(
+            nv.select(
+                F.col("vec_id").alias("vec_a"),
+                F.col("embedding").alias("emb_a"),
+                F.col("norm").alias("norm_a"),
+            ),
+            "vec_a",
+        )
+        .join(
+            nv.select(
+                F.col("vec_id").alias("vec_b"),
+                F.col("embedding").alias("emb_b"),
+                F.col("norm").alias("norm_b"),
+            ),
+            "vec_b",
+        )
+        .select(
+            "vec_a",
+            "vec_b",
+            (dot("emb_a", "emb_b") / (F.col("norm_a") * F.col("norm_b"))).alias("cos"),
+        )
     )
     return pairs.filter(F.col("cos") >= 0.35).select(
         "vec_a", "vec_b", round4(F.col("cos")).alias("cosine")

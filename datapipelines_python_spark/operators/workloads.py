@@ -5228,9 +5228,25 @@ def _ann_candidates(nv: DataFrame) -> DataFrame:
     candidate work ≤ 31·n per band — linear with a ≤2× sawtooth. At
     n ≤ 2000 (every sf ≤ 0.1 fixture) E = 0 and the bucketing is
     bit-identical to the pre-r8 scheme, so locked walls, recall pins and
-    oracle values below sf1 are unchanged. More bits per band lowers
-    per-band recall — the standard LSH trade; production sweeps at 100 TB
-    would also multi-probe neighbor buckets (flip one bit) for recall."""
+    oracle values below sf1 are unchanged.
+
+    MARGIN-RANKED MULTI-PROBE (round 9, VERDICT r8 #3): the extra bits
+    keep work linear but cost recall — measured recall@5 vs exact numpy
+    ground truth fell 0.369 (sf0.1, E=0) → 0.112 (sf1, E=4) with
+    home-bucket probing only. Each vector therefore ALSO probes, per
+    band, the E buckets obtained by flipping the E smallest-|margin|
+    bits (margin = |e[p]| for a sign bit, |e[p]−e[q]| for a rank bit —
+    the hyperplanes the vector is closest to, i.e. the bits most likely
+    to disagree with a true neighbor; ties break on bit position). That
+    is the classic multi-probe LSH trade: recall@5 at sf1 measured back
+    to 0.382 (scripts/recall_sf1.py) for (1+E)× candidate work — still
+    linear with a log factor, vs the fixed-bit scheme's quadratic blowup
+    or the ×2^E table count vanilla LSH would need. Probing is
+    asymmetric (probe side × home side) and then symmetrized, which at
+    E = 0 degenerates to exactly the old home×home self-join — so every
+    sub-sf1 value, wall, and oracle pin is untouched; both engines
+    compute the identical probe set (verified entry-for-entry at sf0.1
+    and sf1), so oracles replay bit-for-bit."""
     # constant-key broadcast EQUI join (not crossJoin): a 1-row cross
     # renders as BroadcastNestedLoopJoin, which the kNN plan gate
     # (tests/test_knn_family.py) rightly forbids anywhere near the
@@ -5248,9 +5264,8 @@ def _ann_candidates(nv: DataFrame) -> DataFrame:
             "ELSE length(bin((greatest(_n, 1) - 1) div 2000)) END"
         ).alias("_e"),
     )
-    bucket_expr = (
-        "transform(sequence(0, {L} - 1), i -> "
-        "CAST(aggregate(slice(embedding, i * {B} + 1, {B}), 0, "
+    home_expr = (
+        "(CAST(aggregate(slice(embedding, i * {B} + 1, {B}), 0, "
         "(acc, x) -> acc * 2 + IF(x >= CAST(0.0 AS FLOAT), 1, 0)) AS BIGINT)"
         " * shiftleft(CAST(1 AS BIGINT), _e) + IF(_e = 0, CAST(0 AS BIGINT), "
         "aggregate(sequence(0, _e - 1), CAST(0 AS BIGINT), (acc, j) -> "
@@ -5258,16 +5273,43 @@ def _ann_candidates(nv: DataFrame) -> DataFrame:
         "try_element_at(embedding, CAST((i * {B} + j * 11) % 64 AS INT) + 1) > "
         "try_element_at(embedding, CAST((i * {B} + j * 11 + 31) % 64 AS INT) + 1), "
         "CAST(1 AS BIGINT), CAST(0 AS BIGINT)))))"
-    ).format(L=_ANN_BANDS, B=_ANN_BITS)
-    banded = (
-        nv.withColumn(
-            "_k", F.coalesce(F.col("vec_id") * F.lit(0), F.lit(0)).cast("int")
-        )
-        .join(F.broadcast(n1), "_k")
-        .select("vec_id", F.posexplode(F.expr(bucket_expr)).alias("band", "bucket"))
+    ).format(B=_ANN_BITS)
+    bucket_expr = (
+        f"transform(sequence(0, {_ANN_BANDS} - 1), i -> {home_expr})"
     )
-    cand_ids = (
-        banded.alias("x")
+    # per-band (margin, bit-position) candidates: bit k<B is the sign bit
+    # of dim i·B+k (bucket position _e+B-1-k), else rank bit k-B (bucket
+    # position _e-1-(k-B)); margins are the vector's distance to each
+    # bit's hyperplane, in double on both engines
+    cands_expr = (
+        "transform(sequence(0, {B} - 1 + _e), k -> named_struct("
+        "'m', IF(k < {B}, "
+        "abs(CAST(try_element_at(embedding, i * {B} + k + 1) AS DOUBLE)), "
+        "abs(CAST(try_element_at(embedding, CAST((i * {B} + (k - {B}) * 11) % 64 AS INT) + 1) AS DOUBLE) "
+        "- CAST(try_element_at(embedding, CAST((i * {B} + (k - {B}) * 11 + 31) % 64 AS INT) + 1) AS DOUBLE))), "
+        "'p', IF(k < {B}, _e + {B} - 1 - k, _e - 1 - (k - {B}))))"
+    ).format(B=_ANN_BITS)
+    probes_expr = (
+        "concat(array(CAST(0 AS BIGINT)), "
+        f"transform(slice(array_sort({cands_expr}), 1, _e), "
+        "s -> shiftleft(CAST(1 AS BIGINT), s.p)))"
+    )
+    probe_entries_expr = (
+        f"flatten(transform(sequence(0, {_ANN_BANDS} - 1), i -> "
+        f"transform({probes_expr}, m -> "
+        f"named_struct('band', i, 'bucket', {home_expr} ^ m))))"
+    )
+    keyed = nv.withColumn(
+        "_k", F.coalesce(F.col("vec_id") * F.lit(0), F.lit(0)).cast("int")
+    ).join(F.broadcast(n1), "_k")
+    banded = keyed.select(
+        "vec_id", F.posexplode(F.expr(bucket_expr)).alias("band", "bucket")
+    )
+    probed = keyed.select(
+        "vec_id", F.explode(F.expr(probe_entries_expr)).alias("e")
+    ).select("vec_id", F.col("e.band").alias("band"), F.col("e.bucket").alias("bucket"))
+    hits = (
+        probed.alias("x")
         .join(
             banded.alias("y"),
             (F.col("x.band") == F.col("y.band"))
@@ -5275,8 +5317,12 @@ def _ann_candidates(nv: DataFrame) -> DataFrame:
             & (F.col("x.vec_id") != F.col("y.vec_id")),
         )
         .select(F.col("x.vec_id").alias("cu"), F.col("y.vec_id").alias("cv"))
-        .distinct()
     )
+    # symmetrize: the old home×home join emitted both directions of every
+    # pair, and the per-u windows downstream depend on that
+    cand_ids = hits.union(
+        hits.select(F.col("cv").alias("cu"), F.col("cu").alias("cv"))
+    ).distinct()
     return (
         cand_ids.join(nv.alias("a"), F.col("cu") == F.col("a.vec_id"))
         .join(nv.alias("b"), F.col("cv") == F.col("b.vec_id"))
@@ -5300,24 +5346,52 @@ def _ann_candidates(nv: DataFrame) -> DataFrame:
 # extended since round 8 by the adaptive comparison bits (see
 # _ann_candidates' docstring): base << _e plus the big-endian fold of
 # sign(embedding[p] − embedding[q]) over the identical dim-pair schedule.
-_SQL_ANN_BUCKET = (
-    "("
-    + " + ".join(
-        f"CASE WHEN embedding[band * {_ANN_BITS} + {k}] >= 0 "
-        f"THEN CAST({1 << (_ANN_BITS - k)} AS BIGINT) ELSE 0 END"
-        for k in range(1, _ANN_BITS + 1)
+def _sql_ann_home(v: str) -> str:
+    """DuckDB home bucket of band ``v`` — bit-twin of ``home_expr``."""
+    return (
+        "(("
+        + " + ".join(
+            f"CASE WHEN embedding[{v} * {_ANN_BITS} + {k}] >= 0 "
+            f"THEN CAST({1 << (_ANN_BITS - k)} AS BIGINT) ELSE 0 END"
+            for k in range(1, _ANN_BITS + 1)
+        )
+        + ") * (CAST(1 AS BIGINT) << _e) + COALESCE(LIST_SUM(["
+        f"CASE WHEN embedding[(({v} * {_ANN_BITS} + j * 11) % 64) + 1] > "
+        f"embedding[(({v} * {_ANN_BITS} + j * 11 + 31) % 64) + 1] "
+        "THEN (CAST(1 AS BIGINT) << (_e - 1 - j)) ELSE 0 END "
+        "FOR j IN RANGE(0, _e)]), 0))"
     )
-    + ") * (CAST(1 AS BIGINT) << _e) + COALESCE(LIST_SUM(["
-    f"CASE WHEN embedding[((band * {_ANN_BITS} + j * 11) % 64) + 1] > "
-    f"embedding[((band * {_ANN_BITS} + j * 11 + 31) % 64) + 1] "
-    "THEN (CAST(1 AS BIGINT) << (_e - 1 - j)) ELSE 0 END "
-    "FOR j IN RANGE(0, _e)]), 0)"
+
+
+_SQL_ANN_BUCKET = _sql_ann_home("band")
+
+# per-band margin-ranked probe entries — bit-twin of probe_entries_expr
+# in _ann_candidates (same margins, same positions, same tie-break)
+_SQL_ANN_CANDS = (
+    "[{{'m': CASE WHEN k < {B} THEN ABS(CAST(embedding[i*{B} + k + 1] AS DOUBLE)) "
+    "ELSE ABS(CAST(embedding[((i*{B} + (k-{B})*11) % 64) + 1] AS DOUBLE) "
+    "- CAST(embedding[((i*{B} + (k-{B})*11 + 31) % 64) + 1] AS DOUBLE)) END, "
+    "'p': CASE WHEN k < {B} THEN _e + {B} - 1 - k ELSE _e - 1 - (k - {B}) END}} "
+    "FOR k IN RANGE(0, {B} + _e)]"
+).format(B=_ANN_BITS)
+_SQL_ANN_PROBE_ENTRIES = (
+    "flatten([[{'band': i, 'bucket': xor(" + _sql_ann_home("i") + ", m)} "
+    "FOR m IN list_concat([CAST(0 AS BIGINT)], "
+    "[CAST(1 AS BIGINT) << s['p'] FOR s IN "
+    f"list_sort({_SQL_ANN_CANDS})[: _e]])] "
+    f"FOR i IN RANGE(0, {_ANN_BANDS})])"
 )
 
 _SQL_ANN_SCORED = f"""
         ann_nv AS MATERIALIZED (
             SELECT vec_id, embedding,
                    SQRT({sql_dot('embedding', 'embedding')}) AS norm
+            FROM embeddings
+        ),
+        ann_e AS MATERIALIZED (
+            SELECT CASE WHEN (GREATEST(COUNT(*), 1) - 1) // 2000 <= 0
+                   THEN 0 ELSE LENGTH(BIN(
+                        (GREATEST(COUNT(*), 1) - 1) // 2000)) END AS _e
             FROM embeddings
         ),
         ann_banded AS MATERIALIZED (
@@ -5327,17 +5401,29 @@ _SQL_ANN_SCORED = f"""
             SELECT vec_id, band, {_SQL_ANN_BUCKET} AS bucket
             FROM embeddings,
                  (SELECT UNNEST(RANGE(0, {_ANN_BANDS})) AS band),
-                 (SELECT CASE WHEN (GREATEST(COUNT(*), 1) - 1) // 2000 <= 0
-                         THEN 0 ELSE LENGTH(BIN(
-                              (GREATEST(COUNT(*), 1) - 1) // 2000)) END AS _e
-                  FROM embeddings) corpus_e
+                 ann_e
             WHERE embedding IS NOT NULL
         ),
+        ann_probe AS MATERIALIZED (
+            -- home + E margin-ranked single-bit-flip probes per band
+            -- (multi-probe LSH; degenerates to home-only at _e = 0)
+            SELECT vec_id, e['band'] AS band, e['bucket'] AS bucket
+            FROM (SELECT vec_id, UNNEST({_SQL_ANN_PROBE_ENTRIES}) AS e
+                  FROM embeddings, ann_e
+                  WHERE embedding IS NOT NULL) t
+        ),
         ann_cand AS MATERIALIZED (
-            SELECT DISTINCT x.vec_id AS cu, y.vec_id AS cv
-            FROM ann_banded x JOIN ann_banded y
-              ON x.band = y.band AND x.bucket = y.bucket
-             AND x.vec_id <> y.vec_id
+            SELECT DISTINCT cu, cv FROM (
+                SELECT x.vec_id AS cu, y.vec_id AS cv
+                FROM ann_probe x JOIN ann_banded y
+                  ON x.band = y.band AND x.bucket = y.bucket
+                 AND x.vec_id <> y.vec_id
+                UNION ALL
+                SELECT y.vec_id AS cu, x.vec_id AS cv
+                FROM ann_probe x JOIN ann_banded y
+                  ON x.band = y.band AND x.bucket = y.bucket
+                 AND x.vec_id <> y.vec_id
+            ) u
         ),
         ann_scored AS MATERIALIZED (
             SELECT t.cu AS u, t.cv AS v,
