@@ -5438,9 +5438,12 @@ _SQL_ANN_SCORED = f"""
 
 def _ann_scored_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Cosine-scored banded sign-LSH candidate pairs (u, v, round4 c) —
-    the registered production candidate stream: one explode (8 rows/vec),
-    one (band, bucket) equi-self-join, one distinct, exact rescoring of
-    candidates only. Work is Σ bucket-occupancy² per band, never n²."""
+    the registered production candidate stream: one home explode
+    (8 rows/vec) joined by one probe explode (8·(1+E) rows/vec — home
+    plus E margin-ranked bit flips per band, E = 0 below n = 2000), one
+    (band, bucket) equi-join, one symmetrized distinct, exact rescoring
+    of candidates only. Work is (1+E)·Σ bucket-occupancy² per band —
+    log-linear — never n²."""
     from datapipelines_python_spark.operators.llm import dot
 
     emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
