@@ -5319,7 +5319,12 @@ def _ann_candidates(nv: DataFrame) -> DataFrame:
         .select(F.col("x.vec_id").alias("cu"), F.col("y.vec_id").alias("cv"))
     )
     # symmetrize: the old home×home join emitted both directions of every
-    # pair, and the per-u windows downstream depend on that
+    # pair, and the per-u windows downstream depend on that. Measured at
+    # sf1 (32.7M candidate pairs): union(hits, hits.swapped) beats a
+    # single-pass explode-both-directions (62 vs 82 s end-to-end) —
+    # Spark's ReuseExchange serves the second branch from the first
+    # join's shuffles and the branches run concurrently, while the
+    # Generate doubles 33M rows through one serial operator
     cand_ids = hits.union(
         hits.select(F.col("cv").alias("cu"), F.col("cu").alias("cv"))
     ).distinct()
