@@ -49,50 +49,50 @@ DRIVER_SLICE: tuple[str, ...] = (
     "digest_wl_2",
     # digest-only ops rotated in for individual raw-double hash rows
     # (strictly stronger than the digest's floor-grid certification).
-    # Round 9 rotation: next 42 never-individually-checked ops,
+    # Round 10 rotation: next 42 never-individually-checked ops,
     # round-robin across family prefixes (scripts/next_rotation.py).
-    "fn_char_ops",
-    "llm_winnowing",
-    "ml_ols_regression",
-    "mm_audio_frame_sample",
-    "sql_distribute_cluster_by",
-    "stream_tws_fallback",
-    "tpch_q7_volume_shipping",
-    "workload_profile_table",
-    "fn_xml",
-    "llm_entropy_score",
-    "ml_linreg_multi",
-    "mm_video_frame_sample",
-    "sql_hint_rebalance",
-    "tpch_q8_national_market_share",
-    "workload_rfm_segmentation",
-    "fn_map_hof",
-    "llm_quality_composite",
-    "ml_pca_power",
-    "mm_image_patch_grid",
-    "sql_identifier_clause",
-    "tpch_q11_important_stock",
-    "workload_gap_fill_calendar",
-    "fn_regexp_extract_all",
-    "llm_zipf_fit",
-    "ml_decision_stump",
-    "mm_av_sync_check",
-    "sql_window_clause",
-    "tpch_q12_late_lines_priority",
-    "workload_ab_test",
-    "fn_collation",
-    "llm_dedup_paragraph",
-    "ml_tree_depth2",
-    "mm_augment_params",
-    "sql_order_by_all",
-    "tpch_q15_top_supplier",
-    "workload_dau_rolling",
-    "fn_format_string",
-    "llm_repetition_ngram",
-    "ml_knn_classifier",
-    "mm_vad_segments",
-    "sql_execute_immediate",
-    "tpch_q16_parts_supplier_relationship",
+    "fn_luhn_check",
+    "llm_ngram_novelty",
+    "ml_logistic_newton",
+    "tpch_q17_small_quantity_revenue",
+    "workload_attribution_last_touch",
+    "fn_aes_roundtrip",
+    "llm_embed_matryoshka",
+    "ml_gbt_stumps",
+    "tpch_q20_potential_promotion",
+    "workload_latency_percentiles",
+    "fn_uuid_deterministic",
+    "llm_ann_pq_adc",
+    "ml_oversample_interpolate",
+    "tpch_q21_suppliers_kept_waiting",
+    "workload_ship_lag",
+    "fn_timezone_convert",
+    "llm_tfidf_knn",
+    "ml_youden_j",
+    "tpch_q2_minimum_cost_supplier",
+    "workload_pareto_share",
+    "fn_morton_zorder",
+    "llm_context_fit",
+    "ml_lof_outliers",
+    "workload_error_bursts",
+    "fn_inet",
+    "llm_sentiment_lexicon",
+    "ml_chi2_independence",
+    "workload_ewma_smoothing",
+    "fn_soundex",
+    "llm_word_burstiness",
+    "ml_ks_test",
+    "workload_data_quality",
+    "fn_string_extra",
+    "llm_template_prefix",
+    "ml_theil_sen",
+    "workload_top_movers",
+    "fn_array_extra",
+    "llm_bleu_pairs",
+    "ml_subsample_ci",
+    "workload_histogram_equiheight",
+    "fn_string_index",
+    "llm_embedding_isotropy",
 )
 
 # Modules that register operators on import.
