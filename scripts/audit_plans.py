@@ -71,6 +71,13 @@ _COUNTERS = {
 
 
 def audit(spark, sf: str, only=None) -> dict:
+    # Digest ops with the threaded executor eagerly run + collect all ~70
+    # member jobs inside spec.fn and return a LocalRelation — a plan-only
+    # audit would both pay full execution and record ~zero exchanges for
+    # them. Force the lazy-union path (value-identical; read per call by
+    # operators/digests._digest_threads) so digests are audited at their
+    # real 70-way union shape, for free (ADVICE r9).
+    os.environ["SPARK_GRAFT_DIGEST_THREADS"] = "1"
     reg = get_registry()
     if only:
         unknown = set(only) - set(reg)

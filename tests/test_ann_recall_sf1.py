@@ -79,13 +79,17 @@ def test_dedup_pair_recall_floor(spark, corpus):
     sample = np.arange(0, n, 10)
     sims = Xn[sample] @ Xn.T
     truth = set()
+    near = set()  # epsilon-relaxed membership for the false-positive check
     for r, row_idx in enumerate(sample):
         row = sims[r].copy()
         row[row_idx] = -np.inf
         u = int(ids[row_idx])
-        for j in np.nonzero(row >= 0.35)[0]:
+        for j in np.nonzero(row >= 0.35 - 1e-9)[0]:
             v = int(ids[j])
-            truth.add((u, v) if u < v else (v, u))
+            pair = (u, v) if u < v else (v, u)
+            near.add(pair)
+            if row[j] >= 0.35:
+                truth.add(pair)
 
     sample_ids = {int(ids[i]) for i in sample}
     found = {
@@ -94,9 +98,13 @@ def test_dedup_pair_recall_floor(spark, corpus):
         if row["vec_a"] in sample_ids or row["vec_b"] in sample_ids
     }
     recall = len(found & truth) / len(truth)
-    extra = found - truth
     # exact rescore ⇒ every emitted pair is a true pair (threshold is
-    # applied to the exact cosine); sampled-truth membership must agree
+    # applied to the exact cosine). Judge false positives against the
+    # epsilon-relaxed truth, not the razor edge (ADVICE r9): Spark's and
+    # numpy's summation orders can disagree by ~1 ulp on a cosine that
+    # sits exactly at 0.35, which is a rendering difference, not a
+    # candidate-generation defect.
+    extra = found - near
     assert not extra, f"dedup emitted non-true pairs: {list(extra)[:5]}"
     # measured 0.114 at sf1 (multi-probe); floor sits far above the
     # 0.021 home-only collapse. The single-table structural gap to the

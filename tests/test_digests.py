@@ -113,6 +113,44 @@ def test_never_green_batch_ops_all_covered():
     assert not missing, f"never-green ops not in any digest: {sorted(missing)}"
 
 
+def test_batch_members_conf_safe():
+    """The threaded batch-digest executor (operators/digests.py) runs up
+    to 12 member fns concurrently on ONE SparkSession. That is safe only
+    while members never *temporarily* mutate session conf — a
+    save/mutate/restore window races under concurrency, whereas one-way
+    idempotent sets (nanosAsLong / UTC / AQE, always to the same value)
+    commute. Enforce the invariant at the source level (ADVICE r9): a
+    batch member whose fn source shows a conf context manager, a
+    get-then-restore pattern, conf.unset, the stream-split env knob, or a
+    non-allowlisted conf.set key must either drop the pattern or move to
+    the sequential stream digest."""
+    import inspect
+    import re
+
+    idempotent = {
+        "spark.sql.legacy.parquet.nanosAsLong",
+        "spark.sql.session.timeZone",
+        "spark.sql.adaptive.enabled",
+    }
+    banned = ("_state_sized", "SPARK_GRAFT_STREAM_FILES", "conf.unset", "conf.get(")
+    reg = get_registry()
+    offenders: dict[str, list[str]] = {}
+    for fam, members in DIGEST_FAMILIES.items():
+        if fam == "stream":
+            continue
+        for m in members:
+            src = inspect.getsource(reg[m].fn)
+            hits = [b for b in banned if b in src]
+            hits += [
+                f"conf.set({key})"
+                for key in re.findall(r"conf\.set\(\s*['\"]([^'\"]+)", src)
+                if key not in idempotent
+            ]
+            if hits:
+                offenders[m] = hits
+    assert not offenders, f"conf-unsafe batch digest members: {offenders}"
+
+
 def test_rendering_hazards_cross_engine(spark):
     """Bit-exact Spark↔DuckDB agreement on the hazard grid: NULL, NaN,
     ±Inf, -0.0, and every double tier boundary; string pipes; NULL sentinel
