@@ -453,28 +453,75 @@ _SQL_NBITS = (
 # flipping the E smallest-|embedding[k]| sign bits (the hyperplanes the
 # vector sits closest to — the bits most likely to disagree with a true
 # near-duplicate; ties break on bit position). Measured back to 0.114 at
-# sf1 for (1+E)× candidate work (scripts/recall_sf1.py) — the remaining
-# gap to the sf0.1 level is the single-table structure itself; the
-# 8-band generator in workloads._ann_candidates is the kNN-grade twin
-# and recovers its full recall under the same probe rule. E = 0 at every
+# sf1 for (1+E)× candidate work (scripts/recall_sf1.py); round 10 adds
+# the Hamming-2 probes below for the single-table dedup sweep, lifting
+# it to 0.248 — past the 0.143 sf0.1 pin. The 8-band generator in
+# workloads._ann_candidates is the kNN-grade twin and recovers its full
+# recall under the single-bit probe rule alone. E = 0 at every
 # n ≤ 2000 fixture, so the probe set degenerates to {home} and all
 # sub-sf1 values, walls and oracle pins are unchanged; both engines
 # derive the identical probe set (same doubles, same tie-break), so the
 # oracle replays it bit-for-bit.
-_SPARK_PROBE_MASKS = (
-    "concat(array(CAST(0 AS BIGINT)), transform(slice(array_sort("
+# the E = nbits-4 margin-ranked single-bit masks, smallest |margin|
+# first (position tie-break) — shared by the query-probe set below and
+# the dedup op's deeper two-bit probe set
+_SPARK_SINGLES = (
+    "transform(slice(array_sort("
     f"transform(sequence(0, {_SPARK_NBITS} - 1), k -> named_struct("
     "'m', abs(CAST(try_element_at(embedding, k + 1) AS DOUBLE)), 'p', k))), "
     f"1, {_SPARK_NBITS} - {_SIGN_BITS}), "
-    "s -> shiftleft(CAST(1 AS BIGINT), s.p)))"
+    "s -> shiftleft(CAST(1 AS BIGINT), s.p))"
 )
+_SQL_SINGLES = (
+    "[CAST(1 AS BIGINT) << s['p'] FOR s IN list_sort("
+    f"[{{'m': ABS(CAST(embedding[k + 1] AS DOUBLE)), 'p': k}} "
+    f"FOR k IN RANGE(0, {_SQL_NBITS})])[: {_SQL_NBITS} - {_SIGN_BITS}]]"
+)
+_SPARK_PROBE_MASKS = f"concat(array(CAST(0 AS BIGINT)), {_SPARK_SINGLES})"
 # referenced in a select AFTER `bucket` exists as a column
 _SPARK_PROBE_BUCKETS = f"transform({_SPARK_PROBE_MASKS}, m -> bucket ^ m)"
 _SQL_PROBE_BUCKETS = (
     "[xor(bucket, m) FOR m IN list_concat([CAST(0 AS BIGINT)], "
-    "[CAST(1 AS BIGINT) << s['p'] FOR s IN list_sort("
-    f"[{{'m': ABS(CAST(embedding[k + 1] AS DOUBLE)), 'p': k}} "
-    f"FOR k IN RANGE(0, {_SQL_NBITS})])[: {_SQL_NBITS} - {_SIGN_BITS}]])]"
+    f"{_SQL_SINGLES})]"
+)
+
+# Deeper probe set for the SINGLE-TABLE dedup sweep (round 10, VERDICT
+# r9 #4): one table = one chance, and the measured sf1 pair-recall sat
+# at 0.114 vs the 0.143 fixture pin even with the E one-bit probes.
+# Numpy simulation over the verdict's candidate strategies
+# (scripts/sim_dedup_second_table.py, exact float64 truth, n = 20 000):
+#   home + E one-bit probes (current)          0.114  5.5M cand pairs
+#   2 independent tables, home only            0.042  1.6M
+#   2 independent tables, probes both          0.219 10.8M
+#   home + E one-bit + pairwise two-bit flips  0.248 13.8M   <-- chosen
+#   all nbits one-bit flips                    0.128  7.0M
+# The standard multi-probe escalation (Lv et al., VLDB'07) wins on both
+# recall and plumbing: the pairwise XORs of the E smallest-|margin|
+# single-bit masks reach the Hamming-2 buckets a true near-dup most
+# likely landed in, with no second hash table to tag, join and maintain.
+# Probe count is 1 + E + C(min(E,8),2): combos draw only from the 8
+# smallest-margin bits (at sf1 E = 4, cap inactive), so the per-vector
+# probe work stays O(E) + O(1), not O(E²), as nbits grows with log(n).
+# Both expressions reference a `singles`/`_s` column (the materialized
+# _SPARK_SINGLES/_SQL_SINGLES array) and `bucket`; at n ≤ 2000, E = 0 ⇒
+# singles empty ⇒ the set degenerates to {home} and every sub-sf1
+# oracle pin is bit-identical to the pre-probe era.
+_PROBE_COMBO_CAP = 8
+_SPARK_DEEP_PROBE_BUCKETS = (
+    "transform(concat(array(CAST(0 AS BIGINT)), _s, "
+    f"CASE WHEN least(size(_s), {_PROBE_COMBO_CAP}) >= 2 THEN "
+    f"flatten(transform(sequence(1, least(size(_s), {_PROBE_COMBO_CAP}) - 1), "
+    f"i -> transform(sequence(i + 1, least(size(_s), {_PROBE_COMBO_CAP})), "
+    "j -> element_at(_s, i) ^ element_at(_s, j)))) "
+    "ELSE slice(_s, 1, 0) END), m -> bucket ^ m)"
+)
+_SQL_DEEP_PROBE_BUCKETS = (
+    "list_transform(list_concat(list_concat([CAST(0 AS BIGINT)], singles), "
+    f"CASE WHEN least(len(singles), {_PROBE_COMBO_CAP}) >= 2 THEN "
+    f"flatten(list_transform(range(1, least(len(singles), {_PROBE_COMBO_CAP})), "
+    f"i -> list_transform(range(i + 1, least(len(singles), {_PROBE_COMBO_CAP}) + 1), "
+    "j -> xor(singles[i], singles[j])))) "
+    "ELSE CAST([] AS BIGINT[]) END), m -> xor(bucket, m))"
 )
 _SQL_BUCKET = (
     "CAST(LIST_SUM([CASE WHEN embedding[i] > 0 THEN (CAST(1 AS BIGINT) << (i-1)) "
@@ -587,9 +634,13 @@ def llm_ann_lsh_bucketed(spark: SparkSession, sf: str) -> DataFrame:
                    {_SQL_BUCKET} AS bucket
             FROM embeddings, (SELECT COUNT(*) AS _n FROM embeddings) corpus_n
         ),
-        probe AS (
-            SELECT vec_id, UNNEST({_SQL_PROBE_BUCKETS}) AS pbucket
+        s AS (
+            SELECT vec_id, bucket, {_SQL_SINGLES} AS singles
             FROM nv
+        ),
+        probe AS (
+            SELECT vec_id, UNNEST({_SQL_DEEP_PROBE_BUCKETS}) AS pbucket
+            FROM s
         ),
         cand AS (
             SELECT DISTINCT LEAST(x.vec_id, y.vec_id) AS vec_a,
@@ -612,13 +663,16 @@ def llm_ann_lsh_bucketed(spark: SparkSession, sf: str) -> DataFrame:
 def llm_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, bucketed: sign-bucket candidate
     join → exact cosine on candidates only. Each vector probes its home
-    bucket plus the E margin-ranked one-bit-flip neighbor buckets
-    (multi-probe — see ``_SPARK_PROBE_MASKS``), which at n ≤ 2000
-    (E = 0) degenerates to exactly the old same-bucket self-join. The
-    fixture plants no vector dups (max same-bucket cosine ≈ 0.43), so
-    the threshold is set low to exercise the path; for real near-dup
-    sweeps raise it to ~0.95. Candidates ride a skinny (vec_a, vec_b)
-    distinct; embeddings join back by id for the exact rescore."""
+    bucket, the E margin-ranked one-bit-flip neighbors, AND the pairwise
+    two-bit flips among the smallest-margin bits (deep multi-probe —
+    see ``_SPARK_DEEP_PROBE_BUCKETS``; a single-table sweep gets one
+    chance per pair, so it probes deeper than the query-side ANN op).
+    At n ≤ 2000 (E = 0) the set degenerates to exactly the old
+    same-bucket self-join. The fixture plants no vector dups (max
+    same-bucket cosine ≈ 0.43), so the threshold is set low to exercise
+    the path; for real near-dup sweeps raise it to ~0.95. Candidates
+    ride a skinny (vec_a, vec_b) distinct; embeddings join back by id
+    for the exact rescore."""
     emb = load_table(spark, sf, "embeddings")
     nv = _with_corpus_n(emb).select(
         "vec_id",
@@ -627,8 +681,8 @@ def llm_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
         F.sqrt(dot("embedding", "embedding")).alias("norm"),
         F.expr(_SPARK_BUCKET).alias("bucket"),
     )
-    probe = nv.select(
-        "vec_id", F.explode(F.expr(_SPARK_PROBE_BUCKETS)).alias("pbucket")
+    probe = nv.withColumn("_s", F.expr(_SPARK_SINGLES)).select(
+        "vec_id", F.explode(F.expr(_SPARK_DEEP_PROBE_BUCKETS)).alias("pbucket")
     )
     cand = (
         probe.alias("x")

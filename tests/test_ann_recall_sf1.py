@@ -5,8 +5,10 @@ linear, but recall above the n = 2000 fixture scale was asserted, not
 measured — and when measured (scripts/recall_sf1.py) it had in fact
 sagged: ANN recall@5 0.369 → 0.112, dedup pair-recall 0.143 → 0.021.
 Round 9's margin-ranked multi-probe (flip the E smallest-margin bits)
-restored ANN recall@5 to 0.477 and dedup pair-recall to 0.114 at sf1.
-These tests pin floors UNDER those measurements so a future bucketing
+restored ANN recall@5 to 0.477 and dedup pair-recall to 0.114 at sf1;
+round 10's deep probes (pairwise two-bit flips for the single-table
+dedup sweep) lifted dedup pair-recall to 0.248 — past the 0.143 sf0.1
+pin. These tests pin floors UNDER those measurements so a future bucketing
 change that silently collapses recall at scale fails loudly — the
 oracle-differential gates can never catch this class of defect because
 the oracles replay whatever the bucketing does.
@@ -106,7 +108,8 @@ def test_dedup_pair_recall_floor(spark, corpus):
     # candidate-generation defect.
     extra = found - near
     assert not extra, f"dedup emitted non-true pairs: {list(extra)[:5]}"
-    # measured 0.114 at sf1 (multi-probe); floor sits far above the
-    # 0.021 home-only collapse. The single-table structural gap to the
-    # 0.143 sf0.1 level is documented at _SPARK_PROBE_MASKS.
-    assert recall >= 0.09, f"dedup pair-recall collapsed at sf1: {recall:.3f}"
+    # measured 0.2483 at sf1 (round-10 deep multi-probe: home + E
+    # one-bit + pairwise two-bit flips — see _SPARK_DEEP_PROBE_BUCKETS;
+    # simulation and engine agree to 4 decimals). Floor sits above the
+    # 0.143 sf0.1-era pin and far above the 0.021 home-only collapse.
+    assert recall >= 0.20, f"dedup pair-recall collapsed at sf1: {recall:.3f}"

@@ -105,3 +105,39 @@ def test_probes_active_and_sane(spark, mid_sf):
         & (F.expr("bit_count(p ^ bucket)") != 1)
     ).count()
     assert bad == 0
+
+
+def test_deep_probes_active_and_sane(spark, mid_sf):
+    """The dedup op's round-10 deep probe set at E = 2: exactly
+    1 (home) + 2 (one-bit) + C(2,2)=1 (two-bit) = 4 probes per vector,
+    every probe within Hamming distance 2 of home, and the two-bit probe
+    is exactly the XOR of the two single-bit masks (so the set is the
+    closure the simulation modeled, not an accidental superset)."""
+    from pyspark.sql import functions as F
+
+    from datapipelines_python_spark.operators.llm_training import (
+        _SPARK_BUCKET,
+        _SPARK_DEEP_PROBE_BUCKETS,
+        _SPARK_SINGLES,
+        _with_corpus_n,
+    )
+
+    emb = spark.read.parquet(f"{mid_sf}/embeddings.parquet")
+    nv = _with_corpus_n(emb.select("vec_id", "embedding")).select(
+        "vec_id", "embedding", "_n", F.expr(_SPARK_BUCKET).alias("bucket")
+    )
+    probes = nv.withColumn("_s", F.expr(_SPARK_SINGLES)).select(
+        "vec_id", "bucket", F.expr(_SPARK_DEEP_PROBE_BUCKETS).alias("pb")
+    )
+    row = probes.select(
+        F.min(F.size("pb")).alias("mn"), F.max(F.size("pb")).alias("mx")
+    ).collect()[0]
+    assert (row["mn"], row["mx"]) == (4, 4)  # home + 2 singles + 1 combo
+    hist = dict(
+        probes.select(F.explode("pb").alias("p"), "bucket")
+        .groupBy(F.expr("bit_count(p ^ bucket)").alias("d"))
+        .count()
+        .collect()
+    )
+    n = probes.count()
+    assert hist == {0: n, 1: 2 * n, 2: n}, hist
