@@ -4927,6 +4927,34 @@ def _knn_build_shards() -> int:
     return max(1, int(os.environ.get("SPARK_GRAFT_KNN_BUILD_SHARDS", "1")))
 
 
+# Exact-kNN build-side budget (VERDICT r9 #5 — the collect adjudication,
+# made executable): the driver materialize + broadcast in
+# ``_exact_pairs_blocked`` is only the right plan while the build side is
+# PROVABLY bounded, so the kernel now measures it first and refuses —
+# with the scale path spelled out — rather than silently OOMing the
+# driver on a corpus the exact mode was never the answer for. Exact kNN
+# at 100 TB is off the table for COMPUTE reasons before memory ones
+# (O(n²·d) scoring; no layout fixes that), which is why the sanctioned
+# escalation ladder is: single broadcast (≤64 MiB) → auto-sharded
+# broadcasts (bit-exact for any S, pinned) → hard stop pointing at
+# SPARK_GRAFT_KNN_CANDIDATES=ann, the sub-quadratic generator whose
+# recall is measured and floor-pinned at sf1 (SCALE.md §§22-23).
+_KNN_SHARD_BYTES = 64 << 20  # one broadcast block ≈ 64 MiB of float64
+
+
+def _knn_exact_build_budget_bytes() -> int:
+    """Max estimated build-side bytes the exact kernel may collect
+    (SPARK_GRAFT_KNN_EXACT_BUILD_BUDGET_MB, default 1024). Read per call;
+    malformed values fall back to the default."""
+    import os
+
+    try:
+        mb = int(os.environ.get("SPARK_GRAFT_KNN_EXACT_BUILD_BUDGET_MB", "1024"))
+    except ValueError:
+        mb = 1024
+    return max(1, mb) << 20
+
+
 def _cosine_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Exact per-u top-K (K=64) cosine neighbor table (u, v, round4 c) of
     the embedding corpus — the shared edge source behind the whole
@@ -5031,22 +5059,54 @@ def _exact_pairs_blocked(spark: SparkSession, emb: DataFrame) -> DataFrame:
       tie-break when two lengths share the modal count is deterministic
       (max count, then smallest d).
 
-    At 100 TB the build side no longer fits one broadcast: set
-    ``SPARK_GRAFT_KNN_BUILD_SHARDS=S`` (``_knn_build_shards``) to split M
-    into S contiguous broadcast-sized row blocks — the identical kernel
-    runs once per block and the pooled re-window below takes the global
-    top-K of the per-block top-Ks. Bit-exact for any S (pinned at
-    S ∈ {1, 4} in tests/test_knn_family.py): per-pair folds don't depend
-    on block membership, and a globally-ranked row always survives its
-    own block's top-K. The ANN candidate path
-    (``SPARK_GRAFT_KNN_CANDIDATES=ann``) remains the sub-quadratic
-    default recommendation at that scale."""
+    Scale ladder (VERDICT r9 #5 — no unconditional driver collect): the
+    kernel first MEASURES the build side with a 1-row aggregate. Up to
+    64 MiB it is a single broadcast; up to the driver budget
+    (``SPARK_GRAFT_KNN_EXACT_BUILD_BUDGET_MB``, default 1 GiB) it is
+    auto-sharded into ≤64 MiB contiguous broadcast blocks — the
+    identical kernel runs once per block and the pooled re-window below
+    takes the global top-K of the per-block top-Ks, bit-exact for any S
+    (pinned at S ∈ {1, 4} and under forced auto-sharding in
+    tests/test_knn_family.py): per-pair folds don't depend on block
+    membership, and a globally-ranked row always survives its own
+    block's top-K. Past the budget the kernel REFUSES with
+    ``UnsupportedError`` naming the scale path — exact kNN there is
+    O(n²·d) compute before it is a memory problem, and the answer is
+    ``SPARK_GRAFT_KNN_CANDIDATES=ann`` (sub-quadratic banded LSH,
+    recall measured and floor-pinned at sf1), not a bigger driver.
+    ``SPARK_GRAFT_KNN_BUILD_SHARDS`` still force-raises S for tests."""
     import numpy as np
     import pandas as pd
 
-    # broadcast-build collect: materializes the BOUNDED build side (n·d
-    # floats, ~1 MB at sf0.1) to broadcast it — the same driver hop
-    # F.broadcast performs internally; not a driver-side result loop.
+    # Measure the build side BEFORE materializing it (one 1-row
+    # aggregate job): the collect below is sanctioned only because this
+    # guard proves it bounded. Estimate = float64 matrix + id overhead.
+    est = emb.agg(
+        F.sum(
+            F.greatest(F.coalesce(F.size("embedding"), F.lit(0)), F.lit(0))
+        ).alias("elems"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    est_bytes = int(est["elems"] or 0) * 8 + int(est["n"] or 0) * 16
+    budget = _knn_exact_build_budget_bytes()
+    if est_bytes > budget:
+        from datapipelines_python_spark.pipeline.common import UnsupportedError
+
+        raise UnsupportedError(
+            f"exact-kNN build side ≈{est_bytes >> 20} MiB exceeds the "
+            f"{budget >> 20} MiB driver budget "
+            "(SPARK_GRAFT_KNN_EXACT_BUILD_BUDGET_MB). Exact kNN at this "
+            "corpus size is O(n²·d) compute before it is a memory "
+            "problem — set SPARK_GRAFT_KNN_CANDIDATES=ann for the "
+            "sub-quadratic banded-LSH generator (recall measured and "
+            "floor-pinned at sf1; see SCALE.md §§22-23)."
+        )
+
+    # broadcast-build collect: materializes the build side (n·d floats,
+    # ~1 MB at sf0.1) to broadcast it — the same driver hop F.broadcast
+    # performs internally; not a driver-side result loop. CONDITIONAL on
+    # the budget guard above (VERDICT r9 #5): the driver hop is provably
+    # ≤ SPARK_GRAFT_KNN_EXACT_BUILD_BUDGET_MB.
     # tests/test_plan_quality.py allowlists exactly this marked line.
     build = emb.collect()  # broadcast-build collect
     d_counts: dict[int, int] = {}
@@ -5175,10 +5235,15 @@ def _exact_pairs_blocked(spark: SparkSession, emb: DataFrame) -> DataFrame:
 
     # Build-side sharding (VERDICT r6 #4): S contiguous row blocks, one
     # full-query-side kernel pass per block, union of per-block top-Ks.
-    # S=1 (default) is the single-broadcast fast path; S>1 is the
-    # executable 100 TB shape for a build side too large for one
-    # broadcast. The invalid-id tail rides with shard 0.
-    S = min(_knn_build_shards(), max(len(v_ids), 1))
+    # S=1 is the single-broadcast fast path; S>1 is the executable
+    # 100 TB shape for a build side too large for one broadcast. Since
+    # round 10 S is ALSO auto-raised so each broadcast block stays
+    # ≤ _KNN_SHARD_BYTES — between 64 MiB and the budget the kernel
+    # shards itself instead of relying on the env knob (bit-exact for
+    # any S, pinned at S ∈ {1, 4}). The invalid-id tail rides with
+    # shard 0.
+    auto_S = -(-est_bytes // _KNN_SHARD_BYTES)  # ceil
+    S = min(max(_knn_build_shards(), auto_S, 1), max(len(v_ids), 1))
     par = max(spark.sparkContext.defaultParallelism, 1)
     block_idx = np.array_split(np.arange(len(v_ids)), S)
     per_row = None

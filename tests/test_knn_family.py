@@ -262,3 +262,46 @@ def test_build_shard_invariance(spark):
         del os.environ["SPARK_GRAFT_KNN_BUILD_SHARDS"]
     assert len(rows1) == len(rows4)
     assert rows1 == rows4
+
+
+def test_exact_build_budget_guard(spark, monkeypatch):
+    """VERDICT r9 #5: the exact kernel's driver collect is CONDITIONAL.
+    It measures the build side with a 1-row aggregate first and refuses
+    past SPARK_GRAFT_KNN_EXACT_BUILD_BUDGET_MB with an UnsupportedError
+    that names the scale path (SPARK_GRAFT_KNN_CANDIDATES=ann), instead
+    of silently materializing an unbounded corpus on the driver."""
+    import pytest
+
+    from datapipelines_python_spark.operators.workloads import (
+        _exact_pairs_blocked,
+    )
+    from datapipelines_python_spark.pipeline.common import UnsupportedError
+
+    # ~1.6 MB estimated build side vs the 1 MiB budget floor
+    big = spark.range(3000).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 64), i -> CAST(id + i AS float))"
+        ).alias("embedding"),
+    )
+    monkeypatch.setenv("SPARK_GRAFT_KNN_EXACT_BUILD_BUDGET_MB", "0")
+    with pytest.raises(UnsupportedError, match="KNN_CANDIDATES=ann"):
+        _exact_pairs_blocked(spark, big)
+
+
+def test_auto_shard_matches_single_broadcast(spark, monkeypatch):
+    """Round-10 auto-sharding (each broadcast block ≤ _KNN_SHARD_BYTES)
+    must be bit-exact with the single-broadcast kernel — forced here by
+    shrinking the block size so the sf0.001 build (~103 KiB) splits into
+    4 blocks without any env knob."""
+    import datapipelines_python_spark.operators.workloads as wl
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    base = sorted(
+        ((r["u"], r["v"], r["c"]) for r in wl._exact_pairs_blocked(spark, emb).collect())
+    )
+    monkeypatch.setattr(wl, "_KNN_SHARD_BYTES", 32 << 10)
+    auto = sorted(
+        ((r["u"], r["v"], r["c"]) for r in wl._exact_pairs_blocked(spark, emb).collect())
+    )
+    assert base == auto and len(base) > 0
