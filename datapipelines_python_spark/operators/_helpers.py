@@ -23,10 +23,78 @@ money columns: float sums drift with partition count; decimal sums don't.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+import os
+from functools import lru_cache
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 DEC = "decimal(38,8)"
+
+
+@lru_cache(maxsize=None)
+def scan_parallelism(sf_dir: str, table: str) -> int:
+    """Upper bound on a fixture table's parquet scan parallelism.
+
+    Parquet scan tasks are ROW-GROUP-granular: a task only produces rows
+    for row groups whose midpoint falls inside its byte split, so the
+    total row-group count across the table's files — not
+    ``maxPartitionBytes`` and not the split count — bounds how many tasks
+    can do real work. The fixture files ship exactly ONE row group each,
+    so every scan-rooted stage runs serially regardless of cores; a
+    production layout (many files / ~128 MB row groups) reaches the core
+    count on its own. Footer-only reads, cached per (dir, table); any
+    non-local or unreadable layout is reported as "already parallel" so
+    :func:`spread` degrades to a no-op rather than guessing.
+    """
+    path = f"{sf_dir.rstrip('/')}/{table}.parquet"
+    try:
+        if os.path.isdir(path):
+            files = [
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            ]
+        else:
+            files = [path]
+        if not files:
+            return 1 << 30
+        if len(files) >= 64:  # enough file-level tasks; skip footer reads
+            return len(files)
+        import pyarrow.parquet as pq
+
+        return sum(pq.ParquetFile(f).metadata.num_row_groups for f in files)
+    except Exception:
+        return 1 << 30
+
+
+def spread(df: DataFrame, *keys: str | Column, sf: str, table: str) -> DataFrame:
+    """Hash-redistribute a serial scan across the session's cores.
+
+    Guide §2.5 (input skew: "one huge unsplittable file … repartition
+    immediately after the read") / §2.6 (idle capacity): when the parquet
+    layout cannot feed more than a fraction of the cores (single-row-group
+    fixture files ⇒ ONE working scan task), everything upstream of the
+    first exchange — projections, decimal casts, explodes, partial
+    aggregation — runs serially. One hash repartition on an existing
+    high-cardinality key (never round-robin: keyless ``repartition(n)``
+    pays the sort-before-repartition pass and re-draws under retry,
+    SPARK-38388) converts that stage to cores-wide.
+
+    Scale-adaptive, not a local[32] constant: the target is the session's
+    ``defaultParallelism`` and the trigger is the *measured* row-group
+    count of the table's files, so on a production many-row-group layout
+    this is an exact no-op. Apply only AFTER pushed filters/projections
+    (shuffle fewer bytes, guide §2.3) and only in operators whose
+    aggregates are order-independent (decimal sums, counts, min/max,
+    exact percentiles, totally-ordered windows) so results stay
+    bit-identical under any partitioning.
+    """
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    if scan_parallelism(sf, table) >= cores:
+        return df
+    return df.repartition(cores, *keys)
 
 
 def round4(col: Column) -> Column:

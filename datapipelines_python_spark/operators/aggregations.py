@@ -20,6 +20,7 @@ from datapipelines_python_spark.operators._helpers import (
     davg,
     dsum,
     round4,
+    spread,
     sql_davg,
     sql_dsum,
     sql_round4,
@@ -73,8 +74,15 @@ _CHARGE = "l_extendedprice * (1 - l_discount) * (1 + l_tax)"
     bench=True,
 )
 def agg_groupby(spark: SparkSession, sf: str) -> DataFrame:
-    """Flagship: TPC-H Q1-shaped pricing summary (hash aggregate)."""
-    li = load_table(spark, sf, "lineitem")
+    """Flagship: TPC-H Q1-shaped pricing summary (hash aggregate).
+
+    The 8 decimal(38,8) partial sums are the cost; ``spread`` fans the
+    single-row-group fixture scan across the cores so they run
+    cores-wide (guide §2.5/§2.6) — decimal sums are order-independent,
+    so values are bit-identical. No-op on a multi-row-group layout."""
+    li = spread(
+        load_table(spark, sf, "lineitem"), "l_orderkey", sf=sf, table="lineitem"
+    )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -918,8 +926,12 @@ def agg_corr_matrix(spark: SparkSession, sf: str) -> DataFrame:
     regardless of how many pairs; adding columns grows state
     quadratically but never adds a scan). The n-weighted closed form
     avoids subtracting near-equal means; sums are exact decimals so the
-    matrix is partition-count invariant and engine-exact."""
-    li = load_table(spark, sf, "lineitem")
+    matrix is partition-count invariant and engine-exact — which is
+    exactly what makes the ``spread`` fan-out of the serial fixture scan
+    free of value risk (15 decimal sums were one core's work before)."""
+    li = spread(
+        load_table(spark, sf, "lineitem"), "l_orderkey", sf=sf, table="lineitem"
+    )
     cols = _CORR_COLS
     aggs = [F.count(F.lit(1)).cast("double").alias("n")]
     for c in cols:
@@ -987,8 +999,12 @@ def agg_percentile_family(spark: SparkSession, sf: str) -> DataFrame:
     identical selected neighbors); discrete values hash raw. Exact
     quantiles need the value multiset per group — one shuffle on the
     3-ary flag; the sketch-based twin for 100 TB is
-    `agg_approx_percentile`."""
-    li = load_table(spark, sf, "lineitem")
+    `agg_approx_percentile`. The partial percentile buffers (per-value
+    count maps, merged then sorted once) are order-independent, so the
+    ``spread`` fan-out of the serial fixture scan changes no value."""
+    li = spread(
+        load_table(spark, sf, "lineitem"), "l_orderkey", sf=sf, table="lineitem"
+    )
     li.createOrReplaceTempView("_pctl_lineitem")
     return spark.sql(
         f"""

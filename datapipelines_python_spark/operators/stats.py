@@ -21,6 +21,7 @@ from datapipelines_python_spark.operators._helpers import (
     davg,
     dsum,
     round4,
+    spread,
     sql_davg,
     sql_dsum,
     sql_round4,
@@ -3965,8 +3966,12 @@ def ml_ridge_path(spark: SparkSession, sf: str) -> DataFrame:
     four rows. The key scale property: ALL λ values share the single
     sufficient-statistics pass (9 decimal-exact power sums); the path is
     a 4-row cross join against one broadcast row, so exploring 100
-    λ values costs zero extra scans of 100 TB."""
-    li = load_table(spark, sf, "lineitem")
+    λ values costs zero extra scans of 100 TB. ``spread`` fans the
+    serial fixture scan cores-wide — the decimal power sums are
+    order-independent, so the path is bit-identical."""
+    li = spread(
+        load_table(spark, sf, "lineitem"), "l_orderkey", sf=sf, table="lineitem"
+    )
     x1, x2, y = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
     s = li.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),

@@ -28,6 +28,7 @@ from datapipelines_python_spark.operators._helpers import (
     davg,
     dsum,
     round4,
+    spread,
     sql_davg,
     sql_dsum,
     sql_round4,
@@ -1943,7 +1944,10 @@ def ml_ols_regression(spark: SparkSession, sf: str) -> DataFrame:
     as a 2^20 hi/lo split — two bounded bigint sums reassembled in double
     on 3 final rows. Same map-side-combinable one-pass shape; the decimal
     route (`_helpers.dsum`) remains the general-domain tool when inputs
-    aren't scale-bounded."""
+    aren't scale-bounded. Measured r10: a ``spread`` fan-out of the
+    serial fixture scan made this op SLOWER (0.62 → 0.91 s at sf0.1) —
+    codegen'd bigint sums are so cheap per row that the added exchange
+    costs more than the serial stage; deliberately left serial."""
     li = load_table(spark, sf, "lineitem")
     x = F.col("l_quantity").cast("bigint")
     yc = F.round(F.col("l_extendedprice") * 100).cast("bigint")
@@ -2645,7 +2649,10 @@ def ml_pca_power(spark: SparkSession, sf: str) -> DataFrame:
     # stage. At 100 TB the scan arrives pre-split across thousands of
     # files and this shuffle is a no-op by comparison; at fixture scale
     # it is the difference between serial and parallel covariance.
-    emb = emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    # Round 10: the unconditional repartition became the conditional
+    # ``spread`` (same key, same count) — identical here, literal no-op
+    # once the layout already feeds the cores.
+    emb = spread(emb, "vec_id", sf=sf, table="embeddings")
     ex = emb.select(
         F.posexplode("embedding").alias("p", "xf")
     ).select(
