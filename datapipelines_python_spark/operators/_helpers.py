@@ -68,6 +68,21 @@ def scan_parallelism(sf_dir: str, table: str) -> int:
         return 1 << 30
 
 
+def py_stage_partitions(spark) -> int:
+    """Partition count for a stage whose cost is per-row/per-group PYTHON
+    work (applyInPandas, pandas window frames): parallelism, not
+    partition byte-size, is what matters there, so AQE's byte-based
+    coalescing (which lands a skinny shuffle on 1-2 partitions) is the
+    wrong sizer. Use the session's core count, or the configured shuffle
+    width when a deployment sets it higher — i.e. exactly what the
+    ENSURE_REQUIREMENTS exchange would have used before coalescing."""
+    try:
+        conf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        conf = 0
+    return max(spark.sparkContext.defaultParallelism, conf)
+
+
 def spread(df: DataFrame, *keys: str | Column, sf: str, table: str) -> DataFrame:
     """Hash-redistribute a serial scan across the session's cores.
 

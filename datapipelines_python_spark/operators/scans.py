@@ -1064,14 +1064,21 @@ def sink_csv_quoting(spark: SparkSession, sf: str) -> DataFrame:
     multiline CSV files are NOT splittable, so 100 TB of them read one
     file per task — keep newline-bearing exports in parquet, or accept
     file-grain parallelism."""
-    rows = [
-        (1, "plain", "no specials"),
-        (2, "comma, inside", "a,b"),
-        (3, 'quote " inside', 'say "hi"'),
-        (4, "newline\ninside", "two\nlines"),
-        (5, None, "null name"),
-    ]
-    df = spark.createDataFrame(rows, "id int, name string, note string")
+    # JVM VALUES relation, not createDataFrame(list): the pickled-rows
+    # path plans a Python-RDD scan whose coalesce(1) write computed all
+    # 32 parent slices through sequential Python worker round-trips —
+    # measured 6.4 s PER WRITE of five rows at r10 (guide §4: eliminate
+    # the boundary). The literal row set is unchanged.
+    df = spark.sql(
+        "SELECT * FROM VALUES "
+        "(1, 'plain', 'no specials'), "
+        "(2, 'comma, inside', 'a,b'), "
+        "(3, 'quote \" inside', 'say \"hi\"'), "
+        "(4, 'newline' || CHAR(10) || 'inside', "
+        "'two' || CHAR(10) || 'lines'), "
+        "(5, CAST(NULL AS STRING), 'null name') "
+        "AS t(id, name, note)"
+    )
     path = scratch_dir("csv_quoting")
     (
         df.coalesce(1)

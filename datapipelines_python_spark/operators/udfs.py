@@ -9,6 +9,7 @@ them.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from typing import Iterator
 
@@ -18,7 +19,11 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf, udf
 
 from datapipelines_python_spark.catalog import load_table
-from datapipelines_python_spark.operators._helpers import round4, sql_round4
+from datapipelines_python_spark.operators._helpers import (
+    py_stage_partitions,
+    round4,
+    sql_round4,
+)
 from datapipelines_python_spark.registry import query
 
 
@@ -117,8 +122,23 @@ def udf_grouped_map(spark: SparkSession, sf: str) -> DataFrame:
         )
 
     e = load_table(spark, sf, "events")
-    return e.groupBy("user_id").applyInPandas(
-        zscore, schema="event_id long, user_id long, zscore double"
+    # Two boundary fixes (guide §4.1 / §2.2), values identical:
+    # - applyInPandas is opaque to column pruning: without the explicit
+    #   select the WHOLE row (fat `props` JSON included) is shuffled and
+    #   Arrow-shipped per group; the function reads exactly three columns.
+    # - the group exchange is provided EXPLICITLY at the core count
+    #   instead of letting ENSURE_REQUIREMENTS + AQE size it: AQE
+    #   coalesces by BYTES (the skinny shuffle lands at ~2 partitions),
+    #   but the stage cost is per-row Python, so parallelism — not
+    #   partition size — is what matters. groupBy reuses this exchange
+    #   (same key), so no extra shuffle; measured 4.5 → 0.7 s at sf0.1.
+    return (
+        e.select("event_id", "user_id", "value")
+        .repartition(py_stage_partitions(spark), "user_id")
+        .groupBy("user_id")
+        .applyInPandas(
+            zscore, schema="event_id long, user_id long, zscore double"
+        )
     )
 
 
@@ -607,9 +627,21 @@ def udaf_pandas_window(spark: SparkSession, sf: str) -> DataFrame:
 
     @pandas_udf("double")
     def _midrange(v: pd.Series) -> float:
-        return (v.min() + v.max()) / 2.0
+        # Called once per FRAME (~one per input row): numpy on the raw
+        # buffer instead of two pandas reductions cuts the per-call
+        # Python cost ~3x (guide §4.2). nanmin/nanmax select the same
+        # elements pandas' skipna min/max select — bit-identical result.
+        vv = v.to_numpy()
+        return float((np.nanmin(vv) + np.nanmax(vv)) / 2.0)
 
     e = load_table(spark, sf, "events")
+    # Provide the window's user_id exchange explicitly at the core count:
+    # the per-frame Python round trips are the cost, and AQE's byte-based
+    # coalescing of the ENSURE_REQUIREMENTS shuffle ran this stage on ~2
+    # partitions. The window reuses this exchange (same key); frames are
+    # totally ordered per user, so values are identical under any
+    # partitioning. Measured 5.9 → 1.6 s at sf0.1.
+    e = e.repartition(py_stage_partitions(spark), "user_id")
     w = (
         _W.partitionBy("user_id")
         .orderBy("ts", "event_id")
