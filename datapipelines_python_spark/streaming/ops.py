@@ -127,7 +127,7 @@ def events_stream(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def stream_state_partitions(spark: SparkSession) -> int:
+def stream_state_partitions(spark: SparkSession, sf: str | None = None) -> int:
     """Shuffle-partition count for streaming state, sized deliberately.
 
     Unlike batch, this value is BAKED into the checkpoint at the first
@@ -140,11 +140,34 @@ def stream_state_partitions(spark: SparkSession) -> int:
     identical values (same keys, same aggregation) at a quarter of the
     state-store commits. A 100 TB deployment sizes this once, up front,
     to key cardinality × throughput — which is exactly the knob
-    ``SPARK_GRAFT_STREAM_STATE_PARTITIONS`` exposes."""
+    ``SPARK_GRAFT_STREAM_STATE_PARTITIONS`` exposes.
+
+    Round 10 makes the default SIZE-DERIVED instead of the flat 8: one
+    state partition per 8 MB of the replayed events input (floor 1, cap
+    at the configured shuffle width). Measured motivation: every run of
+    a streaming op opens partitions × stateful-operators state-store
+    providers against a fresh checkpoint, and providers of finished
+    queries linger until the maintenance tick unloads them — so
+    back-to-back runs (bench min-of-3, the 18-member digest) accumulate
+    providers and slow down run over run (stream_join_then_window read
+    12.0/16.5/32.2 s across three consecutive runs at 8 partitions,
+    10.7/11.7 at 1). The derived default keeps values bit-identical
+    (keyed state; decimal sums) and scales with the data, not with the
+    local core count; real deployments still size capacity via the env
+    knob."""
     v = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
     if v:
         return max(1, int(v))
     cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if sf:
+        try:
+            nbytes = os.path.getsize(
+                os.path.join(sf.rstrip("/"), "events.parquet")
+            )
+        except OSError:
+            nbytes = None
+        if nbytes:
+            return max(1, min(cur, -(-nbytes // (8 << 20))))
     return min(cur, 8)
 
 
@@ -154,13 +177,15 @@ class _state_sized:
     Safe because availableNow drains every micro-batch inside
     awaitTermination and the engine runs one query per session thread."""
 
-    def __init__(self, spark: SparkSession) -> None:
+    def __init__(self, spark: SparkSession, sf: str | None = None) -> None:
         self.spark = spark
+        self.sf = sf
 
     def __enter__(self) -> None:
         self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
         self.spark.conf.set(
-            "spark.sql.shuffle.partitions", str(stream_state_partitions(self.spark))
+            "spark.sql.shuffle.partitions",
+            str(stream_state_partitions(self.spark, self.sf)),
         )
 
     def __exit__(self, *exc) -> None:
@@ -168,13 +193,14 @@ class _state_sized:
 
 
 def drain_to_memory(
-    df: DataFrame, name: str, output_mode: str = "append"
+    df: DataFrame, name: str, output_mode: str = "append",
+    sf: str | None = None,
 ) -> DataFrame:
     """Run a streaming plan to completion (AvailableNow) into a memory
     sink and return the result as a batch DataFrame."""
     spark = df.sparkSession
     spark.catalog.dropTempView(name)  # stale table from a prior run, if any
-    with _state_sized(spark):
+    with _state_sized(spark, sf):
         q = (
             df.writeStream.format("memory")
             .queryName(name)
@@ -214,7 +240,7 @@ def stream_tumbling_agg(spark: SparkSession, sf: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
-    return drain_to_memory(out, "stream_tumbling_agg_sink", "complete")
+    return drain_to_memory(out, "stream_tumbling_agg_sink", "complete", sf=sf)
 
 
 @query(
@@ -252,7 +278,7 @@ def stream_sliding_agg(spark: SparkSession, sf: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
-    return drain_to_memory(out, "stream_sliding_agg_sink", "complete")
+    return drain_to_memory(out, "stream_sliding_agg_sink", "complete", sf=sf)
 
 
 @query(
@@ -304,7 +330,7 @@ def stream_session_window(spark: SparkSession, sf: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
-    return drain_to_memory(out, "stream_session_window_sink", "complete")
+    return drain_to_memory(out, "stream_session_window_sink", "complete", sf=sf)
 
 
 @query(
@@ -336,7 +362,7 @@ def stream_watermark_late(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"))
         .select(F.col("window.start").alias("window_start"), "n_events")
     )
-    return drain_to_memory(agg, "stream_watermark_late_sink", "append")
+    return drain_to_memory(agg, "stream_watermark_late_sink", "append", sf=sf)
 
 
 @query(
@@ -352,7 +378,7 @@ def stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
     or it grows without bound."""
     s = events_stream(spark, sf)
     dd = s.select("user_id", "event_type").dropDuplicates(["user_id", "event_type"])
-    return drain_to_memory(dd, "stream_dedup_sink", "append")
+    return drain_to_memory(dd, "stream_dedup_sink", "append", sf=sf)
 
 
 @query(
@@ -444,7 +470,7 @@ def stream_stateful_count(spark: SparkSession, sf: str) -> DataFrame:
     # be negative), so sum_k must be taken FROM that terminal row —
     # max_by, never an independent max (VERDICT r5 #1: independent
     # max(sum_k) returns a stale intermediate under >1 micro-batch).
-    drained = drain_to_memory(out, "stream_stateful_count_sink", "update")
+    drained = drain_to_memory(out, "stream_stateful_count_sink", "update", sf=sf)
     return drained.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
         F.max_by("sum_k", "n_events").alias("sum_k"),
@@ -476,7 +502,7 @@ def stream_foreach_sink(spark: SparkSession, sf: str) -> DataFrame:
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("append").parquet(out_dir)
 
-    with _state_sized(spark):
+    with _state_sized(spark, sf):
         q = (
             s.writeStream.foreachBatch(write_batch)
             .option("checkpointLocation", ckpt)
@@ -512,7 +538,7 @@ def stream_static_join(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
     )
-    return drain_to_memory(agg, "stream_static_join_sink", output_mode="complete")
+    return drain_to_memory(agg, "stream_static_join_sink", output_mode="complete", sf=sf)
 
 
 @query(
@@ -559,7 +585,7 @@ def stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
         & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
         & (F.col("v_ts") <= F.col("p_ts")),
     ).select("purchase_id", "view_id", "user_id")
-    return drain_to_memory(joined, "stream_stream_join_sink")
+    return drain_to_memory(joined, "stream_stream_join_sink", sf=sf)
 
 
 @query(
@@ -630,7 +656,7 @@ def stream_session_dynamic_gap(spark: SparkSession, sf: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
-    return drain_to_memory(out, "stream_session_dyngap_sink", "complete")
+    return drain_to_memory(out, "stream_session_dyngap_sink", "complete", sf=sf)
 
 
 @query(
@@ -671,7 +697,7 @@ def stream_append_mode_windows(spark: SparkSession, sf: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
-    return drain_to_memory(out, "stream_append_windows_sink", "append")
+    return drain_to_memory(out, "stream_append_windows_sink", "append", sf=sf)
 
 
 # transformWithStateInPandas spawns a Python state-server worker that
@@ -770,7 +796,7 @@ if _HAS_PROTOBUF:
                 outputMode="update",
                 timeMode="none",
             )
-            drained = drain_to_memory(out, "stream_tws_sink", "update")
+            drained = drain_to_memory(out, "stream_tws_sink", "update", sf=sf)
             return drained.groupBy("user_id").agg(
                 F.max("n_events").alias("n_events"),
                 F.max("n_purchases").alias("n_purchases"),
@@ -871,7 +897,7 @@ def stream_tws_fallback(spark: SparkSession, sf: str) -> DataFrame:
     # key, and p/mx are monotone too (counts and a max) — but take them
     # from the terminal row via max_by anyway, the proven finalization
     # shape (VERDICT r5 #1)
-    drained = drain_to_memory(out, "stream_tws_fallback_sink", "update")
+    drained = drain_to_memory(out, "stream_tws_fallback_sink", "update", sf=sf)
     return drained.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
         F.max_by("n_purchases", "n_events").alias("n_purchases"),
@@ -901,7 +927,7 @@ def stream_dedup_within_watermark(spark: SparkSession, sf: str) -> DataFrame:
     dd = s.dropDuplicatesWithinWatermark(["event_id"]).select(
         "event_id", "event_type"
     )
-    out = drain_to_memory(dd, "stream_ddww_sink", "append")
+    out = drain_to_memory(dd, "stream_ddww_sink", "append", sf=sf)
     # one row per event_id survives; MIN collapses the oracle identically
     return out.groupBy("event_id").agg(F.min("event_type").alias("event_type"))
 
@@ -964,7 +990,7 @@ def stream_chained_window_aggs(spark: SparkSession, sf: str) -> DataFrame:
         "peak_quarter_hour",
         "total_events",
     )
-    return drain_to_memory(out, "stream_chained_sink", "append")
+    return drain_to_memory(out, "stream_chained_sink", "append", sf=sf)
 
 
 @query(
@@ -1048,7 +1074,7 @@ def stream_stream_left_outer(spark: SparkSession, sf: str) -> DataFrame:
         & (F.col("v_ts") <= F.col("p_ts")),
         "left_outer",
     ).select("purchase_id", "view_id", "user_id")
-    return drain_to_memory(joined, "stream_stream_left_outer_sink")
+    return drain_to_memory(joined, "stream_stream_left_outer_sink", sf=sf)
 
 
 @query(
@@ -1143,7 +1169,7 @@ def stream_stream_full_outer(spark: SparkSession, sf: str) -> DataFrame:
         "view_id",
         F.coalesce(F.col("user_id"), F.col("v_user")).alias("user_id"),
     )
-    return drain_to_memory(joined, "stream_stream_full_outer_sink")
+    return drain_to_memory(joined, "stream_stream_full_outer_sink", sf=sf)
 
 
 @query(
@@ -1237,7 +1263,7 @@ def stream_join_then_window(spark: SparkSession, sf: str) -> DataFrame:
         "n_purchases",
         "max_views_per_purchase",
     )
-    return drain_to_memory(out, "stream_join_then_window_sink")
+    return drain_to_memory(out, "stream_join_then_window_sink", sf=sf)
 
 
 @query(
@@ -1291,7 +1317,7 @@ def stream_union_sources(spark: SparkSession, sf: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
-    return drain_to_memory(out, "stream_union_sources_sink", "complete")
+    return drain_to_memory(out, "stream_union_sources_sink", "complete", sf=sf)
 
 
 @query(
@@ -1341,6 +1367,7 @@ def stream_tumbling_topk(spark: SparkSession, sf: str) -> DataFrame:
         ),
         "stream_tumbling_topk_sink",
         "complete",
+        sf=sf,
     )
     w = W.partitionBy("window_start").orderBy(F.desc("n_events"), F.asc("event_type"))
     return (
