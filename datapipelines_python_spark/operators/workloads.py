@@ -72,7 +72,10 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
     window-group-limit pushdown)."""
     c = load_table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf, "orders").filter(F.col("o_orderdate") < "1998-03-15")
-    li = load_table(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1998-03-15")
+    li = spread(
+        load_table(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1998-03-15"),
+        "l_orderkey", sf=sf, table="lineitem",
+    )
     agg = (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
@@ -146,7 +149,9 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
     o = load_table(spark, sf, "orders").filter(
         (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1999-01-01")
     )
-    li = load_table(spark, sf, "lineitem")
+    li = spread(
+        load_table(spark, sf, "lineitem"), "l_orderkey", sf=sf, table="lineitem"
+    )
     s = load_table(spark, sf, "supplier")
     joined = (
         F.broadcast(r)
@@ -320,7 +325,9 @@ def tpch_q18_large_volume_customer(spark: SparkSession, sf: str) -> DataFrame:
     exceeds 200 (threshold scaled to the fixture's ~4 lines/order), with
     customer detail. Agg-then-join keeps the HAVING before the joins, so
     only qualifying orders shuffle onward."""
-    li = load_table(spark, sf, "lineitem")
+    li = spread(
+        load_table(spark, sf, "lineitem"), "l_orderkey", sf=sf, table="lineitem"
+    )
     o = load_table(spark, sf, "orders")
     c = load_table(spark, sf, "customer")
     big = (
@@ -566,7 +573,9 @@ def tpch_q9_product_type_profit(spark: SparkSession, sf: str) -> DataFrame:
     scan ('%red%' can't push as a range) feeding a 5-table star join,
     grouped by supplier nation x order year."""
     p = load_table(spark, sf, "part").filter(F.col("p_name").like("%red%"))
-    li = load_table(spark, sf, "lineitem")
+    li = spread(
+        load_table(spark, sf, "lineitem"), "l_orderkey", sf=sf, table="lineitem"
+    )
     s = load_table(spark, sf, "supplier")
     o = load_table(spark, sf, "orders")
     n = load_table(spark, sf, "nation")
@@ -861,7 +870,14 @@ def tpch_q21_suppliers_kept_waiting(spark: SparkSession, sf: str) -> DataFrame:
     the fact table shuffles on l_orderkey once per pass instead of probing
     per row."""
     o = load_table(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
-    li = load_table(spark, sf, "lineitem")
+    # spread keyed on l_orderkey: the SMJ with orders and both grouped
+    # passes cluster on l_orderkey(+l_suppkey), so the fan-out exchange
+    # doubles as their required distribution (guide §2.4 — one exchange
+    # serves all downstream keyed ops; HashPartitioning(l_orderkey)
+    # satisfies the (l_orderkey, l_suppkey) clustering).
+    li = spread(
+        load_table(spark, sf, "lineitem"), "l_orderkey", sf=sf, table="lineitem"
+    )
     j = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
         "is_late",
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
@@ -1471,9 +1487,22 @@ def workload_basket_affinity(spark: SparkSession, sf: str) -> DataFrame:
     not catalog², because only items in the SAME order ever meet (the same
     inverted-index discipline as near-dedup). Frequencies broadcast back
     onto the surviving pairs. The recommender/assortment primitive."""
-    li = load_table(spark, sf, "lineitem")
+    # One l_orderkey-keyed exchange serves the whole pipeline (guide
+    # §2.4): HashPartitioning(l_orderkey) satisfies the (l_orderkey,
+    # l_partkey) clustering the distinct needs AND the self-join's
+    # l_orderkey clustering, so neither re-shuffles — 3 exchanges → 1,
+    # and the single-row-group scan fans out at the same time.
+    li = spread(
+        load_table(spark, sf, "lineitem"), "l_orderkey", sf=sf, table="lineitem"
+    )
     items = li.select("l_orderkey", "l_partkey").distinct()
-    n_orders = items.select("l_orderkey").distinct().count()
+    # Denominator as a broadcast 1-row aggregate instead of an eager
+    # .count() job in the builder (guide §5: no driver actions in query
+    # paths — the count ran a full distinct per invocation before the
+    # timed plan even started). Same bigint→double cast, bit-identical.
+    n_df = items.agg(
+        F.countDistinct("l_orderkey").cast("double").alias("_n_orders")
+    )
     item_freq = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
     a, b = items.alias("a"), items.alias("b")
     pairs = (
@@ -1491,7 +1520,12 @@ def workload_basket_affinity(spark: SparkSession, sf: str) -> DataFrame:
     )
     fa = item_freq.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("ca"))
     fb = item_freq.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("cb"))
-    j = pairs.join(F.broadcast(fa), "part_a").join(F.broadcast(fb), "part_b")
+    j = (
+        pairs.join(F.broadcast(fa), "part_a")
+        .join(F.broadcast(fb), "part_b")
+        .crossJoin(F.broadcast(n_df))
+    )
+    n_orders = F.col("_n_orders")
     lift = (F.col("c_ab").cast("double") / n_orders) / (
         (F.col("ca").cast("double") / n_orders)
         * (F.col("cb").cast("double") / n_orders)
@@ -14274,7 +14308,13 @@ def workload_frequent_triples(spark: SparkSession, sf: str) -> DataFrame:
     basket size (Σ C(k,3) — cap k at scale, same bot-guard as the CF op).
     Brand granularity keeps the lattice dense enough to rank; the top-20
     by support + deterministic tiebreak is the reportable rule set."""
-    li = load_table(spark, sf, "lineitem")
+    # spread keyed on l_orderkey: HashPartitioning(o) satisfies the
+    # (o, b) distinct clustering and every self-join's o clustering, so
+    # the basket build and BOTH mining arms run off this one exchange
+    # (guide §2.4) — and the serial fixture scan fans out with it.
+    li = spread(
+        load_table(spark, sf, "lineitem"), "l_orderkey", sf=sf, table="lineitem"
+    )
     p = load_table(spark, sf, "part")
     basket = (
         li.join(p, li.l_partkey == p.p_partkey)
