@@ -1006,24 +1006,36 @@ def agg_percentile_family(spark: SparkSession, sf: str) -> DataFrame:
         load_table(spark, sf, "lineitem"), "l_orderkey", sf=sf, table="lineitem"
     )
     li.createOrReplaceTempView("_pctl_lineitem")
+    # The three PERCENTILE_CONTs share ONE aggregation buffer via the
+    # array form (round 10, guide §1.2 per-task work): each Spark
+    # percentile aggregate otherwise builds its own value→count map over
+    # every input row and sorts it independently — five maps for five
+    # outputs. PERCENTILE_CONT(p) parses to the same Percentile
+    # expression as percentile(col, array(...)); per-percentage results
+    # come from the identical getPercentile walk over the identical
+    # sorted counts, so the three doubles are bit-for-bit unchanged.
+    # The two PERCENTILE_DISCs are a different expression (no array
+    # form) and keep their own buffers.
     return spark.sql(
-        f"""
-        SELECT l_returnflag,
-               CAST(COUNT(*) AS BIGINT) AS n,
-               {{r4}} AS p25_cont,
-               {{r5}} AS p50_cont,
-               {{r9}} AS p90_cont,
-               PERCENTILE_DISC(0.50) WITHIN GROUP (ORDER BY l_extendedprice)
-                   AS p50_disc,
-               PERCENTILE_DISC(0.90) WITHIN GROUP (ORDER BY l_extendedprice)
-                   AS p90_disc
-        FROM _pctl_lineitem
-        GROUP BY l_returnflag
-        """.format(
-            r4="FLOOR(PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY l_extendedprice) * 1e4 + 5e-1) / 1e4",
-            r5="FLOOR(PERCENTILE_CONT(0.50) WITHIN GROUP (ORDER BY l_extendedprice) * 1e4 + 5e-1) / 1e4",
-            r9="FLOOR(PERCENTILE_CONT(0.90) WITHIN GROUP (ORDER BY l_extendedprice) * 1e4 + 5e-1) / 1e4",
+        """
+        SELECT l_returnflag, n,
+               FLOOR(pc[0] * 1e4 + 5e-1) / 1e4 AS p25_cont,
+               FLOOR(pc[1] * 1e4 + 5e-1) / 1e4 AS p50_cont,
+               FLOOR(pc[2] * 1e4 + 5e-1) / 1e4 AS p90_cont,
+               p50_disc, p90_disc
+        FROM (
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   PERCENTILE(l_extendedprice, ARRAY(0.25D, 0.50D, 0.90D))
+                       AS pc,
+                   PERCENTILE_DISC(0.50) WITHIN GROUP (ORDER BY l_extendedprice)
+                       AS p50_disc,
+                   PERCENTILE_DISC(0.90) WITHIN GROUP (ORDER BY l_extendedprice)
+                       AS p90_disc
+            FROM _pctl_lineitem
+            GROUP BY l_returnflag
         )
+        """
     )
 
 

@@ -809,25 +809,46 @@ def join_fuzzy_blocked(spark: SparkSession, sf: str) -> DataFrame:
       pair instead of O(len²), -1 sentinel instead of a full distance).
     """
     p = load_table(spark, sf, "part")
+    # Salt the blocking key (round 10, guide §2.5): (pfx, nlen) has only
+    # ~32 distinct values here (8 prefixes × a few lengths), so the ~10M
+    # candidate pairs hash onto a fraction of the shuffle partitions and
+    # the Levenshtein residual — the op's real cost — runs on a handful
+    # of cores while the rest idle. A deterministic salt on the probe
+    # side (pmod(xxhash64(key), S) — never rand(), which re-draws under
+    # task retry) with an S-way build-side replication multiplies the
+    # key count ~S× at an S× build-row cost (build rows are skinny
+    # strings); each (a, b) pair still meets exactly once, at a's salt.
+    # S tracks the session's parallelism so a larger cluster gets more
+    # spread, capped so build replication stays bounded.
+    n_salt = max(1, min(16, spark.sparkContext.defaultParallelism // 4))
     a = p.filter(F.col("p_partkey") % 5 == 0).select(
         F.col("p_partkey").alias("ak"),
         F.col("p_name").alias("an"),
         F.substring("p_name", 1, 3).alias("pfx"),
         F.length("p_name").alias("nlen"),
+        F.pmod(F.xxhash64("p_partkey"), F.lit(n_salt)).cast("int").alias("salt"),
     )
-    # build side: each row admits partner lengths len-2..len+2
-    b = load_table(spark, sf, "part").select(
-        F.col("p_partkey").alias("bk"),
-        F.col("p_name").alias("bn"),
-        F.substring("p_name", 1, 3).alias("pfx"),
-        F.explode(
-            F.sequence(F.length("p_name") - 2, F.length("p_name") + 2)
-        ).alias("nlen"),
+    # build side: each row admits partner lengths len-2..len+2, replicated
+    # across every salt (one generator per select → two chained selects)
+    b = (
+        load_table(spark, sf, "part")
+        .select(
+            F.col("p_partkey").alias("bk"),
+            F.col("p_name").alias("bn"),
+            F.substring("p_name", 1, 3).alias("pfx"),
+            F.explode(
+                F.sequence(F.length("p_name") - 2, F.length("p_name") + 2)
+            ).alias("nlen"),
+        )
+        .select(
+            "bk", "bn", "pfx", "nlen",
+            F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("salt"),
+        )
     )
     bounded = F.levenshtein(F.col("an"), F.col("bn"), 2)
     return (
         a.hint("shuffle_hash")
-        .join(b, ["pfx", "nlen"])
+        .join(b, ["pfx", "nlen", "salt"])
         .filter((F.col("ak") < F.col("bk")) & (bounded >= 0))
         .select(
             F.col("ak").alias("a_key"),

@@ -26,6 +26,7 @@ from datapipelines_python_spark.operators._helpers import (
     davg,
     dsum,
     round4,
+    spread,
     sql_davg,
     sql_dsum,
     sql_round4,
@@ -969,11 +970,21 @@ def ml_kmeans_lloyd(spark: SparkSession, sf: str) -> DataFrame:
     agg — 8×64 cells regardless of corpus size. More iterations repeat
     the same two stages (with ``localCheckpoint`` per round to keep plan
     growth linear); the fixed 2-round unroll is what makes an exact SQL
-    oracle replay possible."""
-    from pyspark.sql.window import Window as W_
+    oracle replay possible.
 
+    Round 10 (guide §2.4/§2.6): the argmin was a row_number window —
+    a full n·K-row shuffle plus a sort just to pick each vector's
+    minimum. It is now ``min(struct(d2, cid))`` — a hash aggregate with
+    map-side partial combine (n·K rows reduce to n BEFORE the exchange),
+    no sort, same winner bit-for-bit (struct ordering is lexicographic
+    (d2, cid), exactly the window's ORDER BY d2, cid with no NULL d2 in
+    play). The serial single-row-group fixture scan that fed both
+    crossJoin assign passes one core is ``spread`` cores-wide — the K
+    broadcast-d² folds per row are order-independent."""
     emb = load_table(spark, sf, "embeddings")
-    v = emb.select("vec_id", "embedding")
+    v = spread(
+        emb.select("vec_id", "embedding"), "vec_id", sf=sf, table="embeddings"
+    )
 
     def d2(a, b):
         return F.aggregate(
@@ -986,11 +997,10 @@ def ml_kmeans_lloyd(spark: SparkSession, sf: str) -> DataFrame:
         p = v.crossJoin(F.broadcast(cent)).select(
             "vec_id", "cid", d2(F.col("embedding"), F.col("c")).alias("d2")
         )
-        w = W_.partitionBy("vec_id").orderBy("d2", "cid")
         return (
-            p.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "cid", "d2")
+            p.groupBy("vec_id")
+            .agg(F.min(F.struct("d2", "cid")).alias("best"))
+            .select("vec_id", F.col("best.cid").alias("cid"), F.col("best.d2").alias("d2"))
         )
 
     def update(ass):
@@ -3196,6 +3206,15 @@ def llm_rouge_pairs(spark: SparkSession, sf: str) -> DataFrame:
         F.col("toks").alias("c"),
         F.lead("toks").over(w).alias("r"),
     ).filter(F.col("ref_id").isNotNull())
+    # The pairing window leaves the data in ONE partition per language —
+    # a handful of tasks at ANY corpus size — and everything downstream
+    # is the expensive part: O(u·len) clipped-intersection folds per
+    # pair. One hash repartition on the pair key fans those folds across
+    # the cores (guide §2.6 idle capacity); each fold is row-local, so
+    # values are identical under any partitioning.
+    paired = paired.repartition(
+        paired.sparkSession.sparkContext.defaultParallelism, "cand_id"
+    )
     # zip_with over offset slices, not sequence(1, size-1): for a
     # single-token doc the sequence form yields a DESCENDING [1,0] and an
     # out-of-bounds index (ANSI error); slice(_, 2, 0) is just empty

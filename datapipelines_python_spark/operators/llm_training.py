@@ -365,7 +365,15 @@ def llm_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     edges = dup.union(
         dup.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    # iterated twice (sides of every per-iteration join) → persist
+    # iterated twice (sides of every per-iteration join) → persist.
+    # Round 10 measured (and REJECTED) truncating the lineage here with
+    # persist().localCheckpoint(eager=False): it does collapse the 6×
+    # re-planning of the llm_dedup_near subtree (2.6 s plan-build vs
+    # 0.09 s execution on this op), but the LogicalRDD it leaves behind
+    # has no stats, the per-iteration joins lose their broadcast
+    # planning, and the extra per-invocation checkpoint job costs more
+    # than the planning saved — measured 2.16 → 3.02 s isolated. Left
+    # as persist; the re-planning tax is the price of honest stats.
     edges = edges.persist()
     labels = edges.select(F.col("src").alias("doc_id")).distinct().select(
         "doc_id", F.col("doc_id").alias("lbl")
@@ -392,11 +400,16 @@ def llm_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
         # labels twice, so a lazy loop doubles the plan per round, and
         # even persist+count leaves nested InMemoryRelation plans whose
         # analysis cost balloons per iteration (measured 1.4s -> 25s by
-        # round 6). localCheckpoint materializes the round and replaces
-        # the plan with a flat scan — one small job per iteration, as in
-        # any DataFrame fixpoint loop (at cluster scale: checkpoint() to
-        # reliable storage, same mechanics).
-        labels = new_labels.localCheckpoint()
+        # round 6). localCheckpoint replaces the plan with a flat scan
+        # as in any DataFrame fixpoint loop (at cluster scale:
+        # checkpoint() to reliable storage, same mechanics). eager=False
+        # (round 10, same adjudication as graph_kcore): the logical plan
+        # is truncated immediately either way, but the lazy form defers
+        # the six per-round materializations into the final action's DAG
+        # instead of six synchronous driver round-trips — each round's
+        # RDD is still computed exactly once (checkpoint caches it) and
+        # round k+1 still reads round k's materialized rows.
+        labels = new_labels.localCheckpoint(eager=False)
     return labels.select(
         "doc_id",
         F.col("lbl").alias("cluster_id"),

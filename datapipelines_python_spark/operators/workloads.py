@@ -2658,10 +2658,13 @@ def ml_pca_power(spark: SparkSession, sf: str) -> DataFrame:
     matvecs, entirely relational: the 64×64 covariance is an aggregate
     over locally-generated (i,j) pairs (decimal-exact sums → the matrix
     is partition-invariant), and each matvec is a broadcast join of the
-    4096-row matrix against a 64-row vector. The corpus-sized work is ONE
-    shuffle-free map pass to build covariance — each vector's d² outer
-    products are emitted by two chained generators inside the scan stage
-    and map-side-combined down to 4096 keys before the only shuffle (the
+    2080-row upper-triangle matrix (symmetric — round 10 stopped
+    generating the mirrored half; each triangle cell contributes to both
+    of its rows' sums instead) against a 64-row vector. The corpus-sized
+    work is ONE
+    shuffle-free map pass to build covariance — each vector's d(d+1)/2
+    outer products are emitted by two chained generators inside the scan
+    stage and map-side-combined down to 2080 keys before the only shuffle (the
     oracle writes the same multiset of products as an exact-equivalent
     self-join on vec_id; the engine never pays that join's n·d-row
     shuffle). Iteration cost is independent of n — the right split at
@@ -2694,19 +2697,28 @@ def ml_pca_power(spark: SparkSession, sf: str) -> DataFrame:
         F.col("xf").cast("double").alias("x"),
     )
     mu = ex.groupBy("i").agg(davg(F.col("x")).alias("mu"))
+    # Round 10 (guide §2.3 "don't compute things you throw away"): the
+    # covariance is symmetric, so only the UPPER TRIANGLE's n·d(d+1)/2
+    # products are generated and decimal-summed (the d² generator paid
+    # double). c(i,j) = c(j,i) bit-exactly — float multiply is
+    # commutative and dsum is order-independent — so the mirrored halves
+    # of the matvecs below are reconstructed by emitting each triangle
+    # cell's contribution to BOTH its rows (once when i=j), which keeps
+    # every per-dimension sum the identical multiset of doubles the full
+    # matrix produced.
     pair = (
         emb.select(
             F.posexplode("embedding").alias("p", "xi"),
             F.col("embedding").alias("e"),
         )
         .select(
-            (F.col("p") + 1).cast("int").alias("i"),
+            F.col("p"),
             F.col("xi").cast("double").alias("x_i"),
-            F.posexplode("e").alias("q", "xj"),
+            F.posexplode(F.expr("slice(e, p + 1, size(e) - p)")).alias("q", "xj"),
         )
         .select(
-            "i",
-            (F.col("q") + 1).cast("int").alias("j"),
+            (F.col("p") + 1).cast("int").alias("i"),
+            (F.col("p") + 1 + F.col("q")).cast("int").alias("j"),
             (F.col("x_i") * F.col("xj").cast("double")).alias("xy"),
         )
     )
@@ -2725,15 +2737,33 @@ def ml_pca_power(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("sxy") / F.col("cnt") - F.col("mu_i") * F.col("mu_j")).alias("c"),
         )
     )
-    w = c.groupBy("i").agg(dsum(F.col("c")).alias("w"))
-    v = (
-        c.join(
-            F.broadcast(w.select(F.col("i").alias("j"), F.col("w").alias("wj"))),
-            "j",
+    def _mirror(df: DataFrame, val, sym) -> DataFrame:
+        """Triangle-to-full-matrix row-sum expansion: emit ``val`` as a
+        contribution to row i and ``sym`` to row j when i≠j."""
+        one = F.array(F.struct(F.col("i").alias("k"), val.alias("cv")))
+        two = F.array(
+            F.struct(F.col("i").alias("k"), val.alias("cv")),
+            F.struct(F.col("j").alias("k"), sym.alias("cv")),
         )
-        .groupBy("i")
-        .agg(dsum(F.col("c") * F.col("wj")).alias("v"))
+        return df.select(
+            F.explode(
+                F.when(F.col("i") == F.col("j"), one).otherwise(two)
+            ).alias("s")
+        ).select(F.col("s.k").alias("i"), F.col("s.cv").alias("cv"))
+
+    w = _mirror(c, F.col("c"), F.col("c")).groupBy("i").agg(
+        dsum(F.col("cv")).alias("w")
     )
+    cw = c.join(
+        F.broadcast(w.select(F.col("i").alias("j"), F.col("w").alias("wj"))),
+        "j",
+    ).join(
+        F.broadcast(w.select(F.col("i").alias("wi_k"), F.col("w").alias("wi"))),
+        F.col("i") == F.col("wi_k"),
+    )
+    v = _mirror(
+        cw, F.col("c") * F.col("wj"), F.col("c") * F.col("wi")
+    ).groupBy("i").agg(dsum(F.col("cv")).alias("v"))
     nw = w.agg(F.sqrt(dsum(F.col("w") * F.col("w"))).alias("nw"))
     nv = v.agg(F.sqrt(dsum(F.col("v") * F.col("v"))).alias("nv"))
     return (
