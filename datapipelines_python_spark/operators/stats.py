@@ -4008,8 +4008,15 @@ def ml_ridge_path(spark: SparkSession, sf: str) -> DataFrame:
         ),
     )
     r = s.select("n", r12.alias("r12"), r1y.alias("r1y"), r2y.alias("r2y"))
-    lams = spark.createDataFrame([(0.0,), (0.1,), (1.0,), (10.0,)], "lam double")
-    joined = r.crossJoin(lams)
+    # λ grid as a JVM-side explode, not createDataFrame(list) (round 10,
+    # guide §4: the pickled-rows local relation plans a Python-RDD scan
+    # per invocation just to emit 4 constant doubles)
+    joined = r.select(
+        "n", "r12", "r1y", "r2y",
+        F.explode(
+            F.array(F.lit(0.0), F.lit(0.1), F.lit(1.0), F.lit(10.0))
+        ).alias("lam"),
+    )
     det = (1.0 + F.col("lam")) * (1.0 + F.col("lam")) - F.col("r12") * F.col("r12")
     return joined.select(
         "lam",
