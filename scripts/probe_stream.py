@@ -47,8 +47,6 @@ def capturing_drain(df, name, output_mode="append", sf=None):
 
 
 S.drain_to_memory = capturing_drain
-for mod_name in list(sys.modules):
-    pass
 
 t0 = time.perf_counter()
 df = fn_src[OP](spark, SF)
