@@ -983,7 +983,8 @@ def ml_kmeans_lloyd(spark: SparkSession, sf: str) -> DataFrame:
     broadcast-d² folds per row are order-independent."""
     emb = load_table(spark, sf, "embeddings")
     v = spread(
-        emb.select("vec_id", "embedding"), "vec_id", sf=sf, table="embeddings"
+        emb.select("vec_id", "embedding"), "vec_id", sf=sf, table="embeddings",
+        rows_per_task=500,
     )
 
     def d2(a, b):

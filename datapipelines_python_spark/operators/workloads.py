@@ -74,7 +74,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
     o = load_table(spark, sf, "orders").filter(F.col("o_orderdate") < "1998-03-15")
     li = spread(
         load_table(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1998-03-15"),
-        "l_orderkey", sf=sf, table="lineitem",
+        "l_orderkey", sf=sf, table="lineitem", rows_per_task=75_000,
     )
     agg = (
         c.join(o, c.c_custkey == o.o_custkey)
@@ -150,7 +150,8 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1999-01-01")
     )
     li = spread(
-        load_table(spark, sf, "lineitem"), "l_orderkey", sf=sf, table="lineitem"
+        load_table(spark, sf, "lineitem"), "l_orderkey", sf=sf, table="lineitem",
+        rows_per_task=75_000,
     )
     s = load_table(spark, sf, "supplier")
     joined = (
@@ -326,7 +327,8 @@ def tpch_q18_large_volume_customer(spark: SparkSession, sf: str) -> DataFrame:
     customer detail. Agg-then-join keeps the HAVING before the joins, so
     only qualifying orders shuffle onward."""
     li = spread(
-        load_table(spark, sf, "lineitem"), "l_orderkey", sf=sf, table="lineitem"
+        load_table(spark, sf, "lineitem"), "l_orderkey", sf=sf, table="lineitem",
+        rows_per_task=75_000,
     )
     o = load_table(spark, sf, "orders")
     c = load_table(spark, sf, "customer")
@@ -574,7 +576,8 @@ def tpch_q9_product_type_profit(spark: SparkSession, sf: str) -> DataFrame:
     grouped by supplier nation x order year."""
     p = load_table(spark, sf, "part").filter(F.col("p_name").like("%red%"))
     li = spread(
-        load_table(spark, sf, "lineitem"), "l_orderkey", sf=sf, table="lineitem"
+        load_table(spark, sf, "lineitem"), "l_orderkey", sf=sf, table="lineitem",
+        rows_per_task=75_000,
     )
     s = load_table(spark, sf, "supplier")
     o = load_table(spark, sf, "orders")
@@ -876,7 +879,8 @@ def tpch_q21_suppliers_kept_waiting(spark: SparkSession, sf: str) -> DataFrame:
     # serves all downstream keyed ops; HashPartitioning(l_orderkey)
     # satisfies the (l_orderkey, l_suppkey) clustering).
     li = spread(
-        load_table(spark, sf, "lineitem"), "l_orderkey", sf=sf, table="lineitem"
+        load_table(spark, sf, "lineitem"), "l_orderkey", sf=sf, table="lineitem",
+        rows_per_task=150_000,
     )
     j = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
         "is_late",
@@ -1493,7 +1497,8 @@ def workload_basket_affinity(spark: SparkSession, sf: str) -> DataFrame:
     # l_orderkey clustering, so neither re-shuffles — 3 exchanges → 1,
     # and the single-row-group scan fans out at the same time.
     li = spread(
-        load_table(spark, sf, "lineitem"), "l_orderkey", sf=sf, table="lineitem"
+        load_table(spark, sf, "lineitem"), "l_orderkey", sf=sf, table="lineitem",
+        rows_per_task=75_000,
     )
     items = li.select("l_orderkey", "l_partkey").distinct()
     # Denominator as a broadcast 1-row aggregate instead of an eager
@@ -2689,7 +2694,8 @@ def ml_pca_power(spark: SparkSession, sf: str) -> DataFrame:
     # Round 10: the unconditional repartition became the conditional
     # ``spread`` (same key, same count) — identical here, literal no-op
     # once the layout already feeds the cores.
-    emb = spread(emb, "vec_id", sf=sf, table="embeddings")
+    emb = spread(emb, "vec_id", sf=sf, table="embeddings",
+                 rows_per_task=64)
     ex = emb.select(
         F.posexplode("embedding").alias("p", "xf")
     ).select(
@@ -14343,7 +14349,8 @@ def workload_frequent_triples(spark: SparkSession, sf: str) -> DataFrame:
     # the basket build and BOTH mining arms run off this one exchange
     # (guide §2.4) — and the serial fixture scan fans out with it.
     li = spread(
-        load_table(spark, sf, "lineitem"), "l_orderkey", sf=sf, table="lineitem"
+        load_table(spark, sf, "lineitem"), "l_orderkey", sf=sf, table="lineitem",
+        rows_per_task=75_000,
     )
     p = load_table(spark, sf, "part")
     basket = (
