@@ -813,11 +813,13 @@ def join_fuzzy_blocked(spark: SparkSession, sf: str) -> DataFrame:
     # ~32 distinct values here (8 prefixes × a few lengths), so the ~10M
     # candidate pairs hash onto a fraction of the shuffle partitions and
     # the Levenshtein residual — the op's real cost — runs on a handful
-    # of cores while the rest idle. A deterministic salt on the probe
-    # side (pmod(xxhash64(key), S) — never rand(), which re-draws under
-    # task retry) with an S-way build-side replication multiplies the
-    # key count ~S× at an S× build-row cost (build rows are skinny
-    # strings); each (a, b) pair still meets exactly once, at a's salt.
+    # of cores while the rest idle. A deterministic salt
+    # (pmod(xxhash64(key), S) — never rand(), which re-draws under task
+    # retry) goes on side `a` — the NON-replicated side, which the
+    # shuffle_hash hint below nominates as the hash-table build side —
+    # and the S-way replication on side `b`, multiplying the key count
+    # ~S× at an S× b-row cost (skinny strings); each (a, b) pair still
+    # meets exactly once, at a's salt.
     # S tracks the session's parallelism so a larger cluster gets more
     # spread, capped so build replication stays bounded.
     n_salt = max(1, min(16, spark.sparkContext.defaultParallelism // 4))
@@ -828,8 +830,10 @@ def join_fuzzy_blocked(spark: SparkSession, sf: str) -> DataFrame:
         F.length("p_name").alias("nlen"),
         F.pmod(F.xxhash64("p_partkey"), F.lit(n_salt)).cast("int").alias("salt"),
     )
-    # build side: each row admits partner lengths len-2..len+2, replicated
-    # across every salt (one generator per select → two chained selects)
+    # replicated side: each row admits partner lengths len-2..len+2,
+    # copied across every salt (one generator per select → two chained
+    # selects); the shuffle_hash hint on `a` makes `a` the hash-table
+    # build side, so this replication lands on the streamed side
     b = (
         load_table(spark, sf, "part")
         .select(

@@ -47,13 +47,20 @@ def capturing_drain(df, name, output_mode="append", sf=None):
 
 
 S.drain_to_memory = capturing_drain
+try:
+    t0 = time.perf_counter()
+    df = fn_src[OP](spark, SF)
+    n = df.count()
+    wall = time.perf_counter() - t0
+finally:
+    S.drain_to_memory = orig
 
-t0 = time.perf_counter()
-df = fn_src[OP](spark, SF)
-n = df.count()
-wall = time.perf_counter() - t0
 print(f"\n=== {OP} wall={wall:.2f}s rows={n}")
-q = captured["q"]
+q = captured.get("q")
+if q is None:
+    raise SystemExit(
+        f"{OP} never reached drain_to_memory — no query handle captured"
+    )
 tot = {}
 for p in q.recentProgress:
     d = p["durationMs"]
