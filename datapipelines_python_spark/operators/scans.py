@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from datapipelines_python_spark.catalog import load_table
+from datapipelines_python_spark.operators._helpers import spread
 from datapipelines_python_spark.registry import query
 
 _SCRATCH_BASE = os.path.join(
@@ -286,10 +287,27 @@ def scan_python_datasource(spark: SparkSession, sf: str) -> DataFrame:
             return [InputPartition(i) for i in range(self.nparts)]
 
         def read(self, partition):
+            # Round 11 (guide §4.2): yield ONE Arrow record batch per
+            # partition instead of per-row Python tuples — the reader
+            # API accepts either, and the batch form skips the per-row
+            # pickle/convert path entirely (the values are identical:
+            # int64 ids, int32 partition, and (id % 97) * 0.5 is the
+            # same IEEE-754 op on either path).
+            import numpy as np
+            import pyarrow as pa
+
             base = partition.value * self.rows
-            for j in range(self.rows):
-                gid = base + j
-                yield (gid, partition.value, float(gid % 97) * 0.5)
+            ids = np.arange(base, base + self.rows, dtype=np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids),
+                    pa.array(
+                        np.full(self.rows, partition.value, dtype=np.int32)
+                    ),
+                    pa.array((ids % 97).astype(np.float64) * 0.5),
+                ],
+                names=["id", "part", "val"],
+            )
 
     class SyntheticRowsSource(DataSource):
         @classmethod
@@ -465,7 +483,10 @@ def scan_python_stream_source(spark: SparkSession, sf: str) -> DataFrame:
     while _time.time() < deadline:
         if spark.table("py_stream_source_sink").count() >= TOTAL:
             break
-        _time.sleep(0.3)
+        # short poll: each micro-batch lands in well under 300 ms here,
+        # so a coarse poll added up to ~1 s of pure sleep latency per
+        # run (guide §1 — the wall was the probe, not the work)
+        _time.sleep(0.05)
     q.stop()
     q.awaitTermination()
     return spark.table("py_stream_source_sink")
@@ -570,12 +591,23 @@ def sink_python_datasource(spark: SparkSession, sf: str) -> DataFrame:
     reader (batch + streaming) AND custom writer, the template for
     pushing to systems Spark has no sink for. Round-trip checked: the
     written data re-read must equal the filtered source."""
-    from pyspark.sql.datasource import DataSource, DataSourceWriter, WriterCommitMessage
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceArrowWriter,
+        WriterCommitMessage,
+    )
 
     out_dir = scratch_dir("py_sink_orders")
     os.makedirs(out_dir, exist_ok=True)
 
-    class _PartFileWriter(DataSourceWriter):
+    class _PartFileWriter(DataSourceArrowWriter):
+        # Round 11 (guide §4.2): DataSourceArrowWriter hands the task
+        # WHOLE Arrow record batches instead of pickled Rows — the
+        # per-row Row-object construction and attribute lookups were the
+        # write path's real cost. ``to_pylist`` yields the same Python
+        # ints/strings (and the same ``None`` rendering) the old
+        # row-at-a-time f-string saw, so the emitted CSV bytes are
+        # identical.
         def __init__(self, options):
             self.path = options.get("path")
 
@@ -583,11 +615,16 @@ def sink_python_datasource(spark: SparkSession, sf: str) -> DataFrame:
             from pyspark import TaskContext
 
             pid = TaskContext.get().partitionId()
-            n = 0
             with open(os.path.join(self.path, f"part-{pid:05d}.csv"), "w") as f:
-                for row in iterator:
-                    f.write(f"{row.o_orderkey},{row.o_custkey},{row.o_orderstatus}\n")
-                    n += 1
+                for batch in iterator:
+                    f.writelines(
+                        f"{k},{c},{s}\n"
+                        for k, c, s in zip(
+                            batch.column(0).to_pylist(),
+                            batch.column(1).to_pylist(),
+                            batch.column(2).to_pylist(),
+                        )
+                    )
             return WriterCommitMessage()
 
     class PartFileSink(DataSource):
@@ -599,9 +636,16 @@ def sink_python_datasource(spark: SparkSession, sf: str) -> DataFrame:
             return _PartFileWriter(self.options)
 
     spark.dataSource.register(PartFileSink)
-    src = load_table(spark, sf, "orders").filter(
-        F.col("o_orderstatus") == "F"
-    ).select("o_orderkey", "o_custkey", "o_orderstatus")
+    # spread (guide §2.6): the single-row-group orders scan would hand
+    # ONE writer task every surviving row; per-row Python formatting is
+    # the cost, so size partitions to it. More part files, same re-read
+    # rows — the written SET is partitioning-invariant.
+    src = spread(
+        load_table(spark, sf, "orders").filter(
+            F.col("o_orderstatus") == "F"
+        ).select("o_orderkey", "o_custkey", "o_orderstatus"),
+        "o_orderkey", sf=sf, table="orders", rows_per_task=10_000,
+    )
     src.write.format("part_file_sink").option("path", out_dir).mode("append").save()
     return spark.read.schema(
         "o_orderkey bigint, o_custkey bigint, o_orderstatus string"

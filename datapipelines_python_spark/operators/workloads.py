@@ -747,7 +747,14 @@ def tpch_q16_parts_supplier_relationship(spark: SparkSession, sf: str) -> DataFr
     association comes from distinct lineitem pairs (no partsupp), and the
     excluded-supplier subquery targets negative account balances (no
     s_comment). Distinct pre-agg -> anti join -> count-distinct rollup."""
-    li = load_table(spark, sf, "lineitem")
+    # spread keyed on l_partkey (guide §2.4/§2.6): HashPartitioning on a
+    # prefix of the distinct's (l_partkey, l_suppkey) clustering satisfies
+    # it, so the fan-out exchange doubles as the distinct's distribution
+    # and the serial lineitem scan parallelizes for free.
+    li = spread(
+        load_table(spark, sf, "lineitem"), "l_partkey", sf=sf,
+        table="lineitem", rows_per_task=75_000,
+    )
     ps = li.select("l_partkey", "l_suppkey").distinct()
     p = load_table(spark, sf, "part").filter(
         (F.col("p_brand") != "Brand#1")
@@ -942,7 +949,14 @@ def tpch_q2_minimum_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
     correlation key (p_partkey) is the window partition key and the
     candidate set (European suppliers of that part) is exactly the joined
     rows."""
-    li = load_table(spark, sf, "lineitem")
+    # spread keyed on l_partkey (guide §2.4/§2.6): HashPartitioning on a
+    # prefix of the distinct's (l_partkey, l_suppkey) clustering satisfies
+    # it, so the fan-out exchange doubles as the distinct's distribution
+    # and the serial lineitem scan parallelizes for free.
+    li = spread(
+        load_table(spark, sf, "lineitem"), "l_partkey", sf=sf,
+        table="lineitem", rows_per_task=75_000,
+    )
     ps = li.select("l_partkey", "l_suppkey").distinct()
     n = load_table(spark, sf, "nation")
     r = load_table(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
@@ -2563,7 +2577,14 @@ def workload_pareto_share(spark: SparkSession, sf: str) -> DataFrame:
     is a single-partition sort at customer grain — fine to ~100M
     customers; beyond that the quintile boundary comes from
     `approx_percentile` instead and membership becomes a filter."""
-    o = load_table(spark, sf, "orders")
+    # spread keyed on o_custkey (guide §2.4/§2.6): the fan-out exchange
+    # IS the rollup's required distribution, so the serial orders scan
+    # parallelizes without adding an exchange; decimal sum is
+    # order-independent.
+    o = spread(
+        load_table(spark, sf, "orders"), "o_custkey", sf=sf, table="orders",
+        rows_per_task=20_000,
+    )
     rev = o.groupBy("o_custkey").agg(dsum(F.col("o_totalprice")).alias("revenue"))
     w = W.partitionBy().orderBy(F.desc("revenue"), F.asc("o_custkey"))
     ranked = rev.withColumn("q", F.ntile(5).over(w))
@@ -4396,6 +4417,11 @@ def sql_recursive_hierarchy(spark: SparkSession, sf: str) -> DataFrame:
                    CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents
             FROM _rec_customer WHERE c_custkey = 0
             UNION ALL
+            -- r11 measured a BROADCAST(t) hint on this frontier join
+            -- (the planner cannot estimate a UnionLoopRef) and REJECTED
+            -- it: 14 per-iteration frontier broadcasts cost more than
+            -- the shuffles they replace (same-harness A/B, min-of-4:
+            -- 2.07 s unhinted vs 2.63 s hinted)
             SELECT c.c_custkey, t.depth + 1,
                    CAST(FLOOR(c.c_acctbal * 100.0 + 0.5) AS BIGINT)
             FROM _rec_customer c
@@ -4824,6 +4850,13 @@ def ml_gbt_stumps(spark: SparkSession, sf: str) -> DataFrame:
     checkable bit-for-bit. The fact table is touched three times (two
     candidate aggregates + one residual pass); the windows run over
     deduped candidate axes only."""
+    # spread measured-and-REJECTED here (r11): the lineitem scan appears
+    # three times in this plan (two candidate aggregates + the residual
+    # pass), so a keyed fan-out is also TRIPLED — plan grew 46 → 64
+    # Exchanges and the wall went 2.36 → 3.10 s (30 partitions) /
+    # 2.48 s (8 partitions), same-harness min-of-4. The existing
+    # candidate-aggregate exchanges already distribute the real work;
+    # the serial segment is just casts feeding a map-side partial agg.
     li = load_table(spark, sf, "lineitem")
     dec0 = "decimal(38,0)"
     base = li.select(
@@ -14035,9 +14068,18 @@ def workload_item_item_cf(spark: SparkSession, sf: str) -> DataFrame:
     signal) and shard the catalog exactly as the %5 predicate does."""
     li = load_table(spark, sf, "lineitem").filter(F.col("l_partkey") % 5 == 0)
     o = load_table(spark, sf, "orders")
+    # One u-keyed exchange serves the whole pair stage (guide §2.4):
+    # HashPartitioning(u) satisfies the (u, i) distinct clustering AND
+    # both self-join sides' u clustering, so the interaction build, the
+    # dedup and the Σ basket² co-occurrence join all run off this single
+    # fan-out of the serial fixture scan (exact no-op on a parallel
+    # layout, where the planner's own exchanges return).
     inter = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
+        spread(
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i")),
+            "u", sf=sf, table="lineitem", rows_per_task=75_000,
+        )
         .distinct()
     )
     freq = inter.groupBy("i").agg(F.count(F.lit(1)).cast("bigint").alias("n"))

@@ -47,52 +47,56 @@ DRIVER_SLICE: tuple[str, ...] = (
     "digest_stream",
     "digest_wl_1",
     "digest_wl_2",
-    # digest-only ops rotated in for individual raw-double hash rows
-    # (strictly stronger than the digest's floor-grid certification).
-    # Round 10 rotation: next 42 never-individually-checked ops,
-    # round-robin across family prefixes (scripts/next_rotation.py).
-    "fn_luhn_check",
-    "llm_ngram_novelty",
-    "ml_logistic_newton",
-    "tpch_q17_small_quantity_revenue",
-    "workload_attribution_last_touch",
-    "fn_aes_roundtrip",
-    "llm_embed_matryoshka",
-    "ml_gbt_stumps",
-    "tpch_q20_potential_promotion",
-    "workload_latency_percentiles",
-    "fn_uuid_deterministic",
-    "llm_ann_pq_adc",
-    "ml_oversample_interpolate",
-    "tpch_q21_suppliers_kept_waiting",
-    "workload_ship_lag",
-    "fn_timezone_convert",
-    "llm_tfidf_knn",
-    "ml_youden_j",
-    "tpch_q2_minimum_cost_supplier",
-    "workload_pareto_share",
-    "fn_morton_zorder",
-    "llm_context_fit",
-    "ml_lof_outliers",
-    "workload_error_bursts",
-    "fn_inet",
-    "llm_sentiment_lexicon",
-    "ml_chi2_independence",
-    "workload_ewma_smoothing",
-    "fn_soundex",
-    "llm_word_burstiness",
-    "ml_ks_test",
-    "workload_data_quality",
-    "fn_string_extra",
-    "llm_template_prefix",
-    "ml_theil_sen",
-    "workload_top_movers",
-    "fn_array_extra",
-    "llm_bleu_pairs",
-    "ml_subsample_ci",
-    "workload_histogram_equiheight",
-    "fn_string_index",
-    "llm_embedding_isotropy",
+    # Round 11 rotation (VERDICT r10 #7): 14 slots go to the round-10/11
+    # TOUCHED ops so each carries an individual raw-double hash row on
+    # exactly the code this round changed (several were last individually
+    # checked rounds ago); the remaining 28 are the next
+    # never-individually-checked ops in round-robin family order
+    # (scripts/next_rotation.py — llm_rouge_pairs and llm_dedup_clusters
+    # from that list are themselves r10/r11-touched).
+    "agg_groupby",
+    "agg_percentile_family",
+    "join_fuzzy_blocked",
+    "ml_kmeans_lloyd",
+    "udf_grouped_map",
+    "udaf_pandas_window",
+    "workload_basket_affinity",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q9_product_type_profit",
+    "tpch_q18_large_volume_customer",
+    "workload_item_item_cf",
+    "workload_frequent_triples",
+    "sink_python_datasource",
+    # never-individually-checked tail (next_rotation.py order)
+    "fn_date_extra",
+    "llm_embed_dim_audit",
+    "ml_markov_stationary",
+    "workload_forecast_seasonal",
+    "fn_try_overflow",
+    "llm_position_kl",
+    "ml_mutual_info",
+    "workload_queue_depth",
+    "fn_sequence_zip",
+    "llm_domain_shift_bits",
+    "ml_calibration_bins",
+    "workload_new_vs_returning",
+    "fn_mask",
+    "llm_jsd_lang_pair",
+    "ml_kaplan_meier",
+    "workload_peak_detection",
+    "fn_timestamp_parse",
+    "llm_corpus_health",
+    "ml_psi_drift",
+    "workload_path_3step",
+    "fn_row_fingerprint",
+    "llm_rouge_pairs",
+    "ml_shapley_closed_form",
+    "workload_funnel_conversion_time",
+    "fn_to_json",
+    "llm_keyword_rake",
+    "ml_precision_recall",
+    "llm_dedup_clusters",
 )
 
 # Modules that register operators on import.
