@@ -127,7 +127,9 @@ def events_stream(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def stream_state_partitions(spark: SparkSession, sf: str | None = None) -> int:
+def stream_state_partitions(
+    spark: SparkSession, sf: str | None = None, python_state: bool = False
+) -> int:
     """Shuffle-partition count for streaming state, sized deliberately.
 
     Unlike batch, this value is BAKED into the checkpoint at the first
@@ -154,11 +156,26 @@ def stream_state_partitions(spark: SparkSession, sf: str | None = None) -> int:
     10.7/11.7 at 1). The derived default keeps values bit-identical
     (keyed state; decimal sums) and scales with the data, not with the
     local core count; real deployments still size capacity via the env
-    knob."""
+    knob.
+
+    Round 11 adds ``python_state``: for stateful operators whose
+    per-batch work is per-GROUP PYTHON (applyInPandasWithState /
+    transformWithStateInPandas iterate a pandas frame per key per
+    micro-batch), partition count is worker parallelism, not state-store
+    byte budget — the same lesson as ``py_stage_partitions`` for batch.
+    Measured at sf0.1 (bench_one, min-of-2): stream_tws_fallback
+    15.0 s @ 1 partition → 5.2 @ 4 → 4.1 @ 8; stream_stateful_count
+    8.9 → 4.2 → 3.6. The JVM-state ops show the OPPOSITE gradient
+    (stream_join_then_window 5.6 @ 1 → 8.5 @ 8 — commit overhead), so
+    the Python sizing applies only where the flag is set. The divisor is
+    ~30× finer (256 KB of replayed input per partition vs 8 MB) —
+    the order of the measured per-row Python-vs-JVM cost gap (guide §4);
+    same floor/cap, env knob still wins."""
     v = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
     if v:
         return max(1, int(v))
     cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    per_part = (256 << 10) if python_state else (8 << 20)
     if sf:
         try:
             nbytes = os.path.getsize(
@@ -167,7 +184,7 @@ def stream_state_partitions(spark: SparkSession, sf: str | None = None) -> int:
         except OSError:
             nbytes = None
         if nbytes:
-            return max(1, min(cur, -(-nbytes // (8 << 20))))
+            return max(1, min(cur, -(-nbytes // per_part)))
     return min(cur, 8)
 
 
@@ -177,15 +194,21 @@ class _state_sized:
     Safe because availableNow drains every micro-batch inside
     awaitTermination and the engine runs one query per session thread."""
 
-    def __init__(self, spark: SparkSession, sf: str | None = None) -> None:
+    def __init__(
+        self, spark: SparkSession, sf: str | None = None,
+        python_state: bool = False,
+    ) -> None:
         self.spark = spark
         self.sf = sf
+        self.python_state = python_state
 
     def __enter__(self) -> None:
         self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
         self.spark.conf.set(
             "spark.sql.shuffle.partitions",
-            str(stream_state_partitions(self.spark, self.sf)),
+            str(stream_state_partitions(
+                self.spark, self.sf, python_state=self.python_state
+            )),
         )
 
     def __exit__(self, *exc) -> None:
@@ -226,13 +249,16 @@ def unload_state_stores(spark: SparkSession) -> None:
 
 def drain_to_memory(
     df: DataFrame, name: str, output_mode: str = "append",
-    sf: str | None = None,
+    sf: str | None = None, python_state: bool = False,
 ) -> DataFrame:
     """Run a streaming plan to completion (AvailableNow) into a memory
-    sink and return the result as a batch DataFrame."""
+    sink and return the result as a batch DataFrame. ``python_state``
+    marks plans whose stateful operator is per-group Python
+    (applyInPandasWithState / transformWithStateInPandas) — see
+    :func:`stream_state_partitions`."""
     spark = df.sparkSession
     spark.catalog.dropTempView(name)  # stale table from a prior run, if any
-    with _state_sized(spark, sf):
+    with _state_sized(spark, sf, python_state=python_state):
         q = (
             df.writeStream.format("memory")
             .queryName(name)
@@ -502,7 +528,9 @@ def stream_stateful_count(spark: SparkSession, sf: str) -> DataFrame:
     # be negative), so sum_k must be taken FROM that terminal row —
     # max_by, never an independent max (VERDICT r5 #1: independent
     # max(sum_k) returns a stale intermediate under >1 micro-batch).
-    drained = drain_to_memory(out, "stream_stateful_count_sink", "update", sf=sf)
+    drained = drain_to_memory(
+        out, "stream_stateful_count_sink", "update", sf=sf, python_state=True
+    )
     return drained.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
         F.max_by("sum_k", "n_events").alias("sum_k"),
@@ -828,7 +856,9 @@ if _HAS_PROTOBUF:
                 outputMode="update",
                 timeMode="none",
             )
-            drained = drain_to_memory(out, "stream_tws_sink", "update", sf=sf)
+            drained = drain_to_memory(
+                out, "stream_tws_sink", "update", sf=sf, python_state=True
+            )
             return drained.groupBy("user_id").agg(
                 F.max("n_events").alias("n_events"),
                 F.max("n_purchases").alias("n_purchases"),
@@ -929,7 +959,9 @@ def stream_tws_fallback(spark: SparkSession, sf: str) -> DataFrame:
     # key, and p/mx are monotone too (counts and a max) — but take them
     # from the terminal row via max_by anyway, the proven finalization
     # shape (VERDICT r5 #1)
-    drained = drain_to_memory(out, "stream_tws_fallback_sink", "update", sf=sf)
+    drained = drain_to_memory(
+        out, "stream_tws_fallback_sink", "update", sf=sf, python_state=True
+    )
     return drained.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
         F.max_by("n_purchases", "n_events").alias("n_purchases"),
